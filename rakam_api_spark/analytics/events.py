@@ -1,0 +1,398 @@
+"""Event-analytics operators: segmentation, funnel, retention,
+sessionization, JSON-property extraction, profile snapshots.
+
+The reference collects events and delegates these reports to SQL on
+its warehouse (reference README.md:14-19); its cloud UI's
+funnel/retention builders exist only as feature flags in this
+snapshot (rakam-spi/.../UserPluginConfig.java:18-19).  We implement
+them as first-class Spark operators.
+
+Determinism: all event-time arithmetic uses the raw nanosecond epoch
+column (``ts_ns``) or DATE casts of the TimestampNTZ column — no
+session-timezone dependence anywhere (oracle side uses
+``epoch_us(ts)`` / ``CAST(ts AS DATE)`` which are the same naive-UTC
+semantics).
+
+Scale: every operator is a single shuffle on ``user_id`` (window or
+groupBy) or on a small bucket key; at 100 TB the events table would
+be date-partitioned and bucketed by user_id, making the user-keyed
+shuffles co-located scans.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+DEC = "decimal(18,6)"
+
+US_PER_HOUR = 3_600_000_000
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _us(col: str = "ts_ns"):
+    """Microseconds-since-epoch from the raw ns column (floor division
+    matches DuckDB's ns→us truncation)."""
+    return F.floor(F.col(col) / F.lit(1000)).cast("long")
+
+
+# --- segmentation -------------------------------------------------------
+
+
+def seg_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmentation: daily counts + uniques per event type."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.col("ts").cast("date").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+SEG_DAILY_ORACLE = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("dau"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("day")
+    )
+
+
+DAU_ORACLE = """
+SELECT CAST(ts AS DATE) AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def top_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TOP_EVENT_VALUES_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY 1
+"""
+
+
+def event_type_hourly_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of each event type within its hour (window over agg)."""
+    ev = _events(spark, sf_dir)
+    hour_id = F.floor(F.col("ts_ns") / F.lit(US_PER_HOUR * 1000)).cast("long").alias("hour_id")
+    agg = ev.groupBy(hour_id, "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("hour_id")
+    return (
+        agg.withColumn("hour_total", F.sum("n").over(w))
+        .withColumn("share", F.col("n").cast("double") / F.col("hour_total").cast("double"))
+        .orderBy("hour_id", "event_type")
+    )
+
+
+HOURLY_SHARE_ORACLE = """
+WITH agg AS (
+  SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_id, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT hour_id, event_type, n,
+       CAST(SUM(n) OVER (PARTITION BY hour_id) AS BIGINT) AS hour_total,
+       CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY hour_id) AS DOUBLE) AS share
+FROM agg
+"""
+
+
+def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction over the dynamic ``props`` column —
+    the analytics-side analog of the reference's dynamic-schema
+    ingest (JsonEventDeserializer)."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k_bucket", k % 10)
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+PROPS_JSON_ORACLE = """
+SELECT CAST(props->>'k' AS BIGINT) % 10 AS k_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1
+"""
+
+
+# --- funnel -------------------------------------------------------------
+
+
+def funnel(events: DataFrame, steps: list[str], user_col: str = "user_id") -> DataFrame:
+    """Ordered-funnel operator: users completing step *i* are users
+    whose earliest qualifying event for ``steps[i]`` occurs at or
+    after their step *i-1* completion time.
+
+    Implemented as a chain of per-step min-time aggregations joined
+    on the user key (each step's DataFrame is tiny relative to the
+    fact table, so Catalyst broadcast-joins it back).  A
+    single-shuffle window variant is possible but this form pushes
+    the ``event_type`` filter into the scan for every step.
+    """
+    # All comparisons in whole microseconds (matches the oracle's
+    # epoch_us truncation bit-for-bit).
+    events = events.withColumn("_us", _us())
+    prev: DataFrame | None = None
+    counts = []
+    for i, step in enumerate(steps):
+        step_events = events.where(F.col("event_type") == step)
+        if prev is None:
+            cur = step_events.groupBy(user_col).agg(F.min("_us").alias("t"))
+        else:
+            cur = (
+                step_events.join(prev.select(user_col, F.col("t").alias("t_prev")), user_col)
+                .where(F.col("_us") >= F.col("t_prev"))
+                .groupBy(user_col)
+                .agg(F.min("_us").alias("t"))
+            )
+        counts.append(
+            cur.agg(F.count(F.lit(1)).alias("users")).select(
+                F.lit(i + 1).alias("step"), F.lit(step).alias("event_type"), "users"
+            )
+        )
+        prev = cur
+    return reduce(DataFrame.unionAll, counts).orderBy("step")
+
+
+def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel(_events(spark, sf_dir), ["signup", "click", "purchase"])
+
+
+FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t FROM events WHERE event_type = 'signup' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s1.t GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s2.t GROUP BY 1
+)
+SELECT 1 AS step, 'signup' AS event_type, CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS users
+UNION ALL
+SELECT 2, 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+UNION ALL
+SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+"""
+
+
+# --- retention ----------------------------------------------------------
+
+
+def retention(events: DataFrame, max_offset_days: int = 14) -> DataFrame:
+    """Cohort retention: users grouped by first-activity date; for
+    each day-offset, how many were active.
+
+    Two shuffles: one to find cohort dates (groupBy user), one for
+    the (cohort, offset) rollup; the cohort table joins back
+    broadcast (distinct users ≪ events).
+    """
+    cohorts = events.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("cohort_date"))
+    active = events.select("user_id", F.col("ts").cast("date").alias("active_date")).distinct()
+    return (
+        active.join(cohorts, "user_id")
+        .withColumn("day_offset", F.datediff("active_date", "cohort_date"))
+        .where(F.col("day_offset") <= max_offset_days)
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.countDistinct("user_id").alias("users"))
+        .orderBy("cohort_date", "day_offset")
+    )
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retention(_events(spark, sf_dir), max_offset_days=14)
+
+
+RETENTION_ORACLE = """
+WITH cohorts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date FROM events GROUP BY 1
+), active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_date FROM events
+)
+SELECT cohort_date,
+       CAST(active_date - cohort_date AS INT) AS day_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+FROM active JOIN cohorts USING (user_id)
+WHERE active_date - cohort_date <= 14
+GROUP BY 1, 2
+"""
+
+
+# --- sessionization -----------------------------------------------------
+
+
+def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Assign session ids per user with an inactivity-gap rule.
+
+    Classic lag + running-sum sessionization: one shuffle
+    (partitionBy user_id).  Returns the input plus ``session_id``.
+    At scale this is the same plan Spark's ``session_window`` builds
+    for streaming; the batch form keeps arbitrary per-event columns.
+    """
+    events = events.withColumn("_us", _us())
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    gap_us = gap_seconds * 1_000_000
+    is_new = (
+        F.when(F.lag("_us").over(w).isNull(), 1)
+        .when((F.col("_us") - F.lag("_us").over(w)) > gap_us, 1)
+        .otherwise(0)
+    )
+    return events.withColumn("session_id", F.sum(is_new).over(w))
+
+
+def sessionization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session stats over 30-min-gap sessions."""
+    sess = sessionize(_events(spark, sf_dir))
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("_us") - F.min("_us")).alias("duration_us"),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.floor(F.sum("duration_us") / 1_000_000).cast("long").alias("total_duration_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SESSIONIZATION_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), sessions AS (
+  SELECT user_id, event_id, us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events, MAX(us) - MIN(us) AS duration_us
+  FROM sessions GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(FLOOR(SUM(duration_us) / 1000000) AS BIGINT) AS total_duration_s
+FROM per_session GROUP BY 1
+"""
+
+
+# --- user profile snapshot (event-sourced dimension) --------------------
+
+
+def user_profile_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sourced profile build: the batch analog of the
+    reference's mutable ``_users`` dimension (PostgresqlUserStorage)
+    — last/first seen, totals, and latest event type per user."""
+    ev = _events(spark, sf_dir).withColumn("_us", _us())
+    w = Window.partitionBy("user_id").orderBy(F.desc("_us"), F.desc("event_id"))
+    last_type = ev.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).select(
+        "user_id", F.col("event_type").alias("last_event_type")
+    )
+    agg = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+    )
+    return agg.join(last_type, "user_id").orderBy("user_id")
+
+
+USER_PROFILE_ORACLE = """
+WITH last_t AS (
+  SELECT user_id, event_type AS last_event_type
+  FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT e.user_id, MIN(ts) AS first_seen, MAX(ts) AS last_seen,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       ANY_VALUE(last_event_type) AS last_event_type
+FROM events e JOIN last_t USING (user_id)
+GROUP BY e.user_id
+"""
+
+
+QUERIES = {
+    "seg_daily_event_counts": seg_daily_event_counts,
+    "dau": dau,
+    "top_event_values": top_event_values,
+    "event_type_hourly_share": event_type_hourly_share,
+    "props_json_extract": props_json_extract,
+    "funnel_signup_click_purchase": funnel_signup_click_purchase,
+    "retention_cohorts": retention_cohorts,
+    "sessionization_stats": sessionization_stats,
+    "user_profile_snapshot": user_profile_snapshot,
+}
+
+ORACLES = {
+    "seg_daily_event_counts": SEG_DAILY_ORACLE,
+    "dau": DAU_ORACLE,
+    "top_event_values": TOP_EVENT_VALUES_ORACLE,
+    "event_type_hourly_share": HOURLY_SHARE_ORACLE,
+    "props_json_extract": PROPS_JSON_ORACLE,
+    "funnel_signup_click_purchase": FUNNEL_ORACLE,
+    "retention_cohorts": RETENTION_ORACLE,
+    "sessionization_stats": SESSIONIZATION_ORACLE,
+    "user_profile_snapshot": USER_PROFILE_ORACLE,
+}

@@ -1,0 +1,352 @@
+"""TPC-H-style relational queries over the star schema.
+
+The reference executes none of these in-engine — it delegates every
+join/aggregation/window to Postgres or Presto (reference
+README.md:17,27-31; SURVEY.md §2.7).  On Spark this surface is
+Catalyst's home turf; the implementations below are deliberately
+declarative so pushdown/pruning/broadcast decisions stay with the
+optimizer.
+
+Determinism conventions (so results hash-match the DuckDB oracle):
+- money aggregates are computed on DECIMAL(18,6) casts (exact,
+  order-insensitive) and emitted as DOUBLE;
+- every top-k uses row_number() over a total order that ends in a
+  unique key;
+- ratios are double divisions of exactly-equal operands.
+
+Scale notes: region/nation/customer/supplier/part are dimension
+tables — small relative to fact tables at any SF — so joins against
+them are explicitly marked ``broadcast()``.  lineitem⋈orders is a
+fact-fact join on the natural key; at 100 TB both sides would be
+bucketed by orderkey, and AQE handles skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..tables import load_table
+
+DEC = "decimal(18,6)"
+
+
+def _dec(c):
+    return F.col(c).cast(DEC)
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 adapted: pricing summary report over lineitem.
+
+    Single scan + partial-aggregatable agg: one shuffle on the tiny
+    (returnflag, linestatus) key space; parquet scan prunes to the 7
+    referenced columns.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-09-02").cast("date")
+    return (
+        li.where(F.col("l_shipdate").cast("date") <= cutoff)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum((_dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))).cast(DEC))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                (
+                    _dec("l_extendedprice")
+                    * (F.lit(1).cast(DEC) - _dec("l_discount"))
+                    * (F.lit(1).cast(DEC) + _dec("l_tax"))
+                ).cast(DEC)
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) * (CAST(1 AS DECIMAL(18,6)) + CAST(l_tax AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 adapted: top-10 unshipped orders by revenue.
+
+    customer is a broadcast dim; orders⋈lineitem shuffles on
+    orderkey.  The final top-10 is a single-partition sort of an
+    already-aggregated (small) result.
+    """
+    cu = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cut = F.lit("1995-03-15").cast("date")
+    joined = (
+        li.where(F.col("l_shipdate").cast("date") > cut)
+        .join(orders.where(F.col("o_orderdate").cast("date") < cut), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(cu.where(F.col("c_mktsegment") == "BUILDING")), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    agg = joined.groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate")).agg(
+        F.sum((_dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))).cast(DEC))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .drop("rn")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+    )
+
+
+Q3_ORACLE = """
+WITH agg AS (
+  SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+    AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+  GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+)
+SELECT l_orderkey, o_orderdate, revenue
+FROM (SELECT *, row_number() OVER (ORDER BY revenue DESC, l_orderkey ASC) AS rn FROM agg)
+WHERE rn <= 10
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 adapted: revenue per nation where the supplying and
+    ordering nations match.  Four broadcast dims around the
+    lineitem⋈orders fact join."""
+    for n in ("region", "nation", "customer", "supplier"):
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = broadcast(spark.table("nation"))
+    region = broadcast(spark.table("region"))
+    cust = broadcast(spark.table("customer"))
+    supp = broadcast(spark.table("supplier"))
+    df = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name").isin("ASIA", "AMERICA"))
+    )
+    return (
+        df.groupBy("r_name", "n_name")
+        .agg(
+            F.sum((_dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))).cast(DEC))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+Q5_ORACLE = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA','AMERICA')
+GROUP BY r_name, n_name
+"""
+
+
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by lifetime order value (customer ⟕ orders)."""
+    cu = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    agg = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .join(broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    w = Window.orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+    return (
+        agg.select("c_custkey", "c_name", "c_mktsegment", "total_spend", "n_orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .drop("rn")
+    )
+
+
+TOP_CUSTOMERS_ORACLE = """
+WITH agg AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, c_mktsegment, total_spend, n_orders
+FROM (
+  SELECT c_custkey, c_name, c_mktsegment, total_spend, n_orders,
+         row_number() OVER (ORDER BY total_spend DESC, c_custkey ASC) AS rn
+  FROM agg JOIN customer ON o_custkey = c_custkey
+) WHERE rn <= 20
+"""
+
+
+def part_type_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue and volume per part type (part dim broadcast into the
+    lineitem fact scan)."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type")
+        .agg(
+            F.sum((_dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))).cast(DEC))
+            .cast("double")
+            .alias("revenue"),
+            F.sum(_dec("l_quantity")).cast("double").alias("total_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_type")
+    )
+
+
+PART_TYPE_MARGIN_ORACLE = """
+SELECT p_type,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_type
+"""
+
+
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(status, priority) — grouping-set aggregation the
+    reference could only get from its warehouse."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_value"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+ORDERS_ROLLUP_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+def order_rank_in_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: each customer's top-3 orders by price.
+    Partitioned window — shuffles once on o_custkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            "rnk",
+        )
+    )
+
+
+ORDER_RANK_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice AS price, rnk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join keeping customers with zero orders (outer-join +
+    coalesce surface)."""
+    cu = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+    )
+    return cu.join(agg, F.col("c_custkey") == F.col("o_custkey"), "left").select(
+        "c_custkey",
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("sum_price"), F.lit(0.0)).alias("total_value"),
+        "last_order",
+    )
+
+
+CUSTOMER_ORDER_STATS_ORACLE = """
+SELECT c_custkey,
+       CAST(COALESCE(cnt, 0) AS BIGINT) AS n_orders,
+       COALESCE(sum_price, 0.0) AS total_value,
+       last_order
+FROM customer
+LEFT JOIN (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+         MAX(CAST(o_orderdate AS DATE)) AS last_order
+  FROM orders GROUP BY o_custkey
+) ON c_custkey = o_custkey
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_region_revenue": q5_region_revenue,
+    "top_customers": top_customers,
+    "part_type_margin": part_type_margin,
+    "orders_rollup": orders_rollup,
+    "order_rank_in_customer": order_rank_in_customer,
+    "customer_order_stats": customer_order_stats,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_ORACLE,
+    "q3_shipping_priority": Q3_ORACLE,
+    "q5_region_revenue": Q5_ORACLE,
+    "top_customers": TOP_CUSTOMERS_ORACLE,
+    "part_type_margin": PART_TYPE_MARGIN_ORACLE,
+    "orders_rollup": ORDERS_ROLLUP_ORACLE,
+    "order_rank_in_customer": ORDER_RANK_ORACLE,
+    "customer_order_stats": CUSTOMER_ORDER_STATS_ORACLE,
+}

@@ -1,0 +1,387 @@
+"""Deduplication operators over document corpora.
+
+Four tiers, mirroring the standard LLM-data-pipeline stack:
+
+- ``exact_dedup``            — content-hash groupBy (one shuffle).
+- ``ngram_jaccard_pairs``    — exact word-n-gram Jaccard via a
+  shingle self-join (the correctness baseline; cost is bounded by
+  Σ df(shingle)², so it's for verification, not the 100 TB path).
+- ``minhash_lsh_pairs``      — MinHash signatures + banded LSH; the
+  scale path: candidate pairs come from band-bucket joins, never a
+  quadratic comparison; verified with exact Jaccard afterwards.
+- ``simhash_pairs``          — 16-bit SimHash + nibble banding
+  (pigeonhole: hamming ≤ 3 ⇒ one of 4 nibbles equal), verified by
+  hamming distance.
+
+Every hash is derived from md5 hex strings so a DuckDB oracle can
+reproduce results bit-for-bit (Spark's xxhash64/murmur would be
+faster; at production scale swap ``_h`` for xxhash64 — the plan
+shape is identical).
+
+All operators are pure DataFrame plans: shingling explodes rows
+map-side, signatures are plain aggregations, candidates come from
+equi-joins — each stage partitions on its join/group key, so the
+whole pipeline scales horizontally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+N_HASHES = 12
+BAND_SIZE = 3  # 4 bands × 3 rows
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+
+    Pure column expressions (split/transform/explode) — stays in
+    whole-stage codegen, no Python.
+    """
+    w = F.split(F.col(text_col), " ")
+    # guard: sequence(1, 0) would infer a negative step, so docs
+    # shorter than n words map to an empty shingle array explicitly.
+    shingles = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j).cast("int")) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+
+
+# --- exact ---------------------------------------------------------------
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup decision per doc: group on md5(text); keeper is
+    the min doc_id of the group."""
+    docs = _docs(spark, sf_dir)
+    hashed = docs.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("content_hash")
+    return (
+        hashed.withColumn("keep_id", F.min("doc_id").over(w))
+        .withColumn("is_dup", F.col("doc_id") != F.col("keep_id"))
+        .orderBy("doc_id")
+    )
+
+
+EXACT_DEDUP_ORACLE = """
+SELECT doc_id, md5(text) AS content_hash,
+       MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
+       doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+FROM documents
+"""
+
+
+# --- exact n-gram jaccard ------------------------------------------------
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.6) -> DataFrame:
+    """All doc pairs with word-3-gram Jaccard ≥ threshold.
+
+    shingle self-join → per-pair intersection counts → Jaccard from
+    exact integer set sizes (double division of identical ints is
+    bit-identical across engines).
+    """
+    sh = word_shingles(_docs(spark, sf_dir)).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "inter", "jaccard")
+        .orderBy("d1", "d2")
+    )
+
+
+NGRAM_JACCARD_ORACLE = """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2] AS shingle
+  FROM docs, LATERAL unnest(range(1, len(w)-1)) t(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, CAST(inter AS BIGINT) AS inter,
+       CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) AS jaccard
+FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.6
+"""
+
+
+# --- minhash + LSH -------------------------------------------------------
+
+
+def _minhash_signature(sh: DataFrame) -> DataFrame:
+    """12 MinHash values per doc in ONE aggregation (no per-seed
+    shuffle): min over md5('<seed>|' || shingle) hex strings —
+    lexicographic min of fixed-width hex == numeric min."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}") for i in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs via MinHash-LSH, verified with exact Jaccard.
+
+    Pipeline: shingle → signature (1 shuffle) → band keys → bucket
+    join per band (union) → distinct candidates → exact-Jaccard
+    verify on candidates only.  The verify join touches only
+    candidate docs, so total cost is O(corpus) + O(near-dups) — the
+    100 TB path.
+    """
+    sh = word_shingles(_docs(spark, sf_dir)).cache()
+    sig = _minhash_signature(sh)
+    bands = []
+    n_bands = N_HASHES // BAND_SIZE
+    for band in range(n_bands):
+        cols = [F.col(f"mh{band * BAND_SIZE + j}") for j in range(BAND_SIZE)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(band).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            )
+        )
+    from functools import reduce
+
+    all_bands = reduce(DataFrame.unionAll, bands)
+    a = all_bands.alias("a")
+    b = all_bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    # verify candidates with exact jaccard
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sh1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    sh2 = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (
+        candidates.join(sh1, "d1")
+        .join(sh2, ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+        .orderBy("d1", "d2")
+    )
+
+
+MINHASH_LSH_ORACLE = """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2] AS shingle
+  FROM docs, LATERAL unnest(range(1, len(w)-1)) t(i)
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {bands_union}
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.d1, c.d2, COUNT(*) AS inter
+  FROM candidates c
+  JOIN sh a ON a.doc_id = c.d1
+  JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT i.d1, i.d2,
+       CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) AS jaccard
+FROM inter i JOIN sizes s1 ON i.d1 = s1.doc_id JOIN sizes s2 ON i.d2 = s2.doc_id
+WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.5
+""".format(
+    mins=",\n         ".join(f"MIN(md5('{i}|' || shingle)) AS mh{i}" for i in range(N_HASHES)),
+    bands_union="\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS band_key FROM sig".format(
+            b=b,
+            concat=" || '|' || ".join(f"mh{b * BAND_SIZE + j}" for j in range(BAND_SIZE)),
+        )
+        for b in range(N_HASHES // BAND_SIZE)
+    ),
+)
+
+
+# --- simhash -------------------------------------------------------------
+
+_ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
+
+SIMHASH_BITS = 32
+
+
+def _simhash_bits(token_col: Column) -> list[Column]:
+    """Per-feature contribution to a 32-bit SimHash: for bit j, +1 if
+    hex digit j of md5(feature) is odd else -1."""
+    h = F.md5(token_col)
+    return [
+        F.when(F.substring(h, j + 1, 1).isin(*_ODD_HEX), F.lit(1)).otherwise(F.lit(-1)).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+
+
+def simhash_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """32-bit SimHash per doc from distinct word-3-gram shingle md5
+    bit votes (shingles, not unigrams: on a small shared vocabulary
+    unigram sets are near-identical across docs and the hash loses
+    all discrimination).  One explode + one groupBy; integer
+    arithmetic only."""
+    sh = word_shingles(docs, text_col=text_col)
+    bits = sh.select("doc_id", *_simhash_bits(F.col("shingle")))
+    agg = bits.groupBy("doc_id").agg(*[F.sum(f"b{j}").alias(f"s{j}") for j in range(SIMHASH_BITS)])
+    sim = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ 3, candidates
+    via byte banding (4 bands of 8 bits; pigeonhole guarantees a
+    shared exact byte for distance ≤ 3)."""
+    sims = simhash_docs(_docs(spark, sf_dir)).cache()
+    from functools import reduce
+
+    bands = [
+        sims.select(
+            "doc_id",
+            "simhash",
+            F.lit(b).alias("band"),
+            F.shiftright("simhash", 8 * b).bitwiseAND(F.lit(255)).alias("nibble"),
+        )
+        for b in range(4)
+    ]
+    all_bands = reduce(DataFrame.unionAll, bands)
+    a = all_bands.alias("a")
+    b = all_bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.nibble") == F.col("b.nibble"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.simhash").alias("h1"),
+            F.col("b.simhash").alias("h2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+        .orderBy("d1", "d2")
+    )
+
+
+SIMHASH_ORACLE = """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2] AS shingle
+  FROM docs, LATERAL unnest(range(1, len(w)-1)) t(i)
+),
+bits AS (
+  SELECT doc_id, {bit_cols}
+  FROM (SELECT doc_id, md5(shingle) AS h FROM sh)
+),
+agg AS (
+  SELECT doc_id, {sum_cols}
+  FROM bits GROUP BY doc_id
+),
+sims AS (
+  SELECT doc_id, CAST({sim_expr} AS BIGINT) AS simhash FROM agg
+),
+bands AS (
+  SELECT doc_id, simhash, b.band, (simhash >> (8 * b.band)) & 255 AS nibble
+  FROM sims, (SELECT unnest(range(4)) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS h1, b.simhash AS h2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.nibble = b.nibble AND a.doc_id < b.doc_id
+)
+SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(h1, h2)) <= 3
+""".format(
+    bit_cols=", ".join(
+        f"CASE WHEN substr(h, {j + 1}, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END AS b{j}"
+        for j in range(32)
+    ),
+    sum_cols=", ".join(f"SUM(b{j}) AS s{j}" for j in range(32)),
+    sim_expr=" + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32)),
+)
+
+
+QUERIES = {
+    "dedup_exact": exact_dedup,
+    "dedup_ngram_jaccard": ngram_jaccard_pairs,
+    "dedup_minhash_lsh": minhash_lsh_pairs,
+    "dedup_simhash": simhash_pairs,
+}
+
+ORACLES = {
+    "dedup_exact": EXACT_DEDUP_ORACLE,
+    "dedup_ngram_jaccard": NGRAM_JACCARD_ORACLE,
+    "dedup_minhash_lsh": MINHASH_LSH_ORACLE,
+    "dedup_simhash": SIMHASH_ORACLE,
+}

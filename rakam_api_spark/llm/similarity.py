@@ -1,0 +1,318 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+
+- ``brute_force_topk`` — exact cosine top-k: broadcast the (small)
+  query set, join candidates on vector position, integer-quantized
+  dot products.  Exact baseline; scales linearly in corpus size and
+  is embarrassingly parallel (candidates partition freely).
+- ``ivf_topk`` — IVF-style pruned search: corpus is bucketed into
+  cells (coarse quantizer = per-label centroid here), each query
+  probes only the ``nprobe`` nearest cells.  The scale path: at
+  100 TB the corpus would be written bucketed by cell id, so a probe
+  touches only matching buckets (partition pruning on the cell
+  column).
+
+Determinism: cosine is computed from *integer-quantized* components
+(round(x * 10000)) so dot products and norms are exact integer sums
+— order-insensitive, bit-identical across engines; the final
+``dot / sqrt(n1*n2)`` is one double expression over identical ints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..tables import load_table
+
+QUANT = 10_000
+
+
+def _quantized_components(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(id, pos, q) rows with q = round(component * 10000) as long.
+    posexplode keeps the transform in codegen; one row per component."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        id_col,
+        "pos",
+        F.round(F.col("v").cast("double") * QUANT, 0).cast("long").alias("q"),
+    )
+
+
+def _norms(comp: DataFrame, id_col: str) -> DataFrame:
+    return comp.groupBy(id_col).agg(F.sum(F.col("q") * F.col("q")).alias("norm2"))
+
+
+def brute_force_topk(
+    spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 20
+) -> DataFrame:
+    """Exact cosine top-k neighbors for query vectors (vec_id <
+    n_queries) against the whole corpus (excluding self).
+
+    Plan: query components broadcast; candidates stream through one
+    hash aggregation keyed by (query, candidate).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = _quantized_components(emb)
+    qcomp = comp.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), "pos", F.col("q").alias("qq")
+    )
+    dots = (
+        comp.join(broadcast(qcomp), "pos")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum(F.col("q") * F.col("qq")).alias("dot"))
+    )
+    norms = _norms(comp, "vec_id")
+    qnorms = norms.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("norm2").alias("qnorm2")
+    )
+    scored = (
+        dots.join(broadcast(qnorms), "q_id")
+        .join(norms, "vec_id")
+        .withColumn(
+            "cosine",
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("norm2").cast("double") * F.col("qnorm2").cast("double")),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rnk")
+        .orderBy("q_id", "rnk")
+    )
+
+
+BRUTE_FORCE_ORACLE = """
+WITH comp AS (
+  SELECT vec_id, CAST(i AS INT) AS pos,
+         CAST(round(CAST(embedding[CAST(i AS INT)+1] AS DOUBLE) * 10000, 0) AS BIGINT) AS q
+  FROM embeddings, LATERAL unnest(range(0, len(embedding))) t(i)
+),
+norms AS (SELECT vec_id, SUM(q*q) AS norm2 FROM comp GROUP BY 1),
+qcomp AS (SELECT vec_id AS q_id, pos, q AS qq FROM comp WHERE vec_id < 20),
+dots AS (
+  SELECT q.q_id, c.vec_id, SUM(c.q * q.qq) AS dot
+  FROM comp c JOIN qcomp q USING (pos)
+  WHERE c.vec_id <> q.q_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.q_id, d.vec_id,
+         CAST(d.dot AS DOUBLE) / sqrt(CAST(n.norm2 AS DOUBLE) * CAST(qn.norm2 AS DOUBLE)) AS cosine
+  FROM dots d
+  JOIN norms n  ON d.vec_id = n.vec_id
+  JOIN norms qn ON d.q_id = qn.vec_id
+)
+SELECT q_id, vec_id AS neighbor_id, cosine, rnk
+FROM (
+  SELECT q_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+
+def ivf_topk(
+    spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 20, nprobe: int = 3
+) -> DataFrame:
+    """IVF-pruned approximate top-k.
+
+    Cells = the corpus ``label`` column (stand-in coarse quantizer;
+    a production build would k-means its own centroids).  Each query
+    is assigned to its ``nprobe`` closest cell centroids and scored
+    only against those cells' members.  Same integer-quantized
+    cosine as brute force, so candidate scoring matches exactly;
+    recall is governed by nprobe.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = _quantized_components(emb)
+    labels = emb.select("vec_id", "label")
+    # centroid components per cell: mean of quantized comps, re-quantized
+    cents = (
+        comp.join(broadcast(labels), "vec_id")
+        .groupBy("label", "pos")
+        .agg(F.floor(F.avg("q")).cast("long").alias("cq"))
+    )
+    qcomp = comp.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), "pos", F.col("q").alias("qq")
+    )
+    qcell = (
+        cents.join(broadcast(qcomp), "pos")
+        .groupBy("q_id", "label")
+        .agg(F.sum(F.col("cq") * F.col("qq")).alias("dot"))
+    )
+    cnorm = cents.groupBy("label").agg(F.sum(F.col("cq") * F.col("cq")).alias("cn2"))
+    qnorm = qcomp.groupBy("q_id").agg(F.sum(F.col("qq") * F.col("qq")).alias("qn2"))
+    qsim = (
+        qcell.join(broadcast(cnorm), "label")
+        .join(broadcast(qnorm), "q_id")
+        .withColumn(
+            "csim",
+            F.col("dot").cast("double") / F.sqrt(F.col("cn2").cast("double") * F.col("qn2").cast("double")),
+        )
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("csim"), F.asc("label"))
+    probes = qsim.withColumn("rn", F.row_number().over(wq)).where(F.col("rn") <= nprobe).select("q_id", "label")
+    # score only members of probed cells
+    m = comp.join(labels, "vec_id").alias("m")
+    p = probes.alias("p")
+    q = qcomp.alias("q")
+    dots = (
+        m.join(broadcast(p), F.col("m.label") == F.col("p.label"))
+        .join(broadcast(q), (F.col("m.pos") == F.col("q.pos")) & (F.col("p.q_id") == F.col("q.q_id")))
+        .where(F.col("m.vec_id") != F.col("p.q_id"))
+        .groupBy(F.col("p.q_id").alias("q_id"), F.col("m.vec_id").alias("vec_id"))
+        .agg(F.sum(F.col("m.q") * F.col("q.qq")).alias("dot"))
+    )
+    norms = _norms(comp, "vec_id")
+    qnorms = norms.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("norm2").alias("qnorm2")
+    )
+    scored = (
+        dots.join(broadcast(qnorms), "q_id")
+        .join(norms, "vec_id")
+        .withColumn(
+            "cosine",
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("norm2").cast("double") * F.col("qnorm2").cast("double")),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rnk")
+        .orderBy("q_id", "rnk")
+    )
+
+
+IVF_ORACLE = """
+WITH comp AS (
+  SELECT vec_id, CAST(i AS INT) AS pos,
+         CAST(round(CAST(embedding[CAST(i AS INT)+1] AS DOUBLE) * 10000, 0) AS BIGINT) AS q
+  FROM embeddings, LATERAL unnest(range(0, len(embedding))) t(i)
+),
+labels AS (SELECT vec_id, label FROM embeddings),
+cents AS (
+  SELECT label, pos, CAST(floor(avg(q)) AS BIGINT) AS cq
+  FROM comp JOIN labels USING (vec_id)
+  GROUP BY 1, 2
+),
+qcomp AS (SELECT vec_id AS q_id, pos, q AS qq FROM comp WHERE vec_id < 20),
+qcell AS (
+  SELECT q.q_id, c.label, SUM(c.cq * q.qq) AS dot
+  FROM cents c JOIN qcomp q USING (pos)
+  GROUP BY 1, 2
+),
+cnorm AS (SELECT label, SUM(cq*cq) AS cn2 FROM cents GROUP BY 1),
+qnorm AS (SELECT q_id, SUM(qq*qq) AS qn2 FROM qcomp GROUP BY 1),
+probes AS (
+  SELECT q_id, label FROM (
+    SELECT qc.q_id, qc.label,
+           row_number() OVER (
+             PARTITION BY qc.q_id
+             ORDER BY CAST(qc.dot AS DOUBLE) / sqrt(CAST(cn.cn2 AS DOUBLE) * CAST(qn.qn2 AS DOUBLE)) DESC,
+                      qc.label ASC) AS rn
+    FROM qcell qc JOIN cnorm cn USING (label) JOIN qnorm qn USING (q_id)
+  ) WHERE rn <= 3
+),
+dots AS (
+  SELECT p.q_id, m.vec_id, SUM(m.q * q.qq) AS dot
+  FROM comp m
+  JOIN labels l ON m.vec_id = l.vec_id
+  JOIN probes p ON l.label = p.label
+  JOIN qcomp q ON m.pos = q.pos AND p.q_id = q.q_id
+  WHERE m.vec_id <> p.q_id
+  GROUP BY 1, 2
+),
+norms AS (SELECT vec_id, SUM(q*q) AS norm2 FROM comp GROUP BY 1),
+scored AS (
+  SELECT d.q_id, d.vec_id,
+         CAST(d.dot AS DOUBLE) / sqrt(CAST(n.norm2 AS DOUBLE) * CAST(qn.norm2 AS DOUBLE)) AS cosine
+  FROM dots d
+  JOIN norms n  ON d.vec_id = n.vec_id
+  JOIN norms qn ON d.q_id = qn.vec_id
+)
+SELECT q_id, vec_id AS neighbor_id, cosine, rnk
+FROM (
+  SELECT q_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+
+def embedding_cosine_dedup(spark: SparkSession, sf_dir: str, threshold: float = 0.95) -> DataFrame:
+    """Embedding near-dup pairs: all (a < b) pairs with cosine ≥
+    threshold, LSH-free exact form bucketed by label (at 100 TB,
+    replace the label blocking with random-hyperplane LSH buckets —
+    same plan shape, bucket key = sign pattern)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = _quantized_components(emb).join(emb.select("vec_id", "label"), "vec_id")
+    a = comp.alias("a")
+    b = comp.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"))
+        .agg(F.sum(F.col("a.q") * F.col("b.q")).alias("dot"))
+    )
+    norms = _norms(_quantized_components(emb), "vec_id")
+    n1 = norms.select(F.col("vec_id").alias("v1"), F.col("norm2").alias("n1"))
+    n2 = norms.select(F.col("vec_id").alias("v2"), F.col("norm2").alias("n2"))
+    return (
+        dots.join(n1, "v1")
+        .join(n2, "v2")
+        .withColumn(
+            "cosine",
+            F.col("dot").cast("double") / F.sqrt(F.col("n1").cast("double") * F.col("n2").cast("double")),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("v1", "v2", "cosine")
+        .orderBy("v1", "v2")
+    )
+
+
+COSINE_DEDUP_ORACLE = """
+WITH comp AS (
+  SELECT vec_id, CAST(i AS INT) AS pos,
+         CAST(round(CAST(embedding[CAST(i AS INT)+1] AS DOUBLE) * 10000, 0) AS BIGINT) AS q
+  FROM embeddings, LATERAL unnest(range(0, len(embedding))) t(i)
+),
+labeled AS (SELECT c.*, e.label FROM comp c JOIN embeddings e USING (vec_id)),
+dots AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2, SUM(a.q * b.q) AS dot
+  FROM labeled a JOIN labeled b
+    ON a.pos = b.pos AND a.label = b.label AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+norms AS (SELECT vec_id, SUM(q*q) AS norm2 FROM comp GROUP BY 1)
+SELECT v1, v2,
+       CAST(dot AS DOUBLE) / sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE)) AS cosine
+FROM dots JOIN norms na ON v1 = na.vec_id JOIN norms nb ON v2 = nb.vec_id
+WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE)) >= 0.95
+"""
+
+
+QUERIES = {
+    "ann_brute_force_topk": brute_force_topk,
+    "ann_ivf_topk": ivf_topk,
+    "embedding_cosine_dedup": embedding_cosine_dedup,
+}
+
+ORACLES = {
+    "ann_brute_force_topk": BRUTE_FORCE_ORACLE,
+    "ann_ivf_topk": IVF_ORACLE,
+    "embedding_cosine_dedup": COSINE_DEDUP_ORACLE,
+}

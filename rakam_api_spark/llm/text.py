@@ -1,0 +1,222 @@
+"""Text-analysis operators over the documents table: quality
+scoring, language-ID, token counting, fingerprinting.
+
+All pure column expressions (split / regexp / md5 / aggregate) —
+JVM-side, whole-stage-codegen friendly, no Python in the hot path.
+Each is row-local, so they scale embarrassingly at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..tables import load_table
+
+# Small fixed stopword list (subset of English function words that
+# appear in the synthetic vocabulary).
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, or single
+# non-alphanumeric marks (the GPT-2 pre-tokenizer family, minus
+# unicode categories).  Same RE2-compatible pattern on both engines.
+TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features: token counts, mean token length,
+    stopword ratio, and a rule-based quality bucket."""
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    stop_expr = F.filter(w, lambda t: t.isin(*STOPWORDS))
+    df = docs.select(
+        "doc_id",
+        "lang",
+        F.size(w).alias("n_tokens"),
+        F.length("text").alias("n_chars_m"),
+        F.size(stop_expr).alias("n_stop"),
+    ).withColumn(
+        "avg_token_len",
+        # (chars - separators) / tokens — exact ints, one double div
+        (F.col("n_chars_m") - (F.col("n_tokens") - 1)).cast("double") / F.col("n_tokens").cast("double"),
+    ).withColumn(
+        "stopword_ratio", F.col("n_stop").cast("double") / F.col("n_tokens").cast("double")
+    )
+    return df.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "avg_token_len",
+        "stopword_ratio",
+        F.when(F.col("n_tokens") < 20, "too_short")
+        .when(F.col("stopword_ratio") > 0.5, "boilerplate")
+        .otherwise("ok")
+        .alias("quality"),
+    ).orderBy("doc_id")
+
+
+TEXT_QUALITY_ORACLE = """
+WITH base AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         length(text) AS n_chars_m,
+         len(list_filter(string_split(text, ' '),
+             t -> t IN ('the','a','and','of','to','in','is','it'))) AS n_stop
+  FROM documents
+)
+SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(n_chars_m - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+       CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+       CASE WHEN n_tokens < 20 THEN 'too_short'
+            WHEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.5 THEN 'boilerplate'
+            ELSE 'ok' END AS quality
+FROM base
+"""
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts per doc, plus corpus
+    rollup per source."""
+    docs = _docs(spark, sf_dir)
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0)).alias("bpe_tokens"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").alias("total_ws_tokens"),
+            F.sum("bpe_tokens").alias("total_bpe_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+TOKEN_COUNTS_ORACLE = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT) AS total_bpe_tokens
+FROM documents GROUP BY 1
+"""
+
+
+# Language marker table: per-language weighted marker tokens.  The
+# heuristic is a broadcast-joined scoring table — the same plan a
+# real char-n-gram profile model (e.g. textcat) uses, with the
+# profile swapped in as data, not code.
+_LANG_MARKERS = [
+    ("en", "the", 3), ("en", "fast", 1), ("en", "table", 1),
+    ("es", "data", 2), ("es", "part", 2), ("es", "la", 3),
+    ("fr", "le", 3), ("fr", "merge", 2), ("fr", "row", 2),
+    ("de", "der", 3), ("de", "window", 2), ("de", "hash", 2),
+    ("zh", "spark", 2), ("zh", "vector", 2), ("zh", "scan", 2),
+]
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID: explode doc tokens, broadcast-join
+    the marker table, argmax score per doc (ties → lexicographic
+    lang).  Confusion-matrix style output vs the labeled column."""
+    docs = _docs(spark, sf_dir)
+    markers = spark.createDataFrame(_LANG_MARKERS, "pred_lang string, tok string, weight int")
+    toks = docs.select("doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    scores = (
+        toks.join(broadcast(markers), "tok")
+        .groupBy("doc_id", "lang", "pred_lang")
+        .agg(F.sum("weight").alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("pred_lang"))
+    best = scores.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        best.groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+LANG_ID_ORACLE = """
+WITH markers(pred_lang, tok, weight) AS (VALUES
+  ('en','the',3),('en','fast',1),('en','table',1),
+  ('es','data',2),('es','part',2),('es','la',3),
+  ('fr','le',3),('fr','merge',2),('fr','row',2),
+  ('de','der',3),('de','window',2),('de','hash',2),
+  ('zh','spark',2),('zh','vector',2),('zh','scan',2)
+),
+toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+scores AS (
+  SELECT doc_id, lang, pred_lang, SUM(weight) AS score
+  FROM toks JOIN markers USING (tok)
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT doc_id, lang, pred_lang
+  FROM (
+    SELECT doc_id, lang, pred_lang,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, pred_lang ASC) AS rn
+    FROM scores
+  ) WHERE rn = 1
+)
+SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM best GROUP BY 1, 2
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: full-text md5 plus a winnowing-style
+    fingerprint = min md5 over word 5-gram windows (rolling-hash
+    minimum — deterministic, order-insensitive)."""
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(w) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 4),
+            lambda i: F.md5(F.concat_ws(" ", *[F.element_at(w, (i + j).cast("int")) for j in range(5)])),
+        ),
+    ).otherwise(F.array(F.md5(F.col("text"))))
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("content_md5"),
+        F.array_min(grams).alias("winnow_fp"),
+        F.length("text").alias("n_chars_m"),
+    ).orderBy("doc_id")
+
+
+DOC_FINGERPRINTS_ORACLE = """
+WITH docs AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id, md5(text) AS content_md5,
+       CASE WHEN len(w) >= 5 THEN (
+         SELECT MIN(md5(w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2]
+                     || ' ' || w[CAST(i AS INT)+3] || ' ' || w[CAST(i AS INT)+4]))
+         FROM unnest(range(1, len(w)-3)) t(i)
+       ) ELSE md5(text) END AS winnow_fp,
+       CAST(length(text) AS BIGINT) AS n_chars_m
+FROM docs
+"""
+
+
+QUERIES = {
+    "text_quality": text_quality,
+    "token_counts": token_counts,
+    "lang_id": lang_id,
+    "doc_fingerprints": doc_fingerprints,
+}
+
+ORACLES = {
+    "text_quality": TEXT_QUALITY_ORACLE,
+    "token_counts": TOKEN_COUNTS_ORACLE,
+    "lang_id": LANG_ID_ORACLE,
+    "doc_fingerprints": DOC_FINGERPRINTS_ORACLE,
+}
