@@ -1,0 +1,218 @@
+"""Event collection API: the engine-side equivalent of the
+reference's HTTP surface (rakam/.../collection/
+EventCollectionHttpService.java) as Python calls.
+
+Endpoints → methods:
+- ``POST /event/collect``   → ``collect(project, collection, properties)``
+- ``POST /event/batch``     → ``batch(project, event_list, checksum=…)``
+- ``POST /event/bulk``      → ``bulk(project, collection, df_or_records)``
+- ``POST /event/copy``      → ``bulk(..., map_events=False)``
+  (mapper bypass, EventCollectionHttpService.java:457-462)
+
+Pipeline per micro-batch (reference lifecycle §3.1-3.2 of SURVEY.md):
+parse → resolve/evolve schema (inference + magic-field injection) →
+enrich (mapper chain) → coerce to registered schema → dead-letter
+invalid values → append to the collection table.
+
+Scale: the driver only touches schema metadata (names/types) —
+values never leave executors except the one-row first-value probe
+for new string columns.  Everything else is column expressions.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import ALLOWED_USER_TYPES, Metastore, USER_FIELD
+from .enrich import EnrichmentPipeline, TimestampMapper
+from .ingest.coerce import DEFAULT_MAX_STRING_LENGTH, coerce_to_schema
+from .ingest.infer import infer_new_fields
+from .store import EventStore
+from .types import FieldType, from_spark_type, strip_collection_name, strip_name
+
+
+def default_pipeline() -> EnrichmentPipeline:
+    from .enrich import GeoIPMapper, ReferrerMapper, UserAgentMapper
+
+    return EnrichmentPipeline([TimestampMapper(), GeoIPMapper(), UserAgentMapper(), ReferrerMapper()])
+
+
+@dataclass
+class IngestReport:
+    collection: str
+    stored: int = 0
+    dead_lettered: int = 0
+    new_fields: dict[str, str] = field(default_factory=dict)
+
+
+class EventCollector:
+    def __init__(
+        self,
+        spark: SparkSession,
+        metastore: Metastore,
+        store: EventStore | None = None,
+        pipeline: EnrichmentPipeline | None = None,
+        excluded_collections: tuple[str, ...] = (),
+        max_string_length: int = DEFAULT_MAX_STRING_LENGTH,
+    ):
+        self.spark = spark
+        self.metastore = metastore
+        self.store = store or EventStore(spark, metastore)
+        self.pipeline = pipeline if pipeline is not None else default_pipeline()
+        self.excluded = set(excluded_collections)
+        self.max_string_length = max_string_length
+
+    # --- parsing helpers ------------------------------------------------
+
+    def _records_to_df(self, records: list[dict]) -> DataFrame:
+        """JSON-object records → DataFrame via distributed JSON
+        inference (spark.read.json semantics, permissive)."""
+        rdd = self.spark.sparkContext.parallelize([json.dumps(r) for r in records])
+        return self.spark.read.json(rdd)
+
+    def _normalize_columns(self, df: DataFrame) -> DataFrame:
+        """Apply reference name normalization to every column
+        (ValidationUtil.stripName); drops columns whose names cannot
+        be normalized.  A client-sent ``id`` is renamed ``_id``
+        (PostgresqlUserStorage.java:131-144 semantics)."""
+        renames: dict[str, str] = {}
+        for c in df.columns:
+            if c.startswith("$"):
+                # $-prefixed names are system-reserved; client-sent
+                # ones are dropped ($server_time is server-assigned)
+                continue
+            if c.startswith("_"):
+                renames[c] = c
+                continue
+            try:
+                n = strip_name(c)
+            except ValueError:
+                continue
+            renames[c] = "_id" if n == "id" else n
+        return df.select([F.col(f"`{old}`").alias(new) for old, new in renames.items()])
+
+    # --- core ingest ----------------------------------------------------
+
+    def _ingest_df(
+        self,
+        project: str,
+        collection: str,
+        df: DataFrame,
+        map_events: bool = True,
+        master_key: bool = False,
+        ctx: dict | None = None,
+    ) -> IngestReport:
+        collection = strip_collection_name(collection)
+        if collection in self.excluded:
+            # P8 excluded-collections filter
+            return IngestReport(collection=collection, stored=0)
+        self.metastore.create_project(project)
+        df = self._normalize_columns(df)
+
+        ctx = ctx or {}
+        registered = self.metastore.project(project).collections.get(collection)
+        known = dict(registered.fields) if registered else {}
+
+        # 1. reference-precedence inference for unknown client fields
+        #    (JSON numbers → DOUBLE, string → DATE/TIMESTAMP probe,
+        #    nulls deferred)
+        client_types = infer_new_fields(df, known=known)
+        # registered _user type wins over the batch's apparent type
+        pinned = self.metastore.get_config(project, "USER_TYPE")
+        if USER_FIELD in client_types:
+            if pinned is not None:
+                client_types[USER_FIELD] = FieldType(pinned)
+            elif client_types[USER_FIELD] == FieldType.DOUBLE:
+                client_types[USER_FIELD] = FieldType.LONG
+            elif client_types[USER_FIELD] not in ALLOWED_USER_TYPES:
+                client_types[USER_FIELD] = FieldType.STRING
+
+        # 2. mapper schema contributions (constant + trigger-activated
+        #    dependent fields) and trigger columns to drop
+        all_incoming = {**known, **client_types}
+        pipeline = (
+            self.pipeline
+            if (self.pipeline is not None and map_events)
+            # /event/copy: mappers bypassed but _time/$server_time
+            # constants still attach
+            else EnrichmentPipeline([TimestampMapper()])
+        )
+        resolved, drop = pipeline.resolve_fields(all_incoming)
+        new_fields = {n: ft for n, ft in resolved.items() if n not in known}
+
+        # 3. enrich, then drop trigger columns (P9 pruning)
+        df = pipeline.apply(df, ctx)
+        df = df.drop(*[c for c in drop if c in df.columns])
+
+        # 4. additive schema evolution (registered types never change)
+        from .catalog import TypeMismatch
+
+        try:
+            schema = self.metastore.get_or_create_collection_fields(
+                project, collection, new_fields, master_key=master_key
+            )
+        except TypeMismatch:
+            # registered types win; values are coerced/dead-lettered
+            schema = self.metastore.get_collection(project, collection)
+
+        # 5. coerce to the registered schema + dead-letter failures
+        result = coerce_to_schema(
+            df, schema, collection, max_len=self.max_string_length, event_id_col=None
+        )
+        stored = self.store.append(project, collection, result.valid)
+        dead = self.store.append_dead_letter(project, result.dead_letter)
+        return IngestReport(
+            collection=collection,
+            stored=stored,
+            dead_lettered=dead,
+            new_fields={n: t.value for n, t in new_fields.items()},
+        )
+
+    # --- public surface -------------------------------------------------
+
+    def collect(
+        self, project: str, collection: str, properties: dict, ctx: dict | None = None
+    ) -> IngestReport:
+        """Single-event hot path (``POST /event/collect``)."""
+        return self._ingest_df(project, collection, self._records_to_df([properties]), ctx=ctx)
+
+    def batch(self, project: str, events: list[dict], ctx: dict | None = None) -> list[IngestReport]:
+        """EventList envelope (``POST /event/batch``): items are
+        ``{"collection": …, "properties": {…}}``; events are grouped
+        by collection and stored per group (reference
+        PostgresqlEventStore.storeBatch groups the same way)."""
+        by_coll: dict[str, list[dict]] = {}
+        for e in events:
+            by_coll.setdefault(strip_collection_name(e["collection"]), []).append(e["properties"])
+        reports = []
+        for coll, props in by_coll.items():
+            reports.append(self._ingest_df(project, coll, self._records_to_df(props), ctx=ctx))
+        return reports
+
+    def bulk(
+        self,
+        project: str,
+        collection: str,
+        data: DataFrame | list[dict],
+        map_events: bool = True,
+        master_key: bool = True,
+        ctx: dict | None = None,
+    ) -> IngestReport:
+        """Bulk load (``POST /event/bulk``; ``map_events=False`` is
+        ``/event/copy``).  ``data`` may be a prepared DataFrame (any
+        spark.read source: json/csv/avro/parquet/url) or records."""
+        df = data if isinstance(data, DataFrame) else self._records_to_df(data)
+        return self._ingest_df(
+            project, collection, df, map_events=map_events, master_key=master_key, ctx=ctx
+        )
+
+
+def _safe_fieldtype(f) -> FieldType | None:
+    try:
+        return from_spark_type(f.dataType, dict(f.metadata) if f.metadata else None)
+    except ValueError:
+        return None

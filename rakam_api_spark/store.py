@@ -1,0 +1,121 @@
+"""Event store: partitioned Parquet tables per (project, collection).
+
+Re-expresses the reference's EventStore SPI (rakam-spi/.../plugin/
+EventStore.java:10-25) and the Postgres implementation's layout
+(PostgresqlEventStore.java): one table per collection inside a
+project namespace, time-partitioned.
+
+Spark mapping decisions:
+- layout: ``{warehouse}/{project}/{collection}/`` parquet, hive-
+  partitioned by ``_month=YYYY-MM`` derived from ``_time`` — the
+  Delta-less analog of the reference's PG10 monthly RANGE partitions
+  (PostgresqlEventStore.java:103-170); partitions appear implicitly
+  on write (no "missing partition" retry dance needed).
+- appends are atomic per micro-batch (parquet job commit), replacing
+  the reference's 5000-row JDBC commit chunks
+  (PostgresqlEventStore.java:186).
+- dead-letter rows go to ``{project}/$invalid_schema`` —
+  an event collection of its own, as in the reference
+  (JsonEventDeserializer.java:85-93).
+- reads merge schema across partition files so old files served
+  under an evolved (wider) schema read as NULL-padded — the
+  add-column-only evolution contract.
+
+At 100 TB: the month partition column prunes scans for time-ranged
+analytics; within a partition, files are sized by the writer's task
+parallelism. A production deployment would add bucketing by _user
+for the sessionization/funnel workloads (SPARK-19256 hive bucketing)
+— noted in operator docstrings where it applies.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .catalog import Metastore
+
+INVALID_COLLECTION = "$invalid_schema"
+
+
+def _safe(name: str) -> str:
+    return name.replace("$", "_sys_")
+
+
+class EventStore:
+    def __init__(self, spark: SparkSession, metastore: Metastore):
+        self.spark = spark
+        self.metastore = metastore
+        self.warehouse = metastore.warehouse_dir
+
+    def _table_path(self, project: str, collection: str) -> str:
+        return os.path.join(self.warehouse, _safe(project), _safe(collection))
+
+    # --- write (reference K1/K2/K3) -------------------------------------
+
+    def append(self, project: str, collection: str, df: DataFrame) -> int:
+        """Append a coerced micro-batch to its collection table,
+        partitioned by month(_time).  Returns the row count."""
+        n = df.count()
+        if n == 0:
+            return 0
+        if "_time" in df.columns:
+            out = df.withColumn("_month", F.date_format(F.col("_time"), "yyyy-MM"))
+            partition_cols = ["_month"]
+        else:
+            out = df
+            partition_cols = []
+        writer = out.write.mode("append")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(self._table_path(project, collection))
+        return n
+
+    def append_dead_letter(self, project: str, df: DataFrame) -> int:
+        n = df.count()
+        if n == 0:
+            return 0
+        df.write.mode("append").parquet(self._table_path(project, INVALID_COLLECTION))
+        return n
+
+    # --- read -----------------------------------------------------------
+
+    def read(self, project: str, collection: str) -> DataFrame:
+        """Read a collection under its current (widest) registered
+        schema; files written before an ADD COLUMN read NULL for the
+        new columns."""
+        path = self._table_path(project, collection)
+        schema = self.metastore.get_collection(project, collection)
+        if not os.path.exists(path):
+            if schema is None:
+                raise FileNotFoundError(f"no such collection: {project}.{collection}")
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.option("mergeSchema", "true").parquet(path)
+        if schema is not None:
+            # project onto registered schema/order; pad missing columns
+            cols = []
+            have = {f.name for f in df.schema.fields}
+            for fld in schema.fields:
+                if fld.name in have:
+                    cols.append(F.col(f"`{fld.name}`").cast(fld.dataType).alias(fld.name))
+                else:
+                    cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+            df = df.select(*cols)
+        return df
+
+    def read_dead_letter(self, project: str) -> DataFrame:
+        path = self._table_path(project, INVALID_COLLECTION)
+        if not os.path.exists(path):
+            from .ingest.coerce import DEAD_LETTER_SCHEMA
+
+            return self.spark.createDataFrame([], DEAD_LETTER_SCHEMA)
+        return self.spark.read.parquet(path)
+
+    def collections_with_data(self, project: str) -> list[str]:
+        base = os.path.join(self.warehouse, _safe(project))
+        if not os.path.exists(base):
+            return []
+        return sorted(d for d in os.listdir(base) if not d.startswith("_"))

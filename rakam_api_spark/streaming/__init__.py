@@ -1,0 +1,9 @@
+"""Structured Streaming ingestion: the Spark re-expression of the
+reference's streaming stores (Kinesis AWSKinesisEventStore, Kafka
+KafkaEventStore) and push subscriptions (EventStream SPI).
+"""
+
+from .job import StreamingIngest
+from .subscriptions import StreamSubscription, SubscriptionRegistry
+
+__all__ = ["StreamingIngest", "StreamSubscription", "SubscriptionRegistry"]

@@ -1,0 +1,57 @@
+"""P11: declared stream subscriptions.
+
+Reference: ``CollectionStreamQuery(collection, filter)`` +
+``EventStream.subscribe(project, collections, columns, response)``
+(rakam-spi/.../plugin/stream/CollectionStreamQuery.java:20-39,
+EventStream.java:7-18).  The SPI is *declared but unimplemented* in
+the reference snapshot — no class implements EventStream — so this
+is a from-scratch native implementation: each subscription is a
+filter + projection applied to every stored micro-batch, pushing
+matching rows to a callback (the reference's ``response`` writer).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class StreamSubscription:
+    project: str
+    collection: str
+    filter: str | None = None  # SQL expression over event columns
+    columns: list[str] | None = None  # projection; None = all
+    callback: Callable[[list[dict]], None] = lambda rows: None
+
+
+@dataclass
+class SubscriptionRegistry:
+    subs: list[StreamSubscription] = field(default_factory=list)
+
+    def subscribe(self, sub: StreamSubscription) -> StreamSubscription:
+        self.subs.append(sub)
+        return sub
+
+    def unsubscribe(self, sub: StreamSubscription) -> None:
+        self.subs.remove(sub)
+
+    def push(self, project: str, collection: str, stored: DataFrame) -> None:
+        """Deliver a stored micro-batch to matching subscriptions.
+        Filter/projection run as DataFrame ops (Catalyst prunes the
+        per-subscription plan); only matching rows are collected for
+        the push callback."""
+        for sub in self.subs:
+            if sub.project != project or sub.collection != collection:
+                continue
+            df = stored
+            if sub.filter:
+                df = df.where(F.expr(sub.filter))
+            if sub.columns:
+                df = df.select(*[F.col(f"`{c}`") for c in sub.columns])
+            rows = [r.asDict() for r in df.collect()]
+            if rows:
+                sub.callback(rows)

@@ -1,0 +1,121 @@
+"""User-profile store contract tests (mirrors the reference's
+abstract TestUserStorage: coercion on set, setOnce immutability,
+increment, unset, create-or-merge)."""
+
+import pytest
+
+from rakam_api_spark.catalog import Metastore
+from rakam_api_spark.types import FieldType
+from rakam_api_spark.users import SET, SET_ONCE, INCREMENT, UNSET, UserOp, UserStorage
+
+
+@pytest.fixture()
+def storage(spark, warehouse):
+    return UserStorage(spark, Metastore(warehouse))
+
+
+def test_create_and_lookup(storage):
+    storage.create("p", "u1", {"test": 5.0, "name": "ada"})
+    u = storage.get_user("p", "u1")
+    assert u["test"] == 5.0
+    assert u["name"] == "ada"
+    assert u["created_at"] is not None
+
+
+def test_set_coerces_to_registered_type(storage):
+    # TestUserStorage: "2" (string) set into DOUBLE column → 2.0
+    storage.create("p", "u1", {"test": 5.0})
+    storage.set_properties("p", "u1", {"test": "2"})
+    assert storage.get_user("p", "u1")["test"] == 2.0
+
+
+def test_set_once_first_write_wins(storage):
+    storage.create("p", "u1", {})
+    storage.set_properties_once("p", "u1", {"plan": "free"})
+    storage.set_properties_once("p", "u1", {"plan": "paid"})
+    assert storage.get_user("p", "u1")["plan"] == "free"
+
+
+def test_increment(storage):
+    storage.create("p", "u1", {})
+    storage.increment_property("p", "u1", "visits", 2)
+    storage.increment_property("p", "u1", "visits", 3)
+    assert storage.get_user("p", "u1")["visits"] == 5.0
+    with pytest.raises(TypeError):
+        storage.increment_property("p", "u1", "visits", "x")
+
+
+def test_unset(storage):
+    storage.create("p", "u1", {"a": 1.0, "b": "keep"})
+    storage.unset_properties("p", "u1", ["a"])
+    u = storage.get_user("p", "u1")
+    assert u["a"] is None
+    assert u["b"] == "keep"
+
+
+def test_create_or_merge_on_duplicate(storage):
+    storage.create("p", "u1", {"a": 1.0})
+    storage.create("p", "u1", {"b": "x"})  # duplicate id → merge
+    u = storage.get_user("p", "u1")
+    assert u["a"] == 1.0
+    assert u["b"] == "x"
+    assert storage.table("p").count() == 1
+
+
+def test_ordered_batch_ops(storage):
+    # ordered semantics: set then increment then unset then setOnce
+    ops = [
+        UserOp("u1", SET, {"score": 10}),
+        UserOp("u1", INCREMENT, {"score": 5}),
+        UserOp("u2", SET, {"score": 1}),
+        UserOp("u1", UNSET, {"tag": None}),
+        UserOp("u1", SET_ONCE, {"tag": "first"}),
+    ]
+    storage.batch("p", ops)
+    assert storage.get_user("p", "u1")["score"] == 15.0
+    assert storage.get_user("p", "u2")["score"] == 1.0
+    # unset cleared, then setOnce saw null → wrote
+    assert storage.get_user("p", "u1")["tag"] == "first"
+
+
+def test_set_after_set_last_wins(storage):
+    storage.batch("p", [UserOp("u1", SET, {"x": "a"}), UserOp("u1", SET, {"x": "b"})])
+    assert storage.get_user("p", "u1")["x"] == "b"
+
+
+def test_numeric_id_pinning(storage):
+    storage.create("p", 42, {"v": 1.0})
+    assert storage.metastore.get_config("p", "USER_TYPE") == "LONG"
+    assert storage.get_user("p", 42)["v"] == 1.0
+
+
+def test_column_type_inferred_with_probing(storage):
+    storage.create("p", "u1", {"signup_date": "2024-01-15", "note": "hello world ok"})
+    fields = storage.metastore.project("p").collections["_users"].fields
+    assert fields["signup_date"] == FieldType.DATE
+    assert fields["note"] == FieldType.STRING
+
+
+def test_name_normalization(storage):
+    # reference fixture: 'test1 naber abi' → test1_naber_abi
+    storage.create("p", "u1", {"test1 naber abi": "x", "id": "client-id"})
+    u = storage.get_user("p", "u1")
+    assert u["test1_naber_abi"] == "x"
+    assert u["_id"] == "client-id"  # client 'id' renamed
+
+
+def test_untouched_users_survive(storage):
+    storage.create("p", "u1", {"a": 1.0})
+    storage.create("p", "u2", {"a": 2.0})
+    storage.set_properties("p", "u1", {"a": 9.0})
+    assert storage.get_user("p", "u2")["a"] == 2.0
+    assert storage.table("p").count() == 2
+
+
+def test_anonymous_stitching(storage, spark):
+    storage.merge_anonymous("p", "anon-1", "user-9")
+    events = spark.createDataFrame([("anon-1", 1), ("user-2", 2)], "_user string, n bigint")
+    out = storage.stitch("p", events)
+    rows = {r["n"]: r["_user"] for r in out.collect()}
+    assert rows[1] == "user-9"
+    assert rows[2] == "user-2"
