@@ -105,6 +105,7 @@ class EventCollector:
         map_events: bool = True,
         master_key: bool = False,
         ctx: dict | None = None,
+        type_overrides: dict | None = None,
     ) -> IngestReport:
         collection = strip_collection_name(collection)
         if collection in self.excluded:
@@ -120,7 +121,11 @@ class EventCollector:
         # 1. reference-precedence inference for unknown client fields
         #    (JSON numbers → DOUBLE, string → DATE/TIMESTAMP probe,
         #    nulls deferred)
-        client_types = infer_new_fields(df, known=known)
+        client_types = (
+            dict(type_overrides)
+            if type_overrides is not None
+            else infer_new_fields(df, known=known)
+        )
         # registered _user type wins over the batch's apparent type
         pinned = self.metastore.get_config(project, "USER_TYPE")
         if USER_FIELD in client_types:
@@ -142,11 +147,19 @@ class EventCollector:
             else EnrichmentPipeline([TimestampMapper()])
         )
         resolved, drop = pipeline.resolve_fields(all_incoming)
-        new_fields = {n: ft for n, ft in resolved.items() if n not in known}
 
         # 3. enrich, then drop trigger columns (P9 pruning)
         df = pipeline.apply(df, ctx)
         df = df.drop(*[c for c in drop if c in df.columns])
+
+        # 3b. post-enrichment inference: custom transforms (P6) may
+        # have added undeclared columns — the reference evolves the
+        # schema when a JS mapper sets a new field
+        # (CustomEventMapperHttpService.java:517-653)
+        post = infer_new_fields(df, known={**known, **resolved})
+        for n, ft in post.items():
+            resolved.setdefault(n, ft)
+        new_fields = {n: ft for n, ft in resolved.items() if n not in known}
 
         # 4. additive schema evolution (registered types never change)
         from .catalog import TypeMismatch
@@ -209,6 +222,87 @@ class EventCollector:
         return self._ingest_df(
             project, collection, df, map_events=map_events, master_key=master_key, ctx=ctx
         )
+
+    def bulk_csv(
+        self,
+        project: str,
+        collection: str,
+        path_or_df,
+        header: bool = True,
+        sep: str = ",",
+        ctx: dict | None = None,
+    ) -> IngestReport:
+        """CSV bulk (S5): header names normalized and mapped onto the
+        registered schema; columns NOT in the schema are typed STRING
+        (CsvEventDeserializer header-mapping rule); values coerce to
+        registered types."""
+        from .ingest.csv_ingest import csv_field_types, read_csv
+
+        df = read_csv(self.spark, path_or_df, header=header, sep=sep)
+        registered = self.metastore.project(self.metastore.create_project(project).name).collections.get(
+            strip_collection_name(collection)
+        )
+        known = dict(registered.fields) if registered else {}
+        overrides = csv_field_types(df, known)
+        return self._ingest_df(
+            project, collection, df, master_key=True, ctx=ctx, type_overrides=overrides
+        )
+
+    def bulk_remote(
+        self,
+        project: str,
+        collection: str,
+        url: str,
+        fmt: str = "json",
+        ctx: dict | None = None,
+    ) -> IngestReport:
+        """Remote-URL bulk (S7): fetch and parse as json/ndjson/csv.
+        Cloud-store URLs (s3://, hdfs://…) go straight to spark.read;
+        http(s) bodies are fetched with the reference's 5 s timeouts."""
+        if url.startswith(("http://", "https://")):
+            from .ingest.envelope import fetch_remote
+
+            body = fetch_remote(url).decode()
+            if fmt in ("json", "ndjson"):
+                rdd = self.spark.sparkContext.parallelize(body.splitlines())
+                df = self.spark.read.json(rdd)
+                return self._ingest_df(project, collection, df, master_key=True, ctx=ctx)
+            if fmt == "csv":
+                import io
+
+                pdf = __import__("pandas").read_csv(io.StringIO(body), dtype=str)
+                df = self.spark.createDataFrame(pdf)
+                return self.bulk_csv(project, collection, df, ctx=ctx)
+            raise ValueError(f"unsupported remote format: {fmt}")
+        df = self.spark.read.format("csv" if fmt == "csv" else "json").load(url)
+        return self._ingest_df(project, collection, df, master_key=True, ctx=ctx)
+
+    def pixel(self, project: str, query_params: dict, ctx: dict | None = None) -> IngestReport:
+        """Pixel GET source (S8): ``prop.*`` params → string
+        properties (``prop._time`` → epoch millis long)."""
+        from .ingest.envelope import pixel_event
+
+        collection, props = pixel_event(query_params)
+        return self.collect(project, collection, props, ctx=ctx)
+
+    def webhook(
+        self,
+        project: str,
+        hook_id: str,
+        registry,
+        query_params: dict | None = None,
+        body: str = "",
+        params: dict | None = None,
+        headers: dict | None = None,
+        ctx: dict | None = None,
+    ) -> IngestReport | None:
+        """Webhook source (S9): run the stored transform on the raw
+        request, then feed the returned event through the full
+        collect path; None from the transform drops the request."""
+        event = registry.invoke_webhook(project, hook_id, query_params, body, params, headers)
+        if event is None:
+            return None
+        return self.collect(project, event["collection"], event.get("properties", {}), ctx=ctx)
 
 
 def _safe_fieldtype(f) -> FieldType | None:
