@@ -45,7 +45,11 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
     Pure column expressions (split/transform/explode) — stays in
     whole-stage codegen, no Python.
     """
-    w = F.split(F.col(text_col), " ")
+    # materialize the split ONCE in a lower projection: inlining `w`
+    # into every element_at makes Catalyst re-evaluate split() per
+    # reference (~300× per row) — 5× slower end to end.
+    wdf = df.select("doc_id", F.split(F.col(text_col), " ").alias("w"))
+    w = F.col("w")
     # guard: sequence(1, 0) would infer a negative step, so docs
     # shorter than n words map to an empty shingle array explicitly.
     shingles = F.when(
@@ -55,7 +59,7 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
             lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j).cast("int")) for j in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return df.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+    return wdf.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
 
 
 # --- exact ---------------------------------------------------------------
@@ -142,10 +146,10 @@ WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.6
 
 
 def _minhash_signature(sh: DataFrame) -> DataFrame:
-    """12 MinHash values per doc in ONE aggregation (no per-seed
-    shuffle): min over md5('<seed>|' || shingle) hex strings —
-    lexicographic min of fixed-width hex == numeric min."""
-    aggs = [
+    """Set size + 12 MinHash values per doc in ONE aggregation (no
+    per-seed shuffle): min over md5('<seed>|' || shingle) hex strings
+    — lexicographic min of fixed-width hex == numeric min."""
+    aggs = [F.count(F.lit(1)).alias("n")] + [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}") for i in range(N_HASHES)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -154,42 +158,49 @@ def _minhash_signature(sh: DataFrame) -> DataFrame:
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
     """Near-dup pairs via MinHash-LSH, verified with exact Jaccard.
 
-    Pipeline: shingle → signature (1 shuffle) → band keys → bucket
-    join per band (union) → distinct candidates → exact-Jaccard
+    Pipeline: shingle → (size+signature) in one shuffle → explode
+    band keys → bucket groupBy with in-bucket pair expansion (one
+    shuffle, no self-join) → distinct candidates → exact-Jaccard
     verify on candidates only.  The verify join touches only
     candidate docs, so total cost is O(corpus) + O(near-dups) — the
-    100 TB path.
+    100 TB path.  (Skew note: a degenerate bucket — thousands of
+    identical docs — would blow up the pair expansion; production
+    caps bucket size and falls back to exact-hash grouping for
+    those, since an oversized bucket means exact dups anyway.)
     """
     sh = word_shingles(_docs(spark, sf_dir)).cache()
     sig = _minhash_signature(sh)
-    bands = []
     n_bands = N_HASHES // BAND_SIZE
-    for band in range(n_bands):
-        cols = [F.col(f"mh{band * BAND_SIZE + j}") for j in range(BAND_SIZE)]
-        bands.append(
-            sig.select(
-                "doc_id",
-                F.lit(band).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
-            )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"mh{b * BAND_SIZE + j}") for j in range(BAND_SIZE)])
+            ).alias("key"),
         )
-    from functools import reduce
-
-    all_bands = reduce(DataFrame.unionAll, bands)
-    a = all_bands.alias("a")
-    b = all_bands.alias("b")
+        for b in range(n_bands)
+    ]
+    bands_long = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key")
+    )
+    buckets = (
+        bands_long.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .where(F.size("ds") > 1)
+    )
     candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .select("p.d1", "p.d2")
         .distinct()
     )
     # verify candidates with exact jaccard
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sh1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
     sh2 = sh.select(F.col("doc_id").alias("d2"), "shingle")
     inter = (
@@ -198,8 +209,8 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) 
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    s1 = sig.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sig.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
     return (
         inter.join(s1, "d1")
         .join(s2, "d2")
@@ -264,12 +275,13 @@ _ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
 SIMHASH_BITS = 32
 
 
-def _simhash_bits(token_col: Column) -> list[Column]:
+def _simhash_bits(hash_col: Column) -> list[Column]:
     """Per-feature contribution to a 32-bit SimHash: for bit j, +1 if
-    hex digit j of md5(feature) is odd else -1."""
-    h = F.md5(token_col)
+    hex digit j of the feature's md5 hex is odd else -1.  Takes the
+    already-computed hash column — inlining md5 here would
+    re-evaluate it 32× per row (no CSE across branches)."""
     return [
-        F.when(F.substring(h, j + 1, 1).isin(*_ODD_HEX), F.lit(1)).otherwise(F.lit(-1)).alias(f"b{j}")
+        F.when(F.substring(hash_col, j + 1, 1).isin(*_ODD_HEX), F.lit(1)).otherwise(F.lit(-1)).alias(f"b{j}")
         for j in range(SIMHASH_BITS)
     ]
 
@@ -281,7 +293,8 @@ def simhash_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     all discrimination).  One explode + one groupBy; integer
     arithmetic only."""
     sh = word_shingles(docs, text_col=text_col)
-    bits = sh.select("doc_id", *_simhash_bits(F.col("shingle")))
+    hashed = sh.select("doc_id", F.md5(F.col("shingle")).alias("h"))
+    bits = hashed.select("doc_id", *_simhash_bits(F.col("h")))
     agg = bits.groupBy("doc_id").agg(*[F.sum(f"b{j}").alias(f"s{j}") for j in range(SIMHASH_BITS)])
     sim = None
     for j in range(SIMHASH_BITS):

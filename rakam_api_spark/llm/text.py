@@ -178,7 +178,9 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint = min md5 over word 5-gram windows (rolling-hash
     minimum — deterministic, order-insensitive)."""
     docs = _docs(spark, sf_dir)
-    w = F.split(F.col("text"), " ")
+    # split materialized once (see dedup.word_shingles note)
+    wdf = docs.select("doc_id", "text", F.split(F.col("text"), " ").alias("w"))
+    w = F.col("w")
     grams = F.when(
         F.size(w) >= 5,
         F.transform(
@@ -186,7 +188,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.md5(F.concat_ws(" ", *[F.element_at(w, (i + j).cast("int")) for j in range(5)])),
         ),
     ).otherwise(F.array(F.md5(F.col("text"))))
-    return docs.select(
+    return wdf.select(
         "doc_id",
         F.md5(F.col("text")).alias("content_md5"),
         F.array_min(grams).alias("winnow_fp"),
