@@ -12,6 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from rakam_api_spark.analytics import enrichment_queries as _enrich
 from rakam_api_spark.analytics import events as _events
 from rakam_api_spark.analytics import relational as _relational
 from rakam_api_spark.llm import dedup as _dedup
@@ -19,7 +20,7 @@ from rakam_api_spark.llm import multimodal as _multimodal
 from rakam_api_spark.llm import similarity as _similarity
 from rakam_api_spark.llm import text as _text
 
-_MODULES = (_relational, _events, _dedup, _similarity, _text, _multimodal)
+_MODULES = (_relational, _events, _enrich, _dedup, _similarity, _text, _multimodal)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -38,9 +38,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _us(col: str = "ts_ns"):
-    """Microseconds-since-epoch from the raw ns column (floor division
-    matches DuckDB's ns→us truncation)."""
-    return F.floor(F.col(col) / F.lit(1000)).cast("long")
+    """Microseconds-since-epoch from the raw ns column (integer floor
+    division matches DuckDB's ns→us truncation; double division would
+    round — ns epochs exceed the 52-bit mantissa)."""
+    return F.expr(f"{col} div 1000")
 
 
 # --- segmentation -------------------------------------------------------
@@ -373,6 +374,98 @@ GROUP BY e.user_id
 """
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Distributed as-of join: for each left row, the latest right row
+    with ``right_time <= left_time`` and equal ``on`` key.
+
+    Spark has no ASOF JOIN operator; the naive inequality join
+    explodes to O(|L|·|R|) per key.  This implementation unions the
+    two (tagged) streams and runs ONE window pass per key ordered by
+    time — last-seen right values propagate forward to each left row
+    (``last(..., ignorenulls=True)`` over rows UNBOUNDED PRECEDING..
+    CURRENT ROW).  Cost: a single shuffle on the key, O(|L|+|R|)
+    rows — the 100 TB-safe shape.  Ties (equal timestamps) order the
+    right row first, i.e. the join is inclusive, matching DuckDB
+    ASOF semantics.
+    """
+    l_types, r_types = dict(left.dtypes), dict(right.dtypes)
+    lt_cols = [c for c in left.columns if c not in (on, left_time)]
+    lt = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        *lt_cols,
+        *[F.lit(None).cast(r_types[c]).alias(f"_r_{c}") for c in right_cols],
+    )
+    rt = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(l_types[c]).alias(c) for c in lt_cols],
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t"), F.col("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = lt.unionByName(rt).select(
+        "_k",
+        "_t",
+        "_is_left",
+        *lt_cols,
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}") for c in right_cols],
+    )
+    return filled.where(F.col("_is_left") == 1).drop("_is_left").withColumnRenamed("_k", on)
+
+
+def asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join demo: each purchase matched to the user's most
+    recent prior (or simultaneous) 'view' event; gap reported in
+    microseconds.  Oracle uses DuckDB's native ASOF LEFT JOIN — an
+    independent implementation of the same semantics."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", _us().alias("p_us")
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", _us().alias("v_us")
+    )
+    joined = asof_join(
+        purchases,
+        views.withColumn("view_us", F.col("v_us")),
+        on="user_id",
+        left_time="p_us",
+        right_time="v_us",
+        right_cols=["view_us"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("_t").alias("purchase_us"),
+        F.col("_r_view_us").alias("view_us"),
+        (F.col("_t") - F.col("_r_view_us")).alias("gap_us"),
+    )
+
+
+ASOF_ORACLE = """
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts) AS purchase_us,
+       epoch_us(v.ts) AS view_us,
+       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
 QUERIES = {
     "seg_daily_event_counts": seg_daily_event_counts,
     "dau": dau,
@@ -383,6 +476,7 @@ QUERIES = {
     "retention_cohorts": retention_cohorts,
     "sessionization_stats": sessionization_stats,
     "user_profile_snapshot": user_profile_snapshot,
+    "asof_view_before_purchase": asof_view_before_purchase,
 }
 
 ORACLES = {
@@ -395,4 +489,5 @@ ORACLES = {
     "retention_cohorts": RETENTION_ORACLE,
     "sessionization_stats": SESSIONIZATION_ORACLE,
     "user_profile_snapshot": USER_PROFILE_ORACLE,
+    "asof_view_before_purchase": ASOF_ORACLE,
 }

@@ -329,6 +329,153 @@ LEFT JOIN (
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 adapted: pure filter + global aggregate.
+
+    The pushdown showcase: all three predicates and the 4-column
+    projection reach the parquet scan (PushedFilters in explain);
+    no shuffle at all — partial aggregates combine in one exchange
+    of a single row per partition.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((_dec("l_extendedprice") * _dec("l_discount")).cast(DEC))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q6_ORACLE = """
+SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.05
+  AND l_quantity < 24
+"""
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 adapted: LEFT SEMI join (EXISTS) — orders in 1996
+    having at least one returned lineitem, counted by priority.
+
+    Semi join avoids materializing the multiplicity of the fact-fact
+    join; Catalyst picks broadcast/shuffled-hash by stats, and at
+    100 TB the distinct-orderkey build side stays far smaller than
+    the full lineitem join.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.where(
+            (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date"))
+        )
+        .join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) <  DATE '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def customers_no_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers with no order on/after 2000-01-01,
+    summarized per market segment."""
+    cu = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    recent = orders.where(
+        F.col("o_orderdate").cast("date") >= F.lit("2000-01-01").cast("date")
+    ).select("o_custkey")
+    return (
+        cu.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("sum_acctbal"),
+        )
+    )
+
+
+ANTI_JOIN_ORACLE = """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND CAST(o.o_orderdate AS DATE) >= DATE '2000-01-01')
+GROUP BY c_mktsegment
+"""
+
+
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, order year): all four grouping combinations
+    in one pass (Spark expands grouping sets map-side — one shuffle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year(F.col("o_orderdate").cast("date")).alias("order_year")
+    return (
+        orders.select("o_orderstatus", yr, "o_totalprice")
+        .cube("o_orderstatus", "order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+ORDERS_CUBE_ORACLE = """
+SELECT o_orderstatus, CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS INT) AS order_year,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, order_year)
+"""
+
+
+def engaged_user_days_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations on (user, day) activity sets: days a user both
+    clicked AND purchased (INTERSECT), minus days with an error
+    (EXCEPT).  Distinct-based set ops shuffle once on the composite
+    key."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("user_id", F.col("ts").cast("date").alias("day"), "event_type")
+
+    def days(t: str) -> DataFrame:
+        return base.where(F.col("event_type") == t).select("user_id", "day").distinct()
+
+    return days("click").intersect(days("purchase")).subtract(days("error"))
+
+
+SETOPS_ORACLE = """
+SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id, CAST(ts AS DATE) FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT user_id, CAST(ts AS DATE) FROM events WHERE event_type = 'error'
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -338,6 +485,11 @@ QUERIES = {
     "orders_rollup": orders_rollup,
     "order_rank_in_customer": order_rank_in_customer,
     "customer_order_stats": customer_order_stats,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q4_order_priority": q4_order_priority,
+    "customers_no_recent_orders": customers_no_recent_orders,
+    "orders_cube": orders_cube,
+    "engaged_user_days_setops": engaged_user_days_setops,
 }
 
 ORACLES = {
@@ -349,4 +501,9 @@ ORACLES = {
     "orders_rollup": ORDERS_ROLLUP_ORACLE,
     "order_rank_in_customer": ORDER_RANK_ORACLE,
     "customer_order_stats": CUSTOMER_ORDER_STATS_ORACLE,
+    "q6_forecast_revenue": Q6_ORACLE,
+    "q4_order_priority": Q4_ORACLE,
+    "customers_no_recent_orders": ANTI_JOIN_ORACLE,
+    "orders_cube": ORDERS_CUBE_ORACLE,
+    "engaged_user_days_setops": SETOPS_ORACLE,
 }
