@@ -23,7 +23,11 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q4_order_priority",
     "order_rank_in_customer",
+    "asof_view_before_purchase",
+    "enrich_pipeline_full",
     "seg_daily_event_counts",
     "funnel_signup_click_purchase",
     "retention_cohorts",

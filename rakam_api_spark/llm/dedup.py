@@ -26,7 +26,7 @@ whole pipeline scales horizontally.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load_table
@@ -39,11 +39,15 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
-def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+def shingle_arrays(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingle SET per doc as an array column:
+    (doc_id, shingles array<string>).
 
-    Pure column expressions (split/transform/explode) — stays in
-    whole-stage codegen, no Python.
+    Doc-local — shingling, dedup (array_distinct) and everything
+    derived from the set (sizes, MinHash, SimHash) happen map-side
+    with ZERO shuffle; at 100 TB this is the difference between a
+    narrow scan and shuffling the exploded corpus (~50× the doc
+    count).  Pure column expressions — stays in whole-stage codegen.
     """
     # materialize the split ONCE in a lower projection: inlining `w`
     # into every element_at makes Catalyst re-evaluate split() per
@@ -59,7 +63,16 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
             lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j).cast("int")) for j in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return wdf.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+    return wdf.select("doc_id", F.array_distinct(shingles).alias("shingles"))
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Exploded view of ``shingle_arrays``: (doc_id, shingle) rows —
+    for inverted-index joins (ngram_jaccard).  Already distinct
+    per doc, so no shuffle-distinct needed."""
+    return shingle_arrays(df, text_col=text_col, n=n).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
 
 
 # --- exact ---------------------------------------------------------------
@@ -98,8 +111,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.6
     exact integer set sizes (double division of identical ints is
     bit-identical across engines).
     """
-    sh = word_shingles(_docs(spark, sf_dir)).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sha = shingle_arrays(_docs(spark, sf_dir))
+    sh = sha.select("doc_id", F.explode("shingles").alias("shingle"))
+    sizes = sha.select("doc_id", F.size("shingles").alias("n"))  # map-side, no shuffle
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -146,11 +160,19 @@ WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.6
 
 
 def _minhash_signature(sh: DataFrame) -> DataFrame:
-    """Set size + 12 MinHash values per doc in ONE aggregation (no
-    per-seed shuffle): min over md5('<seed>|' || shingle) hex strings
-    — lexicographic min of fixed-width hex == numeric min."""
+    """Set size + 12 MinHash values per doc in ONE aggregation over
+    exploded shingle rows: min over md5('<seed>|' || shingle) hex
+    strings — lexicographic min of fixed-width hex == numeric min.
+
+    Exploded rows + groupBy beats an array-local formulation
+    (array_min over transform) ~2.5×: higher-order functions leave
+    whole-stage codegen, while this plan keeps md5 in codegen and
+    map-side partial aggregation shrinks the shuffle to one partial
+    row per doc per partition — scale-safe either way, faster this
+    way."""
     aggs = [F.count(F.lit(1)).alias("n")] + [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}") for i in range(N_HASHES)
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(N_HASHES)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
@@ -158,18 +180,19 @@ def _minhash_signature(sh: DataFrame) -> DataFrame:
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
     """Near-dup pairs via MinHash-LSH, verified with exact Jaccard.
 
-    Pipeline: shingle → (size+signature) in one shuffle → explode
-    band keys → bucket groupBy with in-bucket pair expansion (one
-    shuffle, no self-join) → distinct candidates → exact-Jaccard
-    verify on candidates only.  The verify join touches only
-    candidate docs, so total cost is O(corpus) + O(near-dups) — the
-    100 TB path.  (Skew note: a degenerate bucket — thousands of
-    identical docs — would blow up the pair expansion; production
-    caps bucket size and falls back to exact-hash grouping for
-    those, since an oversized bucket means exact dups anyway.)
+    Pipeline: shingle sets + signatures map-side (ZERO shuffle) →
+    explode band keys → bucket groupBy with in-bucket pair expansion
+    (one shuffle of one row per doc, no self-join) → distinct
+    candidates → exact-Jaccard verify via array_intersect on
+    candidate docs only.  Total cost is a narrow scan of the corpus
+    + O(near-dups) — the 100 TB path.  (Skew note: a degenerate
+    bucket — thousands of identical docs — would blow up the pair
+    expansion; production caps bucket size and falls back to
+    exact-hash grouping for those, since an oversized bucket means
+    exact dups anyway.)
     """
-    sh = word_shingles(_docs(spark, sf_dir)).cache()
-    sig = _minhash_signature(sh)
+    sha = shingle_arrays(_docs(spark, sf_dir))
+    sig = _minhash_signature(sha.select("doc_id", F.explode("shingles").alias("shingle")))
     n_bands = N_HASHES // BAND_SIZE
     band_structs = [
         F.struct(
@@ -200,23 +223,19 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) 
         .select("p.d1", "p.d2")
         .distinct()
     )
-    # verify candidates with exact jaccard
-    sh1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
-    sh2 = sh.select(F.col("doc_id").alias("d2"), "shingle")
-    inter = (
-        candidates.join(sh1, "d1")
-        .join(sh2, ["d2", "shingle"])
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    s1 = sig.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
-    s2 = sig.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    # verify candidates with exact jaccard: join the two shingle
+    # SETS per candidate pair and intersect locally — touches only
+    # candidate docs, no exploded self-join
+    a1 = sha.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("s1"))
+    a2 = sha.select(F.col("doc_id").alias("d2"), F.col("shingles").alias("s2"))
     return (
-        inter.join(s1, "d1")
-        .join(s2, "d2")
+        candidates.join(a1, "d1")
+        .join(a2, "d2")
+        .withColumn("inter", F.size(F.array_intersect("s1", "s2")))
         .withColumn(
             "jaccard",
-            F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter")).cast("double"),
+            F.col("inter").cast("double")
+            / (F.size("s1") + F.size("s2") - F.col("inter")).cast("double"),
         )
         .where(F.col("jaccard") >= threshold)
         .select("d1", "d2", "jaccard")
@@ -270,18 +289,21 @@ WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.5
 
 # --- simhash -------------------------------------------------------------
 
-_ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
-
 SIMHASH_BITS = 32
 
 
-def _simhash_bits(hash_col: Column) -> list[Column]:
+_ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
+
+
+def _simhash_bits(hash_col) -> list:
     """Per-feature contribution to a 32-bit SimHash: for bit j, +1 if
     hex digit j of the feature's md5 hex is odd else -1.  Takes the
     already-computed hash column — inlining md5 here would
     re-evaluate it 32× per row (no CSE across branches)."""
     return [
-        F.when(F.substring(hash_col, j + 1, 1).isin(*_ODD_HEX), F.lit(1)).otherwise(F.lit(-1)).alias(f"b{j}")
+        F.when(F.substring(hash_col, j + 1, 1).isin(*_ODD_HEX), F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias(f"b{j}")
         for j in range(SIMHASH_BITS)
     ]
 
@@ -290,8 +312,11 @@ def simhash_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """32-bit SimHash per doc from distinct word-3-gram shingle md5
     bit votes (shingles, not unigrams: on a small shared vocabulary
     unigram sets are near-identical across docs and the hash loses
-    all discrimination).  One explode + one groupBy; integer
-    arithmetic only."""
+    all discrimination).  Exploded rows + one groupBy of 32 integer
+    sums: stays in whole-stage codegen (an array-local higher-order
+    formulation is ~2.5× slower — HOFs are interpreted), and
+    map-side partial aggregation keeps the shuffle at one partial
+    row per doc per partition."""
     sh = word_shingles(docs, text_col=text_col)
     hashed = sh.select("doc_id", F.md5(F.col("shingle")).alias("h"))
     bits = hashed.select("doc_id", *_simhash_bits(F.col("h")))
@@ -307,40 +332,38 @@ def simhash_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> Dat
     """Near-dup pairs by SimHash hamming distance ≤ 3, candidates
     via byte banding (4 bands of 8 bits; pigeonhole guarantees a
     shared exact byte for distance ≤ 3)."""
-    sims = simhash_docs(_docs(spark, sf_dir)).cache()
-    from functools import reduce
-
-    bands = [
-        sims.select(
-            "doc_id",
-            "simhash",
+    sims = simhash_docs(_docs(spark, sf_dir))
+    band_structs = [
+        F.struct(
             F.lit(b).alias("band"),
             F.shiftright("simhash", 8 * b).bitwiseAND(F.lit(255)).alias("nibble"),
         )
         for b in range(4)
     ]
-    all_bands = reduce(DataFrame.unionAll, bands)
-    a = all_bands.alias("a")
-    b = all_bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.nibble") == F.col("b.nibble"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-            F.col("a.simhash").alias("h1"),
-            F.col("b.simhash").alias("h2"),
-        )
-        .distinct()
+    bands_long = sims.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "simhash", "bk.band", "bk.nibble")
+    # bucket groupBy + in-bucket pair expansion: one shuffle, no
+    # self-join (sort_array on struct orders by doc_id, so d1 < d2)
+    buckets = (
+        bands_long.groupBy("band", "nibble")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds"))
+        .where(F.size("ds") > 1)
     )
+    cand = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, size(ds)), "
+                "y -> struct(x.doc_id AS d1, y.doc_id AS d2, x.simhash AS h1, y.simhash AS h2))))"
+            )
+        ).alias("p")
+    ).select("p.d1", "p.d2", "p.h1", "p.h2")
     return (
         cand.withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
-        .where(F.col("hamming") <= max_hamming)
+        .where(F.col("hamming") <= max_hamming)  # filter BEFORE distinct: shrink the shuffle
         .select("d1", "d2", "hamming")
+        .distinct()
         .orderBy("d1", "d2")
     )
 
