@@ -19,8 +19,9 @@ from rakam_api_spark.llm import dedup as _dedup
 from rakam_api_spark.llm import multimodal as _multimodal
 from rakam_api_spark.llm import similarity as _similarity
 from rakam_api_spark.llm import text as _text
+from rakam_api_spark.streaming import windows as _windows
 
-_MODULES = (_relational, _events, _enrich, _dedup, _similarity, _text, _multimodal)
+_MODULES = (_relational, _events, _enrich, _windows, _dedup, _similarity, _text, _multimodal)
 
 
 def entry(spark: SparkSession) -> DataFrame:

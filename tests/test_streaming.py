@@ -105,3 +105,97 @@ def test_stream_dead_letter(ingest, tmp_path):
     assert len(dead) == 1
     assert dead[0]["property"] == "price"
     assert os.path.exists  # keep flake quiet
+
+
+def test_windowed_counts_stream(spark, tmp_path):
+    """Watermarked tumbling-window agg over a streaming source
+    matches the batch run of the same plan."""
+    import json
+
+    from rakam_api_spark.streaming.windows import windowed_counts
+
+    in_dir = tmp_path / "win_bus"
+    in_dir.mkdir()
+    rows = [
+        {"ts": "2024-01-01 00:10:00", "event_type": "click", "user_id": 1},
+        {"ts": "2024-01-01 05:59:00", "event_type": "click", "user_id": 2},
+        {"ts": "2024-01-01 06:10:00", "event_type": "view", "user_id": 1},
+        {"ts": "2024-01-01 12:01:00", "event_type": "click", "user_id": 3},
+    ]
+    (in_dir / "b0.json").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = "ts timestamp, event_type string, user_id long"
+    stream = spark.readStream.schema(schema).json(str(in_dir))
+    out = windowed_counts(stream, window="6 hours", watermark="12 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["window_start"].hour, r["event_type"]): r["n_events"]
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    assert got[(0, "click")] == 2
+    assert got[(6, "view")] == 1
+    assert got[(12, "click")] == 1
+    # batch run of the SAME function gives the same counts
+    batch = spark.createDataFrame(
+        [(r["ts"], r["event_type"], r["user_id"]) for r in rows],
+        "ts string, event_type string, user_id long",
+    ).selectExpr("cast(ts as timestamp) ts", "event_type", "user_id")
+    bat = {
+        (r["window_start"].hour, r["event_type"]): r["n_events"]
+        for r in windowed_counts(batch).collect()
+    }
+    assert bat == got
+
+
+def test_stateful_sessionizer(spark, tmp_path):
+    """applyInPandasWithState keeps per-user open sessions across
+    micro-batches and emits sessions closed by a gap."""
+    import json
+
+    from rakam_api_spark.streaming.windows import StatefulSessionizer
+
+    in_dir = tmp_path / "sess_bus"
+    in_dir.mkdir()
+    m = 60 * 1_000_000
+    # batch 0: user 1 events at t=0,10min ; user 2 at t=0
+    (in_dir / "b0.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"user_id": 1, "ts_us": 0},
+                {"user_id": 1, "ts_us": 10 * m},
+                {"user_id": 2, "ts_us": 0},
+            ]
+        )
+    )
+    # batch 1 (later mtime): user 1 returns after 2h -> closes session
+    p1 = in_dir / "b1.json"
+    p1.write_text(json.dumps({"user_id": 1, "ts_us": 130 * m}))
+    os.utime(p1, (os.path.getmtime(in_dir / "b0.json") + 5,) * 2)
+
+    stream = spark.readStream.schema("user_id long, ts_us long").option(
+        "maxFilesPerTrigger", 1
+    ).json(str(in_dir))
+    out = StatefulSessionizer(gap_seconds=1800).apply(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("closed_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select * from closed_sessions").collect()
+    assert len(rows) == 1  # only user 1's first session closed
+    r = rows[0]
+    assert r["user_id"] == 1
+    assert r["session_start_us"] == 0
+    assert r["session_end_us"] == 10 * m
+    assert r["n_events"] == 2
