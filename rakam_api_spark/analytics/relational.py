@@ -476,6 +476,41 @@ SELECT user_id, CAST(ts AS DATE) FROM events WHERE event_type = 'error'
 """
 
 
+def revenue_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ad-hoc SQL surface: the reference's 'analyze with your SQL
+    queries' workflow (reference README.md:17) — raw SQL over
+    registered views, exercising GROUPING SETS (a grouping shape
+    distinct from the rollup/cube operators) plus a dimension join.
+    """
+    from ..tables import register_views
+
+    register_views(spark, sf_dir, names=("orders", "customer", "nation"))
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               c.c_mktsegment AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY GROUPING SETS ((n.n_name), (c.c_mktsegment), (n.n_name, c.c_mktsegment))
+        """
+    )
+
+
+GROUPING_SETS_SQL_ORACLE = """
+SELECT n.n_name AS nation,
+       c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+GROUP BY GROUPING SETS ((n.n_name), (c.c_mktsegment), (n.n_name, c.c_mktsegment))
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -490,6 +525,7 @@ QUERIES = {
     "customers_no_recent_orders": customers_no_recent_orders,
     "orders_cube": orders_cube,
     "engaged_user_days_setops": engaged_user_days_setops,
+    "revenue_grouping_sets_sql": revenue_grouping_sets_sql,
 }
 
 ORACLES = {
@@ -506,4 +542,5 @@ ORACLES = {
     "customers_no_recent_orders": ANTI_JOIN_ORACLE,
     "orders_cube": ORDERS_CUBE_ORACLE,
     "engaged_user_days_setops": SETOPS_ORACLE,
+    "revenue_grouping_sets_sql": GROUPING_SETS_SQL_ORACLE,
 }

@@ -81,6 +81,48 @@ class EventStore:
         df.write.mode("append").parquet(self._table_path(project, INVALID_COLLECTION))
         return n
 
+    # --- maintenance ----------------------------------------------------
+
+    def compact(self, project: str, collection: str, target_files_per_partition: int = 1) -> int:
+        """Small-file compaction (the OPTIMIZE analog): streaming
+        micro-batches write one file per trigger per partition, so a
+        long-running ingest accumulates thousands of tiny files —
+        the classic streaming-warehouse pathology (SURVEY.md §7 hard
+        part (d)).  Rewrites each month partition into
+        ``target_files_per_partition`` files, then atomically swaps
+        the directory.  Returns the number of data files after
+        compaction.
+
+        At warehouse scale this runs per-partition (only recent
+        months churn) and with Delta it would be OPTIMIZE +
+        ZORDER BY (_time); the parquet fallback keeps the same
+        layout contract.
+        """
+        path = self._table_path(project, collection)
+        # raw read: keep the physical layout (incl. the _month
+        # partition column, which read() projects away)
+        df = self.spark.read.option("mergeSchema", "true").parquet(path)
+        tmp = path + ".compacting"
+        if "_month" in df.columns:
+            (
+                df.repartition(target_files_per_partition, "_month")
+                .write.mode("overwrite")
+                .partitionBy("_month")
+                .parquet(tmp)
+            )
+        else:
+            df.coalesce(target_files_per_partition).write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        old = path + ".old"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        n_files = 0
+        for _, _, files in os.walk(path):
+            n_files += sum(1 for f in files if f.endswith(".parquet"))
+        return n_files
+
     # --- read -----------------------------------------------------------
 
     def read(self, project: str, collection: str) -> DataFrame:

@@ -1,0 +1,41 @@
+"""EventStore maintenance: small-file compaction preserves data and
+layout while collapsing per-micro-batch files."""
+
+import os
+
+from rakam_api_spark.api import EventCollector
+from rakam_api_spark.catalog import Metastore
+from rakam_api_spark.enrich import EnrichmentPipeline, TimestampMapper
+
+
+def _n_parquet_files(path):
+    n = 0
+    for _, _, files in os.walk(path):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def test_compact_collapses_files_preserves_rows(spark, warehouse):
+    ms = Metastore(warehouse)
+    collector = EventCollector(spark, ms, pipeline=EnrichmentPipeline([TimestampMapper()]))
+    # 6 separate appends across 2 months -> >= 6 files
+    for i in range(6):
+        month = "2024-01" if i % 2 == 0 else "2024-02"
+        collector.collect(
+            "proj",
+            "clicks",
+            {"x": i, "_time": f"{month}-0{i % 5 + 1} 10:00:00"},
+        )
+    store = collector.store
+    path = store._table_path("proj", "clicks")
+    before_files = _n_parquet_files(path)
+    before = sorted(r["x"] for r in store.read("proj", "clicks").collect())
+    assert before_files >= 6
+
+    n_files = store.compact("proj", "clicks")
+    assert n_files == 2  # one file per month partition
+    after = sorted(r["x"] for r in store.read("proj", "clicks").collect())
+    assert after == before
+    # month partition layout intact (pruning still works)
+    months = {d for d in os.listdir(path) if d.startswith("_month=")}
+    assert months == {"_month=2024-01", "_month=2024-02"}
