@@ -97,7 +97,21 @@ class Metastore:
         os.makedirs(self._dir, exist_ok=True)
         self._lock = threading.RLock()
         self._projects: dict[str, Project] = {}
+        # schema-change event bus (reference M4: SystemEvents /
+        # AbstractMetastore.java:22-36): listeners get
+        # (event, payload) for project_created / collection_created /
+        # collection_fields_created — the auto-indexer hook point
+        # (PostgresqlModule.java:192-242; on Spark the analog is
+        # stats/compaction scheduling, see EventStore.compact)
+        self._listeners: list = []
         self._load_all()
+
+    def add_listener(self, fn) -> None:
+        self._listeners.append(fn)
+
+    def _emit(self, event: str, **payload) -> None:
+        for fn in self._listeners:
+            fn(event, payload)
 
     # --- persistence ----------------------------------------------------
 
@@ -141,6 +155,7 @@ class Metastore:
             if name not in self._projects:
                 self._projects[name] = Project(name=name)
                 self._persist(self._projects[name])
+                self._emit("project_created", project=name)
             return self._projects[name]
 
     def delete_project(self, name: str) -> None:
@@ -250,6 +265,14 @@ class Metastore:
             if truly_new:
                 cs.fields.update(truly_new)
                 self._persist(proj)
+                if creating:
+                    self._emit("collection_created", project=project, collection=collection)
+                self._emit(
+                    "collection_fields_created",
+                    project=project,
+                    collection=collection,
+                    fields=dict(truly_new),
+                )
             if conflicts:
                 raise TypeMismatch(
                     "; ".join(f"{n}: registered {a.value}, got {b.value}" for n, (a, b) in conflicts.items())
