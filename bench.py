@@ -64,6 +64,13 @@ def main() -> None:
         cold[name] = round(runs[0], 3)
         times[name] = round(min(runs), 3)
 
+    # ingest-path throughput (the reference's hot path): ND-JSON bulk
+    # through parse → infer/evolve → enrich → coerce → append
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from bench_ingest import run_ingest_bench
+
+    ingest = run_ingest_bench(spark, n_events=200_000)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -73,6 +80,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "cold_value": round(sum(cold.values()), 3),
+                **ingest,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

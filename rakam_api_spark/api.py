@@ -151,6 +151,12 @@ class EventCollector:
         # 3. enrich, then drop trigger columns (P9 pruning)
         df = pipeline.apply(df, ctx)
         df = df.drop(*[c for c in drop if c in df.columns])
+        # persist the enriched frame: the post-enrichment inference
+        # probe, the valid/dead-letter counts and both writes would
+        # otherwise each re-execute the parse+enrich lineage (4-5
+        # full passes measured).  Micro-batches are bounded;
+        # MEMORY_AND_DISK spills for oversized bulk loads.
+        df = df.persist()
 
         # 3b. post-enrichment inference: custom transforms (P6) may
         # have added undeclared columns — the reference evolves the
@@ -173,11 +179,14 @@ class EventCollector:
             schema = self.metastore.get_collection(project, collection)
 
         # 5. coerce to the registered schema + dead-letter failures
-        result = coerce_to_schema(
-            df, schema, collection, max_len=self.max_string_length, event_id_col=None
-        )
-        stored = self.store.append(project, collection, result.valid)
-        dead = self.store.append_dead_letter(project, result.dead_letter)
+        try:
+            result = coerce_to_schema(
+                df, schema, collection, max_len=self.max_string_length, event_id_col=None
+            )
+            stored = self.store.append(project, collection, result.valid)
+            dead = self.store.append_dead_letter(project, result.dead_letter)
+        finally:
+            df.unpersist()
         return IngestReport(
             collection=collection,
             stored=stored,

@@ -105,6 +105,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.6
     bit-identical across engines).
     """
     sh = word_shingles(_docs(spark, sf_dir)).cache()
+    sh.count()  # deterministic single materialization (see minhash note)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -184,6 +185,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) 
     exact dups anyway.)
     """
     sh = word_shingles(_docs(spark, sf_dir)).cache()
+    sh.count()  # materialize ONCE: AQE runs the signature and verify
+    # branches concurrently, and an unpopulated cache makes them race
+    # to compute the shingle lineage twice (2-3x run-to-run variance)
     sig = _minhash_signature(sh)
     n_bands = N_HASHES // BAND_SIZE
     band_structs = [
