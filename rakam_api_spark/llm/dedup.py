@@ -170,7 +170,9 @@ def _minhash_signature(sh: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+def minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5, max_bucket: int = 500
+) -> DataFrame:
     """Near-dup pairs via MinHash-LSH, verified with exact Jaccard.
 
     Pipeline: shingle → (size+signature) in one partial-aggregated
@@ -178,11 +180,15 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) 
     expansion (one shuffle of one row per doc per band, no
     self-join) → distinct candidates → exact-Jaccard verify joining
     candidate docs' shingles only.  Total cost is O(corpus) +
-    O(near-dups) — the 100 TB path.  (Skew note: a degenerate
-    bucket — thousands of identical docs — would blow up the pair
-    expansion; production caps bucket size and falls back to
-    exact-hash grouping for those, since an oversized bucket means
-    exact dups anyway.)
+    O(near-dups) — the 100 TB path.
+
+    Skew guard: a degenerate bucket (thousands of near-identical
+    docs sharing a band key) would make the all-pairs expansion
+    O(k²).  Buckets larger than ``max_bucket`` switch to a STAR
+    pattern — every member pairs with the bucket minimum only
+    (O(k)); members of an oversized bucket agree on a whole band of
+    MinHashes, so they are near-identical and the star pairs carry
+    the same dedup decision transitively.
     """
     sh = word_shingles(_docs(spark, sf_dir)).cache()
     sh.count()  # materialize ONCE: AQE runs the signature and verify
@@ -207,15 +213,19 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) 
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .where(F.size("ds") > 1)
     )
+    # all-pairs within normal buckets; star (min ↔ member) within
+    # oversized ones — O(k) instead of O(k²) under degenerate skew
+    pair_expr = F.when(
+        F.size("ds") <= max_bucket,
+        F.expr(
+            "flatten(transform(ds, (x, i) -> "
+            "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"
+        ),
+    ).otherwise(
+        F.expr("transform(slice(ds, 2, size(ds)), y -> struct(ds[0] AS d1, y AS d2))")
+    )
     candidates = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ds, (x, i) -> "
-                    "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"
-                )
-            ).alias("p")
-        )
+        buckets.select(F.explode(pair_expr).alias("p"))
         .select("p.d1", "p.d2")
         .distinct()
     )

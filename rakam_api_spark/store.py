@@ -45,6 +45,20 @@ def _safe(name: str) -> str:
     return name.replace("$", "_sys_")
 
 
+def salted_repartition(df: DataFrame, key_col: str, n_partitions: int, salt_buckets: int = 32) -> DataFrame:
+    """Hot-shard avoidance (reference K4: Kinesis partition key =
+    `project|collection` + random(0,100000),
+    AWSKinesisEventStore.java:148-169): repartition on
+    (key, deterministic salt) so one dominant key value spreads over
+    ``salt_buckets`` partitions instead of melting one task/shard.
+
+    The salt is a hash of the whole row (not rand()) so the plan
+    stays deterministic and retry-safe — at-least-once replays land
+    identically."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    return df.repartition(n_partitions, F.col(key_col), salt)
+
+
 class EventStore:
     def __init__(self, spark: SparkSession, metastore: Metastore):
         self.spark = spark

@@ -1,0 +1,51 @@
+"""LSH skew guard: a degenerate bucket (many identical docs) takes
+the O(k) star path instead of the O(k²) all-pairs expansion, and the
+dedup decision is preserved (every dup still pairs with the keeper)."""
+
+import pytest
+
+from rakam_api_spark.llm.dedup import minhash_lsh_pairs
+
+
+@pytest.fixture(scope="module")
+def skew_dir(spark, tmp_path_factory):
+    """Synthetic documents.parquet: docs 0..99 share ONE text (a
+    degenerate near-dup cluster); 100..499 are unique."""
+    d = tmp_path_factory.mktemp("skew")
+    dup_text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, dup_text, "en", "dup", len(dup_text)) for i in range(100)]
+    rows += [
+        (
+            i,
+            f"unique document number {i} with deterministic words w{i} x{i * 7} y{i * 13} z{i * 31} "
+            f"tail{i} end{i}",
+            "en",
+            "uniq",
+            40,
+        )
+        for i in range(100, 500)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_star_fallback_preserves_dedup_decision(spark, skew_dir):
+    # star path (bucket of 100 > max_bucket=50): exactly 99 pairs,
+    # all anchored at the keeper doc 0
+    star = minhash_lsh_pairs(spark, skew_dir, threshold=0.5, max_bucket=50)
+    star_pairs = {(r["d1"], r["d2"]) for r in star.collect()}
+    dup_star = {p for p in star_pairs if p[0] < 100 and p[1] < 100}
+    assert dup_star == {(0, i) for i in range(1, 100)}
+    assert all(r["jaccard"] == 1.0 for r in star.collect() if r["d1"] == 0)
+
+    # all-pairs path agrees on MEMBERSHIP (who is a dup) while
+    # materializing the full quadratic pair set
+    full = minhash_lsh_pairs(spark, skew_dir, threshold=0.5, max_bucket=10_000)
+    full_pairs = {(r["d1"], r["d2"]) for r in full.collect()}
+    dup_full = {p for p in full_pairs if p[0] < 100 and p[1] < 100}
+    assert len(dup_full) == 100 * 99 // 2
+    star_members = {x for p in dup_star for x in p}
+    full_members = {x for p in dup_full for x in p}
+    assert star_members == full_members == set(range(100))

@@ -39,3 +39,30 @@ def test_compact_collapses_files_preserves_rows(spark, warehouse):
     # month partition layout intact (pruning still works)
     months = {d for d in os.listdir(path) if d.startswith("_month=")}
     assert months == {"_month=2024-01", "_month=2024-02"}
+
+
+def test_salted_repartition_spreads_hot_key(spark):
+    from pyspark.sql import functions as F
+
+    from rakam_api_spark.store import salted_repartition
+
+    # one dominant key: plain repartition(key) puts all rows in ONE partition
+    df = spark.range(10_000).select(F.lit("hot").alias("k"), F.col("id"))
+    plain = df.repartition(16, "k")
+    salted = salted_repartition(df, "k", 16, salt_buckets=16)
+
+    def partition_sizes(d):
+        return (
+            d.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .count()
+            .collect()
+        )
+
+    assert len(partition_sizes(plain)) == 1
+    sizes = partition_sizes(salted)
+    assert len(sizes) > 4  # spread across many partitions
+    assert max(r["count"] for r in sizes) < 10_000
+    # deterministic: same salt on re-run (retry-safe)
+    again = {r["pid"]: r["count"] for r in partition_sizes(salted)}
+    assert again == {r["pid"]: r["count"] for r in sizes}
