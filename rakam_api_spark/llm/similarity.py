@@ -305,14 +305,219 @@ WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOU
 """
 
 
+K_CELLS = 8
+KM_ITERS = 2
+
+
+def _assign_cells(comp: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: argmin over cells of
+    ||v - c||² = n_v + cn2 − 2·dot; n_v is constant per vector so
+    cost = cn2 − 2·dot suffices.  Exact integer arithmetic;
+    deterministic tiebreak on label."""
+    costs = (
+        comp.join(broadcast(cents), "pos")
+        .groupBy("vec_id", "label")
+        .agg((F.sum(F.col("cq") * F.col("cq")) - 2 * F.sum(F.col("q") * F.col("cq"))).alias("cost"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("cost"), F.asc("label"))
+    return costs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).select("vec_id", "label")
+
+
+def kmeans_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = K_CELLS,
+    iters: int = KM_ITERS,
+    nprobe: int = 3,
+    topk: int = 5,
+    n_queries: int = 20,
+) -> DataFrame:
+    """IVF with LEARNED cells: Lloyd's k-means over the quantized
+    components (an iterative algorithm — the driver loops, each
+    iteration is one assign + one centroid-recompute Spark job with
+    centroids broadcast), then the standard IVF probe/score.
+
+    Fully deterministic (integer costs, floor(avg) centroids,
+    label-ordered tiebreaks, fixed init = vectors 0..k-1), so the
+    DuckDB oracle replicates it by unrolling the iterations as CTEs
+    — an oracle-verified iterative ML algorithm.
+
+    Scale: assignment is a broadcast join + partial-aggregated
+    groupBy per iteration (no shuffle of the corpus beyond the
+    (vec,cell) cost rows); at 100 TB one would sample for the
+    k-means fit and assign the full corpus once — same operators.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = _quantized_components(emb).cache()
+    comp.count()  # single deterministic materialization
+    cents = comp.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("label"), "pos", F.col("q").alias("cq")
+    )
+    for _ in range(iters):
+        assign = _assign_cells(comp, cents)
+        cents = (
+            comp.join(assign, "vec_id")
+            .groupBy("label", "pos")
+            .agg(F.floor(F.avg("q")).cast("long").alias("cq"))
+        )
+    assign = _assign_cells(comp, cents)
+
+    qcomp = comp.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), "pos", F.col("q").alias("qq")
+    )
+    qcell = (
+        cents.join(broadcast(qcomp), "pos")
+        .groupBy("q_id", "label")
+        .agg(F.sum(F.col("cq") * F.col("qq")).alias("dot"))
+    )
+    cnorm = cents.groupBy("label").agg(F.sum(F.col("cq") * F.col("cq")).alias("cn2"))
+    qnorm = qcomp.groupBy("q_id").agg(F.sum(F.col("qq") * F.col("qq")).alias("qn2"))
+    wq = Window.partitionBy("q_id").orderBy(
+        F.desc(
+            F.col("dot").cast("double") / F.sqrt(F.col("cn2").cast("double") * F.col("qn2").cast("double"))
+        ),
+        F.asc("label"),
+    )
+    probes = (
+        qcell.join(broadcast(cnorm), "label")
+        .join(broadcast(qnorm), "q_id")
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("q_id", "label")
+    )
+    members = comp.join(assign, "vec_id")
+    dots = (
+        members.alias("m")
+        .join(broadcast(probes.alias("p")), F.col("m.label") == F.col("p.label"))
+        .join(
+            broadcast(qcomp.alias("q")),
+            (F.col("m.pos") == F.col("q.pos")) & (F.col("p.q_id") == F.col("q.q_id")),
+        )
+        .where(F.col("m.vec_id") != F.col("p.q_id"))
+        .groupBy(F.col("p.q_id").alias("q_id"), F.col("m.vec_id").alias("vec_id"))
+        .agg(F.sum(F.col("m.q") * F.col("q.qq")).alias("dot"))
+    )
+    norms = _norms(comp, "vec_id")
+    qnorms = norms.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("norm2").alias("qnorm2")
+    )
+    scored = (
+        dots.join(broadcast(qnorms), "q_id")
+        .join(norms, "vec_id")
+        .withColumn(
+            "cosine",
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("norm2").cast("double") * F.col("qnorm2").cast("double")),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= topk)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rnk")
+        .orderBy("q_id", "rnk")
+    )
+
+
+def _kmeans_oracle(k: int = K_CELLS, iters: int = KM_ITERS) -> str:
+    """DuckDB oracle for kmeans_ivf_topk: the k-means iterations
+    unrolled as CTE chains (cents0 → assign1/cents1 → …)."""
+    ctes = [
+        """comp AS (
+  SELECT vec_id, CAST(i AS INT) AS pos,
+         CAST(round(CAST(embedding[CAST(i AS INT)+1] AS DOUBLE) * 10000, 0) AS BIGINT) AS q
+  FROM embeddings, LATERAL unnest(range(0, len(embedding))) t(i)
+)""",
+        f"cents0 AS (SELECT vec_id AS label, pos, q AS cq FROM comp WHERE vec_id < {k})",
+    ]
+    prev = "cents0"
+    for i in range(1, iters + 2):  # one extra assignment after the last recompute
+        ctes.append(
+            f"""costs{i} AS (
+  SELECT c.vec_id, t.label, SUM(t.cq*t.cq) - 2*SUM(c.q*t.cq) AS cost
+  FROM comp c JOIN {prev} t ON c.pos = t.pos GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""assign{i} AS (
+  SELECT vec_id, label FROM (
+    SELECT vec_id, label, row_number() OVER (PARTITION BY vec_id ORDER BY cost ASC, label ASC) AS rn
+    FROM costs{i}
+  ) WHERE rn = 1
+)"""
+        )
+        if i <= iters:
+            ctes.append(
+                f"""cents{i} AS (
+  SELECT a.label, c.pos, CAST(floor(avg(c.q)) AS BIGINT) AS cq
+  FROM comp c JOIN assign{i} a USING (vec_id) GROUP BY 1, 2
+)"""
+            )
+            prev = f"cents{i}"
+    final_assign = f"assign{iters + 1}"
+    ctes += [
+        "qcomp AS (SELECT vec_id AS q_id, pos, q AS qq FROM comp WHERE vec_id < 20)",
+        f"""qcell AS (
+  SELECT q.q_id, c.label, SUM(c.cq * q.qq) AS dot
+  FROM {prev} c JOIN qcomp q USING (pos) GROUP BY 1, 2
+)""",
+        f"cnorm AS (SELECT label, SUM(cq*cq) AS cn2 FROM {prev} GROUP BY 1)",
+        "qnorm AS (SELECT q_id, SUM(qq*qq) AS qn2 FROM qcomp GROUP BY 1)",
+        """probes AS (
+  SELECT q_id, label FROM (
+    SELECT qc.q_id, qc.label,
+           row_number() OVER (
+             PARTITION BY qc.q_id
+             ORDER BY CAST(qc.dot AS DOUBLE) / sqrt(CAST(cn.cn2 AS DOUBLE) * CAST(qn.qn2 AS DOUBLE)) DESC,
+                      qc.label ASC) AS rn
+    FROM qcell qc JOIN cnorm cn USING (label) JOIN qnorm qn USING (q_id)
+  ) WHERE rn <= 3
+)""",
+        f"""dots AS (
+  SELECT p.q_id, m.vec_id, SUM(m.q * q.qq) AS dot
+  FROM comp m
+  JOIN {final_assign} l ON m.vec_id = l.vec_id
+  JOIN probes p ON l.label = p.label
+  JOIN qcomp q ON m.pos = q.pos AND p.q_id = q.q_id
+  WHERE m.vec_id <> p.q_id
+  GROUP BY 1, 2
+)""",
+        "norms AS (SELECT vec_id, SUM(q*q) AS norm2 FROM comp GROUP BY 1)",
+        """scored AS (
+  SELECT d.q_id, d.vec_id,
+         CAST(d.dot AS DOUBLE) / sqrt(CAST(n.norm2 AS DOUBLE) * CAST(qn.norm2 AS DOUBLE)) AS cosine
+  FROM dots d
+  JOIN norms n  ON d.vec_id = n.vec_id
+  JOIN norms qn ON d.q_id = qn.vec_id
+)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT q_id, vec_id AS neighbor_id, cosine, rnk
+FROM (
+  SELECT q_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+    )
+
+
+KMEANS_IVF_ORACLE = _kmeans_oracle()
+
+
 QUERIES = {
     "ann_brute_force_topk": brute_force_topk,
     "ann_ivf_topk": ivf_topk,
+    "ann_kmeans_ivf_topk": kmeans_ivf_topk,
     "embedding_cosine_dedup": embedding_cosine_dedup,
 }
 
 ORACLES = {
     "ann_brute_force_topk": BRUTE_FORCE_ORACLE,
     "ann_ivf_topk": IVF_ORACLE,
+    "ann_kmeans_ivf_topk": KMEANS_IVF_ORACLE,
     "embedding_cosine_dedup": COSINE_DEDUP_ORACLE,
 }
