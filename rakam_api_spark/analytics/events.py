@@ -466,6 +466,40 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
 """
 
 
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1-per-group WITHOUT a window: max over a struct ordered
+    (ts, event_id) — one partial-aggregatable groupBy.  At scale this
+    beats row_number() (no per-group sort, map-side combine shrinks
+    the shuffle to one row per user per partition); ties are broken
+    by event_id inside the struct comparison, so it's deterministic.
+    """
+    ev = _events(spark, sf_dir)
+    top = ev.groupBy("user_id").agg(
+        F.max(F.struct(_us().alias("ts_us"), F.col("event_id"), F.col("event_type"), F.col("value"))).alias("last")
+    )
+    return top.select(
+        "user_id",
+        F.col("last.ts_us").alias("last_ts_us"),
+        F.col("last.event_id").alias("last_event_id"),
+        F.col("last.event_type").alias("last_event_type"),
+        F.col("last.value").alias("last_value"),
+    )
+
+
+LATEST_EVENT_ORACLE = """
+SELECT user_id,
+       epoch_us(ts) AS last_ts_us,
+       event_id AS last_event_id,
+       event_type AS last_event_type,
+       value AS last_value
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles of event value per event type (p50/p90/p99,
     linear interpolation).  Spark's ``percentile`` and DuckDB's
@@ -524,6 +558,7 @@ QUERIES = {
     "asof_view_before_purchase": asof_view_before_purchase,
     "value_percentiles": value_percentiles,
     "dau_approx_sketch": dau_approx_sketch,
+    "latest_event_per_user": latest_event_per_user,
 }
 
 ORACLES = {
@@ -538,6 +573,7 @@ ORACLES = {
     "user_profile_snapshot": USER_PROFILE_ORACLE,
     "asof_view_before_purchase": ASOF_ORACLE,
     "value_percentiles": VALUE_PERCENTILES_ORACLE,
+    "latest_event_per_user": LATEST_EVENT_ORACLE,
     # dau_approx_sketch: intentionally no oracle — HLL++ estimates
     # are engine-specific; the driver records a rows-only check.
 }

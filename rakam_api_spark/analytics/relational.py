@@ -511,6 +511,36 @@ GROUP BY GROUPING SETS ((n.n_name), (c.c_mktsegment), (n.n_name, c.c_mktsegment)
 """
 
 
+def cheapest_order_per_customer_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q2's shape): each customer's
+    order(s) at their personal minimum price.  Catalyst rewrites the
+    correlated subquery into an aggregate + join — free optimizer
+    machinery the reference delegates to Presto."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir, names=("orders",))
+    return spark.sql(
+        """
+        SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
+        FROM orders o
+        WHERE o.o_totalprice = (
+            SELECT MIN(o2.o_totalprice) FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+CHEAPEST_ORDER_ORACLE = """
+SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
+FROM orders o
+WHERE o.o_totalprice = (
+    SELECT MIN(o2.o_totalprice) FROM orders o2
+    WHERE o2.o_custkey = o.o_custkey
+)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -526,6 +556,7 @@ QUERIES = {
     "orders_cube": orders_cube,
     "engaged_user_days_setops": engaged_user_days_setops,
     "revenue_grouping_sets_sql": revenue_grouping_sets_sql,
+    "cheapest_order_per_customer_sql": cheapest_order_per_customer_sql,
 }
 
 ORACLES = {
@@ -543,4 +574,5 @@ ORACLES = {
     "orders_cube": ORDERS_CUBE_ORACLE,
     "engaged_user_days_setops": SETOPS_ORACLE,
     "revenue_grouping_sets_sql": GROUPING_SETS_SQL_ORACLE,
+    "cheapest_order_per_customer_sql": CHEAPEST_ORDER_ORACLE,
 }
