@@ -9,8 +9,8 @@ Four tiers, mirroring the standard LLM-data-pipeline stack:
 - ``minhash_lsh_pairs``      — MinHash signatures + banded LSH; the
   scale path: candidate pairs come from band-bucket joins, never a
   quadratic comparison; verified with exact Jaccard afterwards.
-- ``simhash_pairs``          — 16-bit SimHash + nibble banding
-  (pigeonhole: hamming ≤ 3 ⇒ one of 4 nibbles equal), verified by
+- ``simhash_pairs``          — 60-bit SimHash + 15-bit banding
+  (pigeonhole: hamming ≤ 3 ⇒ one of 4 bands equal), verified by
   hamming distance.
 
 Every hash is derived from md5 hex strings so a DuckDB oracle can
@@ -300,37 +300,52 @@ WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.5
 
 # --- simhash -------------------------------------------------------------
 
-SIMHASH_BITS = 32
-
+# 60-bit SimHash, banded as 4 x 15 bits.  Band WIDTH is the scale
+# lever: with 8-bit bands the bucket space is 256 per band and
+# candidate pairs grow O(n^2/256) — measured super-linear in
+# SCALING.md; 15-bit bands give 32768 buckets per band so pair
+# growth stays linear far deeper into the corpus.  60 (not 64) keeps
+# the hash below the BIGINT sign bit in both engines.
+SIMHASH_BITS = 60
+SIMHASH_BAND_BITS = 15
+SIMHASH_N_BANDS = 4
 
 _ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
 
 
-def _simhash_bits(hash_col) -> list:
-    """Per-feature contribution to a 32-bit SimHash: for bit j, +1 if
-    hex digit j of the feature's md5 hex is odd else -1.  Takes the
-    already-computed hash column — inlining md5 here would
-    re-evaluate it 32× per row (no CSE across branches)."""
-    return [
-        F.when(F.substring(hash_col, j + 1, 1).isin(*_ODD_HEX), F.lit(1))
-        .otherwise(F.lit(-1))
-        .alias(f"b{j}")
-        for j in range(SIMHASH_BITS)
-    ]
+def _simhash_bits(h1, h2) -> list:
+    """Per-feature contribution to the 60-bit SimHash: +1 if the
+    bit's hex digit is odd else -1; bits 0-31 read md5(shingle),
+    bits 32-59 read md5('~'||shingle).  Takes the already-computed
+    hash columns — inlining md5 here would re-evaluate it per bit
+    (no CSE across branches)."""
+    cols = []
+    for j in range(SIMHASH_BITS):
+        src, pos = (h1, j + 1) if j < 32 else (h2, j - 31)
+        cols.append(
+            F.when(F.substring(src, pos, 1).isin(*_ODD_HEX), F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias(f"b{j}")
+        )
+    return cols
 
 
 def simhash_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """32-bit SimHash per doc from distinct word-3-gram shingle md5
+    """60-bit SimHash per doc from distinct word-3-gram shingle md5
     bit votes (shingles, not unigrams: on a small shared vocabulary
     unigram sets are near-identical across docs and the hash loses
-    all discrimination).  Exploded rows + one groupBy of 32 integer
+    all discrimination).  Exploded rows + one groupBy of 60 integer
     sums: stays in whole-stage codegen (an array-local higher-order
     formulation is ~2.5× slower — HOFs are interpreted), and
     map-side partial aggregation keeps the shuffle at one partial
     row per doc per partition."""
     sh = word_shingles(docs, text_col=text_col)
-    hashed = sh.select("doc_id", F.md5(F.col("shingle")).alias("h"))
-    bits = hashed.select("doc_id", *_simhash_bits(F.col("h")))
+    hashed = sh.select(
+        "doc_id",
+        F.md5(F.col("shingle")).alias("h1"),
+        F.md5(F.concat(F.lit("~"), F.col("shingle"))).alias("h2"),
+    )
+    bits = hashed.select("doc_id", *_simhash_bits(F.col("h1"), F.col("h2")))
     agg = bits.groupBy("doc_id").agg(*[F.sum(f"b{j}").alias(f"s{j}") for j in range(SIMHASH_BITS)])
     sim = None
     for j in range(SIMHASH_BITS):
@@ -341,15 +356,17 @@ def simhash_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def simhash_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ 3, candidates
-    via byte banding (4 bands of 8 bits; pigeonhole guarantees a
-    shared exact byte for distance ≤ 3)."""
+    via banding (4 bands of 15 bits; pigeonhole guarantees a shared
+    exact band for distance ≤ 3)."""
     sims = simhash_docs(_docs(spark, sf_dir))
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.shiftright("simhash", 8 * b).bitwiseAND(F.lit(255)).alias("nibble"),
+            F.shiftright("simhash", SIMHASH_BAND_BITS * b)
+            .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+            .alias("nibble"),
         )
-        for b in range(4)
+        for b in range(SIMHASH_N_BANDS)
     ]
     bands_long = sims.select(
         "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bk")
@@ -388,7 +405,7 @@ sh AS (
 ),
 bits AS (
   SELECT doc_id, {bit_cols}
-  FROM (SELECT doc_id, md5(shingle) AS h FROM sh)
+  FROM (SELECT doc_id, md5(shingle) AS h1, md5('~' || shingle) AS h2 FROM sh)
 ),
 agg AS (
   SELECT doc_id, {sum_cols}
@@ -398,7 +415,7 @@ sims AS (
   SELECT doc_id, CAST({sim_expr} AS BIGINT) AS simhash FROM agg
 ),
 bands AS (
-  SELECT doc_id, simhash, b.band, (simhash >> (8 * b.band)) & 255 AS nibble
+  SELECT doc_id, simhash, b.band, (simhash >> (15 * b.band)) & 32767 AS nibble
   FROM sims, (SELECT unnest(range(4)) AS band) b
 ),
 cand AS (
@@ -411,11 +428,13 @@ FROM cand
 WHERE bit_count(xor(h1, h2)) <= 3
 """.format(
     bit_cols=", ".join(
-        f"CASE WHEN substr(h, {j + 1}, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END AS b{j}"
-        for j in range(32)
+        "CASE WHEN substr({src}, {pos}, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END AS b{j}".format(
+            src="h1" if j < 32 else "h2", pos=(j + 1) if j < 32 else (j - 31), j=j
+        )
+        for j in range(60)
     ),
-    sum_cols=", ".join(f"SUM(b{j}) AS s{j}" for j in range(32)),
-    sim_expr=" + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32)),
+    sum_cols=", ".join(f"SUM(b{j}) AS s{j}" for j in range(60)),
+    sim_expr=" + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(60)),
 )
 
 
