@@ -500,6 +500,54 @@ FROM (
 """
 
 
+def daily_value_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: 7-day trailing moving average of daily
+    event value (frame = RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+    over day ordinals).  Two-level plan: daily pre-aggregation
+    shrinks the window input to one row per (type, day) before the
+    per-type sort — the standard trick that keeps event-grain rows
+    out of window state at scale."""
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.groupBy(F.col("event_type"), F.col("ts").cast("date").alias("day"))
+        # keep the frame aggregation in DECIMAL: double sums inside a
+        # window frame are association-order-dependent (engines use
+        # different frame algorithms), decimal sums are exact
+        .agg(F.sum(F.col("value").cast(DEC)).alias("day_dec"))
+        .withColumn("day_ord", F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_ord")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        F.col("day_dec").cast("double").alias("day_value"),
+        (
+            F.sum("day_dec").over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+        ).alias("avg_7d"),
+        F.count(F.lit(1)).over(w).alias("days_in_window"),
+    )
+
+
+MOVING_AVG_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(value AS DECIMAL(18,6))) AS day_dec
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, CAST(day_dec AS DOUBLE) AS day_value,
+       CAST(SUM(day_dec) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE) AS avg_7d,
+       CAST(COUNT(*) OVER w AS BIGINT) AS days_in_window
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+"""
+
+
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles of event value per event type (p50/p90/p99,
     linear interpolation).  Spark's ``percentile`` and DuckDB's
@@ -559,6 +607,7 @@ QUERIES = {
     "value_percentiles": value_percentiles,
     "dau_approx_sketch": dau_approx_sketch,
     "latest_event_per_user": latest_event_per_user,
+    "daily_value_moving_avg": daily_value_moving_avg,
 }
 
 ORACLES = {
@@ -574,6 +623,7 @@ ORACLES = {
     "asof_view_before_purchase": ASOF_ORACLE,
     "value_percentiles": VALUE_PERCENTILES_ORACLE,
     "latest_event_per_user": LATEST_EVENT_ORACLE,
+    "daily_value_moving_avg": MOVING_AVG_ORACLE,
     # dau_approx_sketch: intentionally no oracle — HLL++ estimates
     # are engine-specific; the driver records a rows-only check.
 }
