@@ -139,6 +139,50 @@ GROUP BY user_id, sess_id
 """
 
 
+def attributed_purchases(
+    views: DataFrame,
+    purchases: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INNER join with event-time bounds: each purchase
+    joined to the views of the same user within the trailing
+    attribution window — the streaming attribution/correlation
+    pattern (no batch-side table needed).
+
+    Both sides carry watermarks and the join condition bounds view
+    time to [purchase − window, purchase], so Spark can evict
+    buffered state once the watermark passes — state stays
+    proportional to the window, not the stream (the requirement for
+    an unbounded 100 TB/day stream).  Works identically on batch
+    inputs (the condition degrades to a range join).
+    """
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    if views.isStreaming:
+        v = v.withWatermark("view_ts", watermark)
+    if purchases.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    return p.join(
+        v,
+        F.expr(
+            f"""v_user = p_user
+                AND view_ts <= purchase_ts
+                AND view_ts >= purchase_ts - INTERVAL {attribution_window}"""
+        ),
+        "inner",
+    ).select("p_user", "purchase_id", "purchase_ts", "purchase_value", "view_id", "view_ts")
+
+
 class StatefulSessionizer:
     """Custom stateful streaming operator: per-user session tracking
     across micro-batches with ``applyInPandasWithState``.

@@ -199,3 +199,56 @@ def test_stateful_sessionizer(spark, tmp_path):
     assert r["session_start_us"] == 0
     assert r["session_end_us"] == 10 * m
     assert r["n_events"] == 2
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    """Watermarked stream-stream join: purchases attributed to the
+    same user's views within the trailing window; streaming result
+    matches the batch run of the same function."""
+    import json
+
+    from rakam_api_spark.streaming.windows import attributed_purchases
+
+    vdir, pdir = tmp_path / "views", tmp_path / "purch"
+    vdir.mkdir(), pdir.mkdir()
+    views = [
+        {"event_id": 1, "user_id": 1, "ts": "2024-01-01 10:00:00"},
+        {"event_id": 2, "user_id": 1, "ts": "2024-01-01 10:40:00"},
+        {"event_id": 3, "user_id": 2, "ts": "2024-01-01 08:00:00"},  # too old
+    ]
+    purchases = [
+        {"event_id": 10, "user_id": 1, "ts": "2024-01-01 11:00:00", "value": 9.5},
+        {"event_id": 11, "user_id": 2, "ts": "2024-01-01 11:00:00", "value": 1.0},
+    ]
+    (vdir / "v.json").write_text("\n".join(json.dumps(r) for r in views))
+    (pdir / "p.json").write_text("\n".join(json.dumps(r) for r in purchases))
+    vschema = "event_id long, user_id long, ts timestamp"
+    pschema = "event_id long, user_id long, ts timestamp, value double"
+
+    out = attributed_purchases(
+        spark.readStream.schema(vschema).json(str(vdir)),
+        spark.readStream.schema(pschema).json(str(pdir)),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "attrib_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["purchase_id"], r["view_id"]) for r in spark.sql("select * from attrib").collect()}
+    # purchase 10 matches view 2 only (view 1 is 60 min before -> on
+    # boundary: 10:00 >= 11:00 - 1h -> inclusive, so BOTH match)
+    assert got == {(10, 1), (10, 2)}
+
+    batch = attributed_purchases(
+        spark.createDataFrame([(r["event_id"], r["user_id"], r["ts"]) for r in views],
+                              "event_id long, user_id long, ts string").selectExpr(
+            "event_id", "user_id", "cast(ts as timestamp) ts"),
+        spark.createDataFrame([(r["event_id"], r["user_id"], r["ts"], r["value"]) for r in purchases],
+                              "event_id long, user_id long, ts string, value double").selectExpr(
+            "event_id", "user_id", "cast(ts as timestamp) ts", "value"),
+    )
+    assert {(r["purchase_id"], r["view_id"]) for r in batch.collect()} == got
