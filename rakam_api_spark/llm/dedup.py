@@ -229,10 +229,23 @@ def minhash_lsh_pairs(
         .select("p.d1", "p.d2")
         .distinct()
     )
-    # verify candidates with exact jaccard — the joins start from
-    # `candidates`, so only candidate docs' shingles flow through
-    sh1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
-    sh2 = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    # verify candidates with exact jaccard.  Prune FIRST: semi-join
+    # the shingle set down to candidate docs via a broadcast of the
+    # (small, bounded-by-near-dup-count) candidate id sets — without
+    # this, the (d2, shingle) equi-join hashes/shuffles the WHOLE
+    # corpus's shingles; with it, only candidate docs' shingles
+    # reach the verify join (the plan shows the broadcast semi-join
+    # below the exchange).
+    from pyspark.sql.functions import broadcast
+
+    ids1 = candidates.select(F.col("d1").alias("doc_id")).distinct()
+    ids2 = candidates.select(F.col("d2").alias("doc_id")).distinct()
+    sh1 = sh.join(broadcast(ids1), "doc_id", "left_semi").select(
+        F.col("doc_id").alias("d1"), "shingle"
+    )
+    sh2 = sh.join(broadcast(ids2), "doc_id", "left_semi").select(
+        F.col("doc_id").alias("d2"), "shingle"
+    )
     inter = (
         candidates.join(sh1, "d1")
         .join(sh2, ["d2", "shingle"])

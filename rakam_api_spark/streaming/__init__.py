@@ -5,5 +5,13 @@ KafkaEventStore) and push subscriptions (EventStream SPI).
 
 from .job import StreamingIngest
 from .subscriptions import StreamSubscription, SubscriptionRegistry
+from .windows import StatefulSessionizer, attributed_purchases, windowed_counts
 
-__all__ = ["StreamingIngest", "StreamSubscription", "SubscriptionRegistry"]
+__all__ = [
+    "StreamingIngest",
+    "StreamSubscription",
+    "SubscriptionRegistry",
+    "StatefulSessionizer",
+    "attributed_purchases",
+    "windowed_counts",
+]
