@@ -324,19 +324,22 @@ SIMHASH_BAND_BITS = 15
 SIMHASH_N_BANDS = 4
 
 _ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
+_HIGH_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
 
 
-def _simhash_bits(h1, h2) -> list:
-    """Per-feature contribution to the 60-bit SimHash: +1 if the
-    bit's hex digit is odd else -1; bits 0-31 read md5(shingle),
-    bits 32-59 read md5('~'||shingle).  Takes the already-computed
-    hash columns — inlining md5 here would re-evaluate it per bit
-    (no CSE across branches)."""
+def _simhash_bits(h) -> list:
+    """Per-feature contribution to the 60-bit SimHash from ONE md5:
+    each of the 32 hex digits carries 2 usable bits (low bit =
+    odd/even, high bit = digit >= 8), so one hash yields 64
+    independent uniform bits — we use 60.  Bits 0-29 read the low
+    bit of digit j+1, bits 30-59 the high bit of digit j-29.  Takes
+    the already-computed hash column — inlining md5 here would
+    re-evaluate it per bit (no CSE across branches)."""
     cols = []
     for j in range(SIMHASH_BITS):
-        src, pos = (h1, j + 1) if j < 32 else (h2, j - 31)
+        pos, alphabet = (j + 1, _ODD_HEX) if j < 30 else (j - 29, _HIGH_HEX)
         cols.append(
-            F.when(F.substring(src, pos, 1).isin(*_ODD_HEX), F.lit(1))
+            F.when(F.substring(h, pos, 1).isin(*alphabet), F.lit(1))
             .otherwise(F.lit(-1))
             .alias(f"b{j}")
         )
@@ -353,12 +356,8 @@ def simhash_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     map-side partial aggregation keeps the shuffle at one partial
     row per doc per partition."""
     sh = word_shingles(docs, text_col=text_col)
-    hashed = sh.select(
-        "doc_id",
-        F.md5(F.col("shingle")).alias("h1"),
-        F.md5(F.concat(F.lit("~"), F.col("shingle"))).alias("h2"),
-    )
-    bits = hashed.select("doc_id", *_simhash_bits(F.col("h1"), F.col("h2")))
+    hashed = sh.select("doc_id", F.md5(F.col("shingle")).alias("h"))
+    bits = hashed.select("doc_id", *_simhash_bits(F.col("h")))
     agg = bits.groupBy("doc_id").agg(*[F.sum(f"b{j}").alias(f"s{j}") for j in range(SIMHASH_BITS)])
     sim = None
     for j in range(SIMHASH_BITS):
@@ -418,7 +417,7 @@ sh AS (
 ),
 bits AS (
   SELECT doc_id, {bit_cols}
-  FROM (SELECT doc_id, md5(shingle) AS h1, md5('~' || shingle) AS h2 FROM sh)
+  FROM (SELECT doc_id, md5(shingle) AS h FROM sh)
 ),
 agg AS (
   SELECT doc_id, {sum_cols}
@@ -441,8 +440,10 @@ FROM cand
 WHERE bit_count(xor(h1, h2)) <= 3
 """.format(
     bit_cols=", ".join(
-        "CASE WHEN substr({src}, {pos}, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END AS b{j}".format(
-            src="h1" if j < 32 else "h2", pos=(j + 1) if j < 32 else (j - 31), j=j
+        "CASE WHEN substr(h, {pos}, 1) IN ({alpha}) THEN 1 ELSE -1 END AS b{j}".format(
+            pos=(j + 1) if j < 30 else (j - 29),
+            alpha="'1','3','5','7','9','b','d','f'" if j < 30 else "'8','9','a','b','c','d','e','f'",
+            j=j,
         )
         for j in range(60)
     ),
