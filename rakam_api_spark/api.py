@@ -47,6 +47,10 @@ class IngestReport:
     stored: int = 0
     dead_lettered: int = 0
     new_fields: dict[str, str] = field(default_factory=dict)
+    # the coerced batch frame that was appended — streaming uses it
+    # to push exactly this batch's rows to subscribers (never a
+    # re-read of the stored table)
+    valid_df: DataFrame | None = None
 
 
 class EventCollector:
@@ -192,6 +196,7 @@ class EventCollector:
             stored=stored,
             dead_lettered=dead,
             new_fields={n: t.value for n, t in new_fields.items()},
+            valid_df=result.valid,
         )
 
     # --- public surface -------------------------------------------------

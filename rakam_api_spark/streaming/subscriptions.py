@@ -39,19 +39,24 @@ class SubscriptionRegistry:
     def unsubscribe(self, sub: StreamSubscription) -> None:
         self.subs.remove(sub)
 
-    def push(self, project: str, collection: str, stored: DataFrame) -> None:
-        """Deliver a stored micro-batch to matching subscriptions.
-        Filter/projection run as DataFrame ops (Catalyst prunes the
-        per-subscription plan); only matching rows are collected for
-        the push callback."""
+    def push(
+        self, project: str, collection: str, batch: DataFrame, row_cap: int = 10_000
+    ) -> None:
+        """Deliver ONE coerced micro-batch to matching subscriptions
+        — callers pass the batch frame, never a stored-table re-read,
+        so a subscriber sees each event exactly once per committed
+        epoch.  Filter/projection run as DataFrame ops (Catalyst
+        prunes the per-subscription plan); at most ``row_cap``
+        matching rows are collected per push so a pathological batch
+        cannot melt the driver."""
         for sub in self.subs:
             if sub.project != project or sub.collection != collection:
                 continue
-            df = stored
+            df = batch
             if sub.filter:
                 df = df.where(F.expr(sub.filter))
             if sub.columns:
                 df = df.select(*[F.col(f"`{c}`") for c in sub.columns])
-            rows = [r.asDict() for r in df.collect()]
+            rows = [r.asDict() for r in df.limit(row_cap).collect()]
             if rows:
                 sub.callback(rows)

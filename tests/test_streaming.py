@@ -4,6 +4,7 @@ ingest path, uuid dedup, and push subscriptions."""
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from rakam_api_spark.api import EventCollector
 from rakam_api_spark.catalog import Metastore
@@ -90,6 +91,147 @@ def test_stream_subscription_push(ingest, tmp_path):
     )
     assert any(r["x"] == 5.0 for r in got)
     assert all(r["x"] > 1 for r in got)
+
+
+def _envelope_df(spark, events):
+    import json
+
+    return spark.createDataFrame([(json.dumps(e),) for e in events], "value string")
+
+
+def test_uuid_dedup_null_uuids_not_collapsed(ingest):
+    """Events WITHOUT a uuid must not deduplicate against each other
+    (NULL-grouping would silently drop distinct events)."""
+    spark = ingest.spark
+    batch = _envelope_df(
+        spark,
+        [
+            {"collection": "c", "properties": {"x": 1}},
+            {"collection": "c", "properties": {"x": 2}},
+            {"collection": "c", "properties": {"x": 3}, "api": {"uuid": "u1"}},
+            {"collection": "c", "properties": {"x": 4}, "api": {"uuid": "u1"}},
+        ],
+    )
+    ingest.process_batch(batch, 0)
+    df = ingest.collector.store.read("proj", "c")
+    assert df.count() == 3  # two uuid-less + one survivor of u1
+
+
+def test_uuid_dedup_window_expiry_and_bounded_state(spark, warehouse):
+    """(a) re-send inside the window is dropped, (b) re-send after
+    expiry is accepted, (c) the persisted seen set stays bounded
+    across 2×window epochs (compaction drops expired epochs)."""
+    from rakam_api_spark.catalog import Metastore
+
+    ms = Metastore(warehouse)
+    collector = EventCollector(spark, ms, pipeline=EnrichmentPipeline([TimestampMapper()]))
+    ing = StreamingIngest(
+        collector, "proj", dedup_window_batches=2, seen_compact_every=2
+    )
+    ev = lambda uid, x: {"collection": "c", "properties": {"x": x}, "api": {"uuid": uid}}
+    ing.process_batch(_envelope_df(spark, [ev("A", 1)]), 0)
+    ing.process_batch(_envelope_df(spark, [ev("A", 2)]), 1)  # within window: dropped
+    assert ing.collector.store.read("proj", "c").count() == 1
+    ing.process_batch(_envelope_df(spark, [ev("B", 3)]), 2)
+    ing.process_batch(_envelope_df(spark, [ev("C", 4)]), 3)
+    # epoch 4: A was seen at epoch 0 < 4-2 -> expired -> accepted
+    ing.process_batch(_envelope_df(spark, [ev("A", 5)]), 4)
+    assert ing.collector.store.read("proj", "c").count() == 4
+    # bounded state: current seen dir holds only epochs >= last_compact - window
+    seen = spark.read.parquet(ing._current_seen_dir())
+    assert seen.agg(F.min("epoch")).first()[0] >= 2  # epoch-0/1 rows compacted away
+    assert seen.count() <= 2 * ing.dedup_window + 2
+
+
+def test_epoch_replay_is_idempotent_and_retry_safe(spark, warehouse):
+    """A replayed fully-committed epoch is skipped (commit marker);
+    a mid-epoch retry (no marker) re-ingests instead of anti-joining
+    its own uuids away — at-least-once, never loss."""
+    from rakam_api_spark.catalog import Metastore
+
+    ms = Metastore(warehouse)
+    collector = EventCollector(spark, ms, pipeline=EnrichmentPipeline([TimestampMapper()]))
+    ing = StreamingIngest(collector, "proj")
+    batch = _envelope_df(
+        spark, [{"collection": "c", "properties": {"x": 1}, "api": {"uuid": "r1"}}]
+    )
+    # simulate a crash AFTER seen-append but BEFORE the commit marker:
+    # process once without a namespace (no marker written)...
+    ing.process_batch(batch, 0)
+    assert ing.collector.store.read("proj", "c").count() == 1
+    # ...then the retry of the SAME epoch: current-epoch uuids are
+    # excluded from the anti-join, so the batch is NOT lost
+    ing.process_batch(batch, 0)
+    assert ing.collector.store.read("proj", "c").count() == 2  # at-least-once
+    # with a commit namespace, a replayed committed epoch is a no-op
+    ing._commit_ns = "testns"
+    ing.process_batch(batch, 5)
+    n = ing.collector.store.read("proj", "c").count()
+    ing.process_batch(batch, 5)  # replay
+    assert ing.collector.store.read("proj", "c").count() == n
+
+
+def test_subscription_exactly_once_across_batches(ingest, tmp_path):
+    """Each subscriber sees each row exactly once — the push sends
+    the batch frame, not a re-read of the stored table."""
+    got: list[dict] = []
+    ingest.registry.subscribe(
+        StreamSubscription(
+            project="proj", collection="clicks", columns=["x"],
+            callback=lambda rows: got.extend(rows),
+        )
+    )
+    _run_stream(
+        ingest,
+        tmp_path,
+        [
+            [{"collection": "clicks", "properties": {"x": 1}}],
+            [{"collection": "clicks", "properties": {"x": 2}}],
+        ],
+    )
+    xs = sorted(r["x"] for r in got)
+    assert xs == [1.0, 2.0]  # no historical replay, no duplicates
+
+
+def test_kafka_shaped_frame_shares_parse_path(ingest, tmp_path):
+    """K4/K6: a Kafka-source-shaped frame (binary key/value + topic/
+    partition/offset) goes through kafka_envelope_frame into the same
+    process_batch; and the batch plan is RDD-free (no PythonRDD /
+    ExistingRDD scans — pure from_json)."""
+    import json
+
+    from rakam_api_spark.streaming.job import (
+        kafka_envelope_frame, parse_envelope, to_kafka_envelopes,
+    )
+
+    spark = ingest.spark
+    events = [
+        {"collection": "kcoll", "properties": {"x": 7, "s": "hi"}, "api": {"uuid": "k1"}},
+        {"collection": "kcoll", "properties": {"x": 8}},
+    ]
+    pairs = to_kafka_envelopes(events, "proj")
+    assert all(k.startswith("proj|kcoll|") for k, _ in pairs)
+    spark.createDataFrame(
+        [
+            (k.encode(), v.encode(), "events", 0, i, None)
+            for i, (k, v) in enumerate(pairs)
+        ],
+        "key binary, value binary, topic string, partition int, offset long, timestamp timestamp",
+    ).write.parquet(str(tmp_path / "kafka_shaped"))
+    # parquet round-trip: the test's own createDataFrame would put an
+    # ExistingRDD scan in the plan and mask what we're auditing
+    kafka_shaped = spark.read.parquet(str(tmp_path / "kafka_shaped"))
+    batch = kafka_envelope_frame(kafka_shaped)
+    ingest.process_batch(batch, 0)
+    df = ingest.collector.store.read("proj", "kcoll")
+    assert df.count() == 2
+    assert {r["x"] for r in df.collect()} == {7.0, 8.0}
+    # plan audit: the full parse path is column expressions only
+    rows = parse_envelope(batch).where(F.col("collection") == "kcoll")
+    props = ingest._parse_props(rows, "kcoll")
+    plan = props._jdf.queryExecution().toString()
+    assert "ExistingRDD" not in plan
+    assert "PythonRDD" not in plan
 
 
 def test_stream_dead_letter(ingest, tmp_path):
