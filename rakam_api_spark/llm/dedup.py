@@ -31,8 +31,9 @@ from pyspark.sql import functions as F
 
 from ..tables import load_table
 
-N_HASHES = 12
-BAND_SIZE = 3  # 4 bands × 3 rows
+N_HASHES = 16
+BAND_SIZE = 2  # 8 bands × 2 rows
+_HEX = "0123456789abcdef"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -153,21 +154,29 @@ WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.6
 
 
 def _minhash_signature(sh: DataFrame) -> DataFrame:
-    """Set size + 12 MinHash values per doc in ONE aggregation over
-    exploded shingle rows: min over md5('<seed>|' || shingle) hex
-    strings — lexicographic min of fixed-width hex == numeric min.
+    """Set size + 16 MinHash values per doc from ONE md5 per shingle
+    (one-permutation hashing): the hash's first hex digit partitions
+    the hash space into 16 buckets; signature slot i is the min hash
+    among the doc's shingles landing in bucket i; empty slots are
+    filled by rotation (densified OPH, Shrivastava & Li 2014) so
+    every doc with ≥1 shingle has a complete signature.  Replaces
+    the previous 12-independent-md5 scheme — 1/12 the hashing work,
+    same plan shape (measured 7.1 s → md5-bound at sf0.1).
 
-    Exploded rows + groupBy beats an array-local formulation
-    (array_min over transform) ~2.5×: higher-order functions leave
-    whole-stage codegen, while this plan keeps md5 in codegen and
-    map-side partial aggregation shrinks the shuffle to one partial
-    row per doc per partition — scale-safe either way, faster this
-    way."""
+    Lexicographic min of fixed-width hex == numeric min; conditional
+    mins stay in whole-stage codegen and map-side partial aggregation
+    shrinks the shuffle to one partial row per doc per partition."""
+    hashed = sh.select("doc_id", F.md5(F.col("shingle")).alias("h"))
     aggs = [F.count(F.lit(1)).alias("n")] + [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        F.min(F.when(F.substring("h", 1, 1) == _HEX[i], F.col("h"))).alias(f"r{i}")
         for i in range(N_HASHES)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    raw = hashed.groupBy("doc_id").agg(*aggs)
+    dense = [
+        F.coalesce(*[F.col(f"r{(i + k) % N_HASHES}") for k in range(N_HASHES)]).alias(f"mh{i}")
+        for i in range(N_HASHES)
+    ]
+    return raw.select("doc_id", "n", *dense)
 
 
 def minhash_lsh_pairs(
@@ -194,7 +203,12 @@ def minhash_lsh_pairs(
     sh.count()  # materialize ONCE: AQE runs the signature and verify
     # branches concurrently, and an unpopulated cache makes them race
     # to compute the shingle lineage twice (2-3x run-to-run variance)
-    sig = _minhash_signature(sh)
+    # sig feeds THREE plan branches (band keys + both size joins);
+    # Spark does not CSE across branches, so an uncached sig would
+    # re-aggregate the shingles once per branch (measured ~1.6 s
+    # each at sf0.1).  One row per doc — cheap to hold.
+    sig = _minhash_signature(sh).cache()
+    sig.count()
     n_bands = N_HASHES // BAND_SIZE
     band_structs = [
         F.struct(
@@ -224,11 +238,15 @@ def minhash_lsh_pairs(
     ).otherwise(
         F.expr("transform(slice(ds, 2, size(ds)), y -> struct(ds[0] AS d1, y AS d2))")
     )
+    # candidates feed three branches too (two broadcast id sets +
+    # the intersection join) — cache the (small) pair list
     candidates = (
         buckets.select(F.explode(pair_expr).alias("p"))
         .select("p.d1", "p.d2")
         .distinct()
+        .cache()
     )
+    candidates.count()
     # verify candidates with exact jaccard.  Prune FIRST: semi-join
     # the shingle set down to candidate docs via a broadcast of the
     # (small, bounded-by-near-dup-count) candidate id sets — without
@@ -274,10 +292,14 @@ sh AS (
          w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2] AS shingle
   FROM docs, LATERAL unnest(range(1, len(w)-1)) t(i)
 ),
-sig AS (
+sig_raw AS (
   SELECT doc_id,
          {mins}
-  FROM sh GROUP BY doc_id
+  FROM (SELECT doc_id, md5(shingle) AS h FROM sh) GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id, {dense}
+  FROM sig_raw
 ),
 bands AS (
   {bands_union}
@@ -300,7 +322,16 @@ SELECT i.d1, i.d2,
 FROM inter i JOIN sizes s1 ON i.d1 = s1.doc_id JOIN sizes s2 ON i.d2 = s2.doc_id
 WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.5
 """.format(
-    mins=",\n         ".join(f"MIN(md5('{i}|' || shingle)) AS mh{i}" for i in range(N_HASHES)),
+    mins=",\n         ".join(
+        f"MIN(CASE WHEN substr(h, 1, 1) = '{_HEX[i]}' THEN h END) AS r{i}"
+        for i in range(N_HASHES)
+    ),
+    dense=", ".join(
+        "COALESCE({}) AS mh{}".format(
+            ", ".join(f"r{(i + k) % N_HASHES}" for k in range(N_HASHES)), i
+        )
+        for i in range(N_HASHES)
+    ),
     bands_union="\n  UNION ALL\n  ".join(
         "SELECT doc_id, {b} AS band, md5({concat}) AS band_key FROM sig".format(
             b=b,
