@@ -249,26 +249,110 @@ FROM (
 """
 
 
-def embedding_cosine_dedup(spark: SparkSession, sf_dir: str, threshold: float = 0.95) -> DataFrame:
-    """Embedding near-dup pairs: all (a < b) pairs with cosine ≥
-    threshold, LSH-free exact form bucketed by label (at 100 TB,
-    replace the label blocking with random-hyperplane LSH buckets —
-    same plan shape, bucket key = sign pattern)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    comp = _quantized_components(emb).join(emb.select("vec_id", "label"), "vec_id")
-    a = comp.alias("a")
-    b = comp.alias("b")
-    dots = (
-        a.join(
-            b,
-            (F.col("a.pos") == F.col("b.pos"))
-            & (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .groupBy(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"))
-        .agg(F.sum(F.col("a.q") * F.col("b.q")).alias("dot"))
+# Random-hyperplane (sign) LSH for cosine near-dup blocking:
+# 4 tables × 12 bits.  P(two vectors at angle θ agree on one bit) =
+# 1 − θ/π; at cosine 0.99 (true near-dups) a 12-bit table matches
+# with p≈0.57, so 4 tables give ≈0.97 recall; random pairs land in
+# the same 4096-way bucket with p≈(1/2)^12 per table — candidate
+# volume stays O(n).  Hyperplanes are Rademacher (±1) components
+# derived from md5(plane|pos) hex parity, so a DuckDB oracle
+# reproduces the buckets bit-for-bit (SimHash's determinism trick).
+N_PLANES = 48
+PLANE_BAND_BITS = 12
+N_PLANE_BANDS = N_PLANES // PLANE_BAND_BITS
+
+_ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
+
+
+def _hyperplanes(spark: SparkSession, comp: DataFrame) -> DataFrame:
+    """(i, pos, s) Rademacher hyperplane components, s ∈ {−1, +1} =
+    md5 hex parity of 'i|pos' — tiny (N_PLANES × dim), broadcast."""
+    dims = comp.select("pos").distinct()
+    planes = spark.range(N_PLANES).select(F.col("id").cast("int").alias("i"))
+    return planes.crossJoin(dims).select(
+        "i",
+        "pos",
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("pos").cast("string"))),
+                1, 1,
+            ).isin(*_ODD_HEX),
+            F.lit(1),
+        ).otherwise(F.lit(-1)).alias("s"),
     )
-    norms = _norms(_quantized_components(emb), "vec_id")
+
+
+def embedding_cosine_dedup(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.95, max_bucket: int = 200
+) -> DataFrame:
+    """Embedding near-dup pairs: (a < b) with cosine ≥ threshold.
+
+    Scale path (replaces the old label blocking, whose one hot label
+    degenerated to O(k²)): candidates come from random-hyperplane
+    LSH buckets — each vector gets 4 × 12-bit sign-pattern keys; only
+    vectors sharing a (table, key) bucket pair up, with the same
+    star-fallback skew guard as MinHash-LSH for degenerate buckets —
+    then exact integer-quantized cosine verifies each candidate.
+    Every stage is an equi-join/groupBy on its key: O(n) + O(near-
+    dups), no all-pairs anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = _quantized_components(emb).cache()
+    comp.count()  # single materialization: feeds projections, verify, norms
+    # 48 signed projections per vector: one broadcast join on pos +
+    # one partial-aggregated groupBy — integer sums, codegen-side
+    proj = (
+        comp.join(broadcast(_hyperplanes(spark, comp)), "pos")
+        .groupBy("vec_id", "i")
+        .agg(F.sum(F.col("q") * F.col("s")).alias("p"))
+    )
+    bands = proj.groupBy(
+        "vec_id", (F.col("i") / PLANE_BAND_BITS).cast("int").alias("band")
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("p") > 0,
+                F.expr(f"CAST(shiftleft(1, CAST(i % {PLANE_BAND_BITS} AS INT)) AS BIGINT)"),
+            ).otherwise(F.lit(0))
+        ).alias("key")
+    )
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ds"))
+        .where(F.size("ds") > 1)
+    )
+    pair_expr = F.when(
+        F.size("ds") <= max_bucket,
+        F.expr(
+            "flatten(transform(ds, (x, i) -> "
+            "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS v1, y AS v2))))"
+        ),
+    ).otherwise(
+        F.expr("transform(slice(ds, 2, size(ds)), y -> struct(ds[0] AS v1, y AS v2))")
+    )
+    candidates = (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.v1", "p.v2")
+        .distinct()
+        .cache()
+    )
+    candidates.count()
+    # exact verify on candidates only: semi-join prune the component
+    # table to candidate ids, then one (pair, pos) equi-join
+    ids1 = candidates.select(F.col("v1").alias("vec_id")).distinct()
+    ids2 = candidates.select(F.col("v2").alias("vec_id")).distinct()
+    c1 = comp.join(broadcast(ids1), "vec_id", "left_semi").select(
+        F.col("vec_id").alias("v1"), "pos", F.col("q").alias("q1")
+    )
+    c2 = comp.join(broadcast(ids2), "vec_id", "left_semi").select(
+        F.col("vec_id").alias("v2"), "pos", F.col("q").alias("q2")
+    )
+    dots = (
+        candidates.join(c1, "v1")
+        .join(c2, ["v2", "pos"])
+        .groupBy("v1", "v2")
+        .agg(F.sum(F.col("q1") * F.col("q2")).alias("dot"))
+    )
+    norms = _norms(comp, "vec_id")
     n1 = norms.select(F.col("vec_id").alias("v1"), F.col("norm2").alias("n1"))
     n2 = norms.select(F.col("vec_id").alias("v2"), F.col("norm2").alias("n2"))
     return (
@@ -290,11 +374,33 @@ WITH comp AS (
          CAST(round(CAST(embedding[CAST(i AS INT)+1] AS DOUBLE) * 10000, 0) AS BIGINT) AS q
   FROM embeddings, LATERAL unnest(range(0, len(embedding))) t(i)
 ),
-labeled AS (SELECT c.*, e.label FROM comp c JOIN embeddings e USING (vec_id)),
+planes AS (
+  SELECT CAST(p.i AS INT) AS i, d.pos,
+         CASE WHEN substr(md5(CAST(p.i AS VARCHAR) || '|' || CAST(d.pos AS VARCHAR)), 1, 1)
+              IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END AS s
+  FROM (SELECT unnest(range({n_planes})) AS i) p
+  CROSS JOIN (SELECT DISTINCT pos FROM comp) d
+),
+proj AS (
+  SELECT c.vec_id, pl.i, SUM(c.q * pl.s) AS p
+  FROM comp c JOIN planes pl USING (pos)
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT vec_id, CAST(floor(i / {band_bits}) AS INT) AS band,
+         SUM(CASE WHEN p > 0 THEN (CAST(1 AS BIGINT) << CAST(i % {band_bits} AS INT)) ELSE 0 END) AS key
+  FROM proj GROUP BY 1, 2
+),
+candidates AS (
+  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+),
 dots AS (
-  SELECT a.vec_id AS v1, b.vec_id AS v2, SUM(a.q * b.q) AS dot
-  FROM labeled a JOIN labeled b
-    ON a.pos = b.pos AND a.label = b.label AND a.vec_id < b.vec_id
+  SELECT cd.v1, cd.v2, SUM(a.q * b.q) AS dot
+  FROM candidates cd
+  JOIN comp a ON a.vec_id = cd.v1
+  JOIN comp b ON b.vec_id = cd.v2 AND b.pos = a.pos
   GROUP BY 1, 2
 ),
 norms AS (SELECT vec_id, SUM(q*q) AS norm2 FROM comp GROUP BY 1)
@@ -302,7 +408,7 @@ SELECT v1, v2,
        CAST(dot AS DOUBLE) / sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE)) AS cosine
 FROM dots JOIN norms na ON v1 = na.vec_id JOIN norms nb ON v2 = nb.vec_id
 WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE)) >= 0.95
-"""
+""".format(n_planes=N_PLANES, band_bits=PLANE_BAND_BITS)
 
 
 K_CELLS = 8
