@@ -21,11 +21,18 @@ driver-side into one closed form per (user, property)* — a
 applied to the big table as a single full-outer join + CASE
 projection (the "single MERGE with per-op CASE logic" shape).  The
 ops list is request-sized (the reference caps batches at 5000 ops);
-the user table is the big side and is never collected.  Writes are
-versioned directories with the current version tracked in the
-metastore — atomic swap, readers never see partial files; at 100 TB
-the same plan runs as a Delta/Iceberg MERGE INTO with the identical
-join+CASE core.
+the user table is the big side and is never collected.
+
+Storage is hash-bucketed: ``_users/_bucket=K`` hive partitions with
+``K = pmod(xxhash64(id), n_buckets)``.  A batch only reads and
+rewrites the partitions containing touched ids — merge cost is
+O(touched buckets), not O(table) (the reference mutates single rows
+in place, PostgresqlUserStorage.java:586-667; this is the
+partition-pruned analog).  The rewrite goes to a temp dir first and
+touched partitions swap in by rename — per-partition atomic, like a
+Hive dynamic-partition overwrite commit; at 100 TB the same plan
+runs as a Delta/Iceberg MERGE INTO with the identical join+CASE
+core and file-level skipping instead of bucket-level.
 """
 
 from __future__ import annotations
@@ -102,11 +109,22 @@ class UserStorage:
 
     # --- table plumbing -------------------------------------------------
 
-    def _version(self, project: str) -> int:
-        return int(self.metastore.get_config(project, "USERS_VERSION", 0))
+    DEFAULT_BUCKETS = 64  # at 100 TB size so each bucket is a few GB
 
-    def _path(self, project: str, version: int) -> str:
-        return os.path.join(self.warehouse, project, f"_users_v{version}")
+    def _n_buckets(self, project: str) -> int:
+        """Bucket count pinned per project at first write (changing
+        it would scramble the id→partition mapping)."""
+        n = self.metastore.get_config(project, "USERS_BUCKETS")
+        if n is None:
+            self.metastore.set_config_once(project, "USERS_BUCKETS", self.DEFAULT_BUCKETS)
+            n = self.metastore.get_config(project, "USERS_BUCKETS")
+        return int(n)
+
+    def _bucket_expr(self, project: str, id_col):
+        return F.pmod(F.xxhash64(id_col.cast("string")), F.lit(self._n_buckets(project)))
+
+    def _path(self, project: str) -> str:
+        return os.path.join(self.warehouse, project, "_users")
 
     def _user_type(self, project: str) -> FieldType:
         pinned = self.metastore.get_config(project, "USER_TYPE")
@@ -134,14 +152,17 @@ class UserStorage:
         if new_fields:
             self.metastore.get_or_create_collection_fields(project, USERS_COLLECTION, new_fields)
 
-    def table(self, project: str) -> DataFrame:
-        """Current user table (U9 metadata = .schema)."""
-        schema = self._schema(project)
-        v = self._version(project)
-        path = self._path(project, v)
+    def _table_raw(self, project: str) -> DataFrame | None:
+        """Bucketed table WITH the ``_bucket`` partition column, or
+        None if never written.  mergeSchema: untouched partitions
+        keep their (narrower) write-time schema across additive
+        evolution."""
+        path = self._path(project)
         if not os.path.exists(path):
-            return self.spark.createDataFrame([], schema)
-        df = self.spark.read.parquet(path)
+            return None
+        return self.spark.read.option("mergeSchema", "true").parquet(path)
+
+    def _project_schema(self, df: DataFrame, schema: T.StructType) -> DataFrame:
         cols = []
         have = {f.name for f in df.schema.fields}
         for fld in schema.fields:
@@ -151,10 +172,41 @@ class UserStorage:
                 cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
         return df.select(*cols)
 
-    def _swap_in(self, project: str, df: DataFrame) -> None:
-        v = self._version(project) + 1
-        df.write.mode("overwrite").parquet(self._path(project, v))
-        self.metastore.set_config(project, "USERS_VERSION", v)
+    def table(self, project: str) -> DataFrame:
+        """Current user table (U9 metadata = .schema)."""
+        schema = self._schema(project)
+        raw = self._table_raw(project)
+        if raw is None:
+            return self.spark.createDataFrame([], schema)
+        return self._project_schema(raw, schema)
+
+    def _merge_partitions(self, project: str, result: DataFrame, touched: list[int]) -> None:
+        """Write ONLY the touched hash buckets: result (which holds
+        exactly the touched buckets' rows) goes to a temp dir
+        partitioned by ``_bucket``, then each touched partition swaps
+        into the live table by rename.  Untouched partition files are
+        never opened, never rewritten — byte-identical across the
+        batch.  Per-partition atomic (rename); a crash mid-swap
+        leaves whole partitions either old or new, never partial."""
+        import shutil
+
+        base = self._path(project)
+        out = result.withColumn(
+            "_bucket", self._bucket_expr(project, F.col("id")).cast("int")
+        )
+        if not os.path.exists(base):
+            out.write.partitionBy("_bucket").mode("overwrite").parquet(base)
+            return
+        tmp = base + ".merge.tmp"
+        out.write.partitionBy("_bucket").mode("overwrite").parquet(tmp)
+        for k in touched:
+            src = os.path.join(tmp, f"_bucket={k}")
+            dst = os.path.join(base, f"_bucket={k}")
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            if os.path.exists(src):
+                os.rename(src, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
 
     # --- ops (U1-U7) ----------------------------------------------------
 
@@ -247,8 +299,21 @@ class UserStorage:
                 vals[f"{p}__delta"] = float(delta)
             rows.append(Row(**vals))
         updates = self.spark.createDataFrame(rows, upd_schema)
-
-        current = self.table(project)
+        # partition-pruned MERGE: only the hash buckets containing
+        # touched ids are read (and later rewritten)
+        touched_buckets = sorted(
+            r["k"]
+            for r in updates.select(
+                self._bucket_expr(project, F.col("id")).cast("int").alias("k")
+            ).distinct().collect()
+        )
+        raw = self._table_raw(project)
+        if raw is None:
+            current = self.spark.createDataFrame([], schema)
+        else:
+            current = self._project_schema(
+                raw.where(F.col("_bucket").isin(touched_buckets)), schema
+            )
         merged = current.alias("t").join(updates.alias("u"), on="id", how="full_outer")
 
         out_cols = [F.col("id")]
@@ -288,14 +353,28 @@ class UserStorage:
         result = merged.select(*out_cols)
         if not create_missing:
             result = result.where(F.col("t.id").isNotNull() | F.col("u.id").isNull())
-        # the new version is a different directory, so the plan can
-        # stream-read the current version while writing v+1
-        self._swap_in(project, result)
+        # temp dir first, then per-partition rename: the plan stream-
+        # reads the live partitions while writing the replacement
+        self._merge_partitions(project, result, touched_buckets)
 
     # --- lookups (U8/U9) ------------------------------------------------
 
     def get_user(self, project: str, user_id) -> dict | None:
-        rows = self.table(project).where(F.col("id") == F.lit(user_id)).limit(1).collect()
+        """U8 point lookup, pruned to the id's hash bucket (the
+        bucket expression on a literal constant-folds, so the scan
+        touches one partition directory)."""
+        raw = self._table_raw(project)
+        if raw is None:
+            return None
+        pruned = raw.where(
+            F.col("_bucket") == self._bucket_expr(project, F.lit(user_id)).cast("int")
+        )
+        rows = (
+            self._project_schema(pruned, self._schema(project))
+            .where(F.col("id") == F.lit(user_id))
+            .limit(1)
+            .collect()
+        )
         return rows[0].asDict() if rows else None
 
     def get_metadata(self, project: str) -> T.StructType:

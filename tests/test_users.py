@@ -112,6 +112,44 @@ def test_untouched_users_survive(storage):
     assert storage.table("p").count() == 2
 
 
+def test_incremental_merge_rewrites_only_touched_buckets(storage):
+    """Partition-pruned MERGE: after a batch touching one user, every
+    hash-bucket partition NOT containing that user's id is
+    byte-identical (same files, same bytes, same mtimes)."""
+    import os
+
+    storage.batch_create(
+        "p", [(f"u{i}", {"a": float(i)}) for i in range(50)]
+    )
+    base = storage._path("p")
+
+    def snapshot():
+        out = {}
+        for bucket in os.listdir(base):
+            if not bucket.startswith("_bucket="):
+                continue
+            bdir = os.path.join(base, bucket)
+            for f in sorted(os.listdir(bdir)):
+                if f.endswith(".parquet"):
+                    p = os.path.join(bdir, f)
+                    st = os.stat(p)
+                    out.setdefault(bucket, []).append((f, st.st_size, st.st_mtime_ns))
+        return out
+
+    before = snapshot()
+    assert len(before) > 1  # ids actually spread over several buckets
+    storage.set_properties("p", "u7", {"a": 99.0})
+    after = snapshot()
+    changed = [b for b in before if after.get(b) != before[b]]
+    assert len(changed) == 1  # exactly u7's bucket was rewritten
+    untouched = [b for b in before if b not in changed]
+    assert untouched and all(after[b] == before[b] for b in untouched)
+    # and the merge semantics held
+    assert storage.get_user("p", "u7")["a"] == 99.0
+    assert storage.get_user("p", "u3")["a"] == 3.0
+    assert storage.table("p").count() == 50
+
+
 def test_anonymous_stitching(storage, spark):
     storage.merge_anonymous("p", "anon-1", "user-9")
     events = spark.createDataFrame([("anon-1", 1), ("user-2", 2)], "_user string, n bigint")
