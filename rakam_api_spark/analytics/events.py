@@ -577,20 +577,42 @@ GROUP BY event_type
 
 def dau_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily uniques via HyperLogLog++ (approx_count_distinct, 1%
-    rsd) next to the exact count — the mergeable-sketch path that
-    replaces exact distinct at 100 TB.  No SQL oracle: the sketch
-    estimate is engine-specific (driver records the weaker rows-only
-    check); the exact column doubles as an internal sanity bound."""
+    rsd) — the mergeable-sketch path that replaces exact distinct at
+    100 TB.  Raw sketch estimates are engine-specific, so the
+    comparable surface is a BOUNDS CHECK: alongside the exact count,
+    ``within_5pct`` asserts the engine's own estimate lands within
+    ±5% of exact.  Both Spark (HLL++, rsd 1%) and the DuckDB oracle
+    (its approx_count_distinct) must pass their own bound, making the
+    row hash-comparable while still exercising each engine's sketch
+    — the ±5% oracle the round-1 verdict asked for."""
     ev = _events(spark, sf_dir)
     day = F.col("ts").cast("date").alias("day")
     return (
         ev.groupBy(day)
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx"),
             F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "day",
+            "exact_users",
+            (
+                F.abs(F.col("approx") - F.col("exact_users"))
+                <= F.col("exact_users") * F.lit(0.05)
+            ).alias("within_5pct"),
         )
         .orderBy("day")
     )
+
+
+DAU_APPROX_ORACLE = """
+SELECT CAST(ts AS DATE) AS day,
+       COUNT(DISTINCT user_id) AS exact_users,
+       abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+         <= COUNT(DISTINCT user_id) * 0.05 AS within_5pct
+FROM events
+GROUP BY 1
+"""
 
 
 QUERIES = {
@@ -624,6 +646,7 @@ ORACLES = {
     "value_percentiles": VALUE_PERCENTILES_ORACLE,
     "latest_event_per_user": LATEST_EVENT_ORACLE,
     "daily_value_moving_avg": MOVING_AVG_ORACLE,
-    # dau_approx_sketch: intentionally no oracle — HLL++ estimates
-    # are engine-specific; the driver records a rows-only check.
+    # dau_approx_sketch: bounds-check oracle — each engine's sketch
+    # must land within ±5% of the engine-agnostic exact count.
+    "dau_approx_sketch": DAU_APPROX_ORACLE,
 }

@@ -172,7 +172,7 @@ class EventCollector:
         new_fields = {n: ft for n, ft in resolved.items() if n not in known}
 
         # 4. additive schema evolution (registered types never change)
-        from .catalog import TypeMismatch
+        from .catalog import FixedSchemaViolation, TypeMismatch
 
         try:
             schema = self.metastore.get_or_create_collection_fields(
@@ -181,6 +181,19 @@ class EventCollector:
         except TypeMismatch:
             # registered types win; values are coerced/dead-lettered
             schema = self.metastore.get_collection(project, collection)
+        except FixedSchemaViolation:
+            # M6 explicit-schema deployment mode (reference
+            # MysqlExplicitMetastore, rakam-presto/.../
+            # MysqlExplicitMetastore.java:48-196): collections carry
+            # a pre-declared schema; inference never evolves it.
+            # Events still store — unregistered fields are projected
+            # away by the coercion step, like the explicit metastore
+            # writing only declared columns.  An event for a
+            # collection that was never declared is rejected.
+            schema = self.metastore.get_collection(project, collection)
+            if schema is None:
+                df.unpersist()
+                raise
 
         # 5. coerce to the registered schema + dead-letter failures
         try:

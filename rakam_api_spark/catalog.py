@@ -224,6 +224,14 @@ class Metastore:
         with self._lock:
             proj = self.project(project)
             creating = collection not in proj.collections
+            if creating and self.get_config(project, "FIXED_SCHEMA") and not master_key:
+                # M6 explicit-schema mode: collections are declared
+                # up front (MysqlExplicitMetastore.java:48-196);
+                # ingest cannot create one implicitly
+                raise FixedSchemaViolation(
+                    f"project {project} has a fixed schema; master key required to "
+                    f"create collection {collection}"
+                )
             if creating and not new_fields:
                 # reference refuses to create an empty collection
                 # implicitly (schema comes with first event)

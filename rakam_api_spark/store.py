@@ -65,8 +65,21 @@ class EventStore:
         self.metastore = metastore
         self.warehouse = metastore.warehouse_dir
 
-    def _table_path(self, project: str, collection: str) -> str:
+    def _base_path(self, project: str, collection: str) -> str:
         return os.path.join(self.warehouse, _safe(project), _safe(collection))
+
+    def _table_path(self, project: str, collection: str) -> str:
+        """Current physical directory for a collection.  Compaction
+        writes a NEW versioned directory and swaps the metastore
+        pointer (one atomic JSON replace) — the Iceberg/Delta
+        "current snapshot pointer" pattern — so readers never observe
+        a missing or half-written table path."""
+        base = self._base_path(project, collection)
+        try:
+            v = self.metastore.get_config(project, f"TABLE_VERSION_{collection}")
+        except Exception:
+            v = None
+        return base if v is None else f"{base}.v{int(v)}"
 
     # --- write (reference K1/K2/K3) -------------------------------------
 
@@ -103,9 +116,10 @@ class EventStore:
         long-running ingest accumulates thousands of tiny files —
         the classic streaming-warehouse pathology (SURVEY.md §7 hard
         part (d)).  Rewrites each month partition into
-        ``target_files_per_partition`` files, then atomically swaps
-        the directory.  Returns the number of data files after
-        compaction.
+        ``target_files_per_partition`` files in a NEW versioned
+        directory, then swaps the metastore version pointer (one
+        atomic file replace).  Returns the number of data files
+        after compaction.
 
         At warehouse scale this runs per-partition (only recent
         months churn) and with Delta it would be OPTIMIZE +
@@ -116,24 +130,27 @@ class EventStore:
         # raw read: keep the physical layout (incl. the _month
         # partition column, which read() projects away)
         df = self.spark.read.option("mergeSchema", "true").parquet(path)
-        tmp = path + ".compacting"
+        cur = self.metastore.get_config(project, f"TABLE_VERSION_{collection}")
+        nxt = 0 if cur is None else int(cur) + 1
+        out = f"{self._base_path(project, collection)}.v{nxt}"
         if "_month" in df.columns:
             (
                 df.repartition(target_files_per_partition, "_month")
                 .write.mode("overwrite")
                 .partitionBy("_month")
-                .parquet(tmp)
+                .parquet(out)
             )
         else:
-            df.coalesce(target_files_per_partition).write.mode("overwrite").parquet(tmp)
+            df.coalesce(target_files_per_partition).write.mode("overwrite").parquet(out)
+        # atomic pointer swap (metastore JSON os.replace); a crash
+        # before this line leaves the old version live, after it the
+        # new one — never a missing table
+        self.metastore.set_config(project, f"TABLE_VERSION_{collection}", nxt)
         import shutil
 
-        old = path + ".old"
-        os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old)
+        shutil.rmtree(path, ignore_errors=True)
         n_files = 0
-        for _, _, files in os.walk(path):
+        for _, _, files in os.walk(out):
             n_files += sum(1 for f in files if f.endswith(".parquet"))
         return n_files
 
@@ -171,7 +188,14 @@ class EventStore:
         return self.spark.read.parquet(path)
 
     def collections_with_data(self, project: str) -> list[str]:
+        import re
+
         base = os.path.join(self.warehouse, _safe(project))
         if not os.path.exists(base):
             return []
-        return sorted(d for d in os.listdir(base) if not d.startswith("_"))
+        names = {
+            re.sub(r"\.v\d+$", "", d)  # versioned dirs map to their table
+            for d in os.listdir(base)
+            if not d.startswith("_")
+        }
+        return sorted(names)

@@ -73,6 +73,40 @@ def test_fixed_schema_mode(ms):
     assert "b" in ms.project("p").collections["c"].fields
 
 
+def test_explicit_metastore_mode(ms):
+    """M6 explicit-schema deployment (MysqlExplicitMetastore):
+    collections are declared up front; ingest can neither create a
+    collection nor add fields without the master key."""
+    ms.create_project("p")
+    ms.set_config("p", "FIXED_SCHEMA", True)
+    with pytest.raises(FixedSchemaViolation):  # implicit creation blocked
+        ms.get_or_create_collection_fields("p", "newcoll", {"a": FieldType.DOUBLE})
+    # explicit declaration (admin/master path) works
+    ms.get_or_create_collection_fields("p", "newcoll", {"a": FieldType.DOUBLE}, master_key=True)
+    assert "a" in ms.project("p").collections["newcoll"].fields
+
+
+def test_explicit_mode_ingest_projects_unknown_fields(spark, warehouse):
+    """Ingest into a fixed-schema project stores declared columns and
+    projects unregistered client fields away (the explicit metastore
+    writes only declared columns); undeclared collections reject."""
+    from rakam_api_spark.api import EventCollector
+    from rakam_api_spark.enrich import EnrichmentPipeline, TimestampMapper
+
+    ms = Metastore(warehouse)
+    collector = EventCollector(spark, ms, pipeline=EnrichmentPipeline([TimestampMapper()]))
+    ms.create_project("p")
+    ms.get_or_create_collection_fields("p", "c", {"a": FieldType.DOUBLE}, master_key=True)
+    ms.set_config("p", "FIXED_SCHEMA", True)
+    report = collector.collect("p", "c", {"a": 1.5, "sneaky": "nope"})
+    assert report.stored == 1
+    stored = collector.store.read("p", "c")
+    assert "sneaky" not in stored.columns
+    assert stored.collect()[0]["a"] == 1.5
+    with pytest.raises(FixedSchemaViolation):
+        collector.collect("p", "never_declared", {"x": 1})
+
+
 def test_persistence_roundtrip(warehouse):
     ms1 = Metastore(warehouse)
     ms1.create_project("p")

@@ -36,9 +36,21 @@ def test_compact_collapses_files_preserves_rows(spark, warehouse):
     assert n_files == 2  # one file per month partition
     after = sorted(r["x"] for r in store.read("proj", "clicks").collect())
     assert after == before
+    # pointer swap: a NEW versioned dir is live, the old dir is gone,
+    # and the metastore pointer names the new version (crash-safe:
+    # the table path is never missing at rest)
+    new_path = store._table_path("proj", "clicks")
+    assert new_path != path and new_path.endswith(".v0")
+    assert not os.path.exists(path)
+    assert ms.get_config("proj", "TABLE_VERSION_clicks") == 0
     # month partition layout intact (pruning still works)
-    months = {d for d in os.listdir(path) if d.startswith("_month=")}
+    months = {d for d in os.listdir(new_path) if d.startswith("_month=")}
     assert months == {"_month=2024-01", "_month=2024-02"}
+    # second compaction bumps the version and stays readable
+    store.compact("proj", "clicks")
+    assert store._table_path("proj", "clicks").endswith(".v1")
+    assert sorted(r["x"] for r in store.read("proj", "clicks").collect()) == before
+    assert store.collections_with_data("proj") == ["clicks"]
 
 
 def test_salted_repartition_spreads_hot_key(spark):
