@@ -45,7 +45,21 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def get_spark(app_name: str = "rakam-api-spark", cpus: int | None = None) -> SparkSession:
+# Kafka connector coordinates matching the installed pyspark (Scala
+# 2.13 build of Spark 4.x).  Resolved from Maven at session start —
+# production clusters either have the jar on the classpath already or
+# let the resolver fetch it; this container has no network, so tests
+# never build a kafka=True session (the parse path is covered broker-
+# free via streaming.job.kafka_envelope_frame on a Kafka-shaped frame).
+def _kafka_package() -> str:
+    import pyspark
+
+    return f"org.apache.spark:spark-sql-kafka-0-10_2.13:{pyspark.__version__}"
+
+
+def get_spark(
+    app_name: str = "rakam-api-spark", cpus: int | None = None, kafka: bool = False
+) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     builder = (
@@ -60,4 +74,6 @@ def get_spark(app_name: str = "rakam-api-spark", cpus: int | None = None) -> Spa
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
+    if kafka:
+        builder = builder.config("spark.jars.packages", _kafka_package())
     return configure_runtime(builder.getOrCreate())

@@ -422,7 +422,7 @@ class StreamingIngest:
         by project|collection).  Same foreachBatch body as the file
         bus — only the source frame projection differs.  Requires the
         spark-sql-kafka connector jar on the session classpath
-        (``SessionFactory(kafka=True)``); the parse path itself is
+        (``session.get_spark(kafka=True)``); the parse path itself is
         covered broker-free by tests via ``kafka_envelope_frame`` on
         a Kafka-shaped static frame."""
         reader = (

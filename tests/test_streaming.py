@@ -394,3 +394,17 @@ def test_stream_stream_attribution_join(spark, tmp_path):
             "event_id", "user_id", "cast(ts as timestamp) ts", "value"),
     )
     assert {(r["purchase_id"], r["view_id"]) for r in batch.collect()} == got
+
+
+def test_kafka_session_package_pinned_to_pyspark_version():
+    """get_spark(kafka=True) resolves the spark-sql-kafka connector at
+    the installed Spark version / Scala 2.13 (no broker or network in
+    the container, so only the coordinate wiring is asserted here —
+    the envelope parse itself is covered broker-free above)."""
+    import pyspark
+
+    from rakam_api_spark.session import _kafka_package
+
+    assert _kafka_package() == (
+        f"org.apache.spark:spark-sql-kafka-0-10_2.13:{pyspark.__version__}"
+    )
