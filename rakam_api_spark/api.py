@@ -49,8 +49,19 @@ class IngestReport:
     new_fields: dict[str, str] = field(default_factory=dict)
     # the coerced batch frame that was appended — streaming uses it
     # to push exactly this batch's rows to subscribers (never a
-    # re-read of the stored table)
+    # re-read of the stored table).  When the ingest was called with
+    # ``retain_valid=True`` this frame is persisted (its cache was
+    # populated by the store write), so consuming it re-reads cached
+    # rows — the exact rows stored — instead of re-executing the
+    # enrich+coerce lineage; call ``release()`` when done.
     valid_df: DataFrame | None = None
+    _retained: bool = False
+
+    def release(self) -> None:
+        """Unpersist the retained batch frame (no-op otherwise)."""
+        if self._retained and self.valid_df is not None:
+            self.valid_df.unpersist()
+            self._retained = False
 
 
 class EventCollector:
@@ -110,6 +121,7 @@ class EventCollector:
         master_key: bool = False,
         ctx: dict | None = None,
         type_overrides: dict | None = None,
+        retain_valid: bool = False,
     ) -> IngestReport:
         collection = strip_collection_name(collection)
         if collection in self.excluded:
@@ -119,6 +131,16 @@ class EventCollector:
         df = self._normalize_columns(df)
 
         ctx = ctx or {}
+        # pin server time to ONE literal per request: the reference
+        # stamps server time at request receipt (TimestampEventMapper
+        # takes Instant.now() once).  An F.current_timestamp() here
+        # would re-evaluate on every lineage execution, so a
+        # subscriber push replaying the plan would see different
+        # _time/$server_time values than the rows actually stored.
+        if "server_time_expr" not in ctx:
+            import time as _time
+
+            ctx["server_time_expr"] = F.timestamp_millis(F.lit(int(_time.time() * 1000)))
         registered = self.metastore.project(project).collections.get(collection)
         known = dict(registered.fields) if registered else {}
 
@@ -200,6 +222,11 @@ class EventCollector:
             result = coerce_to_schema(
                 df, schema, collection, max_len=self.max_string_length, event_id_col=None
             )
+            if retain_valid:
+                # persist BEFORE the append: the write action fills
+                # the cache, so a later subscriber push reads exactly
+                # the stored rows without re-running the pipeline
+                result.valid = result.valid.persist()
             stored = self.store.append(project, collection, result.valid)
             dead = self.store.append_dead_letter(project, result.dead_letter)
         finally:
@@ -210,6 +237,7 @@ class EventCollector:
             dead_lettered=dead,
             new_fields={n: t.value for n, t in new_fields.items()},
             valid_df=result.valid,
+            _retained=retain_valid,
         )
 
     # --- public surface -------------------------------------------------

@@ -21,7 +21,12 @@ Semantics:
   re-processes it (at-least-once); uuid dedup then drops rows whose
   uuids were recorded by earlier *completed* epochs — current-epoch
   uuids are excluded from the anti-join so a mid-epoch retry never
-  cannibalizes its own batch.
+  cannibalizes its own batch.  Commit markers are namespaced by a
+  random token stored INSIDE the checkpoint directory: deleting the
+  checkpoint to reprocess (a standard Spark operation that restarts
+  epoch ids at 0) mints a fresh token, so stale markers can never
+  silently skip replayed batches; orphaned namespaces and old
+  markers are garbage-collected.
 - uuid dedup *implemented for real* (the reference transports the
   uuid but never enforces it): batch-local dropDuplicates on rows
   that HAVE a uuid (uuid-less rows pass through untouched — a null
@@ -29,18 +34,19 @@ Semantics:
   against a persisted recent-uuid set that is genuinely bounded:
   reads filter to ``epoch >= current − dedup_window``, and every
   ``seen_compact_every`` epochs the set is rewritten dropping
-  expired epochs (versioned directory + CURRENT pointer, atomic via
-  os.replace).  No broadcast hint — the windowed set is usually
+  expired epochs (versioned directory + CURRENT pointer via the
+  statestore seam).  No broadcast hint — the windowed set is usually
   small and AQE will broadcast it when it is, but a wide window must
   not be forced driver-side.
-- parsing is pure column expressions (``from_json`` +
-  ``get_json_object``): the envelope has a fixed schema; per-
-  collection property schemas are inferred from a bounded driver
-  sample via ``schema_of_json`` over a JSON-array literal, unioned
-  with STRING fallbacks for registered fields the sample missed
-  (the lenient coercion layer re-parses strings, so a fallback
-  column still lands with its registered type).  No rdd round-trips
-  anywhere in the batch plan (no PythonRDD / ExistingRDD scans).
+- parsing is pure column expressions and schema inference is
+  JVM-side: the envelope has a fixed schema (``from_json``); per-
+  collection property schemas come from ONE distributed aggregation
+  — ``schema_of_variant_agg(try_parse_json(props_json))`` grouped
+  by collection — so the driver receives one DDL string per
+  collection and zero data rows (the reference resolves schema
+  stream-side per event, JsonEventDeserializer.java:345-488).  The
+  full-batch parse is one ``from_json`` projection; no rdd
+  round-trips anywhere in the batch plan.
 - late data: accepted unconditionally into its month partition,
   like the reference's on-demand partitions
   (PostgresqlEventStore.java:103-170).
@@ -51,11 +57,13 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import zlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..api import EventCollector
+from ..statestore import DEFAULT_STATE_STORE, LocalFSStateStore
 from .subscriptions import SubscriptionRegistry
 
 # EventContext fields carried by the reference envelope
@@ -65,6 +73,8 @@ ENVELOPE_DDL = (
     "library: STRUCT<name: STRING, version: STRING>, api_version: STRING, "
     "upload_time: BIGINT, checksum: STRING>"
 )
+
+COMMIT_NS_FILE = "RAKAM_COMMIT_NS"
 
 
 def parse_envelope(df: DataFrame, value_col: str = "value") -> DataFrame:
@@ -103,14 +113,122 @@ def to_kafka_envelopes(
     pairs for a Kafka/Kinesis sink.  Key = ``project|collection|salt``
     — the reference's hot-shard-avoiding partition key
     (AWSKinesisEventStore.java:148-169 uses project|collection +
-    random suffix; the salt here is a hash of the payload so retries
-    land on the same shard)."""
+    random suffix; the salt here is a crc32 of the payload — a
+    *stable* digest, not Python ``hash()`` whose PYTHONHASHSEED
+    randomization would break shard affinity across gateway process
+    restarts — so retries land on the same shard)."""
     out = []
     for e in events:
         value = json.dumps(e)
-        salt = hash(value) % salt_buckets
+        salt = zlib.crc32(value.encode("utf-8")) % salt_buckets
         out.append((f"{project}|{e.get('collection', '')}|{salt}", value))
     return out
+
+
+def variant_struct_ddl(vddl: str | None) -> str | None:
+    """``schema_of_variant_agg`` DDL → ``from_json``-compatible
+    struct DDL, preserving ``schema_of_json``'s inference dialect:
+    ``OBJECT<…>`` → ``STRUCT<…>``; ``DECIMAL(p,s)`` → ``DOUBLE``
+    (JSON decimals, prefersDecimal off); ``VARIANT`` (mixed-type
+    field) and ``VOID`` (all-null field) → ``STRING``.  The walk is
+    position-aware — replacements apply only in type position, so a
+    field *named* ``VOID`` or ``DECIMAL`` is untouched (variant DDL
+    backtick-quotes only names with special characters).
+
+    Returns None when the merged schema isn't an object (non-object
+    payloads, or an all-null/unparseable sample)."""
+    if not vddl or not vddl.startswith("OBJECT<"):
+        return None
+    out: list[str] = []
+    n = len(vddl)
+    pos = 0
+
+    def parse_type() -> None:
+        nonlocal pos
+        for kw, sub in (("OBJECT<", "STRUCT<"), ("ARRAY<", "ARRAY<"), ("MAP<", "MAP<")):
+            if vddl.startswith(kw, pos):
+                out.append(sub)
+                pos += len(kw)
+                if kw == "OBJECT<":
+                    parse_fields()
+                else:
+                    parse_type()
+                    if kw == "MAP<":
+                        assert vddl[pos] == ","
+                        out.append(", ")
+                        pos += 1
+                        while vddl[pos] == " ":
+                            pos += 1
+                        parse_type()
+                assert vddl[pos] == ">"
+                out.append(">")
+                pos += 1
+                return
+        # primitive token: runs to the next , or > outside parens
+        # (DECIMAL(26,0) carries a comma inside its parens)
+        j = pos
+        depth = 0
+        while j < n:
+            c = vddl[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c in ",>" and depth == 0:
+                break
+            j += 1
+        tok = vddl[pos:j].strip()
+        pos = j
+        if tok.startswith("DECIMAL"):
+            tok = "DOUBLE"
+        elif tok in ("VOID", "VARIANT"):
+            tok = "STRING"
+        out.append(tok)
+
+    def parse_fields() -> None:
+        nonlocal pos
+        first = True
+        while pos < n and vddl[pos] != ">":
+            if not first:
+                assert vddl[pos] == ","
+                out.append(", ")
+                pos += 1
+                while vddl[pos] == " ":
+                    pos += 1
+            first = False
+            if vddl[pos] == "`":  # backtick-quoted name, `` escapes
+                j = pos + 1
+                while True:
+                    j = vddl.index("`", j)
+                    if j + 1 < n and vddl[j + 1] == "`":
+                        j += 2
+                    else:
+                        break
+                out.append(vddl[pos : j + 1])
+                pos = j + 1
+            else:
+                j = vddl.index(":", pos)
+                out.append(vddl[pos:j])
+                pos = j
+            assert vddl[pos] == ":"
+            out.append(": ")
+            pos += 1
+            while vddl[pos] == " ":
+                pos += 1
+            parse_type()
+
+    parse_type()
+    ddl = "".join(out)
+    return None if ddl == "STRUCT<>" else ddl
+
+
+def _json_object_rows(rows: DataFrame) -> DataFrame:
+    """Rows whose props_json plausibly holds a JSON object (the only
+    shape the properties contract allows)."""
+    return rows.where(
+        F.col("props_json").isNotNull()
+        & F.startswith(F.ltrim(F.col("props_json")), F.lit("{"))
+    )
 
 
 class StreamingIngest:
@@ -123,7 +241,8 @@ class StreamingIngest:
         dedup_window_batches: int = 100,
         seen_compact_every: int = 10,
         push_row_cap: int = 10_000,
-        schema_sample_rows: int = 1_000,
+        marker_retention_epochs: int = 1_000,
+        state_store: LocalFSStateStore | None = None,
     ):
         self.collector = collector
         self.project = project
@@ -132,14 +251,16 @@ class StreamingIngest:
         self.dedup_window = dedup_window_batches
         self.seen_compact_every = seen_compact_every
         self.push_row_cap = push_row_cap
-        self.schema_sample_rows = schema_sample_rows
+        self.marker_retention = marker_retention_epochs
+        self.state = state_store or DEFAULT_STATE_STORE
         self.spark = collector.spark
         base = os.path.join(collector.metastore.warehouse_dir, project)
         self._seen_base = os.path.join(base, "_seen_uuids")
         self._commit_base = os.path.join(base, "_stream_commits")
         # set when wired to a checkpointed stream: epoch ids are only
         # meaningful per checkpoint, so commit markers are namespaced
-        # by it; ad-hoc process_batch calls skip marker logic
+        # by a token minted inside the checkpoint dir; ad-hoc
+        # process_batch calls skip marker logic
         self._commit_ns: str | None = None
 
     # --- core micro-batch handler --------------------------------------
@@ -153,27 +274,45 @@ class StreamingIngest:
         parsed = parse_envelope(batch_df).where(F.col("collection").isNotNull())
         if self.dedup_uuids:
             parsed = self._dedup(parsed, epoch_id)
-        # one cached pass feeds the distinct-collections probe, every
-        # per-collection ingest, and the post-ingest seen-uuid append
+        # one cached pass feeds the schema probe, every per-collection
+        # ingest, and the post-ingest seen-uuid append
         parsed = parsed.persist()
         try:
-            collections = [
-                r["collection"] for r in parsed.select("collection").distinct().collect()
-            ]
-            for coll in sorted(collections):
-                rows = parsed.where(F.col("collection") == coll)
-                props = self._parse_props(rows, coll)
-                if props is None:
+            # ONE distributed job resolves every collection's property
+            # schema: variant-parse each object JVM-side and merge
+            # per-collection with schema_of_variant_agg.  The driver
+            # gets one (collection, ddl) row per collection — schema
+            # metadata only, never data rows.
+            schema_rows = (
+                _json_object_rows(parsed)
+                .groupBy("collection")
+                .agg(
+                    F.schema_of_variant_agg(F.try_parse_json("props_json")).alias("vddl")
+                )
+                .collect()
+            )
+            push = bool(self.registry.subs)
+            for r in sorted(schema_rows, key=lambda r: r["collection"]):
+                coll = r["collection"]
+                inner = variant_struct_ddl(r["vddl"])
+                if inner is None:
                     continue
-                report = self.collector._ingest_df(self.project, coll, props)
-                if report.stored and self.registry.subs and report.valid_df is not None:
-                    # push THIS batch's coerced rows only — never a
-                    # re-read of the stored table (each subscriber
-                    # sees each row exactly once)
-                    self.registry.push(
-                        self.project, report.collection, report.valid_df,
-                        row_cap=self.push_row_cap,
-                    )
+                rows = parsed.where(F.col("collection") == coll)
+                props = rows.select(F.from_json("props_json", inner).alias("p")).select("p.*")
+                report = self.collector._ingest_df(
+                    self.project, coll, props, retain_valid=push
+                )
+                try:
+                    if report.stored and push and report.valid_df is not None:
+                        # push THIS batch's coerced rows only — never
+                        # a re-read of the stored table (each
+                        # subscriber sees each row exactly once)
+                        self.registry.push(
+                            self.project, report.collection, report.valid_df,
+                            row_cap=self.push_row_cap,
+                        )
+                finally:
+                    report.release()
             if self.dedup_uuids:
                 # record uuids only after every collection ingested:
                 # a mid-epoch crash re-processes the batch instead of
@@ -208,99 +347,41 @@ class StreamingIngest:
             )
         return with_uuid.unionByName(no_uuid).drop("__uuid")
 
-    # --- per-collection property parsing (no RDD round-trips) -----------
-
-    def _mapper_field_names(self) -> set[str]:
-        """Fields the enrichment pipeline itself contributes — never
-        expected on the wire, so no parse fallback needed for them."""
-        names: set[str] = set()
-        pipeline = self.collector.pipeline
-        if pipeline is None:
-            return names
-        for m in pipeline.mappers:
-            dep = m.dependency()
-            names |= set(dep.constant_fields)
-            for fields in dep.dependent_fields.values():
-                names |= set(fields)
-        return names
+    # --- per-collection property parsing (no driver data hops) ----------
 
     def _parse_props(self, rows: DataFrame, collection: str) -> DataFrame | None:
         """properties JSON strings → typed DataFrame via ``from_json``.
 
-        Schema = ``schema_of_json`` over a bounded driver sample
-        (JSON-array literal, so Spark's own JSON inference merges the
-        sample rows JVM-side) ∪ STRING fallbacks for registered
-        client fields the sample missed — the lenient coercion layer
-        (ingest/coerce.py) turns a string back into the registered
-        type, so a field that only appears past the sample horizon
-        still lands correctly.  The full-batch parse is one
-        ``from_json`` projection: no Python rows, no re-serialize."""
-        spark = rows.sparkSession
+        Standalone form of the batch loop's parse (used by ad-hoc
+        callers/tests): schema from one scalar
+        ``schema_of_variant_agg`` aggregation — JVM-side inference,
+        one DDL string to the driver, zero data rows — then one
+        ``from_json`` projection over the full frame.  Fields
+        registered in the catalog but absent from this batch stay
+        absent here; the coercion layer NULL-pads them against the
+        registered schema downstream."""
         self.collector.metastore.create_project(self.project)  # idempotent
-        sample = [
-            r["props_json"]
-            for r in rows.where(F.col("props_json").isNotNull())
-            .select("props_json").limit(self.schema_sample_rows).collect()
-        ]
-        sample = [s for s in sample if s.lstrip().startswith("{")]
-        inner = None
-        if sample:
-            arr = "[" + ",".join(sample) + "]"
-            ddl = spark.range(1).select(F.schema_of_json(F.lit(arr))).head()[0]
-            if ddl and ddl.upper().startswith("ARRAY<STRUCT<"):
-                inner = ddl[len("ARRAY<"):-len(">")]
-        inferred: list[str] = []
-        if inner and inner != "STRUCT<>":
-            probe = rows.limit(0).select(
-                F.from_json("props_json", inner).alias("p")
-            ).select("p.*")
-            inferred = probe.columns
-
-        registered = self.collector.metastore.project(self.project).collections.get(collection)
-        skip = self._mapper_field_names()
-        fallbacks = [
-            n for n in (registered.fields if registered else {})
-            if n not in inferred and n not in skip and not n.startswith("$")
-        ]
-        if not inferred and not fallbacks:
-            return None  # nothing parseable and nothing registered
-        if fallbacks:
-            extra = ", ".join(f"`{n}`: STRING" for n in fallbacks)
-            body = inner[len("STRUCT<"):-1] if inner and inner != "STRUCT<>" else ""
-            inner = f"STRUCT<{body}, {extra}>" if body else f"STRUCT<{extra}>"
-        props = rows.select(F.from_json("props_json", inner).alias("p")).select("p.*")
-        if fallbacks:
-            # drop fallback columns that are entirely null in this
-            # batch so downstream inference/mappers see the same
-            # frame a sampled parse would have produced (one tiny
-            # agg, only when a registered field missed the sample)
-            flags = props.agg(
-                *[F.max(F.col(f"`{c}`").isNotNull()).alias(c) for c in fallbacks]
-            ).first()
-            dead = [c for c in fallbacks if not flags[c]]
-            if dead:
-                props = props.drop(*dead)
-            if not props.columns:
-                return None
-        return props
+        vddl = (
+            _json_object_rows(rows)
+            .agg(F.schema_of_variant_agg(F.try_parse_json("props_json")).alias("vddl"))
+            .head()[0]
+        )
+        inner = variant_struct_ddl(vddl)
+        if inner is None:
+            return None
+        return rows.select(F.from_json("props_json", inner).alias("p")).select("p.*")
 
     # --- seen-uuid state (windowed, versioned, bounded) ------------------
 
     def _current_seen_dir(self) -> str | None:
-        ptr = os.path.join(self._seen_base, "CURRENT")
-        if os.path.exists(ptr):
-            with open(ptr) as f:
-                name = f.read().strip()
-            d = os.path.join(self._seen_base, name)
-            return d if os.path.exists(d) else None
-        return None
+        name = self.state.get(os.path.join(self._seen_base, "CURRENT"))
+        if name is None:
+            return None
+        d = os.path.join(self._seen_base, name)
+        return d if os.path.exists(d) else None
 
     def _set_current_seen(self, name: str) -> None:
-        ptr = os.path.join(self._seen_base, "CURRENT")
-        tmp = ptr + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(name)
-        os.replace(tmp, ptr)  # atomic pointer swap
+        self.state.put(os.path.join(self._seen_base, "CURRENT"), name)
 
     def _read_seen(self, spark: SparkSession, epoch_id: int) -> DataFrame | None:
         """Windowed read of the seen set: only epochs inside
@@ -361,24 +442,62 @@ class StreamingIngest:
 
     def _is_committed(self, epoch_id: int) -> bool:
         d = self._commit_dir()
-        return d is not None and os.path.exists(os.path.join(d, f"epoch_{epoch_id}"))
+        return d is not None and self.state.exists(os.path.join(d, f"epoch_{epoch_id}"))
 
     def _mark_committed(self, epoch_id: int) -> None:
         d = self._commit_dir()
         if d is None:
             return
-        os.makedirs(d, exist_ok=True)
-        with open(os.path.join(d, f"epoch_{epoch_id}"), "w") as f:
-            f.write("1")
+        self.state.touch(os.path.join(d, f"epoch_{epoch_id}"))
+        # GC old markers: replays only ever revisit epochs near the
+        # checkpoint head, so markers far behind are dead weight —
+        # keep the namespace O(retention), not O(stream lifetime)
+        if epoch_id % 100 == 0 and epoch_id > self.marker_retention:
+            floor = epoch_id - self.marker_retention
+            for name in self.state.listdir(d):
+                try:
+                    if name.startswith("epoch_") and int(name[6:]) < floor:
+                        self.state.delete(os.path.join(d, name))
+                except ValueError:
+                    continue
+
+    def _ensure_commit_ns(self, checkpoint_dir: str) -> None:
+        """Mint (or re-read) the commit namespace token stored INSIDE
+        the checkpoint directory.  Spark epoch ids are only unique per
+        checkpoint AND per checkpoint lifetime: deleting the
+        checkpoint dir restarts them at 0, so the namespace must die
+        with the checkpoint — a content-derived name (e.g. a path
+        hash) would resurrect stale markers and silently skip
+        replayed batches.  Orphaned namespaces (their checkpoint gone
+        or re-minted) are garbage-collected here via the token→source
+        registry kept next to the namespaces."""
+        import uuid
+
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        token_file = os.path.join(checkpoint_dir, COMMIT_NS_FILE)
+        token = self.state.get(token_file)
+        if token is None:
+            token = uuid.uuid4().hex[:16]
+            self.state.put(token_file, token)
+        self._commit_ns = token
+        self.state.put(os.path.join(self._commit_base, f"{token}.src"), token_file)
+        for name in self.state.listdir(self._commit_base):
+            if not name.endswith(".src"):
+                continue
+            tok = name[: -len(".src")]
+            if tok == token:
+                continue
+            src = self.state.get(os.path.join(self._commit_base, name))
+            if src is None or self.state.get(src) != tok:
+                # checkpoint gone or re-minted: the namespace can
+                # never be consulted again
+                self.state.delete(os.path.join(self._commit_base, tok))
+                self.state.delete(os.path.join(self._commit_base, name))
 
     # --- stream wiring ---------------------------------------------------
 
     def _start_writer(self, stream: DataFrame, checkpoint_dir: str, trigger_available_now: bool):
-        import hashlib
-
-        self._commit_ns = hashlib.md5(
-            os.path.abspath(checkpoint_dir).encode()
-        ).hexdigest()[:12]
+        self._ensure_commit_ns(checkpoint_dir)
         writer = (
             stream.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", checkpoint_dir)

@@ -234,6 +234,145 @@ def test_kafka_shaped_frame_shares_parse_path(ingest, tmp_path):
     assert "PythonRDD" not in plan
 
 
+def test_variant_ddl_converter():
+    """JVM-side inference DDL → from_json dialect: OBJECT→STRUCT,
+    DECIMAL→DOUBLE, VOID/VARIANT→STRING, but only in TYPE position —
+    fields *named* like type keywords pass through untouched."""
+    from rakam_api_spark.streaming.job import variant_struct_ddl
+
+    assert variant_struct_ddl("OBJECT<a: BIGINT, b: STRING>") == "STRUCT<a: BIGINT, b: STRING>"
+    assert (
+        variant_struct_ddl("OBJECT<c: DECIMAL(21,1), n: DECIMAL(26,0)>")
+        == "STRUCT<c: DOUBLE, n: DOUBLE>"
+    )
+    assert variant_struct_ddl("OBJECT<x: VARIANT, h: VOID>") == "STRUCT<x: STRING, h: STRING>"
+    assert (
+        variant_struct_ddl("OBJECT<VARIANT: STRING, VOID: BIGINT, `a b`: ARRAY<VARIANT>>")
+        == "STRUCT<VARIANT: STRING, VOID: BIGINT, `a b`: ARRAY<STRING>>"
+    )
+    assert (
+        variant_struct_ddl("OBJECT<o: OBJECT<p: ARRAY<DECIMAL(4,3)>>, m: MAP<STRING, VOID>>")
+        == "STRUCT<o: STRUCT<p: ARRAY<DOUBLE>>, m: MAP<STRING, STRING>>"
+    )
+    assert variant_struct_ddl("OBJECT<>") is None  # empty object: nothing to parse
+    assert variant_struct_ddl("VOID") is None  # all-null/unparseable sample
+    assert variant_struct_ddl(None) is None
+    assert variant_struct_ddl("ARRAY<BIGINT>") is None  # non-object payload
+
+
+def test_schema_inference_is_jvm_side(ingest):
+    """The batch schema probe must move NO data rows to the driver:
+    one schema_of_variant_agg row per collection.  Regression guard
+    for the round-2 driver-side sample (collect of up to 1000
+    props_json strings per collection per batch)."""
+    import inspect
+
+    from rakam_api_spark.streaming import job as jobmod
+
+    src = inspect.getsource(jobmod.StreamingIngest.process_batch) + inspect.getsource(
+        jobmod.StreamingIngest._parse_props
+    )
+    assert "schema_of_variant_agg" in src
+    # the only collect in the hot loop is the per-collection DDL row
+    assert src.count(".collect()") == 1
+    assert "limit(" not in src  # no bounded driver sample remains
+
+
+def test_commit_ns_fresh_after_checkpoint_delete(spark, warehouse, tmp_path):
+    """Deleting the checkpoint dir (standard Spark reprocess) must
+    mint a FRESH commit namespace: epoch ids restart at 0, and stale
+    markers from the old namespace must not skip replayed batches.
+    The orphaned namespace is garbage-collected."""
+    import shutil
+
+    from rakam_api_spark.catalog import Metastore
+
+    ms = Metastore(warehouse)
+    collector = EventCollector(spark, ms, pipeline=EnrichmentPipeline([TimestampMapper()]))
+    ing = StreamingIngest(collector, "proj")
+    ckpt = str(tmp_path / "ckpt")
+    ing._ensure_commit_ns(ckpt)
+    first_ns = ing._commit_ns
+    ing._mark_committed(0)
+    assert ing._is_committed(0)
+    # same checkpoint re-read: same namespace, markers survive
+    ing._ensure_commit_ns(ckpt)
+    assert ing._commit_ns == first_ns and ing._is_committed(0)
+    # checkpoint deleted → fresh token → epoch 0 replays for real
+    shutil.rmtree(ckpt)
+    ing._ensure_commit_ns(ckpt)
+    assert ing._commit_ns != first_ns
+    assert not ing._is_committed(0)
+    # the old namespace dir was GCed
+    assert not os.path.exists(os.path.join(ing._commit_base, first_ns))
+
+
+def test_commit_marker_gc_bounds_namespace(spark, warehouse, tmp_path):
+    from rakam_api_spark.catalog import Metastore
+
+    ms = Metastore(warehouse)
+    collector = EventCollector(spark, ms, pipeline=EnrichmentPipeline([TimestampMapper()]))
+    ing = StreamingIngest(collector, "proj", marker_retention_epochs=50)
+    ing._ensure_commit_ns(str(tmp_path / "ckpt"))
+    for e in (0, 10, 140, 160):
+        ing._mark_committed(e)
+    ing._mark_committed(200)  # %100 == 0 and > retention → GC < 150
+    d = ing._commit_dir()
+    left = {n for n in os.listdir(d) if n.startswith("epoch_")}
+    assert left == {"epoch_160", "epoch_200"}
+
+
+def test_kafka_envelope_salt_stable_across_processes():
+    """Retry shard-affinity contract: the producer salt must be a
+    stable digest, not Python hash() (PYTHONHASHSEED randomization
+    would scatter retries across shards after a gateway restart)."""
+    import subprocess
+    import sys
+
+    prog = (
+        "from rakam_api_spark.streaming.job import to_kafka_envelopes;"
+        "print([k for k, _ in to_kafka_envelopes("
+        "[{'collection': 'c', 'properties': {'x': i}} for i in range(20)], 'p')])"
+    )
+    outs = set()
+    for seed in ("1", "2"):
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ, PYTHONHASHSEED=seed, PYTHONPATH=repo_root)
+        outs.add(
+            subprocess.run(
+                [sys.executable, "-c", prog], capture_output=True, text=True, env=env, check=True
+            ).stdout.strip()
+        )
+    assert len(outs) == 1  # identical keys under different hash seeds
+
+
+def test_push_sees_exactly_the_stored_rows(ingest, tmp_path):
+    """ADVICE r2: the pushed _time/$server_time must equal the values
+    actually stored — server time is pinned per ingest and the batch
+    frame is retained through the push, so the push can never observe
+    a re-executed lineage with a different current_timestamp()."""
+    got: list[dict] = []
+    ingest.registry.subscribe(
+        StreamSubscription(
+            project="proj", collection="clicks",
+            columns=["x", "_time", "$server_time"],
+            callback=lambda rows: got.extend(rows),
+        )
+    )
+    _run_stream(
+        ingest, tmp_path,
+        [[{"collection": "clicks", "properties": {"x": 1}},
+          {"collection": "clicks", "properties": {"x": 2}}]],
+    )
+    stored = {
+        (r["x"], r["_time"], r["$server_time"])
+        for r in ingest.collector.store.read("proj", "clicks")
+        .select("x", "_time", "$server_time").collect()
+    }
+    pushed = {(r["x"], r["_time"], r["$server_time"]) for r in got}
+    assert pushed == stored and len(stored) == 2
+
+
 def test_stream_dead_letter(ingest, tmp_path):
     _run_stream(
         ingest,
