@@ -47,6 +47,7 @@ from pyspark.sql import types as T
 from .catalog import Metastore
 from .ingest.coerce import _scalar_coerce
 from .ingest.infer import infer_field_type
+from .statestore import DEFAULT_STATE_STORE, LocalFSStateStore
 from .types import FieldType, strip_name, to_spark_type
 
 USERS_COLLECTION = "_users"
@@ -72,6 +73,13 @@ def _fold_ops(ops: list[UserOp]) -> dict[object, dict[str, tuple[str, object, fl
     - ("keep",   None, d): current + d (increment-only)
     - ("set",    v,    d): v + d       (set/unset won; unset ⇒ v None)
     - ("setonce", v,   d): coalesce(current, v) + d
+
+    The delta accumulator starts as int 0 and stays int while every
+    increment is integral — the merge then runs exact 64-bit
+    arithmetic for LONG/INT columns (values past 2^53 would lose
+    precision through double, reference semantics are
+    type-preserving: ``SET col = value + coalesce(col, 0)``,
+    PostgresqlUserStorage.java:741-766).
     """
     state: dict[object, dict[str, tuple[str, object, float]]] = {}
     for o in ops:
@@ -80,15 +88,15 @@ def _fold_ops(ops: list[UserOp]) -> dict[object, dict[str, tuple[str, object, fl
             prop = strip_name(raw_prop)
             if prop == "id":
                 prop = "_id"
-            mode, base, delta = user_state.get(prop, ("keep", None, 0.0))
+            mode, base, delta = user_state.get(prop, ("keep", None, 0))
             if o.op == SET:
-                mode, base, delta = "set", value, 0.0
+                mode, base, delta = "set", value, 0
             elif o.op == UNSET:
-                mode, base, delta = "set", None, 0.0
+                mode, base, delta = "set", None, 0
             elif o.op == SET_ONCE:
                 if mode == "keep":
                     mode, base = "setonce", value
-                elif mode == "set" and base is None and delta == 0.0:
+                elif mode == "set" and base is None and delta == 0:
                     # set-null/unset followed by setOnce: the column
                     # is null at that point, so setOnce writes
                     base = value
@@ -102,10 +110,16 @@ def _fold_ops(ops: list[UserOp]) -> dict[object, dict[str, tuple[str, object, fl
 
 
 class UserStorage:
-    def __init__(self, spark: SparkSession, metastore: Metastore):
+    def __init__(
+        self,
+        spark: SparkSession,
+        metastore: Metastore,
+        state_store: LocalFSStateStore | None = None,
+    ):
         self.spark = spark
         self.metastore = metastore
         self.warehouse = metastore.warehouse_dir
+        self.state = state_store or DEFAULT_STATE_STORE
 
     # --- table plumbing -------------------------------------------------
 
@@ -160,6 +174,9 @@ class UserStorage:
         path = self._path(project)
         if not os.path.exists(path):
             return None
+        # finish/roll back any swap a crash interrupted, so every
+        # bucket is visible before the scan lists partitions
+        self.state.recover_swaps(path)
         return self.spark.read.option("mergeSchema", "true").parquet(path)
 
     def _project_schema(self, df: DataFrame, schema: T.StructType) -> DataFrame:
@@ -184,10 +201,14 @@ class UserStorage:
         """Write ONLY the touched hash buckets: result (which holds
         exactly the touched buckets' rows) goes to a temp dir
         partitioned by ``_bucket``, then each touched partition swaps
-        into the live table by rename.  Untouched partition files are
-        never opened, never rewritten — byte-identical across the
-        batch.  Per-partition atomic (rename); a crash mid-swap
-        leaves whole partitions either old or new, never partial."""
+        into the live table via the statestore's crash-safe dance
+        (live → hidden ``.old`` sibling, staged → live, drop
+        ``.old``): every bucket has a live-or-recoverable directory
+        at every instant — a crash can never leave a bucket absent.
+        Interrupted swaps from a previous crash are finished or
+        rolled back before the next merge.  Untouched partition files
+        are never opened, never rewritten — byte-identical across the
+        batch."""
         import shutil
 
         base = self._path(project)
@@ -197,15 +218,20 @@ class UserStorage:
         if not os.path.exists(base):
             out.write.partitionBy("_bucket").mode("overwrite").parquet(base)
             return
+        self.state.recover_swaps(base)
         tmp = base + ".merge.tmp"
         out.write.partitionBy("_bucket").mode("overwrite").parquet(tmp)
         for k in touched:
             src = os.path.join(tmp, f"_bucket={k}")
             dst = os.path.join(base, f"_bucket={k}")
-            if os.path.exists(dst):
-                shutil.rmtree(dst)
             if os.path.exists(src):
-                os.rename(src, dst)
+                self.state.swap_dir(src, dst)
+            elif os.path.exists(dst):
+                # defensive: the merge keeps every existing row of a
+                # touched bucket (full-outer current side), so a
+                # bucket with rows always has a staged replacement;
+                # only a zero-row bucket dir can land here
+                shutil.rmtree(dst)
         shutil.rmtree(tmp, ignore_errors=True)
 
     # --- ops (U1-U7) ----------------------------------------------------
@@ -267,9 +293,18 @@ class UserStorage:
         id_type = schema["id"].dataType
         prop_fields = [f for f in schema.fields if f.name not in ("id", "created_at")]
         touched = {p for s in folded.values() for p in s}
+        # a prop's delta column stays LONG when every folded delta is
+        # integral — the merge then does exact 64-bit arithmetic for
+        # integer columns instead of routing through double
+        int_delta = {
+            p: all(
+                isinstance(s.get(p, ("keep", None, 0))[2], int) for s in folded.values()
+            )
+            for p in touched
+        }
 
         # updates frame: one row per user; per touched prop:
-        # mode (string), base (string-encoded), delta (double)
+        # mode (string), base (string-encoded), delta (long|double)
         upd_schema = T.StructType(
             [T.StructField("id", id_type, False)]
             + [
@@ -278,7 +313,9 @@ class UserStorage:
                 for fld in (
                     T.StructField(f"{p}__mode", T.StringType()),
                     T.StructField(f"{p}__base", T.StringType()),
-                    T.StructField(f"{p}__delta", T.DoubleType()),
+                    T.StructField(
+                        f"{p}__delta", T.LongType() if int_delta[p] else T.DoubleType()
+                    ),
                 )
             ]
         )
@@ -286,7 +323,7 @@ class UserStorage:
         for user, user_state in folded.items():
             vals: dict = {"id": user}
             for p in sorted(touched):
-                mode, base, delta = user_state.get(p, ("keep", None, 0.0))
+                mode, base, delta = user_state.get(p, ("keep", None, 0))
                 vals[f"{p}__mode"] = mode
                 if isinstance(base, bool):
                     vals[f"{p}__base"] = "true" if base else "false"
@@ -296,7 +333,7 @@ class UserStorage:
                     vals[f"{p}__base"] = json.dumps(base)
                 else:
                     vals[f"{p}__base"] = None if base is None else str(base)
-                vals[f"{p}__delta"] = float(delta)
+                vals[f"{p}__delta"] = int(delta) if int_delta[p] else float(delta)
             rows.append(Row(**vals))
         updates = self.spark.createDataFrame(rows, upd_schema)
         # partition-pruned MERGE: only the hash buckets containing
@@ -343,9 +380,19 @@ class UserStorage:
                 .when(mode == "setonce", F.coalesce(cur, base))
                 .otherwise(cur)
             )
-            if isinstance(fld.dataType, (T.DoubleType, T.LongType, T.IntegerType, T.DecimalType)):
+            if isinstance(fld.dataType, (T.LongType, T.IntegerType)) and int_delta[p]:
+                # type-preserving integer increment (reference
+                # `SET col = value + coalesce(col, 0)` keeps the
+                # column type, PostgresqlUserStorage.java:741-766):
+                # exact past 2^53 where a double round-trip corrupts
                 inc = F.when(
-                    mode.isNotNull() & (delta != 0.0),
+                    mode.isNotNull() & (delta != 0),
+                    F.coalesce(merged_val.cast("long"), F.lit(0).cast("long")) + delta,
+                ).otherwise(merged_val.cast("long"))
+                merged_val = inc.cast(fld.dataType)
+            elif isinstance(fld.dataType, (T.DoubleType, T.LongType, T.IntegerType, T.DecimalType)):
+                inc = F.when(
+                    mode.isNotNull() & (delta != 0),
                     F.coalesce(merged_val.cast("double"), F.lit(0.0)) + delta,
                 ).otherwise(merged_val.cast("double"))
                 merged_val = inc.cast(fld.dataType)

@@ -157,3 +157,50 @@ def test_anonymous_stitching(storage, spark):
     rows = {r["n"]: r["_user"] for r in out.collect()}
     assert rows[1] == "user-9"
     assert rows[2] == "user-2"
+
+
+def test_integer_increment_exact_past_2_53(storage):
+    """Type-preserving increments (reference `SET col = value +
+    coalesce(col, 0)` keeps integer arithmetic integral): values
+    past 2^53 must not round-trip through double."""
+    from rakam_api_spark.users import USERS_COLLECTION
+
+    big = (1 << 53) + 1  # 9007199254740993: not representable as double
+    storage.create("p", "u1", {})
+    # register a LONG column (fresh numeric columns infer DOUBLE by
+    # JSON-number precedence; registered integer types must then be
+    # honored exactly), and increment near the precision cliff
+    storage.metastore.get_or_create_collection_fields(
+        "p", USERS_COLLECTION, {"counter": FieldType.LONG}
+    )
+    storage.batch("p", [UserOp("u1", SET, {"counter": big})])
+    storage.batch("p", [UserOp("u1", INCREMENT, {"counter": 2})])
+    assert storage.get_user("p", "u1")["counter"] == big + 2  # exact
+    # fractional increments on the same batch still work (double path)
+    storage.batch("p", [UserOp("u1", SET, {"ratio": 1.0}), UserOp("u1", INCREMENT, {"ratio": 0.5})])
+    assert storage.get_user("p", "u1")["ratio"] == 1.5
+
+
+def test_interrupted_bucket_swap_recovers(storage):
+    """Crash-safety of the bucket swap: simulate a crash between the
+    two renames (live bucket moved aside, staged not yet in place) —
+    the next read must recover the bucket, never observe it absent."""
+    import os
+    import shutil
+
+    storage.batch_create("p", [(f"u{i}", {"a": float(i)}) for i in range(30)])
+    base = storage._path("p")
+    buckets = [b for b in os.listdir(base) if b.startswith("_bucket=")]
+    victim = os.path.join(base, buckets[0])
+    # simulate the mid-swap crash state: dst renamed to .old, no dst
+    old = os.path.join(base, ".old." + buckets[0])
+    os.rename(victim, old)
+    assert not os.path.exists(victim)
+    n = storage.table("p").count()  # read path recovers the swap
+    assert n == 30
+    assert os.path.exists(victim) and not os.path.exists(old)
+    # completed-swap leftover (.old AND dst both present) is swept
+    shutil.copytree(victim, old)
+    storage.set_properties("p", "u1", {"a": 99.0})
+    assert not os.path.exists(old)
+    assert storage.table("p").count() == 30
