@@ -304,10 +304,18 @@ sig AS (
 bands AS (
   {bands_union}
 ),
+bsize AS (
+  SELECT band, band_key, COUNT(*) AS n, MIN(doc_id) AS mn
+  FROM bands GROUP BY 1, 2
+),
 candidates AS (
+  -- mirrors the Spark star-fallback: oversized buckets pair members
+  -- with the bucket minimum only, never all-pairs
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  JOIN bsize s ON s.band = a.band AND s.band_key = a.band_key
+  WHERE s.n <= {max_bucket} OR a.doc_id = s.mn
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
 inter AS (
@@ -339,6 +347,7 @@ WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.5
         )
         for b in range(N_HASHES // BAND_SIZE)
     ),
+    max_bucket=500,  # keep in lockstep with minhash_lsh_pairs default
 )
 
 
@@ -397,11 +406,29 @@ def simhash_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return agg.select("doc_id", sim.cast("long").alias("simhash"))
 
 
-def simhash_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3, max_bucket: int = 500
+) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ 3, candidates
     via banding (4 bands of 15 bits; pigeonhole guarantees a shared
     exact band for distance ≤ 3)."""
-    sims = simhash_docs(_docs(spark, sf_dir))
+    return simhash_pairs_docs(_docs(spark, sf_dir), max_hamming, max_bucket)
+
+
+def simhash_pairs_docs(
+    docs: DataFrame, max_hamming: int = 3, max_bucket: int = 500
+) -> DataFrame:
+    """simhash_pairs over an explicit docs frame (skew tests use a
+    synthetic corpus).
+
+    Skew guard (same as its MinHash/hyperplane siblings): a
+    degenerate band bucket — thousands of near-identical docs
+    sharing 15 bits — would make the all-pairs expansion O(k²).
+    Buckets larger than ``max_bucket`` switch to a STAR pattern
+    (every member pairs with the bucket-minimum doc only, O(k));
+    members of an oversized bucket agree on a whole band, so the
+    star pairs carry the same dedup decision transitively."""
+    sims = simhash_docs(docs)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -421,15 +448,22 @@ def simhash_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> Dat
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds"))
         .where(F.size("ds") > 1)
     )
-    cand = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ds, (x, i) -> "
-                "transform(slice(ds, i + 2, size(ds)), "
-                "y -> struct(x.doc_id AS d1, y.doc_id AS d2, x.simhash AS h1, y.simhash AS h2))))"
-            )
-        ).alias("p")
-    ).select("p.d1", "p.d2", "p.h1", "p.h2")
+    pair_expr = F.when(
+        F.size("ds") <= max_bucket,
+        F.expr(
+            "flatten(transform(ds, (x, i) -> "
+            "transform(slice(ds, i + 2, size(ds)), "
+            "y -> struct(x.doc_id AS d1, y.doc_id AS d2, x.simhash AS h1, y.simhash AS h2))))"
+        ),
+    ).otherwise(
+        # star fallback: sort_array ordered by doc_id, so ds[0] is
+        # the bucket's keeper — O(k) pairs under degenerate skew
+        F.expr(
+            "transform(slice(ds, 2, size(ds)), "
+            "y -> struct(ds[0].doc_id AS d1, y.doc_id AS d2, ds[0].simhash AS h1, y.simhash AS h2))"
+        )
+    )
+    cand = buckets.select(F.explode(pair_expr).alias("p")).select("p.d1", "p.d2", "p.h1", "p.h2")
     return (
         cand.withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
         .where(F.col("hamming") <= max_hamming)  # filter BEFORE distinct: shrink the shuffle
@@ -461,15 +495,24 @@ bands AS (
   SELECT doc_id, simhash, b.band, (simhash >> (15 * b.band)) & 32767 AS nibble
   FROM sims, (SELECT unnest(range(4)) AS band) b
 ),
+bsize AS (
+  SELECT band, nibble, COUNT(*) AS n, MIN(doc_id) AS mn
+  FROM bands GROUP BY 1, 2
+),
 cand AS (
+  -- mirrors the Spark star-fallback: oversized buckets pair members
+  -- with the bucket minimum only, never all-pairs
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS h1, b.simhash AS h2
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.nibble = b.nibble AND a.doc_id < b.doc_id
+  JOIN bsize s ON s.band = a.band AND s.nibble = a.nibble
+  WHERE s.n <= {max_bucket} OR a.doc_id = s.mn
 )
 SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
 FROM cand
 WHERE bit_count(xor(h1, h2)) <= 3
 """.format(
+    max_bucket=500,  # keep in lockstep with simhash_pairs default
     bit_cols=", ".join(
         "CASE WHEN substr(h, {pos}, 1) IN ({alpha}) THEN 1 ELSE -1 END AS b{j}".format(
             pos=(j + 1) if j < 30 else (j - 29),

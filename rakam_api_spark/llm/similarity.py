@@ -391,10 +391,18 @@ bands AS (
          SUM(CASE WHEN p > 0 THEN (CAST(1 AS BIGINT) << CAST(i % {band_bits} AS INT)) ELSE 0 END) AS key
   FROM proj GROUP BY 1, 2
 ),
+bsize AS (
+  SELECT band, key, COUNT(*) AS n, MIN(vec_id) AS mn
+  FROM bands GROUP BY 1, 2
+),
 candidates AS (
+  -- mirrors the Spark star-fallback: oversized buckets pair members
+  -- with the bucket minimum only, never all-pairs
   SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+  JOIN bsize s ON s.band = a.band AND s.key = a.key
+  WHERE s.n <= {max_bucket} OR a.vec_id = s.mn
 ),
 dots AS (
   SELECT cd.v1, cd.v2, SUM(a.q * b.q) AS dot
@@ -407,8 +415,26 @@ norms AS (SELECT vec_id, SUM(q*q) AS norm2 FROM comp GROUP BY 1)
 SELECT v1, v2,
        CAST(dot AS DOUBLE) / sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE)) AS cosine
 FROM dots JOIN norms na ON v1 = na.vec_id JOIN norms nb ON v2 = nb.vec_id
-WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE)) >= 0.95
-""".format(n_planes=N_PLANES, band_bits=PLANE_BAND_BITS)
+WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE)) >= {threshold}
+""".format(
+    n_planes=N_PLANES,
+    band_bits=PLANE_BAND_BITS,
+    max_bucket=200,  # lockstep with embedding_cosine_dedup default
+    threshold="{threshold}",  # bound by the gate wrapper below
+)
+
+# The correctness-gate threshold sits BELOW the synthetic corpus's
+# maximum candidate cosine (0.4516 at sf0.01), so the oracle row
+# exercises bucketing + candidate verify + threshold on a NON-EMPTY
+# result set (at 0.95 both engines return zero rows and the gate
+# proves only the empty case).  Production callers keep the 0.95
+# near-dup default; the planted-pair pytest covers the high-cosine
+# path (tests/test_similarity_lsh.py).
+GATE_DEDUP_THRESHOLD = 0.35
+
+
+def _cosine_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_cosine_dedup(spark, sf_dir, threshold=GATE_DEDUP_THRESHOLD)
 
 
 K_CELLS = 8
@@ -618,12 +644,12 @@ QUERIES = {
     "ann_brute_force_topk": brute_force_topk,
     "ann_ivf_topk": ivf_topk,
     "ann_kmeans_ivf_topk": kmeans_ivf_topk,
-    "embedding_cosine_dedup": embedding_cosine_dedup,
+    "embedding_cosine_dedup": _cosine_dedup_gate,
 }
 
 ORACLES = {
     "ann_brute_force_topk": BRUTE_FORCE_ORACLE,
     "ann_ivf_topk": IVF_ORACLE,
     "ann_kmeans_ivf_topk": KMEANS_IVF_ORACLE,
-    "embedding_cosine_dedup": COSINE_DEDUP_ORACLE,
+    "embedding_cosine_dedup": COSINE_DEDUP_ORACLE.format(threshold=GATE_DEDUP_THRESHOLD),
 }

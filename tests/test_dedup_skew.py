@@ -49,3 +49,25 @@ def test_star_fallback_preserves_dedup_decision(spark, skew_dir):
     star_members = {x for p in dup_star for x in p}
     full_members = {x for p in dup_full for x in p}
     assert star_members == full_members == set(range(100))
+
+
+def test_simhash_star_fallback_on_degenerate_bucket(spark, skew_dir):
+    """SimHash's guard (round-2 verdict: the one sibling missing it):
+    a degenerate bucket takes the O(k) star path, and membership of
+    the dup cluster is preserved relative to the all-pairs path."""
+    from rakam_api_spark.llm.dedup import simhash_pairs
+
+    star = simhash_pairs(spark, skew_dir, max_bucket=50)
+    star_pairs = {(r["d1"], r["d2"]) for r in star.collect()}
+    dup_star = {p for p in star_pairs if p[0] < 100 and p[1] < 100}
+    # identical docs share every band: star anchors all 99 at doc 0
+    assert dup_star == {(0, i) for i in range(1, 100)}
+
+    full = simhash_pairs(spark, skew_dir, max_bucket=10_000)
+    dup_full = {
+        (r["d1"], r["d2"]) for r in full.collect() if r["d1"] < 100 and r["d2"] < 100
+    }
+    assert len(dup_full) == 100 * 99 // 2
+    star_members = {x for p in dup_star for x in p}
+    full_members = {x for p in dup_full for x in p}
+    assert star_members == full_members == set(range(100))
