@@ -3,11 +3,17 @@ columns with typed metadata, plus the decode / feature-extract /
 resize / frame-sample stages as Arrow-batched Pandas UDFs over
 ``mapInPandas``.
 
-The actual media codecs are NOT present in this environment, so the
-decode kernels are stubbed (deterministic fake decoder keyed off the
-payload hash, or ``NotImplementedError`` when ``strict=True``); the
+Decode kernels are REAL for every format the standard library can
+parse — uncompressed 24/32-bit BMP and binary PPM/PGM images
+(struct + numpy), PCM WAV audio (``wave``) — and upgrade to PIL for
+compressed formats (PNG/JPEG/…) when it is installed (optional
+dependency; not present in this container).  Payloads no decoder
+handles fall back to a deterministic sha-derived pseudo-feature
+(or raise under ``strict=True``), so the pipeline stays total.  The
 Spark-side plumbing — schema, partition sizing, UDF signatures,
-Arrow batch shape — is real and tested (tests/test_multimodal.py).
+Arrow batch shape — is identical for the real and fallback paths
+and is tested with planted real BMP/PPM/WAV payloads
+(tests/test_multimodal.py).
 
 Scale design: media payloads are large, so every plan here keeps
 binary columns out of shuffles — metadata is projected first
@@ -18,8 +24,10 @@ metadata is referenced), and per-row kernels run mapInPandas with
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -65,25 +73,136 @@ def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decode_image_bytes(b: bytes) -> tuple[int, int, int, list[float]] | None:
+    """(width, height, channels, per-channel means 0-255) for image
+    formats decodable WITHOUT external codecs:
+
+    - uncompressed 24/32-bit BMP (BITMAPINFOHEADER, BI_RGB),
+    - binary PPM (``P6``) / PGM (``P5``);
+
+    anything else (PNG/JPEG/…) goes to PIL when installed (optional
+    dependency).  Returns None when no decoder applies — callers
+    choose the fallback policy."""
+    if b[:2] == b"BM" and len(b) >= 54:
+        (data_off,) = struct.unpack_from("<I", b, 10)
+        (hdr_size,) = struct.unpack_from("<I", b, 14)
+        if hdr_size >= 40:
+            w, h = struct.unpack_from("<ii", b, 18)
+            _, bpp = struct.unpack_from("<HH", b, 26)
+            (comp,) = struct.unpack_from("<I", b, 30)
+            if comp == 0 and bpp in (24, 32) and w > 0:
+                h_abs = abs(h)  # negative height = top-down rows
+                nch = bpp // 8
+                stride = ((w * nch + 3) // 4) * 4
+                if data_off + stride * h_abs <= len(b):
+                    px = np.frombuffer(b, np.uint8, offset=data_off, count=stride * h_abs)
+                    px = px.reshape(h_abs, stride)[:, : w * nch].reshape(h_abs, w, nch)
+                    bgr = px[..., :3].reshape(-1, 3).mean(axis=0)  # BMP stores BGR(A)
+                    return w, h_abs, 3, [float(bgr[2]), float(bgr[1]), float(bgr[0])]
+        return None
+    if b[:2] in (b"P6", b"P5"):
+        # header tokens (magic, width, height, maxval) separated by
+        # whitespace, '#' comments to end of line; raster follows the
+        # single whitespace byte after maxval
+        toks, pos = [], 2
+        while len(toks) < 3 and pos < len(b):
+            c = b[pos : pos + 1]
+            if c == b"#":
+                pos = b.find(b"\n", pos)
+                if pos < 0:
+                    return None
+                pos += 1
+            elif c.isspace():
+                pos += 1
+            else:
+                j = pos
+                while j < len(b) and not b[j : j + 1].isspace():
+                    j += 1
+                toks.append(b[pos:j])
+                pos = j
+        if len(toks) < 3 or not all(t.isdigit() for t in toks):
+            return None
+        w, h, maxval = (int(t) for t in toks)
+        pos += 1  # the single whitespace after maxval
+        nch = 3 if b[:2] == b"P6" else 1
+        if maxval > 255 or pos + w * h * nch > len(b):
+            return None
+        px = np.frombuffer(b, np.uint8, offset=pos, count=w * h * nch).reshape(-1, nch)
+        means = px.mean(axis=0)
+        rgb = [float(means[i % nch]) for i in range(3)]
+        return w, h, nch, rgb
+    try:
+        import io
+
+        from PIL import Image  # optional: compressed formats
+
+        img = Image.open(io.BytesIO(b))
+        arr = np.asarray(img.convert("RGB"), dtype=np.float64).reshape(-1, 3)
+        means = arr.mean(axis=0)
+        return img.width, img.height, len(img.getbands()), [float(m) for m in means]
+    except ImportError:
+        return None
+    except Exception:
+        return None  # PIL present but payload not an image it knows
+
+
+def decode_audio_bytes(b: bytes) -> tuple[int, int, int, float, float] | None:
+    """(sample_rate, channels, n_frames, rms, peak) for PCM WAV via
+    the stdlib ``wave`` module; amplitudes normalized to [0, 1].
+    None when the payload isn't a WAV this decoder handles."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(b)) as wv:
+            nch, sw, rate, nframes = (
+                wv.getnchannels(), wv.getsampwidth(), wv.getframerate(), wv.getnframes(),
+            )
+            frames = wv.readframes(nframes)
+    except (wave.Error, EOFError):
+        return None
+    if sw == 2:
+        arr = np.frombuffer(frames, np.int16).astype(np.float64) / 32768.0
+    elif sw == 1:
+        arr = (np.frombuffer(frames, np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif sw == 4:
+        arr = np.frombuffer(frames, np.int32).astype(np.float64) / 2147483648.0
+    else:
+        return None
+    if arr.size == 0:
+        return rate, nch, nframes, 0.0, 0.0
+    return (
+        rate, nch, nframes,
+        float(np.sqrt(np.mean(arr * arr))), float(np.max(np.abs(arr))),
+    )
+
+
+def _pack_feature(vals: list[float], dim: int) -> list[float]:
+    """Clamp into [0, 1] and pad/trim to ``dim`` (stable contract:
+    feature vectors are comparable across media types)."""
+    out = [min(max(v, 0.0), 1.0) for v in vals[:dim]]
+    return out + [0.0] * (dim - len(out))
+
+
 def decode_and_featurize(media: DataFrame, strict: bool = False, dim: int = 8) -> DataFrame:
     """Decode + feature-extract stage as mapInPandas.
 
-    STUB DECODER: real image/audio decoding libs are not available
-    in this container.  The fake decoder derives a deterministic
-    feature vector from the payload's sha256 — the Arrow batch
-    plumbing, schema, and partition behavior are exactly what a real
-    kernel would use (swap ``_fake_decode`` for PIL/librosa).
-    """
+    Real decoders run per media_type — images through
+    :func:`decode_image_bytes` (BMP/PPM/PGM stdlib-decoded; PIL for
+    compressed formats when installed), audio through
+    :func:`decode_audio_bytes` (PCM WAV).  A decoded payload yields
+    ``feature[0] == 1.0`` (decoded flag) followed by normalized real
+    properties.  Payloads no decoder handles (e.g. video containers,
+    or compressed images without PIL) fall back to a deterministic
+    sha256-derived pseudo-feature with ``feature[0] < 1.0`` — or
+    raise under ``strict=True`` (the reference has no multimodal
+    surface at all; this is beyond-reference scope per
+    BASELINE.json)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "media codecs unavailable in this environment; "
-                    "install PIL/librosa/av and replace the stub decoder"
-                )
             out = {
                 "asset_id": pdf["asset_id"],
                 "media_type": pdf["media_type"],
@@ -91,9 +210,39 @@ def decode_and_featurize(media: DataFrame, strict: bool = False, dim: int = 8) -
                 "sha": pdf["payload"].map(lambda b: hashlib.sha256(bytes(b)).hexdigest()),
             }
             feats = []
-            for b in pdf["payload"]:
-                digest = hashlib.sha256(bytes(b)).digest()
-                feats.append([float(digest[i]) / 255.0 for i in range(dim)])
+            for b, mt in zip(pdf["payload"], pdf["media_type"]):
+                b = bytes(b)
+                decoded = None
+                if mt == "image":
+                    img = decode_image_bytes(b)
+                    if img is not None:
+                        w, h, nch, rgb = img
+                        decoded = [1.0, w / 65535.0, h / 65535.0, nch / 4.0] + [
+                            c / 255.0 for c in rgb
+                        ]
+                elif mt == "audio":
+                    aud = decode_audio_bytes(b)
+                    if aud is not None:
+                        rate, nch, nframes, rms, peak = aud
+                        decoded = [
+                            1.0, rate / 192_000.0, nch / 8.0, nframes / 1e7, rms, peak,
+                        ]
+                if decoded is not None:
+                    feats.append(_pack_feature(decoded, dim))
+                    continue
+                if strict:
+                    raise NotImplementedError(
+                        f"no decoder for this {mt} payload: media codecs "
+                        "unavailable (stdlib decoders cover BMP/PPM/PGM/WAV; "
+                        "install PIL/librosa/av for compressed formats)"
+                    )
+                digest = hashlib.sha256(b).digest()
+                # fallback pseudo-feature; [0] scaled < 1.0 so it can
+                # never collide with the decoded flag
+                feats.append(
+                    [float(digest[0]) / 256.0]
+                    + [float(digest[i]) / 255.0 for i in range(1, dim)]
+                )
             out["feature"] = feats
             yield pd.DataFrame(out)
 

@@ -131,3 +131,27 @@ def test_pipeline_skips_untriggered(spark):
     out = pipe.apply(df, {})
     assert out.columns == ["x"]  # untouched
     _ = F
+
+
+def test_webhook_timeout_bound():
+    """Reference contract (WebHookHttpService 3s timeout): a slow
+    webhook transform fails the request with TransformTimeout instead
+    of stalling the gateway; errors propagate; fast hooks unaffected."""
+    import time
+
+    import pytest
+
+    from rakam_api_spark.enrich.transforms import TransformRegistry, TransformTimeout
+
+    reg = TransformRegistry()
+    reg.register_webhook("p", "slow", lambda q, b, pr, h: time.sleep(10))
+    reg.register_webhook("p", "fast", lambda q, b, pr, h: {"collection": "c", "properties": q})
+    reg.register_webhook("p", "boom", lambda q, b, pr, h: 1 / 0)
+
+    t0 = time.time()
+    with pytest.raises(TransformTimeout):
+        reg.invoke_webhook("p", "slow", timeout_sec=0.3)
+    assert time.time() - t0 < 2.0  # bounded, not the sleep(10)
+    assert reg.invoke_webhook("p", "fast", {"x": 1})["properties"] == {"x": 1}
+    with pytest.raises(ZeroDivisionError):
+        reg.invoke_webhook("p", "boom")
