@@ -19,6 +19,14 @@ operators; this module provides them in both forms:
   reference's EventStream push model with per-subscription state,
   CollectionStreamQuery.java:20-39).
 
+  Spark 4's successor API (``transformWithStateInPandas``: timers,
+  TTL, composite state) is the intended upgrade path, but its
+  driver↔state-server protocol requires the Python ``protobuf``
+  package, absent from this container (verified: the streaming
+  runner crashes with ``ImportError: google.protobuf``) — so the
+  sessionizer stays on ``applyInPandasWithState``, which is fully
+  functional here and carries identical per-key state semantics.
+
 Scale notes: watermarks bound state size (without one, streaming
 window state grows forever); session state is partitioned by user —
 the same key distribution as the batch sessionization, so a 100 TB
