@@ -437,6 +437,150 @@ def _cosine_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_dedup(spark, sf_dir, threshold=GATE_DEDUP_THRESHOLD)
 
 
+# --- IVF physical layout: cell-partitioned index --------------------------
+#
+# ivf_topk/kmeans_ivf_topk prune LOGICALLY (probe only matching cells'
+# rows) but still scan the whole corpus file.  The scale path writes
+# the corpus ONCE partitioned by cell id, so a probe's scan touches
+# only the probed cells' directories — hive partition pruning turns
+# nprobe/k of the corpus into the physical read set.  This is the
+# "bucketed-by-cell writes" layer the ANN docstrings promise.
+
+
+def build_ivf_index(
+    spark: SparkSession, sf_dir: str, index_dir: str, k: int | None = None, iters: int | None = None
+) -> None:
+    """Build a cell-partitioned IVF index: k-means cells learned as in
+    :func:`kmeans_ivf_topk` (deterministic Lloyd), then
+
+    - ``{index_dir}/corpus`` — the embeddings written
+      ``partitionBy(cell)`` (one directory per cell: partition
+      pruning makes a probe read nprobe/k of the data),
+    - ``{index_dir}/centroids`` — the (cell, pos, cq) centroid
+      components (tiny; broadcast at query time).
+
+    One-time layout cost, amortized over every subsequent query —
+    the same publish-once pattern as the bucketed event layout
+    (bucketing.py)."""
+    k = k if k is not None else K_CELLS
+    iters = iters if iters is not None else KM_ITERS
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = _quantized_components(emb).cache()
+    comp.count()
+    cents = comp.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("label"), "pos", F.col("q").alias("cq")
+    )
+    for _ in range(iters):
+        assign = _assign_cells(comp, cents)
+        cents = (
+            comp.join(assign, "vec_id")
+            .groupBy("label", "pos")
+            .agg(F.floor(F.avg("q")).cast("long").alias("cq"))
+        )
+    assign = _assign_cells(comp, cents)
+    import os
+
+    (
+        emb.select("vec_id", "embedding")  # corpus label column != cell id
+        .join(assign.withColumnRenamed("label", "cell"), "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(index_dir, "corpus"))
+    )
+    cents.write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
+    comp.unpersist()
+
+
+def ivf_index_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    nprobe: int = 3,
+    topk: int = 5,
+) -> DataFrame:
+    """Query a cell-partitioned IVF index: rank cells per query
+    against the (broadcast) centroids, then scan ONLY the probed
+    cells' partitions — the ``cell IN (...)`` filter lands in the
+    scan's PartitionFilters, so the files of unprobed cells are
+    never opened (plan-audited in tests/test_similarity_lsh.py).
+
+    ``queries``: (q_id, embedding) frame.  Same integer-quantized
+    cosine as every other ANN path."""
+    import os
+
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    qcomp = _quantized_components(queries, id_col="q_id").select(
+        "q_id", "pos", F.col("q").alias("qq")
+    )
+    qcell = (
+        cents.join(broadcast(qcomp), "pos")
+        .groupBy("q_id", "label")
+        .agg(F.sum(F.col("cq") * F.col("qq")).alias("dot"))
+    )
+    cnorm = cents.groupBy("label").agg(F.sum(F.col("cq") * F.col("cq")).alias("cn2"))
+    qnorm = qcomp.groupBy("q_id").agg(F.sum(F.col("qq") * F.col("qq")).alias("qn2"))
+    wq = Window.partitionBy("q_id").orderBy(
+        F.desc(
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("cn2").cast("double") * F.col("qn2").cast("double"))
+        ),
+        F.asc("label"),
+    )
+    probes = (
+        qcell.join(broadcast(cnorm), "label")
+        .join(broadcast(qnorm), "q_id")
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("q_id", "label")
+    )
+    # the driver learns WHICH cells to open (tiny: nprobe × queries
+    # values), so the partition filter is a literal IN list and the
+    # scan prunes directories — never the corpus rows themselves
+    probed_cells = sorted({r["label"] for r in probes.select("label").distinct().collect()})
+    corpus = spark.read.parquet(os.path.join(index_dir, "corpus")).where(
+        F.col("cell").isin(probed_cells)
+    )
+    mcomp = corpus.select(
+        "vec_id", "cell", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        "cell",
+        "pos",
+        F.round(F.col("v").cast("double") * QUANT, 0).cast("long").alias("q"),
+    )
+    m = mcomp.alias("m")
+    p = probes.alias("p")
+    q = qcomp.alias("q")
+    dots = (
+        m.join(broadcast(p), F.col("m.cell") == F.col("p.label"))
+        .join(
+            broadcast(q),
+            (F.col("m.pos") == F.col("q.pos")) & (F.col("p.q_id") == F.col("q.q_id")),
+        )
+        .where(F.col("m.vec_id") != F.col("p.q_id"))
+        .groupBy(F.col("p.q_id").alias("q_id"), F.col("m.vec_id").alias("vec_id"))
+        .agg(F.sum(F.col("m.q") * F.col("q.qq")).alias("dot"))
+    )
+    norms = mcomp.groupBy("vec_id").agg(F.sum(F.col("q") * F.col("q")).alias("norm2"))
+    qnorms = qnorm.select("q_id", F.col("qn2").alias("qnorm2"))
+    scored = (
+        dots.join(broadcast(qnorms), "q_id")
+        .join(norms, "vec_id")
+        .withColumn(
+            "cosine",
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("norm2").cast("double") * F.col("qnorm2").cast("double")),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= topk)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rnk")
+        .orderBy("q_id", "rnk")
+    )
+
+
 K_CELLS = 8
 KM_ITERS = 2
 

@@ -1,13 +1,16 @@
 """Random-hyperplane LSH for embedding near-dup: planted near-
-duplicate vectors are recovered through the sign-pattern buckets
-(the sf0.01 table has no pairs above cosine 0.46, so the oracle row
-alone only proves the trivially-empty case — this test proves the
-positive path)."""
+duplicate vectors are recovered through the sign-pattern buckets.
+The oracle gate runs at threshold 0.35 (below the corpus's max
+candidate cosine) so the CORRECTNESS row is non-vacuous; this test
+additionally proves the high-cosine (0.95) path on planted pairs.
+Plus the cell-partitioned IVF index (build + pruned probe)."""
 
 import math
 import random
 
 import pytest
+
+from pyspark.sql import functions as F
 
 from rakam_api_spark.llm.similarity import embedding_cosine_dedup
 
@@ -59,3 +62,44 @@ def test_hyperplane_star_fallback_on_degenerate_bucket(spark, tmp_path_factory):
     out = embedding_cosine_dedup(spark, str(d), threshold=0.95, max_bucket=10)
     pairs = {(r["v1"], r["v2"]) for r in out.collect()}
     assert pairs == {(0, i) for i in range(1, 40)}  # star: keeper ↔ member
+
+
+def test_ivf_partitioned_index_prunes_and_matches(spark, tmp_path_factory):
+    """Cell-partitioned IVF index: (a) the probe scan reads ONLY the
+    probed cells' partition directories (PartitionFilters in the
+    plan), (b) results equal the oracle-gated kmeans_ivf_topk, whose
+    cells it shares (same deterministic Lloyd iterations)."""
+    from rakam_api_spark.llm.similarity import (
+        K_CELLS,
+        build_ivf_index,
+        ivf_index_topk,
+        kmeans_ivf_topk,
+    )
+    from rakam_api_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path_factory.mktemp("ivf") / "index")
+    build_ivf_index(spark, sf, idx)
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    got = ivf_index_topk(spark, idx, queries, nprobe=3, topk=5)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # partition pruning reached the corpus scan
+    assert "PartitionFilters" in plan and "cell" in plan
+    expected = {
+        (r["q_id"], r["neighbor_id"], r["rnk"]) for r in kmeans_ivf_topk(spark, sf).collect()
+    }
+    actual = {(r["q_id"], r["neighbor_id"], r["rnk"]) for r in got.collect()}
+    assert actual == expected
+
+    # physical pruning: probing fewer cells than exist reads fewer
+    # partition directories than the index holds
+    import os
+
+    all_cells = [
+        d for d in os.listdir(os.path.join(idx, "corpus")) if d.startswith("cell=")
+    ]
+    assert len(all_cells) > 3  # k-means actually spread the corpus
