@@ -575,6 +575,48 @@ GROUP BY event_type
 """
 
 
+def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles via the mergeable sketch path (Spark
+    ``approx_percentile`` — Greenwald-Khanna summaries with rank
+    error ≤ 1/accuracy; DuckDB ``approx_quantile`` — t-digest): the
+    operator that replaces exact full-sort percentiles at 100 TB.
+
+    Sketch point estimates are engine-specific, so (same pattern as
+    ``dau_approx_sketch``) the comparable surface is a RANK-ERROR
+    BOUNDS CHECK: each engine's own approx value must land between
+    the exact percentiles at q∓0.02 — double the GK guarantee at
+    accuracy 100, so a passing row proves the sketch honored its
+    error contract without comparing raw estimates."""
+    ev = _events(spark, sf_dir)
+    ap = lambda q: F.expr(f"approx_percentile(value, {q}, 100)")
+    ex = lambda q: F.expr(f"percentile(value, {q})")
+    between = lambda q, lo, hi: (ap(q) >= ex(lo)) & (ap(q) <= ex(hi))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            between(0.5, 0.48, 0.52).alias("p50_in_bounds"),
+            between(0.9, 0.88, 0.92).alias("p90_in_bounds"),
+            between(0.99, 0.97, 1.0).alias("p99_in_bounds"),
+        )
+        .orderBy("event_type")
+    )
+
+
+VALUE_QUANTILE_SKETCH_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       approx_quantile(value, 0.5) BETWEEN quantile_cont(value, 0.48)
+                                       AND quantile_cont(value, 0.52) AS p50_in_bounds,
+       approx_quantile(value, 0.9) BETWEEN quantile_cont(value, 0.88)
+                                       AND quantile_cont(value, 0.92) AS p90_in_bounds,
+       approx_quantile(value, 0.99) BETWEEN quantile_cont(value, 0.97)
+                                        AND quantile_cont(value, 1.0) AS p99_in_bounds
+FROM events
+GROUP BY event_type
+"""
+
+
 def dau_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily uniques via HyperLogLog++ (approx_count_distinct, 1%
     rsd) — the mergeable-sketch path that replaces exact distinct at
@@ -628,6 +670,7 @@ QUERIES = {
     "asof_view_before_purchase": asof_view_before_purchase,
     "value_percentiles": value_percentiles,
     "dau_approx_sketch": dau_approx_sketch,
+    "value_quantile_sketch": value_quantile_sketch,
     "latest_event_per_user": latest_event_per_user,
     "daily_value_moving_avg": daily_value_moving_avg,
 }
@@ -646,7 +689,8 @@ ORACLES = {
     "value_percentiles": VALUE_PERCENTILES_ORACLE,
     "latest_event_per_user": LATEST_EVENT_ORACLE,
     "daily_value_moving_avg": MOVING_AVG_ORACLE,
-    # dau_approx_sketch: bounds-check oracle — each engine's sketch
-    # must land within ±5% of the engine-agnostic exact count.
+    # sketch ops carry bounds-check oracles — each engine's own
+    # estimate must honor its error contract vs the exact value.
     "dau_approx_sketch": DAU_APPROX_ORACLE,
+    "value_quantile_sketch": VALUE_QUANTILE_SKETCH_ORACLE,
 }
