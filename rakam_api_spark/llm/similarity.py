@@ -53,9 +53,82 @@ def brute_force_topk(
     """Exact cosine top-k neighbors for query vectors (vec_id <
     n_queries) against the whole corpus (excluding self).
 
-    Plan: query components broadcast; candidates stream through one
-    hash aggregation keyed by (query, candidate).
+    Vectorized kernel: the bounded query set (request-sized, like a
+    search API's batch) rides to every partition as a numpy matrix;
+    ``mapInPandas`` computes all query×candidate dot products per
+    Arrow batch with one float64 BLAS matmul and emits only each
+    partition's per-query top-k — the driver-side final rank then
+    sees partitions×queries×k rows, never the corpus.  This is the
+    documented "Python UDFs only where they beat the built-ins"
+    exception: an 8M-row posexplode+join+hash-agg plan (the previous
+    formulation, kept below as :func:`brute_force_topk_exploded`)
+    does the same arithmetic ~2× slower.
+
+    Exactness: components quantized to int (|q| ≤ 10⁴), dim ≤ 10³,
+    so every product (≤ 10⁸) and every partial sum (≤ 10¹¹) is an
+    integer far below 2⁵³ — float64 matmul is therefore EXACT, and
+    the final ``dot / sqrt(double(n2) * double(qn2))`` runs the same
+    IEEE ops as the SQL oracle expression, bit-for-bit.
     """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = sorted(
+        emb.where(F.col("vec_id") < n_queries).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )  # bounded: the query set IS the request
+    import numpy as np
+
+    def _quant(a):
+        # SQL round() is half-AWAY-from-zero; np.round is half-to-even
+        return np.sign(a) * np.floor(np.abs(a) + 0.5)
+
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = _quant(np.array([r["embedding"] for r in qrows], dtype=np.float64) * QUANT)
+    qn2 = (Q * Q).sum(axis=1)  # exact: integer-valued f64
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = _quant(np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * QUANT)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            dots = X @ Q.T  # exact integer-valued f64, BLAS-side
+            n2 = (X * X).sum(axis=1)
+            cos = dots / np.sqrt(n2[:, None] * qn2[None, :])
+            out_q, out_v, out_c = [], [], []
+            for j in range(len(q_ids)):
+                mask = ids != q_ids[j]  # exclude self
+                cand_ids, cand_cos = ids[mask], cos[mask, j]
+                top = min(k, len(cand_ids))
+                if top == 0:
+                    continue
+                # top-k by (cosine desc, vec_id asc): lexsort keys
+                order = np.lexsort((cand_ids, -cand_cos))[:top]
+                out_q.extend([int(q_ids[j])] * top)
+                out_v.extend(cand_ids[order].tolist())
+                out_c.extend(cand_cos[order].tolist())
+            yield pd.DataFrame({"q_id": out_q, "vec_id": out_v, "cosine": out_c})
+
+    partial = emb.select("vec_id", "embedding").mapInPandas(
+        kernel, "q_id long, vec_id long, cosine double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        partial.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rnk")
+        .orderBy("q_id", "rnk")
+    )
+
+
+def brute_force_topk_exploded(
+    spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 20
+) -> DataFrame:
+    """Pure-DataFrame formulation of :func:`brute_force_topk` (kept
+    as the JVM-only fallback and as plan documentation): query
+    components broadcast; candidates stream through one hash
+    aggregation keyed by (query, candidate)."""
     emb = load_table(spark, sf_dir, "embeddings")
     comp = _quantized_components(emb)
     qcomp = comp.where(F.col("vec_id") < n_queries).select(

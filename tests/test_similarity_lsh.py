@@ -103,3 +103,15 @@ def test_ivf_partitioned_index_prunes_and_matches(spark, tmp_path_factory):
         d for d in os.listdir(os.path.join(idx, "corpus")) if d.startswith("cell=")
     ]
     assert len(all_cells) > 3  # k-means actually spread the corpus
+
+
+def test_brute_force_vectorized_matches_exploded(spark):
+    """The Arrow/numpy kernel and the pure-DataFrame plan must agree
+    bit-for-bit (float64 matmul over integer-valued matrices is
+    exact; rounding is half-away-from-zero in both)."""
+    from rakam_api_spark.llm.similarity import brute_force_topk, brute_force_topk_exploded
+
+    sf = "/root/testdata/sf0.001"
+    a = [tuple(r) for r in brute_force_topk(spark, sf).collect()]
+    b = [tuple(r) for r in brute_force_topk_exploded(spark, sf).collect()]
+    assert a == b and len(a) > 0
