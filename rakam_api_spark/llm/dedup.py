@@ -13,15 +13,19 @@ Four tiers, mirroring the standard LLM-data-pipeline stack:
   (pigeonhole: hamming ≤ 3 ⇒ one of 4 bands equal), verified by
   hamming distance.
 
-Every hash is derived from md5 hex strings so a DuckDB oracle can
-reproduce results bit-for-bit (Spark's xxhash64/murmur would be
-faster; at production scale swap ``_h`` for xxhash64 — the plan
-shape is identical).
+Every hash is derived from md5 so a DuckDB oracle can reproduce
+results bit-for-bit (Spark's xxhash64/murmur would be faster; at
+production scale swap the digest — the plan shape is identical).
 
-All operators are pure DataFrame plans: shingling explodes rows
-map-side, signatures are plain aggregations, candidates come from
-equi-joins — each stage partitions on its join/group key, so the
-whole pipeline scales horizontally.
+Execution split: SIGNATURES (MinHash, SimHash) are doc-local, so
+they run as Arrow-batched kernels (hashlib C md5 + numpy bit math)
+with one signature row per doc as the only shuffled payload;
+everything CROSS-doc — band buckets, candidate pairs, exact-verify
+joins — is declarative DataFrame ops partitioned on its join/group
+key.  Exact-verify shingle explosion happens only for candidate
+docs.  Net: every shuffle is O(docs) or O(candidates), never
+O(corpus shingles), and the Python work is embarrassingly
+batch-parallel.
 """
 
 from __future__ import annotations

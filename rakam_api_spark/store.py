@@ -154,6 +154,36 @@ class EventStore:
             n_files += sum(1 for f in files if f.endswith(".parquet"))
         return n_files
 
+    def publish_bucketed(
+        self,
+        project: str,
+        collection: str,
+        key: str = "_user",
+        n_buckets: int = 64,
+        table_name: str | None = None,
+    ) -> str:
+        """Republish a collection as a user-bucketed analytics table
+        (bucketing.write_bucketed): the maintenance companion to
+        ``compact`` — ingest keeps appending to the month-partitioned
+        layout, and a periodic publish gives every user-keyed
+        operator (sessionization, funnel, retention, profile
+        snapshot) an Exchange-free scan.  Returns the catalog table
+        name to query via ``spark.table``."""
+        from .bucketing import write_bucketed
+
+        df = self.read(project, collection)
+        sort_cols = (key, "_time") if "_time" in df.columns else (key,)
+        name = table_name or f"{_safe(project)}_{_safe(collection)}_by_user".replace(".", "_")
+        write_bucketed(
+            df,
+            name,
+            self._base_path(project, collection) + ".bucketed",
+            key=key,
+            sort_cols=sort_cols,
+            n_buckets=n_buckets,
+        )
+        return name
+
     # --- read -----------------------------------------------------------
 
     def read(self, project: str, collection: str) -> DataFrame:

@@ -79,3 +79,34 @@ def test_sessionization_semantics_match_on_bucketed(spark, bucketed):
     a = {tuple(r) for r in sessions(ev).collect()}
     b = {tuple(r) for r in sessions(bucketed).collect()}
     assert a == b
+
+
+def test_store_publish_bucketed_roundtrip(spark, warehouse):
+    """EventStore.publish_bucketed: ingest via the normal path, then
+    republish by _user — catalog table is Exchange-free on the user
+    key and row-identical to the collection read."""
+    from rakam_api_spark.api import EventCollector
+    from rakam_api_spark.catalog import Metastore
+    from rakam_api_spark.enrich import EnrichmentPipeline, TimestampMapper
+
+    ms = Metastore(warehouse)
+    collector = EventCollector(spark, ms, pipeline=EnrichmentPipeline([TimestampMapper()]))
+    collector.bulk(
+        "p",
+        "clicks",
+        [{"_user": f"u{i % 7}", "x": i} for i in range(50)],
+    )
+    name = collector.store.publish_bucketed("p", "clicks", n_buckets=4)
+    try:
+        t = spark.table(name)
+        agg = t.groupBy("_user").agg(F.count(F.lit(1)).alias("n"))
+        assert not has_exchange(agg)
+        got = {(r["_user"], r["n"]) for r in agg.collect()}
+        want = {
+            (r["_user"], r["n"])
+            for r in collector.store.read("p", "clicks")
+            .groupBy("_user").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert got == want and len(got) == 7
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
