@@ -4,13 +4,23 @@ Tables (TESTDATA.md): region nation customer supplier part orders
 lineitem events documents embeddings — one parquet file each under
 ``{sf_dir}/{name}.parquet``.
 
-The only tricky one is ``events``: its ``ts`` column is parquet
-TIMESTAMP(NANOS, isAdjustedToUTC=false), which Spark cannot read
-natively.  With ``spark.sql.legacy.parquet.nanosAsLong`` the column
-arrives as a raw nanosecond LongType; we rebuild a TimestampNTZType
-column with pure integer arithmetic (no session-timezone dependence,
-so results compare bit-exactly against DuckDB's naive timestamps)
-and keep ``ts_ns`` for epoch math.
+The only tricky one is ``events``: downstream operators do epoch
+math on a raw nanosecond LongType column ``ts_ns`` which is derived
+here from whatever physical type the driver wrote:
+
+- parquet TIMESTAMP(NANOS, isAdjustedToUTC=false) (rounds 1-3):
+  arrives as a raw ns LongType via
+  ``spark.sql.legacy.parquet.nanosAsLong``; we rebuild a
+  TimestampNTZType ``ts`` with pure integer arithmetic.
+- parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) (round 4+):
+  arrives as TimestampNTZType directly; we derive
+  ``ts_ns = unix_micros(cast(ts as timestamp)) * 1000`` — with the
+  UTC session timezone (session.py) the NTZ->TIMESTAMP cast is the
+  identity on the stored micros, so ``ts_ns div 1000`` equals
+  DuckDB's ``epoch_us(ts)`` bit-exactly.
+
+Either way callers get both ``ts`` (TimestampNTZ) and ``ts_ns``
+(long) with no session-timezone dependence.
 """
 
 from __future__ import annotations
@@ -39,7 +49,9 @@ _NS_PER_DAY = 86_400_000_000_000
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure_runtime(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events" and dict(df.dtypes).get("ts") in ("timestamp_ntz", "timestamp"):
+        df = df.withColumn("ts_ns", F.expr("unix_micros(cast(ts as timestamp)) * 1000"))
+    elif name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ts (ns since epoch) -> timestamp_ntz, tz-independent:
         # date part from floor-div days, sub-day part from remainder
         # micros (truncation toward -inf matches DuckDB's ns->us).
