@@ -24,7 +24,7 @@ from __future__ import annotations
 import json
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import ALLOWED_USER_TYPES, Metastore, USER_FIELD
@@ -177,18 +177,32 @@ class EventCollector:
         # 3. enrich, then drop trigger columns (P9 pruning)
         df = pipeline.apply(df, ctx)
         df = df.drop(*[c for c in drop if c in df.columns])
-        # persist the enriched frame: the post-enrichment inference
-        # probe, the valid/dead-letter counts and both writes would
-        # otherwise each re-execute the parse+enrich lineage (4-5
-        # full passes measured).  Micro-batches are bounded;
-        # MEMORY_AND_DISK spills for oversized bulk loads.
-        df = df.persist()
+        # Persist the enriched frame ONLY when the post-enrichment
+        # inference below will actually run a probe action (a custom
+        # transform added an undeclared STRING column) — that probe
+        # plus the store write are two full passes, which a cache
+        # amortizes.  On the common path nothing before the store
+        # write executes the lineage, and caching the enriched frame
+        # measurably DOUBLES the write pass (wide string columns),
+        # so we skip it: the batch then runs exactly one full pass.
+        # The rare dead-letter pass recomputes instead — safe, since
+        # the pipeline is deterministic (server time is pinned to a
+        # literal above, sources are immutable files).
+        from pyspark.sql import types as _T
+
+        post_known = {**known, **resolved}
+        cached = any(
+            f.name not in post_known and isinstance(f.dataType, _T.StringType)
+            for f in df.schema.fields
+        )
+        if cached:
+            df = df.persist()
 
         # 3b. post-enrichment inference: custom transforms (P6) may
         # have added undeclared columns — the reference evolves the
         # schema when a JS mapper sets a new field
         # (CustomEventMapperHttpService.java:517-653)
-        post = infer_new_fields(df, known={**known, **resolved})
+        post = infer_new_fields(df, known=post_known)
         for n, ft in post.items():
             resolved.setdefault(n, ft)
         new_fields = {n: ft for n, ft in resolved.items() if n not in known}
@@ -214,23 +228,50 @@ class EventCollector:
             # collection that was never declared is rejected.
             schema = self.metastore.get_collection(project, collection)
             if schema is None:
-                df.unpersist()
+                if cached:
+                    df.unpersist()
                 raise
 
-        # 5. coerce to the registered schema + dead-letter failures
+        # 5. coerce to the registered schema + dead-letter failures.
+        # One metered write pass: the valid frame carries a hidden
+        # per-row bad-field count and an Observation collects
+        # (row count, Σ bad fields) DURING the parquet write — the
+        # old count-then-write-then-count-dead sequence executed the
+        # batch lineage three times.  The dead-letter pass (a cache
+        # re-read) runs only when the observed bad count is > 0.
         try:
             result = coerce_to_schema(
-                df, schema, collection, max_len=self.max_string_length, event_id_col=None
+                df,
+                schema,
+                collection,
+                max_len=self.max_string_length,
+                event_id_col=None,
+                bad_count_col="_rakam_n_bad",
             )
+            obs = Observation()
+            to_store = result.valid.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("_rakam_n_bad"), F.lit(0)).cast("long").alias("n_bad"),
+            ).drop("_rakam_n_bad")
             if retain_valid:
                 # persist BEFORE the append: the write action fills
                 # the cache, so a later subscriber push reads exactly
                 # the stored rows without re-running the pipeline
-                result.valid = result.valid.persist()
-            stored = self.store.append(project, collection, result.valid)
-            dead = self.store.append_dead_letter(project, result.dead_letter)
+                to_store = to_store.persist()
+            result.valid = to_store
+            self.store.write_batch(project, collection, to_store)
+            metrics = obs.get
+            stored = int(metrics["n"])
+            dead = int(metrics["n_bad"])
+            if dead > 0:
+                # dead row count is already known exactly (one dead-
+                # letter row per observed bad field), so write without
+                # a counting pass
+                self.store.write_dead_letter(project, result.dead_letter)
         finally:
-            df.unpersist()
+            if cached:
+                df.unpersist()
         return IngestReport(
             collection=collection,
             stored=stored,

@@ -202,6 +202,7 @@ def coerce_to_schema(
     max_len: int = DEFAULT_MAX_STRING_LENGTH,
     event_id_col: str | None = None,
     keep_columns: tuple[str, ...] = (),
+    bad_count_col: str | None = None,
 ) -> CoercionResult:
     """Project ``df`` (parsed with arbitrary inferred types) onto the
     registered schema.
@@ -210,6 +211,12 @@ def coerce_to_schema(
     valid output AND produce one dead-letter row each, tagged with
     property/type/original value — the reference's $invalid_schema
     contract (fields: JsonEventDeserializer.java:85-93).
+
+    With ``bad_count_col`` the valid frame carries an extra INT
+    column holding the per-row count of unconvertible fields (== the
+    number of dead-letter rows the row produces).  Callers use it to
+    meter dead-letter volume via ``Observation`` during the store
+    write instead of a second counting pass over the batch.
     """
     src_types = {f.name: f.dataType for f in df.schema.fields}
     out_cols: list[Column] = []
@@ -247,7 +254,17 @@ def coerce_to_schema(
     eid = F.col(event_id_col).cast("string") if event_id_col else F.lit(None).cast("string")
     user = F.col("_user").cast("string") if "_user" in src_types else F.lit(None).cast("string")
 
-    valid = df.select(*out_cols, *[F.col(c) for c in keep_columns if c in src_types])
+    extra: list[Column] = []
+    if bad_count_col is not None:
+        n_bad = (
+            F.size(F.array_compact(F.array(*invalid_structs)))
+            if invalid_structs
+            else F.lit(0)
+        )
+        extra.append(n_bad.cast("int").alias(bad_count_col))
+    valid = df.select(
+        *out_cols, *[F.col(c) for c in keep_columns if c in src_types], *extra
+    )
 
     if invalid_structs:
         bad = df.select(

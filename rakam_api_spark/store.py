@@ -89,6 +89,14 @@ class EventStore:
         n = df.count()
         if n == 0:
             return 0
+        self.write_batch(project, collection, df)
+        return n
+
+    def write_batch(self, project: str, collection: str, df: DataFrame) -> None:
+        """The write half of :meth:`append`, with no counting action:
+        the ingest hot path meters rows via ``Observation`` on the
+        frame it passes in, so the batch executes exactly once
+        (count + write used to be two full lineage passes)."""
         if "_time" in df.columns:
             out = df.withColumn("_month", F.date_format(F.col("_time"), "yyyy-MM"))
             partition_cols = ["_month"]
@@ -99,14 +107,18 @@ class EventStore:
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(self._table_path(project, collection))
-        return n
 
     def append_dead_letter(self, project: str, df: DataFrame) -> int:
         n = df.count()
         if n == 0:
             return 0
-        df.write.mode("append").parquet(self._table_path(project, INVALID_COLLECTION))
+        self.write_dead_letter(project, df)
         return n
+
+    def write_dead_letter(self, project: str, df: DataFrame) -> None:
+        """Uncounted dead-letter append (the caller already knows the
+        row count from its ingest Observation)."""
+        df.write.mode("append").parquet(self._table_path(project, INVALID_COLLECTION))
 
     # --- maintenance ----------------------------------------------------
 
@@ -192,7 +204,11 @@ class EventStore:
         new columns."""
         path = self._table_path(project, collection)
         schema = self.metastore.get_collection(project, collection)
-        if not os.path.exists(path):
+        if not os.path.exists(path) or not any(
+            f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
+        ):
+            # missing dir, or a dir holding only _SUCCESS markers
+            # (an observed write of an empty batch): empty frame
             if schema is None:
                 raise FileNotFoundError(f"no such collection: {project}.{collection}")
             return self.spark.createDataFrame([], schema)
