@@ -15,13 +15,24 @@ from pyspark.sql import DataFrame, SparkSession
 from rakam_api_spark.analytics import enrichment_queries as _enrich
 from rakam_api_spark.analytics import events as _events
 from rakam_api_spark.analytics import relational as _relational
+from rakam_api_spark.llm import curation as _curation
 from rakam_api_spark.llm import dedup as _dedup
 from rakam_api_spark.llm import multimodal as _multimodal
 from rakam_api_spark.llm import similarity as _similarity
 from rakam_api_spark.llm import text as _text
 from rakam_api_spark.streaming import windows as _windows
 
-_MODULES = (_relational, _events, _enrich, _windows, _dedup, _similarity, _text, _multimodal)
+_MODULES = (
+    _relational,
+    _events,
+    _enrich,
+    _windows,
+    _dedup,
+    _similarity,
+    _text,
+    _curation,
+    _multimodal,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:

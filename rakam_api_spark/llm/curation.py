@@ -1,0 +1,417 @@
+"""Corpus-curation operators for LLM training-data pipelines:
+repetition-based quality rules, PII redaction, benchmark
+contamination checks, deterministic stratified sampling, sequence
+packing, and mixture re-weighting.
+
+These extend the reference's surface (it has no document-curation
+layer; its closest analog is the event mapper chain,
+rakam-spi/.../EventMapper.java) with the operations a 100 TB
+pretraining-data pipeline runs over the ``documents`` table.
+
+Scale notes, per operator:
+
+- ``quality_repetition_rules``: explode → two hash aggregations on
+  ``doc_id`` — map-side partial aggregation dedupes token counts
+  before the wire; linear in corpus size.
+- ``pii_redaction``: pure row-local regexp column expressions;
+  embarrassingly parallel, stays in whole-stage codegen.
+- ``contamination_check``: the benchmark shingle set is tiny (the
+  held-out eval suite) and is BROADCAST; the corpus side streams
+  through one join + one aggregation — no corpus self-join, no
+  shuffle of the corpus beyond its doc_id aggregation.
+- ``stratified_sample``: row-local md5 bucket + per-stratum
+  threshold; deterministic under retries (content-addressed, not
+  ``rand()``), so a re-run of a failed partition samples the same
+  rows — the property that matters at 1000 executors.
+- ``pack_sequences``: running token sum WITHIN each source partition
+  (window partitioned by ``source``) — parallel across sources; at
+  100 TB sources map to input shards so no global ordering exists
+  anywhere in the plan.
+- ``mix_weights``: one small aggregation + a broadcast of the grand
+  total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..tables import load_table
+from .dedup import word_shingles
+
+# Rule thresholds (Gopher-family repetition filters, re-anchored to
+# the synthetic corpus distribution so both rule branches are
+# exercised at test scale: top-token fraction median is ~0.09 /
+# max 0.30, duplicate-token fraction median ~0.83 / max 0.99).
+TOP_TOKEN_FRAC_MAX = 0.15
+DUP_TOKEN_FRAC_MAX = 0.9
+
+# RE2- and java.util.regex-compatible PII patterns (same behavior in
+# Spark codegen and the DuckDB oracle; no lookarounds, no \b edge
+# semantics differences on these shapes).
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PHONE_RE = "555-[0-9]{4}"
+
+PACK_TOKEN_BUDGET = 512
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --- repetition-based quality rules -------------------------------------
+
+
+def quality_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: per-doc top-token fraction
+    and duplicate-token fraction, with a keep/drop verdict.
+
+    Two hash aggregations keyed on doc_id (token counts, then doc
+    rollup) — both benefit from map-side combine; no window, no
+    self-join.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    wc = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_count"),
+        F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)).alias("dup_tokens"),
+    )
+    top_frac = F.col("top_count").cast("double") / F.col("n_tokens").cast("double")
+    dup_frac = F.col("dup_tokens").cast("double") / F.col("n_tokens").cast("double")
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            top_frac.alias("top_token_frac"),
+            dup_frac.alias("dup_token_frac"),
+            (
+                (top_frac <= F.lit(TOP_TOKEN_FRAC_MAX))
+                & (dup_frac <= F.lit(DUP_TOKEN_FRAC_MAX))
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_REPETITION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+per_doc AS (
+  SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct, MAX(c) AS top_count,
+         COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS dup_tokens
+  FROM wc GROUP BY 1
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       CAST(top_count AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_frac,
+       CAST(dup_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_token_frac,
+       (CAST(top_count AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.15
+        AND CAST(dup_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.9) AS keep
+FROM per_doc
+"""
+
+
+# --- PII redaction -------------------------------------------------------
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails/phone numbers and report per-doc counts.
+
+    The synthetic corpus carries no PII, so a deterministic augmenter
+    plants one email + one phone in every 5th doc IN-QUERY (both
+    engines construct the identical augmented input) — the redaction
+    path is exercised non-vacuously while the fixture tables stay
+    untouched.  Row-local regexps: whole-stage codegen, linear scale.
+    """
+    docs = _docs(spark, sf_dir)
+    planted = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    aug = docs.select("doc_id", planted.alias("text"))
+    n_emails = F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE), 0))
+    n_phones = F.size(F.regexp_extract_all(F.col("text"), F.lit(PHONE_RE), 0))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    )
+    return aug.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+PII_REDACTION_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN
+           text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS INT) AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{PHONE_RE}', '[PHONE]', 'g')) AS redacted_md5
+FROM aug
+"""
+
+
+# --- benchmark contamination --------------------------------------------
+
+
+def contamination_check(
+    spark: SparkSession, sf_dir: str, n: int = 4, bench_mod: int = 97
+) -> DataFrame:
+    """N-gram contamination of the training corpus against a held-out
+    benchmark set (docs with ``doc_id % bench_mod == 0`` stand in for
+    the eval suite).
+
+    The benchmark shingle set is small by construction → broadcast;
+    the corpus streams through one equi-join + per-doc aggregation.
+    At 100 TB the corpus is never self-joined and never shuffled on
+    anything but doc_id.
+    """
+    docs = _docs(spark, sf_dir)
+    is_bench = F.col("doc_id") % bench_mod == 0
+    bench_sh = (
+        word_shingles(docs.where(is_bench), n=n).select("shingle").distinct()
+    )
+    corpus_sh = word_shingles(docs.where(~is_bench), n=n)
+    sizes = corpus_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        corpus_sh.join(broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        sizes.join(hits, "doc_id")
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            (
+                F.col("n_contaminated").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("contaminated_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CONTAMINATION_ORACLE = """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2]
+           || ' ' || w[CAST(i AS INT)+3] AS shingle
+  FROM docs, LATERAL unnest(range(1, len(w)-2)) t(i)
+  WHERE len(w) >= 4
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+corpus AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY 1),
+hits AS (
+  SELECT c.doc_id, COUNT(*) AS n_contaminated
+  FROM corpus c JOIN bench USING (shingle) GROUP BY 1
+)
+SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_contaminated AS BIGINT) AS n_contaminated,
+       CAST(n_contaminated AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS contaminated_frac
+FROM sizes JOIN hits USING (doc_id)
+"""
+
+
+# --- deterministic stratified sampling ----------------------------------
+
+# per-mill keep rates per language stratum (down-weight the dominant
+# languages, keep the tail) — data, not code, like the lang-id
+# marker table.
+SAMPLE_RATES_PER_MILL = {"en": 500, "es": 250, "fr": 250, "de": 125, "zh": 125}
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling: keep a doc iff its
+    md5(doc_id) bucket (of 1000) falls under the stratum's rate.
+
+    Content-addressed sampling (not ``rand()``) so task retries and
+    full re-runs select identical rows — at 1000 executors a
+    nondeterministic sample breaks exactly-once downstream contracts.
+    Reports per-stratum totals; the kept frame itself is the same
+    filter without the rollup.
+    """
+    docs = _docs(spark, sf_dir)
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 1000
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(r))
+            for lang, r in SAMPLE_RATES_PER_MILL.items()
+        ],
+        F.lit(0),
+    )
+    kept = F.col("_bucket") < F.col("_rate")
+    return (
+        docs.select("doc_id", "lang", "n_chars", bucket.alias("_bucket"), rate.alias("_rate"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.coalesce(F.sum(F.when(kept, F.col("n_chars"))), F.lit(0)).alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+STRATIFIED_SAMPLE_ORACLE = """
+WITH tagged AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS bucket,
+         CASE lang WHEN 'en' THEN 500 WHEN 'es' THEN 250 WHEN 'fr' THEN 250
+                   WHEN 'de' THEN 125 WHEN 'zh' THEN 125 ELSE 0 END AS rate
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(COALESCE(SUM(CASE WHEN bucket < rate THEN n_chars END), 0) AS BIGINT) AS kept_chars
+FROM tagged GROUP BY 1
+"""
+
+
+# --- sequence packing ----------------------------------------------------
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing for training: within each source
+    shard, docs (ordered by doc_id) fill fixed token-budget
+    sequences; a doc belongs to the sequence where it STARTS (the
+    streaming-friendly rule — no doc splitting, no lookahead).
+
+    The window is partitioned by ``source`` — sources are the unit
+    of parallelism, mirroring how a 100 TB corpus packs per input
+    shard with no global order anywhere.
+    """
+    docs = _docs(spark, sf_dir)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = docs.select(
+        "doc_id", "source", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    packed = toks.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "seq_id",
+        F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(PACK_TOKEN_BUDGET)).cast("long"),
+    )
+    return (
+        packed.groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source", "seq_id")
+    )
+
+
+PACK_SEQUENCES_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+packed AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM toks
+)
+SELECT source, CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM packed GROUP BY 1, 2
+"""
+
+
+# --- mixture re-weighting ------------------------------------------------
+
+
+def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sampling weights that re-balance the corpus to a
+    uniform language mixture: weight = target_share / actual token
+    share.  One aggregation + a broadcast grand total."""
+    docs = _docs(spark, sf_dir)
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("lang_tokens"),
+    )
+    totals = per_lang.agg(
+        F.sum("lang_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    share = F.col("lang_tokens").cast("double") / F.col("total_tokens").cast("double")
+    return (
+        per_lang.crossJoin(broadcast(totals))
+        .select(
+            "lang",
+            "n_docs",
+            "lang_tokens",
+            share.alias("token_share"),
+            ((F.lit(1.0) / F.col("n_langs").cast("double")) / share).alias("mix_weight"),
+        )
+        .orderBy("lang")
+    )
+
+
+MIX_WEIGHTS_ORACLE = """
+WITH per_lang AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens
+  FROM documents GROUP BY 1
+),
+totals AS (
+  SELECT SUM(lang_tokens) AS total_tokens, COUNT(*) AS n_langs FROM per_lang
+)
+SELECT lang, n_docs, lang_tokens,
+       CAST(lang_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share,
+       (1.0 / CAST(n_langs AS DOUBLE))
+         / (CAST(lang_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) AS mix_weight
+FROM per_lang, totals
+"""
+
+
+QUERIES = {
+    "quality_repetition_rules": quality_repetition_rules,
+    "pii_redaction": pii_redaction,
+    "contamination_check": contamination_check,
+    "stratified_sample": stratified_sample,
+    "pack_sequences": pack_sequences,
+    "mix_weights": mix_weights,
+}
+
+ORACLES = {
+    "quality_repetition_rules": QUALITY_REPETITION_ORACLE,
+    "pii_redaction": PII_REDACTION_ORACLE,
+    "contamination_check": CONTAMINATION_ORACLE,
+    "stratified_sample": STRATIFIED_SAMPLE_ORACLE,
+    "pack_sequences": PACK_SEQUENCES_ORACLE,
+    "mix_weights": MIX_WEIGHTS_ORACLE,
+}

@@ -1,0 +1,107 @@
+"""Corpus-curation operators (llm/curation.py): repetition quality
+rules, PII redaction, contamination, stratified sampling, sequence
+packing, mixture weights.  Semantics + the scale-shaped plan
+properties (broadcast benchmark set, deterministic sampling)."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from rakam_api_spark.llm import curation
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_repetition_rules_exercise_both_branches(spark):
+    out = curation.quality_repetition_rules(spark, SF).collect()
+    kept = [r for r in out if r["keep"]]
+    dropped = [r for r in out if not r["keep"]]
+    assert kept and dropped, "thresholds must split the corpus"
+    for r in out:
+        assert 0.0 < r["top_token_frac"] <= 1.0
+        assert 0.0 <= r["dup_token_frac"] <= 1.0
+        want = (
+            r["top_token_frac"] <= curation.TOP_TOKEN_FRAC_MAX
+            and r["dup_token_frac"] <= curation.DUP_TOKEN_FRAC_MAX
+        )
+        assert r["keep"] == want
+
+
+def test_pii_redaction_plants_and_scrubs(spark):
+    rows = {r["doc_id"]: r for r in curation.pii_redaction(spark, SF).collect()}
+    planted = [d for d in rows if d % 5 == 0]
+    clean = [d for d in rows if d % 5 != 0]
+    assert planted and clean
+    for d in planted:
+        assert rows[d]["n_emails"] == 1 and rows[d]["n_phones"] == 1
+    for d in clean:
+        assert rows[d]["n_emails"] == 0 and rows[d]["n_phones"] == 0
+    # redacted text contains no raw PII: re-extract on the redacted
+    # string via a spot check of one planted doc
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    d0 = planted[0]
+    raw = docs.where(F.col("doc_id") == d0).select("text").first()["text"]
+    red = spark.createDataFrame([(raw + f" contact user{d0}@example.com or 555-0000",)], "t string").select(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), curation.EMAIL_RE, "[EMAIL]"),
+            curation.PHONE_RE,
+            "[PHONE]",
+        ).alias("r")
+    ).first()["r"]
+    assert "@" not in red and "[EMAIL]" in red and "[PHONE]" in red
+
+
+def test_contamination_benchmark_is_broadcast(spark):
+    df = curation.contamination_check(spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, "benchmark shingle set must broadcast"
+    out = df.collect()
+    assert out, "contamination must be non-vacuous at sf0.01"
+    for r in out:
+        assert 0 < r["n_contaminated"] <= r["n_shingles"]
+        assert 0.0 < r["contaminated_frac"] <= 1.0
+
+
+def test_stratified_sample_deterministic_and_rate_shaped(spark):
+    a = curation.stratified_sample(spark, SF).collect()
+    b = curation.stratified_sample(spark, SF).collect()
+    assert a == b, "content-addressed sampling must be reproducible"
+    by_lang = {r["lang"]: r for r in a}
+    assert set(by_lang) == set(curation.SAMPLE_RATES_PER_MILL)
+    for lang, r in by_lang.items():
+        assert 0 <= r["n_kept"] <= r["n_total"]
+        # loose binomial sanity: keep fraction within ±0.25 of rate
+        frac = r["n_kept"] / r["n_total"]
+        assert abs(frac - curation.SAMPLE_RATES_PER_MILL[lang] / 1000) < 0.25
+
+
+def test_pack_sequences_budget_and_coverage(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_docs = docs.count()
+    out = curation.pack_sequences(spark, SF).collect()
+    assert sum(r["n_docs"] for r in out) == n_docs, "every doc lands in a sequence"
+    budget = curation.PACK_TOKEN_BUDGET
+    per_source: dict[str, list] = {}
+    for r in out:
+        per_source.setdefault(r["source"], []).append(r)
+    for source, seqs in per_source.items():
+        seqs.sort(key=lambda r: r["seq_id"])
+        # seq ids are the floor of the exclusive prefix sum: strictly
+        # increasing, starting at 0
+        assert seqs[0]["seq_id"] == 0
+        assert all(b["seq_id"] > a["seq_id"] for a, b in zip(seqs, seqs[1:]))
+        # every non-final sequence must have crossed the budget
+        # boundary with its last doc (contiguous fill rule)
+        for a, b in zip(seqs, seqs[1:]):
+            assert a["seq_tokens"] > (b["seq_id"] - a["seq_id"] - 1) * budget
+
+
+def test_mix_weights_rebalance_to_uniform(spark):
+    out = curation.mix_weights(spark, SF).collect()
+    assert abs(sum(r["token_share"] for r in out) - 1.0) < 1e-9
+    n = len(out)
+    for r in out:
+        # weight * share == target share exactly
+        assert abs(r["mix_weight"] * r["token_share"] - 1.0 / n) < 1e-9
