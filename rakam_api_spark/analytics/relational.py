@@ -541,6 +541,170 @@ WHERE o.o_totalprice = (
 """
 
 
+def part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11's shape: per-part revenue filtered against a global
+    scalar aggregate (HAVING value > 1.5 × average part value).
+
+    The comparison is done in EXACT integer-scaled decimal arithmetic
+    (2·n·v > 3·total) — no decimal division, so the threshold
+    predicate is bit-identical across engines.  The totals frame is
+    one row → broadcast; the per-part aggregation is the only
+    shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(_dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount")))
+        .cast("decimal(38,12)")
+        .alias("v")
+    )
+    totals = pv.agg(
+        F.sum("v").cast("decimal(38,12)").alias("total"), F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        pv.crossJoin(broadcast(totals))
+        .where(F.col("v") * F.lit(2) * F.col("n_parts") > F.col("total") * F.lit(3))
+        .select(
+            "l_partkey",
+            # re-scale to DECIMAL(18,6) before the double cast: the
+            # engines' scale-12→double conversions round differently
+            # in the last ulp, scale-6 conversions agree (the repo's
+            # money convention)
+            F.col("v").cast(DEC).cast("double").alias("part_value"),
+            (F.col("v").cast(DEC).cast("double") / F.col("total").cast(DEC).cast("double")).alias(
+                "value_share"
+            ),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+PART_VALUE_CONCENTRATION_ORACLE = """
+WITH pv AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                  * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))
+              AS DECIMAL(38,12)) AS v
+  FROM lineitem GROUP BY 1
+),
+totals AS (SELECT CAST(SUM(v) AS DECIMAL(38,12)) AS total, COUNT(*) AS n_parts FROM pv)
+SELECT l_partkey, CAST(CAST(v AS DECIMAL(18,6)) AS DOUBLE) AS part_value,
+       CAST(CAST(v AS DECIMAL(18,6)) AS DOUBLE)
+         / CAST(CAST(total AS DECIMAL(18,6)) AS DOUBLE) AS value_share
+FROM pv, totals
+WHERE v * 2 * n_parts > total * 3
+"""
+
+
+def big_ticket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18's shape: orders whose total lineitem quantity
+    exceeds a threshold — a semi-join of the orders table against a
+    grouped-HAVING set, plus a broadcast customer lookup.
+
+    At scale the heavy side (lineitem) aggregates map-side before its
+    one shuffle on l_orderkey; orders joins the (small) qualifying
+    set, so the orders table is never shuffled on a new key.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    qualifying = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("total_qty"))
+        .where(F.col("total_qty") > F.lit(250).cast(DEC))
+    )
+    return (
+        orders.join(qualifying, orders.o_orderkey == qualifying.l_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_date"),
+            F.col("o_totalprice").alias("o_totalprice"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+BIG_TICKET_ORDERS_ORACLE = """
+WITH qualifying AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,6))) AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 250
+)
+SELECT c.c_name, o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_date,
+       o.o_totalprice, CAST(q.total_qty AS DOUBLE) AS total_qty
+FROM orders o
+JOIN qualifying q ON o.o_orderkey = q.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+def late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's shape: suppliers who were the ONLY late shipper in
+    a multi-supplier order (lateness ≡ l_shipdate more than 60 days
+    after o_orderdate — this schema carries no receipt/commit dates).
+
+    The EXISTS / NOT EXISTS pair is expressed as one conditional
+    aggregation over (order, supplier) — a single pass over the
+    fact-fact join instead of two correlated re-scans; Catalyst
+    cannot decorrelate the textbook form into anything this flat.
+    Top-10 by a total order ending in the unique supplier name.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    late = (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).cast(
+        "int"
+    )
+    per_supp = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    sole_late = (
+        per_supp.where(F.col("late") == 1)
+        .join(
+            per_order.where((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
+            "l_orderkey",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return (
+        sole_late.join(broadcast(supp), sole_late.l_suppkey == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+LATE_SOLE_SUPPLIER_ORACLE = """
+WITH ps AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+po AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late FROM ps GROUP BY 1
+),
+sole AS (
+  SELECT ps.l_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+  FROM ps JOIN po USING (l_orderkey)
+  WHERE ps.late = 1 AND po.n_supp >= 2 AND po.n_late = 1
+  GROUP BY 1
+)
+SELECT s.s_name, numwait
+FROM sole JOIN supplier s ON sole.l_suppkey = s.s_suppkey
+ORDER BY numwait DESC, s.s_name ASC
+LIMIT 10
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -557,6 +721,9 @@ QUERIES = {
     "engaged_user_days_setops": engaged_user_days_setops,
     "revenue_grouping_sets_sql": revenue_grouping_sets_sql,
     "cheapest_order_per_customer_sql": cheapest_order_per_customer_sql,
+    "part_value_concentration": part_value_concentration,
+    "big_ticket_orders": big_ticket_orders,
+    "late_sole_supplier": late_sole_supplier,
 }
 
 ORACLES = {
@@ -575,4 +742,7 @@ ORACLES = {
     "engaged_user_days_setops": SETOPS_ORACLE,
     "revenue_grouping_sets_sql": GROUPING_SETS_SQL_ORACLE,
     "cheapest_order_per_customer_sql": CHEAPEST_ORDER_ORACLE,
+    "part_value_concentration": PART_VALUE_CONCENTRATION_ORACLE,
+    "big_ticket_orders": BIG_TICKET_ORDERS_ORACLE,
+    "late_sole_supplier": LATE_SOLE_SUPPLIER_ORACLE,
 }
