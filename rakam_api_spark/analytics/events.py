@@ -617,6 +617,84 @@ GROUP BY event_type
 """
 
 
+MG_K = 16  # Misra-Gries counter budget per partition
+
+
+def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent items via a distributed Misra-Gries sketch: each
+    partition keeps ≤ ``MG_K`` counters (mapInPandas, vectorized —
+    per Arrow batch the exact value_counts merge into the counter
+    dict, then one generalized decrement subtracts the (k+1)-th
+    largest weight from everything, a batched run of MG's
+    decrement-all step), and partition sketches merge by summed
+    counters — the standard mergeable-summary result.
+
+    Guarantees after the merge: every item with true frequency
+    > N/(k+1) is retained, and each retained estimate lies in
+    [exact − N/(k+1), exact].  Like ``dau_approx_sketch`` the
+    comparable surface is the GUARANTEE, not the raw estimate: the
+    output flags must come out true for every event type (each has
+    frequency ≈ N/5 ≫ N/17), and the oracle asserts the same
+    invariants as literals — a broken sketch flips a flag and fails
+    the hash.  At 100 TB this is the only frequent-items plan that
+    doesn't shuffle the raw stream: counter rows per partition are
+    ≤ k, so the merge aggregation moves O(k × partitions) rows.
+    """
+    import pandas as pd
+
+    ev = _events(spark, sf_dir).select(F.col("event_type").alias("item"))
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for item, c in pdf["item"].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > MG_K:
+                # generalized decrement: subtracting delta from all
+                # counters == delta rounds of MG's decrement-all
+                delta = sorted(counters.values(), reverse=True)[MG_K]
+                counters = {i: n - delta for i, n in counters.items() if n > delta}
+        if counters:
+            yield pd.DataFrame(
+                {"item": list(counters), "est": list(counters.values())}
+            )
+
+    merged = (
+        ev.mapInPandas(mg_partition, "item string, est long")
+        .groupBy("item")
+        .agg(F.sum("est").alias("est"))
+    )
+    exact = ev.groupBy("item").agg(F.count(F.lit(1)).alias("exact_n"))
+    totals = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    from pyspark.sql.functions import broadcast as _bc
+
+    return (
+        exact.join(merged, "item", "left")
+        .crossJoin(_bc(totals))
+        .select(
+            "item",
+            "exact_n",
+            F.col("est").isNotNull().alias("retained"),
+            (
+                F.col("est").isNotNull()
+                & (F.col("est") <= F.col("exact_n"))
+                & (
+                    F.col("est")
+                    >= F.col("exact_n") - F.col("n_total") / F.lit(MG_K + 1)
+                )
+            ).alias("within_bounds"),
+        )
+        .orderBy("item")
+    )
+
+
+HEAVY_HITTERS_ORACLE = """
+SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS exact_n,
+       TRUE AS retained, TRUE AS within_bounds
+FROM events GROUP BY 1
+"""
+
+
 def dau_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily uniques via HyperLogLog++ (approx_count_distinct, 1%
     rsd) — the mergeable-sketch path that replaces exact distinct at
@@ -671,6 +749,7 @@ QUERIES = {
     "value_percentiles": value_percentiles,
     "dau_approx_sketch": dau_approx_sketch,
     "value_quantile_sketch": value_quantile_sketch,
+    "heavy_hitters_sketch": heavy_hitters_sketch,
     "latest_event_per_user": latest_event_per_user,
     "daily_value_moving_avg": daily_value_moving_avg,
 }
@@ -693,4 +772,5 @@ ORACLES = {
     # estimate must honor its error contract vs the exact value.
     "dau_approx_sketch": DAU_APPROX_ORACLE,
     "value_quantile_sketch": VALUE_QUANTILE_SKETCH_ORACLE,
+    "heavy_hitters_sketch": HEAVY_HITTERS_ORACLE,
 }

@@ -1,0 +1,74 @@
+"""Misra-Gries heavy-hitters sketch: the oracle gate runs the k >
+distinct regime (exact); this exercises the genuinely approximate
+regime — more distinct items than counters, skewed frequencies —
+and asserts the MG retention + undercount guarantees."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from rakam_api_spark.analytics.events import MG_K
+
+
+def _mg_estimates(spark, items, n_partitions=8):
+    """Run the same partition-sketch + merge plan heavy_hitters_sketch
+    uses, over an arbitrary item list."""
+
+    def mg_partition(batches):
+        counters = {}
+        for pdf in batches:
+            for item, c in pdf["item"].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > MG_K:
+                delta = sorted(counters.values(), reverse=True)[MG_K]
+                counters = {i: n - delta for i, n in counters.items() if n > delta}
+        if counters:
+            yield pd.DataFrame({"item": list(counters), "est": list(counters.values())})
+
+    df = spark.createDataFrame([(i,) for i in items], "item string").repartition(n_partitions)
+    merged = (
+        df.mapInPandas(mg_partition, "item string, est long")
+        .groupBy("item")
+        .agg(F.sum("est").alias("est"))
+    )
+    return {r["item"]: r["est"] for r in merged.collect()}
+
+
+def test_mg_guarantees_under_skew(spark):
+    # 100 distinct items (> MG_K=16): one item at ~33%, one at ~17%,
+    # the rest uniform tail
+    items = []
+    for i in range(30000):
+        if i % 3 == 0:
+            items.append("hot")
+        elif i % 6 == 1:
+            items.append("warm")
+        else:
+            items.append(f"tail{i % 98}")
+    n = len(items)
+    exact = pd.Series(items).value_counts().to_dict()
+    est = _mg_estimates(spark, items)
+
+    # partition sketches never exceed the counter budget
+    assert len(est) <= MG_K * 8, "merge input is bounded by k x partitions"
+    bound = n / (MG_K + 1)
+    # retention: every item with true freq > N/(k+1) survives the merge
+    for item, ex in exact.items():
+        if ex > bound:
+            assert item in est, f"guaranteed heavy item {item} lost"
+    # undercount bound: estimates never exceed exact and never trail
+    # by more than N/(k+1)
+    for item, e in est.items():
+        assert e <= exact[item]
+        assert e >= exact[item] - bound
+
+
+def test_mg_exact_when_counters_cover_domain(spark):
+    items = [f"i{j % 5}" for j in range(5000)]
+    est = _mg_estimates(spark, items, n_partitions=4)
+    exact = pd.Series(items).value_counts().to_dict()
+    assert est == exact, "k > distinct => Misra-Gries degenerates to exact counts"
