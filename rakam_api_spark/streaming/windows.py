@@ -257,6 +257,84 @@ class StatefulSessionizer:
         )
 
 
+class StreamingHeavyHitters:
+    """Custom stateful streaming operator: continuous frequent-items
+    tracking via sharded Misra-Gries sketches
+    (``applyInPandasWithState``) — the streaming twin of the batch
+    ``analytics.events.heavy_hitters_sketch``.
+
+    Items hash onto ``n_shards`` state keys; each shard's state is
+    one MG counter set (≤ ``k`` items, stored as parallel arrays).
+    Every micro-batch merges the shard's new exact counts into the
+    counters, applies the generalized decrement, and emits the
+    shard's current counters (update semantics).  Downstream, a
+    plain batch aggregation over the latest emission per shard gives
+    global estimates with the summed-MG guarantee: any item with
+    stream frequency > N/(k+1) per shard survives, estimates
+    undercount by at most N_shard/(k+1).
+
+    Scale: state is O(n_shards × k) — independent of stream length;
+    shards spread the single logical sketch across executors, so one
+    hot item cannot serialize the stream through one state key.
+    """
+
+    OUTPUT_SCHEMA = "shard int, item string, est long"
+    STATE_SCHEMA = "items array<string>, counts array<long>"
+
+    def __init__(self, k: int = 16, n_shards: int = 8):
+        self.k = k
+        self.n_shards = n_shards
+
+    def _fn(self):
+        import pandas as pd  # noqa: PLC0415 — executor-side import
+
+        k = self.k
+
+        def track(key, pdfs, state):
+            (shard,) = key
+            if state.exists:
+                items, counts = state.get
+                counters = dict(zip(items, counts))
+            else:
+                counters = {}
+            for pdf in pdfs:
+                for item, c in pdf["item"].value_counts().items():
+                    counters[item] = counters.get(item, 0) + int(c)
+                if len(counters) > k:
+                    delta = sorted(counters.values(), reverse=True)[k]
+                    counters = {i: n - delta for i, n in counters.items() if n > delta}
+            state.update((list(counters), [int(v) for v in counters.values()]))
+            if counters:
+                yield pd.DataFrame(
+                    {
+                        "shard": [int(shard)] * len(counters),
+                        "item": list(counters),
+                        "est": [int(v) for v in counters.values()],
+                    }
+                )
+
+        return track
+
+    def apply(self, items: DataFrame, item_col: str = "item") -> DataFrame:
+        """items: streaming DF with a string item column.  Returns the
+        per-shard counter stream (update mode)."""
+        from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
+
+        src = items.select(
+            F.pmod(F.xxhash64(F.col(item_col)), F.lit(self.n_shards))
+            .cast("int")
+            .alias("shard"),
+            F.col(item_col).alias("item"),
+        )
+        return src.groupBy("shard").applyInPandasWithState(
+            self._fn(),
+            outputStructType=self.OUTPUT_SCHEMA,
+            stateStructType=self.STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+
 QUERIES = {
     "tumbling_window_counts": tumbling_window_counts,
     "session_window_stats": session_window_stats,

@@ -72,3 +72,47 @@ def test_mg_exact_when_counters_cover_domain(spark):
     est = _mg_estimates(spark, items, n_partitions=4)
     exact = pd.Series(items).value_counts().to_dict()
     assert est == exact, "k > distinct => Misra-Gries degenerates to exact counts"
+
+
+def test_streaming_heavy_hitters_state_across_batches(spark, tmp_path):
+    """Sharded MG state persists across micro-batches: after two
+    batches the latest per-shard emission reflects cumulative counts
+    (k > distinct here, so the sketch is exact)."""
+    import json
+    import os
+
+    from rakam_api_spark.streaming.windows import StreamingHeavyHitters
+
+    in_dir = tmp_path / "hh_bus"
+    in_dir.mkdir()
+    (in_dir / "b0.json").write_text(
+        "\n".join(json.dumps({"item": it}) for it in ["a"] * 5 + ["b"] * 3)
+    )
+    p1 = in_dir / "b1.json"
+    p1.write_text("\n".join(json.dumps({"item": it}) for it in ["a"] * 2 + ["c"] * 4))
+    os.utime(p1, (os.path.getmtime(in_dir / "b0.json") + 5,) * 2)
+
+    stream = (
+        spark.readStream.schema("item string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    out = StreamingHeavyHitters(k=16, n_shards=4).apply(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hh_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "hh_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select * from hh_stream").collect()
+    # latest emission per (shard, item) is the cumulative estimate
+    latest = {}
+    for r in rows:
+        latest[(r["shard"], r["item"])] = r["est"]
+    totals = {}
+    for (_, item), est in latest.items():
+        totals[item] = totals.get(item, 0) + est
+    assert totals == {"a": 7, "b": 3, "c": 4}
