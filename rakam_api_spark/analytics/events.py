@@ -617,6 +617,57 @@ GROUP BY event_type
 """
 
 
+def mau_rollup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly uniques by UNIONING stored daily HLL sketches
+    (Datasketches ``hll_sketch_agg`` → ``hll_union_agg``) — the
+    sketch-table pattern: at 100 TB the daily sketches are a few KB
+    per day persisted at ingest time, and every MAU/WAU/rolling-
+    uniques question is answered by merging sketches instead of
+    re-scanning months of raw events.
+
+    Like the other sketch gates, the comparable surface is the error
+    contract: ``within_5pct`` asserts the merged-sketch estimate
+    lands within ±5% of the exact monthly distinct (lgK=12 ⇒ rsd
+    ≈1.6%, so 5% is a 3σ bound); the DuckDB oracle asserts the same
+    bound on its own approx_count_distinct."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.date_format(F.col("ts"), "yyyy-MM").alias("month"),
+        F.col("ts").cast("date").alias("day"),
+    ).agg(F.hll_sketch_agg("user_id", 12).alias("sk"))
+    monthly_sketch = daily.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_mau"),
+    )
+    exact = ev.groupBy(F.date_format(F.col("ts"), "yyyy-MM").alias("month")).agg(
+        F.countDistinct("user_id").alias("exact_mau")
+    )
+    return (
+        monthly_sketch.join(exact, "month")
+        .select(
+            "month",
+            "n_days",
+            "exact_mau",
+            (
+                F.abs(F.col("approx_mau") - F.col("exact_mau"))
+                <= F.col("exact_mau") * F.lit(0.05)
+            ).alias("within_5pct"),
+        )
+        .orderBy("month")
+    )
+
+
+MAU_ROLLUP_ORACLE = """
+SELECT strftime(ts, '%Y-%m') AS month,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       COUNT(DISTINCT user_id) AS exact_mau,
+       abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+         <= COUNT(DISTINCT user_id) * 0.05 AS within_5pct
+FROM events
+GROUP BY 1
+"""
+
+
 MG_K = 16  # Misra-Gries counter budget per partition
 
 
@@ -750,6 +801,7 @@ QUERIES = {
     "dau_approx_sketch": dau_approx_sketch,
     "value_quantile_sketch": value_quantile_sketch,
     "heavy_hitters_sketch": heavy_hitters_sketch,
+    "mau_rollup_sketch": mau_rollup_sketch,
     "latest_event_per_user": latest_event_per_user,
     "daily_value_moving_avg": daily_value_moving_avg,
 }
@@ -773,4 +825,5 @@ ORACLES = {
     "dau_approx_sketch": DAU_APPROX_ORACLE,
     "value_quantile_sketch": VALUE_QUANTILE_SKETCH_ORACLE,
     "heavy_hitters_sketch": HEAVY_HITTERS_ORACLE,
+    "mau_rollup_sketch": MAU_ROLLUP_ORACLE,
 }
