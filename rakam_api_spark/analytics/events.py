@@ -617,6 +617,123 @@ GROUP BY event_type
 """
 
 
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common 3-step event sequences (path mining): per user,
+    events ordered by time form overlapping trigram paths
+    ``a>b>c`` via two LEADs over one user-partitioned window; paths
+    are counted corpus-wide and the top 10 returned.
+
+    One shuffle on user_id (the window), one tiny aggregation on the
+    path string — at 100 TB the window shares the events table's
+    user bucketing, and trigram cardinality (|event types|³) keeps
+    the count aggregation small regardless of corpus size.
+    """
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    paths = (
+        ev.select(
+            "user_id",
+            F.concat_ws(
+                ">",
+                F.col("event_type"),
+                F.lead("event_type", 1).over(w),
+                F.lead("event_type", 2).over(w),
+            ).alias("path"),
+            F.lead("event_type", 2).over(w).alias("_third"),
+        )
+        .where(F.col("_third").isNotNull())
+        .drop("_third")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_paths"), F.countDistinct("user_id").alias("n_users"))
+        .orderBy(F.desc("n_paths"), F.asc("path"))
+        .limit(10)
+    )
+
+
+TOP_EVENT_PATHS_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         event_type || '>' || lead(event_type, 1) OVER w || '>' || lead(event_type, 2) OVER w AS path,
+         lead(event_type, 2) OVER w AS third
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_paths,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM seq WHERE third IS NOT NULL
+GROUP BY 1 ORDER BY n_paths DESC, path ASC LIMIT 10
+"""
+
+
+def daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type daily volume anomalies: z-score of each day's
+    count against its trailing 7-day window.
+
+    Variance is computed by hand from windowed ``avg(n)`` and
+    ``avg(n²)`` (Bessel-corrected) rather than ``stddev_samp`` —
+    engines implement stddev with different accumulation schemes
+    (Welford vs two-pass) whose low bits differ, while sums of
+    integer counts are exact in double, making the hand-rolled
+    z-score bit-identical across engines.  One shuffle (daily agg),
+    one window over day-grain rows — event-grain rows never enter
+    window state (same principle as ``daily_value_moving_avg``).
+    """
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.col("event_type"), F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    nn = F.col("n").cast("double")
+    stats = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.count(F.lit(1)).over(w).alias("k"),
+        F.avg(nn).over(w).alias("mu"),
+        F.avg(nn * nn).over(w).alias("musq"),
+    ).where(F.col("k") >= 3)
+    var = (F.col("musq") - F.col("mu") * F.col("mu")) * (
+        F.col("k").cast("double") / (F.col("k").cast("double") - F.lit(1.0))
+    )
+    z = (F.col("n").cast("double") - F.col("mu")) / F.sqrt(var)
+    return (
+        stats.select(
+            "event_type",
+            "day",
+            "n",
+            F.col("mu").alias("trailing_avg"),
+            F.when(var > 0, z).alias("zscore"),
+            F.when(var > 0, F.abs(z) > 2.0).otherwise(F.lit(False)).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+DAILY_ANOMALY_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, day, n,
+         COUNT(*) OVER w AS k,
+         AVG(CAST(n AS DOUBLE)) OVER w AS mu,
+         AVG(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) OVER w AS musq
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, CAST(n AS BIGINT) AS n, mu AS trailing_avg,
+       CASE WHEN (musq - mu*mu) * (k / (k - 1.0)) > 0
+            THEN (n - mu) / sqrt((musq - mu*mu) * (k / (k - 1.0))) END AS zscore,
+       CASE WHEN (musq - mu*mu) * (k / (k - 1.0)) > 0
+            THEN abs((n - mu) / sqrt((musq - mu*mu) * (k / (k - 1.0)))) > 2.0
+            ELSE FALSE END AS is_anomaly
+FROM stats WHERE k >= 3
+"""
+
+
 def mau_rollup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly uniques by UNIONING stored daily HLL sketches
     (Datasketches ``hll_sketch_agg`` → ``hll_union_agg``) — the
@@ -802,6 +919,8 @@ QUERIES = {
     "value_quantile_sketch": value_quantile_sketch,
     "heavy_hitters_sketch": heavy_hitters_sketch,
     "mau_rollup_sketch": mau_rollup_sketch,
+    "top_event_paths": top_event_paths,
+    "daily_anomaly_zscore": daily_anomaly_zscore,
     "latest_event_per_user": latest_event_per_user,
     "daily_value_moving_avg": daily_value_moving_avg,
 }
@@ -826,4 +945,6 @@ ORACLES = {
     "value_quantile_sketch": VALUE_QUANTILE_SKETCH_ORACLE,
     "heavy_hitters_sketch": HEAVY_HITTERS_ORACLE,
     "mau_rollup_sketch": MAU_ROLLUP_ORACLE,
+    "top_event_paths": TOP_EVENT_PATHS_ORACLE,
+    "daily_anomaly_zscore": DAILY_ANOMALY_ORACLE,
 }
