@@ -734,6 +734,50 @@ FROM stats WHERE k >= 3
 """
 
 
+def rolling_uniques_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day unique users per day — the exact twin of
+    ``mau_rollup_sketch``: raw events collapse to DISTINCT
+    (day, user) pairs first, then a day-grain range join fans each
+    pair to the ≤7 report days it supports, and one aggregation
+    counts uniques per day.
+
+    Scale shape: everything after the first distinct is DAY-GRAIN —
+    cost tracks |days × daily actives|, not event volume; the range
+    join is an equi-join on nothing but a 7-row fan-out (broadcast
+    of the day spine), so event-grain rows never join anything.
+    """
+    ev = _events(spark, sf_dir)
+    pairs = ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    days = pairs.select("day").distinct()
+    from pyspark.sql.functions import broadcast as _bc
+
+    fan = pairs.join(
+        _bc(days.select(F.col("day").alias("report_day"))),
+        (F.col("day") <= F.col("report_day"))
+        & (F.col("day") >= F.date_sub(F.col("report_day"), 6)),
+    )
+    return (
+        fan.groupBy("report_day")
+        .agg(
+            F.countDistinct("user_id").alias("uniques_7d"),
+            F.countDistinct("day").alias("days_observed"),
+        )
+        .orderBy("report_day")
+    )
+
+
+ROLLING_UNIQUES_ORACLE = """
+WITH pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day AS report_day FROM pairs)
+SELECT report_day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uniques_7d,
+       CAST(COUNT(DISTINCT day) AS BIGINT) AS days_observed
+FROM pairs JOIN days
+  ON day <= report_day AND day >= report_day - INTERVAL 6 DAY
+GROUP BY 1
+"""
+
+
 def mau_rollup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly uniques by UNIONING stored daily HLL sketches
     (Datasketches ``hll_sketch_agg`` → ``hll_union_agg``) — the
@@ -919,6 +963,7 @@ QUERIES = {
     "value_quantile_sketch": value_quantile_sketch,
     "heavy_hitters_sketch": heavy_hitters_sketch,
     "mau_rollup_sketch": mau_rollup_sketch,
+    "rolling_uniques_7d": rolling_uniques_7d,
     "top_event_paths": top_event_paths,
     "daily_anomaly_zscore": daily_anomaly_zscore,
     "latest_event_per_user": latest_event_per_user,
@@ -945,6 +990,7 @@ ORACLES = {
     "value_quantile_sketch": VALUE_QUANTILE_SKETCH_ORACLE,
     "heavy_hitters_sketch": HEAVY_HITTERS_ORACLE,
     "mau_rollup_sketch": MAU_ROLLUP_ORACLE,
+    "rolling_uniques_7d": ROLLING_UNIQUES_ORACLE,
     "top_event_paths": TOP_EVENT_PATHS_ORACLE,
     "daily_anomaly_zscore": DAILY_ANOMALY_ORACLE,
 }
