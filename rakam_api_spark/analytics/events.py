@@ -25,7 +25,9 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
+from ..sketch import MG_K
 from ..tables import load_table
 
 DEC = "decimal(18,6)"
@@ -629,7 +631,10 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     the count aggregation small regardless of corpus size.
     """
     ev = _events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    # order by epoch-us, NOT raw ts_ns: the oracle's epoch_us(ts)
+    # truncates to microseconds, so on nanosecond-grain source data
+    # the sub-us bits must not break ties differently (event_id does)
+    w = Window.partitionBy("user_id").orderBy(_us(), "event_id")
     paths = (
         ev.select(
             "user_id",
@@ -669,7 +674,12 @@ GROUP BY 1 ORDER BY n_paths DESC, path ASC LIMIT 10
 
 def daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type daily volume anomalies: z-score of each day's
-    count against its trailing 7-day window.
+    count against its trailing window of the 7 most recent OBSERVED
+    days (a ROWS frame: for event types with zero-event calendar
+    days the baseline reaches further back rather than shrinking —
+    the usual volume-baseline choice, and the exact semantics the
+    oracle mirrors; ``rolling_uniques_7d`` is the calendar-window
+    counterpart).
 
     Variance is computed by hand from windowed ``avg(n)`` and
     ``avg(n²)`` (Bessel-corrected) rather than ``stddev_samp`` —
@@ -749,10 +759,8 @@ def rolling_uniques_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     pairs = ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
     days = pairs.select("day").distinct()
-    from pyspark.sql.functions import broadcast as _bc
-
     fan = pairs.join(
-        _bc(days.select(F.col("day").alias("report_day"))),
+        broadcast(days.select(F.col("day").alias("report_day"))),
         (F.col("day") <= F.col("report_day"))
         & (F.col("day") >= F.date_sub(F.col("report_day"), 6)),
     )
@@ -829,17 +837,13 @@ GROUP BY 1
 """
 
 
-MG_K = 16  # Misra-Gries counter budget per partition
-
-
 def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent items via a distributed Misra-Gries sketch: each
-    partition keeps ≤ ``MG_K`` counters (mapInPandas, vectorized —
-    per Arrow batch the exact value_counts merge into the counter
-    dict, then one generalized decrement subtracts the (k+1)-th
-    largest weight from everything, a batched run of MG's
-    decrement-all step), and partition sketches merge by summed
-    counters — the standard mergeable-summary result.
+    partition keeps ≤ ``MG_K`` counters (mapInPandas over the shared
+    :func:`rakam_api_spark.sketch.mg_update` kernel — vectorized
+    value_counts merge + one generalized decrement per Arrow batch),
+    and partition sketches merge by summed counters — the standard
+    mergeable-summary result.
 
     Guarantees after the merge: every item with true frequency
     > N/(k+1) is retained, and each retained estimate lies in
@@ -854,18 +858,14 @@ def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
+    from ..sketch import mg_update
+
     ev = _events(spark, sf_dir).select(F.col("event_type").alias("item"))
 
     def mg_partition(batches):
         counters: dict[str, int] = {}
         for pdf in batches:
-            for item, c in pdf["item"].value_counts().items():
-                counters[item] = counters.get(item, 0) + int(c)
-            if len(counters) > MG_K:
-                # generalized decrement: subtracting delta from all
-                # counters == delta rounds of MG's decrement-all
-                delta = sorted(counters.values(), reverse=True)[MG_K]
-                counters = {i: n - delta for i, n in counters.items() if n > delta}
+            counters = mg_update(counters, pdf["item"], MG_K)
         if counters:
             yield pd.DataFrame(
                 {"item": list(counters), "est": list(counters.values())}
@@ -878,11 +878,9 @@ def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = ev.groupBy("item").agg(F.count(F.lit(1)).alias("exact_n"))
     totals = ev.agg(F.count(F.lit(1)).alias("n_total"))
-    from pyspark.sql.functions import broadcast as _bc
-
     return (
         exact.join(merged, "item", "left")
-        .crossJoin(_bc(totals))
+        .crossJoin(broadcast(totals))
         .select(
             "item",
             "exact_n",

@@ -546,23 +546,31 @@ def part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar aggregate (HAVING value > 1.5 × average part value).
 
     The comparison is done in EXACT integer-scaled decimal arithmetic
-    (2·n·v > 3·total) — no decimal division, so the threshold
-    predicate is bit-identical across engines.  The totals frame is
-    one row → broadcast; the per-part aggregation is the only
-    shuffle.
+    (2·n·v > 3·total) — no decimal division, AND with operand
+    precisions bounded so NEITHER engine's product exceeds decimal
+    width 38 (Spark would silently rescale an overflowing product to
+    scale 6, truncating genuine scale-12 digits; with (26,12)×(1,0)
+    ×(8,0) the result is (37,12) — exact in both engines).  The
+    totals frame is one row → broadcast; the per-part aggregation is
+    the only shuffle.
     """
     li = load_table(spark, sf_dir, "lineitem")
     pv = li.groupBy("l_partkey").agg(
         F.sum(_dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount")))
-        .cast("decimal(38,12)")
+        .cast("decimal(26,12)")
         .alias("v")
     )
     totals = pv.agg(
-        F.sum("v").cast("decimal(38,12)").alias("total"), F.count(F.lit(1)).alias("n_parts")
+        F.sum("v").cast("decimal(30,12)").alias("total"), F.count(F.lit(1)).alias("n_parts")
+    )
+    lhs = (
+        F.col("v")
+        * F.lit(2).cast("decimal(1,0)")
+        * F.col("n_parts").cast("decimal(8,0)")
     )
     return (
         pv.crossJoin(broadcast(totals))
-        .where(F.col("v") * F.lit(2) * F.col("n_parts") > F.col("total") * F.lit(3))
+        .where(lhs > F.col("total") * F.lit(3).cast("decimal(1,0)"))
         .select(
             "l_partkey",
             # re-scale to DECIMAL(18,6) before the double cast: the
@@ -583,15 +591,16 @@ WITH pv AS (
   SELECT l_partkey,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
                   * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))
-              AS DECIMAL(38,12)) AS v
+              AS DECIMAL(26,12)) AS v
   FROM lineitem GROUP BY 1
 ),
-totals AS (SELECT CAST(SUM(v) AS DECIMAL(38,12)) AS total, COUNT(*) AS n_parts FROM pv)
+totals AS (SELECT CAST(SUM(v) AS DECIMAL(30,12)) AS total, COUNT(*) AS n_parts FROM pv)
 SELECT l_partkey, CAST(CAST(v AS DECIMAL(18,6)) AS DOUBLE) AS part_value,
        CAST(CAST(v AS DECIMAL(18,6)) AS DOUBLE)
          / CAST(CAST(total AS DECIMAL(18,6)) AS DOUBLE) AS value_share
 FROM pv, totals
-WHERE v * 2 * n_parts > total * 3
+WHERE v * CAST(2 AS DECIMAL(1,0)) * CAST(n_parts AS DECIMAL(8,0))
+      > total * CAST(3 AS DECIMAL(1,0))
 """
 
 

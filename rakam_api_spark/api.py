@@ -177,23 +177,27 @@ class EventCollector:
         # 3. enrich, then drop trigger columns (P9 pruning)
         df = pipeline.apply(df, ctx)
         df = df.drop(*[c for c in drop if c in df.columns])
-        # Persist the enriched frame ONLY when the post-enrichment
-        # inference below will actually run a probe action (a custom
-        # transform added an undeclared STRING column) — that probe
-        # plus the store write are two full passes, which a cache
-        # amortizes.  On the common path nothing before the store
-        # write executes the lineage, and caching the enriched frame
-        # measurably DOUBLES the write pass (wide string columns),
-        # so we skip it: the batch then runs exactly one full pass.
-        # The rare dead-letter pass recomputes instead — safe, since
-        # the pipeline is deterministic (server time is pinned to a
-        # literal above, sources are immutable files).
-        from pyspark.sql import types as _T
+        # Persist the enriched frame ONLY when a later pass might
+        # re-execute the lineage with different results or real cost:
+        # (a) the post-enrichment inference below will run a probe
+        #     action (needs_probe — an undeclared STRING column
+        #     exists), making probe + write two full passes, or
+        # (b) the pipeline contains CUSTOM transforms, whose code we
+        #     don't control — if one is nondeterministic, an uncached
+        #     dead-letter recompute could desync from the stored
+        #     rows, so the cache pins one consistent snapshot.
+        # On the common path (built-in mappers only — deterministic:
+        # server time is pinned to a literal above, sources are
+        # immutable) nothing before the store write executes the
+        # lineage, and caching the enriched frame measurably DOUBLES
+        # the write pass (wide string columns), so we skip it: the
+        # batch runs exactly one full pass.
+        from .enrich.transforms import CustomMapperStage
+        from .ingest.infer import needs_probe
 
         post_known = {**known, **resolved}
-        cached = any(
-            f.name not in post_known and isinstance(f.dataType, _T.StringType)
-            for f in df.schema.fields
+        cached = needs_probe(df, post_known) or any(
+            isinstance(m, CustomMapperStage) for m in pipeline.mappers
         )
         if cached:
             df = df.persist()
@@ -263,6 +267,11 @@ class EventCollector:
             self.store.write_batch(project, collection, to_store)
             metrics = obs.get
             stored = int(metrics["n"])
+            if stored == 0:
+                # the observed write of an empty batch leaves a
+                # file-less dir behind — drop it so collection
+                # existence still means "has stored rows"
+                self.store.remove_if_fileless(project, collection)
             dead = int(metrics["n_bad"])
             if dead > 0:
                 # dead row count is already known exactly (one dead-

@@ -133,6 +133,17 @@ def _spark_to_fieldtype(dt: T.DataType) -> FieldType | None:
     return FieldType.STRING
 
 
+def needs_probe(parsed: DataFrame, known: dict[str, FieldType]) -> bool:
+    """True iff :func:`infer_new_fields` will run a distributed probe
+    ACTION on this frame (an unregistered StringType column exists).
+    Exported so the ingest path can decide whether caching the frame
+    pays off without re-implementing this predicate."""
+    return any(
+        f.name not in known and isinstance(f.dataType, T.StringType)
+        for f in parsed.schema.fields
+    )
+
+
 def infer_new_fields(parsed: DataFrame, known: dict[str, FieldType]) -> dict[str, FieldType]:
     """Resolve FieldTypes for columns of a JSON-parsed DataFrame that
     are not yet registered.

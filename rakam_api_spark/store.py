@@ -115,6 +115,20 @@ class EventStore:
         self.write_dead_letter(project, df)
         return n
 
+    def remove_if_fileless(self, project: str, collection: str) -> None:
+        """Remove a table dir that holds no parquet files (the
+        leftover of an observed zero-row write — only _SUCCESS
+        markers).  Keeps ``collections_with_data``'s dir-existence
+        contract honest: a collection that never stored a row leaves
+        no directory behind."""
+        path = self._table_path(project, collection)
+        if os.path.isdir(path) and not any(
+            f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
+        ):
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+
     def write_dead_letter(self, project: str, df: DataFrame) -> None:
         """Uncounted dead-letter append (the caller already knows the
         row count from its ingest Observation)."""

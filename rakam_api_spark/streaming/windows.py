@@ -288,6 +288,8 @@ class StreamingHeavyHitters:
     def _fn(self):
         import pandas as pd  # noqa: PLC0415 — executor-side import
 
+        from ..sketch import mg_update  # noqa: PLC0415 — executor-side import
+
         k = self.k
 
         def track(key, pdfs, state):
@@ -298,11 +300,7 @@ class StreamingHeavyHitters:
             else:
                 counters = {}
             for pdf in pdfs:
-                for item, c in pdf["item"].value_counts().items():
-                    counters[item] = counters.get(item, 0) + int(c)
-                if len(counters) > k:
-                    delta = sorted(counters.values(), reverse=True)[k]
-                    counters = {i: n - delta for i, n in counters.items() if n > delta}
+                counters = mg_update(counters, pdf["item"], k)
             state.update((list(counters), [int(v) for v in counters.values()]))
             if counters:
                 yield pd.DataFrame(

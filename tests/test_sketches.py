@@ -11,21 +11,17 @@ import pandas as pd
 
 from pyspark.sql import functions as F
 
-from rakam_api_spark.analytics.events import MG_K
+from rakam_api_spark.sketch import MG_K, mg_update
 
 
 def _mg_estimates(spark, items, n_partitions=8):
     """Run the same partition-sketch + merge plan heavy_hitters_sketch
-    uses, over an arbitrary item list."""
+    uses (the shared mg_update kernel), over an arbitrary item list."""
 
     def mg_partition(batches):
         counters = {}
         for pdf in batches:
-            for item, c in pdf["item"].value_counts().items():
-                counters[item] = counters.get(item, 0) + int(c)
-            if len(counters) > MG_K:
-                delta = sorted(counters.values(), reverse=True)[MG_K]
-                counters = {i: n - delta for i, n in counters.items() if n > delta}
+            counters = mg_update(counters, pdf["item"], MG_K)
         if counters:
             yield pd.DataFrame({"item": list(counters), "est": list(counters.values())})
 
