@@ -579,11 +579,133 @@ WHERE bit_count(xor(h1, h2)) <= 3
 )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.6) -> DataFrame:
+    """Near-dup CLUSTER resolution: connected components over the
+    Jaccard pair graph — the step that turns pairwise near-dup
+    evidence into dedup decisions (keep the cluster root, drop the
+    rest).  Transitivity matters: A~B and B~C must land in ONE
+    cluster even when A and C don't pair directly.
+
+    Spark side: iterative min-label propagation to a fixpoint — each
+    round every node takes the min label among itself and its
+    neighbors (one join + one aggregation per round; rounds ≤ graph
+    diameter, which for near-dup graphs is tiny).  The same
+    driver-looped iterative shape as the k-means IVF trainer; at
+    100 TB each round is a pair of shuffles on doc_id over the
+    (near-dup pairs only) edge list, never the corpus.  Oracle:
+    DuckDB computes the identical components with a recursive CTE.
+
+    Output: one row per clustered doc — its cluster id (min doc_id
+    in the component), the cluster size, and whether this doc is the
+    canonical keeper.
+    """
+    edges = (
+        ngram_jaccard_pairs(spark, sf_dir, threshold=threshold)
+        .select("d1", "d2")
+        .cache()
+    )
+    edges.count()
+    result = connected_components(edges)
+    edges.unpersist()
+    return result
+
+
+def connected_components(edges: DataFrame) -> DataFrame:
+    """Min-label propagation to a fixpoint over an undirected edge
+    list ``(d1, d2)``.  Returns (doc_id, cluster_id, cluster_size,
+    is_canonical) — cluster_id is the component's min node id.  One
+    join + one aggregation per round; rounds ≤ graph diameter."""
+    adj = edges.unionByName(
+        edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).cache()
+    labels = (
+        adj.select(F.col("d1").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .cache()
+    )
+    labels.count()
+    while True:
+        neigh = (
+            adj.join(labels, adj.d2 == labels.doc_id)
+            .groupBy(F.col("d1").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    out = (
+        labels.join(sizes, "label")
+        .select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+            (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+    result = out.localCheckpoint(eager=True)  # sever the iterative lineage
+    labels.unpersist()
+    adj.unpersist()
+    return result
+
+
+DEDUP_CLUSTERS_ORACLE = """
+WITH RECURSIVE docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2] AS shingle
+  FROM docs, LATERAL unnest(range(1, len(w)-1)) t(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT d1, d2
+  FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.6
+),
+adj AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+reach(doc_id, r) AS (
+  SELECT DISTINCT d1, d1 FROM adj
+  UNION
+  SELECT a.d2, reach.r FROM reach JOIN adj a ON a.d1 = reach.doc_id
+),
+labels AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1),
+csize AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY 1)
+SELECT l.doc_id, l.cluster_id, CAST(c.cluster_size AS BIGINT) AS cluster_size,
+       l.doc_id = l.cluster_id AS is_canonical
+FROM labels l JOIN csize c USING (cluster_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": exact_dedup,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
     "dedup_minhash_lsh": minhash_lsh_pairs,
     "dedup_simhash": simhash_pairs,
+    "dedup_clusters": dedup_clusters,
 }
 
 ORACLES = {
@@ -591,4 +713,5 @@ ORACLES = {
     "dedup_ngram_jaccard": NGRAM_JACCARD_ORACLE,
     "dedup_minhash_lsh": MINHASH_LSH_ORACLE,
     "dedup_simhash": SIMHASH_ORACLE,
+    "dedup_clusters": DEDUP_CLUSTERS_ORACLE,
 }

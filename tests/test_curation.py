@@ -105,3 +105,20 @@ def test_mix_weights_rebalance_to_uniform(spark):
     for r in out:
         # weight * share == target share exactly
         assert abs(r["mix_weight"] * r["token_share"] - 1.0 / n) < 1e-9
+
+
+def test_connected_components_transitivity(spark):
+    """A~B~C chains into one cluster even without an A~C edge; a
+    disjoint pair stays its own cluster; min node id is canonical."""
+    from rakam_api_spark.llm.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (100, 200), (5, 10)], "d1 long, d2 long"
+    )
+    rows = {r["doc_id"]: r for r in connected_components(edges).collect()}
+    chain = [5, 10, 20, 30, 40]
+    assert all(rows[d]["cluster_id"] == 5 for d in chain)
+    assert all(rows[d]["cluster_size"] == 5 for d in chain)
+    assert rows[5]["is_canonical"] and not rows[40]["is_canonical"]
+    assert rows[100]["cluster_id"] == 100 and rows[100]["cluster_size"] == 2
+    assert rows[200]["cluster_id"] == 100 and not rows[200]["is_canonical"]
