@@ -351,6 +351,65 @@ FROM packed GROUP BY 1, 2
 """
 
 
+# --- unigram-LM typicality ----------------------------------------------
+
+RARE_TYPICALITY_MAX = 0.0331
+
+
+def doc_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality proxy with an integer-exact core: score
+    each doc by the mean CORPUS frequency of its tokens, normalized
+    by total corpus tokens (a scale-free typicality share — rare-
+    vocabulary docs score low, boilerplate scores high).
+
+    A real deployment plugs a trained LM's perplexity in here; this
+    unigram formulation keeps the identical plan shape (corpus
+    frequency table ← one aggregation, vocabulary-sized → broadcast;
+    per-doc rescore ← one join + one aggregation) while every
+    arithmetic step is a double division of exact integer sums — no
+    ``ln`` whose last-ulp behavior differs between libm and the JVM.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("ctot"))
+    totals = tf.agg(F.sum("ctot").alias("total_tokens"))
+    typicality = (
+        F.col("freq_sum").cast("double")
+        / F.col("n_tokens").cast("double")
+        / F.col("total_tokens").cast("double")
+    )
+    return (
+        toks.join(broadcast(tf), "tok")
+        .groupBy("doc_id")
+        .agg(F.sum("ctot").alias("freq_sum"), F.count(F.lit(1)).alias("n_tokens"))
+        .crossJoin(broadcast(totals))
+        .select(
+            "doc_id",
+            "n_tokens",
+            typicality.alias("typicality"),
+            (typicality < F.lit(RARE_TYPICALITY_MAX)).alias("is_rare"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_TYPICALITY_ORACLE = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+tf AS (SELECT tok, COUNT(*) AS ctot FROM toks GROUP BY 1),
+totals AS (SELECT SUM(ctot) AS total_tokens FROM tf),
+sc AS (
+  SELECT doc_id, SUM(ctot) AS freq_sum, COUNT(*) AS n_tokens
+  FROM toks JOIN tf USING (tok) GROUP BY 1
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(freq_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         / CAST(total_tokens AS DOUBLE) AS typicality,
+       CAST(freq_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         / CAST(total_tokens AS DOUBLE) < 0.0331 AS is_rare
+FROM sc, totals
+"""
+
+
 # --- mixture re-weighting ------------------------------------------------
 
 
@@ -405,6 +464,7 @@ QUERIES = {
     "stratified_sample": stratified_sample,
     "pack_sequences": pack_sequences,
     "mix_weights": mix_weights,
+    "doc_typicality": doc_typicality,
 }
 
 ORACLES = {
@@ -414,4 +474,5 @@ ORACLES = {
     "stratified_sample": STRATIFIED_SAMPLE_ORACLE,
     "pack_sequences": PACK_SEQUENCES_ORACLE,
     "mix_weights": MIX_WEIGHTS_ORACLE,
+    "doc_typicality": DOC_TYPICALITY_ORACLE,
 }
