@@ -169,10 +169,17 @@ FROM events GROUP BY 1
 # --- funnel -------------------------------------------------------------
 
 
-def funnel(events: DataFrame, steps: list[str], user_col: str = "user_id") -> DataFrame:
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    within_us: int | None = None,
+) -> DataFrame:
     """Ordered-funnel operator: users completing step *i* are users
     whose earliest qualifying event for ``steps[i]`` occurs at or
-    after their step *i-1* completion time.
+    after their step *i-1* completion time — and, with ``within_us``
+    set, no later than ``within_us`` microseconds after it (the
+    conversion-window funnel every product-analytics UI offers).
 
     Implemented as a chain of per-step min-time aggregations joined
     on the user key (each step's DataFrame is tiny relative to the
@@ -190,9 +197,12 @@ def funnel(events: DataFrame, steps: list[str], user_col: str = "user_id") -> Da
         if prev is None:
             cur = step_events.groupBy(user_col).agg(F.min("_us").alias("t"))
         else:
+            qualifies = F.col("_us") >= F.col("t_prev")
+            if within_us is not None:
+                qualifies = qualifies & (F.col("_us") <= F.col("t_prev") + F.lit(within_us))
             cur = (
                 step_events.join(prev.select(user_col, F.col("t").alias("t_prev")), user_col)
-                .where(F.col("_us") >= F.col("t_prev"))
+                .where(qualifies)
                 .groupBy(user_col)
                 .agg(F.min("_us").alias("t"))
             )
@@ -207,6 +217,43 @@ def funnel(events: DataFrame, steps: list[str], user_col: str = "user_id") -> Da
 
 def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(_events(spark, sf_dir), ["signup", "click", "purchase"])
+
+
+US_PER_DAY = 86_400_000_000
+
+
+def funnel_windowed_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel: each step must land within 24 h of
+    the previous step's completion."""
+    return funnel(
+        _events(spark, sf_dir),
+        ["signup", "click", "purchase"],
+        within_us=US_PER_DAY,
+    )
+
+
+FUNNEL_WINDOWED_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t FROM events WHERE event_type = 'signup' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s1.t
+    AND epoch_us(e.ts) <= s1.t + 86400000000
+  GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s2.t
+    AND epoch_us(e.ts) <= s2.t + 86400000000
+  GROUP BY 1
+)
+SELECT 1 AS step, 'signup' AS event_type, CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS users
+UNION ALL
+SELECT 2, 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+UNION ALL
+SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+"""
 
 
 FUNNEL_ORACLE = """
@@ -952,6 +999,7 @@ QUERIES = {
     "event_type_hourly_share": event_type_hourly_share,
     "props_json_extract": props_json_extract,
     "funnel_signup_click_purchase": funnel_signup_click_purchase,
+    "funnel_windowed_24h": funnel_windowed_24h,
     "retention_cohorts": retention_cohorts,
     "sessionization_stats": sessionization_stats,
     "user_profile_snapshot": user_profile_snapshot,
@@ -975,6 +1023,7 @@ ORACLES = {
     "event_type_hourly_share": HOURLY_SHARE_ORACLE,
     "props_json_extract": PROPS_JSON_ORACLE,
     "funnel_signup_click_purchase": FUNNEL_ORACLE,
+    "funnel_windowed_24h": FUNNEL_WINDOWED_ORACLE,
     "retention_cohorts": RETENTION_ORACLE,
     "sessionization_stats": SESSIONIZATION_ORACLE,
     "user_profile_snapshot": USER_PROFILE_ORACLE,
