@@ -833,6 +833,92 @@ GROUP BY 1
 """
 
 
+def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users are deterministically assigned
+    to variants by md5 bucket (content-addressed, like
+    ``stratified_sample`` — a re-run or a retried task assigns
+    identically), conversion is "user has ≥1 high-value purchase" (value > 90 —
+    chosen so the synthetic corpus isn't saturated), and
+    the lift is tested with a two-proportion z-statistic.
+
+    The z arithmetic stays engine-exact: counts are integers, the
+    pooled rate and standard error are divisions/sqrt of
+    identically-derived doubles (IEEE sqrt is correctly rounded in
+    both engines).  One aggregation to user grain, one tiny variant
+    rollup, one single-row output — at 100 TB only the user-grain
+    aggregation touches data.
+    """
+    ev = _events(spark, sf_dir)
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            ((F.col("event_type") == "purchase") & (F.col("value") > 90)).cast("int")
+        ).alias("converted")
+    )
+    variant = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % 2
+    )
+    per_variant = (
+        users.withColumn("variant", variant)
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("converted").alias("conv"),
+        )
+    )
+    a = per_variant.where(F.col("variant") == 0).select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a")
+    )
+    b = per_variant.where(F.col("variant") == 1).select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
+    )
+    d = lambda c: F.col(c).cast("double")
+    p_a = d("conv_a") / d("n_a")
+    p_b = d("conv_b") / d("n_b")
+    pooled = (d("conv_a") + d("conv_b")) / (d("n_a") + d("n_b"))
+    se = F.sqrt(pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / d("n_a") + F.lit(1.0) / d("n_b")))
+    z = (p_a - p_b) / se
+    return a.crossJoin(b).select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        p_a.alias("cvr_a"),
+        p_b.alias("cvr_b"),
+        z.alias("z_stat"),
+        (F.abs(z) > F.lit(1.96)).alias("significant"),
+    )
+
+
+AB_TEST_LIFT_ORACLE = """
+WITH users AS (
+  SELECT user_id, MAX(CASE WHEN event_type = 'purchase' AND value > 90 THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1
+),
+assigned AS (
+  SELECT converted,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS variant
+  FROM users
+),
+pv AS (SELECT variant, COUNT(*) AS n, SUM(converted) AS conv FROM assigned GROUP BY 1),
+a AS (SELECT n AS n_a, conv AS conv_a FROM pv WHERE variant = 0),
+b AS (SELECT n AS n_b, conv AS conv_b FROM pv WHERE variant = 1)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+       CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+       CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS cvr_a,
+       CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS cvr_b,
+       (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+         / sqrt(((CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE)) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                * (1.0 - (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE)) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS z_stat,
+       abs((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+         / sqrt(((CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE)) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                * (1.0 - (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE)) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))) > 1.96 AS significant
+FROM a, b
+"""
+
+
 def mau_rollup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly uniques by UNIONING stored daily HLL sketches
     (Datasketches ``hll_sketch_agg`` → ``hll_union_agg``) — the
@@ -1000,6 +1086,7 @@ QUERIES = {
     "props_json_extract": props_json_extract,
     "funnel_signup_click_purchase": funnel_signup_click_purchase,
     "funnel_windowed_24h": funnel_windowed_24h,
+    "ab_test_lift": ab_test_lift,
     "retention_cohorts": retention_cohorts,
     "sessionization_stats": sessionization_stats,
     "user_profile_snapshot": user_profile_snapshot,
@@ -1024,6 +1111,7 @@ ORACLES = {
     "props_json_extract": PROPS_JSON_ORACLE,
     "funnel_signup_click_purchase": FUNNEL_ORACLE,
     "funnel_windowed_24h": FUNNEL_WINDOWED_ORACLE,
+    "ab_test_lift": AB_TEST_LIFT_ORACLE,
     "retention_cohorts": RETENTION_ORACLE,
     "sessionization_stats": SESSIONIZATION_ORACLE,
     "user_profile_snapshot": USER_PROFILE_ORACLE,
