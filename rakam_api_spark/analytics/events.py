@@ -833,6 +833,81 @@ GROUP BY 1
 """
 
 
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users cohort by first-seen week,
+    purchase revenue accumulates per (cohort week, weeks-since-
+    cohort) cell, and a per-cohort running total gives the LTV
+    curve.
+
+    Week buckets are epoch-day integer divisions (identical in both
+    engines); revenue is DECIMAL-exact until the final double cast,
+    and the cumulative window sums decimals — order-insensitive
+    exactness, no float accumulation drift.  Shuffles: one user-grain
+    aggregation (first-seen), one join back to purchases on user_id
+    (the fact table's native key), one cell aggregation, one
+    cohort-partitioned window over WEEK-grain rows.
+    """
+    ev = _events(spark, sf_dir)
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("date").alias("day"), "value"
+    )
+    cells = (
+        purchases.join(first_seen, "user_id")
+        .select(
+            # integer `div`, never `/`+cast: a double-division cast
+            # truncates in Spark but ROUNDS in DuckDB's BIGINT cast
+            F.expr("unix_date(cohort_day) div 7").alias("cohort_week"),
+            F.expr("(unix_date(day) - unix_date(cohort_day)) div 7").alias("offset_week"),
+            F.col("value").cast(DEC).alias("v"),
+        )
+        .groupBy("cohort_week", "offset_week")
+        .agg(F.count(F.lit(1)).alias("n_purchases"), F.sum("v").alias("revenue"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("offset_week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.withColumn("cum_revenue", F.sum("revenue").over(w))
+        .select(
+            "cohort_week",
+            "offset_week",
+            "n_purchases",
+            F.col("revenue").cast("double").alias("revenue"),
+            F.col("cum_revenue").cast("double").alias("cum_revenue"),
+        )
+        .orderBy("cohort_week", "offset_week")
+    )
+
+
+COHORT_LTV_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1
+),
+purchases AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value FROM events WHERE event_type = 'purchase'
+),
+cells AS (
+  SELECT CAST((cohort_day - DATE '1970-01-01') // 7 AS BIGINT) AS cohort_week,
+         CAST((day - cohort_day) // 7 AS BIGINT) AS offset_week,
+         CAST(COUNT(*) AS BIGINT) AS n_purchases,
+         SUM(CAST(value AS DECIMAL(18,6))) AS revenue
+  FROM purchases JOIN first_seen USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT cohort_week, offset_week, n_purchases,
+       CAST(revenue AS DOUBLE) AS revenue,
+       CAST(SUM(revenue) OVER (PARTITION BY cohort_week ORDER BY offset_week
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS cum_revenue
+FROM cells
+"""
+
+
 def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B experiment readout: users are deterministically assigned
     to variants by md5 bucket (content-addressed, like
@@ -1087,6 +1162,7 @@ QUERIES = {
     "funnel_signup_click_purchase": funnel_signup_click_purchase,
     "funnel_windowed_24h": funnel_windowed_24h,
     "ab_test_lift": ab_test_lift,
+    "cohort_ltv": cohort_ltv,
     "retention_cohorts": retention_cohorts,
     "sessionization_stats": sessionization_stats,
     "user_profile_snapshot": user_profile_snapshot,
@@ -1112,6 +1188,7 @@ ORACLES = {
     "funnel_signup_click_purchase": FUNNEL_ORACLE,
     "funnel_windowed_24h": FUNNEL_WINDOWED_ORACLE,
     "ab_test_lift": AB_TEST_LIFT_ORACLE,
+    "cohort_ltv": COHORT_LTV_ORACLE,
     "retention_cohorts": RETENTION_ORACLE,
     "sessionization_stats": SESSIONIZATION_ORACLE,
     "user_profile_snapshot": USER_PROFILE_ORACLE,
