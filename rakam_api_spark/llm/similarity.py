@@ -768,9 +768,11 @@ def kmeans_ivf_topk(
     )
 
 
-def _kmeans_oracle(k: int = K_CELLS, iters: int = KM_ITERS) -> str:
-    """DuckDB oracle for kmeans_ivf_topk: the k-means iterations
-    unrolled as CTE chains (cents0 → assign1/cents1 → …)."""
+def _kmeans_cte_chain(k: int = K_CELLS, iters: int = KM_ITERS) -> tuple[list, str, str]:
+    """Shared CTE chain for the deterministic Lloyd fit: returns
+    (ctes, final_assign_name, final_cents_name) — used by the IVF
+    top-k oracle and the cluster-profile oracle so both verify the
+    SAME unrolled iterations."""
     ctes = [
         """comp AS (
   SELECT vec_id, CAST(i AS INT) AS pos,
@@ -803,7 +805,14 @@ def _kmeans_oracle(k: int = K_CELLS, iters: int = KM_ITERS) -> str:
 )"""
             )
             prev = f"cents{i}"
-    final_assign = f"assign{iters + 1}"
+    return ctes, f"assign{iters + 1}", prev
+
+
+def _kmeans_oracle(k: int = K_CELLS, iters: int = KM_ITERS) -> str:
+    """DuckDB oracle for kmeans_ivf_topk: the k-means iterations
+    unrolled as CTE chains (cents0 → assign1/cents1 → …)."""
+    ctes, final_assign, prev = _kmeans_cte_chain(k, iters)
+    ctes = list(ctes)
     ctes += [
         "qcomp AS (SELECT vec_id AS q_id, pos, q AS qq FROM comp WHERE vec_id < 20)",
         f"""qcell AS (
@@ -857,10 +866,102 @@ FROM (
 KMEANS_IVF_ORACLE = _kmeans_oracle()
 
 
+def embedding_cluster_profile(
+    spark: SparkSession, sf_dir: str, k: int = K_CELLS, iters: int = KM_ITERS
+) -> DataFrame:
+    """Unsupervised-clustering evaluation: run the SAME deterministic
+    Lloyd fit as ``ann_kmeans_ivf_topk``, then profile each cluster
+    against the corpus's ground-truth ``label`` column — member
+    count, majority true label, and purity (majority share).
+
+    The fit is the proven iterative machinery (broadcast centroids,
+    integer costs, label-ordered tiebreaks); the profile adds one
+    join to the (vec_id, true label) projection and two tiny
+    aggregations.  Oracle: the shared unrolled-CTE chain plus the
+    same profile SQL.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = _quantized_components(emb).cache()
+    comp.count()  # single deterministic materialization
+    cents = comp.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("label"), "pos", F.col("q").alias("cq")
+    )
+    for _ in range(iters):
+        assign = _assign_cells(comp, cents)
+        cents = (
+            comp.join(assign, "vec_id")
+            .groupBy("label", "pos")
+            .agg(F.floor(F.avg("q")).cast("long").alias("cq"))
+        )
+    assign = _assign_cells(comp, cents)
+    truth = emb.select("vec_id", F.col("label").alias("true_label"))
+    cell_counts = (
+        assign.select("vec_id", F.col("label").alias("cluster"))
+        .join(truth, "vec_id")
+        .groupBy("cluster", "true_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("n"), F.asc("true_label"))
+    totals = cell_counts.groupBy("cluster").agg(F.sum("n").alias("n_members"))
+    majority = (
+        cell_counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("cluster", F.col("true_label").alias("majority_label"), F.col("n").alias("n_major"))
+    )
+    out = (
+        totals.join(majority, "cluster")
+        .select(
+            "cluster",
+            "n_members",
+            "majority_label",
+            (F.col("n_major").cast("double") / F.col("n_members").cast("double")).alias(
+                "purity"
+            ),
+        )
+        .orderBy("cluster")
+    )
+    result = out.localCheckpoint(eager=True)
+    comp.unpersist()
+    return result
+
+
+def _cluster_profile_oracle(k: int = K_CELLS, iters: int = KM_ITERS) -> str:
+    ctes, final_assign, _ = _kmeans_cte_chain(k, iters)
+    ctes = list(ctes)
+    ctes += [
+        f"""cellc AS (
+  SELECT a.label AS cluster, e.label AS true_label, COUNT(*) AS n
+  FROM {final_assign} a JOIN embeddings e ON a.vec_id = e.vec_id
+  GROUP BY 1, 2
+)""",
+        "totals AS (SELECT cluster, SUM(n) AS n_members FROM cellc GROUP BY 1)",
+        """majority AS (
+  SELECT cluster, true_label AS majority_label, n AS n_major FROM (
+    SELECT cluster, true_label, n,
+           row_number() OVER (PARTITION BY cluster ORDER BY n DESC, true_label ASC) AS rn
+    FROM cellc
+  ) WHERE rn = 1
+)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT t.cluster, CAST(t.n_members AS BIGINT) AS n_members, m.majority_label,
+       CAST(m.n_major AS DOUBLE) / CAST(t.n_members AS DOUBLE) AS purity
+FROM totals t JOIN majority m USING (cluster)
+"""
+    )
+
+
+CLUSTER_PROFILE_ORACLE = _cluster_profile_oracle()
+
+
 QUERIES = {
     "ann_brute_force_topk": brute_force_topk,
     "ann_ivf_topk": ivf_topk,
     "ann_kmeans_ivf_topk": kmeans_ivf_topk,
+    "embedding_cluster_profile": embedding_cluster_profile,
     "embedding_cosine_dedup": _cosine_dedup_gate,
 }
 
@@ -868,5 +969,6 @@ ORACLES = {
     "ann_brute_force_topk": BRUTE_FORCE_ORACLE,
     "ann_ivf_topk": IVF_ORACLE,
     "ann_kmeans_ivf_topk": KMEANS_IVF_ORACLE,
+    "embedding_cluster_profile": CLUSTER_PROFILE_ORACLE,
     "embedding_cosine_dedup": COSINE_DEDUP_ORACLE.format(threshold=GATE_DEDUP_THRESHOLD),
 }
