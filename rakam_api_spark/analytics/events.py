@@ -166,6 +166,42 @@ FROM events GROUP BY 1
 """
 
 
+def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type:
+    ``try_parse_json`` → ``variant_get`` typed extraction (the
+    binary-encoded path the streaming schema inference also rides,
+    streaming/job.py), aggregated per k-decile.
+
+    Functionally equivalent to ``props_json_extract``'s
+    get_json_object route — the point of the gate is that the
+    VARIANT parse/extract path itself produces oracle-exact typed
+    values.  Row-local parse, one small aggregation.
+    """
+    ev = _events(spark, sf_dir)
+    k = F.expr("variant_get(try_parse_json(props), '$.k', 'long')")
+    return (
+        ev.select(k.alias("k"), "value")
+        .groupBy(F.expr("k div 10").alias("k_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .orderBy("k_decile")
+    )
+
+
+PROPS_VARIANT_ORACLE = """
+SELECT CAST(props->>'k' AS BIGINT) // 10 AS k_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+       MAX(CAST(props->>'k' AS BIGINT)) AS max_k,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1
+"""
+
+
 # --- funnel -------------------------------------------------------------
 
 
@@ -1159,6 +1195,7 @@ QUERIES = {
     "top_event_values": top_event_values,
     "event_type_hourly_share": event_type_hourly_share,
     "props_json_extract": props_json_extract,
+    "props_variant_stats": props_variant_stats,
     "funnel_signup_click_purchase": funnel_signup_click_purchase,
     "funnel_windowed_24h": funnel_windowed_24h,
     "ab_test_lift": ab_test_lift,
@@ -1185,6 +1222,7 @@ ORACLES = {
     "top_event_values": TOP_EVENT_VALUES_ORACLE,
     "event_type_hourly_share": HOURLY_SHARE_ORACLE,
     "props_json_extract": PROPS_JSON_ORACLE,
+    "props_variant_stats": PROPS_VARIANT_ORACLE,
     "funnel_signup_click_purchase": FUNNEL_ORACLE,
     "funnel_windowed_24h": FUNNEL_WINDOWED_ORACLE,
     "ab_test_lift": AB_TEST_LIFT_ORACLE,
