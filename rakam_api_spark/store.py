@@ -210,6 +210,63 @@ class EventStore:
         )
         return name
 
+    def publish_rollup(
+        self,
+        project: str,
+        collection: str,
+        dims: tuple[str, ...] = ("event_type",),
+        measures: dict[str, str] | None = None,
+        months: list[str] | None = None,
+    ) -> int:
+        """Maintain a day-grain pre-aggregated rollup table beside a
+        collection — the continuous-query / materialized-rollup
+        pattern: segmentation-style reports read the rollup instead
+        of re-scanning raw events.
+
+        INCREMENTAL by month partition: ingest appends only to the
+        current month, so ``publish_rollup(months=[...])`` recomputes
+        and overwrites JUST those month partitions (dynamic partition
+        overwrite — untouched months' files stay byte-identical).
+        With ``months=None`` the full table is (re)built.  Returns
+        the number of rollup rows written.
+
+        ``measures`` maps output column → aggregation SQL over the
+        raw rows (defaults to event count + value sum in exact
+        decimal).  At 100 TB each month refresh is one partial-
+        aggregated shuffle over that month's partition only — the
+        read prunes on the ``_month`` partition column.
+        """
+        measures = measures or {
+            "n_events": "CAST(COUNT(*) AS BIGINT)",
+            "total_value": "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)",
+        }
+        raw = self.spark.read.option("mergeSchema", "true").parquet(
+            self._table_path(project, collection)
+        )
+        if months is not None:
+            raw = raw.where(F.col("_month").isin(list(months)))
+        day = F.col("_time").cast("date").alias("_day")
+        aggs = [F.expr(sql).alias(name) for name, sql in measures.items()]
+        rollup = raw.groupBy(
+            F.col("_month"), day, *[F.col(d) for d in dims]
+        ).agg(*aggs)
+        out = self._base_path(project, collection) + ".rollup"
+        writer = rollup.write.partitionBy("_month")
+        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        try:
+            # dynamic: overwrite ONLY the month partitions present in
+            # this refresh — other months' files are untouched
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            writer.mode("overwrite").parquet(out)
+        finally:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        return self.spark.read.parquet(out).count()
+
+    def read_rollup(self, project: str, collection: str) -> DataFrame:
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            self._base_path(project, collection) + ".rollup"
+        )
+
     # --- read -----------------------------------------------------------
 
     def read(self, project: str, collection: str) -> DataFrame:

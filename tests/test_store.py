@@ -78,3 +78,53 @@ def test_salted_repartition_spreads_hot_key(spark):
     # deterministic: same salt on re-run (retry-safe)
     again = {r["pid"]: r["count"] for r in partition_sizes(salted)}
     assert again == {r["pid"]: r["count"] for r in sizes}
+
+
+def test_rollup_publish_and_incremental_refresh(spark, warehouse):
+    """publish_rollup materializes a day-grain aggregate; a month-
+    scoped refresh overwrites only that month's partition files."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rakam_api_spark.api import EventCollector
+    from rakam_api_spark.catalog import Metastore
+
+    ms = Metastore(warehouse)
+    collector = EventCollector(spark, ms, pipeline=None)
+    store = collector.store
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "_user string, _time long, event_type string, value double")
+
+    jan, feb = 1704067200000, 1706745600000  # 2024-01-01 / 2024-02-01 UTC
+    collector.bulk("p", "ev", batch([("u1", jan, "click", 1.0), ("u2", jan, "view", 2.0)]))
+    collector.bulk("p", "ev", batch([("u1", feb, "click", 3.0)]))
+
+    n = store.publish_rollup("p", "ev")
+    assert n == 3  # (jan,click),(jan,view),(feb,click)
+    roll = {(r["_day"].isoformat(), r["event_type"]): r for r in store.read_rollup("p", "ev").collect()}
+    assert roll[("2024-01-01", "click")]["n_events"] == 1
+    assert roll[("2024-01-01", "click")]["total_value"] == 1.0
+
+    rollup_dir = os.path.join(warehouse, "p", "ev.rollup")
+    jan_files_before = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{rollup_dir}/_month=2024-01/*.parquet")
+    }
+    assert jan_files_before
+
+    # append more feb data, refresh ONLY feb
+    collector.bulk("p", "ev", batch([("u3", feb + 1000, "click", 5.0)]))
+    store.publish_rollup("p", "ev", months=["2024-02"])
+    feb_rows = {
+        (r["_day"].isoformat(), r["event_type"]): r
+        for r in store.read_rollup("p", "ev").collect()
+    }
+    assert feb_rows[("2024-02-01", "click")]["n_events"] == 2
+    assert feb_rows[("2024-02-01", "click")]["total_value"] == 8.0
+    # january partition untouched byte-for-byte (same files, same mtimes)
+    jan_files_after = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{rollup_dir}/_month=2024-01/*.parquet")
+    }
+    assert jan_files_after == jan_files_before
