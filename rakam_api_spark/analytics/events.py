@@ -869,6 +869,51 @@ GROUP BY 1
 """
 
 
+def time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency histogram: per user, days between first
+    signup and the first purchase at-or-after it, bucketed by whole
+    days.  Two conditional min aggregations on the user key and one
+    tiny histogram rollup — all integer epoch math (``div``, never
+    float division)."""
+    ev = _events(spark, sf_dir).withColumn("_us", _us())
+    first_signup = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("_us").alias("t0"))
+    )
+    first_purchase = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(first_signup, "user_id")
+        .where(F.col("_us") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min(F.col("_us") - F.col("t0")).alias("latency_us"))
+    )
+    return (
+        first_purchase.groupBy(
+            F.expr("latency_us div 86400000000").alias("latency_days")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("latency_days")
+    )
+
+
+TIME_TO_CONVERT_ORACLE = """
+WITH s AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts) - s.t0) AS latency_us
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.t0
+  GROUP BY 1
+)
+SELECT latency_us // 86400000000 AS latency_days,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM p GROUP BY 1
+"""
+
+
 def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort lifetime-value curves: users cohort by first-seen week,
     purchase revenue accumulates per (cohort week, weeks-since-
@@ -1200,6 +1245,7 @@ QUERIES = {
     "funnel_windowed_24h": funnel_windowed_24h,
     "ab_test_lift": ab_test_lift,
     "cohort_ltv": cohort_ltv,
+    "time_to_convert": time_to_convert,
     "retention_cohorts": retention_cohorts,
     "sessionization_stats": sessionization_stats,
     "user_profile_snapshot": user_profile_snapshot,
@@ -1227,6 +1273,7 @@ ORACLES = {
     "funnel_windowed_24h": FUNNEL_WINDOWED_ORACLE,
     "ab_test_lift": AB_TEST_LIFT_ORACLE,
     "cohort_ltv": COHORT_LTV_ORACLE,
+    "time_to_convert": TIME_TO_CONVERT_ORACLE,
     "retention_cohorts": RETENTION_ORACLE,
     "sessionization_stats": SESSIONIZATION_ORACLE,
     "user_profile_snapshot": USER_PROFILE_ORACLE,
