@@ -34,6 +34,45 @@ _MODULES = (
     _multimodal,
 )
 
+# The driver's correctness gate checks at most 50 queries per round, in
+# enumeration order.  With 72 declared queries, plain module order would
+# starve the tail modules of a driver-verified CORRECTNESS row forever.
+# Enumerate the stalest coverage first: queries never driver-checked
+# (absent from every CORRECTNESS_r0*.json), then those last checked in
+# round 3, then the 50 freshly verified in round 4.
+_GATE_PRIORITY = (
+    # never driver-checked (verified locally via tools/check_correctness.py)
+    "contamination_check",
+    "dedup_clusters",
+    "doc_typicality",
+    "embedding_cluster_profile",
+    "mix_weights",
+    "pack_sequences",
+    "pii_redaction",
+    "quality_repetition_rules",
+    "stratified_sample",
+    # last driver-checked in round 3
+    "ann_brute_force_topk",
+    "ann_ivf_topk",
+    "ann_kmeans_ivf_topk",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprints",
+    "embedding_cosine_dedup",
+    "lang_id",
+    "multimodal_byte_stats",
+    "text_quality",
+    "token_counts",
+)
+
+
+def _prioritized(mapping: dict) -> dict:
+    out = {k: mapping[k] for k in _GATE_PRIORITY if k in mapping}
+    out.update((k, v) for k, v in mapping.items() if k not in out)
+    return out
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: segmentation over
@@ -45,11 +84,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _MODULES:
         out.update(mod.QUERIES)
-    return out
+    return _prioritized(out)
 
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for mod in _MODULES:
         out.update(mod.ORACLES)
-    return out
+    return _prioritized(out)

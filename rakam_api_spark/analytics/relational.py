@@ -86,8 +86,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 adapted: top-10 unshipped orders by revenue.
 
     customer is a broadcast dim; orders⋈lineitem shuffles on
-    orderkey.  The final top-10 is a single-partition sort of an
-    already-aggregated (small) result.
+    orderkey.  The final top-10 uses ``orderBy().limit()`` which
+    Spark plans as TakeOrderedAndProject: each partition keeps its
+    local top-10 and the driver merges 10·numPartitions rows — no
+    single-partition WindowExec even when the l_orderkey-grain
+    aggregate has millions of rows at scale.
     """
     cu = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
@@ -103,13 +106,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue")
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
-    return (
-        agg.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 10)
-        .drop("rn")
-        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
-    )
+    return agg.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
 
 
 Q3_ORACLE = """
@@ -178,7 +175,12 @@ GROUP BY r_name, n_name
 
 
 def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 customers by lifetime order value (customer ⟕ orders)."""
+    """Top-20 customers by lifetime order value (customer ⟕ orders).
+
+    ``orderBy().limit()`` → TakeOrderedAndProject: per-partition
+    top-20 + driver merge, instead of funnelling the whole aggregate
+    through one WindowExec partition.
+    """
     cu = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     agg = (
@@ -189,12 +191,10 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
     )
-    w = Window.orderBy(F.desc("total_spend"), F.asc("c_custkey"))
     return (
         agg.select("c_custkey", "c_name", "c_mktsegment", "total_spend", "n_orders")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 20)
-        .drop("rn")
+        .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+        .limit(20)
     )
 
 
