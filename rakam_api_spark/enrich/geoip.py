@@ -70,11 +70,38 @@ def default_ranges(spark: SparkSession) -> DataFrame:
     )
 
 
+# Bucket granularity for the prefix equi-join: /16 ⇒ 65536 addresses
+# per bucket.  A GeoLite2-size dim (~3M mostly-/24-or-smaller ranges)
+# explodes to only slightly more rows; the widest realistic range (a
+# /8) explodes into 256 bucket rows.
+PREFIX_BITS = 16
+
+
+def bucketed_ranges(ranges: DataFrame) -> DataFrame:
+    """Explode each (start_n, end_n) range into one row per /16 prefix
+    bucket it covers.  Done once on the dim side, so the per-event
+    lookup becomes a hash equi-join on ``bucket`` instead of an
+    O(|ranges|)-per-row nested-loop scan."""
+    shift = 32 - PREFIX_BITS
+    return ranges.withColumn(
+        "bucket",
+        F.explode(F.sequence(F.shiftright(F.col("start_n"), shift), F.shiftright(F.col("end_n"), shift))),
+    )
+
+
 class GeoIPMapper(Mapper):
     name = "geoip"
 
-    def __init__(self, ranges_df: DataFrame | None = None):
+    def __init__(self, ranges_df: DataFrame | None = None, broadcast_dim: bool | None = None):
+        """``ranges_df``: (start_n, end_n, attrs…) dimension; ranges are
+        assumed disjoint (GeoLite2 exports are).  ``broadcast_dim``:
+        force/forbid broadcasting the exploded dim; default broadcasts
+        only the tiny built-in demo table and lets Catalyst/AQE pick
+        the strategy for caller-supplied dims (a GeoLite2-size dim
+        shuffles both sides on ``bucket`` — an equi-join, never a
+        BroadcastNestedLoopJoin)."""
         self.ranges_df = ranges_df
+        self.broadcast_dim = broadcast_dim
 
     def dependency(self) -> FieldDependency:
         return FieldDependency(dependent_fields={"_ip": dict(GEO_FIELDS)})
@@ -82,19 +109,35 @@ class GeoIPMapper(Mapper):
     def apply(self, df: DataFrame, ctx: dict) -> DataFrame:
         if "_ip" not in df.columns:
             return df
-        ranges = self.ranges_df if self.ranges_df is not None else default_ranges(df.sparkSession)
+        if self.ranges_df is not None:
+            ranges, do_broadcast = self.ranges_df, self.broadcast_dim
+        else:
+            ranges = default_ranges(df.sparkSession)
+            do_broadcast = True if self.broadcast_dim is None else self.broadcast_dim
         # resolve trigger: string ip, or boolean true ⇒ request source
         # address from context (reference: X-Forwarded-For / socket)
         src_addr = ctx.get("source_address")
         ip_raw = F.col("_ip").cast("string")
         if src_addr is not None:
             ip_raw = F.when(F.lower(ip_raw) == "true", F.lit(src_addr)).otherwise(ip_raw)
-        enriched = df.withColumn("__ip", ip_raw).withColumn("_ip_n", ip_to_long(F.col("__ip")))
-        # broadcast range join: ranges are few (GeoLite2 ~3M rows —
-        # still broadcastable at ~100MB; else bucket by /8 prefix)
+        enriched = (
+            df.withColumn("__ip", ip_raw)
+            .withColumn("_ip_n", ip_to_long(F.col("__ip")))
+            .withColumn("_ip_b", F.shiftright(F.col("_ip_n"), 32 - PREFIX_BITS))
+        )
+        dim = bucketed_ranges(ranges)
+        if do_broadcast:
+            dim = broadcast(dim)
+        elif do_broadcast is False:
+            dim = dim.hint("shuffle_hash")
+        # equi-join on the prefix bucket with the range bounds as a
+        # residual predicate: hash lookup per event row, in-bucket
+        # range filter — O(1) per row vs the old O(|ranges|) BNLJ.
         joined = enriched.join(
-            broadcast(ranges),
-            (F.col("_ip_n") >= F.col("start_n")) & (F.col("_ip_n") <= F.col("end_n")),
+            dim,
+            (F.col("_ip_b") == F.col("bucket"))
+            & (F.col("_ip_n") >= F.col("start_n"))
+            & (F.col("_ip_n") <= F.col("end_n")),
             "left",
-        ).drop("_ip_n", "start_n", "end_n", "_ip")
+        ).drop("_ip_n", "_ip_b", "bucket", "start_n", "end_n", "_ip")
         return joined

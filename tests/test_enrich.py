@@ -62,6 +62,46 @@ def test_geoip_true_uses_source_address(spark):
     assert r["_country_code"] == "DE"
 
 
+def test_geoip_large_dim_no_nested_loop(spark):
+    """A GeoLite2-scale range dim must plan as a hash equi-join on the
+    /16 prefix bucket, never a BroadcastNestedLoopJoin (reference scale
+    anchor: MaxmindGeoIPEventMapper.java:165-222, ~3M mmdb ranges)."""
+    n_ranges = 100_000
+    # disjoint /24-ish ranges: [i*256, i*256+255]
+    ranges = (
+        spark.range(n_ranges)
+        .select(
+            (F.col("id") * 256).alias("start_n"),
+            (F.col("id") * 256 + 255).alias("end_n"),
+            F.concat(F.lit("C"), (F.col("id") % 250).cast("string")).alias("_country_code"),
+            F.lit("r").alias("_region"),
+            F.lit("c").alias("_city"),
+            F.lit(1.0).alias("_latitude"),
+            F.lit(2.0).alias("_longitude"),
+            F.lit("tz").alias("_timezone"),
+        )
+    )
+    df = spark.createDataFrame(
+        [("0.0.1.7", 1), ("0.1.0.42", 2), ("200.0.0.1", 3)], "_ip string, n bigint"
+    )
+    out = GeoIPMapper(ranges_df=ranges, broadcast_dim=False).apply(df, {})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = {r["n"]: r for r in out.collect()}
+    assert rows[1]["_country_code"] == "C1"  # ip_n=263 → range id 1
+    assert rows[2]["_country_code"] == "C6"  # ip_n=65578 → id 256 → 256%250=6
+    assert rows[3]["_country_code"] is None  # beyond the dim
+    assert len(rows) == 3
+
+
+def test_geoip_default_dim_is_bucketed_equi_join(spark):
+    df = spark.createDataFrame([("24.100.0.1", 1)], "_ip string, n bigint")
+    out = GeoIPMapper().apply(df, {})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_useragent_parse(spark):
     df = spark.createDataFrame([(CHROME_UA, 1)], "_user_agent string, n bigint")
     out = UserAgentMapper().apply(df, {})
