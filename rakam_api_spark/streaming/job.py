@@ -271,9 +271,12 @@ class StreamingIngest:
         if self._is_committed(epoch_id):
             return  # replay of a fully-committed epoch: no-op
         spark = batch_df.sparkSession
-        parsed = parse_envelope(batch_df).where(F.col("collection").isNotNull())
-        if self.dedup_uuids:
-            parsed = self._dedup(parsed, epoch_id)
+        # persist the parsed envelope BEFORE the dedup split: _dedup
+        # unions two filter branches of this frame, which would
+        # otherwise scan (re-fetch from the bus) the source twice per
+        # micro-batch
+        raw = parse_envelope(batch_df).where(F.col("collection").isNotNull()).persist()
+        parsed = self._dedup(raw, epoch_id) if self.dedup_uuids else raw
         # one cached pass feeds the schema probe, every per-collection
         # ingest, and the post-ingest seen-uuid append
         parsed = parsed.persist()
@@ -329,6 +332,7 @@ class StreamingIngest:
                     self._compact_seen(spark, epoch_id)
         finally:
             parsed.unpersist()
+            raw.unpersist()
         self._mark_committed(epoch_id)
 
     def _dedup(self, parsed: DataFrame, epoch_id: int) -> DataFrame:
@@ -554,6 +558,32 @@ class StreamingIngest:
             reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
         stream = kafka_envelope_frame(reader.load())
         return self._start_writer(stream, checkpoint_dir, trigger_available_now)
+
+    def start_local_bus_stream(
+        self,
+        bus_dir: str,
+        topic: str,
+        checkpoint_dir: str,
+        max_offsets_per_trigger: int | None = None,
+    ):
+        """Loopback-bus stream: the Kafka contract (keyed produce →
+        per-partition offsets → bounded consumption → ingest →
+        commit) served by the in-repo ``rakam_localbus`` Python
+        streaming data source, for environments without a broker.
+        Identical foreachBatch body and envelope projection as
+        ``start_kafka_stream`` — only the source format differs."""
+        from .localbus import LocalBusDataSource
+
+        self.spark.dataSource.register(LocalBusDataSource)
+        reader = (
+            self.spark.readStream.format("rakam_localbus")
+            .option("path", bus_dir)
+            .option("topic", topic)
+        )
+        if max_offsets_per_trigger is not None:
+            reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+        stream = kafka_envelope_frame(reader.load())
+        return self._start_writer(stream, checkpoint_dir, trigger_available_now=False)
 
 
 def write_envelope_file(path: str, events: list[dict]) -> None:
