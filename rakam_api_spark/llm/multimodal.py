@@ -5,8 +5,10 @@ resize / frame-sample stages as Arrow-batched Pandas UDFs over
 
 Decode kernels are REAL for every format the standard library can
 parse — uncompressed 24/32-bit BMP and binary PPM/PGM images
-(struct + numpy), PCM WAV audio (``wave``) — and upgrade to PIL for
-compressed formats (PNG/JPEG/…) when it is installed (optional
+(struct + numpy), 8-bit PNG (zlib inflate + scanline filter
+reconstruction, all five filter types and color types 0/2/3/4/6),
+PCM WAV audio (``wave``) — and upgrade to PIL for other compressed
+formats (JPEG/16-bit PNG/…) when it is installed (optional
 dependency; not present in this container).  Payloads no decoder
 handles fall back to a deterministic sha-derived pseudo-feature
 (or raise under ``strict=True``), so the pipeline stays total.  The
@@ -73,16 +75,116 @@ def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decode_png_bytes(b: bytes) -> tuple[int, int, int, list[float]] | None:
+    """Pure-stdlib PNG decode: zlib-inflate the IDAT stream and
+    reconstruct scanlines per the five PNG filter types (None, Sub,
+    Up, Average, Paeth).  Covers non-interlaced 8-bit-depth images in
+    every color type — grayscale (0), RGB (2), palette (3),
+    gray+alpha (4), RGBA (6).  16-bit and Adam7-interlaced images
+    return None (rare in corpora; PIL handles them when installed).
+
+    Returns (width, height, channels, RGB channel means 0-255) like
+    the other image decoders.  The Up filter is vectorized (numpy
+    uint8 wrap-add is exactly the spec's mod-256); Sub/Average/Paeth
+    are inherently sequential per pixel and run byte-wise per row —
+    acceptable because decode parallelism comes from mapInPandas
+    partitions, not from within one image."""
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, idat, ihdr, plte = 8, [], None, None
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack_from(">I", b, pos)
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR" and len(data) >= 13:
+            ihdr = struct.unpack_from(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        return None
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if nch is None or depth != 8 or comp or filt or interlace or not (0 < w and 0 < h):
+        return None
+    import zlib
+
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    rpos = 0
+    for y in range(h):
+        ftype = raw[rpos]
+        row = np.frombuffer(raw, np.uint8, stride, rpos + 1).copy()
+        rpos += stride + 1
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(nch, stride):
+                row[i] = (int(row[i]) + int(row[i - nch])) & 0xFF
+        elif ftype == 2:  # Up — uint8 wrap-add is the spec's mod 256
+            row += prev
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = int(row[i - nch]) if i >= nch else 0
+                row[i] = (int(row[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = int(row[i - nch]) if i >= nch else 0
+                up = int(prev[i])
+                c = int(prev[i - nch]) if i >= nch else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+                row[i] = (int(row[i]) + pred) & 0xFF
+        else:
+            return None
+        out[y] = row
+        prev = row
+    px = out.reshape(h, w, nch)
+    if ctype == 3:  # palette indices → RGB via PLTE
+        if plte is None or len(plte) < 3:
+            return None
+        pal = np.frombuffer(plte[: len(plte) - len(plte) % 3], np.uint8).reshape(-1, 3)
+        idx = px[..., 0]
+        if int(idx.max()) >= len(pal):
+            return None
+        means = pal[idx].reshape(-1, 3).mean(axis=0)
+        return w, h, 3, [float(m) for m in means]
+    if ctype in (0, 4):  # gray / gray+alpha: replicate luma to RGB
+        g = float(px[..., 0].mean())
+        return w, h, nch, [g, g, g]
+    means = px[..., :3].reshape(-1, 3).mean(axis=0)
+    return w, h, nch, [float(m) for m in means]
+
+
 def decode_image_bytes(b: bytes) -> tuple[int, int, int, list[float]] | None:
     """(width, height, channels, per-channel means 0-255) for image
     formats decodable WITHOUT external codecs:
 
     - uncompressed 24/32-bit BMP (BITMAPINFOHEADER, BI_RGB),
-    - binary PPM (``P6``) / PGM (``P5``);
+    - binary PPM (``P6``) / PGM (``P5``),
+    - PNG (8-bit, non-interlaced; stdlib zlib + filter
+      reconstruction — :func:`decode_png_bytes`);
 
-    anything else (PNG/JPEG/…) goes to PIL when installed (optional
-    dependency).  Returns None when no decoder applies — callers
-    choose the fallback policy."""
+    anything else (JPEG/16-bit PNG/…) goes to PIL when installed
+    (optional dependency).  Returns None when no decoder applies —
+    callers choose the fallback policy."""
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        png = decode_png_bytes(b)
+        if png is not None:
+            return png
+        # fall through to PIL for 16-bit / interlaced PNGs
     if b[:2] == b"BM" and len(b) >= 54:
         (data_off,) = struct.unpack_from("<I", b, 10)
         (hdr_size,) = struct.unpack_from("<I", b, 14)
@@ -233,8 +335,9 @@ def decode_and_featurize(media: DataFrame, strict: bool = False, dim: int = 8) -
                 if strict:
                     raise NotImplementedError(
                         f"no decoder for this {mt} payload: media codecs "
-                        "unavailable (stdlib decoders cover BMP/PPM/PGM/WAV; "
-                        "install PIL/librosa/av for compressed formats)"
+                        "unavailable (stdlib decoders cover BMP/PPM/PGM/"
+                        "PNG/WAV; install PIL/librosa/av for other "
+                        "compressed formats)"
                     )
                 digest = hashlib.sha256(b).digest()
                 # fallback pseudo-feature; [0] scaled < 1.0 so it can
