@@ -243,6 +243,7 @@ class StreamingIngest:
         push_row_cap: int = 10_000,
         marker_retention_epochs: int = 1_000,
         state_store: LocalFSStateStore | None = None,
+        ingest_parallelism: int = 8,
     ):
         self.collector = collector
         self.project = project
@@ -252,6 +253,11 @@ class StreamingIngest:
         self.seen_compact_every = seen_compact_every
         self.push_row_cap = push_row_cap
         self.marker_retention = marker_retention_epochs
+        # collections within an epoch ingest concurrently (thread pool
+        # submitting independent Spark jobs): epoch wall-time tracks
+        # the largest collection, not the sum over hundreds of live
+        # collections.  1 = sequential.
+        self.ingest_parallelism = max(1, ingest_parallelism)
         self.state = state_store or DEFAULT_STATE_STORE
         self.spark = collector.spark
         base = os.path.join(collector.metastore.warehouse_dir, project)
@@ -295,11 +301,8 @@ class StreamingIngest:
                 .collect()
             )
             push = bool(self.registry.subs)
-            for r in sorted(schema_rows, key=lambda r: r["collection"]):
-                coll = r["collection"]
-                inner = variant_struct_ddl(r["vddl"])
-                if inner is None:
-                    continue
+
+            def ingest_one(coll: str, inner: str) -> None:
                 rows = parsed.where(F.col("collection") == coll)
                 props = rows.select(F.from_json("props_json", inner).alias("p")).select("p.*")
                 report = self.collector._ingest_df(
@@ -316,6 +319,34 @@ class StreamingIngest:
                         )
                 finally:
                     report.release()
+
+            tasks: list[tuple[str, str]] = []
+            for r in sorted(schema_rows, key=lambda r: r["collection"]):
+                inner = variant_struct_ddl(r["vddl"])
+                if inner is not None:
+                    tasks.append((r["collection"], inner))
+            if len(tasks) <= 1 or self.ingest_parallelism == 1:
+                for coll, inner in tasks:
+                    ingest_one(coll, inner)
+            else:
+                # concurrent per-collection Spark jobs: the metastore
+                # serializes schema evolution behind its lock, store
+                # writes land in disjoint per-collection dirs, and
+                # subscriber callbacks are serialized by the registry.
+                # Submission is in sorted-collection order, so
+                # first-sight decisions (USER_TYPE pinning) follow the
+                # same order as the sequential path on a best-effort
+                # basis — concurrent first-write is an inherent race
+                # the reference has too (TestUserStorage contract).
+                # Any failure fails the epoch (no commit marker), so
+                # the at-least-once replay machinery re-processes it.
+                from concurrent.futures import ThreadPoolExecutor
+
+                workers = min(self.ingest_parallelism, len(tasks))
+                with ThreadPoolExecutor(max_workers=workers) as pool:
+                    futures = [pool.submit(ingest_one, c, i) for c, i in tasks]
+                    for fut in futures:
+                        fut.result()
             if self.dedup_uuids:
                 # record uuids only after every collection ingested:
                 # a mid-epoch crash re-processes the batch instead of

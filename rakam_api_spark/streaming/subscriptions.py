@@ -12,6 +12,7 @@ matching rows to a callback (the reference's ``response`` writer).
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -31,6 +32,9 @@ class StreamSubscription:
 @dataclass
 class SubscriptionRegistry:
     subs: list[StreamSubscription] = field(default_factory=list)
+    # collection ingests within an epoch may run on a thread pool;
+    # callbacks are user code, so deliveries are serialized
+    _cb_lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
     def subscribe(self, sub: StreamSubscription) -> StreamSubscription:
         self.subs.append(sub)
@@ -59,4 +63,5 @@ class SubscriptionRegistry:
                 df = df.select(*[F.col(f"`{c}`") for c in sub.columns])
             rows = [r.asDict() for r in df.limit(row_cap).collect()]
             if rows:
-                sub.callback(rows)
+                with self._cb_lock:
+                    sub.callback(rows)

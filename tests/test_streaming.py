@@ -535,6 +535,58 @@ def test_stream_stream_attribution_join(spark, tmp_path):
     assert {(r["purchase_id"], r["view_id"]) for r in batch.collect()} == got
 
 
+def test_parallel_collection_ingest_one_epoch(spark, warehouse, tmp_path):
+    """≥8 collections in a single epoch ingest concurrently (epoch
+    wall-time tracks the largest collection, not the sum): every
+    collection lands with its own schema, and the per-collection
+    ingest provably ran on multiple pool threads."""
+    import threading
+
+    ms = Metastore(warehouse)
+    collector = EventCollector(spark, ms, pipeline=EnrichmentPipeline([TimestampMapper()]))
+    ing = StreamingIngest(collector, "proj", dedup_uuids=False, ingest_parallelism=8)
+    seen_threads = set()
+    orig = collector._ingest_df
+
+    def spy(*a, **kw):
+        seen_threads.add(threading.current_thread().name)
+        return orig(*a, **kw)
+
+    collector._ingest_df = spy
+    events = [
+        {"collection": f"coll{i}", "properties": {f"field{i}": i, "v": float(i)}}
+        for i in range(10)
+    ]
+    batch = spark.createDataFrame([(__import__("json").dumps(e),) for e in events], "value string")
+    ing.process_batch(batch, 0)
+    for i in range(10):
+        df = collector.store.read("proj", f"coll{i}")
+        assert df.count() == 1
+        assert f"field{i}" in df.columns
+    assert len(seen_threads) > 1, "per-collection ingest did not parallelize"
+
+
+def test_parallel_ingest_failure_fails_epoch(spark, warehouse, tmp_path):
+    """A failing collection fails the whole epoch (no commit marker →
+    at-least-once replay re-processes it); sibling collections'
+    completed writes are tolerated by replay idempotence upstream."""
+    ms = Metastore(warehouse)
+    collector = EventCollector(spark, ms, pipeline=EnrichmentPipeline([TimestampMapper()]))
+    ing = StreamingIngest(collector, "proj", dedup_uuids=False, ingest_parallelism=4)
+    orig = collector._ingest_df
+
+    def failing(project, coll, *a, **kw):
+        if coll == "bad":
+            raise RuntimeError("boom")
+        return orig(project, coll, *a, **kw)
+
+    collector._ingest_df = failing
+    events = [{"collection": c, "properties": {"x": 1}} for c in ("a", "b", "bad", "d")]
+    batch = spark.createDataFrame([(__import__("json").dumps(e),) for e in events], "value string")
+    with pytest.raises(RuntimeError, match="boom"):
+        ing.process_batch(batch, 0)
+
+
 def test_kafka_session_package_pinned_to_pyspark_version():
     """get_spark(kafka=True) resolves the spark-sql-kafka connector at
     the installed Spark version / Scala 2.13 (no broker or network in
