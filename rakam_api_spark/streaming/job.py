@@ -244,6 +244,7 @@ class StreamingIngest:
         marker_retention_epochs: int = 1_000,
         state_store: LocalFSStateStore | None = None,
         ingest_parallelism: int = 8,
+        seen_shards: int = 16,
     ):
         self.collector = collector
         self.project = project
@@ -258,6 +259,12 @@ class StreamingIngest:
         # the largest collection, not the sum over hundreds of live
         # collections.  1 = sequential.
         self.ingest_parallelism = max(1, ingest_parallelism)
+        # seen-uuid state is hash-sharded on uuid: compaction rewrites
+        # run one task per shard (never a single-partition funnel) and
+        # the dedup anti-join carries the shard in its key.  At 100
+        # TB/day the window can hold billions of uuids — a
+        # repartition(1) rewrite would bottleneck on one task.
+        self.seen_shards = max(1, seen_shards)
         self.state = state_store or DEFAULT_STATE_STORE
         self.spark = collector.spark
         base = os.path.join(collector.metastore.warehouse_dir, project)
@@ -366,19 +373,34 @@ class StreamingIngest:
             raw.unpersist()
         self._mark_committed(epoch_id)
 
+    def _shard_expr(self, uuid_col):
+        return F.pmod(F.hash(uuid_col), F.lit(self.seen_shards)).cast("int")
+
     def _dedup(self, parsed: DataFrame, epoch_id: int) -> DataFrame:
         """uuid dedup: only rows WITH a uuid deduplicate (batch-local
         + against the windowed seen set); uuid-less rows pass through
-        — grouping NULLs would collapse distinct events."""
+        — grouping NULLs would collapse distinct events.  The
+        anti-join key leads with the uuid-hash shard — the partition
+        column of the compacted state — so the join prunes to
+        matching shard partitions instead of scanning the whole seen
+        set."""
         parsed = parsed.withColumn("__uuid", F.col("api.uuid"))
         no_uuid = parsed.where(F.col("__uuid").isNull())
         with_uuid = parsed.where(F.col("__uuid").isNotNull()).dropDuplicates(["__uuid"])
         seen = self._read_seen(parsed.sparkSession, epoch_id)
         if seen is not None:
-            with_uuid = with_uuid.join(
-                seen.select(F.col("uuid").alias("__seen_uuid")),
-                with_uuid["__uuid"] == F.col("__seen_uuid"),
-                "left_anti",
+            with_uuid = (
+                with_uuid.withColumn("__shard", self._shard_expr(F.col("__uuid")))
+                .join(
+                    seen.select(
+                        F.col("shard").alias("__seen_shard"),
+                        F.col("uuid").alias("__seen_uuid"),
+                    ),
+                    (F.col("__shard") == F.col("__seen_shard"))
+                    & (F.col("__uuid") == F.col("__seen_uuid")),
+                    "left_anti",
+                )
+                .drop("__shard")
             )
         return with_uuid.unionByName(no_uuid).drop("__uuid")
 
@@ -426,43 +448,52 @@ class StreamingIngest:
         d = self._current_seen_dir()
         if d is None:
             return None
-        return (
-            spark.read.parquet(d)
-            .where(
-                (F.col("epoch") >= F.lit(epoch_id - self.dedup_window))
-                & (F.col("epoch") != F.lit(epoch_id))
-            )
-            .select("uuid", "epoch")
-        )
+        df = spark.read.parquet(d)
+        if "shard" not in df.columns:  # pre-shard state layout
+            df = df.withColumn("shard", self._shard_expr(F.col("uuid")))
+        return df.where(
+            (F.col("epoch") >= F.lit(epoch_id - self.dedup_window))
+            & (F.col("epoch") != F.lit(epoch_id))
+        ).select("shard", "uuid", "epoch")
 
     def _append_seen(self, df: DataFrame) -> None:
+        """Append this epoch's uuids, hash-sharded on uuid: the state
+        dir is hive-partitioned by ``shard`` so compaction rewrites
+        and the dedup anti-join work shard-parallel."""
         if df.isEmpty():
             return
+        sharded = df.withColumn("shard", self._shard_expr(F.col("uuid")))
         d = self._current_seen_dir()
         if d is None:
             os.makedirs(self._seen_base, exist_ok=True)
             d = os.path.join(self._seen_base, "v0")
-            df.write.mode("append").parquet(d)
+            sharded.write.partitionBy("shard").mode("append").parquet(d)
             self._set_current_seen("v0")
             return
-        df.write.mode("append").parquet(d)
+        sharded.write.partitionBy("shard").mode("append").parquet(d)
 
     def _compact_seen(self, spark: SparkSession, epoch_id: int) -> None:
         """Bound the state: rewrite the seen set keeping only epochs
         inside the window, into a fresh versioned dir, then swap the
         CURRENT pointer atomically and remove the old version.  State
-        size is O(window × batch), independent of stream lifetime."""
+        size is O(window × batch), independent of stream lifetime.
+        The rewrite is partitioned by uuid-hash shard — one task per
+        shard, never a single-partition funnel — because at scale the
+        window can hold billions of uuids."""
         d = self._current_seen_dir()
         if d is None:
             return
         cur_name = os.path.basename(d)
         nxt_name = f"v{int(cur_name[1:]) + 1}"
         nxt = os.path.join(self._seen_base, nxt_name)
+        df = spark.read.parquet(d)
+        if "shard" not in df.columns:  # migrate pre-shard layout
+            df = df.withColumn("shard", self._shard_expr(F.col("uuid")))
         (
-            spark.read.parquet(d)
-            .where(F.col("epoch") >= F.lit(epoch_id - self.dedup_window))
-            .repartition(1)
-            .write.mode("overwrite")
+            df.where(F.col("epoch") >= F.lit(epoch_id - self.dedup_window))
+            .repartition(self.seen_shards, "shard")
+            .write.partitionBy("shard")
+            .mode("overwrite")
             .parquet(nxt)
         )
         self._set_current_seen(nxt_name)

@@ -97,7 +97,12 @@ def test_localbus_replay_same_offsets(spark, warehouse, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     q = ing.start_local_bus_stream(bus_dir, "t", ckpt)
     try:
-        assert _await(lambda: _stored_count(collector, "proj", "c") == 8)
+        # wait for the data AND the epoch-0 commit marker: stopping
+        # between the collection write and the marker is the
+        # documented at-least-once window where a replay re-ingests
+        assert _await(
+            lambda: _stored_count(collector, "proj", "c") == 8 and ing._is_committed(0)
+        )
     finally:
         q.stop()
     # second run over the same checkpoint: nothing new to consume

@@ -143,6 +143,32 @@ def test_uuid_dedup_window_expiry_and_bounded_state(spark, warehouse):
     assert seen.count() <= 2 * ing.dedup_window + 2
 
 
+def test_seen_state_sharded_and_join_pruned(spark, warehouse):
+    """The compacted seen-uuid state is hash-sharded (hive-partitioned
+    by ``shard``, one rewrite task per shard — no repartition(1)
+    funnel) and the dedup anti-join keys on the shard so the state
+    scan prunes/partitions by it."""
+    import os
+
+    ms = Metastore(warehouse)
+    collector = EventCollector(spark, ms, pipeline=EnrichmentPipeline([TimestampMapper()]))
+    ing = StreamingIngest(
+        collector, "proj", dedup_window_batches=10, seen_compact_every=1, seen_shards=4
+    )
+    ev = lambda uid, x: {"collection": "c", "properties": {"x": x}, "api": {"uuid": uid}}
+    ing.process_batch(_envelope_df(spark, [ev(f"u{i}", i) for i in range(32)]), 0)
+    ing.process_batch(_envelope_df(spark, [ev(f"w{i}", i) for i in range(32)]), 1)
+    d = ing._current_seen_dir()
+    shard_dirs = [n for n in os.listdir(d) if n.startswith("shard=")]
+    assert len(shard_dirs) > 1, "compacted state is not shard-partitioned"
+    # shard column survives the read and the anti-join stays correct:
+    # full re-send of epoch-0/1 uuids in epoch 2 all dedup away
+    ing.process_batch(
+        _envelope_df(spark, [ev(f"u{i}", 100 + i) for i in range(32)]), 2
+    )
+    assert ing.collector.store.read("proj", "c").count() == 64
+
+
 def test_epoch_replay_is_idempotent_and_retry_safe(spark, warehouse):
     """A replayed fully-committed epoch is skipped (commit marker);
     a mid-epoch retry (no marker) re-ingests instead of anti-joining
