@@ -241,8 +241,17 @@ class EventCollector:
         # per-row bad-field count and an Observation collects
         # (row count, Σ bad fields) DURING the parquet write — the
         # old count-then-write-then-count-dead sequence executed the
-        # batch lineage three times.  The dead-letter pass (a cache
-        # re-read) runs only when the observed bad count is > 0.
+        # batch lineage three times.  The dead-letter pass runs only
+        # when the observed bad count is > 0; it reads the cache when
+        # ``cached`` pinned one (probe needed, or CUSTOM transforms
+        # whose determinism we can't vouch for), otherwise it
+        # RE-EXECUTES the source+builtin-mapper lineage.  That is
+        # correct because both are deterministic here: server time is
+        # pinned to a literal above and built-in mappers are pure.
+        # API contract: caller-supplied source DataFrames must be
+        # deterministic (stable under re-execution) — a
+        # nondeterministic source could store rows that desync from
+        # their dead-letter copies.
         try:
             result = coerce_to_schema(
                 df,
@@ -322,7 +331,13 @@ class EventCollector:
     ) -> IngestReport:
         """Bulk load (``POST /event/bulk``; ``map_events=False`` is
         ``/event/copy``).  ``data`` may be a prepared DataFrame (any
-        spark.read source: json/csv/avro/parquet/url) or records."""
+        spark.read source: json/csv/avro/parquet/url) or records.
+
+        Contract: a caller-supplied DataFrame must be deterministic
+        under re-execution (file sources are; frames derived from
+        ``rand()``/current-time/changing inputs are not) — the
+        dead-letter pass may re-run the lineage and must see the same
+        rows the store write saw."""
         df = data if isinstance(data, DataFrame) else self._records_to_df(data)
         return self._ingest_df(
             project, collection, df, map_events=map_events, master_key=master_key, ctx=ctx

@@ -31,6 +31,7 @@ for the sessionization/funnel workloads (SPARK-19256 hive bucketing)
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -251,15 +252,23 @@ class EventStore:
             F.col("_month"), day, *[F.col(d) for d in dims]
         ).agg(*aggs)
         out = self._base_path(project, collection) + ".rollup"
-        writer = rollup.write.partitionBy("_month")
-        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        try:
-            # dynamic: overwrite ONLY the month partitions present in
-            # this refresh — other months' files are untouched
-            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            writer.mode("overwrite").parquet(out)
-        finally:
-            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        if months is None:
+            # full rebuild: drop the whole table first so month
+            # partitions that vanished from raw (retention delete,
+            # compaction pruning) don't linger stale — dynamic
+            # overwrite only touches partitions present in the new
+            # aggregate
+            shutil.rmtree(out, ignore_errors=True)
+        # per-write option (not a session-conf flip, which would race
+        # with concurrent jobs on the same SparkSession): overwrite
+        # ONLY the month partitions present in this refresh — other
+        # months' files are untouched
+        (
+            rollup.write.partitionBy("_month")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(out)
+        )
         return self.spark.read.parquet(out).count()
 
     def read_rollup(self, project: str, collection: str) -> DataFrame:

@@ -49,8 +49,21 @@ _NS_PER_DAY = 86_400_000_000_000
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure_runtime(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") in ("timestamp_ntz", "timestamp"):
+    if name == "events" and dict(df.dtypes).get("ts") == "timestamp_ntz":
         df = df.withColumn("ts_ns", F.expr("unix_micros(cast(ts as timestamp)) * 1000"))
+    elif name == "events" and dict(df.dtypes).get("ts") == "timestamp":
+        # tz-adjusted micros (isAdjustedToUTC=true): normalize ts to
+        # the UTC wall-clock as TimestampNTZ so callers always see
+        # NTZ and downstream date/strftime math is tz-independent
+        # (configure_runtime pins the session timezone to UTC, so the
+        # cast reads the instant at UTC).  NOTE: the driver testdata
+        # is NTZ — this branch serves external tz-adjusted parquet,
+        # and a DuckDB oracle over such data reads TIMESTAMPTZ, so it
+        # must run with its timezone pinned to UTC (SET TimeZone='UTC')
+        # to match bit-exactly.
+        df = df.withColumn("ts_ns", F.expr("unix_micros(ts) * 1000")).withColumn(
+            "ts", F.expr("cast(ts as timestamp_ntz)")
+        )
     elif name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ts (ns since epoch) -> timestamp_ntz, tz-independent:
         # date part from floor-div days, sub-day part from remainder

@@ -128,3 +128,13 @@ def test_rollup_publish_and_incremental_refresh(spark, warehouse):
         f: os.path.getmtime(f) for f in glob.glob(f"{rollup_dir}/_month=2024-01/*.parquet")
     }
     assert jan_files_after == jan_files_before
+
+    # full rebuild drops rollup partitions for months that vanished
+    # from raw (retention delete): remove january raw, rebuild all
+    import shutil
+
+    shutil.rmtree(os.path.join(warehouse, "p", "ev", "_month=2024-01"))
+    store.publish_rollup("p", "ev")
+    months_left = {r["_month"] for r in store.read_rollup("p", "ev").select("_month").distinct().collect()}
+    assert months_left == {"2024-02"}
+    assert not glob.glob(f"{rollup_dir}/_month=2024-01/*")
