@@ -42,6 +42,14 @@ _MODULES = (
 # round 3, then the 50 freshly verified in round 4.
 _GATE_PRIORITY = (
     # never driver-checked (verified locally via tools/check_correctness.py)
+    "q7_nation_volume",
+    "q8_market_share",
+    "q14_promo_revenue",
+    "q22_idle_balances",
+    "stickiness_dau_mau",
+    "rfm_segments",
+    "curation_funnel",
+    "corpus_top_ngrams",
     "contamination_check",
     "dedup_clusters",
     "doc_typicality",

@@ -1234,6 +1234,125 @@ GROUP BY 1
 """
 
 
+def stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stickiness: DAU / trailing-30-day uniques per day — the
+    engagement ratio product analytics reports beside DAU/MAU.
+
+    Same day-grain shape as ``rolling_uniques_7d``: events collapse
+    to DISTINCT (day, user) pairs once; the 30-day fan-out joins the
+    broadcast day spine, so cost tracks |days × daily actives|, not
+    event volume.  The ratio is a double division of two exact
+    counts."""
+    ev = _events(spark, sf_dir)
+    pairs = ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    days = pairs.select("day").distinct()
+    fan = pairs.join(
+        broadcast(days.select(F.col("day").alias("report_day"))),
+        (F.col("day") <= F.col("report_day"))
+        & (F.col("day") >= F.date_sub(F.col("report_day"), 29)),
+    )
+    return (
+        fan.groupBy("report_day")
+        .agg(
+            F.countDistinct(F.when(F.col("day") == F.col("report_day"), F.col("user_id"))).alias("dau"),
+            F.countDistinct("user_id").alias("mau30"),
+        )
+        .withColumn("stickiness", F.col("dau").cast("double") / F.col("mau30").cast("double"))
+        .orderBy("report_day")
+    )
+
+
+STICKINESS_ORACLE = """
+WITH pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day AS report_day FROM pairs)
+SELECT report_day,
+       CAST(COUNT(DISTINCT CASE WHEN day = report_day THEN user_id END) AS BIGINT) AS dau,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau30,
+       CAST(COUNT(DISTINCT CASE WHEN day = report_day THEN user_id END) AS DOUBLE)
+         / CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS stickiness
+FROM pairs JOIN days
+  ON day <= report_day AND day >= report_day - INTERVAL 29 DAY
+GROUP BY 1
+"""
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: each user scored on Recency (days since
+    last event), Frequency (event count), and Monetary (exact
+    decimal value sum), split at the population average of each
+    metric into 2×2×2 segments.
+
+    Scale shape: one user-grain aggregation over events, one scalar
+    aggregation for the three thresholds (broadcast cross join), one
+    tiny 8-row rollup.  All thresholds are double divisions of exact
+    integer/decimal sums, and per-user monetary is a decimal sum, so
+    every comparison is bit-deterministic."""
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.col("ts").cast("date")).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("value").cast(DEC)).alias("monetary_dec"),
+    )
+    anchor = ev.agg(F.max(F.col("ts").cast("date")).alias("anchor_day"))
+    scored = per_user.crossJoin(broadcast(anchor)).select(
+        "user_id",
+        F.datediff(F.col("anchor_day"), F.col("last_day")).alias("recency_days"),
+        "frequency",
+        "monetary_dec",
+    )
+    thr = scored.agg(
+        (F.sum("recency_days").cast("double") / F.count(F.lit(1))).alias("avg_recency"),
+        (F.sum("frequency").cast("double") / F.count(F.lit(1))).alias("avg_frequency"),
+        (F.sum("monetary_dec").cast("double") / F.count(F.lit(1))).alias("avg_monetary"),
+    )
+    return (
+        scored.crossJoin(broadcast(thr))
+        .select(
+            (F.col("recency_days").cast("double") <= F.col("avg_recency")).alias("r_active"),
+            (F.col("frequency").cast("double") > F.col("avg_frequency")).alias("f_high"),
+            (F.col("monetary_dec").cast("double") > F.col("avg_monetary")).alias("m_high"),
+            "monetary_dec",
+        )
+        .groupBy("r_active", "f_high", "m_high")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("monetary_dec").cast("double").alias("segment_value"),
+        )
+        .orderBy("r_active", "f_high", "m_high")
+    )
+
+
+RFM_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CAST(ts AS DATE)) AS last_day,
+         COUNT(*) AS frequency,
+         SUM(CAST(value AS DECIMAL(18,6))) AS monetary_dec
+  FROM events GROUP BY user_id
+),
+anchor AS (SELECT MAX(CAST(ts AS DATE)) AS anchor_day FROM events),
+scored AS (
+  SELECT user_id,
+         DATEDIFF('day', last_day, anchor_day) AS recency_days,
+         frequency, monetary_dec
+  FROM per_user, anchor
+),
+thr AS (
+  SELECT CAST(SUM(recency_days) AS DOUBLE) / COUNT(*) AS avg_recency,
+         CAST(SUM(frequency) AS DOUBLE) / COUNT(*) AS avg_frequency,
+         CAST(SUM(monetary_dec) AS DOUBLE) / COUNT(*) AS avg_monetary
+  FROM scored
+)
+SELECT CAST(recency_days AS DOUBLE) <= avg_recency AS r_active,
+       CAST(frequency AS DOUBLE) > avg_frequency AS f_high,
+       CAST(monetary_dec AS DOUBLE) > avg_monetary AS m_high,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(monetary_dec) AS DOUBLE) AS segment_value
+FROM scored, thr
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "seg_daily_event_counts": seg_daily_event_counts,
     "dau": dau,
@@ -1260,6 +1379,8 @@ QUERIES = {
     "daily_anomaly_zscore": daily_anomaly_zscore,
     "latest_event_per_user": latest_event_per_user,
     "daily_value_moving_avg": daily_value_moving_avg,
+    "stickiness_dau_mau": stickiness_dau_mau,
+    "rfm_segments": rfm_segments,
 }
 
 ORACLES = {
@@ -1290,4 +1411,6 @@ ORACLES = {
     "rolling_uniques_7d": ROLLING_UNIQUES_ORACLE,
     "top_event_paths": TOP_EVENT_PATHS_ORACLE,
     "daily_anomaly_zscore": DAILY_ANOMALY_ORACLE,
+    "stickiness_dau_mau": STICKINESS_ORACLE,
+    "rfm_segments": RFM_ORACLE,
 }

@@ -714,6 +714,236 @@ LIMIT 10
 """
 
 
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 adapted: shipping volume between a nation pair, per
+    direction and ship year.
+
+    Plan shape: the lineitem⋈orders fact join shuffles on orderkey;
+    customer/supplier/nation are broadcast dims, and the nation-pair
+    predicate prunes rows during the broadcast hash joins — the only
+    wide shuffle is the fact join, the final group-by key space is
+    2 directions × years."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n_supp = broadcast(
+        nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    )
+    n_cust = broadcast(
+        nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    df = (
+        li.where(F.col("l_shipdate").cast("date").between("1995-01-01", "1996-12-31"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .join(n_supp, F.col("s_nationkey") == F.col("sn_key"))
+        .join(n_cust, F.col("c_nationkey") == F.col("cn_key"))
+        .where(pair)
+    )
+    return (
+        df.groupBy("supp_nation", "cust_nation", F.year(F.col("l_shipdate").cast("date")).alias("l_year"))
+        .agg(
+            F.sum((_dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))).cast(DEC))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_ORACLE = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(YEAR FROM CAST(l_shipdate AS DATE)) AS INT) AS l_year,
+         l_extendedprice, l_discount
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND CAST(l_shipdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 adapted: NATION_3's share of ECONOMY-part order
+    volume delivered into the AMERICA region, per order year.
+
+    The share is a double division of two exactly-aggregated decimal
+    sums (conditional numerator via a CASE inside the same
+    aggregation — one pass, no self-join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    n_cust = broadcast(
+        nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key"))
+    )
+    n_supp = broadcast(
+        nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    )
+    vol = (_dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))).cast(DEC)
+    df = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(part.where(F.col("p_type").startswith("ECONOMY"))), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n_cust, F.col("c_nationkey") == F.col("cn_key"))
+        .join(broadcast(region.where(F.col("r_name") == "AMERICA")), F.col("cr_key") == F.col("r_regionkey"))
+        .join(n_supp, F.col("s_nationkey") == F.col("sn_key"))
+        .where(F.col("o_orderdate").cast("date").between("1995-01-01", "1996-12-31"))
+    )
+    return (
+        df.groupBy(F.year(F.col("o_orderdate").cast("date")).alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0).cast(DEC)))
+            .cast("double")
+            .alias("nation_volume"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+        .withColumn("mkt_share", F.col("nation_volume") / F.col("total_volume"))
+        .orderBy("o_year")
+    )
+
+
+Q8_ORACLE = """
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS nation_volume,
+       CAST(SUM(vol) AS DOUBLE) AS total_volume,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+         / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS vol,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN part     ON l_partkey = p_partkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA'
+    AND p_type LIKE 'ECONOMY%'
+    AND CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+)
+GROUP BY o_year
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 adapted: share of revenue from PROMO parts in one
+    ship month — conditional aggregation over the part-broadcast
+    join, one output row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    vol = (_dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))).cast(DEC)
+    df = (
+        li.where(
+            (F.col("l_shipdate").cast("date") >= F.lit("1995-09-01").cast("date"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1995-10-01").cast("date"))
+        )
+        .join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return df.agg(
+        F.sum(F.when(F.col("p_type").startswith("PROMO"), vol).otherwise(F.lit(0).cast(DEC)))
+        .cast("double")
+        .alias("promo_revenue"),
+        F.sum(vol).cast("double").alias("total_revenue"),
+    ).withColumn(
+        "promo_share",
+        F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"),
+    )
+
+
+Q14_ORACLE = """
+SELECT
+  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN vol ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_revenue,
+  CAST(SUM(vol) AS DOUBLE) AS total_revenue,
+  100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN vol ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        / CAST(SUM(vol) AS DOUBLE) AS promo_share
+FROM (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS vol,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1995-09-01'
+    AND CAST(l_shipdate AS DATE) <  DATE '1995-10-01'
+)
+"""
+
+
+def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 adapted: per market segment, customers whose account
+    balance beats the positive-balance average but who have gone
+    idle (no orders since 1998 — every synthetic customer has SOME
+    order, so 'never ordered' would be a vacuous gate).
+
+    Plan shape: the global average is ONE scalar aggregation
+    cross-joined (broadcast) into the customer scan — never a
+    correlated per-row subquery; the idle test is a left-anti join
+    on custkey against the date-filtered orders (the filter pushes
+    to the orders scan).  The threshold is a double division of an
+    exact decimal sum, and balance sums are decimal-exact, so
+    results are order-insensitive."""
+    cu = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    thr = cu.where(F.col("c_acctbal") > 0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    recent = orders.where(
+        F.col("o_orderdate").cast("date") >= F.lit("1998-01-01").cast("date")
+    ).select("o_custkey")
+    return (
+        cu.crossJoin(broadcast(thr))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_balance"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q22_ORACLE = """
+WITH thr AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_balance
+FROM customer, thr
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
+  )
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -733,6 +963,10 @@ QUERIES = {
     "part_value_concentration": part_value_concentration,
     "big_ticket_orders": big_ticket_orders,
     "late_sole_supplier": late_sole_supplier,
+    "q7_nation_volume": q7_nation_volume,
+    "q8_market_share": q8_market_share,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q22_idle_balances": q22_idle_balances,
 }
 
 ORACLES = {
@@ -754,4 +988,8 @@ ORACLES = {
     "part_value_concentration": PART_VALUE_CONCENTRATION_ORACLE,
     "big_ticket_orders": BIG_TICKET_ORDERS_ORACLE,
     "late_sole_supplier": LATE_SOLE_SUPPLIER_ORACLE,
+    "q7_nation_volume": Q7_ORACLE,
+    "q8_market_share": Q8_ORACLE,
+    "q14_promo_revenue": Q14_ORACLE,
+    "q22_idle_balances": Q22_ORACLE,
 }

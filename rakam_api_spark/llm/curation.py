@@ -457,6 +457,95 @@ FROM per_lang, totals
 """
 
 
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-funnel report: how many documents each curation rule
+    keeps, individually and cumulatively — the acceptance report a
+    corpus pipeline publishes per snapshot.
+
+    Rules (cheap column predicates, evaluated in ONE pass):
+      1. ``length``      — 200 ≤ n_chars ≤ 20000;
+      2. ``repetition``  — Gopher-style top-token / dup-token caps
+                           (same thresholds as
+                           ``quality_repetition_rules``);
+      3. ``word_shape``  — mean token length in [2, 12].
+
+    Plan: the token stats reuse the two hash aggregations of the
+    repetition rule; the funnel itself is one conditional
+    aggregation producing a single row, unpivoted to one row per
+    stage with ``stack`` — no joins, no windows, 3-row output."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    wc = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("top_count"),
+        F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)).alias("dup_tokens"),
+        F.sum(F.length("tok") * F.col("c")).alias("n_tok_chars"),
+    )
+    flags = docs.select("doc_id", "n_chars").join(per_doc, "doc_id").select(
+        F.col("n_chars").between(200, 20000).alias("len_ok"),
+        (
+            (F.col("top_count").cast("double") / F.col("n_tokens").cast("double") <= F.lit(TOP_TOKEN_FRAC_MAX))
+            & (F.col("dup_tokens").cast("double") / F.col("n_tokens").cast("double") <= F.lit(DUP_TOKEN_FRAC_MAX))
+        ).alias("rep_ok"),
+        (F.col("n_tok_chars").cast("double") / F.col("n_tokens").cast("double")).between(2.0, 12.0).alias("shape_ok"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("len_ok").cast("long")).alias("p1"),
+        F.sum(F.col("rep_ok").cast("long")).alias("p2"),
+        F.sum(F.col("shape_ok").cast("long")).alias("p3"),
+        F.sum((F.col("len_ok")).cast("long")).alias("s1"),
+        F.sum((F.col("len_ok") & F.col("rep_ok")).cast("long")).alias("s2"),
+        F.sum((F.col("len_ok") & F.col("rep_ok") & F.col("shape_ok")).cast("long")).alias("s3"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3, "
+            "1, 'length', p1, s1, "
+            "2, 'repetition', p2, s2, "
+            "3, 'word_shape', p3, s3) AS (stage, rule, n_pass_rule, n_surviving)"
+        ),
+        F.col("n_total"),
+    ).orderBy("stage")
+
+
+CURATION_FUNNEL_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+per_doc AS (
+  SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS top_count,
+         COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS dup_tokens,
+         SUM(len(tok) * c) AS n_tok_chars
+  FROM wc GROUP BY doc_id
+),
+flags AS (
+  SELECT d.n_chars BETWEEN 200 AND 20000 AS len_ok,
+         (CAST(top_count AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.15
+          AND CAST(dup_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.9) AS rep_ok,
+         (CAST(n_tok_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)) BETWEEN 2.0 AND 12.0 AS shape_ok
+  FROM documents d JOIN per_doc USING (doc_id)
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(SUM(CASE WHEN len_ok THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+         CAST(SUM(CASE WHEN rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+         CAST(SUM(CASE WHEN shape_ok THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+         CAST(SUM(CASE WHEN len_ok THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN len_ok AND rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         CAST(SUM(CASE WHEN len_ok AND rep_ok AND shape_ok THEN 1 ELSE 0 END) AS BIGINT) AS s3
+  FROM flags
+)
+SELECT 1 AS stage, 'length' AS rule, p1 AS n_pass_rule, s1 AS n_surviving, n_total FROM agg
+UNION ALL
+SELECT 2, 'repetition', p2, s2, n_total FROM agg
+UNION ALL
+SELECT 3, 'word_shape', p3, s3, n_total FROM agg
+"""
+
+
 QUERIES = {
     "quality_repetition_rules": quality_repetition_rules,
     "pii_redaction": pii_redaction,
@@ -465,6 +554,7 @@ QUERIES = {
     "pack_sequences": pack_sequences,
     "mix_weights": mix_weights,
     "doc_typicality": doc_typicality,
+    "curation_funnel": curation_funnel,
 }
 
 ORACLES = {
@@ -475,4 +565,5 @@ ORACLES = {
     "pack_sequences": PACK_SEQUENCES_ORACLE,
     "mix_weights": MIX_WEIGHTS_ORACLE,
     "doc_typicality": DOC_TYPICALITY_ORACLE,
+    "curation_funnel": CURATION_FUNNEL_ORACLE,
 }

@@ -209,11 +209,54 @@ FROM docs
 """
 
 
+def corpus_top_ngrams(spark: SparkSession, sf_dir: str, n: int = 3, k: int = 20) -> DataFrame:
+    """Corpus-wide top-k word n-grams (default trigrams) — the
+    vocabulary/boilerplate inspection query of a corpus audit.
+
+    Plan shape: n-grams are generated doc-locally (``transform`` over
+    the split array — no joins), one hash aggregation counts them
+    (map-side combine collapses repeats before the shuffle), and the
+    top-k is ``orderBy().limit()`` → TakeOrderedAndProject: each
+    partition keeps k candidates, the driver merges k·partitions
+    rows.  At 100 TB nothing but (ngram, count) pairs shuffle."""
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j).cast("int")) for j in range(n)]),
+        ),
+    ).otherwise(F.array())
+    return (
+        docs.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
+CORPUS_TOP_NGRAMS_ORACLE = """
+WITH docs AS (SELECT string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2] AS ngram
+  FROM docs, unnest(range(1, len(w)-1)) t(i)
+  WHERE len(w) >= 3
+)
+SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM grams GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "text_quality": text_quality,
     "token_counts": token_counts,
     "lang_id": lang_id,
     "doc_fingerprints": doc_fingerprints,
+    "corpus_top_ngrams": corpus_top_ngrams,
 }
 
 ORACLES = {
@@ -221,4 +264,5 @@ ORACLES = {
     "token_counts": TOKEN_COUNTS_ORACLE,
     "lang_id": LANG_ID_ORACLE,
     "doc_fingerprints": DOC_FINGERPRINTS_ORACLE,
+    "corpus_top_ngrams": CORPUS_TOP_NGRAMS_ORACLE,
 }
