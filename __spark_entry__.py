@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from rakam_api_spark.analytics import enrichment_queries as _enrich
 from rakam_api_spark.analytics import events as _events
 from rakam_api_spark.analytics import relational as _relational
+from rakam_api_spark.analytics import relational2 as _relational2
 from rakam_api_spark.llm import curation as _curation
 from rakam_api_spark.llm import dedup as _dedup
 from rakam_api_spark.llm import multimodal as _multimodal
@@ -24,6 +25,7 @@ from rakam_api_spark.streaming import windows as _windows
 
 _MODULES = (
     _relational,
+    _relational2,
     _events,
     _enrich,
     _windows,
@@ -42,6 +44,16 @@ _MODULES = (
 # round 3, then the 50 freshly verified in round 4.
 _GATE_PRIORITY = (
     # never driver-checked (verified locally via tools/check_correctness.py)
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q12_late_priority",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "q20_dominant_supplier",
     "q7_nation_volume",
     "q8_market_share",
     "q14_promo_revenue",

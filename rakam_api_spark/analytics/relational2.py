@@ -1,0 +1,550 @@
+"""Remaining TPC-H-style query shapes over the star schema.
+
+Together with ``relational.py`` this completes the full 22-query
+TPC-H sweep (adapted to the synthetic schema, which has no partsupp
+table and no commit/receipt dates — supply relationships are derived
+from lineitem, and lateness from shipdate vs orderdate).  The
+reference delegates all of this to Postgres/Presto (reference
+README.md:17,27-31; SURVEY.md §2.7); here every query is a
+declarative DataFrame plan so Catalyst keeps pushdown / pruning /
+broadcast decisions.
+
+Determinism conventions match relational.py: money aggregates on
+DECIMAL(18,6); thresholds via exact integer-valued-double math;
+every top-k a total order ending in a unique key, planned as
+TakeOrderedAndProject via ``orderBy().limit()``.
+
+Scale notes: part/supplier/nation/region are broadcast dims; the
+only wide shuffles are lineitem⋈orders fact joins on orderkey and
+the (partkey, suppkey)-grain aggregations, both partial-aggregatable
+map-side.  No query funnels an unbounded row set through a
+single-partition window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..tables import load_table
+
+DEC = "decimal(18,6)"
+
+
+def _dec(c):
+    return F.col(c).cast(DEC)
+
+
+def _vol():
+    return (_dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))).cast(DEC)
+
+
+_VOL_SQL = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * "
+    "(CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))"
+)
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted: for each part of size 15, the EUROPE
+    supplier(s) achieving the minimum observed unit price.
+
+    Without a partsupp table the supply cost is derived from
+    lineitem: unit_cost(part, supp) = MIN(l_extendedprice /
+    l_quantity) — a double division of identical operands in both
+    engines, and MIN is order-insensitive, so results hash-match.
+
+    Plan shape: the correlated MIN-subquery of the original is a
+    per-part aggregate broadcast back into the pair-grain aggregate
+    (never a per-row subquery); part/supplier/nation/region are
+    broadcast dims pruned before the fact scan aggregation; the
+    top-100 is TakeOrderedAndProject.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    europe_supp = (
+        supp.join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(region.where(F.col("r_name") == "EUROPE")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    target_parts = part.where(F.col("p_size") == 15).select("p_partkey", "p_name")
+    pairs = (
+        li.join(broadcast(target_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(europe_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    part_min = pairs.groupBy(F.col("p_partkey").alias("mp_key")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        pairs.join(
+            broadcast(part_min),
+            (F.col("p_partkey") == F.col("mp_key")) & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
+        .orderBy(F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey"))
+        .limit(100)
+    )
+
+
+Q2_ORACLE = """
+WITH europe_supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), pairs AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+         MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN europe_supp ON l_suppkey = s_suppkey
+  WHERE p_size = 15
+  GROUP BY p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name
+), part_min AS (
+  SELECT p_partkey AS mp_key, MIN(unit_cost) AS min_cost FROM pairs GROUP BY p_partkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+FROM (
+  SELECT pairs.*, row_number() OVER (
+    ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC) AS rn
+  FROM pairs JOIN part_min ON p_partkey = mp_key AND unit_cost = min_cost
+) WHERE rn <= 100
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 adapted: profit per supplier nation and order year
+    for parts whose name contains 'bolt'.
+
+    No partsupp → supply cost is approximated as p_retailprice ·
+    l_quantity; profit = Σ(extprice·(1−disc) − retailprice·qty),
+    decimal-exact.  The only wide shuffle is lineitem⋈orders; part,
+    supplier, nation broadcast, with the name filter pruning part
+    before broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    amount = (
+        _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+        - _dec("p_retailprice") * _dec("l_quantity")
+    ).cast(DEC)
+    return (
+        li.join(broadcast(part.where(F.col("p_name").contains("bolt"))), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year(F.col("o_orderdate").cast("date")).alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+Q9_ORACLE = f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+       CAST(SUM(CAST({_VOL_SQL} - CAST(p_retailprice AS DECIMAL(18,6)) * CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(18,6))) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY n_name, CAST(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS INT)
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 adapted: top-20 customers by revenue lost to
+    returned items (l_returnflag = 'R') for orders placed in
+    1995-Q4, with the customer's nation.
+
+    The returnflag and order-date predicates push to the two fact
+    scans; customer and nation broadcast; top-20 is
+    TakeOrderedAndProject (per-partition top-20 + driver merge).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    od = F.col("o_orderdate").cast("date")
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            orders.where((od >= F.lit("1995-10-01").cast("date")) & (od < F.lit("1996-01-01").cast("date"))),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+        .agg(F.sum(_vol()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_ORACLE = f"""
+WITH agg AS (
+  SELECT c_custkey, c_name, c_acctbal, n_name, c_mktsegment,
+         CAST(SUM({_VOL_SQL}) AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND CAST(o_orderdate AS DATE) >= DATE '1995-10-01'
+    AND CAST(o_orderdate AS DATE) <  DATE '1996-01-01'
+  GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+)
+SELECT c_custkey, c_name, c_acctbal, n_name, c_mktsegment, revenue
+FROM (SELECT *, row_number() OVER (ORDER BY revenue DESC, c_custkey ASC) AS rn FROM agg)
+WHERE rn <= 20
+"""
+
+
+def q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted: among lineitems shipped ≥ 90 days after the
+    order date (the schema has no commit/receipt dates or shipmode),
+    count critical- vs normal-priority orders per ship year.
+
+    Pure conditional aggregation (CASE sums) over the fact join —
+    one pass, no self-join; the lateness predicate is evaluated
+    during the join, and the group-by key space is tiny (years).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sd = F.col("l_shipdate").cast("date")
+    late = sd >= F.date_add(F.col("o_orderdate").cast("date"), 90)
+    critical = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(late)
+        .groupBy(F.year(sd).alias("ship_year"))
+        .agg(
+            F.sum(F.when(critical, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(critical, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+Q12_ORACLE = """
+SELECT CAST(EXTRACT(YEAR FROM CAST(l_shipdate AS DATE)) AS INT) AS ship_year,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE) + INTERVAL 90 DAY
+GROUP BY CAST(EXTRACT(YEAR FROM CAST(l_shipdate AS DATE)) AS INT)
+"""
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of per-customer order counts,
+    including customers with zero qualifying orders (left outer join
+    preserved through the first aggregation), qualifying = priority
+    not '4-NOT SPECIFIED'.
+
+    Two-level aggregation: customer-grain count (shuffles on
+    custkey), then a tiny count-of-counts regroup.  At scale the
+    left join is customer ⟕ pre-filtered orders — both sides
+    shuffle-partitioned on custkey, no broadcast of the fact.
+    """
+    cu = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    qualifying = orders.where(F.col("o_orderpriority") != "4-NOT SPECIFIED").select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        cu.join(qualifying, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_ORACLE = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT OUTER JOIN (
+    SELECT o_custkey, o_orderkey FROM orders WHERE o_orderpriority <> '4-NOT SPECIFIED'
+  ) ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) with maximum revenue over 1996-Q1.
+
+    The revenue view is a suppkey-grain aggregate; the scalar MAX is
+    one single-row aggregate cross-joined (broadcast) back — the
+    original's subquery, never re-evaluated per row.  Ties all
+    surface, as in the spec.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    sd = F.col("l_shipdate").cast("date")
+    revenue = (
+        li.where((sd >= F.lit("1996-01-01").cast("date")) & (sd < F.lit("1996-04-01").cast("date")))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_vol()).cast("double").alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(broadcast(max_rev))
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .join(broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_ORACLE = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, CAST(SUM({_VOL_SQL}) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(l_shipdate AS DATE) <  DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted: number of distinct suppliers able to supply
+    each (brand, type, size) combination — supply pairs derived from
+    lineitem, excluding one brand, PROMO types, sizes outside a
+    fixed IN-list, and "complaint" suppliers (negative account
+    balance stands in for the comment scan).
+
+    Shape: distinct pair projection (map-side partial distinct on
+    the fact scan), broadcast part filter, left-anti join for the
+    NOT IN subquery, then countDistinct per small key space.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    wanted = part.where(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    complaints = supp.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(broadcast(wanted), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(complaints), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size"))
+    )
+
+
+Q16_ORACLE = """
+SELECT p_brand, p_type, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 adapted: average yearly revenue lost if small-lot
+    orders (quantity < 20% of the part's average) for Brand#3 parts
+    of size < 10 were no longer filled.
+
+    The correlated per-part AVG is a part-grain aggregate joined
+    back (broadcast — it is one row per filtered part).  The 20%
+    threshold comparison is exact integer-valued-double math
+    (5·qty·cnt < Σqty, quantities are integral), so both engines
+    select the identical row set; the revenue sum is decimal-exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    target = part.where((F.col("p_brand") == "Brand#3") & (F.col("p_size") < 10)).select("p_partkey")
+    fact = li.join(broadcast(target), F.col("l_partkey") == F.col("p_partkey"))
+    per_part = fact.groupBy(F.col("p_partkey").alias("ap_key")).agg(
+        F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    small = fact.join(broadcast(per_part), F.col("p_partkey") == F.col("ap_key")).where(
+        F.col("l_quantity") * 5.0 * F.col("cnt") < F.col("sum_qty")
+    )
+    return small.agg(
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small_lots"),
+    )
+
+
+Q17_ORACLE = """
+WITH target AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#3' AND p_size < 10
+), fact AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN target ON l_partkey = p_partkey
+), per_part AS (
+  SELECT l_partkey AS ap_key, SUM(l_quantity) AS sum_qty, COUNT(*) AS cnt
+  FROM fact GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_small_lots
+FROM fact JOIN per_part ON l_partkey = ap_key
+WHERE l_quantity * 5.0 * cnt < sum_qty
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue from three OR-ed brand/size/quantity
+    branches — exercises disjunctive predicate evaluation inside a
+    single broadcast-hash join (no union of three scans; the common
+    join key is factored out of the disjunction).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(branch)
+        .agg(
+            F.sum(_vol()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+Q19_ORACLE = f"""
+SELECT CAST(SUM({_VOL_SQL}) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted: suppliers who dominated the 1996 supply of
+    some 'small'-named part — shipped more than half of that part's
+    total quantity (the availqty > ½·demand test of the original,
+    derived from lineitem in place of partsupp).
+
+    Semijoin chain: (part,supp)-grain quantity aggregate → part
+    total (second aggregate over the first, no rescan of the fact)
+    → share filter → supplier-grain count.  Quantities are integral
+    doubles, so 2·qty > total is exact in both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    small_parts = part.where(F.col("p_name").startswith("small")).select("p_partkey")
+    sd = F.col("l_shipdate").cast("date")
+    pair_qty = (
+        li.where((sd >= F.lit("1996-01-01").cast("date")) & (sd < F.lit("1997-01-01").cast("date")))
+        .join(broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    part_total = pair_qty.groupBy(F.col("p_partkey").alias("tp_key")).agg(
+        F.sum("supp_qty").alias("total_qty")
+    )
+    dominated = (
+        pair_qty.join(broadcast(part_total), F.col("p_partkey") == F.col("tp_key"))
+        .where(F.col("supp_qty") * 2.0 > F.col("total_qty"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_parts_dominated"))
+    )
+    return (
+        dominated.join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"), "n_parts_dominated")
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_ORACLE = """
+WITH pair_qty AS (
+  SELECT p_partkey, l_suppkey, SUM(l_quantity) AS supp_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small%'
+    AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
+  GROUP BY p_partkey, l_suppkey
+), part_total AS (
+  SELECT p_partkey AS tp_key, SUM(supp_qty) AS total_qty FROM pair_qty GROUP BY p_partkey
+), dominated AS (
+  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_parts_dominated
+  FROM pair_qty JOIN part_total ON p_partkey = tp_key
+  WHERE supp_qty * 2.0 > total_qty
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, n_name AS nation, n_parts_dominated
+FROM dominated
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+ORDER BY s_suppkey
+"""
+
+
+QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q9_product_profit": q9_product_profit,
+    "q10_returned_items": q10_returned_items,
+    "q12_late_priority": q12_late_priority,
+    "q13_order_distribution": q13_order_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_part_supplier_counts": q16_part_supplier_counts,
+    "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q20_dominant_supplier": q20_dominant_supplier,
+}
+
+ORACLES = {
+    "q2_min_cost_supplier": Q2_ORACLE,
+    "q9_product_profit": Q9_ORACLE,
+    "q10_returned_items": Q10_ORACLE,
+    "q12_late_priority": Q12_ORACLE,
+    "q13_order_distribution": Q13_ORACLE,
+    "q15_top_supplier": Q15_ORACLE,
+    "q16_part_supplier_counts": Q16_ORACLE,
+    "q17_small_qty_revenue": Q17_ORACLE,
+    "q19_disjunctive_revenue": Q19_ORACLE,
+    "q20_dominant_supplier": Q20_ORACLE,
+}
