@@ -19,6 +19,7 @@ from rakam_api_spark.analytics import relational2 as _relational2
 from rakam_api_spark.llm import curation as _curation
 from rakam_api_spark.llm import dedup as _dedup
 from rakam_api_spark.llm import multimodal as _multimodal
+from rakam_api_spark.llm import search as _search
 from rakam_api_spark.llm import similarity as _similarity
 from rakam_api_spark.llm import text as _text
 from rakam_api_spark.streaming import windows as _windows
@@ -34,6 +35,7 @@ _MODULES = (
     _text,
     _curation,
     _multimodal,
+    _search,
 )
 
 # The driver's correctness gate checks at most 50 queries per round, in
@@ -44,6 +46,10 @@ _MODULES = (
 # round 3, then the 50 freshly verified in round 4.
 _GATE_PRIORITY = (
     # never driver-checked (verified locally via tools/check_correctness.py)
+    "bm25_search",
+    "dup_ngram_spans",
+    "power_user_curve",
+    "value_histogram",
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q10_returned_items",

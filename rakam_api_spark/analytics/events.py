@@ -1353,6 +1353,66 @@ GROUP BY 1, 2, 3
 """
 
 
+def power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-user curve: how many users were active on exactly N
+    distinct days — the engagement-distribution report (the Q13
+    count-of-counts shape on the events stream).
+
+    Two-level aggregation: user-grain distinct-day count shuffles
+    once on user_id (co-located on a user-bucketed layout), then a
+    tiny count-of-counts regroup over ≤ |days| keys.
+    """
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.countDistinct(F.col("ts").cast("date")).alias("n_active_days")
+    )
+    return (
+        per_user.groupBy("n_active_days")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_active_days"))
+    )
+
+
+POWER_USER_CURVE_ORACLE = """
+SELECT n_active_days, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM (
+  SELECT user_id, CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_active_days
+  FROM events GROUP BY user_id
+)
+GROUP BY n_active_days
+"""
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type (bin width 50) —
+    the distribution report behind a dashboard histogram widget.
+
+    One hash aggregation on a tiny (event_type, bin) key space; the
+    bin is an exact integer floor of a double division, identical in
+    both engines; sums are decimal-exact.
+    """
+    ev = _events(spark, sf_dir)
+    bin_col = F.floor(F.col("value") / F.lit(50.0)).cast("int")
+    return (
+        ev.groupBy("event_type", (bin_col * 50).alias("bin_low"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type", "bin_low")
+    )
+
+
+VALUE_HISTOGRAM_ORACLE = """
+SELECT event_type,
+       CAST(FLOOR(value / 50.0) AS INT) * 50 AS bin_low,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type, CAST(FLOOR(value / 50.0) AS INT) * 50
+"""
+
+
 QUERIES = {
     "seg_daily_event_counts": seg_daily_event_counts,
     "dau": dau,
@@ -1381,6 +1441,8 @@ QUERIES = {
     "daily_value_moving_avg": daily_value_moving_avg,
     "stickiness_dau_mau": stickiness_dau_mau,
     "rfm_segments": rfm_segments,
+    "power_user_curve": power_user_curve,
+    "value_histogram": value_histogram,
 }
 
 ORACLES = {
@@ -1413,4 +1475,6 @@ ORACLES = {
     "daily_anomaly_zscore": DAILY_ANOMALY_ORACLE,
     "stickiness_dau_mau": STICKINESS_ORACLE,
     "rfm_segments": RFM_ORACLE,
+    "power_user_curve": POWER_USER_CURVE_ORACLE,
+    "value_histogram": VALUE_HISTOGRAM_ORACLE,
 }

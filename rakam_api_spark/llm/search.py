@@ -1,0 +1,198 @@
+"""Keyword search over the documents table: BM25 ranked retrieval
+and cross-document repeated-span detection.
+
+The reference has no in-engine text search (it delegates all
+reporting to warehouse SQL — reference README.md:14-19); these are
+beyond-reference operators for corpus curation: BM25 is the standard
+lexical retriever used to mine training data, and repeated n-gram
+spans across documents are the memorization/boilerplate signal a
+dedup pass inspects.
+
+Scale design: BM25 is ONE document-local projection (term
+frequencies via ``filter`` over the split array — no explode, no
+per-token shuffle) + a single-row corpus-stats aggregate broadcast
+back + TakeOrderedAndProject for the top-k.  At 100 TB the only
+full-data movement is the scan itself.  Span detection generates
+n-grams doc-locally and shuffles (gram, doc) pairs once into a hash
+aggregate with map-side combine.
+
+Determinism: BM25 is float math, so the Spark and DuckDB expression
+trees are written with identical literals, casts, and parenthesized
+association — every IEEE-754 op then produces bit-identical doubles
+on both engines.  Span counts are pure integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..tables import load_table
+
+# Fixed demo query; a production wrapper would parameterize this.
+QUERY_TERMS = ("spark", "join", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def bm25_search(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Top-k documents by BM25 score for the fixed query terms.
+
+    idf is the unsmoothed-log variant (N − df + ½)/(df + ½) — kept
+    log-free so the score is a chain of IEEE +,·,/ that both engines
+    evaluate bit-identically (libm log is not guaranteed correctly
+    rounded across runtimes).  Per-term scores are summed in fixed
+    left-to-right term order.
+    """
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+
+    def _tf(term):
+        # one-arg lambda: F.filter treats a second parameter as the
+        # array index, not a closure slot
+        return F.size(F.filter(w, lambda t: t == term))
+
+    per_doc = docs.select(
+        "doc_id",
+        F.size(w).alias("dl"),
+        *[_tf(term).alias(f"tf{i}") for i, term in enumerate(QUERY_TERMS)],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).cast("double").alias(f"df{i}")
+            for i in range(len(QUERY_TERMS))
+        ],
+    )
+
+    def term_score(i: int):
+        tf = F.col(f"tf{i}").cast("double")
+        dfc = F.col(f"df{i}")
+        idf = (F.col("n_docs") - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))
+        denom = tf + F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (F.col("dl").cast("double") / F.col("avgdl"))
+        )
+        return F.when(F.col(f"tf{i}") == 0, F.lit(0.0)).otherwise(
+            idf * ((tf * F.lit(BM25_K1 + 1.0)) / denom)
+        )
+
+    score = term_score(0)
+    for i in range(1, len(QUERY_TERMS)):
+        score = score + term_score(i)
+    return (
+        per_doc.crossJoin(broadcast(stats))
+        .withColumn("score", score)
+        .where(F.col("score") > 0)
+        .select("doc_id", "dl", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+BM25_ORACLE = """
+WITH per_doc AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS dl,
+         len(list_filter(string_split(text, ' '), t -> t = 'spark'))  AS tf0,
+         len(list_filter(string_split(text, ' '), t -> t = 'join'))   AS tf1,
+         len(list_filter(string_split(text, ' '), t -> t = 'window')) AS tf2
+  FROM documents
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+         CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+         CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+         CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+  FROM per_doc
+), scored AS (
+  SELECT doc_id, CAST(dl AS INT) AS dl,
+    (CASE WHEN tf0 = 0 THEN 0.0 ELSE
+      ((n_docs - df0 + 0.5) / (df0 + 0.5)) *
+      ((CAST(tf0 AS DOUBLE) * 2.2) /
+       (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) END)
+    + (CASE WHEN tf1 = 0 THEN 0.0 ELSE
+      ((n_docs - df1 + 0.5) / (df1 + 0.5)) *
+      ((CAST(tf1 AS DOUBLE) * 2.2) /
+       (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) END)
+    + (CASE WHEN tf2 = 0 THEN 0.0 ELSE
+      ((n_docs - df2 + 0.5) / (df2 + 0.5)) *
+      ((CAST(tf2 AS DOUBLE) * 2.2) /
+       (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) END)
+    AS score
+  FROM per_doc, stats
+)
+SELECT doc_id, dl, score
+FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+      FROM scored WHERE score > 0)
+WHERE rn <= 20
+"""
+
+
+def dup_ngram_spans(spark: SparkSession, sf_dir: str, n: int = 8, k: int = 20) -> DataFrame:
+    """Word 8-grams that appear in two or more distinct documents —
+    the shared-span signal behind suffix-array-style exact-substring
+    dedup, approximated at fixed n so it stays one explode + one
+    hash aggregation (no suffix sort, no self-join).
+
+    At 100 TB the (gram, doc) stream is the only shuffle; map-side
+    combine collapses within-partition repeats, and the ≥2-docs
+    filter runs inside the aggregate before the tiny top-k.
+    """
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j).cast("int")) for j in range(n)]),
+        ),
+    ).otherwise(F.array())
+    return (
+        docs.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("gram"))
+        .limit(k)
+    )
+
+
+DUP_NGRAM_SPANS_ORACLE = """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(w[CAST(i AS INT):CAST(i AS INT)+7], ' ') AS gram
+  FROM docs, unnest(range(1, len(w) - 6)) t(i)
+  WHERE len(w) >= 8
+)
+SELECT gram, n_docs, n_occurrences
+FROM (
+  SELECT gram,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         row_number() OVER (
+           ORDER BY COUNT(DISTINCT doc_id) DESC, COUNT(*) DESC, gram ASC) AS rn
+  FROM grams
+  GROUP BY gram
+  HAVING COUNT(DISTINCT doc_id) >= 2
+) WHERE rn <= 20
+"""
+
+
+QUERIES = {
+    "bm25_search": bm25_search,
+    "dup_ngram_spans": dup_ngram_spans,
+}
+
+ORACLES = {
+    "bm25_search": BM25_ORACLE,
+    "dup_ngram_spans": DUP_NGRAM_SPANS_ORACLE,
+}
