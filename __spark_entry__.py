@@ -50,6 +50,8 @@ _GATE_PRIORITY = (
     "dup_ngram_spans",
     "power_user_curve",
     "value_histogram",
+    "doc_chunking",
+    "quality_top_quartile",
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q10_returned_items",

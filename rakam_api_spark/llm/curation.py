@@ -546,6 +546,120 @@ SELECT 3, 'word_shape', p3, s3, n_total FROM agg
 """
 
 
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows —
+    the context-window chunking step of a pretraining/RAG pipeline
+    (chunk = 32 tokens, stride = 24 → 8-token overlap).
+
+    Chunk boundaries are pure integer arithmetic over the doc-local
+    token array (``sequence`` + ``slice`` — no explode of tokens, no
+    shuffle at all until the output); a 100 TB corpus chunks
+    embarrassingly parallel with output rows ≈ len/stride per doc.
+    Each chunk carries an md5 content address so downstream exact
+    dedup can run at chunk grain.
+    """
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    # chunks start at 1, 1+stride, ... ; one chunk when n <= CHUNK,
+    # else 1 + ceil((n - CHUNK)/stride) via integer division
+    n_chunks = F.when(n <= CHUNK_TOKENS, F.lit(1)).otherwise(
+        F.floor((n - CHUNK_TOKENS + CHUNK_STRIDE - 1) / F.lit(CHUNK_STRIDE)) + 1
+    ).cast("int")
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_idx"),
+                (i * CHUNK_STRIDE + 1).cast("int").alias("start_tok"),
+            ),
+        )
+    ).alias("c")
+    exploded = docs.select("doc_id", w.alias("w"), n.alias("n_tok_doc"), chunk)
+    chunk_arr = F.slice(F.col("w"), F.col("c.start_tok"), CHUNK_TOKENS)
+    return exploded.select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.start_tok").alias("start_tok"),
+        F.size(chunk_arr).alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk_arr)).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+DOC_CHUNKING_ORACLE = f"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w, len(string_split(text, ' ')) AS n FROM documents),
+chunks AS (
+  SELECT doc_id,
+         CAST(i AS INT) AS chunk_idx,
+         CAST(i * {CHUNK_STRIDE} + 1 AS INT) AS start_tok,
+         w[CAST(i * {CHUNK_STRIDE} + 1 AS INT) : CAST(LEAST(i * {CHUNK_STRIDE} + {CHUNK_TOKENS}, n) AS INT)] AS chunk_arr
+  FROM docs, unnest(range(0, CASE WHEN n <= {CHUNK_TOKENS} THEN 1
+        ELSE CAST(FLOOR((n - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1) / {CHUNK_STRIDE}) AS BIGINT) + 1 END)) t(i)
+)
+SELECT doc_id, chunk_idx, start_tok,
+       CAST(len(chunk_arr) AS INT) AS n_tokens,
+       md5(array_to_string(chunk_arr, ' ')) AS chunk_md5
+FROM chunks
+"""
+
+
+def quality_top_quartile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-quartile selection by document length — the
+    "keep the best q% of each domain" curation step, with an exact
+    integer rank threshold (ceil(0.25·count) per source) instead of
+    a float percentile so both engines select the identical set.
+
+    One window pass partitioned by source (rank + count reuse the
+    same partitioning/sort); at 100 TB sources are the natural
+    partition key, so no global ordering exists in the plan.
+    """
+    docs = _docs(spark, sf_dir)
+    win = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    cnt = Window.partitionBy("source")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(win).alias("rnk"),
+        F.count(F.lit(1)).over(cnt).alias("n_source"),
+    )
+    keep = ranked.where(
+        F.col("rnk") <= F.ceil(F.col("n_source") * F.lit(0.25)).cast("long")
+    )
+    return (
+        keep.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("n_chars").alias("min_chars_kept"),
+            F.max("n_chars").alias("max_chars_kept"),
+            F.sum("n_chars").alias("total_chars_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+QUALITY_TOP_QUARTILE_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rnk,
+         COUNT(*) OVER (PARTITION BY source) AS n_source
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       MIN(n_chars) AS min_chars_kept,
+       MAX(n_chars) AS max_chars_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars_kept
+FROM ranked
+WHERE rnk <= CAST(CEIL(n_source * 0.25) AS BIGINT)
+GROUP BY source
+"""
+
+
 QUERIES = {
     "quality_repetition_rules": quality_repetition_rules,
     "pii_redaction": pii_redaction,
@@ -555,6 +669,8 @@ QUERIES = {
     "mix_weights": mix_weights,
     "doc_typicality": doc_typicality,
     "curation_funnel": curation_funnel,
+    "doc_chunking": doc_chunking,
+    "quality_top_quartile": quality_top_quartile,
 }
 
 ORACLES = {
@@ -566,4 +682,6 @@ ORACLES = {
     "mix_weights": MIX_WEIGHTS_ORACLE,
     "doc_typicality": DOC_TYPICALITY_ORACLE,
     "curation_funnel": CURATION_FUNNEL_ORACLE,
+    "doc_chunking": DOC_CHUNKING_ORACLE,
+    "quality_top_quartile": QUALITY_TOP_QUARTILE_ORACLE,
 }

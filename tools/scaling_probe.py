@@ -53,14 +53,34 @@ OPERATORS = [
     "cohort_ltv",
     "mau_rollup_sketch",
     "top_event_paths",
+    # round-5 operators
+    "bm25_search",
+    "dup_ngram_spans",
+    "power_user_curve",
+    "value_histogram",
+    "q1_pricing_summary",
+    "q9_product_profit",
+    "q13_order_distribution",
+    "q16_part_supplier_counts",
 ]
 
 
 def build_scaled(spark, factor: int, out: str) -> None:
     os.makedirs(out, exist_ok=True)
-    # unscaled tables pass through untouched
-    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+    # dimension tables pass through untouched (at 100 TB they stay
+    # broadcast-sized); fact tables scale with disjoint orderkey
+    # ranges per replica so join/agg key spaces grow linearly
+    for t in ("region", "nation", "customer", "supplier", "part"):
         os.symlink(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
+
+    orders = spark.read.parquet(f"{BASE}/orders.parquet")
+    _union_all(
+        [orders.withColumn("o_orderkey", F.col("o_orderkey") + i * OFF) for i in range(factor)]
+    ).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    _union_all(
+        [li.withColumn("l_orderkey", F.col("l_orderkey") + i * OFF) for i in range(factor)]
+    ).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
 
     docs = spark.read.parquet(f"{BASE}/documents.parquet")
     doc_parts = [
