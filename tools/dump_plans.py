@@ -56,6 +56,26 @@ SHOW = {
     "user key, then a cohort-partitioned window over WEEK-grain cells only",
     "ab_test_lift": "A/B readout: one user-grain aggregation touches data; variant "
     "rollup and the z-test run on two tiny single-row branches",
+    "q2_min_cost_supplier": "Q2-shape correlated MIN: per-part minimum joined back "
+    "via broadcast (never a per-row subquery), all dims broadcast, top-100 via "
+    "TakeOrderedAndProject",
+    "q10_returned_items": "Q10 top-20: returnflag + order-date predicates pushed to "
+    "both fact scans, customer/nation broadcast, TakeOrderedAndProject merge",
+    "q13_order_distribution": "Q13 count-of-counts: left join preserved through the "
+    "custkey-grain aggregate, then a tiny regroup — zero-order customers survive",
+    "q16_part_supplier_counts": "Q16 NOT-IN: map-side partial distinct on the pair "
+    "projection, broadcast part filter, broadcast left-anti for the exclusion list",
+    "q19_disjunctive_revenue": "Q19: three OR branches share ONE broadcast hash join "
+    "with a residual disjunctive filter — no union of scans",
+    "bm25_search": "BM25: term frequencies doc-local (array filter — no token "
+    "explode), single-row corpus stats broadcast back, top-k via "
+    "TakeOrderedAndProject; the only full-data movement is the scan",
+    "dup_ngram_spans": "repeated-span mining: n-grams generated doc-locally, one "
+    "hash aggregation with map-side combine, ≥2-docs filter before the tiny top-k",
+    "doc_chunking": "context-window chunking: pure doc-local sequence/slice "
+    "arithmetic — zero exchanges before the output sort",
+    "quality_top_quartile": "per-source top-quartile: rank and count share one "
+    "window partitioning on source; no global ordering anywhere",
 }
 
 
