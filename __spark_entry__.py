@@ -52,6 +52,8 @@ _GATE_PRIORITY = (
     "value_histogram",
     "doc_chunking",
     "quality_top_quartile",
+    "user_lifecycle_grid",
+    "funnel_with_exclusion",
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q10_returned_items",

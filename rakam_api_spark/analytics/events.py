@@ -1353,6 +1353,149 @@ GROUP BY 1, 2, 3
 """
 
 
+def user_lifecycle_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth-accounting lifecycle grid: per week, how many users are
+    new (first active week), retained (also active the prior week),
+    resurrected (returning after a gap), and dormant (active the
+    prior week but not this one).
+
+    The classic product-analytics report (Mixpanel/Amplitude
+    lifecycle; the reference's retention feature flag is the closest
+    analog, rakam-spi/.../UserPluginConfig.java:18-19).
+
+    Plan shape: one distinct projection to (user, week) grain, then
+    window functions sharing ONE user-partitioned sort (lag, lead,
+    and first-week min reuse the same exchange), then a tiny
+    week-grain aggregate.  Dormancy for weeks where no user was
+    active at all is dropped by contract (left join on observed
+    weeks).
+    """
+    ev = _events(spark, sf_dir)
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    active = ev.select("user_id", wk.alias("week")).distinct()
+    w_seq = Window.partitionBy("user_id").orderBy("week")
+    w_all = Window.partitionBy("user_id")
+    flagged = active.select(
+        "user_id",
+        "week",
+        F.lag("week").over(w_seq).alias("prev_week"),
+        F.lead("week").over(w_seq).alias("next_week"),
+        F.min("week").over(w_all).alias("first_week"),
+    )
+    is_new = F.col("week") == F.col("first_week")
+    is_retained = (~is_new) & (F.datediff(F.col("week"), F.col("prev_week")) == 7)
+    counts = flagged.groupBy("week").agg(
+        F.sum(F.when(is_new, 1).otherwise(0)).alias("n_new"),
+        F.sum(F.when(is_retained, 1).otherwise(0)).alias("n_retained"),
+        F.sum(F.when(~(is_new | is_retained), 1).otherwise(0)).alias("n_resurrected"),
+    )
+    dorm = (
+        flagged.where(
+            F.col("next_week").isNull() | (F.datediff(F.col("next_week"), F.col("week")) > 7)
+        )
+        .select(F.date_add(F.col("week"), 7).alias("week"))
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).alias("n_dormant"))
+    )
+    return (
+        counts.join(dorm, "week", "left_outer")
+        .select(
+            "week",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce(F.col("n_dormant"), F.lit(0)).alias("n_dormant"),
+        )
+        .orderBy("week")
+    )
+
+
+USER_LIFECYCLE_ORACLE = """
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events
+), flagged AS (
+  SELECT user_id, week,
+         lag(week)  OVER (PARTITION BY user_id ORDER BY week) AS prev_week,
+         lead(week) OVER (PARTITION BY user_id ORDER BY week) AS next_week,
+         MIN(week)  OVER (PARTITION BY user_id) AS first_week
+  FROM active
+), counts AS (
+  SELECT week,
+         CAST(SUM(CASE WHEN week = first_week THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         CAST(SUM(CASE WHEN week <> first_week AND date_diff('day', prev_week, week) = 7
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+         CAST(SUM(CASE WHEN week <> first_week AND date_diff('day', prev_week, week) > 7
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+  FROM flagged GROUP BY week
+), dorm AS (
+  SELECT week + 7 AS week, CAST(COUNT(*) AS BIGINT) AS n_dormant
+  FROM flagged
+  WHERE next_week IS NULL OR date_diff('day', week, next_week) > 7
+  GROUP BY week + 7
+)
+SELECT counts.week AS week, n_new, n_retained, n_resurrected,
+       COALESCE(n_dormant, 0) AS n_dormant
+FROM counts LEFT OUTER JOIN dorm ON counts.week = dorm.week
+"""
+
+
+def funnel_with_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exclusion funnel: users who signed up, then purchased, with NO
+    click event strictly between the two timestamps — the "converted
+    without touching the promo" segment (exclusion steps are a
+    standard funnel-builder feature the plain sequence funnel cannot
+    express).
+
+    Plan shape: two user-grain aggregations chained by user-keyed
+    joins (co-located on a user-bucketed layout), the exclusion as a
+    left-anti join against the offending users — never a per-user
+    subquery.
+    """
+    ev = _events(spark, sf_dir).select("user_id", "event_type", _us().alias("us"))
+    s1 = ev.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("us").alias("t1")
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s1, "user_id")
+        .where(F.col("us") >= F.col("t1"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("us").alias("t2"))
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", F.col("us").alias("cus"))
+    bad = (
+        s2.join(clicks, "user_id")
+        .where((F.col("cus") > F.col("t1")) & (F.col("cus") < F.col("t2")))
+        .select("user_id")
+        .distinct()
+    )
+    clean = s2.join(bad, "user_id", "left_anti")
+    a1 = s1.agg(F.count(F.lit(1)).alias("n_signup"))
+    a2 = s2.agg(F.count(F.lit(1)).alias("n_purchase_after"))
+    a3 = clean.agg(F.count(F.lit(1)).alias("n_clean_converted"))
+    return a1.crossJoin(a2).crossJoin(a3)
+
+
+FUNNEL_EXCLUSION_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, s1.t1, MIN(epoch_us(e.ts)) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s1.t1
+  GROUP BY 1, 2
+), bad AS (
+  SELECT DISTINCT s2.user_id
+  FROM s2 JOIN events e ON e.user_id = s2.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s2.t1 AND epoch_us(e.ts) < s2.t2
+)
+SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_signup,
+       CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_purchase_after,
+       CAST((SELECT COUNT(*) FROM s2 WHERE user_id NOT IN (SELECT user_id FROM bad)) AS BIGINT)
+         AS n_clean_converted
+"""
+
+
 def power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Power-user curve: how many users were active on exactly N
     distinct days — the engagement-distribution report (the Q13
@@ -1443,6 +1586,8 @@ QUERIES = {
     "rfm_segments": rfm_segments,
     "power_user_curve": power_user_curve,
     "value_histogram": value_histogram,
+    "user_lifecycle_grid": user_lifecycle_grid,
+    "funnel_with_exclusion": funnel_with_exclusion,
 }
 
 ORACLES = {
@@ -1477,4 +1622,6 @@ ORACLES = {
     "rfm_segments": RFM_ORACLE,
     "power_user_curve": POWER_USER_CURVE_ORACLE,
     "value_histogram": VALUE_HISTOGRAM_ORACLE,
+    "user_lifecycle_grid": USER_LIFECYCLE_ORACLE,
+    "funnel_with_exclusion": FUNNEL_EXCLUSION_ORACLE,
 }
