@@ -54,6 +54,8 @@ _GATE_PRIORITY = (
     "quality_top_quartile",
     "user_lifecycle_grid",
     "funnel_with_exclusion",
+    "source_dup_matrix",
+    "vocab_coverage",
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q10_returned_items",

@@ -251,12 +251,130 @@ LIMIT 20
 """
 
 
+def source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every pair of sources,
+    how many near-duplicate document bodies appear in both — the
+    lineage signal that tells a curation pipeline which domains are
+    re-crawls of each other.  Duplication is keyed on the winnowing
+    fingerprint (min md5 over word 5-grams, as in
+    :func:`doc_fingerprints`), which survives small edits that break
+    an exact content hash.
+
+    Scale shape: the fingerprint is doc-local; ONE groupBy on it
+    collects the (bounded, ≤ |sources|) source set per body, then
+    pair expansion runs doc-locally on that tiny array — never a
+    corpus self-join on the hash (the oracle spells the equivalent
+    self-join as the spec).
+    """
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(w) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 4),
+            lambda i: F.md5(F.concat_ws(" ", *[F.element_at(w, (i + j).cast("int")) for j in range(5)])),
+        ),
+    ).otherwise(F.array(F.md5(F.col("text"))))
+    per_fp = (
+        docs.select(F.array_min(grams).alias("fp"), "source")
+        .groupBy("fp")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .where(F.size("ss") > 1)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ss, (x, i) -> "
+        "transform(slice(ss, i + 2, size(ss)), y -> struct(x AS s1, y AS s2))))"
+    )
+    return (
+        per_fp.select(F.explode(pair_expr).alias("p"))
+        .select("p.s1", "p.s2")
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("n_shared_docs"))
+        .orderBy("s1", "s2")
+    )
+
+
+SOURCE_DUP_MATRIX_ORACLE = """
+WITH docs AS (SELECT doc_id, source, text, string_split(text, ' ') AS w FROM documents),
+fps AS (
+  SELECT source,
+         CASE WHEN len(w) >= 5 THEN (
+           SELECT MIN(md5(w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2]
+                       || ' ' || w[CAST(i AS INT)+3] || ' ' || w[CAST(i AS INT)+4]))
+           FROM unnest(range(1, len(w)-3)) t(i)
+         ) ELSE md5(text) END AS fp
+  FROM docs
+), ds AS (SELECT DISTINCT fp, source FROM fps)
+SELECT a.source AS s1, b.source AS s2, CAST(COUNT(*) AS BIGINT) AS n_shared_docs
+FROM ds a JOIN ds b ON a.fp = b.fp AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
+    """Top-k vocabulary table with cumulative corpus coverage — the
+    tokenizer-design artifact ("how much of the corpus do the k most
+    frequent tokens cover").
+
+    The token count aggregates with map-side combine and the top-k
+    is TakeOrderedAndProject; the ONLY unpartitioned window runs
+    AFTER the limit, over exactly k rows — never over the full
+    vocabulary (which at 100 TB is millions of terms).  The corpus
+    total joins in as a broadcast scalar; cumulative share is a
+    double division of exact integer counts.
+    """
+    docs = _docs(spark, sf_dir)
+    counts = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total_tokens"))
+    topk = counts.orderBy(F.desc("n"), F.asc("tok")).limit(k)
+    from pyspark.sql import Window
+
+    # bounded input: exactly k rows survive the limit above
+    w = Window.orderBy(F.desc("n"), F.asc("tok")).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        topk.crossJoin(broadcast(total))
+        .withColumn("cum_n", F.sum("n").over(w))
+        .select(
+            "tok",
+            "n",
+            (F.col("cum_n").cast("double") / F.col("total_tokens").cast("double")).alias(
+                "cum_coverage"
+            ),
+        )
+        .orderBy(F.desc("n"), F.asc("tok"))
+    )
+
+
+VOCAB_COVERAGE_ORACLE = """
+WITH counts AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+), total AS (SELECT SUM(n) AS total_tokens FROM counts),
+topk AS (
+  SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rn
+  FROM counts
+)
+SELECT tok, n,
+       CAST(SUM(n) OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         / CAST(total_tokens AS DOUBLE) AS cum_coverage
+FROM topk, total
+WHERE rn <= 50
+"""
+
+
 QUERIES = {
     "text_quality": text_quality,
     "token_counts": token_counts,
     "lang_id": lang_id,
     "doc_fingerprints": doc_fingerprints,
     "corpus_top_ngrams": corpus_top_ngrams,
+    "source_dup_matrix": source_dup_matrix,
+    "vocab_coverage": vocab_coverage,
 }
 
 ORACLES = {
@@ -265,4 +383,6 @@ ORACLES = {
     "lang_id": LANG_ID_ORACLE,
     "doc_fingerprints": DOC_FINGERPRINTS_ORACLE,
     "corpus_top_ngrams": CORPUS_TOP_NGRAMS_ORACLE,
+    "source_dup_matrix": SOURCE_DUP_MATRIX_ORACLE,
+    "vocab_coverage": VOCAB_COVERAGE_ORACLE,
 }
