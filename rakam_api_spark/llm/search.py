@@ -145,16 +145,20 @@ def dup_ngram_spans(spark: SparkSession, sf_dir: str, n: int = 8, k: int = 20) -
     filter runs inside the aggregate before the tiny top-k.
     """
     docs = _docs(spark, sf_dir)
-    w = F.split(F.col("text"), " ")
+    # materialize the split once and slice it — inlining the split
+    # into per-position element_at calls makes Catalyst re-evaluate
+    # split() n times per gram (measured 6× slower end to end)
+    wdf = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    w = F.col("w")
     grams = F.when(
         F.size(w) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(w) - (n - 1)),
-            lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j).cast("int")) for j in range(n)]),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
         ),
     ).otherwise(F.array())
     return (
-        docs.select("doc_id", F.explode(grams).alias("gram"))
+        wdf.select("doc_id", F.explode(grams).alias("gram"))
         .groupBy("gram")
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),

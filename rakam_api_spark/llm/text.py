@@ -220,16 +220,18 @@ def corpus_top_ngrams(spark: SparkSession, sf_dir: str, n: int = 3, k: int = 20)
     partition keeps k candidates, the driver merges k·partitions
     rows.  At 100 TB nothing but (ngram, count) pairs shuffle."""
     docs = _docs(spark, sf_dir)
-    w = F.split(F.col("text"), " ")
+    # split materialized once + slice (see word_shingles note)
+    wdf = docs.select(F.split(F.col("text"), " ").alias("w"))
+    w = F.col("w")
     grams = F.when(
         F.size(w) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(w) - (n - 1)),
-            lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j).cast("int")) for j in range(n)]),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
         ),
     ).otherwise(F.array())
     return (
-        docs.select(F.explode(grams).alias("ngram"))
+        wdf.select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
@@ -267,16 +269,18 @@ def source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join as the spec).
     """
     docs = _docs(spark, sf_dir)
-    w = F.split(F.col("text"), " ")
+    # split materialized once + slice (see word_shingles note)
+    wdf = docs.select("source", "text", F.split(F.col("text"), " ").alias("w"))
+    w = F.col("w")
     grams = F.when(
         F.size(w) >= 5,
         F.transform(
             F.sequence(F.lit(1), F.size(w) - 4),
-            lambda i: F.md5(F.concat_ws(" ", *[F.element_at(w, (i + j).cast("int")) for j in range(5)])),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, 5))),
         ),
     ).otherwise(F.array(F.md5(F.col("text"))))
     per_fp = (
-        docs.select(F.array_min(grams).alias("fp"), "source")
+        wdf.select(F.array_min(grams).alias("fp"), "source")
         .groupBy("fp")
         .agg(F.sort_array(F.collect_set("source")).alias("ss"))
         .where(F.size("ss") > 1)
