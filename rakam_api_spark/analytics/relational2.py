@@ -28,12 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..tables import load_table
-
-DEC = "decimal(18,6)"
-
-
-def _dec(c):
-    return F.col(c).cast(DEC)
+from .relational import DEC, _dec
 
 
 def _vol():

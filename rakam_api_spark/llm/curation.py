@@ -579,7 +579,7 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     ).alias("c")
-    exploded = docs.select("doc_id", w.alias("w"), n.alias("n_tok_doc"), chunk)
+    exploded = docs.select("doc_id", w.alias("w"), chunk)
     chunk_arr = F.slice(F.col("w"), F.col("c.start_tok"), CHUNK_TOKENS)
     return exploded.select(
         "doc_id",

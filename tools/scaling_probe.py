@@ -58,6 +58,12 @@ OPERATORS = [
     "dup_ngram_spans",
     "power_user_curve",
     "value_histogram",
+    "doc_chunking",
+    "quality_top_quartile",
+    "user_lifecycle_grid",
+    "funnel_with_exclusion",
+    "source_dup_matrix",
+    "vocab_coverage",
     "q1_pricing_summary",
     "q9_product_profit",
     "q13_order_distribution",
@@ -67,20 +73,31 @@ OPERATORS = [
 
 def build_scaled(spark, factor: int, out: str) -> None:
     os.makedirs(out, exist_ok=True)
-    # dimension tables pass through untouched (at 100 TB they stay
-    # broadcast-sized); fact tables scale with disjoint orderkey
-    # ranges per replica so join/agg key spaces grow linearly
-    for t in ("region", "nation", "customer", "supplier", "part"):
+    # region/nation stay fixed (genuinely constant-size dims); the
+    # star around them scales with disjoint key ranges per replica —
+    # part/supplier/customer keys AND the fact FKs referencing them —
+    # so every join and aggregation key space truly grows with the
+    # factor (a replica that repeats the same partkeys would leave
+    # e.g. the q16 post-distinct pair set constant and understate
+    # shuffle growth)
+    for t in ("region", "nation"):
         os.symlink(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
 
-    orders = spark.read.parquet(f"{BASE}/orders.parquet")
-    _union_all(
-        [orders.withColumn("o_orderkey", F.col("o_orderkey") + i * OFF) for i in range(factor)]
-    ).write.mode("overwrite").parquet(f"{out}/orders.parquet")
-    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
-    _union_all(
-        [li.withColumn("l_orderkey", F.col("l_orderkey") + i * OFF) for i in range(factor)]
-    ).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    def _scaled(name: str, key_cols: list[str]) -> None:
+        df = spark.read.parquet(f"{BASE}/{name}.parquet")
+        parts = []
+        for i in range(factor):
+            p = df
+            for c in key_cols:
+                p = p.withColumn(c, F.col(c) + i * OFF)
+            parts.append(p)
+        _union_all(parts).write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+
+    _scaled("part", ["p_partkey"])
+    _scaled("supplier", ["s_suppkey"])
+    _scaled("customer", ["c_custkey"])
+    _scaled("orders", ["o_orderkey", "o_custkey"])
+    _scaled("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"])
 
     docs = spark.read.parquet(f"{BASE}/documents.parquet")
     doc_parts = [
