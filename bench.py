@@ -43,6 +43,20 @@ HEADLINE = [
     "token_counts",
 ]
 
+# Round-5 families, timed identically but reported under
+# ``queries_extra`` and EXCLUDED from the headline total so the
+# total stays comparable across rounds.
+EXTRA = [
+    "q9_product_profit",
+    "q10_returned_items",
+    "q16_part_supplier_counts",
+    "bm25_search",
+    "dup_ngram_spans",
+    "doc_chunking",
+    "user_lifecycle_grid",
+    "source_dup_matrix",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -64,6 +78,15 @@ def main() -> None:
         cold[name] = round(runs[0], 3)
         times[name] = round(min(runs), 3)
 
+    extra: dict[str, float] = {}
+    for name in EXTRA:
+        runs = []
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).collect()
+            runs.append(time.time() - t0)
+        extra[name] = round(min(runs), 3)
+
     # ingest-path throughput (the reference's hot path): ND-JSON bulk
     # through parse → infer/evolve → enrich → coerce → append
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
@@ -79,6 +102,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_extra": extra,
                 "cold_value": round(sum(cold.values()), 3),
                 **ingest,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
