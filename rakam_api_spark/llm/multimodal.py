@@ -3,12 +3,14 @@ columns with typed metadata, plus the decode / feature-extract /
 resize / frame-sample stages as Arrow-batched Pandas UDFs over
 ``mapInPandas``.
 
-Decode kernels are REAL for every format the standard library can
-parse — uncompressed 24/32-bit BMP and binary PPM/PGM images
+Decode kernels are REAL for every format decodable without external
+codecs — uncompressed 24/32-bit BMP and binary PPM/PGM images
 (struct + numpy), 8-bit PNG (zlib inflate + scanline filter
 reconstruction, all five filter types and color types 0/2/3/4/6),
-PCM WAV audio (``wave``) — and upgrade to PIL for other compressed
-formats (JPEG/16-bit PNG/…) when it is installed (optional
+baseline JPEG (sequential DCT: Huffman entropy decode, dequant,
+matrix IDCT, chroma upsample, YCbCr→RGB — ITU T.81), PCM WAV audio
+(``wave``) — and upgrade to PIL for other compressed
+formats (progressive JPEG/16-bit PNG/…) when it is installed (optional
 dependency; not present in this container).  Payloads no decoder
 handles fall back to a deterministic sha-derived pseudo-feature
 (or raise under ``strict=True``), so the pipeline stays total.  The
@@ -168,6 +170,256 @@ def decode_png_bytes(b: bytes) -> tuple[int, int, int, list[float]] | None:
     return w, h, nch, [float(m) for m in means]
 
 
+class _JpegBits:
+    """MSB-first bit reader over an entropy-coded segment with FF00
+    byte-unstuffing and restart-marker handling (ITU T.81 §F.2.2.5)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+
+    def _fill(self) -> bool:
+        while self.nbits <= 24:
+            if self.pos >= len(self.d):
+                return self.nbits > 0
+            byte = self.d[self.pos]
+            if byte == 0xFF:
+                nxt = self.d[self.pos + 1] if self.pos + 1 < len(self.d) else 0xD9
+                if nxt == 0x00:  # stuffed FF
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:  # restart marker: stop fill
+                    return self.nbits > 0
+                else:  # any other marker terminates the scan
+                    return self.nbits > 0
+            else:
+                self.pos += 1
+            self.bits = (self.bits << 8) | byte
+            self.nbits += 8
+        return True
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            if not self._fill() or self.nbits < n:
+                # pad with 1s past the end (spec: fill bits are 1)
+                self.bits = (self.bits << 1) | 1
+                self.nbits += 1
+        v = (self.bits >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume one RSTn marker, discarding buffered
+        bits (the buffer only ever holds pre-marker data)."""
+        self.bits = 0
+        self.nbits = 0
+        while self.pos + 1 < len(self.d):
+            if self.d[self.pos] == 0xFF and 0xD0 <= self.d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+
+
+def _jpeg_huff_decode(bits: _JpegBits, table: dict[tuple[int, int], int]) -> int | None:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | bits.read(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    return None
+
+
+def _jpeg_extend(v: int, n: int) -> int:
+    """DIFF/AC value extension (T.81 §F.2.2.1): n-bit magnitude with
+    the top bit clear means a negative value."""
+    if n == 0:
+        return 0
+    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+_JPEG_ZIGZAG = np.array(
+    [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int64,
+)
+
+# 8x8 IDCT basis: C[u, x] = c(u)/2 * cos((2x+1)u*pi/16); spatial = C.T @ F @ C
+_IDCT_C = np.array(
+    [
+        [(np.sqrt(0.5) if u == 0 else 1.0) / 2.0 * np.cos((2 * x + 1) * u * np.pi / 16.0) for x in range(8)]
+        for u in range(8)
+    ]
+)
+
+
+def decode_jpeg_bytes(b: bytes) -> tuple[int, int, int, list[float]] | None:
+    """Pure numpy baseline-JPEG decode (ITU T.81 sequential DCT,
+    8-bit, Huffman): marker parse → per-MCU Huffman entropy decode →
+    dequantize → IDCT (matrix form) → chroma upsample → YCbCr→RGB
+    (JFIF full-range) → per-channel means.
+
+    Supports grayscale and 3-component YCbCr with any sampling
+    factors (4:4:4 / 4:2:2 / 4:2:0), restart intervals, and multiple
+    DQT/DHT segments.  Progressive (SOF2), arithmetic coding, and
+    12-bit precision return None — PIL handles those when installed.
+
+    Like :func:`decode_png_bytes` this is per-image sequential;
+    decode parallelism comes from mapInPandas partitions.
+    """
+    if b[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    while pos + 2 <= len(b):
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            return None  # EOI before any scan
+        if pos + 2 > len(b):
+            return None
+        (seg_len,) = struct.unpack_from(">H", b, pos)
+        seg = b[pos + 2 : pos + seg_len]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq != 0:
+                    return None  # 16-bit quant tables: not baseline
+                qt[tq] = np.frombuffer(seg, np.uint8, 64, i).astype(np.float64)
+                i += 64
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i + 17 <= len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                counts = seg[i + 1 : i + 17]
+                i += 17
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = seg[i]
+                        i += 1
+                        code += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+        elif marker == 0xC0:  # SOF0 baseline sequential
+            if seg[0] != 8:
+                return None
+            h, w = struct.unpack_from(">HH", seg, 1)
+            nc = seg[5]
+            comps = []
+            for c in range(nc):
+                cid, hv, tq_id = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq_id))
+            frame = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # non-baseline frame types
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg)
+        elif marker == 0xDA:  # SOS — entropy data follows the header
+            if frame is None:
+                return None
+            ns = seg[0]
+            sel: dict[int, tuple[int, int]] = {}
+            for c in range(ns):
+                sel[seg[1 + 2 * c]] = (seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+            return _jpeg_decode_scan(b, pos + seg_len, frame, qt, huff, sel, restart_interval)
+        pos += seg_len
+    return None
+
+
+def _jpeg_decode_scan(b, scan_pos, frame, qt, huff, sel, restart_interval):
+    w, h, comps = frame
+    if w <= 0 or h <= 0:
+        return None
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = {}
+    for cid, ch, cv, _tq in comps:
+        planes[cid] = np.zeros((mcuy * cv * 8, mcux * ch * 8), np.float64)
+    bits = _JpegBits(b, scan_pos)
+    dc_pred = {cid: 0 for cid, *_ in comps}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bits.restart()
+                dc_pred = {cid: 0 for cid, *_ in comps}
+            mcu_count += 1
+            for cid, ch, cv, tq_id in comps:
+                if cid not in sel or tq_id not in qt:
+                    return None
+                dc_t = huff.get((0, sel[cid][0]))
+                ac_t = huff.get((1, sel[cid][1]))
+                if dc_t is None or ac_t is None:
+                    return None
+                for by in range(cv):
+                    for bx in range(ch):
+                        coefs = np.zeros(64, np.float64)
+                        cat = _jpeg_huff_decode(bits, dc_t)
+                        if cat is None or cat > 11:
+                            return None
+                        dc_pred[cid] += _jpeg_extend(bits.read(cat), cat)
+                        coefs[0] = dc_pred[cid]
+                        k = 1
+                        while k < 64:
+                            sym = _jpeg_huff_decode(bits, ac_t)
+                            if sym is None:
+                                return None
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 15
+                            if size == 0:
+                                if run != 15:  # only ZRL valid with size 0
+                                    return None
+                                k += 16
+                                continue
+                            k += run
+                            if k >= 64:
+                                return None
+                            coefs[k] = _jpeg_extend(bits.read(size), size)
+                            k += 1
+                        blk = np.zeros(64, np.float64)
+                        blk[_JPEG_ZIGZAG] = coefs * qt[tq_id]
+                        spatial = _IDCT_C.T @ blk.reshape(8, 8) @ _IDCT_C + 128.0
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = spatial
+    # upsample each component to full resolution and crop
+    full = []
+    for cid, ch, cv, _tq in comps:
+        p = planes[cid]
+        if ch < hmax or cv < vmax:
+            p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        full.append(np.clip(p[:h, :w], 0.0, 255.0))
+    if len(full) == 1:
+        g = float(full[0].mean())
+        return w, h, 1, [g, g, g]
+    if len(full) != 3:
+        return None
+    y, cb, cr = full
+    r = np.clip(y + 1.402 * (cr - 128.0), 0.0, 255.0)
+    g = np.clip(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0), 0.0, 255.0)
+    bl = np.clip(y + 1.772 * (cb - 128.0), 0.0, 255.0)
+    return w, h, 3, [float(r.mean()), float(g.mean()), float(bl.mean())]
+
+
 def decode_image_bytes(b: bytes) -> tuple[int, int, int, list[float]] | None:
     """(width, height, channels, per-channel means 0-255) for image
     formats decodable WITHOUT external codecs:
@@ -175,16 +427,23 @@ def decode_image_bytes(b: bytes) -> tuple[int, int, int, list[float]] | None:
     - uncompressed 24/32-bit BMP (BITMAPINFOHEADER, BI_RGB),
     - binary PPM (``P6``) / PGM (``P5``),
     - PNG (8-bit, non-interlaced; stdlib zlib + filter
-      reconstruction — :func:`decode_png_bytes`);
+      reconstruction — :func:`decode_png_bytes`),
+    - baseline JPEG (sequential DCT, Huffman —
+      :func:`decode_jpeg_bytes`);
 
-    anything else (JPEG/16-bit PNG/…) goes to PIL when installed
-    (optional dependency).  Returns None when no decoder applies —
-    callers choose the fallback policy."""
+    anything else (progressive JPEG/16-bit PNG/…) goes to PIL when
+    installed (optional dependency).  Returns None when no decoder
+    applies — callers choose the fallback policy."""
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         png = decode_png_bytes(b)
         if png is not None:
             return png
         # fall through to PIL for 16-bit / interlaced PNGs
+    if b[:2] == b"\xff\xd8":
+        jpg = decode_jpeg_bytes(b)
+        if jpg is not None:
+            return jpg
+        # fall through to PIL for progressive / arithmetic JPEGs
     if b[:2] == b"BM" and len(b) >= 54:
         (data_off,) = struct.unpack_from("<I", b, 10)
         (hdr_size,) = struct.unpack_from("<I", b, 14)
@@ -290,7 +549,7 @@ def decode_and_featurize(media: DataFrame, strict: bool = False, dim: int = 8) -
     """Decode + feature-extract stage as mapInPandas.
 
     Real decoders run per media_type — images through
-    :func:`decode_image_bytes` (BMP/PPM/PGM stdlib-decoded; PIL for
+    :func:`decode_image_bytes` (BMP/PPM/PGM/PNG/baseline-JPEG decoded natively; PIL for
     compressed formats when installed), audio through
     :func:`decode_audio_bytes` (PCM WAV).  A decoded payload yields
     ``feature[0] == 1.0`` (decoded flag) followed by normalized real
@@ -335,8 +594,8 @@ def decode_and_featurize(media: DataFrame, strict: bool = False, dim: int = 8) -
                 if strict:
                     raise NotImplementedError(
                         f"no decoder for this {mt} payload: media codecs "
-                        "unavailable (stdlib decoders cover BMP/PPM/PGM/"
-                        "PNG/WAV; install PIL/librosa/av for other "
+                        "unavailable (native decoders cover BMP/PPM/PGM/"
+                        "PNG/baseline-JPEG/WAV; install PIL/librosa/av for other "
                         "compressed formats)"
                     )
                 digest = hashlib.sha256(b).digest()

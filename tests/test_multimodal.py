@@ -289,3 +289,187 @@ def test_pil_compressed_decode_where_available():
     w, h, nch, rgb = decode_image_bytes(buf.getvalue())
     assert (w, h) == (6, 4)
     assert rgb == [1.0, 2.0, 3.0]
+
+
+# --- baseline JPEG (pure numpy decoder; fixtures hand-assembled) ---------
+#
+# No JPEG encoder exists in this container, so the fixtures are
+# assembled marker-by-marker with DC-only blocks.  That makes the
+# expected pixel values ANALYTIC (independent of the decoder's own
+# IDCT): a DC-only block with dequantized coefficient D decodes to a
+# constant plane D/8 + 128 (T.81 §A.3.3 with the orthonormal DCT).
+
+
+class _BitPacker:
+    def __init__(self):
+        self.bits = []
+
+    def put(self, value, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+
+    def put_code(self, s):
+        for c in s:
+            self.bits.append(int(c))
+
+    def tobytes(self):
+        bits = self.bits + [1] * (-len(self.bits) % 8)  # pad with 1s
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for bit in bits[i : i + 8]:
+                byte = (byte << 1) | bit
+            out.append(byte)
+        # entropy-coded FF bytes must be stuffed with 00
+        return bytes(out).replace(b"\xff", b"\xff\x00")
+
+
+def _seg(marker, payload):
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+def _dqt_unit():
+    return _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+
+
+def _dht(cls, tid, counts, symbols):
+    c = [0] * 16
+    for length, n in counts.items():
+        c[length - 1] = n
+    return _seg(0xC4, bytes([cls << 4 | tid]) + bytes(c) + bytes(symbols))
+
+
+def _jpeg_gray_fixture(dc=32, dri=None, width=8):
+    """width//8 MCUs of a DC-only grayscale block; every pixel is
+    dc/8 + 128.  DC symbols {cat,0} at len 2 (codes 00, 01), AC table
+    is a single EOB symbol at len 1 (code 0)."""
+    cat = dc.bit_length()
+    out = b"\xff\xd8" + _dqt_unit()
+    out += _seg(0xC0, bytes([8]) + (8).to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    out += _dht(0, 0, {2: 2}, [cat, 0])
+    out += _dht(1, 0, {1: 1}, [0x00])
+    if dri is not None:
+        out += _seg(0xDD, dri.to_bytes(2, "big"))
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    n_mcu = width // 8
+    pk = _BitPacker()
+    pk.put_code("00")  # DC cat symbol
+    pk.put(dc, cat)    # positive diff: magnitude bits as-is
+    pk.put_code("0")   # EOB
+    data = pk.tobytes()
+    for i in range(1, n_mcu):
+        if dri:
+            # restart: byte-aligned RSTn, DC predictor resets, so the
+            # next MCU re-encodes the same absolute DC as a fresh diff
+            data += bytes([0xFF, 0xD0 + (i - 1) % 8])
+            pk2 = _BitPacker()
+            pk2.put_code("00")
+            pk2.put(dc, cat)
+            pk2.put_code("0")
+            data += pk2.tobytes()
+        else:
+            pk3 = _BitPacker()
+            pk3.put_code("01")  # DC cat 0 (diff 0)
+            pk3.put_code("0")   # EOB
+            data += pk3.tobytes()
+    return out + data + b"\xff\xd9"
+
+
+def _jpeg_color_420_fixture(dc_y=16, dc_cb=-64, dc_cr=80):
+    """One 16x16 4:2:0 MCU, DC-only: Y/Cb/Cr are constant planes
+    dc/8 + 128.  DC symbols at len 2: codes 00->cat(y), 01->0,
+    10->7 (chroma cats); AC EOB at len 1."""
+    cat_y = dc_y.bit_length()
+    out = b"\xff\xd8" + _dqt_unit()
+    out += _seg(
+        0xC0,
+        bytes([8]) + (16).to_bytes(2, "big") + (16).to_bytes(2, "big")
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    out += _dht(0, 0, {2: 3}, [cat_y, 0, 7])
+    out += _dht(1, 0, {1: 1}, [0x00])
+    out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    pk = _BitPacker()
+    pk.put_code("00")
+    pk.put(dc_y, cat_y)
+    pk.put_code("0")
+    for _ in range(3):  # remaining Y blocks: diff 0
+        pk.put_code("01")
+        pk.put_code("0")
+    for dc in (dc_cb, dc_cr):
+        pk.put_code("10")  # cat 7
+        enc = dc if dc >= 0 else dc + (1 << 7) - 1
+        pk.put(enc, 7)
+        pk.put_code("0")
+    return out + pk.tobytes() + b"\xff\xd9"
+
+
+def test_jpeg_baseline_gray():
+    from rakam_api_spark.llm.multimodal import decode_jpeg_bytes
+
+    w, h, nch, rgb = decode_jpeg_bytes(_jpeg_gray_fixture(dc=32))
+    assert (w, h, nch) == (8, 8, 1)
+    assert abs(rgb[0] - 132.0) < 1e-6 and rgb[0] == rgb[1] == rgb[2]
+
+
+def test_jpeg_baseline_gray_negative_dc():
+    from rakam_api_spark.llm.multimodal import decode_jpeg_bytes
+
+    # cat(−24)=5; encoded magnitude is v + 2^5 − 1 = 7
+    fix = _jpeg_gray_fixture(dc=32)
+
+    # build a dedicated fixture: DC −24 → pixels 125
+    cat = 5
+    out = b"\xff\xd8" + _dqt_unit()
+    out += _seg(0xC0, bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    out += _dht(0, 0, {2: 2}, [cat, 0])
+    out += _dht(1, 0, {1: 1}, [0x00])
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    pk = _BitPacker()
+    pk.put_code("00")
+    pk.put(-24 + (1 << cat) - 1, cat)
+    pk.put_code("0")
+    out += pk.tobytes() + b"\xff\xd9"
+    w, h, nch, rgb = decode_jpeg_bytes(out)
+    assert (w, h, nch) == (8, 8, 1)
+    assert abs(rgb[0] - 125.0) < 1e-6
+    assert decode_jpeg_bytes(fix)[3][0] > rgb[0]
+
+
+def test_jpeg_baseline_color_420():
+    from rakam_api_spark.llm.multimodal import decode_jpeg_bytes
+
+    w, h, nch, rgb = decode_jpeg_bytes(_jpeg_color_420_fixture())
+    assert (w, h, nch) == (16, 16, 3)
+    y, cb, cr = 130.0, 120.0, 138.0
+    exp_r = y + 1.402 * (cr - 128.0)
+    exp_g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    exp_b = y + 1.772 * (cb - 128.0)
+    assert abs(rgb[0] - exp_r) < 1e-6
+    assert abs(rgb[1] - exp_g) < 1e-6
+    assert abs(rgb[2] - exp_b) < 1e-6
+
+
+def test_jpeg_restart_interval():
+    from rakam_api_spark.llm.multimodal import decode_jpeg_bytes
+
+    w, h, nch, rgb = decode_jpeg_bytes(_jpeg_gray_fixture(dc=32, dri=1, width=16))
+    assert (w, h, nch) == (16, 8, 1)
+    assert abs(rgb[0] - 132.0) < 1e-6
+
+
+def test_jpeg_rejects_progressive():
+    from rakam_api_spark.llm.multimodal import decode_jpeg_bytes
+
+    fix = bytearray(_jpeg_gray_fixture())
+    idx = fix.find(b"\xff\xc0")
+    fix[idx + 1] = 0xC2  # SOF2: progressive
+    assert decode_jpeg_bytes(bytes(fix)) is None
+
+
+def test_jpeg_decodes_via_decode_image_bytes():
+    from rakam_api_spark.llm.multimodal import decode_image_bytes
+
+    w, h, nch, rgb = decode_image_bytes(_jpeg_gray_fixture(dc=32))
+    assert (w, h, nch) == (8, 8, 1)
+    assert abs(rgb[0] - 132.0) < 1e-6
