@@ -1,0 +1,73 @@
+"""Fleet-wide plan hygiene: EVERY declared query must compile, and no
+query may plan an unpartitioned Window over unbounded input — the
+single-partition scale-killer class (Spark logs `WindowExec: No
+Partition Defined` and funnels the whole input through one task).
+
+``vocab_coverage`` is the one exemption: its window input is bounded
+to exactly k rows by a preceding TakeOrderedAndProject limit, which
+is documented in its docstring.
+"""
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+# queries whose unpartitioned window runs over a LIMIT-bounded input
+EXEMPT_BOUNDED_WINDOW = {"vocab_coverage"}
+
+
+def _top_level_groups(line: str) -> list[str]:
+    """Extract top-level [...] group contents from a plan node line."""
+    depth = 0
+    groups: list[str] = []
+    buf: list[str] = []
+    for ch in line:
+        if ch == "[":
+            if depth == 0:
+                buf = []
+            else:
+                buf.append(ch)
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(buf))
+            elif depth > 0:
+                buf.append(ch)
+        elif depth > 0:
+            buf.append(ch)
+    return groups
+
+
+def _is_unpartitioned(window_line: str) -> bool:
+    """A Window node renders as ``Window [funcs], [partitionSpec],
+    [orderSpec]`` — but either spec may be absent, leaving two
+    groups.  Disambiguate by the second group's syntax: order-spec
+    entries carry ASC/DESC, partition entries are bare columns."""
+    groups = _top_level_groups(window_line)
+    if len(groups) >= 3:
+        return False  # both partition and order specs present
+    if len(groups) < 2:
+        return True
+    second = groups[1]
+    return " ASC" in second or " DESC" in second
+
+
+def test_every_query_plans_without_unpartitioned_window(spark):
+    qs = entrymod.queries()
+    offenders = []
+    failed = []
+    for name, fn in qs.items():
+        try:
+            plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            failed.append(f"{name}: {type(e).__name__}")
+            continue
+        if name in EXEMPT_BOUNDED_WINDOW:
+            continue
+        for line in plan.splitlines():
+            stripped = line.lstrip(" +-:*")
+            if stripped.startswith("Window ") and _is_unpartitioned(stripped):
+                offenders.append(f"{name}: {stripped[:120]}")
+    assert not failed, f"queries failing to plan: {failed}"
+    assert not offenders, "unpartitioned Window over unbounded input:\n" + "\n".join(offenders)
