@@ -56,6 +56,8 @@ _GATE_PRIORITY = (
     "funnel_with_exclusion",
     "source_dup_matrix",
     "vocab_coverage",
+    "events_pivot_daily",
+    "hourly_counts_gapfilled",
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q10_returned_items",

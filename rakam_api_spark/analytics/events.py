@@ -1496,6 +1496,92 @@ SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_signup,
 """
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event counts PIVOTed to one column per event type — the
+    wide dashboard matrix.  The pivot value list is explicit, which
+    (a) pins the output schema deterministically and (b) lets Spark
+    skip the extra distinct-values job a dynamic pivot needs — the
+    plan is a single hash aggregation over (day, 5 pivot columns).
+    """
+    ev = _events(spark, sf_dir)
+    piv = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES]
+    ).orderBy("day")
+
+
+EVENTS_PIVOT_ORACLE = """
+SELECT CAST(ts AS DATE) AS day,
+       CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events
+GROUP BY CAST(ts AS DATE)
+"""
+
+
+def hourly_counts_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly time series per event type: a generated hour
+    spine × the type dimension, left-joined onto the sparse hourly
+    aggregate with zero fill — the densification step every
+    time-series chart and anomaly detector needs (the raw hourly
+    grid here has ~6% empty cells that would otherwise vanish).
+
+    Scale shape: the spine is generated from a single-row min/max
+    aggregate (``sequence`` + explode — rows ∝ hours, not events),
+    the type dim broadcasts, and the left join shuffles only the
+    hour-grain aggregate, never raw events.
+    """
+    ev = _events(spark, sf_dir)
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = ev.groupBy(hour.alias("hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    return (
+        spine.crossJoin(broadcast(types))
+        .join(hourly, ["hour", "event_type"], "left_outer")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+HOURLY_GAPFILL_ORACLE = """
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1 FROM events
+), spine AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
+), types AS (SELECT DISTINCT event_type FROM events),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT s.hour AS hour, t.event_type AS event_type, COALESCE(h.n_events, 0) AS n_events
+FROM spine s CROSS JOIN types t
+LEFT OUTER JOIN hourly h ON h.hour = s.hour AND h.event_type = t.event_type
+"""
+
+
 def power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Power-user curve: how many users were active on exactly N
     distinct days — the engagement-distribution report (the Q13
@@ -1588,6 +1674,8 @@ QUERIES = {
     "value_histogram": value_histogram,
     "user_lifecycle_grid": user_lifecycle_grid,
     "funnel_with_exclusion": funnel_with_exclusion,
+    "events_pivot_daily": events_pivot_daily,
+    "hourly_counts_gapfilled": hourly_counts_gapfilled,
 }
 
 ORACLES = {
@@ -1624,4 +1712,6 @@ ORACLES = {
     "value_histogram": VALUE_HISTOGRAM_ORACLE,
     "user_lifecycle_grid": USER_LIFECYCLE_ORACLE,
     "funnel_with_exclusion": FUNNEL_EXCLUSION_ORACLE,
+    "events_pivot_daily": EVENTS_PIVOT_ORACLE,
+    "hourly_counts_gapfilled": HOURLY_GAPFILL_ORACLE,
 }
