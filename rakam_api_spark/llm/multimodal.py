@@ -538,6 +538,45 @@ def decode_audio_bytes(b: bytes) -> tuple[int, int, int, float, float] | None:
     )
 
 
+def audio_spectral_features(b: bytes) -> tuple[float, float] | None:
+    """(dominant_hz, spectral_centroid_hz) for PCM WAV via numpy
+    rFFT on the mono mix (DC bin excluded).  Real frequency-domain
+    DSP — no external codec; the same mapInPandas parallelism rules
+    as the other decode kernels apply."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(b)) as wv:
+            nch, sw, rate, nframes = (
+                wv.getnchannels(), wv.getsampwidth(), wv.getframerate(), wv.getnframes(),
+            )
+            frames = wv.readframes(nframes)
+    except (wave.Error, EOFError):
+        return None
+    if sw == 2:
+        arr = np.frombuffer(frames, np.int16).astype(np.float64) / 32768.0
+    elif sw == 1:
+        arr = (np.frombuffer(frames, np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif sw == 4:
+        arr = np.frombuffer(frames, np.int32).astype(np.float64) / 2147483648.0
+    else:
+        return None
+    if arr.size == 0:
+        return 0.0, 0.0
+    mono = arr.reshape(-1, nch).mean(axis=1)
+    spec = np.abs(np.fft.rfft(mono))
+    if spec.size:
+        spec[0] = 0.0  # ignore DC offset
+    freqs = np.fft.rfftfreq(mono.size, 1.0 / rate)
+    total = float(spec.sum())
+    if total <= 0.0:
+        return 0.0, 0.0
+    dominant = float(freqs[int(spec.argmax())])
+    centroid = float((spec * freqs).sum() / total)
+    return dominant, centroid
+
+
 def _pack_feature(vals: list[float], dim: int) -> list[float]:
     """Clamp into [0, 1] and pad/trim to ``dim`` (stable contract:
     feature vectors are comparable across media types)."""

@@ -473,3 +473,48 @@ def test_jpeg_decodes_via_decode_image_bytes():
     w, h, nch, rgb = decode_image_bytes(_jpeg_gray_fixture(dc=32))
     assert (w, h, nch) == (8, 8, 1)
     assert abs(rgb[0] - 132.0) < 1e-6
+
+
+# --- audio spectral features (numpy rFFT; analytic sine fixtures) --------
+
+
+def _sine_wav(freqs_amps, rate=8000, n=1024):
+    import io
+
+    import numpy as np
+    import struct as st
+    import wave
+
+    t = np.arange(n) / rate
+    sig = np.zeros(n)
+    for f, a in freqs_amps:
+        sig += a * np.sin(2 * np.pi * f * t)
+    sig = (sig / max(1.0, np.abs(sig).max()) * 32000).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(rate)
+        wv.writeframes(st.pack(f"<{n}h", *sig))
+    return buf.getvalue()
+
+
+def test_audio_dominant_frequency_exact_bin():
+    from rakam_api_spark.llm.multimodal import audio_spectral_features
+
+    # 500 Hz = bin 64 of a 1024-sample / 8 kHz frame: zero leakage,
+    # so dominant and centroid are both analytic
+    dom, cen = audio_spectral_features(_sine_wav([(500.0, 1.0)]))
+    assert dom == 500.0
+    assert abs(cen - 500.0) < 1.0
+
+
+def test_audio_dominant_vs_centroid_two_tones():
+    from rakam_api_spark.llm.multimodal import audio_spectral_features
+
+    # 500 Hz at amplitude 1.0 + 1500 Hz at 0.5 (both exact bins):
+    # dominant is the stronger tone; centroid the amplitude-weighted
+    # mean (500 + 0.5*1500)/1.5
+    dom, cen = audio_spectral_features(_sine_wav([(500.0, 1.0), (1500.0, 0.5)]))
+    assert dom == 500.0
+    assert abs(cen - (500.0 + 0.5 * 1500.0) / 1.5) < 1.0
