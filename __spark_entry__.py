@@ -58,6 +58,8 @@ _GATE_PRIORITY = (
     "vocab_coverage",
     "events_pivot_daily",
     "hourly_counts_gapfilled",
+    "segment_overlap_matrix",
+    "user_metric_correlation",
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q10_returned_items",

@@ -1496,6 +1496,93 @@ SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_signup,
 """
 
 
+def segment_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap: |users(A) ∩ users(B)| for every pair of
+    event types — the "did A and B" segment intersection report.
+
+    Scale shape: ONE groupBy collects each user's (bounded, ≤ |types|)
+    type set, pair expansion runs row-locally on that tiny array, and
+    a second aggregation counts pairs — never a user-set self-join
+    (the oracle spells the equivalent self-join as the spec).
+    """
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("ts")
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ts, (x, i) -> "
+        "transform(slice(ts, i + 2, size(ts)), y -> struct(x AS t1, y AS t2))))"
+    )
+    return (
+        per_user.select(F.explode(pair_expr).alias("p"))
+        .select("p.t1", "p.t2")
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n_users_both"))
+        .orderBy("t1", "t2")
+    )
+
+
+SEGMENT_OVERLAP_ORACLE = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS t1, b.event_type AS t2, CAST(COUNT(*) AS BIGINT) AS n_users_both
+FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY a.event_type, b.event_type
+"""
+
+
+def user_metric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between per-user event count and active-day
+    count, computed from EXACT integer sums (Σx, Σy, Σxy, Σx², Σy²
+    are bigint-exact, the final r is a fixed-order chain of IEEE
+    ops incl. correctly-rounded sqrt) — bit-identical across engines,
+    unlike built-in ``corr`` whose float summation is order-dependent.
+
+    One user-grain aggregation + one single-row moment aggregate.
+    """
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("x"),
+        F.countDistinct(F.col("ts").cast("date")).alias("y"),
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    r = (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+    return m.select("n", "sx", "sy", r.alias("pearson_r"))
+
+
+USER_METRIC_CORR_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS x,
+         CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM per_user
+)
+SELECT n, sx, sy,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS pearson_r
+FROM m
+"""
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -1676,6 +1763,8 @@ QUERIES = {
     "funnel_with_exclusion": funnel_with_exclusion,
     "events_pivot_daily": events_pivot_daily,
     "hourly_counts_gapfilled": hourly_counts_gapfilled,
+    "segment_overlap_matrix": segment_overlap_matrix,
+    "user_metric_correlation": user_metric_correlation,
 }
 
 ORACLES = {
@@ -1714,4 +1803,6 @@ ORACLES = {
     "funnel_with_exclusion": FUNNEL_EXCLUSION_ORACLE,
     "events_pivot_daily": EVENTS_PIVOT_ORACLE,
     "hourly_counts_gapfilled": HOURLY_GAPFILL_ORACLE,
+    "segment_overlap_matrix": SEGMENT_OVERLAP_ORACLE,
+    "user_metric_correlation": USER_METRIC_CORR_ORACLE,
 }
