@@ -518,3 +518,48 @@ def test_audio_dominant_vs_centroid_two_tones():
     dom, cen = audio_spectral_features(_sine_wav([(500.0, 1.0), (1500.0, 0.5)]))
     assert dom == 500.0
     assert abs(cen - (500.0 + 0.5 * 1500.0) / 1.5) < 1.0
+
+
+# --- property-based JPEG DC-chain verification ---------------------------
+
+
+def _jpeg_gray_multiblock(dcs):
+    """Grayscale 8x(8*len(dcs)) fixture where block i has absolute
+    DC value dcs[i] (encoded as a diff chain).  Decoded image mean is
+    analytically mean(dcs)/8 + 128."""
+    out = b"\xff\xd8" + _dqt_unit()
+    width = 8 * len(dcs)
+    out += _seg(0xC0, bytes([8]) + (8).to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    # DC categories 0..11 at code length 4 (12 of the 16 len-4 codes)
+    out += _dht(0, 0, {4: 12}, list(range(12)))
+    out += _dht(1, 0, {1: 1}, [0x00])
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    pk = _BitPacker()
+    pred = 0
+    for v in dcs:
+        diff = v - pred
+        pred = v
+        cat = abs(diff).bit_length()
+        assert cat <= 11
+        pk.put(cat, 4)  # canonical len-4 code for category == its index
+        if cat:
+            pk.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+        pk.put_code("0")  # EOB
+    return out + pk.tobytes() + b"\xff\xd9"
+
+
+def test_jpeg_dc_chain_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rakam_api_spark.llm.multimodal import decode_jpeg_bytes
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.integers(min_value=-200, max_value=200), min_size=1, max_size=8))
+    def check(dcs):
+        w, h, nch, rgb = decode_jpeg_bytes(_jpeg_gray_multiblock(dcs))
+        assert (w, h, nch) == (8 * len(dcs), 8, 1)
+        exp = sum(min(255.0, max(0.0, d / 8.0 + 128.0)) for d in dcs) / len(dcs)
+        assert abs(rgb[0] - exp) < 1e-6
+
+    check()
