@@ -60,6 +60,7 @@ _GATE_PRIORITY = (
     "hourly_counts_gapfilled",
     "segment_overlap_matrix",
     "user_metric_correlation",
+    "sliding_window_counts",
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q10_returned_items",

@@ -333,12 +333,50 @@ class StreamingHeavyHitters:
         )
 
 
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gated batch run of the SLIDING window plan (2-hour
+    window, 30-minute hop → every event lands in exactly 4 windows).
+    Same epoch-aligned assignment as the streaming variant; the
+    oracle expands each event into its 4 member windows explicitly.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+SLIDING_WINDOW_ORACLE = """
+WITH cand AS (
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - CAST(k AS INT) * INTERVAL 30 MINUTE AS window_start,
+         event_type, user_id
+  FROM events, unnest(range(0, 4)) t(k)
+)
+SELECT window_start,
+       window_start + INTERVAL 2 HOUR AS window_end,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM cand
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "tumbling_window_counts": tumbling_window_counts,
     "session_window_stats": session_window_stats,
+    "sliding_window_counts": sliding_window_counts,
 }
 
 ORACLES = {
     "tumbling_window_counts": TUMBLING_WINDOW_ORACLE,
     "session_window_stats": SESSION_WINDOW_ORACLE,
+    "sliding_window_counts": SLIDING_WINDOW_ORACLE,
 }
