@@ -76,6 +76,15 @@ SHOW = {
     "arithmetic — zero exchanges before the output sort",
     "quality_top_quartile": "per-source top-quartile: rank and count share one "
     "window partitioning on source; no global ordering anywhere",
+    "events_pivot_daily": "PIVOT with explicit values: one hash aggregation over "
+    "(day, 5 pivot columns) — no distinct-values pre-job",
+    "hourly_counts_gapfilled": "date-spine densification: spine generated from a "
+    "single-row min/max aggregate, type dim broadcast, left join touches only the "
+    "hour-grain aggregate",
+    "segment_overlap_matrix": "audience overlap: per-user bounded type-set collected "
+    "once, pair expansion row-local — no user-set self-join",
+    "sliding_window_counts": "sliding windows: the 4-window expansion happens inside "
+    "the window operator before one partial-aggregated shuffle",
 }
 
 
