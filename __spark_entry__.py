@@ -61,6 +61,7 @@ _GATE_PRIORITY = (
     "segment_overlap_matrix",
     "user_metric_correlation",
     "sliding_window_counts",
+    "event_transition_matrix",
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q10_returned_items",

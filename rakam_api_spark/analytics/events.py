@@ -1496,6 +1496,59 @@ SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_signup,
 """
 
 
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: count and row-normalized probability of each
+    (event_type → next_type) step — the primitive behind
+    Markov-chain attribution and next-action prediction.
+
+    One user-partitioned window pass produces the consecutive pairs;
+    the row totals reuse a tiny aggregate joined back on the 5-key
+    type space; probabilities are double divisions of exact counts.
+    """
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(_us(), F.col("event_id"))
+    pairs = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    counts = pairs.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    totals = counts.groupBy(F.col("event_type").alias("et")).agg(
+        F.sum("n_transitions").alias("row_total")
+    )
+    return (
+        counts.join(broadcast(totals), F.col("event_type") == F.col("et"))
+        .select(
+            "event_type",
+            "next_type",
+            "n_transitions",
+            (F.col("n_transitions").cast("double") / F.col("row_total").cast("double")).alias(
+                "prob"
+            ),
+        )
+        .orderBy("event_type", "next_type")
+    )
+
+
+EVENT_TRANSITION_ORACLE = """
+WITH pairs AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_type
+  FROM events
+), counts AS (
+  SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM pairs WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+), totals AS (
+  SELECT event_type AS et, SUM(n_transitions) AS row_total FROM counts GROUP BY event_type
+)
+SELECT event_type, next_type, n_transitions,
+       CAST(n_transitions AS DOUBLE) / CAST(row_total AS DOUBLE) AS prob
+FROM counts JOIN totals ON event_type = et
+"""
+
+
 def segment_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience overlap: |users(A) ∩ users(B)| for every pair of
     event types — the "did A and B" segment intersection report.
@@ -1765,6 +1818,7 @@ QUERIES = {
     "hourly_counts_gapfilled": hourly_counts_gapfilled,
     "segment_overlap_matrix": segment_overlap_matrix,
     "user_metric_correlation": user_metric_correlation,
+    "event_transition_matrix": event_transition_matrix,
 }
 
 ORACLES = {
@@ -1805,4 +1859,5 @@ ORACLES = {
     "hourly_counts_gapfilled": HOURLY_GAPFILL_ORACLE,
     "segment_overlap_matrix": SEGMENT_OVERLAP_ORACLE,
     "user_metric_correlation": USER_METRIC_CORR_ORACLE,
+    "event_transition_matrix": EVENT_TRANSITION_ORACLE,
 }
