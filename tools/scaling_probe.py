@@ -64,6 +64,12 @@ OPERATORS = [
     "funnel_with_exclusion",
     "source_dup_matrix",
     "vocab_coverage",
+    "events_pivot_daily",
+    "hourly_counts_gapfilled",
+    "segment_overlap_matrix",
+    "user_metric_correlation",
+    "sliding_window_counts",
+    "event_transition_matrix",
     "q1_pricing_summary",
     "q9_product_profit",
     "q13_order_distribution",
