@@ -67,25 +67,21 @@ def main() -> None:
     # warm the JVM + parquet footers with one tiny action
     spark.range(1).count()
 
-    times: dict[str, float] = {}
-    cold: dict[str, float] = {}
-    for name in HEADLINE:
-        runs = []
-        for _ in range(2):
-            t0 = time.time()
-            qs[name](spark, sf_dir).collect()
-            runs.append(time.time() - t0)
-        cold[name] = round(runs[0], 3)
-        times[name] = round(min(runs), 3)
+    def _time(names: list[str]) -> tuple[dict[str, float], dict[str, float]]:
+        warm: dict[str, float] = {}
+        first: dict[str, float] = {}
+        for name in names:
+            runs = []
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, sf_dir).collect()
+                runs.append(time.time() - t0)
+            first[name] = round(runs[0], 3)
+            warm[name] = round(min(runs), 3)
+        return warm, first
 
-    extra: dict[str, float] = {}
-    for name in EXTRA:
-        runs = []
-        for _ in range(2):
-            t0 = time.time()
-            qs[name](spark, sf_dir).collect()
-            runs.append(time.time() - t0)
-        extra[name] = round(min(runs), 3)
+    times, cold = _time(HEADLINE)
+    extra, _ = _time(EXTRA)
 
     # ingest-path throughput (the reference's hot path): ND-JSON bulk
     # through parse → infer/evolve → enrich → coerce → append

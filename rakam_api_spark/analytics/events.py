@@ -1643,8 +1643,10 @@ def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily event counts PIVOTed to one column per event type — the
     wide dashboard matrix.  The pivot value list is explicit, which
     (a) pins the output schema deterministically and (b) lets Spark
-    skip the extra distinct-values job a dynamic pivot needs — the
-    plan is a single hash aggregation over (day, 5 pivot columns).
+    skip the extra distinct-values job a dynamic pivot needs.  Spark
+    lowers this to a partial-aggregated (day, event_type) rollup
+    followed by the pivot aggregate — two map-side-combined
+    aggregations, no pre-scan.
     """
     ev = _events(spark, sf_dir)
     piv = (

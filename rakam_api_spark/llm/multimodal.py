@@ -272,6 +272,16 @@ def decode_jpeg_bytes(b: bytes) -> tuple[int, int, int, list[float]] | None:
     Like :func:`decode_png_bytes` this is per-image sequential;
     decode parallelism comes from mapInPandas partitions.
     """
+    try:
+        return _decode_jpeg_impl(b)
+    except (ValueError, IndexError, KeyError, struct.error):
+        # truncated/corrupt payload: the decode contract is
+        # None-not-crash so one bad blob cannot kill a whole
+        # mapInPandas task
+        return None
+
+
+def _decode_jpeg_impl(b: bytes) -> tuple[int, int, int, list[float]] | None:
     if b[:2] != b"\xff\xd8":
         return None
     qt: dict[int, np.ndarray] = {}
@@ -507,10 +517,11 @@ def decode_image_bytes(b: bytes) -> tuple[int, int, int, list[float]] | None:
         return None  # PIL present but payload not an image it knows
 
 
-def decode_audio_bytes(b: bytes) -> tuple[int, int, int, float, float] | None:
-    """(sample_rate, channels, n_frames, rms, peak) for PCM WAV via
-    the stdlib ``wave`` module; amplitudes normalized to [0, 1].
-    None when the payload isn't a WAV this decoder handles."""
+def _wav_samples(b: bytes) -> tuple[int, int, int, np.ndarray] | None:
+    """(rate, channels, n_frames, float64 samples in [-1, 1]) for PCM
+    WAV, or None for anything malformed.  Shared by the time-domain
+    and spectral feature paths; truncated data chunks are clipped to
+    whole frames instead of crashing."""
     import io
     import wave
 
@@ -522,14 +533,27 @@ def decode_audio_bytes(b: bytes) -> tuple[int, int, int, float, float] | None:
             frames = wv.readframes(nframes)
     except (wave.Error, EOFError):
         return None
+    if nch < 1 or sw not in (1, 2, 4):
+        return None
+    frame_bytes = sw * nch
+    frames = frames[: len(frames) - len(frames) % frame_bytes]
     if sw == 2:
         arr = np.frombuffer(frames, np.int16).astype(np.float64) / 32768.0
     elif sw == 1:
         arr = (np.frombuffer(frames, np.uint8).astype(np.float64) - 128.0) / 128.0
-    elif sw == 4:
-        arr = np.frombuffer(frames, np.int32).astype(np.float64) / 2147483648.0
     else:
+        arr = np.frombuffer(frames, np.int32).astype(np.float64) / 2147483648.0
+    return rate, nch, nframes, arr
+
+
+def decode_audio_bytes(b: bytes) -> tuple[int, int, int, float, float] | None:
+    """(sample_rate, channels, n_frames, rms, peak) for PCM WAV via
+    the stdlib ``wave`` module; amplitudes normalized to [0, 1].
+    None when the payload isn't a WAV this decoder handles."""
+    parsed = _wav_samples(b)
+    if parsed is None:
         return None
+    rate, nch, nframes, arr = parsed
     if arr.size == 0:
         return rate, nch, nframes, 0.0, 0.0
     return (
@@ -543,25 +567,10 @@ def audio_spectral_features(b: bytes) -> tuple[float, float] | None:
     rFFT on the mono mix (DC bin excluded).  Real frequency-domain
     DSP — no external codec; the same mapInPandas parallelism rules
     as the other decode kernels apply."""
-    import io
-    import wave
-
-    try:
-        with wave.open(io.BytesIO(b)) as wv:
-            nch, sw, rate, nframes = (
-                wv.getnchannels(), wv.getsampwidth(), wv.getframerate(), wv.getnframes(),
-            )
-            frames = wv.readframes(nframes)
-    except (wave.Error, EOFError):
+    parsed = _wav_samples(b)
+    if parsed is None:
         return None
-    if sw == 2:
-        arr = np.frombuffer(frames, np.int16).astype(np.float64) / 32768.0
-    elif sw == 1:
-        arr = (np.frombuffer(frames, np.uint8).astype(np.float64) - 128.0) / 128.0
-    elif sw == 4:
-        arr = np.frombuffer(frames, np.int32).astype(np.float64) / 2147483648.0
-    else:
-        return None
+    rate, nch, _nframes, arr = parsed
     if arr.size == 0:
         return 0.0, 0.0
     mono = arr.reshape(-1, nch).mean(axis=1)

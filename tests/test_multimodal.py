@@ -563,3 +563,35 @@ def test_jpeg_dc_chain_property():
         assert abs(rgb[0] - exp) < 1e-6
 
     check()
+
+
+def test_corrupt_payloads_return_none_not_crash():
+    """The decode contract is None-not-crash: one malformed blob must
+    never kill a mapInPandas task."""
+    from rakam_api_spark.llm.multimodal import (
+        audio_spectral_features,
+        decode_audio_bytes,
+        decode_image_bytes,
+        decode_jpeg_bytes,
+    )
+
+    corrupt_jpegs = [
+        b"\xff\xd8\xff\xc0\x00\x05\x08\x00\x08",  # truncated SOF
+        b"\xff\xd8\xff\xdb\x00\x05\x00\x01\x02",  # truncated DQT
+        b"\xff\xd8\xff\xda\x00\x02",  # SOS before any frame
+        _jpeg_gray_fixture(dc=32)[:40],  # mid-stream truncation
+    ]
+    for payload in corrupt_jpegs:
+        assert decode_jpeg_bytes(payload) is None
+        assert decode_image_bytes(payload) is None
+
+    # WAV with a data chunk truncated mid-frame (odd byte count at
+    # sampwidth=2): must clip to whole frames or return None — the
+    # test is that neither call raises
+    truncated = _sine_wav([(500.0, 1.0)])[:-1]
+    time_domain = decode_audio_bytes(truncated)
+    spectral = audio_spectral_features(truncated)
+    if time_domain is not None:
+        assert time_domain[3] >= 0.0  # rms of the clipped frames
+    if spectral is not None:
+        assert spectral[0] >= 0.0

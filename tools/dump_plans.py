@@ -76,8 +76,8 @@ SHOW = {
     "arithmetic — zero exchanges before the output sort",
     "quality_top_quartile": "per-source top-quartile: rank and count share one "
     "window partitioning on source; no global ordering anywhere",
-    "events_pivot_daily": "PIVOT with explicit values: one hash aggregation over "
-    "(day, 5 pivot columns) — no distinct-values pre-job",
+    "events_pivot_daily": "PIVOT with explicit values: a partial-aggregated "
+    "(day, event_type) rollup then the pivot aggregate — no distinct-values pre-job",
     "hourly_counts_gapfilled": "date-spine densification: spine generated from a "
     "single-row min/max aggregate, type dim broadcast, left join touches only the "
     "hour-grain aggregate",
