@@ -62,6 +62,7 @@ _GATE_PRIORITY = (
     "user_metric_correlation",
     "sliding_window_counts",
     "event_transition_matrix",
+    "data_quality_audit",
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q10_returned_items",

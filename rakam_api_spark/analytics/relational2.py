@@ -518,6 +518,65 @@ ORDER BY s_suppkey
 """
 
 
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style referential-integrity audit over the star schema,
+    one row of violation counts: orphan lineitems (no parent order),
+    childless orders (no lineitems), idle customers (no orders), and
+    orders whose stored total diverges >1% from the decimal-exact
+    lineitem rollup.
+
+    Every check is an anti-join or one aggregate — no row-by-row
+    validation pass; the mismatch threshold is decimal-exact on both
+    sides so the selected set is order-insensitive.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    orphan_li = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+    childless = orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left_anti")
+    idle_cust = cu.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    charge = (
+        _dec("l_extendedprice")
+        * (F.lit(1).cast(DEC) - _dec("l_discount"))
+        * (F.lit(1).cast(DEC) + _dec("l_tax"))
+    ).cast(DEC)
+    rollup = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.sum(charge).alias("s"))
+    )
+    mismatched = rollup.where(
+        F.abs(_dec("o_totalprice") - F.col("s"))
+        > (_dec("o_totalprice") * F.lit(0.01).cast(DEC)).cast(DEC)
+    )
+    a1 = orphan_li.agg(F.count(F.lit(1)).alias("n_orphan_lineitems"))
+    a2 = childless.agg(F.count(F.lit(1)).alias("n_childless_orders"))
+    a3 = idle_cust.agg(F.count(F.lit(1)).alias("n_idle_customers"))
+    a4 = mismatched.agg(F.count(F.lit(1)).alias("n_total_mismatch"))
+    return a1.crossJoin(a2).crossJoin(a3).crossJoin(a4)
+
+
+DATA_QUALITY_ORACLE = """
+SELECT
+  CAST((SELECT COUNT(*) FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT) AS n_orphan_lineitems,
+  CAST((SELECT COUNT(*) FROM orders
+        WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)) AS BIGINT) AS n_childless_orders,
+  CAST((SELECT COUNT(*) FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS BIGINT) AS n_idle_customers,
+  CAST((SELECT COUNT(*) FROM (
+    SELECT o_orderkey, o_totalprice,
+           SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+               * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+               * (CAST(1 AS DECIMAL(18,6)) + CAST(l_tax AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS s
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_totalprice
+  ) WHERE ABS(CAST(o_totalprice AS DECIMAL(18,6)) - s)
+        > CAST(CAST(o_totalprice AS DECIMAL(18,6)) * CAST(0.01 AS DECIMAL(18,6)) AS DECIMAL(18,6))) AS BIGINT)
+    AS n_total_mismatch
+"""
+
+
 QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q9_product_profit": q9_product_profit,
@@ -529,6 +588,7 @@ QUERIES = {
     "q17_small_qty_revenue": q17_small_qty_revenue,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q20_dominant_supplier": q20_dominant_supplier,
+    "data_quality_audit": data_quality_audit,
 }
 
 ORACLES = {
@@ -542,4 +602,5 @@ ORACLES = {
     "q17_small_qty_revenue": Q17_ORACLE,
     "q19_disjunctive_revenue": Q19_ORACLE,
     "q20_dominant_supplier": Q20_ORACLE,
+    "data_quality_audit": DATA_QUALITY_ORACLE,
 }
