@@ -39,13 +39,15 @@ _MODULES = (
 )
 
 # The driver's correctness gate checks at most 50 queries per round, in
-# enumeration order.  With 72 declared queries, plain module order would
-# starve the tail modules of a driver-verified CORRECTNESS row forever.
-# Enumerate the stalest coverage first: queries never driver-checked
-# (absent from every CORRECTNESS_r0*.json), then those last checked in
-# round 3, then the 50 freshly verified in round 4.
+# enumeration order.  With 107 declared queries, plain module order
+# would starve the tail modules of a driver-verified CORRECTNESS row
+# forever.  Enumerate the stalest coverage first: round-5 additions
+# (never driver-checked), then the round-4 additions the r4 gate
+# rotated out, then queries last checked in round 3; the 50 verified
+# in CORRECTNESS_r04 enumerate last.  Everything listed here passes
+# tools/check_correctness.py locally at sf0.01 and sf0.001.
 _GATE_PRIORITY = (
-    # never driver-checked (verified locally via tools/check_correctness.py)
+    # round-5 additions, never driver-checked
     "bm25_search",
     "dup_ngram_spans",
     "power_user_curve",
@@ -73,6 +75,7 @@ _GATE_PRIORITY = (
     "q17_small_qty_revenue",
     "q19_disjunctive_revenue",
     "q20_dominant_supplier",
+    # round-4 additions the r4 gate rotated out (never driver-checked)
     "q7_nation_volume",
     "q8_market_share",
     "q14_promo_revenue",
