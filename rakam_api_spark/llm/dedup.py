@@ -610,45 +610,107 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.6) -> 
     return result
 
 
+def _components_driver_unionfind(edges: DataFrame) -> DataFrame:
+    """Small-graph fast path: resolve components with an in-driver
+    union-find.  The edge list here is the VERIFIED near-dup pair
+    set — O(near-dups), not O(corpus) — and this path only runs
+    when it is at most _CC_DRIVER_MAX_EDGES rows (a few MB), so the
+    collect is bounded by construction; larger graphs take the
+    distributed label-propagation loop below.  Output is identical:
+    cluster_id = the component's min node id."""
+    rows = edges.collect()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        a, b = int(r[0]), int(r[1])
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, list[int]] = {}
+    for node in parent:
+        comp.setdefault(find(node), []).append(node)
+    out_rows = []
+    for root, members in comp.items():
+        label = min(members)  # min node id, matching the propagation path
+        for m in members:
+            out_rows.append((m, label, len(members), m == label))
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        out_rows, "doc_id long, cluster_id long, cluster_size long, is_canonical boolean"
+    ).orderBy("doc_id")
+
+
+_CC_DRIVER_MAX_EDGES = 50_000
+
+
 def connected_components(edges: DataFrame) -> DataFrame:
     """Min-label propagation to a fixpoint over an undirected edge
     list ``(d1, d2)``.  Returns (doc_id, cluster_id, cluster_size,
     is_canonical) — cluster_id is the component's min node id.  One
-    join + one aggregation per round; rounds ≤ graph diameter."""
+    join + one aggregation per round; rounds ≤ graph diameter.
+
+    Graphs of ≤ 50k edges short-circuit to a driver union-find
+    (identical output) — each Spark round costs a fixed multi-job
+    overhead that dwarfs the work for small verified-pair graphs,
+    while the distributed loop remains the path for corpus-scale
+    edge lists."""
+    edges = edges.cache()
+    n_edges = edges.count()
+    if n_edges == 0:
+        spark = edges.sparkSession
+        edges.unpersist()
+        return spark.createDataFrame(
+            [], "doc_id long, cluster_id long, cluster_size long, is_canonical boolean"
+        )
+    if n_edges <= _CC_DRIVER_MAX_EDGES:
+        out = _components_driver_unionfind(edges)
+        edges.unpersist()
+        return out
     adj = edges.unionByName(
         edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).cache()
-    labels = (
+    cached = (
         adj.select(F.col("d1").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
+        .withColumn("chg", F.lit(0))
         .cache()
     )
-    labels.count()
+    cached.count()
+    labels = cached.drop("chg")
     while True:
         neigh = (
             adj.join(labels, adj.d2 == labels.doc_id)
             .groupBy(F.col("d1").alias("doc_id"))
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        # fold the convergence test into the same pass: a row changes
+        # iff a neighbor label undercuts ours (saves a join per round)
+        new_cached = (
             labels.join(neigh, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
                     "label"
                 ),
+                (F.coalesce(F.col("nlabel"), F.col("label")) < F.col("label"))
+                .cast("int")
+                .alias("chg"),
             )
             .cache()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = new_cached.agg(F.sum("chg")).collect()[0][0] or 0
+        cached.unpersist()
+        cached = new_cached
+        labels = cached.drop("chg")
         if changed == 0:
             break
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
@@ -663,8 +725,9 @@ def connected_components(edges: DataFrame) -> DataFrame:
         .orderBy("doc_id")
     )
     result = out.localCheckpoint(eager=True)  # sever the iterative lineage
-    labels.unpersist()
+    cached.unpersist()
     adj.unpersist()
+    edges.unpersist()
     return result
 
 

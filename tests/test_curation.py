@@ -107,18 +107,36 @@ def test_mix_weights_rebalance_to_uniform(spark):
         assert abs(r["mix_weight"] * r["token_share"] - 1.0 / n) < 1e-9
 
 
-def test_connected_components_transitivity(spark):
-    """A~B~C chains into one cluster even without an A~C edge; a
-    disjoint pair stays its own cluster; min node id is canonical."""
-    from rakam_api_spark.llm.dedup import connected_components
-
-    edges = spark.createDataFrame(
-        [(10, 20), (20, 30), (30, 40), (100, 200), (5, 10)], "d1 long, d2 long"
-    )
-    rows = {r["doc_id"]: r for r in connected_components(edges).collect()}
+def _assert_component_semantics(rows):
     chain = [5, 10, 20, 30, 40]
     assert all(rows[d]["cluster_id"] == 5 for d in chain)
     assert all(rows[d]["cluster_size"] == 5 for d in chain)
     assert rows[5]["is_canonical"] and not rows[40]["is_canonical"]
     assert rows[100]["cluster_id"] == 100 and rows[100]["cluster_size"] == 2
     assert rows[200]["cluster_id"] == 100 and not rows[200]["is_canonical"]
+
+
+def test_connected_components_transitivity(spark):
+    """A~B~C chains into one cluster even without an A~C edge; a
+    disjoint pair stays its own cluster; min node id is canonical.
+    Both resolution paths must agree: the driver union-find fast
+    path (small graphs) and the distributed label-propagation loop
+    (forced by dropping the fast-path threshold to zero)."""
+    import rakam_api_spark.llm.dedup as dedup
+
+    edges = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (100, 200), (5, 10)], "d1 long, d2 long"
+    )
+    rows = {r["doc_id"]: r for r in dedup.connected_components(edges).collect()}
+    _assert_component_semantics(rows)
+
+    orig = dedup._CC_DRIVER_MAX_EDGES
+    dedup._CC_DRIVER_MAX_EDGES = 0
+    try:
+        dist = {r["doc_id"]: r for r in dedup.connected_components(edges).collect()}
+    finally:
+        dedup._CC_DRIVER_MAX_EDGES = orig
+    _assert_component_semantics(dist)
+    assert {d: (r["cluster_id"], r["cluster_size"], r["is_canonical"]) for d, r in rows.items()} == {
+        d: (r["cluster_id"], r["cluster_size"], r["is_canonical"]) for d, r in dist.items()
+    }
