@@ -628,7 +628,8 @@ def _components_driver_unionfind(edges: DataFrame) -> DataFrame:
         return x
 
     for r in rows:
-        a, b = int(r[0]), int(r[1])
+        # by name, matching the distributed path's column resolution
+        a, b = int(r["d1"]), int(r["d2"])
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)
@@ -681,11 +682,10 @@ def connected_components(edges: DataFrame) -> DataFrame:
         adj.select(F.col("d1").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .withColumn("chg", F.lit(0))
         .cache()
     )
     cached.count()
-    labels = cached.drop("chg")
+    labels = cached
     while True:
         neigh = (
             adj.join(labels, adj.d2 == labels.doc_id)

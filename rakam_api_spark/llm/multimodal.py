@@ -274,7 +274,7 @@ def decode_jpeg_bytes(b: bytes) -> tuple[int, int, int, list[float]] | None:
     """
     try:
         return _decode_jpeg_impl(b)
-    except (ValueError, IndexError, KeyError, struct.error):
+    except (ValueError, IndexError, KeyError, ZeroDivisionError, struct.error):
         # truncated/corrupt payload: the decode contract is
         # None-not-crash so one bad blob cannot kill a whole
         # mapInPandas task
@@ -334,7 +334,10 @@ def _decode_jpeg_impl(b: bytes) -> tuple[int, int, int, list[float]] | None:
             comps = []
             for c in range(nc):
                 cid, hv, tq_id = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
-                comps.append((cid, hv >> 4, hv & 15, tq_id))
+                ch, cv = hv >> 4, hv & 15
+                if ch < 1 or cv < 1:  # zero sampling factor: corrupt
+                    return None
+                comps.append((cid, ch, cv, tq_id))
             frame = (w, h, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None  # non-baseline frame types
@@ -553,11 +556,15 @@ def decode_audio_bytes(b: bytes) -> tuple[int, int, int, float, float] | None:
     parsed = _wav_samples(b)
     if parsed is None:
         return None
-    rate, nch, nframes, arr = parsed
+    rate, nch, _hdr_frames, arr = parsed
+    # report the CLIPPED frame count so it matches the samples the
+    # stats below actually cover (a truncated data chunk can be
+    # shorter than the header's frame count)
+    n_frames = arr.size // nch
     if arr.size == 0:
-        return rate, nch, nframes, 0.0, 0.0
+        return rate, nch, 0, 0.0, 0.0
     return (
-        rate, nch, nframes,
+        rate, nch, n_frames,
         float(np.sqrt(np.mean(arr * arr))), float(np.max(np.abs(arr))),
     )
 

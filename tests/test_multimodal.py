@@ -575,11 +575,15 @@ def test_corrupt_payloads_return_none_not_crash():
         decode_jpeg_bytes,
     )
 
+    zero_sampling = bytearray(_jpeg_gray_fixture(dc=32))
+    sof = zero_sampling.find(b"\xff\xc0")
+    zero_sampling[sof + 11] = 0x00  # component H/V sampling byte → 0
     corrupt_jpegs = [
         b"\xff\xd8\xff\xc0\x00\x05\x08\x00\x08",  # truncated SOF
         b"\xff\xd8\xff\xdb\x00\x05\x00\x01\x02",  # truncated DQT
         b"\xff\xd8\xff\xda\x00\x02",  # SOS before any frame
         _jpeg_gray_fixture(dc=32)[:40],  # mid-stream truncation
+        bytes(zero_sampling),  # zero sampling factors in SOF
     ]
     for payload in corrupt_jpegs:
         assert decode_jpeg_bytes(payload) is None
@@ -592,6 +596,8 @@ def test_corrupt_payloads_return_none_not_crash():
     time_domain = decode_audio_bytes(truncated)
     spectral = audio_spectral_features(truncated)
     if time_domain is not None:
-        assert time_domain[3] >= 0.0  # rms of the clipped frames
+        # reported frame count must match the frames the stats cover
+        assert time_domain[2] == 1023  # 1024 frames, one clipped
+        assert time_domain[3] >= 0.0
     if spectral is not None:
         assert spectral[0] >= 0.0
