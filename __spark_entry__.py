@@ -65,6 +65,7 @@ _GATE_PRIORITY = (
     "sliding_window_counts",
     "event_transition_matrix",
     "data_quality_audit",
+    "top3_parts_per_brand",
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q10_returned_items",

@@ -518,6 +518,37 @@ ORDER BY s_suppkey
 """
 
 
+def top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N-per-group: the three priciest parts of every brand.
+
+    Spark 3.5+ plans the rank-filter as WindowGroupLimit
+    (Partial before the shuffle, Final after): each input partition
+    keeps at most N rows per group BEFORE the exchange, so the
+    shuffle carries ≤ N·groups·partitions rows instead of the whole
+    table — the per-group analog of TakeOrderedAndProject.
+    """
+    part = load_table(spark, sf_dir, "part")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice", "rnk")
+        .orderBy("p_brand", "rnk")
+    )
+
+
+TOP3_PER_BRAND_ORACLE = """
+SELECT p_brand, p_partkey, p_name, p_retailprice, rnk
+FROM (
+  SELECT p_brand, p_partkey, p_name, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk
+  FROM part
+) WHERE rnk <= 3
+"""
+
+
 def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style referential-integrity audit over the star schema,
     one row of violation counts: orphan lineitems (no parent order),
@@ -589,6 +620,7 @@ QUERIES = {
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q20_dominant_supplier": q20_dominant_supplier,
     "data_quality_audit": data_quality_audit,
+    "top3_parts_per_brand": top3_parts_per_brand,
 }
 
 ORACLES = {
@@ -603,4 +635,5 @@ ORACLES = {
     "q19_disjunctive_revenue": Q19_ORACLE,
     "q20_dominant_supplier": Q20_ORACLE,
     "data_quality_audit": DATA_QUALITY_ORACLE,
+    "top3_parts_per_brand": TOP3_PER_BRAND_ORACLE,
 }
