@@ -1784,6 +1784,254 @@ GROUP BY event_type, CAST(FLOOR(value / 50.0) AS INT) * 50
 """
 
 
+def quantile_rollup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type quantiles by MERGING stored daily KLL sketches
+    (Datasketches ``kll_sketch_agg_double`` → ``kll_merge_agg_double``
+    → ``kll_sketch_get_quantile_double``) — the quantile analog of
+    ``mau_rollup_sketch``: at 100 TB the per-(type, day) sketches are
+    a few KB persisted at ingest/compaction time, and every "p99 over
+    an arbitrary date range" question is answered by merging sketches
+    instead of re-sorting months of raw values.
+
+    Sketch point estimates are engine-specific (DuckDB has t-digest,
+    not KLL), so (same pattern as the other sketch gates) the
+    comparable surface is a RANK-ERROR BOUNDS CHECK: the merged-
+    sketch quantile must land between the exact percentiles at
+    q∓0.03 (KLL k=200 ⇒ ~1.3% rank error at 3σ; merging preserves
+    the bound), and the oracle asserts the same band on its own
+    approx_quantile."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.expr("kll_sketch_agg_double(value, 200)").alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").alias("n_events"),
+        F.expr("kll_merge_agg_double(sk)").alias("msk"),
+    )
+    q = lambda p: F.expr(f"kll_sketch_get_quantile_double(msk, cast({p} as double))")
+    ex = lambda p: F.expr(f"percentile(value, {p})")
+    exact = ev.groupBy("event_type").agg(
+        *[ex(p).alias(f"_e{i}") for i, p in enumerate(
+            (0.47, 0.53, 0.87, 0.93, 0.96, 1.0))]
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_events",
+            ((q(0.5) >= F.col("_e0")) & (q(0.5) <= F.col("_e1"))).alias("p50_in_bounds"),
+            ((q(0.9) >= F.col("_e2")) & (q(0.9) <= F.col("_e3"))).alias("p90_in_bounds"),
+            ((q(0.99) >= F.col("_e4")) & (q(0.99) <= F.col("_e5"))).alias("p99_in_bounds"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUANTILE_ROLLUP_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       approx_quantile(value, 0.5) BETWEEN quantile_cont(value, 0.47)
+                                       AND quantile_cont(value, 0.53) AS p50_in_bounds,
+       approx_quantile(value, 0.9) BETWEEN quantile_cont(value, 0.87)
+                                       AND quantile_cont(value, 0.93) AS p90_in_bounds,
+       approx_quantile(value, 0.99) BETWEEN quantile_cont(value, 0.96)
+                                        AND quantile_cont(value, 1.0) AS p99_in_bounds
+FROM events
+GROUP BY event_type
+"""
+
+
+def theta_segment_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience set arithmetic on Theta sketches: one sketch of
+    user_id per event-type segment, |A∪B| per segment pair via
+    ``theta_union_agg`` over the two stored sketches, and the overlap
+    |A∩B| by inclusion-exclusion — the mergeable-sketch answer to
+    "how many users did both X and Y" that at 100 TB reads KB-sized
+    sketches instead of re-intersecting raw user sets.
+
+    The pair fan-out stacks the tiny per-segment sketch table twice
+    (|types|² rows of a few KB) — raw events are scanned exactly
+    once, for the sketches.  Estimates are engine-specific, so the
+    gate is the error contract: union and overlap estimates must land
+    within ±5% of the exact |A∪B| (theta default lgK=12 ⇒ rsd ≈1.6%;
+    the overlap inherits ~3 sketches' error, 5% ≈ 3σ headroom); the
+    oracle asserts the same band on DuckDB's approx_count_distinct."""
+    ev = _events(spark, sf_dir)
+    pairs_du = ev.select("event_type", "user_id").distinct()
+    sk = ev.groupBy("event_type").agg(
+        F.expr("theta_sketch_agg(user_id)").alias("sk"),
+        F.countDistinct("user_id").alias("exact_n"),
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("exact_n").alias("exact_a"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("exact_n").alias("exact_b"),
+    )
+    pairs = a.join(broadcast(b), F.col("type_a") < F.col("type_b"))
+    # theta_union_agg is an aggregate: stack each pair's two sketches
+    # as two rows and re-group (the stacked frame is |types|² rows)
+    stacked = pairs.select("type_a", "type_b", F.col("sk_a").alias("sk")).unionAll(
+        pairs.select("type_a", "type_b", F.col("sk_b").alias("sk"))
+    )
+    unions = stacked.groupBy("type_a", "type_b").agg(
+        F.expr("theta_sketch_estimate(theta_union_agg(sk))").alias("approx_union")
+    )
+    exact_ov = (
+        pairs_du.alias("x")
+        .join(pairs_du.alias("y"), F.col("x.user_id") == F.col("y.user_id"))
+        .where(F.col("x.event_type") < F.col("y.event_type"))
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.countDistinct("x.user_id").alias("exact_overlap"))
+    )
+    est = lambda c: F.col(c).cast("double")
+    return (
+        pairs.select("type_a", "type_b", "exact_a", "exact_b")
+        .join(unions, ["type_a", "type_b"])
+        .join(exact_ov, ["type_a", "type_b"])
+        .withColumn("exact_union", F.col("exact_a") + F.col("exact_b") - F.col("exact_overlap"))
+        .withColumn(
+            "approx_overlap",
+            est("exact_a") + est("exact_b") - est("approx_union"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "exact_overlap",
+            "exact_union",
+            (
+                F.abs(est("approx_union") - est("exact_union"))
+                <= est("exact_union") * F.lit(0.05)
+            ).alias("union_in_bounds"),
+            (
+                F.abs(F.col("approx_overlap") - est("exact_overlap"))
+                <= est("exact_union") * F.lit(0.05)
+            ).alias("overlap_in_bounds"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+THETA_SETOPS_ORACLE = """
+WITH d AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+cnt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS exact_n, approx_count_distinct(u) AS approx_n
+        FROM d GROUP BY t),
+ov AS (SELECT x.t AS type_a, y.t AS type_b, CAST(COUNT(DISTINCT x.u) AS BIGINT) AS exact_overlap
+       FROM d x JOIN d y ON x.u = y.u AND x.t < y.t GROUP BY 1, 2),
+un AS (SELECT p.type_a, p.type_b,
+              CAST(COUNT(DISTINCT d.u) AS BIGINT) AS exact_union,
+              approx_count_distinct(d.u) AS approx_union
+       FROM (SELECT a.t AS type_a, b.t AS type_b FROM cnt a JOIN cnt b ON a.t < b.t) p
+       JOIN d ON d.t IN (p.type_a, p.type_b)
+       GROUP BY 1, 2)
+SELECT un.type_a, un.type_b, ov.exact_overlap, un.exact_union,
+       abs(CAST(un.approx_union AS DOUBLE) - CAST(un.exact_union AS DOUBLE))
+         <= CAST(un.exact_union AS DOUBLE) * 0.05 AS union_in_bounds,
+       abs((CAST(ca.approx_n AS DOUBLE) + CAST(cb.approx_n AS DOUBLE)
+            - CAST(un.approx_union AS DOUBLE)) - CAST(ov.exact_overlap AS DOUBLE))
+         <= CAST(un.exact_union AS DOUBLE) * 0.05 AS overlap_in_bounds
+FROM un
+JOIN ov USING (type_a, type_b)
+JOIN cnt ca ON ca.t = un.type_a
+JOIN cnt cb ON cb.t = un.type_b
+ORDER BY type_a, type_b
+"""
+
+
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each ``purchase`` is credited to the
+    user's most recent ``click`` within the 7 preceding days, and
+    revenue rolls up to the touch's day — the marketing-attribution
+    report product-analytics stacks build on the event stream.
+
+    Single pass, no self-join: touches and conversions interleave in
+    one user-partitioned window ordered by event time; the credited
+    touch is ``last(touch_time, ignorenulls) OVER (… ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)`` — strictly earlier rows
+    only, ties broken by event_id identically in the oracle.  One
+    shuffle on user_id (co-located if the table is user-bucketed);
+    the day-grain rollup is tiny."""
+    ev = _events(spark, sf_dir)
+    sub = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        _us().alias("_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_us = F.last(
+        F.when(F.col("event_type") == "click", F.col("_us")), ignorenulls=True
+    ).over(w)
+    conv = (
+        sub.withColumn("touch_us", touch_us)
+        .where(
+            (F.col("event_type") == "purchase")
+            & F.col("touch_us").isNotNull()
+            & (F.col("_us") - F.col("touch_us") <= F.lit(7 * 24 * US_PER_HOUR))
+        )
+    )
+    day_us = 24 * US_PER_HOUR
+    return (
+        conv.groupBy(
+            F.expr(f"date_add(date'1970-01-01', cast(touch_us div {day_us} as int))").alias("touch_day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("attributed_revenue"),
+            (
+                F.sum(F.col("_us") - F.col("touch_us")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(float(US_PER_HOUR))
+            ).alias("avg_lag_hours"),
+        )
+        .orderBy("touch_day")
+    )
+
+
+ATTRIBUTION_ORACLE = """
+WITH sub AS (
+  SELECT user_id, event_type, event_id, value, epoch_us(ts) AS us
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+conv AS (
+  SELECT *,
+         last(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_us
+  FROM sub
+)
+SELECT CAST(to_timestamp((touch_us // 86400000000) * 86400) AS DATE) AS touch_day,
+       CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS attributed_revenue,
+       CAST(SUM(us - touch_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 3600000000.0 AS avg_lag_hours
+FROM conv
+WHERE event_type = 'purchase' AND touch_us IS NOT NULL
+  AND us - touch_us <= 7 * 24 * 3600000000
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "seg_daily_event_counts": seg_daily_event_counts,
     "dau": dau,
@@ -1821,6 +2069,9 @@ QUERIES = {
     "segment_overlap_matrix": segment_overlap_matrix,
     "user_metric_correlation": user_metric_correlation,
     "event_transition_matrix": event_transition_matrix,
+    "quantile_rollup_sketch": quantile_rollup_sketch,
+    "theta_segment_setops": theta_segment_setops,
+    "attribution_last_touch": attribution_last_touch,
 }
 
 ORACLES = {
@@ -1862,4 +2113,7 @@ ORACLES = {
     "segment_overlap_matrix": SEGMENT_OVERLAP_ORACLE,
     "user_metric_correlation": USER_METRIC_CORR_ORACLE,
     "event_transition_matrix": EVENT_TRANSITION_ORACLE,
+    "quantile_rollup_sketch": QUANTILE_ROLLUP_ORACLE,
+    "theta_segment_setops": THETA_SETOPS_ORACLE,
+    "attribution_last_touch": ATTRIBUTION_ORACLE,
 }

@@ -660,6 +660,171 @@ GROUP BY source
 """
 
 
+# --- weighted sampling / splits / epoch shuffle --------------------------
+
+
+def priority_sample(spark: SparkSession, sf_dir: str, k: int = 200) -> DataFrame:
+    """Weighted sampling without replacement via PRIORITY SAMPLING
+    (Duffield–Lund–Thorup, JACM 2007): each doc draws a deterministic
+    uniform hash h and gets priority w/h (weight = ``n_chars``); the
+    top-k priorities form the sample, which favors long documents in
+    proportion to their weight.
+
+    Content-addressed like ``stratified_sample`` — h comes from
+    md5(doc_id), not ``rand()``, so retries and re-runs select the
+    same sample.  The priority is ONE IEEE double division of two
+    exact integers, which is correctly-rounded and therefore
+    bit-identical in Spark and DuckDB — no transcendental (the
+    classic Efraimidis–Spirakis key uses ln(u), whose libm rounding
+    is engine-specific).  Plan: row-local hash + ``orderBy().limit``
+    (TakeOrderedAndProject: per-partition top-k, driver merges
+    k·partitions rows) + a tiny per-source rollup."""
+    docs = _docs(spark, sf_dir)
+    h = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("ps:"), F.col("doc_id").cast("string"))), 1, 12), 16, 10)
+        .cast("long")
+        + F.lit(1)
+    )
+    sample = (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            (F.col("n_chars").cast("double") / h.cast("double")).alias("priority"),
+        )
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return (
+        sample.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sampled_chars"),
+            F.max("priority").alias("max_priority"),
+        )
+        .orderBy("source")
+    )
+
+
+PRIORITY_SAMPLE_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         CAST(n_chars AS DOUBLE)
+           / CAST(CAST(('0x' || substr(md5('ps:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 1 AS DOUBLE)
+           AS priority
+  FROM documents
+),
+sample AS (SELECT * FROM keyed ORDER BY priority DESC, doc_id ASC LIMIT 200)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(n_chars) AS BIGINT) AS sampled_chars,
+       MAX(priority) AS max_priority
+FROM sample GROUP BY source ORDER BY source
+"""
+
+
+def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) by content
+    hash: md5(doc_id) bucket of 100 → split.  Hash-based splits are
+    the standard pipeline idiom because they are stable under corpus
+    growth (a doc never migrates between splits when new data lands)
+    and need no global shuffle or persisted assignment table —
+    embarrassingly parallel at any scale.
+
+    The report validates the contract: per (source, split) counts and
+    the within-source share (exact-integer division, so the double is
+    deterministic)."""
+    docs = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train")).when(bucket < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    per = docs.groupBy("source", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    w = Window.partitionBy("source")
+    return (
+        per.withColumn(
+            "share",
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w).cast("double"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+DATASET_SPLITS_ORACLE = """
+WITH tagged AS (
+  SELECT source, n_chars,
+         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT source, n_chars,
+               CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+        FROM documents)
+),
+per AS (SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM tagged GROUP BY 1, 2)
+SELECT source, split, n_docs, total_chars,
+       CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER (PARTITION BY source) AS DOUBLE) AS share
+FROM per ORDER BY source, split
+"""
+
+
+def training_shuffle(spark: SparkSession, sf_dir: str, n_shards: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic global training-order shuffle: each doc hashes to
+    an epoch-seeded shuffle key, key mod N picks the output shard,
+    and the within-shard position is the rank of the key — a
+    reproducible pseudo-random total order (shard-major) with NO
+    global sort: the only sort is per-shard, so the plan is one hash
+    shuffle + N independent shard-local sorts, exactly how a 100 TB
+    corpus is laid out into training shards.
+
+    The report validates order assignment per shard: count, the
+    first/last doc in shuffle order, and an order-sensitive checksum
+    Σ(position · doc_id) that any ranking discrepancy breaks."""
+    docs = _docs(spark, sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"shuffle:{seed}:"), F.col("doc_id").cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    keyed = docs.select("doc_id", h.alias("_h"), (h % n_shards).alias("shard"))
+    w = Window.partitionBy("shard").orderBy("_h", "doc_id")
+    pos = keyed.withColumn("pos", F.row_number().over(w))
+    return (
+        pos.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min_by("doc_id", F.col("pos")).alias("first_doc"),
+            F.max_by("doc_id", F.col("pos")).alias("last_doc"),
+            F.sum(F.col("pos").cast("long") * F.col("doc_id")).alias("order_checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
+TRAINING_SHUFFLE_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('shuffle:42:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, h % 64 AS shard,
+         row_number() OVER (PARTITION BY h % 64 ORDER BY h, doc_id) AS pos
+  FROM keyed
+)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       min_by(doc_id, pos) AS first_doc,
+       max_by(doc_id, pos) AS last_doc,
+       CAST(SUM(pos * doc_id) AS BIGINT) AS order_checksum
+FROM pos GROUP BY shard ORDER BY shard
+"""
+
+
 QUERIES = {
     "quality_repetition_rules": quality_repetition_rules,
     "pii_redaction": pii_redaction,
@@ -671,6 +836,9 @@ QUERIES = {
     "curation_funnel": curation_funnel,
     "doc_chunking": doc_chunking,
     "quality_top_quartile": quality_top_quartile,
+    "priority_sample": priority_sample,
+    "dataset_splits": dataset_splits,
+    "training_shuffle": training_shuffle,
 }
 
 ORACLES = {
@@ -684,4 +852,7 @@ ORACLES = {
     "curation_funnel": CURATION_FUNNEL_ORACLE,
     "doc_chunking": DOC_CHUNKING_ORACLE,
     "quality_top_quartile": QUALITY_TOP_QUARTILE_ORACLE,
+    "priority_sample": PRIORITY_SAMPLE_ORACLE,
+    "dataset_splits": DATASET_SPLITS_ORACLE,
+    "training_shuffle": TRAINING_SHUFFLE_ORACLE,
 }
