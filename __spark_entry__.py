@@ -39,7 +39,7 @@ _MODULES = (
 )
 
 # The driver's correctness gate checks at most 50 queries per round, in
-# enumeration order.  With 114 declared queries, plain module order
+# enumeration order.  With 117 declared queries, plain module order
 # would starve the tail modules of a driver-verified CORRECTNESS row
 # forever.  Enumerate the stalest coverage first: round-5 additions
 # (never driver-checked), then the round-4 additions the r4 gate
@@ -48,6 +48,9 @@ _MODULES = (
 # tools/check_correctness.py locally at sf0.01 and sf0.001.
 _GATE_PRIORITY = (
     # round-5 additions, never driver-checked
+    "sparse_tfidf_pairs",
+    "session_entry_exit",
+    "rollup_reuse_monthly",
     "quantile_rollup_sketch",
     "theta_segment_setops",
     "attribution_last_touch",

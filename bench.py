@@ -55,6 +55,10 @@ EXTRA = [
     "doc_chunking",
     "user_lifecycle_grid",
     "source_dup_matrix",
+    "quantile_rollup_sketch",
+    "theta_segment_setops",
+    "attribution_last_touch",
+    "training_shuffle",
 ]
 
 

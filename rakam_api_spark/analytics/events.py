@@ -2032,6 +2032,115 @@ ORDER BY 1
 """
 
 
+def session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry/exit analysis over 30-min-gap sessions: how sessions
+    begin and end — the landing/exit-page report, on event types.
+
+    Reuses the ``sessionize`` kernel (one user-keyed window), then
+    ``min_by``/``max_by`` pick each session's first and last event in
+    one hash aggregate; the (entry, exit) matrix is |types|² rows.
+    Tie-break within a session is (time, event_id), identical in the
+    oracle (which packs the two keys into one HUGEINT because DuckDB
+    min_by takes no composite key; event_id < 10^10 keeps the packing
+    order-isomorphic)."""
+    sess = sessionize(_events(spark, sf_dir))
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.min_by("event_type", F.struct(F.col("_us"), F.col("event_id"))).alias("entry_type"),
+        F.max_by("event_type", F.struct(F.col("_us"), F.col("event_id"))).alias("exit_type"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        per_session.groupBy("entry_type", "exit_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("n_bounces"),
+            (
+                F.sum("n").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("avg_events_per_session"),
+        )
+        .orderBy("entry_type", "exit_type")
+    )
+
+
+SESSION_ENTRY_EXIT_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+  FROM events
+), sessions AS (
+  SELECT user_id, event_id, event_type, us,
+         SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ordered
+), per_session AS (
+  SELECT user_id, session_id,
+         min_by(event_type, CAST(us AS HUGEINT) * 10000000000 + event_id) AS entry_type,
+         max_by(event_type, CAST(us AS HUGEINT) * 10000000000 + event_id) AS exit_type,
+         COUNT(*) AS n
+  FROM sessions GROUP BY 1, 2
+)
+SELECT entry_type, exit_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_events_per_session
+FROM per_session GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def rollup_reuse_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-grain report answered FROM the day-grain rollup — the
+    algebraic-reaggregation contract behind the store's incremental
+    rollup maintenance (store.publish_rollup): counts re-sum, decimal
+    sums re-sum exactly, min/max re-extremize, so a month/quarter/
+    year question never rescans raw events.  The oracle computes the
+    same report from raw, proving the two-level aggregation is
+    lossless.
+
+    At 100 TB the day grain is ~|types|·|days| rows regardless of
+    event volume; this query's cost is independent of the raw table
+    after the first (maintained-incrementally) pass."""
+    ev = _events(spark, sf_dir)
+    day_grain = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(DEC)).alias("sv"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    return (
+        day_grain.groupBy(
+            F.date_format(F.col("day"), "yyyy-MM").alias("month"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("sv").cast("double").alias("total_value"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("month", "event_type")
+    )
+
+
+ROLLUP_REUSE_ORACLE = """
+WITH day_grain AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS sv,
+         MIN(value) AS mn, MAX(value) AS mx
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(day, '%Y-%m') AS month, event_type,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(SUM(sv) AS DOUBLE) AS total_value,
+       MIN(mn) AS min_value,
+       MAX(mx) AS max_value,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM day_grain GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "seg_daily_event_counts": seg_daily_event_counts,
     "dau": dau,
@@ -2072,6 +2181,8 @@ QUERIES = {
     "quantile_rollup_sketch": quantile_rollup_sketch,
     "theta_segment_setops": theta_segment_setops,
     "attribution_last_touch": attribution_last_touch,
+    "session_entry_exit": session_entry_exit,
+    "rollup_reuse_monthly": rollup_reuse_monthly,
 }
 
 ORACLES = {
@@ -2116,4 +2227,6 @@ ORACLES = {
     "quantile_rollup_sketch": QUANTILE_ROLLUP_ORACLE,
     "theta_segment_setops": THETA_SETOPS_ORACLE,
     "attribution_last_touch": ATTRIBUTION_ORACLE,
+    "session_entry_exit": SESSION_ENTRY_EXIT_ORACLE,
+    "rollup_reuse_monthly": ROLLUP_REUSE_ORACLE,
 }

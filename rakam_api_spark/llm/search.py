@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..tables import load_table
+from .dedup import word_shingles
 
 # Fixed demo query; a production wrapper would parameterize this.
 QUERY_TERMS = ("spark", "join", "window")
@@ -191,12 +192,93 @@ FROM (
 """
 
 
+def sparse_tfidf_pairs(spark: SparkSession, sf_dir: str, n: int = 3, k: int = 20) -> DataFrame:
+    """Sparse lexical similarity join: top-k document pairs by
+    idf²-weighted shared-shingle score — the inverted-index
+    prefix-filtered pair join of Bayardo et al., "Scaling Up All
+    Pairs Similarity Search" (WWW 2007), specialized to set features.
+
+    Features are distinct word 3-gram shingles (the unigram
+    vocabulary of the synthetic corpus is ~31 terms, all stopword-
+    frequency).  The DF-BAND FILTER is the scale guarantee: shingles
+    with df < 2 pair nothing and shingles with df > N/20 are dropped
+    as boilerplate, so each surviving posting list expands to at most
+    (N/20)² pairs — there is NO all-pairs self-join anywhere, and the
+    expansion bound holds at any corpus size (same skew-guard shape
+    as the LSH bucket caps in dedup.py).
+
+    Determinism: weights are INTEGER idf (N div df) squared, summed
+    exactly — no float accumulation order to disagree on; ranking
+    ties break on the doc-id pair."""
+    docs = _docs(spark, sf_dir)
+    sh = word_shingles(docs, n=n)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_tbl = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(broadcast(n_docs))
+        .where(
+            (F.col("df") >= 2)
+            & (F.col("df") <= F.greatest(F.lit(2), F.expr("n_docs div 20")))
+        )
+        .withColumn("w", F.expr("n_docs div df"))
+        .select("shingle", "w")
+    )
+    posting = sh.join(df_tbl, "shingle")
+    pairs = (
+        posting.alias("a")
+        .join(
+            posting.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.sum(F.col("a.w") * F.col("a.w")).alias("sim"),
+            F.count(F.lit(1)).alias("n_shared"),
+        )
+    )
+    return pairs.orderBy(F.desc("sim"), F.asc("doc_a"), F.asc("doc_b")).limit(k)
+
+
+SPARSE_TFIDF_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM toks, unnest(range(1, len(w) - 1)) AS r(i)
+  WHERE len(w) >= 3
+),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+dfb AS (
+  SELECT shingle, n_docs // df AS wt
+  FROM (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1), nd
+  WHERE df >= 2 AND df <= greatest(2, n_docs // 20)
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(dfb.wt * dfb.wt) AS BIGINT) AS sim,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN dfb ON dfb.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, sim, n_shared
+FROM (SELECT *, row_number() OVER (ORDER BY sim DESC, doc_a ASC, doc_b ASC) AS rn FROM pairs)
+WHERE rn <= 20
+"""
+
+
 QUERIES = {
     "bm25_search": bm25_search,
     "dup_ngram_spans": dup_ngram_spans,
+    "sparse_tfidf_pairs": sparse_tfidf_pairs,
 }
 
 ORACLES = {
     "bm25_search": BM25_ORACLE,
     "dup_ngram_spans": DUP_NGRAM_SPANS_ORACLE,
+    "sparse_tfidf_pairs": SPARSE_TFIDF_ORACLE,
 }

@@ -74,6 +74,13 @@ OPERATORS = [
     "q9_product_profit",
     "q13_order_distribution",
     "q16_part_supplier_counts",
+    # round-5 second-wave operators
+    "quantile_rollup_sketch",
+    "theta_segment_setops",
+    "attribution_last_touch",
+    "priority_sample",
+    "dataset_splits",
+    "training_shuffle",
 ]
 
 
