@@ -2141,6 +2141,57 @@ FROM day_grain GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def funnel_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Any-order funnel: users who performed the step set {signup,
+    click, purchase} in ANY order, bucketed by how many distinct
+    steps they reached, with the count of those whose first
+    occurrences all fall inside a 72 h span — the unordered
+    complement of the strict-sequence funnels.
+
+    Plan: first-occurrence per (user, step) is one hash aggregate,
+    the per-user rollup reuses the same user_id partitioning (no
+    second exchange), and the output is ≤ |steps| rows.  Pure integer
+    time math."""
+    ev = _events(spark, sf_dir)
+    steps = (
+        ev.where(F.col("event_type").isin("signup", "click", "purchase"))
+        .groupBy("user_id", "event_type")
+        .agg(F.min(_us()).alias("first_us"))
+    )
+    per_user = steps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_steps_done"),
+        (F.max("first_us") - F.min("first_us")).alias("span_us"),
+    )
+    return (
+        per_user.groupBy("n_steps_done")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(
+                F.when(F.col("span_us") <= F.lit(72 * US_PER_HOUR), 1).otherwise(0)
+            ).alias("n_within_72h"),
+        )
+        .orderBy("n_steps_done")
+    )
+
+
+FUNNEL_UNORDERED_ORACLE = """
+WITH steps AS (
+  SELECT user_id, event_type, MIN(epoch_us(ts)) AS first_us
+  FROM events WHERE event_type IN ('signup', 'click', 'purchase')
+  GROUP BY 1, 2
+),
+per_user AS (
+  SELECT user_id, COUNT(*) AS n_steps_done,
+         MAX(first_us) - MIN(first_us) AS span_us
+  FROM steps GROUP BY 1
+)
+SELECT CAST(n_steps_done AS BIGINT) AS n_steps_done,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN span_us <= 72 * 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_72h
+FROM per_user GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "seg_daily_event_counts": seg_daily_event_counts,
     "dau": dau,
@@ -2183,6 +2234,7 @@ QUERIES = {
     "attribution_last_touch": attribution_last_touch,
     "session_entry_exit": session_entry_exit,
     "rollup_reuse_monthly": rollup_reuse_monthly,
+    "funnel_unordered": funnel_unordered,
 }
 
 ORACLES = {
@@ -2229,4 +2281,5 @@ ORACLES = {
     "attribution_last_touch": ATTRIBUTION_ORACLE,
     "session_entry_exit": SESSION_ENTRY_EXIT_ORACLE,
     "rollup_reuse_monthly": ROLLUP_REUSE_ORACLE,
+    "funnel_unordered": FUNNEL_UNORDERED_ORACLE,
 }
