@@ -85,6 +85,26 @@ SHOW = {
     "once, pair expansion row-local — no user-set self-join",
     "sliding_window_counts": "sliding windows: the 4-window expansion happens inside "
     "the window operator before one partial-aggregated shuffle",
+    "sparse_tfidf_pairs": "sparse similarity join: df-band filter bounds every "
+    "posting list before the term-keyed pair join — no corpus self-join; integer "
+    "idf^2 weights aggregate with map-side combine",
+    "attribution_last_touch": "last-touch attribution: touches and conversions "
+    "interleave in ONE user-partitioned window (no self-join); the day rollup is "
+    "grain-bounded",
+    "quantile_rollup_sketch": "KLL rollup: day-grain sketch aggregate then a "
+    "per-type merge of KB-sized sketches — raw values cross the wire once",
+    "theta_segment_setops": "theta set ops: raw events scanned once into per-segment "
+    "sketches; the pair fan-out joins only the KB-sized sketch table (broadcast)",
+    "priority_sample": "weighted sampling: row-local hash priorities + "
+    "TakeOrderedAndProject (per-partition top-k, driver merges k*partitions rows)",
+    "training_shuffle": "epoch shuffle: one hash exchange on shard, per-shard local "
+    "sort — no global ordering; rank and rollup share the shard partitioning",
+    "rollup_reuse_monthly": "two-level algebraic rollup: month report re-aggregates "
+    "the day-grain cells; the second aggregate's input is |types|x|days| rows",
+    "session_entry_exit": "entry/exit matrix: sessionize window and per-session "
+    "min_by/max_by share the user_id exchange; output is |types|^2 rows",
+    "funnel_unordered": "any-order funnel: two user-keyed aggregates share one "
+    "exchange; output bounded by the step-set size",
 }
 
 
