@@ -364,9 +364,9 @@ def _pick_branch(value, union) -> int:
     raise AvroDecodeError(f"no union branch for {type(value)} in {union}")
 
 
-def write_container(path: str, schema: dict, records: list[dict], codec: str = "null") -> None:
-    """Write an Avro container file (null or deflate codec); sync
-    marker derived from the schema so output is deterministic."""
+def container_bytes(schema: dict, records: list[dict], codec: str = "null") -> bytes:
+    """Serialize an Avro container (null or deflate codec) to bytes;
+    sync marker derived from the schema so output is deterministic."""
     schema_json = json.dumps(schema)
     sync = hashlib.md5(schema_json.encode()).digest()
     norm = normalize_schema(json.loads(schema_json))
@@ -377,19 +377,26 @@ def write_container(path: str, schema: dict, records: list[dict], codec: str = "
     if codec == "deflate":
         comp = zlib.compressobj(9, zlib.DEFLATED, -15)
         data = comp.compress(data) + comp.flush()
+    out = io.BytesIO()
+    out.write(MAGIC)
+    meta = {"avro.schema": schema_json.encode(), "avro.codec": codec.encode()}
+    _write_varlong(len(meta), out)
+    for k, v in meta.items():
+        kb = k.encode()
+        _write_varlong(len(kb), out)
+        out.write(kb)
+        _write_varlong(len(v), out)
+        out.write(v)
+    _write_varlong(0, out)
+    out.write(sync)
+    _write_varlong(len(records), out)
+    _write_varlong(len(data), out)
+    out.write(data)
+    out.write(sync)
+    return out.getvalue()
+
+
+def write_container(path: str, schema: dict, records: list[dict], codec: str = "null") -> None:
+    """Write an Avro container file; see ``container_bytes``."""
     with open(path, "wb") as f:
-        f.write(MAGIC)
-        meta = {"avro.schema": schema_json.encode(), "avro.codec": codec.encode()}
-        _write_varlong(len(meta), f)
-        for k, v in meta.items():
-            kb = k.encode()
-            _write_varlong(len(kb), f)
-            f.write(kb)
-            _write_varlong(len(v), f)
-            f.write(v)
-        _write_varlong(0, f)
-        f.write(sync)
-        _write_varlong(len(records), f)
-        _write_varlong(len(data), f)
-        f.write(data)
-        f.write(sync)
+        f.write(container_bytes(schema, records, codec))
