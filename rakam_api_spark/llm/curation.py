@@ -825,6 +825,68 @@ FROM pos GROUP BY shard ORDER BY shard
 """
 
 
+def padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-padding waste report: per source, how many pad tokens
+    naive global-max-length batching burns vs length-bucketed
+    batching (pad to the next multiple of 64) — the measurement
+    behind length-bucketed batch samplers in training pipelines.
+
+    One corpus scan into a per-source aggregate; the single-row
+    global max is broadcast back.  Waste ratios are one double
+    division of exact integer sums, so both engines agree bitwise."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "source", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    gmax = toks.agg(F.max("n_tokens").alias("max_tokens"))
+    bucket_pad = (F.floor((F.col("n_tokens") + 63) / 64) * 64).cast("long")
+    per = (
+        toks.withColumn("bucket_pad", bucket_pad)
+        .crossJoin(broadcast(gmax))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("real_tokens"),
+            F.sum("bucket_pad").alias("padded_bucketed"),
+            F.sum("max_tokens").alias("padded_global"),
+        )
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "real_tokens",
+        "padded_bucketed",
+        "padded_global",
+        (
+            F.lit(1.0)
+            - F.col("real_tokens").cast("double") / F.col("padded_global").cast("double")
+        ).alias("waste_global"),
+        (
+            F.lit(1.0)
+            - F.col("real_tokens").cast("double") / F.col("padded_bucketed").cast("double")
+        ).alias("waste_bucketed"),
+    ).orderBy("source")
+
+
+PADDING_EFFICIENCY_ORACLE = """
+WITH toks AS (
+  SELECT source, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+gmax AS (SELECT MAX(n_tokens) AS max_tokens FROM toks),
+per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS real_tokens,
+         CAST(SUM(((n_tokens + 63) // 64) * 64) AS BIGINT) AS padded_bucketed,
+         CAST(SUM(max_tokens) AS BIGINT) AS padded_global
+  FROM toks, gmax GROUP BY source
+)
+SELECT source, n_docs, real_tokens, padded_bucketed, padded_global,
+       1.0 - CAST(real_tokens AS DOUBLE) / CAST(padded_global AS DOUBLE) AS waste_global,
+       1.0 - CAST(real_tokens AS DOUBLE) / CAST(padded_bucketed AS DOUBLE) AS waste_bucketed
+FROM per ORDER BY source
+"""
+
+
 QUERIES = {
     "quality_repetition_rules": quality_repetition_rules,
     "pii_redaction": pii_redaction,
@@ -839,6 +901,7 @@ QUERIES = {
     "priority_sample": priority_sample,
     "dataset_splits": dataset_splits,
     "training_shuffle": training_shuffle,
+    "padding_efficiency": padding_efficiency,
 }
 
 ORACLES = {
@@ -855,4 +918,5 @@ ORACLES = {
     "priority_sample": PRIORITY_SAMPLE_ORACLE,
     "dataset_splits": DATASET_SPLITS_ORACLE,
     "training_shuffle": TRAINING_SHUFFLE_ORACLE,
+    "padding_efficiency": PADDING_EFFICIENCY_ORACLE,
 }
