@@ -30,8 +30,11 @@ for the sessionization/funnel workloads (SPARK-19256 hive bucketing)
 
 from __future__ import annotations
 
+import json
 import os
+import re
 import shutil
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,6 +43,32 @@ from pyspark.sql import types as T
 from .catalog import Metastore
 
 INVALID_COLLECTION = "$invalid_schema"
+
+
+@dataclass
+class RoutedReport:
+    """Result of ``EventStore.route_report``: the report frame plus
+    which physical route answered it (``"rollup"`` or ``"raw"``) and
+    why."""
+
+    df: DataFrame
+    route: str
+    reason: str
+
+
+def _reagg_fn(measure_sql: str) -> str | None:
+    """Re-aggregation rule for answering a measure FROM the rollup's
+    day-grain cells: COUNT/SUM cells re-SUM, MIN/MAX re-extremize.
+    DISTINCT aggregates and anything unrecognized (AVG, percentiles,
+    UDAFs) are NOT algebraically mergeable from cells → None routes
+    the report to raw."""
+    up = measure_sql.upper()
+    if re.search(r"\b(COUNT|SUM|MIN|MAX)\s*\(\s*DISTINCT\b", up):
+        return None
+    m = re.search(r"\b(COUNT|SUM|MIN|MAX)\s*\(", up)
+    if not m:
+        return None
+    return {"COUNT": "SUM", "SUM": "SUM", "MIN": "MIN", "MAX": "MAX"}[m.group(1)]
 
 
 def _safe(name: str) -> str:
@@ -263,18 +292,101 @@ class EventStore:
         # with concurrent jobs on the same SparkSession): overwrite
         # ONLY the month partitions present in this refresh — other
         # months' files are untouched
+        meta = {"dims": list(dims), "measures": dict(measures)}
+        existing = self.rollup_meta(project, collection)
+        if months is not None and existing is not None and existing != meta:
+            # a partial (per-month) refresh under a different
+            # dim/measure contract would leave a frankentable —
+            # require a full rebuild to change the contract
+            raise ValueError(
+                "rollup dims/measures differ from the published contract; "
+                "run a full rebuild (months=None) to change them"
+            )
         (
             rollup.write.partitionBy("_month")
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
             .parquet(out)
         )
+        with open(os.path.join(out, "_rollup_meta.json"), "w") as f:
+            json.dump(meta, f)
         return self.spark.read.parquet(out).count()
+
+    def rollup_meta(self, project: str, collection: str) -> dict | None:
+        """The published rollup's dim/measure contract, or None if no
+        rollup (or a pre-metadata rollup) exists."""
+        p = os.path.join(self._base_path(project, collection) + ".rollup", "_rollup_meta.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
 
     def read_rollup(self, project: str, collection: str) -> DataFrame:
         return self.spark.read.option("mergeSchema", "true").parquet(
             self._base_path(project, collection) + ".rollup"
         )
+
+    def route_report(
+        self,
+        project: str,
+        collection: str,
+        dims: tuple[str, ...],
+        measures: dict[str, str],
+        grain: str = "day",
+        months: list[str] | None = None,
+    ) -> RoutedReport:
+        """Segmentation-report ROUTER — the continuous-query answer
+        path: serve the report from the maintained day-grain rollup
+        whenever it is algebraically derivable (requested dims ⊆
+        published dims, every measure a mergeable COUNT/SUM/MIN/MAX
+        that the rollup published), else fall back to a raw scan.
+
+        At 100 TB the routed plan reads |dims|×|days| pre-aggregated
+        cells (plus ``_month`` partition pruning for time ranges)
+        instead of the event-grain table — the reference's
+        pre-aggregation promise (SURVEY.md M5) made into an automatic
+        query-path decision.  ``grain`` ∈ day | month | total.
+
+        Caveat (documented contract, same as any cell-merging OLAP
+        rollup): double-typed SUM cells re-sum in float, so a rollup-
+        routed float sum can differ in last-ulp from a raw scan;
+        count/min/max and decimal-sourced measures merge exactly.
+        """
+        if grain not in ("day", "month", "total"):
+            raise ValueError(f"grain must be day|month|total, got {grain!r}")
+        meta = self.rollup_meta(project, collection)
+        reaggs = {name: _reagg_fn(sql) for name, sql in measures.items()}
+        derivable = (
+            meta is not None
+            and set(dims) <= set(meta["dims"])
+            and all(
+                fn is not None and meta["measures"].get(name) == measures[name]
+                for name, fn in reaggs.items()
+            )
+        )
+        grain_cols = {"day": ["_month", "_day"], "month": ["_month"], "total": []}[grain]
+        if derivable:
+            cells = self.read_rollup(project, collection)
+            if months is not None:
+                cells = cells.where(F.col("_month").isin(list(months)))
+            out = cells.groupBy(*grain_cols, *dims).agg(
+                *[
+                    F.expr(f"{fn}(`{name}`)").alias(name)
+                    for name, fn in reaggs.items()
+                ]
+            )
+            return RoutedReport(out, "rollup", "dims and measures derivable from cells")
+        raw = self.read(project, collection)
+        if months is not None:
+            raw = raw.where(F.date_format(F.col("_time"), "yyyy-MM").isin(list(months)))
+        raw = raw.withColumn("_month", F.date_format(F.col("_time"), "yyyy-MM")).withColumn(
+            "_day", F.col("_time").cast("date")
+        )
+        out = raw.groupBy(*grain_cols, *dims).agg(
+            *[F.expr(sql).alias(name) for name, sql in measures.items()]
+        )
+        why = "no rollup published" if meta is None else "measure/dim not derivable from cells"
+        return RoutedReport(out, "raw", why)
 
     # --- read -----------------------------------------------------------
 
