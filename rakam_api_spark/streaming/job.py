@@ -245,6 +245,7 @@ class StreamingIngest:
         state_store: LocalFSStateStore | None = None,
         ingest_parallelism: int = 8,
         seen_shards: int = 16,
+        rollup_specs: dict[str, dict] | None = None,
     ):
         self.collector = collector
         self.project = project
@@ -265,6 +266,14 @@ class StreamingIngest:
         # TB/day the window can hold billions of uuids — a
         # repartition(1) rewrite would bottleneck on one task.
         self.seen_shards = max(1, seen_shards)
+        # continuous-query maintenance: collection → {"dims": tuple,
+        # "measures": dict|None}.  After a collection ingests, the
+        # month partitions its batch touched are re-published into the
+        # day-grain rollup (store.publish_rollup months=[...]) so
+        # route_report answers from fresh cells one epoch behind at
+        # most.  Replays are safe: committed epochs no-op, and a
+        # half-finished epoch's refresh recomputes from raw on retry.
+        self.rollup_specs = rollup_specs or {}
         self.state = state_store or DEFAULT_STATE_STORE
         self.spark = collector.spark
         base = os.path.join(collector.metastore.warehouse_dir, project)
@@ -323,6 +332,27 @@ class StreamingIngest:
                         self.registry.push(
                             self.project, report.collection, report.valid_df,
                             row_cap=self.push_row_cap,
+                        )
+                    if report.stored and coll in self.rollup_specs:
+                        # incremental rollup maintenance: only the
+                        # month partitions THIS batch touched are
+                        # recomputed (from raw, so the refresh is
+                        # idempotent under epoch replay)
+                        months = [
+                            r[0]
+                            for r in report.valid_df.select(
+                                F.date_format("_time", "yyyy-MM")
+                            )
+                            .distinct()
+                            .collect()
+                        ]
+                        spec = self.rollup_specs[coll]
+                        self.collector.store.publish_rollup(
+                            self.project,
+                            coll,
+                            dims=tuple(spec.get("dims", ("event_type",))),
+                            measures=spec.get("measures"),
+                            months=months,
                         )
                 finally:
                     report.release()

@@ -625,3 +625,65 @@ def test_kafka_session_package_pinned_to_pyspark_version():
     assert _kafka_package() == (
         f"org.apache.spark:spark-sql-kafka-0-10_2.13:{pyspark.__version__}"
     )
+
+
+def test_streaming_rollup_maintenance(spark, warehouse):
+    """Configured collections get their day-grain rollup refreshed
+    per epoch for just the months the batch touched, and route_report
+    serves the report from the maintained cells."""
+    ms = Metastore(warehouse)
+    collector = EventCollector(spark, ms, pipeline=EnrichmentPipeline([TimestampMapper()]))
+    measures = {
+        "n_events": "CAST(COUNT(*) AS BIGINT)",
+        "total_value": "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)",
+    }
+    ing = StreamingIngest(
+        collector,
+        "proj",
+        dedup_uuids=False,
+        rollup_specs={"clicks": {"dims": ("event_type",), "measures": measures}},
+    )
+
+    def ev(etype, v, t):
+        return {
+            "collection": "clicks",
+            "properties": {"event_type": etype, "value": v, "_time": t},
+        }
+
+    ing.process_batch(
+        _envelope_df(
+            spark,
+            [ev("view", 1.0, "2024-01-03 10:00:00"), ev("click", 2.0, "2024-01-04 10:00:00")],
+        ),
+        0,
+    )
+    store = collector.store
+    cells = store.read_rollup("proj", "clicks")
+    assert {r["_month"] for r in cells.collect()} == {"2024-01"}
+    # epoch 2 touches a NEW month only; January cells stay intact
+    jan_files = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(store._base_path("proj", "clicks") + ".rollup/_month=2024-01")
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    ing.process_batch(
+        _envelope_df(spark, [ev("view", 5.0, "2024-02-01 09:00:00")]), 1
+    )
+    jan_files_after = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(store._base_path("proj", "clicks") + ".rollup/_month=2024-01")
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    assert jan_files == jan_files_after  # untouched month not rewritten
+    routed = store.route_report(
+        "proj", "clicks", dims=("event_type",), measures=measures, grain="month"
+    )
+    assert routed.route == "rollup"
+    got = {(r["_month"], r["event_type"]): (r["n_events"], r["total_value"]) for r in routed.df.collect()}
+    assert got == {
+        ("2024-01", "view"): (1, 1.0),
+        ("2024-01", "click"): (1, 2.0),
+        ("2024-02", "view"): (1, 5.0),
+    }
