@@ -299,8 +299,10 @@ def test_schema_inference_is_jvm_side(ingest):
         jobmod.StreamingIngest._parse_props
     )
     assert "schema_of_variant_agg" in src
-    # the only collect in the hot loop is the per-collection DDL row
-    assert src.count(".collect()") == 1
+    # the only collects in the hot loop are metadata-sized: the
+    # per-collection DDL row, and (for rollup-maintained collections
+    # only) the batch's distinct touched months
+    assert src.count(".collect()") == 2
     assert "limit(" not in src  # no bounded driver sample remains
 
 
