@@ -81,6 +81,11 @@ OPERATORS = [
     "priority_sample",
     "dataset_splits",
     "training_shuffle",
+    "sparse_tfidf_pairs",
+    "session_entry_exit",
+    "rollup_reuse_monthly",
+    "funnel_unordered",
+    "padding_efficiency",
 ]
 
 
