@@ -59,6 +59,8 @@ EXTRA = [
     "theta_segment_setops",
     "attribution_last_touch",
     "training_shuffle",
+    "hybrid_search",
+    "sparse_tfidf_pairs",
 ]
 
 

@@ -271,14 +271,127 @@ WHERE rn <= 20
 """
 
 
+def hybrid_search(spark: SparkSession, sf_dir: str, k: int = 10, n_cand: int = 100) -> DataFrame:
+    """Hybrid retrieval (the RAG-stack shape): BM25 selects the
+    lexical top-``n_cand`` candidates, then an embedding cosine
+    rerank orders the final top-``k`` — semantic scoring touches only
+    the candidate set, never the corpus.
+
+    The query embedding is vec_id 0 (documents and embeddings share
+    the id space), fetched like a request payload.  Cosine uses the
+    same integer-quantization contract as ``similarity.py``: every
+    dot/norm is an exact integer in float64, and the final divide and
+    sqrt are single correctly-rounded IEEE ops — bit-identical to the
+    oracle.  Plan: the BM25 stage is a scan + TakeOrderedAndProject;
+    the rerank explodes components for ≤ n_cand docs and broadcast-
+    joins the 64-row query vector."""
+    from .similarity import _quantized_components
+
+    cand = bm25_search(spark, sf_dir, k=n_cand).where(F.col("doc_id") != 0)
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = _quantized_components(
+        emb.join(broadcast(cand.select(F.col("doc_id").alias("vec_id"))), "vec_id", "left_semi")
+    )
+    qcomp = _quantized_components(emb.where(F.col("vec_id") == 0)).select(
+        "pos", F.col("q").alias("qq")
+    )
+    qnorm = qcomp.agg(F.sum(F.col("qq") * F.col("qq")).alias("qnorm2"))
+    scored = (
+        comp.join(broadcast(qcomp), "pos")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("q") * F.col("qq")).alias("dot"),
+            F.sum(F.col("q") * F.col("q")).alias("norm2"),
+        )
+        .crossJoin(broadcast(qnorm))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("norm2").cast("double") * F.col("qnorm2").cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    return (
+        cand.select("doc_id", F.col("score").alias("bm25_score"))
+        .join(scored, "doc_id")
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "bm25_score", "cosine")
+    )
+
+
+HYBRID_SEARCH_ORACLE = """
+WITH per_doc AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS dl,
+         len(list_filter(string_split(text, ' '), t -> t = 'spark'))  AS tf0,
+         len(list_filter(string_split(text, ' '), t -> t = 'join'))   AS tf1,
+         len(list_filter(string_split(text, ' '), t -> t = 'window')) AS tf2
+  FROM documents
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+         CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+         CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+         CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+  FROM per_doc
+), scored AS (
+  SELECT doc_id,
+    (CASE WHEN tf0 = 0 THEN 0.0 ELSE
+      ((n_docs - df0 + 0.5) / (df0 + 0.5)) *
+      ((CAST(tf0 AS DOUBLE) * 2.2) /
+       (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) END)
+    + (CASE WHEN tf1 = 0 THEN 0.0 ELSE
+      ((n_docs - df1 + 0.5) / (df1 + 0.5)) *
+      ((CAST(tf1 AS DOUBLE) * 2.2) /
+       (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) END)
+    + (CASE WHEN tf2 = 0 THEN 0.0 ELSE
+      ((n_docs - df2 + 0.5) / (df2 + 0.5)) *
+      ((CAST(tf2 AS DOUBLE) * 2.2) /
+       (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) END)
+    AS score
+  FROM per_doc, stats
+),
+cand AS (
+  SELECT doc_id, score FROM (
+    SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+    FROM scored WHERE score > 0
+  ) WHERE rn <= 100 AND doc_id <> 0
+),
+comp AS (
+  SELECT vec_id, CAST(i AS INT) AS pos,
+         CAST(round(CAST(embedding[CAST(i AS INT)+1] AS DOUBLE) * 10000, 0) AS BIGINT) AS q
+  FROM embeddings, LATERAL unnest(range(0, len(embedding))) t(i)
+  WHERE vec_id = 0 OR vec_id IN (SELECT doc_id FROM cand)
+),
+qn AS (SELECT SUM(q*q) AS qnorm2 FROM comp WHERE vec_id = 0),
+rer AS (
+  SELECT c.vec_id AS doc_id,
+         SUM(c.q * qc.q) AS dot, SUM(c.q * c.q) AS norm2
+  FROM comp c JOIN (SELECT pos, q FROM comp WHERE vec_id = 0) qc USING (pos)
+  WHERE c.vec_id <> 0
+  GROUP BY 1
+)
+SELECT doc_id, bm25_score, cosine FROM (
+  SELECT cand.doc_id, cand.score AS bm25_score,
+         CAST(rer.dot AS DOUBLE) / sqrt(CAST(rer.norm2 AS DOUBLE) * CAST(qn.qnorm2 AS DOUBLE)) AS cosine,
+         row_number() OVER (ORDER BY CAST(rer.dot AS DOUBLE) / sqrt(CAST(rer.norm2 AS DOUBLE) * CAST(qn.qnorm2 AS DOUBLE)) DESC, cand.doc_id ASC) AS rn
+  FROM cand JOIN rer ON cand.doc_id = rer.doc_id, qn
+) WHERE rn <= 10
+"""
+
+
 QUERIES = {
     "bm25_search": bm25_search,
     "dup_ngram_spans": dup_ngram_spans,
     "sparse_tfidf_pairs": sparse_tfidf_pairs,
+    "hybrid_search": hybrid_search,
 }
 
 ORACLES = {
     "bm25_search": BM25_ORACLE,
     "dup_ngram_spans": DUP_NGRAM_SPANS_ORACLE,
     "sparse_tfidf_pairs": SPARSE_TFIDF_ORACLE,
+    "hybrid_search": HYBRID_SEARCH_ORACLE,
 }

@@ -82,6 +82,7 @@ OPERATORS = [
     "dataset_splits",
     "training_shuffle",
     "sparse_tfidf_pairs",
+    "hybrid_search",
     "session_entry_exit",
     "rollup_reuse_monthly",
     "funnel_unordered",
