@@ -39,7 +39,7 @@ _MODULES = (
 )
 
 # The driver's correctness gate checks at most 50 queries per round, in
-# enumeration order.  With 120 declared queries, plain module order
+# enumeration order.  With 121 declared queries, plain module order
 # would starve the tail modules of a driver-verified CORRECTNESS row
 # forever.  Enumerate the stalest coverage first: round-5 additions
 # (never driver-checked), then the round-4 additions the r4 gate
@@ -50,6 +50,7 @@ _GATE_PRIORITY = (
     # round-5 additions, never driver-checked
     "sparse_tfidf_pairs",
     "hybrid_search",
+    "ann_pq_topk",
     "padding_efficiency",
     "funnel_unordered",
     "session_entry_exit",

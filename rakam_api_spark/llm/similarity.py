@@ -957,12 +957,174 @@ FROM totals t JOIN majority m USING (cluster)
 CLUSTER_PROFILE_ORACLE = _cluster_profile_oracle()
 
 
+PQ_M = 8  # subspaces (64-dim vectors → 8 dims each)
+PQ_K = 16  # centroids per subspace codebook
+PQ_ITERS = 2
+
+
+def pq_ann_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = PQ_M,
+    kc: int = PQ_K,
+    iters: int = PQ_ITERS,
+    topk: int = 5,
+    n_queries: int = 20,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou, Douze & Schmid, "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): each
+    vector splits into ``m`` subspaces, a per-subspace ``kc``-entry
+    codebook is Lloyd-fit, the corpus is encoded to m small codes
+    (m·log2(kc) bits/vector — 32 bits here vs 4 KB raw), and queries
+    score candidates by ASYMMETRIC DISTANCE: a per-query distance
+    table of m·kc exact subspace distances, summed by code lookup.
+
+    Fully deterministic — integer components (the QUANT contract),
+    integer squared distances, floor(avg) centroid recompute, fixed
+    init (vectors 0..kc-1), label-ordered tie-breaks — so the DuckDB
+    oracle unrolls the same Lloyd iterations as CTEs and reproduces
+    the approximate distances EXACTLY (bigint, no float anywhere).
+
+    Scale: codebooks are m·kc·(d/m) integers (broadcast); encoding is
+    one broadcast join + argmin per subspace; the ADC scan touches
+    one m-code row per corpus vector — the memory shape that makes
+    billion-vector ANN fit a cluster."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dsub = F.expr(f"pos div {64 // m}")
+    comp = (
+        _quantized_components(emb)
+        .select("vec_id", dsub.alias("m"), F.expr(f"pos % {64 // m}").alias("spos"), "q")
+        .cache()
+    )
+    comp.count()
+    cents = comp.where(F.col("vec_id") < kc).select(
+        "m", F.col("vec_id").alias("label"), "spos", F.col("q").alias("cq")
+    )
+
+    def assign(cs):
+        costs = (
+            comp.join(broadcast(cs), ["m", "spos"])
+            .groupBy("vec_id", "m", "label")
+            .agg(
+                (F.sum(F.col("cq") * F.col("cq")) - 2 * F.sum(F.col("q") * F.col("cq"))).alias(
+                    "cost"
+                )
+            )
+        )
+        w = Window.partitionBy("vec_id", "m").orderBy(F.asc("cost"), F.asc("label"))
+        return (
+            costs.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "m", "label")
+        )
+
+    for _ in range(iters):
+        a = assign(cents)
+        cents = (
+            comp.join(a, ["vec_id", "m"])
+            .groupBy("m", "label", "spos")
+            .agg(F.floor(F.avg("q")).cast("long").alias("cq"))
+        )
+    codes = assign(cents)
+
+    qcomp = comp.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), "m", "spos", F.col("q").alias("qq")
+    )
+    # asymmetric distance table: exact ||q_sub - c||² per (query,
+    # subspace, codebook entry) — m·kc rows per query
+    dtab = (
+        qcomp.join(broadcast(cents), ["m", "spos"])
+        .groupBy("q_id", "m", "label")
+        .agg(F.sum((F.col("qq") - F.col("cq")) * (F.col("qq") - F.col("cq"))).alias("d2"))
+    )
+    approx = (
+        codes.join(broadcast(dtab), ["m", "label"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d2").alias("approx_d2"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("approx_d2"), F.asc("vec_id"))
+    return (
+        approx.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= topk)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "approx_d2", "rnk")
+        .orderBy("q_id", "rnk")
+    )
+
+
+def _pq_oracle(m: int = PQ_M, kc: int = PQ_K, iters: int = PQ_ITERS) -> str:
+    dsub = 64 // m
+    ctes = [
+        f"""comp AS (
+  SELECT vec_id, CAST(i AS INT) // {dsub} AS m, CAST(i AS INT) % {dsub} AS spos,
+         CAST(round(CAST(embedding[CAST(i AS INT)+1] AS DOUBLE) * 10000, 0) AS BIGINT) AS q
+  FROM embeddings, LATERAL unnest(range(0, len(embedding))) t(i)
+)""",
+        f"cents0 AS (SELECT m, vec_id AS label, spos, q AS cq FROM comp WHERE vec_id < {kc})",
+    ]
+    prev = "cents0"
+    for i in range(1, iters + 2):
+        ctes.extend(
+            [
+                f"""costs{i} AS (
+  SELECT c.vec_id, c.m, t.label, SUM(t.cq*t.cq) - 2*SUM(c.q*t.cq) AS cost
+  FROM comp c JOIN {prev} t ON c.m = t.m AND c.spos = t.spos GROUP BY 1, 2, 3
+)""",
+                f"""assign{i} AS (
+  SELECT vec_id, m, label FROM (
+    SELECT vec_id, m, label,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY cost ASC, label ASC) AS rn
+    FROM costs{i}
+  ) WHERE rn = 1
+)""",
+            ]
+        )
+        if i <= iters:
+            ctes.append(
+                f"""cents{i} AS (
+  SELECT a.m, a.label, c.spos, CAST(floor(avg(c.q)) AS BIGINT) AS cq
+  FROM comp c JOIN assign{i} a ON c.vec_id = a.vec_id AND c.m = a.m GROUP BY 1, 2, 3
+)"""
+            )
+            prev = f"cents{i}"
+    final_assign = f"assign{iters + 1}"
+    ctes += [
+        "qcomp AS (SELECT vec_id AS q_id, m, spos, q AS qq FROM comp WHERE vec_id < 20)",
+        f"""dtab AS (
+  SELECT q.q_id, c.m, c.label, SUM((q.qq - c.cq) * (q.qq - c.cq)) AS d2
+  FROM qcomp q JOIN {prev} c ON q.m = c.m AND q.spos = c.spos GROUP BY 1, 2, 3
+)""",
+        f"""approx AS (
+  SELECT d.q_id, a.vec_id, CAST(SUM(d.d2) AS BIGINT) AS approx_d2
+  FROM {final_assign} a JOIN dtab d ON a.m = d.m AND a.label = d.label
+  WHERE a.vec_id <> d.q_id
+  GROUP BY 1, 2
+)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT q_id, vec_id AS neighbor_id, approx_d2, rnk
+FROM (
+  SELECT q_id, vec_id, approx_d2,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY approx_d2 ASC, vec_id ASC) AS INT) AS rnk
+  FROM approx
+) WHERE rnk <= 5
+"""
+    )
+
+
+PQ_ANN_ORACLE = _pq_oracle()
+
+
 QUERIES = {
     "ann_brute_force_topk": brute_force_topk,
     "ann_ivf_topk": ivf_topk,
     "ann_kmeans_ivf_topk": kmeans_ivf_topk,
     "embedding_cluster_profile": embedding_cluster_profile,
     "embedding_cosine_dedup": _cosine_dedup_gate,
+    "ann_pq_topk": pq_ann_topk,
 }
 
 ORACLES = {
@@ -971,4 +1133,5 @@ ORACLES = {
     "ann_kmeans_ivf_topk": KMEANS_IVF_ORACLE,
     "embedding_cluster_profile": CLUSTER_PROFILE_ORACLE,
     "embedding_cosine_dedup": COSINE_DEDUP_ORACLE.format(threshold=GATE_DEDUP_THRESHOLD),
+    "ann_pq_topk": PQ_ANN_ORACLE,
 }

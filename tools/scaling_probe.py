@@ -83,6 +83,7 @@ OPERATORS = [
     "training_shuffle",
     "sparse_tfidf_pairs",
     "hybrid_search",
+    "ann_pq_topk",
     "session_entry_exit",
     "rollup_reuse_monthly",
     "funnel_unordered",
