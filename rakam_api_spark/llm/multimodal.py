@@ -729,6 +729,155 @@ FROM media GROUP BY 1
 """
 
 
+def gray_pixel_grid(b: bytes) -> "np.ndarray | None":
+    """HxW float64 grayscale pixel grid for the RAW image formats
+    (uncompressed 24/32-bit BMP, binary PPM/PGM) — the pixel-level
+    companion to :func:`decode_image_bytes` (which reports channel
+    means); perceptual hashing needs the actual grid."""
+    import struct as _s
+
+    if b[:2] == b"BM" and len(b) >= 54:
+        (data_off,) = _s.unpack_from("<I", b, 10)
+        (hdr_size,) = _s.unpack_from("<I", b, 14)
+        if hdr_size < 40:
+            return None
+        w, h = _s.unpack_from("<ii", b, 18)
+        _, bpp = _s.unpack_from("<HH", b, 26)
+        (comp,) = _s.unpack_from("<I", b, 30)
+        if comp != 0 or bpp not in (24, 32) or w <= 0:
+            return None
+        h_abs, nch = abs(h), bpp // 8
+        stride = ((w * nch + 3) // 4) * 4
+        if len(b) < data_off + stride * h_abs:
+            return None
+        rows = []
+        for r in range(h_abs):
+            off = data_off + r * stride
+            row = np.frombuffer(b, np.uint8, count=w * nch, offset=off).reshape(w, nch)
+            # BGR(A) → gray (equal-weight mean of B,G,R)
+            rows.append(row[:, :3].astype(np.float64).mean(axis=1))
+        grid = np.stack(rows)
+        return grid[::-1] if h > 0 else grid  # bottom-up unless h<0
+    if b[:2] in (b"P6", b"P5"):
+        parts, pos = [], 2
+        while len(parts) < 3 and pos < len(b):
+            while pos < len(b) and b[pos : pos + 1].isspace():
+                pos += 1
+            if b[pos : pos + 1] == b"#":
+                while pos < len(b) and b[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(b) and not b[pos : pos + 1].isspace():
+                pos += 1
+            parts.append(b[start:pos])
+        try:
+            w, h, maxv = (int(x) for x in parts)
+        except (ValueError, TypeError):
+            return None
+        pos += 1  # single whitespace after maxval
+        nch = 3 if b[:2] == b"P6" else 1
+        need = w * h * nch
+        if maxv > 255 or len(b) < pos + need:
+            return None
+        px = np.frombuffer(b, np.uint8, count=need, offset=pos).astype(np.float64)
+        return px.reshape(h, w, nch).mean(axis=2) if nch == 3 else px.reshape(h, w)
+    return None
+
+
+def image_dhash(b: bytes) -> int | None:
+    """64-bit difference hash (dHash): average-pool the gray grid to
+    9×8, take row-wise brightness gradients — the standard cheap
+    perceptual fingerprint; near-identical images differ in a few
+    bits, unrelated images in ~32."""
+    grid = gray_pixel_grid(b)
+    if grid is None or grid.shape[0] < 1 or grid.shape[1] < 2:
+        return None
+    pooled = np.array(
+        [
+            [blk.mean() for blk in np.array_split(rowblk, 9, axis=1)]
+            for rowblk in np.array_split(grid, 8, axis=0)
+        ]
+    )
+    bits = (pooled[:, 1:] > pooled[:, :-1]).flatten()
+    out = 0
+    for bit in bits:
+        out = (out << 1) | int(bit)
+    return out
+
+
+def media_phash_dedup(
+    media: DataFrame, max_hamming: int = 6, bands: int = 4, max_bucket: int = 500
+) -> DataFrame:
+    """Near-duplicate IMAGE detection by perceptual hash: dHash per
+    asset (Arrow kernel, decode stays on executors), 16-bit hash
+    bands bucket candidates (hamming-LSH: a pair within ``max_hamming``
+    on 64 bits collides on ≥1 of 4 bands whenever its flips spread),
+    and candidates verify by exact ``bit_count(xor)`` — the simhash
+    banding pattern (dedup.py) applied to the decoded-media column.
+
+    Returns (asset_a, asset_b, hamming) pairs.  Oversized buckets
+    (near-identical flood) fall back to star pairing like the text
+    LSH paths."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                h = image_dhash(bytes(payload)) if payload is not None else None
+                if h is not None:
+                    ids.append(int(aid))
+                    # two's-complement into int64 (Arrow long column);
+                    # band extraction uses shiftrightunsigned so the
+                    # signed reinterpretation is loss-free
+                    hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame({"asset_id": ids, "dhash": hashes})
+
+    hashed = media.where(F.col("media_type") == "image").select(
+        "asset_id", "payload"
+    ).mapInPandas(kernel, "asset_id long, dhash long")
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned(F.col("dhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+        )
+        for i in range(bands)
+    ]
+    bands_long = hashed.select(
+        "asset_id", "dhash", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("asset_id", "dhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    buckets = (
+        bands_long.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list(F.struct("asset_id", "dhash"))).alias("ds"))
+        .where(F.size("ds") > 1)
+    )
+    pair_expr = F.when(
+        F.size("ds") <= max_bucket,
+        F.expr(
+            "flatten(transform(ds, (x, i) -> "
+            "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
+        ),
+    ).otherwise(
+        F.expr("transform(slice(ds, 2, size(ds)), y -> struct(ds[0] AS a, y AS b))")
+    )
+    cand = (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select(
+            F.col("p.a.asset_id").alias("asset_a"),
+            F.col("p.a.dhash").alias("ha"),
+            F.col("p.b.asset_id").alias("asset_b"),
+            F.col("p.b.dhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("asset_a", "asset_b", "hamming")
+        .orderBy("asset_a", "asset_b")
+    )
+
+
 QUERIES = {
     "multimodal_byte_stats": multimodal_byte_stats,
 }

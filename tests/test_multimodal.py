@@ -601,3 +601,69 @@ def test_corrupt_payloads_return_none_not_crash():
         assert time_domain[3] >= 0.0
     if spectral is not None:
         assert spectral[0] >= 0.0
+
+
+def _gradient_bmp(w=32, h=32, fn=None):
+    """24-bit BMP with a per-pixel pattern (row-major fn(x, y) -> 0-255)."""
+    import struct as _s
+
+    fn = fn or (lambda x, y: (x * 7 + y * 3) % 256)
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(w):
+            v = fn(x, y) & 0xFF
+            row += bytes((v, v, v))
+        rows.append(bytes(row).ljust(stride, b"\0"))
+    px = b"".join(rows)
+    header = _s.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54) + _s.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 2835, 2835, 0, 0
+    )
+    return header + px
+
+
+class TestPerceptualHashDedup:
+    def test_dhash_brightness_invariant(self):
+        from rakam_api_spark.llm.multimodal import image_dhash
+
+        a = image_dhash(_gradient_bmp(w=16, h=16))  # max 15*7+15*3=150: no wrap
+        b = image_dhash(_gradient_bmp(w=16, h=16, fn=lambda x, y: x * 7 + y * 3 + 40))
+        assert a is not None and a == b  # constant shift: same gradients
+
+    def test_dhash_distinguishes_structure(self):
+        from rakam_api_spark.llm.multimodal import image_dhash
+
+        a = image_dhash(_gradient_bmp(fn=lambda x, y: (x * 8) % 250))
+        b = image_dhash(_gradient_bmp(fn=lambda x, y: 250 - (x * 8) % 250))
+        assert a is not None and b is not None
+        assert bin(a ^ b).count("1") > 16  # opposite gradients differ widely
+
+    def test_pixel_grid_formats(self):
+        from rakam_api_spark.llm.multimodal import gray_pixel_grid
+
+        g = gray_pixel_grid(_gradient_bmp(w=4, h=2, fn=lambda x, y: x * 10 + y))
+        assert g is not None and g.shape == (2, 4)
+        assert g[0][1] == 10.0  # row 0 = top row, x=1 → 10+0
+        p6 = gray_pixel_grid(_ppm_bytes())
+        assert p6 is not None and p6.shape == (2, 3) and p6[0][0] == 20.0
+        assert gray_pixel_grid(b"\x00nonsense") is None
+
+    def test_phash_dedup_pipeline(self, spark):
+        from rakam_api_spark.llm.multimodal import media_phash_dedup
+
+        base = _gradient_bmp(w=16, h=16)
+        shifted = _gradient_bmp(w=16, h=16, fn=lambda x, y: x * 7 + y * 3 + 40)
+        other = _gradient_bmp(w=16, h=16, fn=lambda x, y: 250 - (x * 8) % 250)
+        media = spark.createDataFrame(
+            [
+                (1, "image", bytearray(base), None),
+                (2, "image", bytearray(shifted), None),  # near-dup of 1
+                (3, "image", bytearray(other), None),
+                (4, "audio", bytearray(b"not an image"), None),
+                (5, "image", bytearray(b"undecodable"), None),
+            ],
+            "asset_id long, media_type string, payload binary, meta map<string,string>",
+        )
+        pairs = media_phash_dedup(media, max_hamming=6).collect()
+        assert [(r["asset_a"], r["asset_b"], r["hamming"]) for r in pairs] == [(1, 2, 0)]
