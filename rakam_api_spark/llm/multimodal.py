@@ -806,49 +806,61 @@ def image_dhash(b: bytes) -> int | None:
     return out
 
 
-def media_phash_dedup(
-    media: DataFrame, max_hamming: int = 6, bands: int = 4, max_bucket: int = 500
+def audio_fingerprint(b: bytes, n_windows: int = 17, n_bands: int = 4) -> int | None:
+    """64-bit audio fingerprint (Haitsma & Kalker, "A Highly Robust
+    Audio Fingerprinting System", ISMIR 2002 — simplified): the mono
+    mix splits into ``n_windows`` time frames, each frame's rFFT
+    energy collapses into ``n_bands`` log-spaced-ish bands, and each
+    bit is the sign of the band-energy difference between adjacent
+    frames — robust to volume scaling (signs survive any positive
+    gain) while distinct spectra flip many bits."""
+    parsed = _wav_samples(b)
+    if parsed is None:
+        return None
+    _rate, nch, _nframes, arr = parsed
+    if arr.size < n_windows * 2:
+        return None
+    mono = arr.reshape(-1, nch).mean(axis=1)
+    frames = np.array_split(mono, n_windows)
+    energies = []
+    for fr in frames:
+        spec = np.abs(np.fft.rfft(fr)) ** 2
+        spec[0] = 0.0
+        energies.append([blk.sum() for blk in np.array_split(spec[1:], n_bands)])
+    e = np.array(energies)  # (n_windows, n_bands)
+    bits = (e[1:] > e[:-1]).flatten()  # (n_windows-1)*n_bands = 64
+    out = 0
+    for bit in bits:
+        out = (out << 1) | int(bit)
+    return out
+
+
+def _hamming_band_pairs(
+    hashed: DataFrame,
+    hash_col: str,
+    max_hamming: int,
+    bands: int = 4,
+    max_bucket: int = 500,
 ) -> DataFrame:
-    """Near-duplicate IMAGE detection by perceptual hash: dHash per
-    asset (Arrow kernel, decode stays on executors), 16-bit hash
-    bands bucket candidates (hamming-LSH: a pair within ``max_hamming``
-    on 64 bits collides on ≥1 of 4 bands whenever its flips spread),
-    and candidates verify by exact ``bit_count(xor)`` — the simhash
-    banding pattern (dedup.py) applied to the decoded-media column.
-
-    Returns (asset_a, asset_b, hamming) pairs.  Oversized buckets
-    (near-identical flood) fall back to star pairing like the text
-    LSH paths."""
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, hashes = [], []
-            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                h = image_dhash(bytes(payload)) if payload is not None else None
-                if h is not None:
-                    ids.append(int(aid))
-                    # two's-complement into int64 (Arrow long column);
-                    # band extraction uses shiftrightunsigned so the
-                    # signed reinterpretation is loss-free
-                    hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
-            yield pd.DataFrame({"asset_id": ids, "dhash": hashes})
-
-    hashed = media.where(F.col("media_type") == "image").select(
-        "asset_id", "payload"
-    ).mapInPandas(kernel, "asset_id long, dhash long")
+    """Shared hamming-LSH pair expansion: 16-bit bands of a 64-bit
+    hash bucket candidates (a pair within ``max_hamming`` collides on
+    ≥1 band whenever its flips spread across bands), oversized
+    buckets fall back to star pairing, and candidates verify by exact
+    ``bit_count(xor)`` — the simhash banding pattern (dedup.py)
+    applied to any perceptual-hash column."""
     band_cols = [
         F.struct(
             F.lit(i).alias("band"),
-            F.shiftrightunsigned(F.col("dhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+            F.shiftrightunsigned(F.col(hash_col), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
         )
         for i in range(bands)
     ]
     bands_long = hashed.select(
-        "asset_id", "dhash", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("asset_id", "dhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        "asset_id", hash_col, F.explode(F.array(*band_cols)).alias("bk")
+    ).select("asset_id", hash_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     buckets = (
         bands_long.groupBy("band", "key")
-        .agg(F.sort_array(F.collect_list(F.struct("asset_id", "dhash"))).alias("ds"))
+        .agg(F.sort_array(F.collect_list(F.struct("asset_id", hash_col))).alias("ds"))
         .where(F.size("ds") > 1)
     )
     pair_expr = F.when(
@@ -864,9 +876,9 @@ def media_phash_dedup(
         buckets.select(F.explode(pair_expr).alias("p"))
         .select(
             F.col("p.a.asset_id").alias("asset_a"),
-            F.col("p.a.dhash").alias("ha"),
+            F.col(f"p.a.{hash_col}").alias("ha"),
             F.col("p.b.asset_id").alias("asset_b"),
-            F.col("p.b.dhash").alias("hb"),
+            F.col(f"p.b.{hash_col}").alias("hb"),
         )
         .distinct()
     )
@@ -876,6 +888,60 @@ def media_phash_dedup(
         .select("asset_a", "asset_b", "hamming")
         .orderBy("asset_a", "asset_b")
     )
+
+
+def _signed64(h: int) -> int:
+    """Two's-complement into int64 (Arrow long column); band
+    extraction uses shiftrightunsigned so the signed reinterpretation
+    is loss-free."""
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def media_phash_dedup(
+    media: DataFrame, max_hamming: int = 6, bands: int = 4, max_bucket: int = 500
+) -> DataFrame:
+    """Near-duplicate IMAGE detection: dHash per asset (Arrow kernel,
+    decode stays on executors) + the shared hamming-LSH pair sweep.
+    Returns (asset_a, asset_b, hamming) pairs."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                h = image_dhash(bytes(payload)) if payload is not None else None
+                if h is not None:
+                    ids.append(int(aid))
+                    hashes.append(_signed64(h))
+            yield pd.DataFrame({"asset_id": ids, "dhash": hashes})
+
+    hashed = media.where(F.col("media_type") == "image").select(
+        "asset_id", "payload"
+    ).mapInPandas(kernel, "asset_id long, dhash long")
+    return _hamming_band_pairs(hashed, "dhash", max_hamming, bands, max_bucket)
+
+
+def media_audio_dedup(
+    media: DataFrame, max_hamming: int = 6, bands: int = 4, max_bucket: int = 500
+) -> DataFrame:
+    """Near-duplicate AUDIO detection: spectral fingerprint per asset
+    + the shared hamming-LSH pair sweep.  Volume-scaled re-encodes of
+    the same recording collide (sign-of-energy-difference bits are
+    gain-invariant); distinct material lands ~32 bits apart."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                h = audio_fingerprint(bytes(payload)) if payload is not None else None
+                if h is not None:
+                    ids.append(int(aid))
+                    hashes.append(_signed64(h))
+            yield pd.DataFrame({"asset_id": ids, "afp": hashes})
+
+    hashed = media.where(F.col("media_type") == "audio").select(
+        "asset_id", "payload"
+    ).mapInPandas(kernel, "asset_id long, afp long")
+    return _hamming_band_pairs(hashed, "afp", max_hamming, bands, max_bucket)
 
 
 QUERIES = {

@@ -667,3 +667,52 @@ class TestPerceptualHashDedup:
         )
         pairs = media_phash_dedup(media, max_hamming=6).collect()
         assert [(r["asset_a"], r["asset_b"], r["hamming"]) for r in pairs] == [(1, 2, 0)]
+
+
+class TestAudioFingerprintDedup:
+    def test_volume_invariance_and_separation(self):
+        from rakam_api_spark.llm.multimodal import audio_fingerprint
+
+        a = audio_fingerprint(_wav_bytes(rate=8000, n=4096))
+        assert a is not None
+        # louder re-encode of the same tone: identical fingerprint
+        import io
+        import math
+        import struct as _s
+        import wave
+
+        def tone(freq, amp, n=4096, rate=8000):
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as wv:
+                wv.setnchannels(1)
+                wv.setsampwidth(2)
+                wv.setframerate(rate)
+                wv.writeframes(
+                    b"".join(
+                        _s.pack("<h", int(amp * math.sin(2 * math.pi * freq * i / rate)))
+                        for i in range(n)
+                    )
+                )
+            return buf.getvalue()
+
+        loud = audio_fingerprint(tone(440, 30000))
+        quiet = audio_fingerprint(tone(440, 3000))
+        other = audio_fingerprint(tone(1313, 30000))
+        assert loud == quiet  # gain-invariant
+        assert bin(loud ^ other).count("1") > 10  # different material separates
+
+    def test_audio_dedup_pipeline(self, spark):
+        from rakam_api_spark.llm.multimodal import media_audio_dedup
+
+        w1 = _wav_bytes(rate=8000, n=4096)
+        media = spark.createDataFrame(
+            [
+                (1, "audio", bytearray(w1), None),
+                (2, "audio", bytearray(w1), None),  # exact dup
+                (3, "audio", bytearray(_wav_bytes(rate=8000, n=2048)), None),
+                (4, "image", bytearray(b"not audio"), None),
+            ],
+            "asset_id long, media_type string, payload binary, meta map<string,string>",
+        )
+        pairs = media_audio_dedup(media, max_hamming=2).collect()
+        assert [(r["asset_a"], r["asset_b"], r["hamming"]) for r in pairs] == [(1, 2, 0)]
