@@ -41,6 +41,38 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+def _bm25_term_score(i: int):
+    """Per-term BM25 score expression over the canonical column names
+    (tf{i}, df{i}, dl, n_docs, avgdl) — SHARED by the scan path and
+    the persisted-index path so both produce bit-identical doubles
+    from identical integer inputs."""
+    tf = F.col(f"tf{i}").cast("double")
+    dfc = F.col(f"df{i}")
+    idf = (F.col("n_docs") - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))
+    denom = tf + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    return F.when(F.col(f"tf{i}") == 0, F.lit(0.0)).otherwise(
+        idf * ((tf * F.lit(BM25_K1 + 1.0)) / denom)
+    )
+
+
+def _bm25_rank(per_doc: DataFrame, stats: DataFrame, n_terms: int, k: int) -> DataFrame:
+    """score = Σ term scores in fixed left-to-right order, then
+    TakeOrderedAndProject top-k."""
+    score = _bm25_term_score(0)
+    for i in range(1, n_terms):
+        score = score + _bm25_term_score(i)
+    return (
+        per_doc.crossJoin(broadcast(stats))
+        .withColumn("score", score)
+        .where(F.col("score") > 0)
+        .select("doc_id", "dl", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def bm25_search(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
     """Top-k documents by BM25 score for the fixed query terms.
 
@@ -71,29 +103,7 @@ def bm25_search(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
             for i in range(len(QUERY_TERMS))
         ],
     )
-
-    def term_score(i: int):
-        tf = F.col(f"tf{i}").cast("double")
-        dfc = F.col(f"df{i}")
-        idf = (F.col("n_docs") - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))
-        denom = tf + F.lit(BM25_K1) * (
-            F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (F.col("dl").cast("double") / F.col("avgdl"))
-        )
-        return F.when(F.col(f"tf{i}") == 0, F.lit(0.0)).otherwise(
-            idf * ((tf * F.lit(BM25_K1 + 1.0)) / denom)
-        )
-
-    score = term_score(0)
-    for i in range(1, len(QUERY_TERMS)):
-        score = score + term_score(i)
-    return (
-        per_doc.crossJoin(broadcast(stats))
-        .withColumn("score", score)
-        .where(F.col("score") > 0)
-        .select("doc_id", "dl", "score")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-    )
+    return _bm25_rank(per_doc, stats, len(QUERY_TERMS), k)
 
 
 BM25_ORACLE = """
