@@ -210,6 +210,67 @@ class EventStore:
             n_files += sum(1 for f in files if f.endswith(".parquet"))
         return n_files
 
+    def expire_months(self, project: str, collection: str, before_month: str) -> list[str]:
+        """Retention/TTL enforcement: drop every month partition
+        strictly older than ``before_month`` ("YYYY-MM") — a pure
+        partition-directory delete, no data rewrite, O(months) not
+        O(rows); the reason the table is month-partitioned in the
+        first place.  Returns the dropped month keys.  Callers that
+        maintain a rollup should follow with a full
+        ``publish_rollup(months=None)`` (see its staleness note)."""
+        path = self._table_path(project, collection)
+        if not os.path.exists(path):
+            return []
+        dropped = []
+        for d in sorted(os.listdir(path)):
+            if not d.startswith("_month="):
+                continue
+            month = d.split("=", 1)[1]
+            if month < before_month:
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+                dropped.append(month)
+        return dropped
+
+    def erase_user(
+        self, project: str, user_col: str, user_id, collections: list[str] | None = None
+    ) -> dict[str, int]:
+        """Right-to-be-forgotten: rewrite every collection WITHOUT
+        the user's rows, via the same crash-safe versioned-directory
+        swap as ``compact`` (the old version stays live until the
+        pointer flips; a crash never leaves a missing table).
+
+        Returns {collection: rows_removed}.  Collections lacking
+        ``user_col`` are skipped.  At 100 TB the rewrite cost is the
+        erasure-batch amortization problem every lakehouse has;
+        bucketing by user would confine it to the user's buckets, and
+        a deletion-vector format (Delta/Iceberg) would make it
+        metadata-only — this parquet fallback keeps the same
+        month-partitioned layout contract."""
+        removed: dict[str, int] = {}
+        for coll in collections or self.collections_with_data(project):
+            path = self._table_path(project, coll)
+            if not os.path.exists(path):
+                continue
+            df = self.spark.read.option("mergeSchema", "true").parquet(path)
+            if user_col not in df.columns:
+                continue
+            keep = df.where(
+                F.col(user_col).isNull() | (F.col(user_col) != F.lit(user_id))
+            )
+            n_before = df.count()
+            cur = self.metastore.get_config(project, f"TABLE_VERSION_{coll}")
+            nxt = 0 if cur is None else int(cur) + 1
+            out = f"{self._base_path(project, coll)}.v{nxt}"
+            writer = keep.write.mode("overwrite")
+            if "_month" in df.columns:
+                writer = writer.partitionBy("_month")
+            writer.parquet(out)
+            n_after = self.spark.read.parquet(out).count()
+            self.metastore.set_config(project, f"TABLE_VERSION_{coll}", nxt)
+            shutil.rmtree(path, ignore_errors=True)
+            removed[coll] = n_before - n_after
+        return removed
+
     def publish_bucketed(
         self,
         project: str,

@@ -138,3 +138,39 @@ def test_rollup_publish_and_incremental_refresh(spark, warehouse):
     months_left = {r["_month"] for r in store.read_rollup("p", "ev").select("_month").distinct().collect()}
     assert months_left == {"2024-02"}
     assert not glob.glob(f"{rollup_dir}/_month=2024-01/*")
+
+
+def test_expire_months_drops_only_old_partitions(spark, warehouse):
+    ms = Metastore(warehouse)
+    collector = EventCollector(spark, ms, pipeline=EnrichmentPipeline([TimestampMapper()]))
+    for month in ("2023-11", "2023-12", "2024-01", "2024-02"):
+        collector.collect("proj", "ev", {"x": 1, "_time": f"{month}-05 09:00:00"})
+    store = collector.store
+    dropped = store.expire_months("proj", "ev", "2024-01")
+    assert dropped == ["2023-11", "2023-12"]
+    left = {r[0] for r in store.read("proj", "ev").selectExpr("date_format(_time,'yyyy-MM')").collect()}
+    assert left == {"2024-01", "2024-02"}
+    assert store.expire_months("proj", "ev", "2024-01") == []  # idempotent
+
+
+def test_erase_user_rewrites_without_rows(spark, warehouse):
+    ms = Metastore(warehouse)
+    collector = EventCollector(spark, ms, pipeline=EnrichmentPipeline([TimestampMapper()]))
+    for i in range(6):
+        collector.collect(
+            "proj",
+            "clicks",
+            {"uid": i % 3, "x": i, "_time": f"2024-0{i % 2 + 1}-03 09:00:00"},
+        )
+    collector.collect("proj", "pages", {"title": "no-user-col", "_time": "2024-01-01 00:00:00"})
+    store = collector.store
+    removed = store.erase_user("proj", "uid", 1)
+    assert removed == {"clicks": 2}  # pages skipped (no uid column)
+    rest = store.read("proj", "clicks")
+    assert rest.where("uid = 1").count() == 0
+    assert rest.count() == 4
+    # versioned swap left a live table dir and the month layout intact
+    path = store._table_path("proj", "clicks")
+    assert ".v" in path
+    months = {d for d in os.listdir(path) if d.startswith("_month=")}
+    assert months == {"_month=2024-01", "_month=2024-02"}
