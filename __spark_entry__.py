@@ -39,7 +39,7 @@ _MODULES = (
 )
 
 # The driver's correctness gate checks at most 50 queries per round, in
-# enumeration order.  With 121 declared queries, plain module order
+# enumeration order.  With 123 declared queries, plain module order
 # would starve the tail modules of a driver-verified CORRECTNESS row
 # forever.  Enumerate the stalest coverage first: round-5 additions
 # (never driver-checked), then the round-4 additions the r4 gate
@@ -53,6 +53,8 @@ _GATE_PRIORITY = (
     "ann_pq_topk",
     "padding_efficiency",
     "funnel_unordered",
+    "funnel_daily_trend",
+    "key_skew_report",
     "session_entry_exit",
     "rollup_reuse_monthly",
     "quantile_rollup_sketch",

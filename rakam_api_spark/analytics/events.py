@@ -2192,6 +2192,133 @@ FROM per_user GROUP BY 1 ORDER BY 1
 """
 
 
+def funnel_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily funnel conversion trend: for each signup DAY, how many
+    of that day's signup users clicked later that same day, and how
+    many purchased after the click — the time-series view of the
+    strict-order funnel (per-day cohorts, not a single total).
+
+    Per-user-day first-occurrence times come from one conditional
+    aggregation (no joins between steps); the strict ordering is
+    enforced by time comparison inside the day.  Integer epoch math
+    throughout."""
+    ev = _events(spark, sf_dir)
+    day = F.col("ts").cast("date").alias("day")
+    per_user_day = ev.groupBy(day, "user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", _us())).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "click", _us())).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", _us())).alias("t_purchase"),
+    )
+    stepped = per_user_day.select(
+        "day",
+        F.col("t_signup").isNotNull().alias("s1"),
+        (
+            F.col("t_signup").isNotNull()
+            & F.col("t_click").isNotNull()
+            & (F.col("t_click") > F.col("t_signup"))
+        ).alias("s2"),
+        (
+            F.col("t_signup").isNotNull()
+            & F.col("t_click").isNotNull()
+            & (F.col("t_click") > F.col("t_signup"))
+            & F.col("t_purchase").isNotNull()
+            & (F.col("t_purchase") > F.col("t_click"))
+        ).alias("s3"),
+    )
+    return (
+        stepped.groupBy("day")
+        .agg(
+            F.sum(F.col("s1").cast("long")).alias("n_signup"),
+            F.sum(F.col("s2").cast("long")).alias("n_clicked"),
+            F.sum(F.col("s3").cast("long")).alias("n_purchased"),
+        )
+        .where(F.col("n_signup") > 0)
+        .withColumn(
+            "conversion",
+            F.col("n_purchased").cast("double") / F.col("n_signup").cast("double"),
+        )
+        .orderBy("day")
+    )
+
+
+FUNNEL_DAILY_TREND_ORACLE = """
+WITH per_user_day AS (
+  SELECT CAST(ts AS DATE) AS day, user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t_signup,
+         MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+  FROM events GROUP BY 1, 2
+),
+stepped AS (
+  SELECT day,
+         t_signup IS NOT NULL AS s1,
+         (t_signup IS NOT NULL AND t_click IS NOT NULL AND t_click > t_signup) AS s2,
+         (t_signup IS NOT NULL AND t_click IS NOT NULL AND t_click > t_signup
+          AND t_purchase IS NOT NULL AND t_purchase > t_click) AS s3
+  FROM per_user_day
+)
+SELECT day,
+       CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked,
+       CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased,
+       CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS DOUBLE) AS conversion
+FROM stepped GROUP BY 1
+HAVING SUM(CASE WHEN s1 THEN 1 ELSE 0 END) > 0
+ORDER BY 1
+"""
+
+
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics: per event_type, the share of
+    rows held by the hottest user and by the top-10 users — the
+    report an operator reads before choosing salting / AQE skew-join
+    for a user-keyed stage.  Two hash aggregates (user grain, then
+    type grain) + one partitioned top-10 window over the USER-GRAIN
+    aggregate (never raw events)."""
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("user_id"))
+    ranked = per_user.withColumn("rnk", F.row_number().over(w))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max(F.when(F.col("rnk") == 1, F.col("n"))).alias("top1_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("rnk") <= 10, F.col("n"))), F.lit(0)
+            ).alias("top10_rows"),
+        )
+        .select(
+            "event_type",
+            "n_rows",
+            "n_keys",
+            (F.col("top1_rows").cast("double") / F.col("n_rows").cast("double")).alias("top1_share"),
+            (F.col("top10_rows").cast("double") / F.col("n_rows").cast("double")).alias("top10_share"),
+        )
+        .orderBy("event_type")
+    )
+
+
+KEY_SKEW_ORACLE = """
+WITH per_user AS (
+  SELECT event_type, user_id, COUNT(*) AS n FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, n,
+         row_number() OVER (PARTITION BY event_type ORDER BY n DESC, user_id ASC) AS rnk
+  FROM per_user
+)
+SELECT event_type,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(CASE WHEN rnk = 1 THEN n END) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS top1_share,
+       CAST(COALESCE(SUM(CASE WHEN rnk <= 10 THEN n END), 0) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS top10_share
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "seg_daily_event_counts": seg_daily_event_counts,
     "dau": dau,
@@ -2235,6 +2362,8 @@ QUERIES = {
     "session_entry_exit": session_entry_exit,
     "rollup_reuse_monthly": rollup_reuse_monthly,
     "funnel_unordered": funnel_unordered,
+    "funnel_daily_trend": funnel_daily_trend,
+    "key_skew_report": key_skew_report,
 }
 
 ORACLES = {
@@ -2282,4 +2411,6 @@ ORACLES = {
     "session_entry_exit": SESSION_ENTRY_EXIT_ORACLE,
     "rollup_reuse_monthly": ROLLUP_REUSE_ORACLE,
     "funnel_unordered": FUNNEL_UNORDERED_ORACLE,
+    "funnel_daily_trend": FUNNEL_DAILY_TREND_ORACLE,
+    "key_skew_report": KEY_SKEW_ORACLE,
 }
