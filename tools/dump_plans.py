@@ -105,6 +105,16 @@ SHOW = {
     "min_by/max_by share the user_id exchange; output is |types|^2 rows",
     "funnel_unordered": "any-order funnel: two user-keyed aggregates share one "
     "exchange; output bounded by the step-set size",
+    "hybrid_search": "hybrid retrieval: BM25 scan + TakeOrderedAndProject feeds a "
+    "candidate-only cosine rerank (semi-join prune before posexplode; 64-row query "
+    "vector broadcast)",
+    "ann_pq_topk": "product quantization: codebooks broadcast at every stage; the "
+    "ADC scan joins one m-code row per corpus vector against the per-query distance "
+    "table",
+    "key_skew_report": "skew diagnostics: the top-10 window runs over the user-grain "
+    "aggregate, never raw events",
+    "funnel_daily_trend": "daily funnel: one conditional aggregation per (day, user), "
+    "day-grain rollup reuses the exchange",
 }
 
 
