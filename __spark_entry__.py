@@ -47,22 +47,26 @@ _MODULES = (
 # in CORRECTNESS_r04 enumerate last.  Everything listed here passes
 # tools/check_correctness.py locally at sf0.01 and sf0.001.
 _GATE_PRIORITY = (
-    # round-5 additions, never driver-checked
-    "sparse_tfidf_pairs",
-    "hybrid_search",
-    "ann_pq_topk",
-    "padding_efficiency",
-    "funnel_unordered",
-    "funnel_daily_trend",
-    "key_skew_report",
-    "session_entry_exit",
-    "rollup_reuse_monthly",
-    "quantile_rollup_sketch",
-    "theta_segment_setops",
-    "attribution_last_touch",
-    "priority_sample",
-    "dataset_splits",
-    "training_shuffle",
+    # never driver-checked, stalest first: round-4-era additions the
+    # r4 gate rotated out
+    "q7_nation_volume",
+    "q8_market_share",
+    "q14_promo_revenue",
+    "q22_idle_balances",
+    "stickiness_dau_mau",
+    "rfm_segments",
+    "curation_funnel",
+    "corpus_top_ngrams",
+    "contamination_check",
+    "dedup_clusters",
+    "doc_typicality",
+    "embedding_cluster_profile",
+    "mix_weights",
+    "pack_sequences",
+    "pii_redaction",
+    "quality_repetition_rules",
+    "stratified_sample",
+    # round-5 first-wave additions (never driver-checked)
     "bm25_search",
     "dup_ngram_spans",
     "power_user_curve",
@@ -91,24 +95,22 @@ _GATE_PRIORITY = (
     "q17_small_qty_revenue",
     "q19_disjunctive_revenue",
     "q20_dominant_supplier",
-    # round-4 additions the r4 gate rotated out (never driver-checked)
-    "q7_nation_volume",
-    "q8_market_share",
-    "q14_promo_revenue",
-    "q22_idle_balances",
-    "stickiness_dau_mau",
-    "rfm_segments",
-    "curation_funnel",
-    "corpus_top_ngrams",
-    "contamination_check",
-    "dedup_clusters",
-    "doc_typicality",
-    "embedding_cluster_profile",
-    "mix_weights",
-    "pack_sequences",
-    "pii_redaction",
-    "quality_repetition_rules",
-    "stratified_sample",
+    # round-5 second-wave additions (this session)
+    "sparse_tfidf_pairs",
+    "padding_efficiency",
+    "funnel_daily_trend",
+    "key_skew_report",
+    "hybrid_search",
+    "ann_pq_topk",
+    "funnel_unordered",
+    "session_entry_exit",
+    "rollup_reuse_monthly",
+    "quantile_rollup_sketch",
+    "theta_segment_setops",
+    "attribution_last_touch",
+    "priority_sample",
+    "dataset_splits",
+    "training_shuffle",
     # last driver-checked in round 3
     "ann_brute_force_topk",
     "ann_ivf_topk",

@@ -437,12 +437,21 @@ class EventStore:
                 ]
             )
             return RoutedReport(out, "rollup", "dims and measures derivable from cells")
-        raw = self.read(project, collection)
-        if months is not None:
-            raw = raw.where(F.date_format(F.col("_time"), "yyyy-MM").isin(list(months)))
-        raw = raw.withColumn("_month", F.date_format(F.col("_time"), "yyyy-MM")).withColumn(
-            "_day", F.col("_time").cast("date")
-        )
+        path = self._table_path(project, collection)
+        if os.path.exists(path):
+            # raw read keeps the physical _month partition column, so
+            # a month-ranged report PRUNES partitions on the raw route
+            # too (read() would project it away)
+            raw = self.spark.read.option("mergeSchema", "true").parquet(path)
+            if months is not None:
+                raw = raw.where(F.col("_month").isin(list(months)))
+        else:
+            raw = self.read(project, collection).withColumn(
+                "_month", F.date_format(F.col("_time"), "yyyy-MM")
+            )
+            if months is not None:
+                raw = raw.where(F.col("_month").isin(list(months)))
+        raw = raw.withColumn("_day", F.col("_time").cast("date"))
         out = raw.groupBy(*grain_cols, *dims).agg(
             *[F.expr(sql).alias(name) for name, sql in measures.items()]
         )

@@ -128,3 +128,21 @@ class TestRollupRouting:
         )
         assert routed.route == "raw" and routed.reason == "no rollup published"
         assert routed.df.collect()[0]["n_events"] == 1
+
+
+class TestRawRoutePruning:
+    def test_raw_route_month_filter_prunes_partitions(self, loaded_store):
+        routed = loaded_store.route_report(
+            "proj",
+            "clicks",
+            dims=("event_type",),
+            measures={**MEASURES, "u": "COUNT(DISTINCT value)"},  # forces raw
+            grain="month",
+            months=["2024-01"],
+        )
+        assert routed.route == "raw"
+        rows = routed.df.collect()
+        assert {r["_month"] for r in rows} == {"2024-01"}
+        plan = routed.df._jdf.queryExecution().executedPlan().toString()
+        # the month predicate reaches the scan as a PARTITION filter
+        assert "PartitionFilters" in plan and "2024-01" in plan
