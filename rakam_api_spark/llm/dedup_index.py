@@ -143,11 +143,17 @@ class MinHashIndex:
             .where(F.col("old_id") < F.col("new_id"))
             .select("new_id", "old_id", F.lit("batch").alias("source"))
         )
-        cand = idx_hits.unionByName(batch_hits).distinct()
-        # signature-estimated jaccard = matching slots / N_HASHES
+        cand = idx_hits.unionByName(batch_hits).distinct().cache()
+        # signature-estimated jaccard = matching slots / N_HASHES.
+        # Prune the (corpus-sized) persisted signature table to the
+        # collided old ids BEFORE the estimate join — the broadcast
+        # semi-join keeps the big side as one filtered scan, so the
+        # estimate stage touches O(collisions) rows, not O(corpus).
+        old_ids = cand.select(F.col("old_id").alias("doc_id")).distinct()
         old_sig = (
             self.signatures()
-            .unionByName(new_sig)
+            .join(broadcast(old_ids), "doc_id", "left_semi")
+            .unionByName(new_sig.join(broadcast(old_ids), "doc_id", "left_semi"))
             .select(
                 F.col("doc_id").alias("old_id"),
                 *[F.col(c).alias(f"o_{c}") for c in _SIG_COLS],

@@ -210,6 +210,48 @@ class EventStore:
             n_files += sum(1 for f in files if f.endswith(".parquet"))
         return n_files
 
+    def table_stats(self, project: str, collection: str) -> DataFrame:
+        """Per-month table statistics (rows, files, bytes, _time
+        min/max) — the auto-indexer's bookkeeping (reference
+        collects per-collection stats to drive maintenance; SURVEY.md
+        M5): feeds compaction scheduling (file counts), retention
+        (oldest month), and capacity reports.  Row counts come from
+        one partition-grouped aggregate; file counts/bytes from a
+        directory walk (metadata only, no data read)."""
+        path = self._table_path(project, collection)
+        files: dict[str, tuple[int, int]] = {}
+        if os.path.exists(path):
+            for d in os.listdir(path):
+                if not d.startswith("_month="):
+                    continue
+                month = d.split("=", 1)[1]
+                n, size = 0, 0
+                for dp, _, fs in os.walk(os.path.join(path, d)):
+                    for f in fs:
+                        if f.endswith(".parquet"):
+                            n += 1
+                            size += os.path.getsize(os.path.join(dp, f))
+                files[month] = (n, size)
+        if not files:
+            return self.spark.createDataFrame(
+                [], "month string, n_rows long, n_files long, bytes long, min_time timestamp_ntz, max_time timestamp_ntz"
+            )
+        raw = self.spark.read.option("mergeSchema", "true").parquet(path)
+        rows = raw.groupBy(F.col("_month").alias("month")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("_time").alias("min_time"),
+            F.max("_time").alias("max_time"),
+        )
+        fdf = self.spark.createDataFrame(
+            [(m, n, b) for m, (n, b) in sorted(files.items())],
+            "month string, n_files long, bytes long",
+        )
+        return (
+            rows.join(F.broadcast(fdf), "month")
+            .select("month", "n_rows", "n_files", "bytes", "min_time", "max_time")
+            .orderBy("month")
+        )
+
     def expire_months(self, project: str, collection: str, before_month: str) -> list[str]:
         """Retention/TTL enforcement: drop every month partition
         strictly older than ``before_month`` ("YYYY-MM") — a pure

@@ -174,3 +174,19 @@ def test_erase_user_rewrites_without_rows(spark, warehouse):
     assert ".v" in path
     months = {d for d in os.listdir(path) if d.startswith("_month=")}
     assert months == {"_month=2024-01", "_month=2024-02"}
+
+
+def test_table_stats_per_month(spark, warehouse):
+    ms = Metastore(warehouse)
+    collector = EventCollector(spark, ms, pipeline=EnrichmentPipeline([TimestampMapper()]))
+    for i in range(4):
+        month = "2024-01" if i < 3 else "2024-02"
+        collector.collect("proj", "ev", {"x": i, "_time": f"{month}-0{i + 1} 09:00:00"})
+    stats = {r["month"]: r for r in collector.store.table_stats("proj", "ev").collect()}
+    assert set(stats) == {"2024-01", "2024-02"}
+    assert stats["2024-01"]["n_rows"] == 3 and stats["2024-02"]["n_rows"] == 1
+    assert stats["2024-01"]["n_files"] >= 3  # one file per single-event append
+    assert stats["2024-01"]["bytes"] > 0
+    assert stats["2024-01"]["min_time"].day == 1 and stats["2024-01"]["max_time"].day == 3
+    # empty collection: empty frame, no error
+    assert collector.store.table_stats("proj", "nothing").count() == 0
