@@ -696,6 +696,117 @@ def frame_sample_stub(media: DataFrame, every_n: int = 30) -> DataFrame:
     )
 
 
+# --- video container + frame-level dedup --------------------------------
+
+_VIDEO_MAGIC = b"VID0"
+
+
+def encode_video(frames: list[bytes]) -> bytes:
+    """Minimal length-prefixed frame container (``VID0`` + u32 frame
+    count + [u32 length, frame bytes]…).  A deliberately simple
+    synthetic format: real codecs aren't in this container, but the
+    Spark-side plumbing — binary column, frame extraction on
+    executors, per-frame fingerprints — is identical for any codec
+    whose decoder yields frames."""
+    out = [_VIDEO_MAGIC, struct.pack("<I", len(frames))]
+    for fr in frames:
+        out.append(struct.pack("<I", len(fr)))
+        out.append(fr)
+    return b"".join(out)
+
+
+def decode_video(b: bytes) -> list[bytes] | None:
+    """Frames of a VID0 container, or None for anything else /
+    truncated data (clip-at-corruption like the other decoders)."""
+    if b[:4] != _VIDEO_MAGIC or len(b) < 8:
+        return None
+    (n,) = struct.unpack_from("<I", b, 4)
+    frames, pos = [], 8
+    for _ in range(n):
+        if pos + 4 > len(b):
+            return None
+        (ln,) = struct.unpack_from("<I", b, pos)
+        pos += 4
+        if pos + ln > len(b):
+            return None
+        frames.append(b[pos : pos + ln])
+        pos += ln
+    return frames
+
+
+def frame_sample(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """REAL frame sampling for VID0 video payloads: every Nth frame
+    decodes on the executors and returns as its own binary row
+    (asset_id, frame_no, frame) — the fan-out stage a video pipeline
+    feeds into per-frame image ops.  Non-VID0 payloads yield no rows
+    (the stub path ``frame_sample_stub`` remains for opaque codecs)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, frames = [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                frs = decode_video(bytes(payload)) if payload is not None else None
+                if not frs:
+                    continue
+                for i in range(0, len(frs), every_n):
+                    ids.append(int(aid))
+                    nos.append(i)
+                    frames.append(frs[i])
+            yield pd.DataFrame({"asset_id": ids, "frame_no": nos, "frame": frames})
+
+    return media.where(F.col("media_type") == "video").select(
+        "asset_id", "payload"
+    ).mapInPandas(kernel, "asset_id long, frame_no int, frame binary")
+
+
+def media_video_dedup(
+    media: DataFrame, every_n: int = 1, min_shared: int = 3
+) -> DataFrame:
+    """Near-duplicate VIDEO detection by frame-fingerprint matching:
+    sampled frames hash with the image dHash, videos sharing ≥
+    ``min_shared`` exact frame hashes pair up — the standard
+    frame-fingerprint inverted-index approach (each distinct hash is
+    a posting list; candidate cost is bounded by hash-collision
+    fan-out, never a video×video join).
+
+    Returns (asset_a, asset_b, n_shared_frames, n_frames_a,
+    n_frames_b)."""
+    frames = frame_sample(media, every_n=every_n)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, hashes = [], [], []
+            for aid, no, fr in zip(pdf["asset_id"], pdf["frame_no"], pdf["frame"]):
+                h = image_dhash(bytes(fr)) if fr is not None else None
+                if h is not None:
+                    ids.append(int(aid))
+                    nos.append(int(no))
+                    hashes.append(_signed64(h))
+            yield pd.DataFrame({"asset_id": ids, "frame_no": nos, "dhash": hashes})
+
+    hashed = frames.mapInPandas(kernel, "asset_id long, frame_no int, dhash long")
+    # distinct hashes per video: repeated identical frames within one
+    # video must not inflate the shared count
+    hv = hashed.select("asset_id", "dhash").distinct()
+    counts = hv.groupBy("asset_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    pairs = (
+        hv.alias("a")
+        .join(hv.alias("b"), (F.col("a.dhash") == F.col("b.dhash")) & (F.col("a.asset_id") < F.col("b.asset_id")))
+        .groupBy(
+            F.col("a.asset_id").alias("asset_a"),
+            F.col("b.asset_id").alias("asset_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_frames"))
+        .where(F.col("n_shared_frames") >= min_shared)
+    )
+    return (
+        pairs.join(counts.select(F.col("asset_id").alias("asset_a"), F.col("n_frames").alias("n_frames_a")), "asset_a")
+        .join(counts.select(F.col("asset_id").alias("asset_b"), F.col("n_frames").alias("n_frames_b")), "asset_b")
+        .select("asset_a", "asset_b", "n_shared_frames", "n_frames_a", "n_frames_b")
+        .orderBy("asset_a", "asset_b")
+    )
+
+
 def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata rollup over the opaque payload column — the query
     shape of a media-corpus inventory (oracle-checkable: byte

@@ -716,3 +716,55 @@ class TestAudioFingerprintDedup:
         )
         pairs = media_audio_dedup(media, max_hamming=2).collect()
         assert [(r["asset_a"], r["asset_b"], r["hamming"]) for r in pairs] == [(1, 2, 0)]
+
+
+class TestVideoFrameDedup:
+    def _video(self, fns, w=16, h=16):
+        from rakam_api_spark.llm.multimodal import encode_video
+
+        return encode_video([_gradient_bmp(w=w, h=h, fn=f) for f in fns])
+
+    def test_container_roundtrip_and_truncation(self):
+        from rakam_api_spark.llm.multimodal import decode_video, encode_video
+
+        frames = [b"abc", b"", b"xy" * 10]
+        blob = encode_video(frames)
+        assert decode_video(blob) == frames
+        assert decode_video(blob[:-3]) is None  # truncated
+        assert decode_video(b"nope") is None
+
+    def test_frame_sample_real_rows(self, spark):
+        from rakam_api_spark.llm.multimodal import frame_sample
+
+        vid = self._video([lambda x, y, k=k: x * 3 + y + k for k in range(6)])
+        media = spark.createDataFrame(
+            [(1, "video", bytearray(vid), None), (2, "image", bytearray(b"x"), None)],
+            "asset_id long, media_type string, payload binary, meta map<string,string>",
+        )
+        rows = frame_sample(media, every_n=2).collect()
+        assert [(r["asset_id"], r["frame_no"]) for r in rows] == [(1, 0), (1, 2), (1, 4)]
+        assert all(bytes(r["frame"])[:2] == b"BM" for r in rows)
+
+    def test_video_dedup_shared_frames(self, spark):
+        from rakam_api_spark.llm.multimodal import media_video_dedup
+
+        # structurally distinct frames: dHash keeps only the SIGN of
+        # the horizontal gradient (brightness- and slope-invariant),
+        # so frames must differ in where the gradient flips —
+        # sawtooth patterns with distinct periods do
+        fns = [lambda x, y, k=k: (x * (17 + 13 * k) + y * 7) % 120 for k in range(5)]
+        other = [lambda x, y, k=k: (x * (19 + 11 * k) + y * 31) % 90 for k in range(5)]
+        v1 = self._video(fns)
+        v2 = self._video(fns[1:] + other[:1])  # shares 4 of 5 frames with v1
+        v3 = self._video(other)
+        media = spark.createDataFrame(
+            [
+                (1, "video", bytearray(v1), None),
+                (2, "video", bytearray(v2), None),
+                (3, "video", bytearray(v3), None),
+            ],
+            "asset_id long, media_type string, payload binary, meta map<string,string>",
+        )
+        pairs = media_video_dedup(media, min_shared=3).collect()
+        assert [(r["asset_a"], r["asset_b"], r["n_shared_frames"]) for r in pairs] == [(1, 2, 4)]
+        assert pairs[0]["n_frames_a"] == 5 and pairs[0]["n_frames_b"] == 5
