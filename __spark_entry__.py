@@ -39,7 +39,7 @@ _MODULES = (
 )
 
 # The driver's correctness gate checks at most 50 queries per round, in
-# enumeration order.  With 123 declared queries, plain module order
+# enumeration order.  With 125 declared queries, plain module order
 # would starve the tail modules of a driver-verified CORRECTNESS row
 # forever.  Enumerate the stalest coverage first: round-5 additions
 # (never driver-checked), then the round-4 additions the r4 gate
@@ -99,6 +99,8 @@ _GATE_PRIORITY = (
     "sparse_tfidf_pairs",
     "padding_efficiency",
     "funnel_daily_trend",
+    "daily_new_vs_returning",
+    "market_basket_part_types",
     "key_skew_report",
     "hybrid_search",
     "ann_pq_topk",

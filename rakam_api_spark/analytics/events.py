@@ -2319,6 +2319,123 @@ FROM ranked GROUP BY 1 ORDER BY 1
 """
 
 
+def daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily audience split: users active on each day partitioned
+    into first-ever-seen ("new") vs returning — the daily companion
+    of the weekly lifecycle grid.
+
+    One distinct (user, day) projection; first-seen day via a
+    user-partitioned min window sharing the same exchange; day-grain
+    rollup with an exact-integer share division."""
+    ev = _events(spark, sf_dir)
+    pairs = ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    w = Window.partitionBy("user_id")
+    flagged = pairs.withColumn("first_day", F.min("day").over(w))
+    return (
+        flagged.groupBy("day")
+        .agg(
+            F.sum((F.col("day") == F.col("first_day")).cast("long")).alias("n_new"),
+            F.sum((F.col("day") != F.col("first_day")).cast("long")).alias("n_returning"),
+        )
+        .withColumn(
+            "new_share",
+            F.col("n_new").cast("double")
+            / (F.col("n_new") + F.col("n_returning")).cast("double"),
+        )
+        .orderBy("day")
+    )
+
+
+DAILY_NEW_RETURNING_ORACLE = """
+WITH pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+flagged AS (
+  SELECT day, user_id, MIN(day) OVER (PARTITION BY user_id) AS first_day FROM pairs
+)
+SELECT day,
+       CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
+       CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS new_share
+FROM flagged GROUP BY 1 ORDER BY 1
+"""
+
+
+def market_basket_part_types(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Market-basket affinity over orders: which PART TYPES co-occur
+    in the same order more than their popularity predicts (lift =
+    P(a,b) / (P(a)·P(b))) — the retail affinity report, on the TPC-H
+    star schema.
+
+    Baskets collapse to DISTINCT (order, type) first, so the
+    within-order pair expansion is bounded by |types present in the
+    order|² (≤ 6² here, never line-item²); singles and the basket
+    count are two tiny aggregates broadcast back.  Lift is computed
+    from exact integer counts with IEEE divisions in a fixed order."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.join(broadcast(part.select("p_partkey", "p_type")), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("okey"), "p_type")
+        .distinct()
+    )
+    n_baskets = baskets.select("okey").distinct().count()
+    singles = baskets.groupBy("p_type").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        baskets.alias("a")
+        .join(
+            baskets.alias("b"),
+            (F.col("a.okey") == F.col("b.okey")) & (F.col("a.p_type") < F.col("b.p_type")),
+        )
+        .groupBy(
+            F.col("a.p_type").alias("type_a"),
+            F.col("b.p_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    na = singles.select(F.col("p_type").alias("type_a"), F.col("n").alias("n_a"))
+    nb = singles.select(F.col("p_type").alias("type_b"), F.col("n").alias("n_b"))
+    nb_d = float(n_baskets)
+    return (
+        pairs.join(broadcast(na), "type_a")
+        .join(broadcast(nb), "type_b")
+        .withColumn(
+            "lift",
+            (F.col("n_both").cast("double") / F.lit(nb_d))
+            / (
+                (F.col("n_a").cast("double") / F.lit(nb_d))
+                * (F.col("n_b").cast("double") / F.lit(nb_d))
+            ),
+        )
+        .select("type_a", "type_b", "n_both", "n_a", "n_b", "lift")
+        .orderBy(F.desc("n_both"), F.asc("type_a"), F.asc("type_b"))
+        .limit(k)
+    )
+
+
+MARKET_BASKET_ORACLE = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS okey, p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+nb AS (SELECT CAST(COUNT(DISTINCT okey) AS DOUBLE) AS n_baskets FROM baskets),
+singles AS (SELECT p_type, COUNT(*) AS n FROM baskets GROUP BY 1),
+pairs AS (
+  SELECT a.p_type AS type_a, b.p_type AS type_b, COUNT(*) AS n_both
+  FROM baskets a JOIN baskets b ON a.okey = b.okey AND a.p_type < b.p_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, CAST(n_both AS BIGINT) AS n_both,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       (CAST(n_both AS DOUBLE) / n_baskets)
+         / ((CAST(sa.n AS DOUBLE) / n_baskets) * (CAST(sb.n AS DOUBLE) / n_baskets)) AS lift
+FROM pairs
+JOIN singles sa ON sa.p_type = pairs.type_a
+JOIN singles sb ON sb.p_type = pairs.type_b, nb
+ORDER BY n_both DESC, type_a ASC, type_b ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "seg_daily_event_counts": seg_daily_event_counts,
     "dau": dau,
@@ -2364,6 +2481,8 @@ QUERIES = {
     "funnel_unordered": funnel_unordered,
     "funnel_daily_trend": funnel_daily_trend,
     "key_skew_report": key_skew_report,
+    "daily_new_vs_returning": daily_new_vs_returning,
+    "market_basket_part_types": market_basket_part_types,
 }
 
 ORACLES = {
@@ -2413,4 +2532,6 @@ ORACLES = {
     "funnel_unordered": FUNNEL_UNORDERED_ORACLE,
     "funnel_daily_trend": FUNNEL_DAILY_TREND_ORACLE,
     "key_skew_report": KEY_SKEW_ORACLE,
+    "daily_new_vs_returning": DAILY_NEW_RETURNING_ORACLE,
+    "market_basket_part_types": MARKET_BASKET_ORACLE,
 }
