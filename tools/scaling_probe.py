@@ -88,6 +88,8 @@ OPERATORS = [
     "rollup_reuse_monthly",
     "funnel_unordered",
     "padding_efficiency",
+    "daily_new_vs_returning",
+    "market_basket_part_types",
 ]
 
 
