@@ -112,3 +112,46 @@ def test_localbus_replay_same_offsets(spark, warehouse, tmp_path):
         assert collector.store.read("proj", "c").count() == 8
     finally:
         q2.stop()
+
+
+def test_localbus_stream_maintains_rollup_and_routes(spark, warehouse, tmp_path):
+    """Full composition: bus produce → streaming ingest → per-epoch
+    rollup maintenance → route_report answered from the cells."""
+    bus_dir = str(tmp_path / "bus2")
+    measures = {"n_events": "CAST(COUNT(*) AS BIGINT)"}
+    events = [
+        {
+            "collection": "clicks",
+            "properties": {"event_type": "view", "_time": "2024-03-05 10:00:00"},
+            "api": {"uuid": f"r{i}"},
+        }
+        for i in range(10)
+    ]
+    producer = LocalBusProducer(bus_dir)
+    for key, value in to_kafka_envelopes(events, "proj"):
+        producer.send("events", key, value)
+    producer.flush()
+
+    ms = Metastore(warehouse)
+    collector = EventCollector(spark, ms, pipeline=EnrichmentPipeline([TimestampMapper()]))
+    ing = StreamingIngest(
+        collector,
+        "proj",
+        rollup_specs={"clicks": {"dims": ("event_type",), "measures": measures}},
+    )
+    q = ing.start_local_bus_stream(bus_dir, "events", str(tmp_path / "ck2"))
+    try:
+        assert _await(lambda: _stored_count(collector, "proj", "clicks") == 10)
+        assert _await(
+            lambda: collector.store.rollup_meta("proj", "clicks") is not None
+        )
+    finally:
+        q.stop()
+    routed = collector.store.route_report(
+        "proj", "clicks", dims=("event_type",), measures=measures, grain="month"
+    )
+    assert routed.route == "rollup"
+    rows = routed.df.collect()
+    assert [(r["_month"], r["event_type"], r["n_events"]) for r in rows] == [
+        ("2024-03", "view", 10)
+    ]
