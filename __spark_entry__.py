@@ -39,68 +39,21 @@ _MODULES = (
 )
 
 # The driver's correctness gate checks at most 50 queries per round, in
-# enumeration order.  With 125 declared queries, plain module order
+# enumeration order.  With 125+ declared queries, plain module order
 # would starve the tail modules of a driver-verified CORRECTNESS row
-# forever.  Enumerate the stalest coverage first: round-5 additions
-# (never driver-checked), then the round-4 additions the r4 gate
-# rotated out, then queries last checked in round 3; the 50 verified
-# in CORRECTNESS_r04 enumerate last.  Everything listed here passes
+# forever.  Round-6 rotation: (a) the three queries modified this round
+# (the r5-red `user_metric_correlation` plus the two scale fixes) must
+# re-enter the gate, (b) the 12 queries never driver-checked in any
+# round, (c) round-6 additions, (d) the queries last checked in round 3
+# (stalest green coverage); everything green in CORRECTNESS_r05
+# enumerates last.  Everything listed here passes
 # tools/check_correctness.py locally at sf0.01 and sf0.001.
 _GATE_PRIORITY = (
-    # never driver-checked, stalest first: round-4-era additions the
-    # r4 gate rotated out
-    "q7_nation_volume",
-    "q8_market_share",
-    "q14_promo_revenue",
-    "q22_idle_balances",
-    "stickiness_dau_mau",
-    "rfm_segments",
-    "curation_funnel",
-    "corpus_top_ngrams",
-    "contamination_check",
-    "dedup_clusters",
-    "doc_typicality",
-    "embedding_cluster_profile",
-    "mix_weights",
-    "pack_sequences",
-    "pii_redaction",
-    "quality_repetition_rules",
-    "stratified_sample",
-    # round-5 first-wave additions (never driver-checked)
-    "bm25_search",
-    "dup_ngram_spans",
-    "power_user_curve",
-    "value_histogram",
-    "doc_chunking",
-    "quality_top_quartile",
-    "user_lifecycle_grid",
-    "funnel_with_exclusion",
-    "source_dup_matrix",
-    "vocab_coverage",
-    "events_pivot_daily",
-    "hourly_counts_gapfilled",
-    "segment_overlap_matrix",
+    # modified this round — must re-verify
     "user_metric_correlation",
-    "sliding_window_counts",
-    "event_transition_matrix",
-    "data_quality_audit",
-    "top3_parts_per_brand",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q12_late_priority",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_revenue",
-    "q20_dominant_supplier",
-    # round-5 second-wave additions (this session)
     "sparse_tfidf_pairs",
-    "padding_efficiency",
-    "funnel_daily_trend",
-    "daily_new_vs_returning",
     "market_basket_part_types",
+    # never driver-checked in any round (verified locally in r5+r6)
     "key_skew_report",
     "hybrid_search",
     "ann_pq_topk",
@@ -113,7 +66,8 @@ _GATE_PRIORITY = (
     "priority_sample",
     "dataset_splits",
     "training_shuffle",
-    # last driver-checked in round 3
+    # round-6 additions (never driver-checked)
+    # last driver-checked in round 3 (stalest green coverage)
     "ann_brute_force_topk",
     "ann_ivf_topk",
     "ann_kmeans_ivf_topk",

@@ -1586,9 +1586,13 @@ GROUP BY a.event_type, b.event_type
 def user_metric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation between per-user event count and active-day
     count, computed from EXACT integer sums (Σx, Σy, Σxy, Σx², Σy²
-    are bigint-exact, the final r is a fixed-order chain of IEEE
-    ops incl. correctly-rounded sqrt) — bit-identical across engines,
-    unlike built-in ``corr`` whose float summation is order-dependent.
+    are bigint-exact).  The final r chains ~9 IEEE double ops; unlike
+    the repo's other float-emitting queries (single division/sqrt of
+    exact integers) that chain is NOT guaranteed bit-identical across
+    engine builds — an FMA-contracting build computes ``n*sxx - sx*sx``
+    to a different last ulp.  So r is rounded to 9 decimal places on
+    BOTH sides (|r| <= 1, so 9 decimals ≈ 9 significant digits), which
+    absorbs any 1-ulp divergence while the integer moments stay exact.
 
     One user-grain aggregation + one single-row moment aggregate.
     """
@@ -1612,7 +1616,7 @@ def user_metric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("syy").cast("double"),
     )
     r = (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
-    return m.select("n", "sx", "sy", r.alias("pearson_r"))
+    return m.select("n", "sx", "sy", F.round(r, 9).alias("pearson_r"))
 
 
 USER_METRIC_CORR_ORACLE = """
@@ -1628,10 +1632,11 @@ WITH per_user AS (
   FROM per_user
 )
 SELECT n, sx, sy,
-       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-       / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-          * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-         AS pearson_r
+       ROUND(
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+         9) AS pearson_r
 FROM m
 """
 
@@ -2369,8 +2374,13 @@ def market_basket_part_types(spark: SparkSession, sf_dir: str, k: int = 20) -> D
     Baskets collapse to DISTINCT (order, type) first, so the
     within-order pair expansion is bounded by |types present in the
     order|² (≤ 6² here, never line-item²); singles and the basket
-    count are two tiny aggregates broadcast back.  Lift is computed
-    from exact integer counts with IEEE divisions in a fixed order."""
+    count are two tiny aggregates broadcast back.  The basket count
+    is a single-row aggregate joined in via crossJoin(broadcast(...))
+    — NOT an eager driver-side .count() — so the whole query is one
+    plan with no driver barrier, and Spark's ReuseExchange collapses
+    the repeated baskets-distinct subtree into a single lineitem⋈part
+    scan.  Lift is computed from exact integer counts with IEEE
+    divisions in a fixed order."""
     part = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
     baskets = (
@@ -2378,7 +2388,9 @@ def market_basket_part_types(spark: SparkSession, sf_dir: str, k: int = 20) -> D
         .select(F.col("l_orderkey").alias("okey"), "p_type")
         .distinct()
     )
-    n_baskets = baskets.select("okey").distinct().count()
+    nb_row = baskets.agg(
+        F.countDistinct("okey").cast("double").alias("n_baskets")
+    )
     singles = baskets.groupBy("p_type").agg(F.count(F.lit(1)).alias("n"))
     pairs = (
         baskets.alias("a")
@@ -2394,16 +2406,16 @@ def market_basket_part_types(spark: SparkSession, sf_dir: str, k: int = 20) -> D
     )
     na = singles.select(F.col("p_type").alias("type_a"), F.col("n").alias("n_a"))
     nb = singles.select(F.col("p_type").alias("type_b"), F.col("n").alias("n_b"))
-    nb_d = float(n_baskets)
     return (
         pairs.join(broadcast(na), "type_a")
         .join(broadcast(nb), "type_b")
+        .crossJoin(broadcast(nb_row))
         .withColumn(
             "lift",
-            (F.col("n_both").cast("double") / F.lit(nb_d))
+            (F.col("n_both").cast("double") / F.col("n_baskets"))
             / (
-                (F.col("n_a").cast("double") / F.lit(nb_d))
-                * (F.col("n_b").cast("double") / F.lit(nb_d))
+                (F.col("n_a").cast("double") / F.col("n_baskets"))
+                * (F.col("n_b").cast("double") / F.col("n_baskets"))
             ),
         )
         .select("type_a", "type_b", "n_both", "n_a", "n_b", "lift")

@@ -760,7 +760,7 @@ def frame_sample(media: DataFrame, every_n: int = 30) -> DataFrame:
 
 
 def media_video_dedup(
-    media: DataFrame, every_n: int = 1, min_shared: int = 3
+    media: DataFrame, every_n: int = 1, min_shared: int = 3, max_postings: int = 500
 ) -> DataFrame:
     """Near-duplicate VIDEO detection by frame-fingerprint matching:
     sampled frames hash with the image dHash, videos sharing ≥
@@ -769,8 +769,18 @@ def media_video_dedup(
     a posting list; candidate cost is bounded by hash-collision
     fan-out, never a video×video join).
 
+    SKEW GUARD: a frame hash appearing in more than ``max_postings``
+    videos (a black frame, a title card, a network bumper) is a hot
+    key whose posting list would expand quadratically — and carries
+    no dedup signal, exactly like a stopword in text search.  Such
+    hashes are DROPPED before the pair join (idf floor), bounding
+    every per-hash expansion at max_postings² — the same cap every
+    other pair sweep in this repo applies (``_hamming_band_pairs``,
+    ``llm/dedup.py`` LSH buckets).
+
     Returns (asset_a, asset_b, n_shared_frames, n_frames_a,
-    n_frames_b)."""
+    n_frames_b); n_shared_frames counts shared NON-ubiquitous frame
+    hashes (n_frames_* still count all distinct hashes per video)."""
     frames = frame_sample(media, every_n=every_n)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -789,9 +799,18 @@ def media_video_dedup(
     # video must not inflate the shared count
     hv = hashed.select("asset_id", "dhash").distinct()
     counts = hv.groupBy("asset_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    # idf floor: drop frame hashes shared by more than max_postings
+    # videos before the self-join (hot-key quadratic-expansion guard)
+    rare = (
+        hv.groupBy("dhash")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= max_postings))
+        .select("dhash")
+    )
+    hv_rare = hv.join(rare, "dhash")
     pairs = (
-        hv.alias("a")
-        .join(hv.alias("b"), (F.col("a.dhash") == F.col("b.dhash")) & (F.col("a.asset_id") < F.col("b.asset_id")))
+        hv_rare.alias("a")
+        .join(hv_rare.alias("b"), (F.col("a.dhash") == F.col("b.dhash")) & (F.col("a.asset_id") < F.col("b.asset_id")))
         .groupBy(
             F.col("a.asset_id").alias("asset_a"),
             F.col("b.asset_id").alias("asset_b"),
@@ -950,19 +969,33 @@ def _hamming_band_pairs(
     hashed: DataFrame,
     hash_col: str,
     max_hamming: int,
-    bands: int = 4,
+    bands: int = 8,
     max_bucket: int = 500,
 ) -> DataFrame:
-    """Shared hamming-LSH pair expansion: 16-bit bands of a 64-bit
-    hash bucket candidates (a pair within ``max_hamming`` collides on
-    ≥1 band whenever its flips spread across bands), oversized
-    buckets fall back to star pairing, and candidates verify by exact
-    ``bit_count(xor)`` — the simhash banding pattern (dedup.py)
-    applied to any perceptual-hash column."""
+    """Shared hamming-LSH pair expansion: (64/bands)-bit bands of a
+    64-bit hash bucket candidates, oversized buckets fall back to
+    star pairing, and candidates verify by exact ``bit_count(xor)``
+    — the simhash banding pattern (dedup.py) applied to any
+    perceptual-hash column.
+
+    RECALL (pigeonhole): a pair at hamming distance ≤ bands-1 cannot
+    flip a bit in every band, so it ALWAYS collides on ≥1 band —
+    recall is guaranteed, not probabilistic, whenever
+    ``max_hamming <= bands - 1``.  The default 8×8-bit bands
+    guarantee recall at hamming ≤ 7, covering every caller's default
+    threshold (image dedup's max_hamming=6 flips could spread
+    2/2/1/1 over the previous 4×16-bit layout and miss)."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the guaranteed-recall bound "
+            f"bands-1={bands - 1}; raise bands (64 // bands bits each)"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
     band_cols = [
         F.struct(
             F.lit(i).alias("band"),
-            F.shiftrightunsigned(F.col(hash_col), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+            F.shiftrightunsigned(F.col(hash_col), i * width).bitwiseAND(F.lit(mask)).alias("key"),
         )
         for i in range(bands)
     ]
@@ -1009,7 +1042,7 @@ def _signed64(h: int) -> int:
 
 
 def media_phash_dedup(
-    media: DataFrame, max_hamming: int = 6, bands: int = 4, max_bucket: int = 500
+    media: DataFrame, max_hamming: int = 6, bands: int = 8, max_bucket: int = 500
 ) -> DataFrame:
     """Near-duplicate IMAGE detection: dHash per asset (Arrow kernel,
     decode stays on executors) + the shared hamming-LSH pair sweep.
@@ -1032,7 +1065,7 @@ def media_phash_dedup(
 
 
 def media_audio_dedup(
-    media: DataFrame, max_hamming: int = 6, bands: int = 4, max_bucket: int = 500
+    media: DataFrame, max_hamming: int = 6, bands: int = 8, max_bucket: int = 500
 ) -> DataFrame:
     """Near-duplicate AUDIO detection: spectral fingerprint per asset
     + the shared hamming-LSH pair sweep.  Volume-scaled re-encodes of

@@ -202,6 +202,14 @@ FROM (
 """
 
 
+# Absolute posting-list cap for the sparse pair join: a shingle kept
+# by the relative N/20 band can still have an N-proportional df, which
+# would make worst-case pair expansion O((N/20)²).  256 bounds every
+# posting list — and therefore every per-shingle pair expansion —
+# by a constant, independent of corpus size.
+MAX_DF_CAP = 256
+
+
 def sparse_tfidf_pairs(spark: SparkSession, sf_dir: str, n: int = 3, k: int = 20) -> DataFrame:
     """Sparse lexical similarity join: top-k document pairs by
     idf²-weighted shared-shingle score — the inverted-index
@@ -211,10 +219,14 @@ def sparse_tfidf_pairs(spark: SparkSession, sf_dir: str, n: int = 3, k: int = 20
     Features are distinct word 3-gram shingles (the unigram
     vocabulary of the synthetic corpus is ~31 terms, all stopword-
     frequency).  The DF-BAND FILTER is the scale guarantee: shingles
-    with df < 2 pair nothing and shingles with df > N/20 are dropped
-    as boilerplate, so each surviving posting list expands to at most
-    (N/20)² pairs — there is NO all-pairs self-join anywhere, and the
-    expansion bound holds at any corpus size (same skew-guard shape
+    with df < 2 pair nothing, and a surviving shingle's df is capped
+    by min(N div 20, 256) — the relative band drops corpus-wide
+    boilerplate at small N, and the ABSOLUTE cap of 256 bounds every
+    posting list at any corpus size, so per-shingle pair expansion is
+    O(256²) ≈ 32k pairs CONSTANT, not a function of N (a df-256
+    shingle at N=1M already carries idf weight ~3900× below a df-2
+    shingle's — boilerplate above the cap has no similarity signal).
+    There is NO all-pairs self-join anywhere (same skew-guard shape
     as the LSH bucket caps in dedup.py).
 
     Determinism: weights are INTEGER idf (N div df) squared, summed
@@ -229,7 +241,10 @@ def sparse_tfidf_pairs(spark: SparkSession, sf_dir: str, n: int = 3, k: int = 20
         .crossJoin(broadcast(n_docs))
         .where(
             (F.col("df") >= 2)
-            & (F.col("df") <= F.greatest(F.lit(2), F.expr("n_docs div 20")))
+            & (
+                F.col("df")
+                <= F.least(F.greatest(F.lit(2), F.expr("n_docs div 20")), F.lit(MAX_DF_CAP))
+            )
         )
         .withColumn("w", F.expr("n_docs div df"))
         .select("shingle", "w")
@@ -265,7 +280,7 @@ nd AS (SELECT COUNT(*) AS n_docs FROM documents),
 dfb AS (
   SELECT shingle, n_docs // df AS wt
   FROM (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1), nd
-  WHERE df >= 2 AND df <= greatest(2, n_docs // 20)
+  WHERE df >= 2 AND df <= least(greatest(2, n_docs // 20), 256)
 ),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

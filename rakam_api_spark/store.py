@@ -56,17 +56,73 @@ class RoutedReport:
     reason: str
 
 
+def _paren_valid(s: str) -> bool:
+    """True when parentheses in ``s`` are balanced and the depth
+    never goes negative — i.e. ``s`` is a self-contained expression,
+    not a fragment cut out of a larger one."""
+    depth = 0
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0
+
+
+def _strip_casts(expr: str) -> str:
+    """Peel outer ``CAST(<inner> AS <type>)`` wrappers (the rollup's
+    default measures are cast-wrapped); returns the innermost
+    expression.  Conservative: bails (returns as-is) whenever the
+    wrapper isn't a clean whole-expression cast."""
+    while True:
+        m = re.match(r"^CAST\s*\(", expr, re.I)
+        if not m or not expr.endswith(")"):
+            return expr
+        inner = expr[m.end() : -1]
+        # locate the LAST top-level " AS " (the cast's own)
+        depth, as_pos = 0, -1
+        for j in range(len(inner)):
+            c = inner[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth < 0:
+                    return expr  # trailing ')' wasn't the CAST's
+            elif depth == 0 and inner[j : j + 4].upper() == " AS ":
+                as_pos = j
+        if as_pos < 0:
+            return expr
+        cand = inner[:as_pos].strip()
+        if not _paren_valid(cand):
+            return expr
+        expr = cand
+
+
 def _reagg_fn(measure_sql: str) -> str | None:
     """Re-aggregation rule for answering a measure FROM the rollup's
     day-grain cells: COUNT/SUM cells re-SUM, MIN/MAX re-extremize.
     DISTINCT aggregates and anything unrecognized (AVG, percentiles,
     UDAFs) are NOT algebraically mergeable from cells → None routes
-    the report to raw."""
-    up = measure_sql.upper()
-    if re.search(r"\b(COUNT|SUM|MIN|MAX)\s*\(\s*DISTINCT\b", up):
-        return None
-    m = re.search(r"\b(COUNT|SUM|MIN|MAX)\s*\(", up)
+    the report to raw.
+
+    The measure must be EXACTLY ONE aggregate call spanning the whole
+    expression (CAST wrappers allowed) — a compound like
+    ``SUM(x)/COUNT(*)`` or ``MAX(v)-MIN(v)`` is NOT cell-mergeable
+    (re-SUMming a per-day ratio serves wrong numbers at coarser
+    grain), so any arithmetic around or between aggregates → None."""
+    up = _strip_casts(measure_sql.strip().upper())
+    m = re.match(r"^(COUNT|SUM|MIN|MAX)\s*\((.*)\)$", up, re.S)
     if not m:
+        return None
+    inner = m.group(2)
+    if not _paren_valid(inner):
+        # the final ')' wasn't this aggregate's own closing paren —
+        # there is trailing arithmetic, e.g. SUM(X)/COUNT(*)
+        return None
+    if re.match(r"^\s*DISTINCT\b", inner):
         return None
     return {"COUNT": "SUM", "SUM": "SUM", "MIN": "MIN", "MAX": "MAX"}[m.group(1)]
 
@@ -281,6 +337,14 @@ class EventStore:
         swap as ``compact`` (the old version stays live until the
         pointer flips; a crash never leaves a missing table).
 
+        DERIVED tables are refreshed too: the ``.bucketed`` analytics
+        copy (full row-level copies of the user's data) is
+        re-published from the rewritten base using its recorded
+        publish contract, and the ``.rollup`` cells (which embed the
+        user's contributions in their aggregates) are fully rebuilt
+        from their ``_rollup_meta.json`` contract — without this the
+        user is NOT actually erased from the warehouse.
+
         Returns {collection: rows_removed}.  Collections lacking
         ``user_col`` are skipped.  At 100 TB the rewrite cost is the
         erasure-batch amortization problem every lakehouse has;
@@ -311,7 +375,36 @@ class EventStore:
             self.metastore.set_config(project, f"TABLE_VERSION_{coll}", nxt)
             shutil.rmtree(path, ignore_errors=True)
             removed[coll] = n_before - n_after
+            if removed[coll]:
+                self._refresh_derived(project, coll)
         return removed
+
+    def _refresh_derived(self, project: str, collection: str) -> None:
+        """Rebuild the derived ``.bucketed`` and ``.rollup`` tables of
+        a collection from its (just-rewritten) base — the maintenance
+        follow-up erase_user owes: both artifacts carry the user's
+        data (row copies / aggregate contributions) and would
+        otherwise survive the base rewrite."""
+        rmeta = self.rollup_meta(project, collection)
+        if rmeta is not None:
+            self.publish_rollup(
+                project,
+                collection,
+                dims=tuple(rmeta["dims"]),
+                measures=dict(rmeta["measures"]),
+                months=None,  # full rebuild: every cell may change
+            )
+        bmeta = self.metastore.get_config(project, f"BUCKETED_{collection}")
+        if bmeta is not None and os.path.isdir(
+            self._base_path(project, collection) + ".bucketed"
+        ):
+            self.publish_bucketed(
+                project,
+                collection,
+                key=bmeta["key"],
+                n_buckets=int(bmeta["n_buckets"]),
+                table_name=bmeta["table_name"],
+            )
 
     def publish_bucketed(
         self,
@@ -340,6 +433,14 @@ class EventStore:
             key=key,
             sort_cols=sort_cols,
             n_buckets=n_buckets,
+        )
+        # record the publish contract so maintenance ops (erase_user)
+        # can REFRESH this derived table rather than silently leaving
+        # full row copies of erased users behind
+        self.metastore.set_config(
+            project,
+            f"BUCKETED_{collection}",
+            {"key": key, "n_buckets": n_buckets, "table_name": name},
         )
         return name
 
@@ -546,6 +647,10 @@ class EventStore:
         names = {
             re.sub(r"\.v\d+$", "", d)  # versioned dirs map to their table
             for d in os.listdir(base)
-            if not d.startswith("_")
+            # derived maintenance artifacts are NOT collections (and
+            # must never be rewritten as if they were: a versioned
+            # plain-parquet rewrite would strip .bucketed's catalog
+            # bucketing metadata)
+            if not d.startswith("_") and not d.endswith((".bucketed", ".rollup"))
         }
         return sorted(names)

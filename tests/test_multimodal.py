@@ -768,3 +768,34 @@ class TestVideoFrameDedup:
         pairs = media_video_dedup(media, min_shared=3).collect()
         assert [(r["asset_a"], r["asset_b"], r["n_shared_frames"]) for r in pairs] == [(1, 2, 4)]
         assert pairs[0]["n_frames_a"] == 5 and pairs[0]["n_frames_b"] == 5
+
+    def test_video_dedup_hot_frame_capped(self, spark):
+        """A frame shared by MANY videos (title card / black frame) is a
+        hot posting list: without the idf floor, 60 videos sharing one
+        frame expand to C(60,2)=1770 candidate pairs.  With
+        max_postings below the fan-out, the ubiquitous hash is dropped
+        and contributes ZERO pairs — while genuinely shared rare
+        frames still dedup."""
+        from rakam_api_spark.llm.multimodal import encode_video, media_video_dedup
+
+        title_card = _gradient_bmp(w=16, h=16, fn=lambda x, y: (x * 29 + y * 3) % 100)
+        uniq = [
+            _gradient_bmp(w=16, h=16, fn=lambda x, y, k=k: (x * (23 + 13 * k) + y * 5) % 110)
+            for k in range(62)
+        ]
+        rows = [
+            (i, "video", bytearray(encode_video([title_card, uniq[i]])), None)
+            for i in range(60)
+        ]
+        # videos 100/101 share 3 RARE frames (plus the hot title card)
+        rows.append((100, "video", bytearray(encode_video([title_card] + uniq[59:62])), None))
+        rows.append((101, "video", bytearray(encode_video([title_card] + uniq[59:62])), None))
+        media = spark.createDataFrame(
+            rows,
+            "asset_id long, media_type string, payload binary, meta map<string,string>",
+        )
+        pairs = media_video_dedup(media, min_shared=1, max_postings=10).collect()
+        got = [(r["asset_a"], r["asset_b"], r["n_shared_frames"]) for r in pairs]
+        # the 1770 title-card-only pairs are gone; the rare-frame pair
+        # survives with the title card excluded from its shared count
+        assert got == [(59, 100, 1), (59, 101, 1), (100, 101, 3)]

@@ -119,6 +119,27 @@ class TestRollupRouting:
                 months=["2024-01"],
             )
 
+    def test_compound_measure_never_served_from_cells(self, loaded_store):
+        """'SUM(x)/COUNT(*)' per DAY cell is a ratio: re-SUMming it at
+        month/total grain serves wrong numbers.  Any arithmetic around
+        or between aggregates must route to raw — even when the exact
+        same expression string was published as a rollup measure."""
+        ratio = {"avg_value": "SUM(value)/COUNT(*)"}
+        loaded_store.publish_rollup(
+            "proj", "clicks", dims=("event_type",), measures={**MEASURES, **ratio}
+        )
+        for m in (ratio, {"spread": "MAX(value)-MIN(value)"}, {"n1": "COUNT(*) + 1"}):
+            routed = loaded_store.route_report(
+                "proj", "clicks", dims=("event_type",), measures={**MEASURES, **m},
+                grain="month",
+            )
+            assert routed.route == "raw", m
+        # plain single aggregates (CAST-wrapped or not) still route to cells
+        ok = loaded_store.route_report(
+            "proj", "clicks", dims=("event_type",), measures=MEASURES, grain="month"
+        )
+        assert ok.route == "rollup"
+
     def test_no_rollup_falls_back(self, spark, warehouse):
         ms = Metastore(warehouse)
         collector = EventCollector(spark, ms, pipeline=EnrichmentPipeline([TimestampMapper()]))

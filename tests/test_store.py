@@ -176,6 +176,38 @@ def test_erase_user_rewrites_without_rows(spark, warehouse):
     assert months == {"_month=2024-01", "_month=2024-02"}
 
 
+def test_erase_user_refreshes_derived_tables(spark, warehouse):
+    """Right-to-be-forgotten must reach DERIVED artifacts: the
+    .bucketed analytics copy holds full row copies of the user's data
+    and the .rollup cells embed their contributions — a base-only
+    rewrite would leave the user recoverable from the warehouse."""
+    ms = Metastore(warehouse)
+    collector = EventCollector(spark, ms, pipeline=EnrichmentPipeline([TimestampMapper()]))
+    for i in range(8):
+        collector.collect(
+            "proj",
+            "clicks",
+            {"uid": i % 4, "value": float(i), "_time": f"2024-01-{i + 1:02d} 09:00:00"},
+        )
+    store = collector.store
+    tbl = store.publish_bucketed("proj", "clicks", key="uid", n_buckets=4)
+    store.publish_rollup(
+        "proj", "clicks", dims=("uid",), measures={"n_events": "CAST(COUNT(*) AS BIGINT)"}
+    )
+    assert spark.table(tbl).where("uid = 1").count() == 2
+    assert store.read_rollup("proj", "clicks").where("uid = 1").count() > 0
+
+    removed = store.erase_user("proj", "uid", 1)
+    assert removed == {"clicks": 2}
+    # base, bucketed copy, and rollup cells are all clean
+    assert store.read("proj", "clicks").where("uid = 1").count() == 0
+    assert spark.table(tbl).where("uid = 1").count() == 0
+    assert store.read_rollup("proj", "clicks").where("uid = 1").count() == 0
+    # untouched users' cells survive the refresh
+    assert spark.table(tbl).count() == 6
+    assert store.read_rollup("proj", "clicks").agg({"n_events": "sum"}).collect()[0][0] == 6
+
+
 def test_table_stats_per_month(spark, warehouse):
     ms = Metastore(warehouse)
     collector = EventCollector(spark, ms, pipeline=EnrichmentPipeline([TimestampMapper()]))
