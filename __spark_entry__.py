@@ -67,6 +67,9 @@ _GATE_PRIORITY = (
     "dataset_splits",
     "training_shuffle",
     # round-6 additions (never driver-checked)
+    "media_phash_dedup",
+    "media_audio_dedup",
+    "media_video_dedup",
     # last driver-checked in round 3 (stalest green coverage)
     "ann_brute_force_topk",
     "ann_ivf_topk",

@@ -55,6 +55,12 @@ class IngestReport:
     # rows — the exact rows stored — instead of re-executing the
     # enrich+coerce lineage; call ``release()`` when done.
     valid_df: DataFrame | None = None
+    # month partitions ("yyyy-MM") this batch's stored rows touched —
+    # collected by the write-pass Observation when the ingest was
+    # called with ``observe_months=True`` (None otherwise).  Streaming
+    # rollup maintenance reads this instead of re-executing the batch
+    # lineage for a distinct() pass.
+    months_touched: list[str] | None = None
     _retained: bool = False
 
     def release(self) -> None:
@@ -122,6 +128,7 @@ class EventCollector:
         ctx: dict | None = None,
         type_overrides: dict | None = None,
         retain_valid: bool = False,
+        observe_months: bool = False,
     ) -> IngestReport:
         collection = strip_collection_name(collection)
         if collection in self.excluded:
@@ -262,11 +269,19 @@ class EventCollector:
                 bad_count_col="_rakam_n_bad",
             )
             obs = Observation()
-            to_store = result.valid.observe(
-                obs,
+            obs_aggs = [
                 F.count(F.lit(1)).alias("n"),
                 F.coalesce(F.sum("_rakam_n_bad"), F.lit(0)).cast("long").alias("n_bad"),
-            ).drop("_rakam_n_bad")
+            ]
+            if observe_months and "_time" in result.valid.columns:
+                # month partitions touched, collected DURING the write
+                # (no second lineage pass for rollup maintenance)
+                obs_aggs.append(
+                    F.sort_array(
+                        F.collect_set(F.date_format("_time", "yyyy-MM"))
+                    ).alias("months")
+                )
+            to_store = result.valid.observe(obs, *obs_aggs).drop("_rakam_n_bad")
             if retain_valid:
                 # persist BEFORE the append: the write action fills
                 # the cache, so a later subscriber push reads exactly
@@ -296,6 +311,7 @@ class EventCollector:
             dead_lettered=dead,
             new_fields={n: t.value for n, t in new_fields.items()},
             valid_df=result.valid,
+            months_touched=list(metrics["months"]) if "months" in metrics else None,
             _retained=retain_valid,
         )
 

@@ -1088,10 +1088,170 @@ def media_audio_dedup(
     return _hamming_band_pairs(hashed, "afp", max_hamming, bands, max_bucket)
 
 
+# --- planted media corpora: oracle-gated dedup fixtures ----------------
+#
+# The media dedup operators (perceptual image hash, audio fingerprint,
+# video frame fingerprints) decode real bytes on the executors — an
+# ANSI-SQL oracle can't reproduce the decode.  To still gate them with
+# the driver's side-by-side check, the corpus is PLANTED: payloads are
+# synthesized deterministically from doc_id arithmetic, so group
+# membership (doc_id % n_groups) fully determines which assets are
+# duplicates, and the expected pair set is computable in pure SQL over
+# the documents table.  The Spark side does the REAL work — encode,
+# decode, hash, LSH sweep — and must land exactly on the arithmetic
+# answer.  Families are chosen with verified margins: image sawtooths
+# separate by ≥9 hamming bits across groups (threshold 6), audio tones
+# by ≥21 bits; within-group payloads are bit-identical (gain/brightness
+# invariance is covered by pytest, where the margin analysis lives).
+#
+# The fixture pins doc_id < _PLANT_N so the corpus — and therefore the
+# oracle answer — is IDENTICAL at every scale factor ≥ sf0.001.
+
+_PLANT_N = 400  # assets per planted corpus (doc_id < 400 exists at every sf)
+
+
+def _bmp_gray16(vals: "np.ndarray") -> bytes:
+    """16×16 24-bit grayscale BMP from a (16,16) uint8 value grid
+    (row 0 = top) — vectorized counterpart of the pytest gradient
+    helper, used by the planted image/video corpora."""
+    h, w = vals.shape
+    stride = ((w * 3 + 3) // 4) * 4
+    px = np.zeros((h, stride), np.uint8)
+    px[:, : w * 3] = np.repeat(vals[::-1, :, None], 3, axis=2).reshape(h, w * 3)
+    header = struct.pack("<2sIHHI", b"BM", 54 + px.size, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, px.size, 2835, 2835, 0, 0
+    )
+    return header + px.tobytes()
+
+
+def _planted_image_bytes(group: int) -> bytes:
+    """Sawtooth pattern family: distinct groups' dHashes separate by
+    ≥9 hamming bits (verified over all 40 groups)."""
+    x = np.arange(16)[None, :]
+    y = np.arange(16)[:, None]
+    return _bmp_gray16(((x * (17 + 13 * group) + y * 7) % 120).astype(np.uint8))
+
+
+def _planted_audio_bytes(group: int) -> bytes:
+    """Mono 16-bit PCM WAV sine tone at 137 + 173·group Hz: distinct
+    groups' fingerprints separate by ≥21 hamming bits (verified over
+    all 20 groups)."""
+    import io
+    import wave
+
+    rate, n, amp = 8000, 4096, 20000
+    i = np.arange(n, dtype=np.float64)
+    samples = (amp * np.sin(2 * np.pi * (137 + 173 * group) * i / rate)).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(rate)
+        wv.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def _planted_corpus(
+    spark: SparkSession, sf_dir: str, media_type: str, payload_fn, n_assets: int = _PLANT_N
+) -> DataFrame:
+    """Deterministic media corpus: one asset per doc_id < n_assets,
+    payload synthesized ON THE EXECUTORS from doc_id alone (the
+    parquet scan reads a single pruned column; payload bytes never
+    touch the driver)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < n_assets)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "media_type": [media_type] * len(ids),
+                    "payload": [payload_fn(d) for d in ids],
+                    "meta": [None] * len(ids),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        kernel, "asset_id long, media_type string, payload binary, meta map<string,string>"
+    )
+
+
+def media_phash_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gated perceptual-hash image dedup: 40 planted pattern
+    groups (doc_id % 40); every within-group pair must surface with
+    hamming 0, and no cross-group pair may (≥9-bit margins)."""
+    media = _planted_corpus(spark, sf_dir, "image", lambda d: _planted_image_bytes(d % 40))
+    return media_phash_dedup(media)
+
+
+MEDIA_PHASH_DEDUP_ORACLE = f"""
+SELECT a.doc_id AS asset_a, b.doc_id AS asset_b, CAST(0 AS INT) AS hamming
+FROM documents a JOIN documents b
+  ON a.doc_id % 40 = b.doc_id % 40 AND a.doc_id < b.doc_id
+WHERE a.doc_id < {_PLANT_N} AND b.doc_id < {_PLANT_N}
+ORDER BY asset_a, asset_b
+"""
+
+
+def media_audio_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gated audio-fingerprint dedup: 20 planted tone groups
+    (doc_id % 20), ≥21-bit cross-group margins."""
+    media = _planted_corpus(spark, sf_dir, "audio", lambda d: _planted_audio_bytes(d % 20))
+    return media_audio_dedup(media)
+
+
+MEDIA_AUDIO_DEDUP_ORACLE = f"""
+SELECT a.doc_id AS asset_a, b.doc_id AS asset_b, CAST(0 AS INT) AS hamming
+FROM documents a JOIN documents b
+  ON a.doc_id % 20 = b.doc_id % 20 AND a.doc_id < b.doc_id
+WHERE a.doc_id < {_PLANT_N} AND b.doc_id < {_PLANT_N}
+ORDER BY asset_a, asset_b
+"""
+
+
+def _planted_video_bytes(m: int, n_pool: int = 25) -> bytes:
+    """VID0 container of three consecutive pool frames starting at
+    residue m — videos with the same residue share all 3 frames,
+    cyclic neighbours share 2 or 1 (below the min_shared=3 bar)."""
+    return encode_video(
+        [_planted_image_bytes((m + j) % n_pool) for j in range(3)]
+    )
+
+
+def media_video_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gated video frame-fingerprint dedup: each video holds 3
+    consecutive frames of a 25-frame pool keyed by doc_id % 25.  Same
+    residue → 3 shared frames (pairs); cyclic distance 1/2 → 2/1
+    shared (below min_shared=3, excluded).  Frame-hash df is 3·16=48
+    videos — under the idf-floor cap, so every posting list
+    participates."""
+    media = _planted_corpus(spark, sf_dir, "video", lambda d: _planted_video_bytes(d % 25))
+    return media_video_dedup(media)
+
+
+MEDIA_VIDEO_DEDUP_ORACLE = f"""
+SELECT a.doc_id AS asset_a, b.doc_id AS asset_b,
+       CAST(3 AS BIGINT) AS n_shared_frames,
+       CAST(3 AS BIGINT) AS n_frames_a,
+       CAST(3 AS BIGINT) AS n_frames_b
+FROM documents a JOIN documents b
+  ON a.doc_id % 25 = b.doc_id % 25 AND a.doc_id < b.doc_id
+WHERE a.doc_id < {_PLANT_N} AND b.doc_id < {_PLANT_N}
+ORDER BY asset_a, asset_b
+"""
+
+
 QUERIES = {
     "multimodal_byte_stats": multimodal_byte_stats,
+    "media_phash_dedup": media_phash_dedup_query,
+    "media_audio_dedup": media_audio_dedup_query,
+    "media_video_dedup": media_video_dedup_query,
 }
 
 ORACLES = {
     "multimodal_byte_stats": MULTIMODAL_BYTE_STATS_ORACLE,
+    "media_phash_dedup": MEDIA_PHASH_DEDUP_ORACLE,
+    "media_audio_dedup": MEDIA_AUDIO_DEDUP_ORACLE,
+    "media_video_dedup": MEDIA_VIDEO_DEDUP_ORACLE,
 }

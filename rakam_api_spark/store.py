@@ -44,6 +44,14 @@ from .catalog import Metastore
 
 INVALID_COLLECTION = "$invalid_schema"
 
+# publish_rollup's default measure set — exported so stream-start
+# validation (streaming/job.py) can compare a spec's EFFECTIVE
+# contract against the published _rollup_meta.json before ingesting.
+DEFAULT_ROLLUP_MEASURES = {
+    "n_events": "CAST(COUNT(*) AS BIGINT)",
+    "total_value": "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)",
+}
+
 
 @dataclass
 class RoutedReport:
@@ -470,10 +478,7 @@ class EventStore:
         aggregated shuffle over that month's partition only — the
         read prunes on the ``_month`` partition column.
         """
-        measures = measures or {
-            "n_events": "CAST(COUNT(*) AS BIGINT)",
-            "total_value": "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)",
-        }
+        measures = measures or DEFAULT_ROLLUP_MEASURES
         raw = self.spark.read.option("mergeSchema", "true").parquet(
             self._table_path(project, collection)
         )

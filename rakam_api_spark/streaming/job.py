@@ -322,7 +322,14 @@ class StreamingIngest:
                 rows = parsed.where(F.col("collection") == coll)
                 props = rows.select(F.from_json("props_json", inner).alias("p")).select("p.*")
                 report = self.collector._ingest_df(
-                    self.project, coll, props, retain_valid=push
+                    self.project,
+                    coll,
+                    props,
+                    retain_valid=push,
+                    # touched months ride the write-pass Observation —
+                    # rollup maintenance never re-executes the batch
+                    # lineage for a distinct() pass
+                    observe_months=coll in self.rollup_specs,
                 )
                 try:
                     if report.stored and push and report.valid_df is not None:
@@ -333,26 +340,22 @@ class StreamingIngest:
                             self.project, report.collection, report.valid_df,
                             row_cap=self.push_row_cap,
                         )
-                    if report.stored and coll in self.rollup_specs:
+                    if (
+                        report.stored
+                        and coll in self.rollup_specs
+                        and report.months_touched
+                    ):
                         # incremental rollup maintenance: only the
                         # month partitions THIS batch touched are
                         # recomputed (from raw, so the refresh is
                         # idempotent under epoch replay)
-                        months = [
-                            r[0]
-                            for r in report.valid_df.select(
-                                F.date_format("_time", "yyyy-MM")
-                            )
-                            .distinct()
-                            .collect()
-                        ]
                         spec = self.rollup_specs[coll]
                         self.collector.store.publish_rollup(
                             self.project,
                             coll,
                             dims=tuple(spec.get("dims", ("event_type",))),
                             measures=spec.get("measures"),
-                            months=months,
+                            months=report.months_touched,
                         )
                 finally:
                     report.release()
@@ -592,7 +595,32 @@ class StreamingIngest:
 
     # --- stream wiring ---------------------------------------------------
 
+    def validate_rollup_specs(self) -> None:
+        """Fail-fast check that every rollup spec matches its already-
+        published dim/measure contract — run at STREAM START, so a
+        contract mismatch surfaces before any ingest instead of as a
+        mid-stream ``publish_rollup`` ValueError that kills the whole
+        ingest stream on its first epoch."""
+        from ..store import DEFAULT_ROLLUP_MEASURES
+
+        for coll, spec in self.rollup_specs.items():
+            existing = self.collector.store.rollup_meta(self.project, coll)
+            if existing is None:
+                continue
+            effective = {
+                "dims": list(spec.get("dims", ("event_type",))),
+                "measures": dict(spec.get("measures") or DEFAULT_ROLLUP_MEASURES),
+            }
+            if existing != effective:
+                raise ValueError(
+                    f"rollup spec for {self.project}.{coll} differs from the "
+                    f"published contract {existing}; run a full rebuild "
+                    "(publish_rollup months=None) with the new dims/measures "
+                    "before starting the stream"
+                )
+
     def _start_writer(self, stream: DataFrame, checkpoint_dir: str, trigger_available_now: bool):
+        self.validate_rollup_specs()
         self._ensure_commit_ns(checkpoint_dir)
         writer = (
             stream.writeStream.foreachBatch(self.process_batch)

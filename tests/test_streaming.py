@@ -299,10 +299,10 @@ def test_schema_inference_is_jvm_side(ingest):
         jobmod.StreamingIngest._parse_props
     )
     assert "schema_of_variant_agg" in src
-    # the only collects in the hot loop are metadata-sized: the
-    # per-collection DDL row, and (for rollup-maintained collections
-    # only) the batch's distinct touched months
-    assert src.count(".collect()") == 2
+    # the ONLY collect in the hot loop is metadata-sized: the
+    # per-collection DDL row.  (Touched months for rollup maintenance
+    # ride the ingest write's Observation — no second lineage pass.)
+    assert src.count(".collect()") == 1
     assert "limit(" not in src  # no bounded driver sample remains
 
 
@@ -689,3 +689,57 @@ def test_streaming_rollup_maintenance(spark, warehouse):
         ("2024-01", "click"): (1, 2.0),
         ("2024-02", "view"): (1, 5.0),
     }
+
+
+def test_rollup_spec_mismatch_fails_at_stream_start(spark, warehouse, tmp_path):
+    """A rollup spec that disagrees with the already-published
+    dim/measure contract must fail when the stream STARTS — before any
+    ingest — not as a mid-epoch publish_rollup ValueError that kills a
+    live ingest stream."""
+    import pytest
+
+    ms = Metastore(warehouse)
+    collector = EventCollector(spark, ms, pipeline=EnrichmentPipeline([TimestampMapper()]))
+    collector.collect(
+        "proj", "clicks", {"event_type": "view", "value": 1.0, "_time": "2024-01-03 10:00:00"}
+    )
+    collector.store.publish_rollup("proj", "clicks", dims=("event_type",))
+    ing = StreamingIngest(
+        collector,
+        "proj",
+        dedup_uuids=False,
+        # different dims than the published contract
+        rollup_specs={"clicks": {"dims": ("event_type", "value")}},
+    )
+    with pytest.raises(ValueError, match="published contract"):
+        ing.validate_rollup_specs()
+    (tmp_path / "in").mkdir()
+    with pytest.raises(ValueError, match="published contract"):
+        ing.start_file_stream(str(tmp_path / "in"), str(tmp_path / "ckpt"))
+    # a matching spec (defaults resolve to the published measures) is fine
+    ok = StreamingIngest(
+        collector,
+        "proj",
+        dedup_uuids=False,
+        rollup_specs={"clicks": {"dims": ("event_type",)}},
+    )
+    ok.validate_rollup_specs()
+
+
+def test_observe_months_rides_the_write_pass(spark, warehouse):
+    """months_touched comes from the write-pass Observation — present
+    exactly when requested, correct across months, and absent
+    otherwise (no second lineage execution for rollup maintenance)."""
+    ms = Metastore(warehouse)
+    collector = EventCollector(spark, ms, pipeline=EnrichmentPipeline([TimestampMapper()]))
+    df = collector._records_to_df(
+        [
+            {"event_type": "view", "_time": "2024-01-03 10:00:00"},
+            {"event_type": "view", "_time": "2024-03-09 10:00:00"},
+            {"event_type": "click", "_time": "2024-01-20 10:00:00"},
+        ]
+    )
+    report = collector._ingest_df("proj", "clicks", df, observe_months=True)
+    assert report.months_touched == ["2024-01", "2024-03"]
+    report2 = collector._ingest_df("proj", "clicks", df)
+    assert report2.months_touched is None
