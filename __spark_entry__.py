@@ -70,6 +70,9 @@ _GATE_PRIORITY = (
     "media_phash_dedup",
     "media_audio_dedup",
     "media_video_dedup",
+    "q11_important_stock",
+    "q18_large_volume_customers",
+    "q21_suppliers_kept_waiting",
     # last driver-checked in round 3 (stalest green coverage)
     "ann_brute_force_topk",
     "ann_ivf_topk",

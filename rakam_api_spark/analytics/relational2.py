@@ -518,6 +518,167 @@ ORDER BY s_suppkey
 """
 
 
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted: parts whose quantity supplied by NATION_9's
+    suppliers exceeds 1/1000 of that nation's total supplied quantity
+    (partsupp's availqty·supplycost becomes lineitem-derived supplied
+    quantity — the schema has no partsupp; reference
+    rakam-presto/src/main/java/org/rakam/presto/analysis/
+    PrestoQueryExecutor.java delegates exactly such HAVING-against-
+    scalar-subquery shapes to Presto).
+
+    The defining Q11 shape survives: a grouped aggregate filtered
+    against a SCALAR aggregate of the same base — expressed as the
+    single-row crossJoin(broadcast(...)) idiom, so the nation-
+    filtered fact scan feeds both aggregates in one plan (ReuseExchange
+    collapses the repeated subtree).  Quantities are integral doubles:
+    ``q·1000 > total`` is exact in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    nat_supp = (
+        supp.join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name") == "NATION_9")
+        .select("s_suppkey")
+    )
+    fact = li.join(broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    pq = fact.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("supplied_qty"),
+        F.sum(_vol()).cast("double").alias("supplied_value"),
+    )
+    tot = pq.agg(F.sum("supplied_qty").alias("total_qty"))
+    return (
+        pq.crossJoin(broadcast(tot))
+        .where(F.col("supplied_qty") * 1000.0 > F.col("total_qty"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"), "supplied_qty", "supplied_value"
+        )
+        .orderBy(F.desc("supplied_qty"), F.asc("p_partkey"))
+    )
+
+
+Q11_ORACLE = f"""
+WITH nat_supp AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_9'
+), pq AS (
+  SELECT l_partkey AS p_partkey, SUM(l_quantity) AS supplied_qty,
+         CAST(SUM({_VOL_SQL}) AS DOUBLE) AS supplied_value
+  FROM lineitem JOIN nat_supp ON l_suppkey = s_suppkey
+  GROUP BY 1
+), tot AS (SELECT SUM(supplied_qty) AS total_qty FROM pq)
+SELECT p_partkey, supplied_qty, supplied_value
+FROM pq, tot
+WHERE supplied_qty * 1000.0 > total_qty
+ORDER BY supplied_qty DESC, p_partkey ASC
+"""
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: customers with any order totalling > 250 units —
+    the IN-(grouped-HAVING-subquery) shape, expressed as an
+    order-grain aggregate semi-joined back onto orders/customer.
+
+    The only wide shuffle is the order-grain quantity sum (partial-
+    aggregated map-side); qualifying orderkeys are a tiny frame
+    BROADCAST into the orders join — never a second fact shuffle.
+    Quantities are integral doubles, so the > 250 cut is exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 250.0)
+    )
+    return (
+        orders.join(broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            _dec("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 250.0
+)
+SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+       CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS DOUBLE) AS o_totalprice, total_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted: suppliers who were the SOLE late shipper on
+    a multi-supplier order (lateness = shipped > 90 days after the
+    order date; the schema has no commit/receipt dates).  The
+    original's EXISTS(other supplier) / NOT EXISTS(other late
+    supplier) pair collapses into ONE order-grain aggregate:
+    n_suppliers ≥ 2 ∧ n_late_suppliers = 1 — same semantics, one
+    shuffle instead of two correlated self-joins (the blame is
+    unambiguous exactly when one supplier is late).
+
+    Top-20 by wait count is a total order ending in the unique
+    supplier key (TakeOrderedAndProject)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    fact = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    late = F.col("l_shipdate").cast("date") > F.date_add(
+        F.col("o_orderdate").cast("date"), 90
+    )
+    per_order = fact.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+        F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    blamed = per_order.where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    return (
+        blamed.groupBy("late_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(broadcast(supp), F.col("late_supp") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(20)
+    )
+
+
+Q21_ORACLE = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 90 DAY
+                             THEN l_suppkey END) AS n_late,
+         MAX(CASE WHEN CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 90 DAY
+                  THEN l_suppkey END) AS late_supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per_order JOIN supplier ON late_supp = s_suppkey
+WHERE n_supp >= 2 AND n_late = 1
+GROUP BY 1, 2
+ORDER BY numwait DESC, s_suppkey ASC
+LIMIT 20
+"""
+
+
 def top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-N-per-group: the three priciest parts of every brand.
 
@@ -612,13 +773,16 @@ QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q9_product_profit": q9_product_profit,
     "q10_returned_items": q10_returned_items,
+    "q11_important_stock": q11_important_stock,
     "q12_late_priority": q12_late_priority,
     "q13_order_distribution": q13_order_distribution,
     "q15_top_supplier": q15_top_supplier,
     "q16_part_supplier_counts": q16_part_supplier_counts,
     "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q18_large_volume_customers": q18_large_volume_customers,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q20_dominant_supplier": q20_dominant_supplier,
+    "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
     "data_quality_audit": data_quality_audit,
     "top3_parts_per_brand": top3_parts_per_brand,
 }
@@ -627,13 +791,16 @@ ORACLES = {
     "q2_min_cost_supplier": Q2_ORACLE,
     "q9_product_profit": Q9_ORACLE,
     "q10_returned_items": Q10_ORACLE,
+    "q11_important_stock": Q11_ORACLE,
     "q12_late_priority": Q12_ORACLE,
     "q13_order_distribution": Q13_ORACLE,
     "q15_top_supplier": Q15_ORACLE,
     "q16_part_supplier_counts": Q16_ORACLE,
     "q17_small_qty_revenue": Q17_ORACLE,
+    "q18_large_volume_customers": Q18_ORACLE,
     "q19_disjunctive_revenue": Q19_ORACLE,
     "q20_dominant_supplier": Q20_ORACLE,
+    "q21_suppliers_kept_waiting": Q21_ORACLE,
     "data_quality_audit": DATA_QUALITY_ORACLE,
     "top3_parts_per_brand": TOP3_PER_BRAND_ORACLE,
 }

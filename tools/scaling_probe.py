@@ -90,6 +90,26 @@ OPERATORS = [
     "padding_efficiency",
     "daily_new_vs_returning",
     "market_basket_part_types",
+    # round-6 operators (media_* dedup queries are EXCLUDED: their
+    # planted oracle fixture is pinned to 400 assets by design, so a
+    # scaling row over it would measure a constant workload; their
+    # skew/scale guards are asserted directly in tests/test_multimodal.py)
+    "q11_important_stock",
+    "q18_large_volume_customers",
+    "q21_suppliers_kept_waiting",
+]
+
+# Probe variants: (row label, queries() op, docs transform).  The
+# boilerplate variant prefixes EVERY document with the same sentence
+# (unsuffixed across replicas, so its shingles' df grows ∝ N and
+# saturates sparse_tfidf_pairs' absolute df cap) — the planted
+# worst case for the posting-list bound.
+BOILER = (
+    "standard legal disclaimer the contents of this document are provided "
+    "as is without warranty of any kind either express or implied"
+)
+VARIANTS = [
+    ("sparse_tfidf_pairs_boilerplate", "sparse_tfidf_pairs", "boiler"),
 ]
 
 
@@ -166,30 +186,92 @@ def _union_all(parts):
     return out
 
 
+def build_boiler_variant(spark, src_dir: str, out: str) -> None:
+    """Variant of a scaled dir whose documents all share the same
+    boilerplate prefix (same bytes in every replica): its shingles'
+    df equals the full corpus size at every factor — the saturated
+    hot-key case for the sparse pair join's absolute df cap."""
+    os.makedirs(out, exist_ok=True)
+    for t in (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "embeddings",
+    ):
+        if not os.path.exists(f"{out}/{t}.parquet"):
+            os.symlink(f"{src_dir}/{t}.parquet", f"{out}/{t}.parquet")
+    docs = spark.read.parquet(f"{src_dir}/documents.parquet")
+    docs.withColumn("text", F.concat(F.lit(BOILER + " "), F.col("text"))).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/documents.parquet")
+
+
+def _merge_existing(results: dict, factors: list[int], all_rows: list[str]) -> None:
+    """Subset-run support: carry forward rows from the existing
+    SCALING.md for operators not probed this run (their cells must
+    match this run's factor columns to be reusable)."""
+    if not os.path.exists("/root/repo/SCALING.md"):
+        return
+    header = f"| operator | " + " | ".join(f"{f}× (s)" for f in factors) + " | slope |"
+    with open("/root/repo/SCALING.md") as fh:
+        old = {
+            line.split("|")[1].strip(): line.rstrip()
+            for line in fh
+            if line.startswith("| ") and not line.startswith(("| operator", "|---"))
+        }
+    for op in all_rows:
+        if op not in results or not results[op]:
+            if op in old:
+                results[op] = old[op]  # keep the verbatim old row
+
+
 def main() -> None:
     import math
 
     import __spark_entry__ as entrymod
     from rakam_api_spark.session import get_spark
 
-    factors = [int(x) for x in sys.argv[1:]] or [1, 4, 16]
+    args = [a for a in sys.argv[1:]]
+    only: set[str] | None = None
+    if args and args[0] == "--ops":
+        only = set(args[1].split(","))
+        args = args[2:]
+    factors = [int(x) for x in args] or [1, 4, 16]
     spark = get_spark("scaling-probe")
     spark.range(1).count()
     qs = entrymod.queries()
     work = tempfile.mkdtemp(prefix="scaling_")
-    results: dict[str, dict[int, float]] = {op: {} for op in OPERATORS}
+    all_rows = OPERATORS + [label for label, _, _ in VARIANTS]
+    results: dict[str, dict[int, float]] = {op: {} for op in all_rows}
+
+    def probe(label: str, op: str, d: str, f: int) -> None:
+        runs = []
+        for _ in range(2):
+            t0 = time.time()
+            qs[op](spark, d).write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+        results[label][f] = round(min(runs), 2)
+        print(f"x{f} {label}: {results[label][f]}s", flush=True)
+
     try:
         for f in factors:
             d = os.path.join(work, f"x{f}")
             build_scaled(spark, f, d)
             for op in OPERATORS:
-                runs = []
-                for _ in range(2):
-                    t0 = time.time()
-                    qs[op](spark, d).write.format("noop").mode("overwrite").save()
-                    runs.append(time.time() - t0)
-                results[op][f] = round(min(runs), 2)
-                print(f"x{f} {op}: {results[op][f]}s", flush=True)
+                if only is None or op in only:
+                    probe(op, op, d, f)
+            variants = [v for v in VARIANTS if only is None or v[0] in only]
+            if variants:
+                vd = os.path.join(work, f"x{f}_boiler")
+                build_boiler_variant(spark, d, vd)
+                for label, op, _kind in variants:
+                    probe(label, op, vd, f)
+        _merge_existing(results, factors, all_rows)
         lines = [
             "# SCALING — measured wall-time vs corpus size",
             "",
@@ -204,8 +286,13 @@ def main() -> None:
             "|---|" + "---|" * (len(factors) + 1),
         ]
         fmax = max(factors)
-        for op in OPERATORS:
+        for op in all_rows:
             r = results[op]
+            if isinstance(r, str):
+                lines.append(r)  # carried forward from the prior run
+                continue
+            if not r:
+                continue
             slope = math.log(r[fmax] / r[factors[0]]) / math.log(fmax / factors[0])
             lines.append(
                 f"| {op} | " + " | ".join(str(r[f]) for f in factors) + f" | {slope:.2f} |"
