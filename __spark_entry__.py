@@ -73,6 +73,9 @@ _GATE_PRIORITY = (
     "q11_important_stock",
     "q18_large_volume_customers",
     "q21_suppliers_kept_waiting",
+    "lexical_rarity",
+    "order_backlog_daily",
+    "revenue_pareto_top100",
     # last driver-checked in round 3 (stalest green coverage)
     "ann_brute_force_topk",
     "ann_ivf_topk",

@@ -43,7 +43,7 @@ HEADLINE = [
     "token_counts",
 ]
 
-# Round-5 families, timed identically but reported under
+# Round-5/6 families, timed identically but reported under
 # ``queries_extra`` and EXCLUDED from the headline total so the
 # total stays comparable across rounds.
 EXTRA = [
@@ -61,6 +61,12 @@ EXTRA = [
     "training_shuffle",
     "hybrid_search",
     "sparse_tfidf_pairs",
+    # round-6 additions
+    "q18_large_volume_customers",
+    "q21_suppliers_kept_waiting",
+    "lexical_rarity",
+    "order_backlog_daily",
+    "media_video_dedup",
 ]
 
 

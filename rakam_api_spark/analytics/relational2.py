@@ -710,6 +710,130 @@ FROM (
 """
 
 
+def order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational backlog time series: for every order day, how many
+    orders have been PLACED but not yet fully shipped (completion =
+    the order's max lineitem shipdate; orders with no lineitems never
+    complete).  The warehouse ops dashboard query — a running
+    inventory balance.
+
+    Plan: +1/−1 deltas at placement/completion days union into one
+    day-grain aggregate, then a running sum over the DAY GRAIN — the
+    window input is bounded by the calendar span (a few thousand rows
+    at ANY corpus size; exempt in the plan-hygiene test on those
+    grounds), never the fact table.  All counts are exact integers."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    placed = orders.select(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.lit(1).alias("placed"),
+        F.lit(0).alias("completed"),
+    )
+    done = (
+        li.groupBy("l_orderkey")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("day"))
+        .select("day", F.lit(0).alias("placed"), F.lit(1).alias("completed"))
+    )
+    daily = (
+        placed.unionByName(done)
+        .groupBy("day")
+        .agg(
+            F.sum("placed").alias("n_placed"),
+            F.sum("completed").alias("n_completed"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        daily.withColumn(
+            "backlog", F.sum(F.col("n_placed") - F.col("n_completed")).over(w)
+        )
+        .select("day", "n_placed", "n_completed", "backlog")
+        .orderBy("day")
+    )
+
+
+ORDER_BACKLOG_ORACLE = """
+WITH placed AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, 1 AS placed, 0 AS completed FROM orders
+), done AS (
+  SELECT CAST(MAX(CAST(l_shipdate AS DATE)) AS DATE) AS day, 0 AS placed, 1 AS completed
+  FROM lineitem GROUP BY l_orderkey
+), daily AS (
+  SELECT day, CAST(SUM(placed) AS BIGINT) AS n_placed,
+         CAST(SUM(completed) AS BIGINT) AS n_completed
+  FROM (SELECT * FROM placed UNION ALL SELECT * FROM done)
+  GROUP BY day
+)
+SELECT day, n_placed, n_completed,
+       CAST(SUM(n_placed - n_completed) OVER (
+         ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
+FROM daily ORDER BY day
+"""
+
+
+def revenue_pareto_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: the top-100 customers by lifetime order
+    revenue with each customer's CUMULATIVE share of TOTAL revenue —
+    the 80/20 dashboard.
+
+    The running sum windows over exactly 100 rows (TakeOrdered first,
+    window second — the vocab_coverage pattern, exempt in the plan-
+    hygiene test), so no unbounded single-partition funnel exists at
+    any scale.  Revenue sums are decimal-exact; each share is ONE
+    double division of exact decimal values."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).alias("revenue")
+    )
+    total = per_cust.agg(F.sum("revenue").alias("total_revenue"))
+    top = (
+        per_cust.orderBy(F.desc("revenue"), F.asc("o_custkey")).limit(100)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.withColumn("cum_revenue", F.sum("revenue").over(w))
+        .crossJoin(broadcast(total))
+        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("revenue").cast("double").alias("revenue"),
+            (F.col("cum_revenue").cast("double") / F.col("total_revenue").cast("double")).alias(
+                "cum_share"
+            ),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    )
+
+
+REVENUE_PARETO_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS revenue
+  FROM orders GROUP BY 1
+), total AS (SELECT SUM(revenue) AS total_revenue FROM per_cust),
+top100 AS (
+  SELECT * FROM (
+    SELECT o_custkey, revenue,
+           row_number() OVER (ORDER BY revenue DESC, o_custkey ASC) AS rn
+    FROM per_cust
+  ) WHERE rn <= 100
+)
+SELECT c_custkey, c_name, CAST(revenue AS DOUBLE) AS revenue,
+       CAST(SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / CAST(total_revenue AS DOUBLE) AS cum_share
+FROM top100 JOIN customer ON o_custkey = c_custkey, total
+ORDER BY revenue DESC, c_custkey ASC
+"""
+
+
 def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style referential-integrity audit over the star schema,
     one row of violation counts: orphan lineitems (no parent order),
@@ -783,6 +907,8 @@ QUERIES = {
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q20_dominant_supplier": q20_dominant_supplier,
     "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
+    "order_backlog_daily": order_backlog_daily,
+    "revenue_pareto_top100": revenue_pareto_top100,
     "data_quality_audit": data_quality_audit,
     "top3_parts_per_brand": top3_parts_per_brand,
 }
@@ -801,6 +927,8 @@ ORACLES = {
     "q19_disjunctive_revenue": Q19_ORACLE,
     "q20_dominant_supplier": Q20_ORACLE,
     "q21_suppliers_kept_waiting": Q21_ORACLE,
+    "order_backlog_daily": ORDER_BACKLOG_ORACLE,
+    "revenue_pareto_top100": REVENUE_PARETO_ORACLE,
     "data_quality_audit": DATA_QUALITY_ORACLE,
     "top3_parts_per_brand": TOP3_PER_BRAND_ORACLE,
 }

@@ -371,8 +371,71 @@ WHERE rn <= 50
 """
 
 
+def lexical_rarity(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
+    """Per-document LEXICAL RARITY: the mean corpus frequency of a
+    document's tokens — the exact-arithmetic counterpart of the
+    unigram-LM perplexity filter (CCNet-style quality scoring,
+    Wenzek et al., "CCNet: Extracting High Quality Monolingual
+    Datasets from Web Crawl Data", LREC 2020): rare-token-heavy docs
+    (low mean) are candidate noise/garble, stopword-heavy docs (high
+    mean) candidate boilerplate.  Returns the k rarest documents.
+
+    Determinism: corpus token counts are exact integers; per-doc
+    ``Σ corpus_count(tokenᵢ)`` is an exact integer sum, and the mean
+    is ONE double division of exact integers — bit-identical across
+    engines (no log/exp chain to drift).
+
+    Scale: one token-grain shuffle for corpus counts, one shuffle to
+    join counts back onto occurrences (both map-side combined), one
+    doc-grain aggregate; top-k is TakeOrderedAndProject."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).where(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("corpus_tf"))
+    per_doc = (
+        toks.join(counts, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("corpus_tf").alias("sum_corpus_tf"),
+        )
+        .withColumn(
+            "mean_commonness",
+            F.col("sum_corpus_tf").cast("double") / F.col("n_tokens").cast("double"),
+        )
+    )
+    return per_doc.select(
+        "doc_id", "n_tokens", "sum_corpus_tf", "mean_commonness"
+    ).orderBy(F.asc("mean_commonness"), F.asc("doc_id")).limit(k)
+
+
+LEXICAL_RARITY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, t.token
+  FROM documents, unnest(string_split(text, ' ')) AS t(token)
+  WHERE t.token <> ''
+), counts AS (
+  SELECT token, COUNT(*) AS corpus_tf FROM toks GROUP BY 1
+), per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(corpus_tf) AS BIGINT) AS sum_corpus_tf
+  FROM toks JOIN counts USING (token)
+  GROUP BY 1
+)
+SELECT doc_id, n_tokens, sum_corpus_tf,
+       CAST(sum_corpus_tf AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_commonness
+FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY CAST(sum_corpus_tf AS DOUBLE) / CAST(n_tokens AS DOUBLE) ASC, doc_id ASC) AS rn
+  FROM per_doc
+) WHERE rn <= 50
+"""
+
+
 QUERIES = {
     "text_quality": text_quality,
+    "lexical_rarity": lexical_rarity,
     "token_counts": token_counts,
     "lang_id": lang_id,
     "doc_fingerprints": doc_fingerprints,
@@ -383,6 +446,7 @@ QUERIES = {
 
 ORACLES = {
     "text_quality": TEXT_QUALITY_ORACLE,
+    "lexical_rarity": LEXICAL_RARITY_ORACLE,
     "token_counts": TOKEN_COUNTS_ORACLE,
     "lang_id": LANG_ID_ORACLE,
     "doc_fingerprints": DOC_FINGERPRINTS_ORACLE,

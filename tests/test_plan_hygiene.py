@@ -3,17 +3,24 @@ query may plan an unpartitioned Window over unbounded input — the
 single-partition scale-killer class (Spark logs `WindowExec: No
 Partition Defined` and funnels the whole input through one task).
 
-``vocab_coverage`` is the one exemption: its window input is bounded
-to exactly k rows by a preceding TakeOrderedAndProject limit, which
-is documented in its docstring.
+Exemptions are queries whose unpartitioned window provably runs over
+a BOUNDED input, documented in each docstring: ``vocab_coverage`` and
+``revenue_pareto_top100`` window over a preceding
+TakeOrderedAndProject limit (≤ k rows); ``order_backlog_daily``
+windows over a DAY-grain aggregate (bounded by the calendar span — a
+few thousand rows at any corpus size, never the fact table).
 """
 
 import __spark_entry__ as entrymod
 
 SF = "/root/testdata/sf0.001"
 
-# queries whose unpartitioned window runs over a LIMIT-bounded input
-EXEMPT_BOUNDED_WINDOW = {"vocab_coverage"}
+# queries whose unpartitioned window runs over a bounded input
+EXEMPT_BOUNDED_WINDOW = {
+    "vocab_coverage",
+    "revenue_pareto_top100",
+    "order_backlog_daily",
+}
 
 
 def _top_level_groups(line: str) -> list[str]:
