@@ -139,6 +139,80 @@ def _safe(name: str) -> str:
     return name.replace("$", "_sys_")
 
 
+class MaintenanceLockHeld(RuntimeError):
+    """Another LIVE process holds the maintenance lock for this
+    collection — refusing to start a second concurrent rewrite."""
+
+
+class _MaintenanceLock:
+    """Advisory per-collection writer lock: atomic O_EXCL create with
+    the holder pid inside; stale locks (holder dead) are broken and
+    re-acquired.  Context manager; RE-ENTRANT within one process
+    (erase_user republishes derived tables under its own lock)."""
+
+    _DEPTH: dict[str, int] = {}
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def _try_acquire(self) -> bool:
+        try:
+            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            f.write(str(os.getpid()))
+        return True
+
+    @staticmethod
+    def _pid_alive(pid: int) -> bool:
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True
+        return True
+
+    def __enter__(self):
+        if self._DEPTH.get(self.path, 0) > 0:
+            self._DEPTH[self.path] += 1  # re-entrant: already ours
+            return self
+        if self._try_acquire():
+            self._DEPTH[self.path] = 1
+            return self
+        try:
+            holder = int(open(self.path).read().strip() or 0)
+        except (OSError, ValueError):
+            holder = 0
+        if holder and holder != os.getpid() and self._pid_alive(holder):
+            raise MaintenanceLockHeld(
+                f"{self.path} held by live pid {holder}; maintenance ops are "
+                "single-writer per collection"
+            )
+        # stale (holder dead / unreadable): break and re-acquire
+        try:
+            os.unlink(self.path)
+        except FileNotFoundError:
+            pass
+        if not self._try_acquire():
+            raise MaintenanceLockHeld(f"{self.path}: lost acquisition race")
+        self._DEPTH[self.path] = 1
+        return self
+
+    def __exit__(self, *exc):
+        depth = self._DEPTH.get(self.path, 1) - 1
+        if depth > 0:
+            self._DEPTH[self.path] = depth
+            return False
+        self._DEPTH.pop(self.path, None)
+        try:
+            os.unlink(self.path)
+        except FileNotFoundError:
+            pass
+        return False
+
+
 def salted_repartition(df: DataFrame, key_col: str, n_partitions: int, salt_buckets: int = 32) -> DataFrame:
     """Hot-shard avoidance (reference K4: Kinesis partition key =
     `project|collection` + random(0,100000),
@@ -230,6 +304,28 @@ class EventStore:
 
     # --- maintenance ----------------------------------------------------
 
+    def maintenance_lock(self, project: str, collection: str):
+        """Advisory single-writer lock for maintenance rewrites
+        (compact / erase_user / publish_*): the parquet-dir warehouse
+        has no transaction log, so two concurrent rewriters of the
+        SAME collection could interleave version pointers and orphan
+        a directory.  This is the documented single-writer
+        orchestration made ENFORCED: ``O_CREAT|O_EXCL`` on a lock
+        file (atomic on POSIX), holder pid recorded, stale locks from
+        dead processes broken automatically.  Ingest appends do NOT
+        take the lock — they only add files to the live directory,
+        which every rewriter re-reads under its own version bump.
+
+        (The reference retries concurrent DDL instead —
+        PostgresqlMetastore.java:256,343-346 — because Postgres gives
+        it real transactions; a lakehouse deployment of this engine
+        would use Delta/Iceberg commit protocols for the same
+        guarantee.)
+
+        Usage: ``with store.maintenance_lock(project, collection): ...``
+        """
+        return _MaintenanceLock(self._base_path(project, collection) + ".lock")
+
     def compact(self, project: str, collection: str, target_files_per_partition: int = 1) -> int:
         """Small-file compaction (the OPTIMIZE analog): streaming
         micro-batches write one file per trigger per partition, so a
@@ -246,6 +342,10 @@ class EventStore:
         ZORDER BY (_time); the parquet fallback keeps the same
         layout contract.
         """
+        with self.maintenance_lock(project, collection):
+            return self._compact_locked(project, collection, target_files_per_partition)
+
+    def _compact_locked(self, project: str, collection: str, target_files_per_partition: int) -> int:
         path = self._table_path(project, collection)
         # raw read: keep the physical layout (incl. the _month
         # partition column, which read() projects away)
@@ -362,30 +462,40 @@ class EventStore:
         month-partitioned layout contract."""
         removed: dict[str, int] = {}
         for coll in collections or self.collections_with_data(project):
-            path = self._table_path(project, coll)
-            if not os.path.exists(path):
-                continue
-            df = self.spark.read.option("mergeSchema", "true").parquet(path)
-            if user_col not in df.columns:
-                continue
-            keep = df.where(
-                F.col(user_col).isNull() | (F.col(user_col) != F.lit(user_id))
-            )
-            n_before = df.count()
-            cur = self.metastore.get_config(project, f"TABLE_VERSION_{coll}")
-            nxt = 0 if cur is None else int(cur) + 1
-            out = f"{self._base_path(project, coll)}.v{nxt}"
-            writer = keep.write.mode("overwrite")
-            if "_month" in df.columns:
-                writer = writer.partitionBy("_month")
-            writer.parquet(out)
-            n_after = self.spark.read.parquet(out).count()
-            self.metastore.set_config(project, f"TABLE_VERSION_{coll}", nxt)
-            shutil.rmtree(path, ignore_errors=True)
-            removed[coll] = n_before - n_after
-            if removed[coll]:
-                self._refresh_derived(project, coll)
+            with self.maintenance_lock(project, coll):
+                n = self._erase_one(project, coll, user_col, user_id)
+            if n is not None:
+                removed[coll] = n
         return removed
+
+    def _erase_one(self, project: str, coll: str, user_col: str, user_id) -> int | None:
+        """One collection's erase rewrite (caller holds the
+        maintenance lock); None = skipped (missing table or no
+        user column)."""
+        path = self._table_path(project, coll)
+        if not os.path.exists(path):
+            return None
+        df = self.spark.read.option("mergeSchema", "true").parquet(path)
+        if user_col not in df.columns:
+            return None
+        keep = df.where(
+            F.col(user_col).isNull() | (F.col(user_col) != F.lit(user_id))
+        )
+        n_before = df.count()
+        cur = self.metastore.get_config(project, f"TABLE_VERSION_{coll}")
+        nxt = 0 if cur is None else int(cur) + 1
+        out = f"{self._base_path(project, coll)}.v{nxt}"
+        writer = keep.write.mode("overwrite")
+        if "_month" in df.columns:
+            writer = writer.partitionBy("_month")
+        writer.parquet(out)
+        n_after = self.spark.read.parquet(out).count()
+        self.metastore.set_config(project, f"TABLE_VERSION_{coll}", nxt)
+        shutil.rmtree(path, ignore_errors=True)
+        n_removed = n_before - n_after
+        if n_removed:
+            self._refresh_derived(project, coll)
+        return n_removed
 
     def _refresh_derived(self, project: str, collection: str) -> None:
         """Rebuild the derived ``.bucketed`` and ``.rollup`` tables of
@@ -431,26 +541,27 @@ class EventStore:
         name to query via ``spark.table``."""
         from .bucketing import write_bucketed
 
-        df = self.read(project, collection)
-        sort_cols = (key, "_time") if "_time" in df.columns else (key,)
-        name = table_name or f"{_safe(project)}_{_safe(collection)}_by_user".replace(".", "_")
-        write_bucketed(
-            df,
-            name,
-            self._base_path(project, collection) + ".bucketed",
-            key=key,
-            sort_cols=sort_cols,
-            n_buckets=n_buckets,
-        )
-        # record the publish contract so maintenance ops (erase_user)
-        # can REFRESH this derived table rather than silently leaving
-        # full row copies of erased users behind
-        self.metastore.set_config(
-            project,
-            f"BUCKETED_{collection}",
-            {"key": key, "n_buckets": n_buckets, "table_name": name},
-        )
-        return name
+        with self.maintenance_lock(project, collection):
+            df = self.read(project, collection)
+            sort_cols = (key, "_time") if "_time" in df.columns else (key,)
+            name = table_name or f"{_safe(project)}_{_safe(collection)}_by_user".replace(".", "_")
+            write_bucketed(
+                df,
+                name,
+                self._base_path(project, collection) + ".bucketed",
+                key=key,
+                sort_cols=sort_cols,
+                n_buckets=n_buckets,
+            )
+            # record the publish contract so maintenance ops
+            # (erase_user) can REFRESH this derived table rather than
+            # silently leaving full row copies of erased users behind
+            self.metastore.set_config(
+                project,
+                f"BUCKETED_{collection}",
+                {"key": key, "n_buckets": n_buckets, "table_name": name},
+            )
+            return name
 
     def publish_rollup(
         self,

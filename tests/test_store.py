@@ -208,6 +208,44 @@ def test_erase_user_refreshes_derived_tables(spark, warehouse):
     assert store.read_rollup("proj", "clicks").agg({"n_events": "sum"}).collect()[0][0] == 6
 
 
+def test_maintenance_lock_single_writer(spark, warehouse):
+    """Maintenance rewrites are single-writer per collection: a live
+    holder blocks a second writer, a stale lock (dead pid) is broken,
+    and the lock is re-entrant so erase_user can republish derived
+    tables under its own lock."""
+    import subprocess
+
+    import pytest
+
+    from rakam_api_spark.store import MaintenanceLockHeld
+
+    ms = Metastore(warehouse)
+    collector = EventCollector(spark, ms, pipeline=EnrichmentPipeline([TimestampMapper()]))
+    collector.collect("proj", "ev", {"x": 1, "_time": "2024-01-05 09:00:00"})
+    store = collector.store
+
+    # a LIVE foreign holder blocks compaction
+    holder = subprocess.Popen(["sleep", "30"])
+    lock_path = store._base_path("proj", "ev") + ".lock"
+    with open(lock_path, "w") as f:
+        f.write(str(holder.pid))
+    try:
+        with pytest.raises(MaintenanceLockHeld, match="single-writer"):
+            store.compact("proj", "ev")
+    finally:
+        holder.kill()
+        holder.wait()
+    # the holder is now DEAD: the stale lock breaks and compact runs
+    assert store.compact("proj", "ev") == 1
+    assert not os.path.exists(lock_path)  # released after the rewrite
+    # re-entrancy: nested lock acquisition in one process is fine
+    with store.maintenance_lock("proj", "ev"):
+        with store.maintenance_lock("proj", "ev"):
+            assert os.path.exists(lock_path)
+        assert os.path.exists(lock_path)  # inner exit keeps it held
+    assert not os.path.exists(lock_path)
+
+
 def test_table_stats_per_month(spark, warehouse):
     ms = Metastore(warehouse)
     collector = EventCollector(spark, ms, pipeline=EnrichmentPipeline([TimestampMapper()]))

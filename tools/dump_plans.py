@@ -115,6 +115,30 @@ SHOW = {
     "aggregate, never raw events",
     "funnel_daily_trend": "daily funnel: one conditional aggregation per (day, user), "
     "day-grain rollup reuses the exchange",
+    "market_basket_part_types": "basket affinity: baskets collapse to distinct "
+    "(order,type) once; ReuseExchange feeds the pair join, singles, and the "
+    "broadcast single-row basket count from ONE lineitem⋈part scan — no driver "
+    "barrier",
+    "q11_important_stock": "Q11 HAVING-vs-scalar: the nation-filtered fact subtree "
+    "feeds both the part-grain aggregate and the broadcast single-row total "
+    "(ReuseExchange) — threshold test is exact integer-double math",
+    "q18_large_volume_customers": "Q18 IN-grouped-HAVING: order-grain quantity "
+    "aggregate broadcast back into orders — one fact shuffle, "
+    "TakeOrderedAndProject top-100",
+    "q21_suppliers_kept_waiting": "Q21 sole-late-shipper: EXISTS/NOT-EXISTS pair "
+    "collapsed into one order-grain conditional aggregate — one fact-fact join, "
+    "no correlated re-scans",
+    "lexical_rarity": "unigram-LM quality proxy: token-grain count shuffle + "
+    "count-join + doc-grain aggregate, all map-side combined; top-k via "
+    "TakeOrderedAndProject; the score is one exact-integer division",
+    "order_backlog_daily": "backlog series: ±1 deltas union into a day-grain "
+    "aggregate; the running sum windows over calendar-bounded rows only",
+    "revenue_pareto_top100": "Pareto: customer-grain decimal aggregate, top-100 "
+    "TakeOrdered, THEN the cumulative window (bounded input), single-row total "
+    "broadcast",
+    "media_video_dedup": "frame-fingerprint dedup: executor-side decode+hash "
+    "(mapInPandas), distinct (video,hash) projection, idf-floor df filter before "
+    "the posting-list equi-join — bounded pair expansion, no video×video join",
 }
 
 
