@@ -588,49 +588,54 @@ class EventStore:
         decimal).  At 100 TB each month refresh is one partial-
         aggregated shuffle over that month's partition only — the
         read prunes on the ``_month`` partition column.
+
+        Runs under the per-collection maintenance lock (single-writer:
+        a concurrent double-publish could interleave the full-rebuild
+        delete with another writer's partition files).
         """
         measures = measures or DEFAULT_ROLLUP_MEASURES
-        raw = self.spark.read.option("mergeSchema", "true").parquet(
-            self._table_path(project, collection)
-        )
-        if months is not None:
-            raw = raw.where(F.col("_month").isin(list(months)))
-        day = F.col("_time").cast("date").alias("_day")
-        aggs = [F.expr(sql).alias(name) for name, sql in measures.items()]
-        rollup = raw.groupBy(
-            F.col("_month"), day, *[F.col(d) for d in dims]
-        ).agg(*aggs)
-        out = self._base_path(project, collection) + ".rollup"
-        if months is None:
-            # full rebuild: drop the whole table first so month
-            # partitions that vanished from raw (retention delete,
-            # compaction pruning) don't linger stale — dynamic
-            # overwrite only touches partitions present in the new
-            # aggregate
-            shutil.rmtree(out, ignore_errors=True)
-        # per-write option (not a session-conf flip, which would race
-        # with concurrent jobs on the same SparkSession): overwrite
-        # ONLY the month partitions present in this refresh — other
-        # months' files are untouched
-        meta = {"dims": list(dims), "measures": dict(measures)}
-        existing = self.rollup_meta(project, collection)
-        if months is not None and existing is not None and existing != meta:
-            # a partial (per-month) refresh under a different
-            # dim/measure contract would leave a frankentable —
-            # require a full rebuild to change the contract
-            raise ValueError(
-                "rollup dims/measures differ from the published contract; "
-                "run a full rebuild (months=None) to change them"
+        with self.maintenance_lock(project, collection):
+            raw = self.spark.read.option("mergeSchema", "true").parquet(
+                self._table_path(project, collection)
             )
-        (
-            rollup.write.partitionBy("_month")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(out)
-        )
-        with open(os.path.join(out, "_rollup_meta.json"), "w") as f:
-            json.dump(meta, f)
-        return self.spark.read.parquet(out).count()
+            if months is not None:
+                raw = raw.where(F.col("_month").isin(list(months)))
+            day = F.col("_time").cast("date").alias("_day")
+            aggs = [F.expr(sql).alias(name) for name, sql in measures.items()]
+            rollup = raw.groupBy(
+                F.col("_month"), day, *[F.col(d) for d in dims]
+            ).agg(*aggs)
+            out = self._base_path(project, collection) + ".rollup"
+            if months is None:
+                # full rebuild: drop the whole table first so month
+                # partitions that vanished from raw (retention delete,
+                # compaction pruning) don't linger stale — dynamic
+                # overwrite only touches partitions present in the new
+                # aggregate
+                shutil.rmtree(out, ignore_errors=True)
+            # per-write option (not a session-conf flip, which would
+            # race with concurrent jobs on the same SparkSession):
+            # overwrite ONLY the month partitions present in this
+            # refresh — other months' files are untouched
+            meta = {"dims": list(dims), "measures": dict(measures)}
+            existing = self.rollup_meta(project, collection)
+            if months is not None and existing is not None and existing != meta:
+                # a partial (per-month) refresh under a different
+                # dim/measure contract would leave a frankentable —
+                # require a full rebuild to change the contract
+                raise ValueError(
+                    "rollup dims/measures differ from the published contract; "
+                    "run a full rebuild (months=None) to change them"
+                )
+            (
+                rollup.write.partitionBy("_month")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(out)
+            )
+            with open(os.path.join(out, "_rollup_meta.json"), "w") as f:
+                json.dump(meta, f)
+            return self.spark.read.parquet(out).count()
 
     def rollup_meta(self, project: str, collection: str) -> dict | None:
         """The published rollup's dim/measure contract, or None if no
