@@ -76,6 +76,7 @@ _GATE_PRIORITY = (
     "lexical_rarity",
     "order_backlog_daily",
     "revenue_pareto_top100",
+    "semantic_contamination",
     # last driver-checked in round 3 (stalest green coverage)
     "ann_brute_force_topk",
     "ann_ivf_topk",

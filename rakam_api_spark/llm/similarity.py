@@ -1118,8 +1118,110 @@ FROM (
 PQ_ANN_ORACLE = _pq_oracle()
 
 
+def semantic_contamination(
+    spark: SparkSession, sf_dir: str, k: int = 25, heldout_label: int = 0
+) -> DataFrame:
+    """SEMANTIC benchmark-contamination screen: for every training-
+    corpus vector (label ≠ heldout_label), its maximum cosine to the
+    held-out evaluation set (label = heldout_label); returns the k
+    most suspect corpus vectors with their nearest held-out item —
+    the embedding-space complement of the n-gram ``contamination_check``
+    (paraphrased leakage that shares no shingles still lands close in
+    embedding space).
+
+    Scale shape: the held-out set is request-sized (an eval suite,
+    not a corpus) and rides to every partition as a numpy matrix —
+    one ``mapInPandas`` BLAS pass per Arrow batch emits ONE row per
+    corpus vector (its max + argmax), so the corpus never shuffles
+    and nothing grows with |corpus|×|heldout|.
+
+    Exactness: same integer-quantized components as
+    :func:`brute_force_topk` — every dot and norm is an exact
+    integer-valued float64, the cosine one IEEE division, and the
+    max/argmax (ties → smallest held-out id) total-ordered."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    import numpy as np
+
+    hrows = sorted(
+        emb.where(F.col("label") == heldout_label).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+
+    def _quant(a):
+        return np.sign(a) * np.floor(np.abs(a) + 0.5)
+
+    h_ids = np.array([r["vec_id"] for r in hrows], dtype=np.int64)
+    H = _quant(np.array([r["embedding"] for r in hrows], dtype=np.float64) * QUANT)
+    hn2 = (H * H).sum(axis=1)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf[pdf["label"] != heldout_label]
+            if pdf.empty:
+                continue
+            X = _quant(np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * QUANT)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cos = (X @ H.T) / np.sqrt((X * X).sum(axis=1)[:, None] * hn2[None, :])
+            # argmax with smallest-id tiebreak: scan ids ascending,
+            # strict > keeps the first (smallest) id at the max
+            best = np.argmax(cos, axis=1)  # first occurrence = smallest h_id
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "nearest_heldout_id": h_ids[best],
+                    "max_cosine": cos[np.arange(len(ids)), best],
+                }
+            )
+
+    scored = emb.select("vec_id", "embedding", "label").mapInPandas(
+        kernel, "vec_id long, nearest_heldout_id long, max_cosine double"
+    )
+    return scored.orderBy(F.desc("max_cosine"), F.asc("vec_id")).limit(k)
+
+
+SEMANTIC_CONTAMINATION_ORACLE = """
+WITH comp AS (
+  SELECT vec_id, CAST(i AS INT) AS pos,
+         CAST(round(CAST(embedding[CAST(i AS INT)+1] AS DOUBLE) * 10000, 0) AS BIGINT) AS q,
+         label
+  FROM embeddings, LATERAL unnest(range(0, len(embedding))) t(i)
+),
+norms AS (SELECT vec_id, SUM(q*q) AS norm2 FROM comp GROUP BY 1),
+hcomp AS (SELECT vec_id AS h_id, pos, q AS hq FROM comp WHERE label = 0),
+dots AS (
+  SELECT c.vec_id, h.h_id, SUM(c.q * h.hq) AS dot
+  FROM comp c JOIN hcomp h USING (pos)
+  WHERE c.label <> 0
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.vec_id, d.h_id,
+         CAST(d.dot AS DOUBLE) / sqrt(CAST(n.norm2 AS DOUBLE) * CAST(hn.norm2 AS DOUBLE)) AS cosine
+  FROM dots d
+  JOIN norms n  ON d.vec_id = n.vec_id
+  JOIN norms hn ON d.h_id  = hn.vec_id
+),
+best AS (
+  SELECT vec_id, h_id AS nearest_heldout_id, cosine AS max_cosine,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, h_id ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, nearest_heldout_id, max_cosine
+FROM (
+  SELECT vec_id, nearest_heldout_id, max_cosine,
+         row_number() OVER (ORDER BY max_cosine DESC, vec_id ASC) AS rnk
+  FROM best WHERE rn = 1
+) WHERE rnk <= 25
+"""
+
+
 QUERIES = {
     "ann_brute_force_topk": brute_force_topk,
+    "semantic_contamination": semantic_contamination,
     "ann_ivf_topk": ivf_topk,
     "ann_kmeans_ivf_topk": kmeans_ivf_topk,
     "embedding_cluster_profile": embedding_cluster_profile,
@@ -1129,6 +1231,7 @@ QUERIES = {
 
 ORACLES = {
     "ann_brute_force_topk": BRUTE_FORCE_ORACLE,
+    "semantic_contamination": SEMANTIC_CONTAMINATION_ORACLE,
     "ann_ivf_topk": IVF_ORACLE,
     "ann_kmeans_ivf_topk": KMEANS_IVF_ORACLE,
     "embedding_cluster_profile": CLUSTER_PROFILE_ORACLE,
