@@ -169,6 +169,72 @@ def export_avro(df: DataFrame, max_rows: int = 100_000, codec: str = "null") -> 
     return container_bytes(avro_schema_for(df), records, codec=codec)
 
 
+def _json_cell(value, dt: T.DataType):
+    """One QueryResult JSON cell: temporals → ISO strings, decimal →
+    string (exactness over float coercion, as the reference's Jackson
+    serialization of BigDecimal), binary → base64, nested types
+    recurse — all JSON-native otherwise."""
+    if value is None:
+        return None
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return value.isoformat()
+    if isinstance(dt, T.DecimalType):
+        return str(value)
+    if isinstance(dt, T.BinaryType):
+        return base64.b64encode(bytes(value)).decode("ascii")
+    if isinstance(dt, T.ArrayType):
+        return [_json_cell(v, dt.elementType) for v in value]
+    if isinstance(dt, T.MapType):
+        return {str(k): _json_cell(v, dt.valueType) for k, v in value.items()}
+    if isinstance(dt, T.StructType):
+        return {
+            f.name: _json_cell(value[f.name], f.dataType) for f in dt.fields
+        }
+    return value
+
+
+def export_query_result_json(
+    df: DataFrame, max_rows: int = 100_000, properties: dict | None = None
+) -> bytes:
+    """Result frame → the reference's QueryResult JSON envelope
+    (rakam-spi/src/main/java/org/rakam/report/QueryResult.java:17-47):
+    ``{"metadata": [{"name", "type"}...], "result": [[...]...]}`` with
+    column types rendered as the reference FieldType names and rows as
+    positional arrays — the primary HTTP result format every reference
+    client consumes.  ``properties`` carries the reference's optional
+    envelope extras (executionTimeInMillis, totalResult, query)."""
+    from .types import FieldType, from_spark_type
+
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ExportTooLarge(f"result exceeds max_rows={max_rows}; use write_json_dir")
+    fields = df.schema.fields
+
+    def _ft(f):
+        try:
+            return from_spark_type(f.dataType, dict(f.metadata or {})).value
+        except Exception:  # noqa: BLE001 - non-event types (struct etc.)
+            return FieldType.STRING.value
+
+    payload = {
+        "metadata": [{"name": f.name, "type": _ft(f)} for f in fields],
+        "result": [
+            [_json_cell(v, f.dataType) for f, v in zip(fields, r)] for r in rows
+        ],
+    }
+    if properties:
+        payload["properties"] = properties
+    return json.dumps(payload, separators=(",", ":")).encode("utf-8")
+
+
+def write_json_dir(df: DataFrame, path: str) -> None:
+    """Distributed ND-JSON extract (one JSON object per line, one
+    file per partition) — the event-grain companion of
+    ``export_query_result_json`` with no driver funnel; round-trips
+    through ``spark.read.json``."""
+    df.write.mode("overwrite").json(path)
+
+
 def write_csv_dir(df: DataFrame, path: str) -> None:
     """Distributed CSV extract: one file per partition, header in
     each, quotes on non-numeric values — the event-grain path with no

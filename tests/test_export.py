@@ -15,7 +15,9 @@ from rakam_api_spark.export import (
     ExportTooLarge,
     export_avro,
     export_csv,
+    export_query_result_json,
     write_csv_dir,
+    write_json_dir,
 )
 from rakam_api_spark.ingest.avro_codec import decode_container
 
@@ -83,3 +85,36 @@ class TestExportAvro:
     def test_row_cap(self, spark):
         with pytest.raises(ExportTooLarge):
             export_avro(spark.range(10), max_rows=3)
+
+
+class TestExportQueryResultJson:
+    def test_envelope_shape_and_cells(self, spark):
+        import json as _json
+
+        df = _result_df(spark)
+        out = _json.loads(export_query_result_json(df, properties={"totalResult": 2}))
+        # reference QueryResult envelope: metadata (name+FieldType),
+        # result as positional row arrays, optional properties
+        assert [m["name"] for m in out["metadata"]] == [
+            "name", "n", "ratio", "ok", "tags", "blob", "day",
+        ]
+        types = {m["name"]: m["type"] for m in out["metadata"]}
+        assert types["n"] == "LONG" and types["ratio"] == "DOUBLE"
+        assert types["tags"] == "ARRAY_STRING" and types["day"] == "DATE"
+        r0, r1 = out["result"]
+        assert r0[0] == "alpha" and r0[1] == 3 and r0[3] is True
+        assert r0[4] == ["x", "y"]
+        assert r0[5] == base64.b64encode(b"\x00\x01").decode()
+        assert r0[6] == "2024-01-02"  # ISO date string
+        assert r1[1] is None and r1[4] is None
+        assert out["properties"] == {"totalResult": 2}
+
+    def test_row_cap_and_dir_roundtrip(self, spark, tmp_path):
+        with pytest.raises(ExportTooLarge):
+            export_query_result_json(spark.range(10), max_rows=3)
+        df = spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("x"))
+        p = str(tmp_path / "nd")
+        write_json_dir(df, p)
+        back = spark.read.json(p)
+        assert back.count() == 100
+        assert {r["x"] for r in back.collect()} == {2 * i for i in range(100)}
