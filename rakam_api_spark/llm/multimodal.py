@@ -5,12 +5,12 @@ resize / frame-sample stages as Arrow-batched Pandas UDFs over
 
 Decode kernels are REAL for every format decodable without external
 codecs — uncompressed 24/32-bit BMP and binary PPM/PGM images
-(struct + numpy), 8-bit PNG (zlib inflate + scanline filter
+(struct + numpy), 8- and 16-bit PNG (zlib inflate + scanline filter
 reconstruction, all five filter types and color types 0/2/3/4/6),
-baseline JPEG (sequential DCT: Huffman entropy decode, dequant,
-matrix IDCT, chroma upsample, YCbCr→RGB — ITU T.81), PCM WAV audio
-(``wave``) — and upgrade to PIL for other compressed
-formats (progressive JPEG/16-bit PNG/…) when it is installed (optional
+baseline JPEG (sequential DCT: Huffman entropy
+decode, dequant, matrix IDCT, chroma upsample, YCbCr→RGB — ITU
+T.81), PCM WAV audio (``wave``) — and upgrade to PIL for other
+compressed formats (progressive JPEG/interlaced PNG/…) when it is installed (optional
 dependency; not present in this container).  Payloads no decoder
 handles fall back to a deterministic sha-derived pseudo-feature
 (or raise under ``strict=True``), so the pipeline stays total.  The
@@ -80,10 +80,15 @@ def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decode_png_bytes(b: bytes) -> tuple[int, int, int, list[float]] | None:
     """Pure-stdlib PNG decode: zlib-inflate the IDAT stream and
     reconstruct scanlines per the five PNG filter types (None, Sub,
-    Up, Average, Paeth).  Covers non-interlaced 8-bit-depth images in
-    every color type — grayscale (0), RGB (2), palette (3),
-    gray+alpha (4), RGBA (6).  16-bit and Adam7-interlaced images
-    return None (rare in corpora; PIL handles them when installed).
+    Up, Average, Paeth).  Covers non-interlaced 8-bit AND 16-bit
+    depths in every color type — grayscale (0), RGB (2), palette (3,
+    8-bit only per spec), gray+alpha (4), RGBA (6).  Filters operate
+    on BYTES with the pixel offset ``bpp = channels · depth/8``
+    (PNG spec §9.2), so the same defilter loop serves both depths;
+    16-bit samples then combine big-endian and scale by 1/257 onto
+    the 0-255 range every decoder here reports.  Adam7-interlaced
+    images return None (rare in corpora; PIL handles them when
+    installed).
 
     Returns (width, height, channels, RGB channel means 0-255) like
     the other image decoders.  The Up filter is vectorized (numpy
@@ -111,7 +116,15 @@ def decode_png_bytes(b: bytes) -> tuple[int, int, int, list[float]] | None:
         return None
     w, h, depth, ctype, comp, filt, interlace = ihdr
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
-    if nch is None or depth != 8 or comp or filt or interlace or not (0 < w and 0 < h):
+    if (
+        nch is None
+        or depth not in (8, 16)
+        or (depth == 16 and ctype == 3)  # 16-bit palette is illegal (spec §11.2.2)
+        or comp
+        or filt
+        or interlace
+        or not (0 < w and 0 < h)
+    ):
         return None
     import zlib
 
@@ -119,7 +132,8 @@ def decode_png_bytes(b: bytes) -> tuple[int, int, int, list[float]] | None:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
-    stride = w * nch
+    bpp = nch * (depth // 8)  # filter pixel offset is in BYTES
+    stride = w * bpp
     if len(raw) < h * (stride + 1):
         return None
     out = np.zeros((h, stride), np.uint8)
@@ -132,19 +146,19 @@ def decode_png_bytes(b: bytes) -> tuple[int, int, int, list[float]] | None:
         if ftype == 0:
             pass
         elif ftype == 1:  # Sub
-            for i in range(nch, stride):
-                row[i] = (int(row[i]) + int(row[i - nch])) & 0xFF
+            for i in range(bpp, stride):
+                row[i] = (int(row[i]) + int(row[i - bpp])) & 0xFF
         elif ftype == 2:  # Up — uint8 wrap-add is the spec's mod 256
             row += prev
         elif ftype == 3:  # Average
             for i in range(stride):
-                a = int(row[i - nch]) if i >= nch else 0
+                a = int(row[i - bpp]) if i >= bpp else 0
                 row[i] = (int(row[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
             for i in range(stride):
-                a = int(row[i - nch]) if i >= nch else 0
+                a = int(row[i - bpp]) if i >= bpp else 0
                 up = int(prev[i])
-                c = int(prev[i - nch]) if i >= nch else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
                 p = a + up - c
                 pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
                 pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
@@ -153,12 +167,18 @@ def decode_png_bytes(b: bytes) -> tuple[int, int, int, list[float]] | None:
             return None
         out[y] = row
         prev = row
-    px = out.reshape(h, w, nch)
-    if ctype == 3:  # palette indices → RGB via PLTE
+    if depth == 16:
+        # big-endian sample pairs → 0-65535, scaled onto 0-255
+        hi = out[:, 0::2].astype(np.uint32)
+        lo = out[:, 1::2].astype(np.uint32)
+        px = (((hi << 8) | lo).astype(np.float64) / 257.0).reshape(h, w, nch)
+    else:
+        px = out.reshape(h, w, nch).astype(np.float64)
+    if ctype == 3:  # palette indices → RGB via PLTE (8-bit only)
         if plte is None or len(plte) < 3:
             return None
         pal = np.frombuffer(plte[: len(plte) - len(plte) % 3], np.uint8).reshape(-1, 3)
-        idx = px[..., 0]
+        idx = px[..., 0].astype(np.int64)
         if int(idx.max()) >= len(pal):
             return None
         means = pal[idx].reshape(-1, 3).mean(axis=0)
@@ -439,7 +459,7 @@ def decode_image_bytes(b: bytes) -> tuple[int, int, int, list[float]] | None:
 
     - uncompressed 24/32-bit BMP (BITMAPINFOHEADER, BI_RGB),
     - binary PPM (``P6``) / PGM (``P5``),
-    - PNG (8-bit, non-interlaced; stdlib zlib + filter
+    - PNG (8/16-bit, non-interlaced; stdlib zlib + filter
       reconstruction — :func:`decode_png_bytes`),
     - baseline JPEG (sequential DCT, Huffman —
       :func:`decode_jpeg_bytes`);
@@ -451,7 +471,7 @@ def decode_image_bytes(b: bytes) -> tuple[int, int, int, list[float]] | None:
         png = decode_png_bytes(b)
         if png is not None:
             return png
-        # fall through to PIL for 16-bit / interlaced PNGs
+        # fall through to PIL for Adam7-interlaced PNGs
     if b[:2] == b"\xff\xd8":
         jpg = decode_jpeg_bytes(b)
         if jpg is not None:

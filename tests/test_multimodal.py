@@ -159,26 +159,39 @@ def test_decode_kernel_real_payloads_end_to_end(spark):
     assert len(strict_ok) == 3 and all(r["feature"][0] == 1.0 for r in strict_ok)
 
 
-def _png_bytes(pixels, ctype, filters, palette=None):
+def _png_bytes(pixels, ctype, filters, palette=None, depth=8):
     """Minimal PNG encoder for tests: ``pixels`` is an (h, w, nch)
-    uint8 array (nch per color type), one filter type per row from
-    ``filters`` applied per the spec's forward direction — so the
-    decoder's reconstruction of every filter type is exercised."""
+    array (uint8 for depth 8, uint16 for depth 16; nch per color
+    type), one filter type per row from ``filters`` applied per the
+    spec's forward direction — so the decoder's reconstruction of
+    every filter type is exercised.  Filters run on BYTES with the
+    spec's bpp offset, which is what makes the same loop serve both
+    depths."""
     import struct
     import zlib
 
     import numpy as np
 
-    px = np.asarray(pixels, dtype=np.uint8)
-    h, w, nch = px.shape
-    stride = w * nch
-    flat = px.reshape(h, stride).astype(np.int32)
+    if depth == 16:
+        px = np.asarray(pixels, dtype=np.uint16)
+        h, w, nch = px.shape
+        byts = np.empty((h, w, nch, 2), np.uint8)
+        byts[..., 0] = (px >> 8).astype(np.uint8)
+        byts[..., 1] = (px & 0xFF).astype(np.uint8)
+        flat = byts.reshape(h, w * nch * 2).astype(np.int32)
+        bpp = nch * 2
+    else:
+        px = np.asarray(pixels, dtype=np.uint8)
+        h, w, nch = px.shape
+        flat = px.reshape(h, w * nch).astype(np.int32)
+        bpp = nch
+    stride = flat.shape[1]
     raw = bytearray()
     for y, ftype in zip(range(h), filters):
         cur = flat[y]
         prev = flat[y - 1] if y > 0 else np.zeros(stride, np.int32)
-        left = np.concatenate([np.zeros(nch, np.int32), cur[:-nch]]) if stride > nch else np.zeros(stride, np.int32)
-        ul = np.concatenate([np.zeros(nch, np.int32), prev[:-nch]]) if stride > nch else np.zeros(stride, np.int32)
+        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]]) if stride > bpp else np.zeros(stride, np.int32)
+        ul = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]]) if stride > bpp else np.zeros(stride, np.int32)
         if ftype == 0:
             enc = cur
         elif ftype == 1:
@@ -203,7 +216,7 @@ def _png_bytes(pixels, ctype, filters, palette=None):
             + struct.pack(">I", zlib.crc32(typ + data))
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
     out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
     if palette is not None:
         out += chunk(b"PLTE", bytes(palette))
@@ -249,10 +262,40 @@ def test_png_stdlib_decode_color_types():
     pal = bytes([10, 20, 30, 50, 60, 70])
     w, h, nch, rgb = decode_png_bytes(_png_bytes(idx, 3, [0, 0], palette=pal))
     assert (w, h, nch) == (2, 2, 3) and rgb == [30.0, 40.0, 50.0]
-    # 16-bit depth: out of scope → None (PIL path)
+    # a LYING header (depth byte flipped to 16 over 8-bit data) fails
+    # the stride check → None, never garbage
     bad = bytearray(_png_bytes(g, 0, [0, 0, 0]))
     bad[24] = 16  # IHDR bit-depth byte
     assert decode_png_bytes(bytes(bad)) is None
+
+
+def test_png_stdlib_decode_16bit():
+    """REAL 16-bit PNGs decode in-repo (formerly the PIL-gated path):
+    filters operate on bytes with the doubled bpp offset, samples
+    combine big-endian, and means land on the 0-255 scale every
+    decoder reports (x/257 maps 0xFFFF -> 255 exactly)."""
+    import numpy as np
+
+    from rakam_api_spark.llm.multimodal import decode_image_bytes, decode_png_bytes
+
+    # grayscale 16-bit: constant 0x8080 -> 128.0 exactly (0x8080/257)
+    g16 = np.full((3, 4, 1), 0x8080, dtype=np.uint16)
+    got = decode_png_bytes(_png_bytes(g16, 0, [0, 1, 2], depth=16))
+    assert got == (4, 3, 1, [128.0, 128.0, 128.0])
+    # RGB 16-bit through every filter type, random data: exact means
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 65536, size=(5, 6, 3), dtype=np.uint16)
+    b = _png_bytes(px, 2, [0, 1, 2, 3, 4], depth=16)
+    w, h, nch, rgb = decode_png_bytes(b)
+    assert (w, h, nch) == (6, 5, 3)
+    want = (px.reshape(-1, 3).astype(np.float64) / 257.0).mean(axis=0)
+    assert all(abs(a - e) < 1e-9 for a, e in zip(rgb, want))
+    assert decode_image_bytes(b) == (w, h, nch, rgb)  # dispatch reaches it
+    # RGBA 16-bit: alpha excluded from the means
+    rgba = np.zeros((2, 2, 4), dtype=np.uint16)
+    rgba[..., 0], rgba[..., 3] = 0xFFFF, 7
+    w, h, nch, rgb = decode_png_bytes(_png_bytes(rgba, 6, [0, 4], depth=16))
+    assert (w, h, nch) == (2, 2, 4) and rgb == [255.0, 0.0, 0.0]
 
 
 def test_png_decodes_in_strict_pipeline(spark):
