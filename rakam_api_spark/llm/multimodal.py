@@ -10,7 +10,7 @@ reconstruction, all five filter types and color types 0/2/3/4/6),
 baseline JPEG (sequential DCT: Huffman entropy
 decode, dequant, matrix IDCT, chroma upsample, YCbCr→RGB — ITU
 T.81), PCM WAV audio (``wave``) — and upgrade to PIL for other
-compressed formats (progressive JPEG/interlaced PNG/…) when it is installed (optional
+compressed formats (progressive JPEG and other long-tail codecs) when it is installed (optional
 dependency; not present in this container).  Payloads no decoder
 handles fall back to a deterministic sha-derived pseudo-feature
 (or raise under ``strict=True``), so the pipeline stays total.  The
@@ -77,18 +77,96 @@ def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _png_defilter(
+    raw: bytes, rpos: int, n_rows: int, stride: int, bpp: int
+) -> "tuple[np.ndarray, int] | None":
+    """Reconstruct ``n_rows`` scanlines of ``stride`` bytes from
+    ``raw`` starting at ``rpos`` per the five PNG filter types
+    (spec §9.2; filters are byte-wise with pixel offset ``bpp``).
+    Returns (rows matrix, next read position), or None on a bad
+    filter byte / truncation."""
+    if len(raw) < rpos + n_rows * (stride + 1):
+        return None
+    out = np.zeros((n_rows, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(n_rows):
+        ftype = raw[rpos]
+        row = np.frombuffer(raw, np.uint8, stride, rpos + 1).copy()
+        rpos += stride + 1
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (int(row[i]) + int(row[i - bpp])) & 0xFF
+        elif ftype == 2:  # Up — uint8 wrap-add is the spec's mod 256
+            row += prev
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = int(row[i - bpp]) if i >= bpp else 0
+                row[i] = (int(row[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = int(row[i - bpp]) if i >= bpp else 0
+                up = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+                row[i] = (int(row[i]) + pred) & 0xFF
+        else:
+            return None
+        out[y] = row
+        prev = row
+    return out, rpos
+
+
+# Adam7 pass origins/spacings (x0, y0, dx, dy) — PNG spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_adam7(raw: bytes, w: int, h: int, bpp: int) -> "np.ndarray | None":
+    """Adam7 deinterlace: each of the 7 passes is an independently
+    FILTERED sub-image (its own scanlines, its own left/up
+    neighbours); defilter each pass with the shared loop and scatter
+    its pixels to their final grid positions."""
+    out = np.zeros((h, w * bpp), np.uint8)
+    rpos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue  # empty pass for small images
+        got = _png_defilter(raw, rpos, ph, pw * bpp, bpp)
+        if got is None:
+            return None
+        rows, rpos = got
+        sub = rows.reshape(ph, pw, bpp)
+        full = out.reshape(h, w, bpp)
+        full[y0::dy, x0::dx, :] = sub
+    return out
+
+
 def decode_png_bytes(b: bytes) -> tuple[int, int, int, list[float]] | None:
     """Pure-stdlib PNG decode: zlib-inflate the IDAT stream and
     reconstruct scanlines per the five PNG filter types (None, Sub,
-    Up, Average, Paeth).  Covers non-interlaced 8-bit AND 16-bit
+    Up, Average, Paeth).  Covers sequential AND Adam7 layouts at 8/16-bit
     depths in every color type — grayscale (0), RGB (2), palette (3,
     8-bit only per spec), gray+alpha (4), RGBA (6).  Filters operate
     on BYTES with the pixel offset ``bpp = channels · depth/8``
     (PNG spec §9.2), so the same defilter loop serves both depths;
     16-bit samples then combine big-endian and scale by 1/257 onto
-    the 0-255 range every decoder here reports.  Adam7-interlaced
-    images return None (rare in corpora; PIL handles them when
-    installed).
+    the 0-255 range every decoder here reports.  Adam7-INTERLACED
+    images decode too: each of the 7 passes is an independently
+    filtered sub-image, defiltered with the same loop and scattered
+    to its grid positions (spec §8.2).
 
     Returns (width, height, channels, RGB channel means 0-255) like
     the other image decoders.  The Up filter is vectorized (numpy
@@ -122,7 +200,7 @@ def decode_png_bytes(b: bytes) -> tuple[int, int, int, list[float]] | None:
         or (depth == 16 and ctype == 3)  # 16-bit palette is illegal (spec §11.2.2)
         or comp
         or filt
-        or interlace
+        or interlace not in (0, 1)  # 0 = sequential, 1 = Adam7
         or not (0 < w and 0 < h)
     ):
         return None
@@ -133,40 +211,18 @@ def decode_png_bytes(b: bytes) -> tuple[int, int, int, list[float]] | None:
     except zlib.error:
         return None
     bpp = nch * (depth // 8)  # filter pixel offset is in BYTES
-    stride = w * bpp
-    if len(raw) < h * (stride + 1):
-        return None
-    out = np.zeros((h, stride), np.uint8)
-    prev = np.zeros(stride, np.uint8)
-    rpos = 0
-    for y in range(h):
-        ftype = raw[rpos]
-        row = np.frombuffer(raw, np.uint8, stride, rpos + 1).copy()
-        rpos += stride + 1
-        if ftype == 0:
-            pass
-        elif ftype == 1:  # Sub
-            for i in range(bpp, stride):
-                row[i] = (int(row[i]) + int(row[i - bpp])) & 0xFF
-        elif ftype == 2:  # Up — uint8 wrap-add is the spec's mod 256
-            row += prev
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                a = int(row[i - bpp]) if i >= bpp else 0
-                row[i] = (int(row[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = int(row[i - bpp]) if i >= bpp else 0
-                up = int(prev[i])
-                c = int(prev[i - bpp]) if i >= bpp else 0
-                p = a + up - c
-                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
-                pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
-                row[i] = (int(row[i]) + pred) & 0xFF
-        else:
+    if interlace == 0:
+        stride = w * bpp
+        if len(raw) < h * (stride + 1):
             return None
-        out[y] = row
-        prev = row
+        defiltered = _png_defilter(raw, 0, h, stride, bpp)
+        if defiltered is None:
+            return None
+        out, _ = defiltered
+    else:  # Adam7: 7 independently-filtered sub-images, scattered
+        out = _png_adam7(raw, w, h, bpp)
+        if out is None:
+            return None
     if depth == 16:
         # big-endian sample pairs → 0-65535, scaled onto 0-255
         hi = out[:, 0::2].astype(np.uint32)
@@ -459,8 +515,8 @@ def decode_image_bytes(b: bytes) -> tuple[int, int, int, list[float]] | None:
 
     - uncompressed 24/32-bit BMP (BITMAPINFOHEADER, BI_RGB),
     - binary PPM (``P6``) / PGM (``P5``),
-    - PNG (8/16-bit, non-interlaced; stdlib zlib + filter
-      reconstruction — :func:`decode_png_bytes`),
+    - PNG (8/16-bit, sequential or Adam7-interlaced; stdlib zlib +
+      filter reconstruction — :func:`decode_png_bytes`),
     - baseline JPEG (sequential DCT, Huffman —
       :func:`decode_jpeg_bytes`);
 
@@ -471,7 +527,7 @@ def decode_image_bytes(b: bytes) -> tuple[int, int, int, list[float]] | None:
         png = decode_png_bytes(b)
         if png is not None:
             return png
-        # fall through to PIL for Adam7-interlaced PNGs
+        # fall through to PIL for malformed/exotic PNGs it may salvage
     if b[:2] == b"\xff\xd8":
         jpg = decode_jpeg_bytes(b)
         if jpg is not None:

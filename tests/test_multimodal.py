@@ -269,6 +269,85 @@ def test_png_stdlib_decode_color_types():
     assert decode_png_bytes(bytes(bad)) is None
 
 
+def _png_adam7_bytes(pixels, ctype):
+    """Adam7-interlaced PNG encoder for tests: 8-bit only; each pass
+    encodes as its own filtered sub-image (filter types rotate per
+    row so pass-local reconstruction is exercised)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, nch = px.shape
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = px[y0::dy, x0::dx, :]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        stride = pw * nch
+        flat = sub.reshape(ph, stride).astype(np.int32)
+        for y in range(ph):
+            ftype = (y + x0) % 5
+            cur = flat[y]
+            prev = flat[y - 1] if y > 0 else np.zeros(stride, np.int32)
+            left = np.concatenate([np.zeros(nch, np.int32), cur[:-nch]]) if stride > nch else np.zeros(stride, np.int32)
+            ul = np.concatenate([np.zeros(nch, np.int32), prev[:-nch]]) if stride > nch else np.zeros(stride, np.int32)
+            if ftype == 0:
+                enc = cur
+            elif ftype == 1:
+                enc = (cur - left) % 256
+            elif ftype == 2:
+                enc = (cur - prev) % 256
+            elif ftype == 3:
+                enc = (cur - ((left + prev) >> 1)) % 256
+            else:
+                p = left + prev - ul
+                pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+                pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+                enc = (cur - pred) % 256
+            raw.append(ftype)
+            raw.extend(enc.astype(np.uint8).tobytes())
+
+    def chunk(typ, data):
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(">I", zlib.crc32(typ + data))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1)  # interlace=1
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_stdlib_decode_adam7():
+    """Adam7-interlaced PNGs decode exactly: every pixel reaches its
+    final grid position through the 7 scattered passes, including
+    images small enough that some passes are empty."""
+    import numpy as np
+
+    from rakam_api_spark.llm.multimodal import decode_png_bytes
+
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, size=(9, 10, 3), dtype=np.uint8)
+    got = decode_png_bytes(_png_adam7_bytes(px, ctype=2))
+    assert got is not None
+    w, h, nch, rgb = got
+    assert (w, h, nch) == (10, 9, 3)
+    want = px.reshape(-1, 3).mean(axis=0)
+    assert all(abs(a - e) < 1e-9 for a, e in zip(rgb, want))
+    # tiny image: passes 1-2 cover it, later passes partially empty
+    tiny = rng.integers(0, 256, size=(2, 3, 3), dtype=np.uint8)
+    w, h, nch, rgb = decode_png_bytes(_png_adam7_bytes(tiny, ctype=2))
+    assert (w, h, nch) == (3, 2, 3)
+    want = tiny.reshape(-1, 3).mean(axis=0)
+    assert all(abs(a - e) < 1e-9 for a, e in zip(rgb, want))
+
+
 def test_png_stdlib_decode_16bit():
     """REAL 16-bit PNGs decode in-repo (formerly the PIL-gated path):
     filters operate on bytes with the doubled bpp offset, samples
