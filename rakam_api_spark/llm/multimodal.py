@@ -335,15 +335,18 @@ _IDCT_C = np.array(
 
 
 def decode_jpeg_bytes(b: bytes) -> tuple[int, int, int, list[float]] | None:
-    """Pure numpy baseline-JPEG decode (ITU T.81 sequential DCT,
+    """Pure numpy JPEG decode (ITU T.81 sequential baseline + progressive,
     8-bit, Huffman): marker parse → per-MCU Huffman entropy decode →
     dequantize → IDCT (matrix form) → chroma upsample → YCbCr→RGB
     (JFIF full-range) → per-channel means.
 
     Supports grayscale and 3-component YCbCr with any sampling
-    factors (4:4:4 / 4:2:2 / 4:2:0), restart intervals, and multiple
-    DQT/DHT segments.  Progressive (SOF2), arithmetic coding, and
-    12-bit precision return None — PIL handles those when installed.
+    factors (4:4:4 / 4:2:2 / 4:2:0), restart intervals, multiple
+    DQT/DHT segments, AND progressive (SOF2) frames — spectral
+    selection, successive approximation, EOB runs, between-scan
+    table redefinitions (T.81 Annex G, :func:`_jpeg_decode_progressive`).
+    Arithmetic coding and 12-bit precision return None — PIL handles
+    those when installed.
 
     Like :func:`decode_png_bytes` this is per-image sequential;
     decode parallelism comes from mapInPandas partitions.
@@ -388,20 +391,7 @@ def _decode_jpeg_impl(b: bytes) -> tuple[int, int, int, list[float]] | None:
                 qt[tq] = np.frombuffer(seg, np.uint8, 64, i).astype(np.float64)
                 i += 64
         elif marker == 0xC4:  # DHT
-            i = 0
-            while i + 17 <= len(seg):
-                tc, th = seg[i] >> 4, seg[i] & 15
-                counts = seg[i + 1 : i + 17]
-                i += 17
-                table: dict[tuple[int, int], int] = {}
-                code = 0
-                for length in range(1, 17):
-                    for _ in range(counts[length - 1]):
-                        table[(length, code)] = seg[i]
-                        i += 1
-                        code += 1
-                    code <<= 1
-                huff[(tc, th)] = table
+            _jpeg_parse_dht(seg, huff)
         elif marker == 0xC0:  # SOF0 baseline sequential
             if seg[0] != 8:
                 return None
@@ -415,8 +405,23 @@ def _decode_jpeg_impl(b: bytes) -> tuple[int, int, int, list[float]] | None:
                     return None
                 comps.append((cid, ch, cv, tq_id))
             frame = (w, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # non-baseline frame types
+        elif marker == 0xC2:  # SOF2 progressive DCT
+            if seg[0] != 8:
+                return None
+            h, w = struct.unpack_from(">HH", seg, 1)
+            nc = seg[5]
+            comps = []
+            for c in range(nc):
+                cid, hv, tq_id = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                ch, cv = hv >> 4, hv & 15
+                if ch < 1 or cv < 1:
+                    return None
+                comps.append((cid, ch, cv, tq_id))
+            return _jpeg_decode_progressive(
+                b, pos + seg_len, (w, h, comps), qt, huff, restart_interval
+            )
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # arithmetic / lossless / hierarchical frame types
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg)
         elif marker == 0xDA:  # SOS — entropy data follows the header
@@ -429,6 +434,305 @@ def _decode_jpeg_impl(b: bytes) -> tuple[int, int, int, list[float]] | None:
             return _jpeg_decode_scan(b, pos + seg_len, frame, qt, huff, sel, restart_interval)
         pos += seg_len
     return None
+
+
+def _jpeg_parse_dht(seg: bytes, huff: dict) -> None:
+    i = 0
+    while i + 17 <= len(seg):
+        tc, th = seg[i] >> 4, seg[i] & 15
+        counts = seg[i + 1 : i + 17]
+        i += 17
+        table: dict[tuple[int, int], int] = {}
+        code = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                table[(length, code)] = seg[i]
+                i += 1
+                code += 1
+            code <<= 1
+        huff[(tc, th)] = table
+
+
+def _jpeg_next_marker(b: bytes, pos: int) -> int:
+    """Position of the next real marker at/after ``pos`` (skips
+    entropy data, stuffed FF00 and RSTn)."""
+    while pos + 1 < len(b):
+        if b[pos] == 0xFF and b[pos + 1] != 0x00 and not (0xD0 <= b[pos + 1] <= 0xD7):
+            return pos
+        pos += 1
+    return len(b)
+
+
+def _jpeg_dc_first(blk, bits, dc_t, Al, dc_pred):
+    cat = _jpeg_huff_decode(bits, dc_t)
+    if cat is None or cat > 11:
+        raise ValueError("bad DC category")
+    dc_pred += _jpeg_extend(bits.read(cat), cat)
+    blk[0] = dc_pred << Al
+    return dc_pred
+
+
+def _jpeg_ac_first(blk, bits, ac_t, Ss, Se, Al, eobrun):
+    """First AC scan of a band (T.81 §G.1.2.2): zero runs + values
+    scaled by 2^Al, with EOB-run symbols spanning whole blocks.
+    Coefficients index in ZIGZAG order."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = Ss
+    while k <= Se:
+        sym = _jpeg_huff_decode(bits, ac_t)
+        if sym is None:
+            raise ValueError("bad AC symbol")
+        r, s = sym >> 4, sym & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += bits.read(r)
+            return eobrun
+        k += r
+        if k > Se:
+            raise ValueError("AC run past band end")
+        blk[k] = _jpeg_extend(bits.read(s), s) << Al
+        k += 1
+    return 0
+
+
+def _jpeg_ac_refine(blk, bits, ac_t, Ss, Se, Al, eobrun):
+    """AC successive-approximation refinement (T.81 §G.1.2.3): every
+    nonzero-history coefficient passed gets a correction bit; new
+    coefficients arrive as ±2^Al after their zero-history run."""
+    p1 = 1 << Al
+    m1 = -(1 << Al)
+    k = Ss
+    if eobrun == 0:
+        while k <= Se:
+            sym = _jpeg_huff_decode(bits, ac_t)
+            if sym is None:
+                raise ValueError("bad AC symbol")
+            r, s = sym >> 4, sym & 15
+            if s == 0:
+                if r != 15:
+                    # EOB-run INCLUDING this block: its remaining
+                    # nonzero coefficients still take correction bits
+                    # in the tail loop below (which then decrements)
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += bits.read(r)
+                    break
+                val = 0  # ZRL: 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("refinement size must be 1")
+                val = p1 if bits.read(1) else m1
+            while k <= Se:
+                if blk[k] != 0:
+                    if bits.read(1) and (int(blk[k]) & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        if val:
+                            blk[k] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= Se:
+            if blk[k] != 0:
+                if bits.read(1) and (int(blk[k]) & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_planes_to_rgb(planes, comps, w, h, hmax, vmax):
+    """Shared finish: per-component upsample to full resolution, crop
+    to (h, w), then grayscale passthrough or JFIF YCbCr→RGB means."""
+    full = []
+    for cid, ch, cv, _tq in comps:
+        p = planes[cid]
+        if ch < hmax or cv < vmax:
+            p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        full.append(np.clip(p[:h, :w], 0.0, 255.0))
+    if len(full) == 1:
+        g = float(full[0].mean())
+        return w, h, 1, [g, g, g]
+    if len(full) != 3:
+        return None
+    y, cb, cr = full
+    r = np.clip(y + 1.402 * (cr - 128.0), 0.0, 255.0)
+    g = np.clip(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0), 0.0, 255.0)
+    bl = np.clip(y + 1.772 * (cb - 128.0), 0.0, 255.0)
+    return w, h, 3, [float(r.mean()), float(g.mean()), float(bl.mean())]
+
+
+def _jpeg_decode_progressive(b, pos, frame, qt, huff, restart_interval):
+    """Progressive JPEG (SOF2, T.81 Annex G): scans accumulate DC/AC
+    coefficient bands at increasing precision into per-block
+    coefficient arrays (zigzag order); dequant + IDCT run ONCE at
+    EOI.  Handles interleaved and single-component DC scans, the
+    single-component AC scans the spec mandates, spectral selection,
+    successive approximation, EOB runs, restart intervals, and
+    between-scan DHT/DQT/DRI redefinitions."""
+    w, h, comps = frame
+    if w <= 0 or h <= 0:
+        return None
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    coefs: dict[int, np.ndarray] = {}
+    meta: dict[int, tuple[int, int, int, int, int]] = {}
+    for cid, ch, cv, tq in comps:
+        bw, bh = mcux * ch, mcuy * cv
+        coefs[cid] = np.zeros((bh, bw, 64), np.int32)
+        cbw = (-(-(w * ch) // hmax) + 7) // 8  # ceil(ceil(w*ch/hmax)/8)
+        cbh = (-(-(h * cv) // vmax) + 7) // 8
+        meta[cid] = (ch, cv, tq, cbw, cbh)
+    saw_scan = False
+    while pos + 2 <= len(b):
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        pos += 2
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 2 > len(b):
+            return None
+        (seg_len,) = struct.unpack_from(">H", b, pos)
+        seg = b[pos + 2 : pos + seg_len]
+        if marker == 0xC4:
+            _jpeg_parse_dht(seg, huff)
+        elif marker == 0xDB:
+            i = 0
+            while i < len(seg):
+                pq, tq_id = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq != 0:
+                    return None
+                qt[tq_id] = np.frombuffer(seg, np.uint8, 64, i).astype(np.float64)
+                i += 64
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", seg)
+        elif marker == 0xDA:
+            ns = seg[0]
+            scomps = [(seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15) for c in range(ns)]
+            Ss, Se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            Ah, Al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+            end = _jpeg_progressive_scan(
+                b, pos + seg_len, coefs, meta, comps, scomps,
+                Ss, Se, Ah, Al, huff, restart_interval, mcux, mcuy,
+            )
+            if end is None:
+                return None
+            saw_scan = True
+            pos = end
+            continue
+        pos += seg_len
+    if not saw_scan:
+        return None
+    planes = {}
+    for cid, ch, cv, tq in comps:
+        if tq not in qt:
+            return None
+        q = qt[tq]
+        arr = coefs[cid]
+        bh, bw = arr.shape[:2]
+        plane = np.zeros((bh * 8, bw * 8), np.float64)
+        for by in range(bh):
+            for bx in range(bw):
+                blk = np.zeros(64, np.float64)
+                blk[_JPEG_ZIGZAG] = arr[by, bx].astype(np.float64) * q
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _IDCT_C.T @ blk.reshape(8, 8) @ _IDCT_C + 128.0
+                )
+        planes[cid] = plane
+    return _jpeg_planes_to_rgb(planes, comps, w, h, hmax, vmax)
+
+
+def _jpeg_progressive_scan(
+    b, scan_pos, coefs, meta, comps, scomps, Ss, Se, Ah, Al,
+    huff, restart_interval, mcux, mcuy,
+):
+    """One progressive scan; returns the byte position of the next
+    marker, or None on malformed data."""
+    bits = _JpegBits(b, scan_pos)
+    try:
+        if Ss == 0:  # DC scan (Se must be 0)
+            if Se != 0:
+                return None
+            dc_pred = {cid: 0 for cid, _td, _ta in scomps}
+            if len(scomps) > 1:  # interleaved over the MCU grid
+                n = 0
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        if restart_interval and n and n % restart_interval == 0:
+                            bits.restart()
+                            dc_pred = dict.fromkeys(dc_pred, 0)
+                        n += 1
+                        for cid, td, _ta in scomps:
+                            ch, cv, _tq, _cbw, _cbh = meta[cid]
+                            for by in range(cv):
+                                for bx in range(ch):
+                                    blk = coefs[cid][my * cv + by, mx * ch + bx]
+                                    if Ah == 0:
+                                        dc_t = huff.get((0, td))
+                                        if dc_t is None:
+                                            return None
+                                        dc_pred[cid] = _jpeg_dc_first(
+                                            blk, bits, dc_t, Al, dc_pred[cid]
+                                        )
+                                    elif bits.read(1):
+                                        blk[0] |= 1 << Al
+            else:  # single-component DC scan: the component's own grid
+                cid, td, _ta = scomps[0]
+                _ch, _cv, _tq, cbw, cbh = meta[cid]
+                pred = 0
+                n = 0
+                for by in range(cbh):
+                    for bx in range(cbw):
+                        if restart_interval and n and n % restart_interval == 0:
+                            bits.restart()
+                            pred = 0
+                        n += 1
+                        blk = coefs[cid][by, bx]
+                        if Ah == 0:
+                            dc_t = huff.get((0, td))
+                            if dc_t is None:
+                                return None
+                            pred = _jpeg_dc_first(blk, bits, dc_t, Al, pred)
+                        elif bits.read(1):
+                            blk[0] |= 1 << Al
+        else:  # AC scan: spec mandates exactly one component
+            if len(scomps) != 1 or Se > 63 or Ss > Se:
+                return None
+            cid, _td, ta = scomps[0]
+            ac_t = huff.get((1, ta))
+            if ac_t is None:
+                return None
+            _ch, _cv, _tq, cbw, cbh = meta[cid]
+            eobrun = 0
+            n = 0
+            for by in range(cbh):
+                for bx in range(cbw):
+                    if restart_interval and n and n % restart_interval == 0:
+                        bits.restart()
+                        eobrun = 0
+                    n += 1
+                    blk = coefs[cid][by, bx]
+                    if Ah == 0:
+                        eobrun = _jpeg_ac_first(blk, bits, ac_t, Ss, Se, Al, eobrun)
+                    else:
+                        eobrun = _jpeg_ac_refine(blk, bits, ac_t, Ss, Se, Al, eobrun)
+    except (ValueError, IndexError, KeyError):
+        return None
+    return _jpeg_next_marker(b, bits.pos)
 
 
 def _jpeg_decode_scan(b, scan_pos, frame, qt, huff, sel, restart_interval):
@@ -490,23 +794,7 @@ def _jpeg_decode_scan(b, scan_pos, frame, qt, huff, sel, restart_interval):
                         y0 = (my * cv + by) * 8
                         x0 = (mx * ch + bx) * 8
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = spatial
-    # upsample each component to full resolution and crop
-    full = []
-    for cid, ch, cv, _tq in comps:
-        p = planes[cid]
-        if ch < hmax or cv < vmax:
-            p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
-        full.append(np.clip(p[:h, :w], 0.0, 255.0))
-    if len(full) == 1:
-        g = float(full[0].mean())
-        return w, h, 1, [g, g, g]
-    if len(full) != 3:
-        return None
-    y, cb, cr = full
-    r = np.clip(y + 1.402 * (cr - 128.0), 0.0, 255.0)
-    g = np.clip(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0), 0.0, 255.0)
-    bl = np.clip(y + 1.772 * (cb - 128.0), 0.0, 255.0)
-    return w, h, 3, [float(r.mean()), float(g.mean()), float(bl.mean())]
+    return _jpeg_planes_to_rgb(planes, comps, w, h, hmax, vmax)
 
 
 def decode_image_bytes(b: bytes) -> tuple[int, int, int, list[float]] | None:
@@ -532,7 +820,7 @@ def decode_image_bytes(b: bytes) -> tuple[int, int, int, list[float]] | None:
         jpg = decode_jpeg_bytes(b)
         if jpg is not None:
             return jpg
-        # fall through to PIL for progressive / arithmetic JPEGs
+        # fall through to PIL for arithmetic-coded / 12-bit JPEGs
     if b[:2] == b"BM" and len(b) >= 54:
         (data_off,) = struct.unpack_from("<I", b, 10)
         (hdr_size,) = struct.unpack_from("<I", b, 14)

@@ -526,6 +526,109 @@ def _jpeg_color_420_fixture(dc_y=16, dc_cb=-64, dc_cr=80):
     return out + pk.tobytes() + b"\xff\xd9"
 
 
+def _jpeg_progressive_gray_2blk_fixture():
+    """16×8 grayscale PROGRESSIVE (SOF2) fixture, two 8×8 blocks,
+    exercising all four scan kinds: DC first (Al=1), DC refinement,
+    AC first (Al=1) with zero-runs, AC refinement with correction
+    bits.  Expected coefficients (quant 1): block1 DC=33, AC(z1)=7,
+    AC(z3)=2; block2 DC=48 — mean = ((33+48)/2)/8 + 128 = 133.0625
+    (AC terms have zero mean; a bit-accounting error desyncs block2's
+    DC and shifts the mean)."""
+    out = b"\xff\xd8" + _dqt_unit()
+    out += _seg(0xC2, bytes([8]) + (8).to_bytes(2, "big") + (16).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    out += _dht(0, 0, {2: 2}, [5, 4])        # DC cats: '00'->5, '01'->4
+    out += _dht(1, 0, {2: 3}, [0x00, 0x02, 0x11])  # AC: '00'->EOB, '01'->(0,2), '10'->(1,1)
+    # scan 1: DC first, Al=1 — diffs 16 (cat5) then 8 (cat4)
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+    pk = _BitPacker()
+    pk.put_code("00"); pk.put(16, 5)   # block1: pred 16 -> coef 32
+    pk.put_code("01"); pk.put(8, 4)    # block2: pred 24 -> coef 48
+    out += pk.tobytes()
+    # scan 2: DC refinement, Ah=1 Al=0 — one raw bit per block
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
+    pk = _BitPacker()
+    pk.put_code("1")  # block1: 32|1 = 33
+    pk.put_code("0")  # block2: stays 48
+    out += pk.tobytes()
+    # scan 3: AC first, band 1..63, Al=1
+    out += _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01]))
+    pk = _BitPacker()
+    pk.put_code("01"); pk.put(3, 2)    # block1 z1: 3<<1 = 6
+    pk.put_code("10"); pk.put(1, 1)    # run 1 -> z3: 1<<1 = 2
+    pk.put_code("00")                  # EOB
+    pk.put_code("00")                  # block2: EOB immediately
+    out += pk.tobytes()
+    # scan 4: AC refinement, Ah=1 Al=0
+    out += _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10]))
+    pk = _BitPacker()
+    pk.put_code("00")   # EOB0 (eobrun covers this block's tail)
+    pk.put_code("1")    # correction bit z1: 6 -> 7
+    pk.put_code("0")    # correction bit z3: 2 stays
+    pk.put_code("00")   # block2: EOB0, no nonzero history
+    out += pk.tobytes()
+    return out + b"\xff\xd9"
+
+
+def _jpeg_progressive_gray_eobrun_fixture():
+    """32×8 progressive fixture (4 blocks) whose AC first scan uses a
+     2-block EOB RUN (EOB1 + 1 extra bit): miscounting the run
+    desyncs the 4th block's symbols.  DCs 16/24/16/32 → mean
+    130.75 exactly."""
+    out = b"\xff\xd8" + _dqt_unit()
+    out += _seg(0xC2, bytes([8]) + (8).to_bytes(2, "big") + (32).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    out += _dht(0, 0, {2: 2}, [5, 4])
+    out += _dht(1, 0, {2: 3}, [0x00, 0x02, 0x10])  # '10' -> EOB1 (r=1,s=0)
+    # DC first, Al=0: diffs +16 (cat5), +8 (cat4), -8 (cat4), +16 (cat5)
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+    pk = _BitPacker()
+    pk.put_code("00"); pk.put(16, 5)
+    pk.put_code("01"); pk.put(8, 4)
+    pk.put_code("01"); pk.put(-8 + (1 << 4) - 1, 4)  # negative diff encoding
+    pk.put_code("00"); pk.put(16, 5)
+    out += pk.tobytes()
+    # AC first, Al=0: block1 one AC then EOB1(+1) covering blocks 2-3
+    out += _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+    pk = _BitPacker()
+    pk.put_code("01"); pk.put(3, 2)  # block1 z1 = 3
+    pk.put_code("10"); pk.put(1, 1)  # EOB1 + extra bit 1 -> run of 2 blocks
+    pk.put_code("00")                # block4: EOB0
+    out += pk.tobytes()
+    return out + b"\xff\xd9"
+
+
+def test_jpeg_progressive_all_scan_kinds():
+    from rakam_api_spark.llm.multimodal import decode_image_bytes, decode_jpeg_bytes
+
+    b = _jpeg_progressive_gray_2blk_fixture()
+    got = decode_jpeg_bytes(b)
+    assert got is not None
+    w, h, nch, rgb = got
+    assert (w, h, nch) == (16, 8, 1)
+    # mean is DC-only: ((33 + 48)/2)/8 + 128
+    assert abs(rgb[0] - 133.0625) < 1e-9
+    assert decode_image_bytes(b) == got  # dispatch reaches progressive
+
+
+def test_jpeg_progressive_eob_run_spans_blocks():
+    from rakam_api_spark.llm.multimodal import decode_jpeg_bytes
+
+    got = decode_jpeg_bytes(_jpeg_progressive_gray_eobrun_fixture())
+    assert got is not None
+    w, h, nch, rgb = got
+    assert (w, h, nch) == (32, 8, 1)
+    assert abs(rgb[0] - 130.75) < 1e-9  # (16+24+16+32)/4/8 + 128
+
+
+def test_jpeg_progressive_truncation_returns_none():
+    from rakam_api_spark.llm.multimodal import decode_jpeg_bytes
+
+    b = _jpeg_progressive_gray_2blk_fixture()
+    # truncating inside scan data must not crash
+    for cut in (len(b) - 4, len(b) // 2, 30):
+        r = decode_jpeg_bytes(b[:cut])
+        assert r is None or isinstance(r, tuple)
+
+
 def test_jpeg_baseline_gray():
     from rakam_api_spark.llm.multimodal import decode_jpeg_bytes
 
