@@ -77,6 +77,8 @@ _GATE_PRIORITY = (
     "order_backlog_daily",
     "revenue_pareto_top100",
     "semantic_contamination",
+    "attribution_linear",
+    "ship_latency_quartiles",
     # last driver-checked in round 3 (stalest green coverage)
     "ann_brute_force_topk",
     "ann_ivf_topk",

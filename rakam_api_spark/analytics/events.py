@@ -2448,7 +2448,156 @@ LIMIT 20
 """
 
 
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution: each ``purchase`` splits its
+    credit EQUALLY over every ``click`` in the user's 7-day lookback
+    (vs last-touch's winner-takes-all) — the second standard
+    attribution model marketing stacks offer.
+
+    Plan: a RANGE-frame window counts each conversion's in-window
+    touches (one user-keyed shuffle), then conversions join back to
+    their touches on (user, time-range) — a user-equi join with a
+    range residual, bounded by touches-per-user-week, never a blind
+    interval join.  Per-pair credit is 1/n; cross-engine float
+    SUMMATION ORDER makes Σ(1/n) differ in last ulps, so credited
+    sums are rounded to 6 decimals on BOTH sides (error ≤ n·ulp ≈
+    1e-12 ≪ 5e-7) — the established gate pattern for multi-term
+    float reductions (cf. ``user_metric_correlation``)."""
+    ev = _events(spark, sf_dir)
+    week_us = 7 * 24 * US_PER_HOUR
+    sub = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        "user_id", "event_type", "event_id", "value", _us().alias("_us")
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("_us")
+        .rangeBetween(-week_us, -1)
+    )
+    n_touches = F.sum(
+        F.when(F.col("event_type") == "click", F.lit(1)).otherwise(F.lit(0))
+    ).over(wr)
+    conv = (
+        sub.withColumn("n_touches", n_touches)
+        .where((F.col("event_type") == "purchase") & (F.col("n_touches") > 0))
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("_us").alias("conv_us"),
+            F.col("value").alias("conv_value"),
+            "n_touches",
+        )
+    )
+    touches = sub.where(F.col("event_type") == "click").select(
+        "user_id", F.col("_us").alias("touch_us")
+    )
+    day_us = 24 * US_PER_HOUR
+    pairs = conv.join(
+        touches,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("touch_us") >= F.col("conv_us") - week_us)
+        & (F.col("touch_us") <= F.col("conv_us") - 1),
+    )
+    inv = F.lit(1.0) / F.col("n_touches").cast("double")
+    return (
+        pairs.groupBy(
+            F.expr(f"date_add(date'1970-01-01', cast(touch_us div {day_us} as int))").alias("touch_day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum(inv), 6).alias("credited_conversions"),
+            F.round(F.sum(F.col("conv_value") * inv), 6).alias("attributed_revenue"),
+        )
+        .orderBy("touch_day")
+    )
+
+
+ATTRIBUTION_LINEAR_ORACLE = """
+WITH sub AS (
+  SELECT user_id, event_type, event_id, value, epoch_us(ts) AS us
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+conv AS (
+  SELECT user_id AS c_user, us AS conv_us, value AS conv_value,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY us
+           RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING) AS n_touches
+  FROM sub
+  QUALIFY event_type = 'purchase' AND n_touches > 0
+),
+pairs AS (
+  SELECT t.us AS touch_us, conv_value, n_touches
+  FROM conv JOIN sub t
+    ON t.user_id = c_user AND t.event_type = 'click'
+   AND t.us >= conv_us - 604800000000 AND t.us <= conv_us - 1
+)
+SELECT CAST(to_timestamp((touch_us // 86400000000) * 86400) AS DATE) AS touch_day,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(SUM(1.0 / CAST(n_touches AS DOUBLE)), 6) AS credited_conversions,
+       ROUND(SUM(conv_value * (1.0 / CAST(n_touches AS DOUBLE))), 6) AS attributed_revenue
+FROM pairs
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def ship_latency_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency quartiles per order priority: days from
+    order date to FIRST and LAST lineitem shipment — the fulfillment
+    SLA report on the star schema.
+
+    One lineitem⋈orders fact join (the only wide shuffle), an
+    order-grain min/max aggregate, then exact linear-interpolation
+    percentiles per priority (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont`` on the same integral day counts — at 100 TB
+    swap ``approx_percentile``, same call shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    per_order = (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            F.min(F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))).alias("first_ship_days"),
+            F.max(F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))).alias("last_ship_days"),
+        )
+    )
+    return (
+        per_order.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr("percentile(first_ship_days, 0.25)").alias("first_p25"),
+            F.expr("percentile(first_ship_days, 0.5)").alias("first_p50"),
+            F.expr("percentile(last_ship_days, 0.75)").alias("last_p75"),
+            F.expr("percentile(last_ship_days, 0.95)").alias("last_p95"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SHIP_LATENCY_ORACLE = """
+WITH per_order AS (
+  SELECT l_orderkey, o_orderpriority,
+         MIN(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS first_ship_days,
+         MAX(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS last_ship_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       quantile_cont(first_ship_days, 0.25) AS first_p25,
+       quantile_cont(first_ship_days, 0.5) AS first_p50,
+       quantile_cont(last_ship_days, 0.75) AS last_p75,
+       quantile_cont(last_ship_days, 0.95) AS last_p95
+FROM per_order
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
+    "attribution_linear": attribution_linear,
+    "ship_latency_quartiles": ship_latency_quartiles,
     "seg_daily_event_counts": seg_daily_event_counts,
     "dau": dau,
     "top_event_values": top_event_values,
@@ -2498,6 +2647,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "attribution_linear": ATTRIBUTION_LINEAR_ORACLE,
+    "ship_latency_quartiles": SHIP_LATENCY_ORACLE,
     "seg_daily_event_counts": SEG_DAILY_ORACLE,
     "dau": DAU_ORACLE,
     "top_event_values": TOP_EVENT_VALUES_ORACLE,
