@@ -97,6 +97,12 @@ OPERATORS = [
     "q11_important_stock",
     "q18_large_volume_customers",
     "q21_suppliers_kept_waiting",
+    "lexical_rarity",
+    "order_backlog_daily",
+    "revenue_pareto_top100",
+    "semantic_contamination",
+    "attribution_linear",
+    "ship_latency_quartiles",
 ]
 
 # Probe variants: (row label, queries() op, docs transform).  The
