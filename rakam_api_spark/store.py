@@ -416,6 +416,128 @@ class EventStore:
             .orderBy("month")
         )
 
+    def maintenance_plan(
+        self,
+        project: str,
+        max_files_per_month: int = 8,
+        retention_months: int | None = None,
+    ) -> list[dict]:
+        """The auto-indexer's DECISION step (reference M5: the
+        auto-indexer watches collection stats and schedules
+        maintenance — here the policy is explicit and testable):
+        derive a ranked action list from ``table_stats`` without
+        touching data —
+
+        - ``compact``        months whose small-file count exceeds
+          ``max_files_per_month`` (streaming micro-batch debris),
+        - ``expire``         months older than ``retention_months``
+          behind each collection's newest month (TTL),
+        - ``rollup_refresh`` published rollups missing base months
+          (e.g. appends landed since the last publish).
+
+        Returns [{collection, action, months, reason}, ...] ordered
+        expire → compact → rollup_refresh per collection (expiring
+        first avoids compacting doomed partitions);
+        ``run_maintenance`` executes the same list under the
+        per-collection writer lock."""
+        plan: list[dict] = []
+        for coll in self.collections_with_data(project):
+            stats = self.table_stats(project, coll).collect()
+            if not stats:
+                continue
+            months = sorted(r["month"] for r in stats)
+            if retention_months is not None and len(months) > 1:
+                # cutoff = retention_months behind the NEWEST month
+                y, m = map(int, months[-1].split("-"))
+                total = y * 12 + (m - 1) - retention_months
+                cutoff = f"{total // 12:04d}-{total % 12 + 1:02d}"
+                expired = [mm for mm in months if mm < cutoff]
+                if expired:
+                    plan.append(
+                        {
+                            "collection": coll,
+                            "action": "expire",
+                            "months": expired,
+                            "reason": f"older than {retention_months} months behind {months[-1]}",
+                        }
+                    )
+                    months = [mm for mm in months if mm >= cutoff]
+            fat = [
+                r["month"]
+                for r in stats
+                if r["month"] in months and r["n_files"] > max_files_per_month
+            ]
+            if fat:
+                plan.append(
+                    {
+                        "collection": coll,
+                        "action": "compact",
+                        "months": sorted(fat),
+                        "reason": f"> {max_files_per_month} files per month partition",
+                    }
+                )
+            if self.rollup_meta(project, coll) is not None:
+                rolled = set()
+                rdir = self._base_path(project, coll) + ".rollup"
+                if os.path.isdir(rdir):
+                    rolled = {
+                        d.split("=", 1)[1]
+                        for d in os.listdir(rdir)
+                        if d.startswith("_month=")
+                    }
+                missing = sorted(set(months) - rolled)
+                if missing:
+                    plan.append(
+                        {
+                            "collection": coll,
+                            "action": "rollup_refresh",
+                            "months": missing,
+                            "reason": "base months absent from the published rollup",
+                        }
+                    )
+        return plan
+
+    def run_maintenance(self, project: str, plan: list[dict] | None = None, **plan_kwargs) -> list[dict]:
+        """Execute a maintenance plan (default: compute one now).
+        Each action runs under the collection's writer lock; returns
+        the plan annotated with an ``outcome`` per action."""
+        plan = self.maintenance_plan(project, **plan_kwargs) if plan is None else plan
+        for item in plan:
+            coll = item["collection"]
+            if item["action"] == "expire":
+                # expire_months takes an exclusive upper bound
+                bound = max(item["months"])
+                y, m = map(int, bound.split("-"))
+                nxt = y * 12 + m  # first month AFTER the expired set
+                before = f"{nxt // 12:04d}-{nxt % 12 + 1:02d}"
+                dropped = self.expire_months(project, coll, before)
+                meta = self.rollup_meta(project, coll)
+                if dropped and meta is not None:
+                    # full rebuild clears the dropped months' stale
+                    # rollup cells (expire_months' documented follow-up)
+                    self.publish_rollup(
+                        project,
+                        coll,
+                        dims=tuple(meta["dims"]),
+                        measures=dict(meta["measures"]),
+                        months=None,
+                    )
+                item["outcome"] = f"dropped {len(dropped)} months"
+            elif item["action"] == "compact":
+                n_files = self.compact(project, coll)
+                item["outcome"] = f"{n_files} files after compaction"
+            elif item["action"] == "rollup_refresh":
+                meta = self.rollup_meta(project, coll)
+                n = self.publish_rollup(
+                    project,
+                    coll,
+                    dims=tuple(meta["dims"]),
+                    measures=dict(meta["measures"]),
+                    months=item["months"],
+                )
+                item["outcome"] = f"{n} rollup rows"
+        return plan
+
     def expire_months(self, project: str, collection: str, before_month: str) -> list[str]:
         """Retention/TTL enforcement: drop every month partition
         strictly older than ``before_month`` ("YYYY-MM") — a pure

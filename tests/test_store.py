@@ -208,6 +208,41 @@ def test_erase_user_refreshes_derived_tables(spark, warehouse):
     assert store.read_rollup("proj", "clicks").agg({"n_events": "sum"}).collect()[0][0] == 6
 
 
+def test_maintenance_plan_and_run(spark, warehouse):
+    """The auto-indexer decision step: stats → {expire, compact,
+    rollup_refresh} actions, then run_maintenance executes them and
+    the warehouse ends clean (small files gone, TTL enforced, rollup
+    caught up, stale rollup cells of expired months cleared)."""
+    ms = Metastore(warehouse)
+    collector = EventCollector(spark, ms, pipeline=EnrichmentPipeline([TimestampMapper()]))
+    # 2023-10 (to expire), then many tiny appends into 2024-01
+    collector.collect("proj", "clicks", {"event_type": "a", "value": 1.0, "_time": "2023-10-05 09:00:00"})
+    for i in range(10):
+        collector.collect(
+            "proj", "clicks", {"event_type": "a", "value": float(i), "_time": f"2024-01-{i + 1:02d} 09:00:00"}
+        )
+    store = collector.store
+    store.publish_rollup("proj", "clicks", dims=("event_type",))
+    # append AFTER the publish: 2024-02 is missing from the rollup
+    collector.collect("proj", "clicks", {"event_type": "b", "value": 5.0, "_time": "2024-02-01 09:00:00"})
+
+    plan = store.maintenance_plan("proj", max_files_per_month=4, retention_months=3)
+    got = {(p["collection"], p["action"]): p["months"] for p in plan}
+    assert got[("clicks", "expire")] == ["2023-10"]
+    assert "2024-01" in got[("clicks", "compact")]
+    assert got[("clicks", "rollup_refresh")] == ["2024-02"]
+
+    done = store.run_maintenance("proj", plan)
+    assert all("outcome" in p for p in done)
+    stats = {r["month"]: r for r in store.table_stats("proj", "clicks").collect()}
+    assert "2023-10" not in stats  # expired
+    assert stats["2024-01"]["n_files"] <= 4  # compacted
+    cells = {r["_month"] for r in store.read_rollup("proj", "clicks").collect()}
+    assert cells == {"2024-01", "2024-02"}  # refreshed, stale month cleared
+    # idempotent: a clean warehouse plans nothing
+    assert store.maintenance_plan("proj", max_files_per_month=4, retention_months=3) == []
+
+
 def test_maintenance_lock_single_writer(spark, warehouse):
     """Maintenance rewrites are single-writer per collection: a live
     holder blocks a second writer, a stale lock (dead pid) is broken,
