@@ -79,6 +79,8 @@ _GATE_PRIORITY = (
     "semantic_contamination",
     "attribution_linear",
     "ship_latency_quartiles",
+    "metric_correlation_matrix",
+    "weekly_seasonality_autocorr",
     # last driver-checked in round 3 (stalest green coverage)
     "ann_brute_force_topk",
     "ann_ivf_topk",

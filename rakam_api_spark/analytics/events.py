@@ -2595,9 +2595,172 @@ ORDER BY 1
 """
 
 
+_CORR_METRICS = ("n_clicks", "n_views", "n_purchases", "active_days")
+
+
+def metric_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation MATRIX over per-user engagement
+    metrics (clicks, views, purchases, active days) — the
+    engagement-correlation dashboard generalizing
+    ``user_metric_correlation`` to all metric pairs.
+
+    ONE user-grain aggregation and ONE single-row moment aggregate
+    compute every pair's moments (Σx, Σy, Σxy, Σx², Σy² are
+    bigint-exact); each r is the fixed IEEE chain rounded to 9
+    decimals on both sides (the established cross-engine contract
+    for multi-op float chains).  Output: one row per unordered pair."""
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("n_clicks"),
+        F.sum((F.col("event_type") == "view").cast("long")).alias("n_views"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("n_purchases"),
+        F.countDistinct(F.col("ts").cast("date")).alias("active_days"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for m in _CORR_METRICS:
+        aggs.append(F.sum(m).alias(f"s_{m}"))
+        aggs.append(F.sum(F.col(m) * F.col(m)).alias(f"ss_{m}"))
+    for i, a in enumerate(_CORR_METRICS):
+        for bb in _CORR_METRICS[i + 1 :]:
+            aggs.append(F.sum(F.col(a) * F.col(bb)).alias(f"sp_{a}_{bb}"))
+    mrow = per_user.agg(*aggs)
+    pairs = []
+    for i, a in enumerate(_CORR_METRICS):
+        for bb in _CORR_METRICS[i + 1 :]:
+            n = F.col("n").cast("double")
+            sx, sy = F.col(f"s_{a}").cast("double"), F.col(f"s_{bb}").cast("double")
+            sxx, syy = F.col(f"ss_{a}").cast("double"), F.col(f"ss_{bb}").cast("double")
+            sxy = F.col(f"sp_{a}_{bb}").cast("double")
+            r = (n * sxy - sx * sy) / (
+                F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+            )
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("metric_a"),
+                    F.lit(bb).alias("metric_b"),
+                    F.round(r, 9).alias("pearson_r"),
+                )
+            )
+    return (
+        mrow.select(F.explode(F.array(*pairs)).alias("p"))
+        .select("p.metric_a", "p.metric_b", "p.pearson_r")
+        .orderBy("metric_a", "metric_b")
+    )
+
+
+def _corr_matrix_oracle() -> str:
+    cell = (
+        "ROUND((CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)"
+        " - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        " / (SQRT(CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+        " * SQRT(CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE) - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))), 9)"
+    )
+    sums = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for m in _CORR_METRICS:
+        sums.append(f"SUM({m}) AS s_{m}")
+        sums.append(f"SUM({m} * {m}) AS ss_{m}")
+    rows = []
+    for i, a in enumerate(_CORR_METRICS):
+        for b in _CORR_METRICS[i + 1 :]:
+            sums.append(f"SUM({a} * {b}) AS sp_{a}_{b}")
+            rows.append(
+                f"SELECT '{a}' AS metric_a, '{b}' AS metric_b, "
+                + cell.format(a=a, b=b)
+                + " AS pearson_r FROM m"
+            )
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+         CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days
+  FROM events GROUP BY user_id
+), m AS (SELECT {", ".join(sums)} FROM per_user)
+{" UNION ALL ".join(rows)}
+ORDER BY metric_a, metric_b
+"""
+
+
+METRIC_CORR_MATRIX_ORACLE = _corr_matrix_oracle()
+
+
+def weekly_seasonality_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-seasonality detector: Pearson autocorrelation of the
+    DAILY event-count series at lags 1 and 7 days — a lag-7
+    correlation well above lag-1 is the weekly-cycle fingerprint
+    dashboards annotate.
+
+    The day-grain series is exact integers; each lag joins the
+    series to itself shifted by the lag (a day-grain self-join over
+    a calendar-bounded table, not the fact table) and computes
+    Pearson r from exact moments, rounded to 9 decimals both sides."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+    def lag_r(lag: int):
+        a = daily.select(F.col("day").alias("d1"), F.col("cnt").alias("x"))
+        bcols = daily.select(
+            F.date_add(F.col("day"), lag).alias("d1"), F.col("cnt").alias("y")
+        )
+        j = a.join(bcols, "d1")
+        m = j.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+        n = F.col("n").cast("double")
+        sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+        sxy = F.col("sxy").cast("double")
+        sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+        r = (n * sxy - sx * sy) / (
+            F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+        )
+        return m.select(
+            F.lit(lag).alias("lag_days"),
+            F.col("n").alias("n_day_pairs"),
+            F.round(r, 9).alias("autocorr"),
+        )
+
+    return lag_r(1).unionByName(lag_r(7)).orderBy("lag_days")
+
+
+WEEKLY_AUTOCORR_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+),
+lagged AS (
+  SELECT l.lag_days, a.cnt AS x, b.cnt AS y
+  FROM (SELECT 1 AS lag_days UNION ALL SELECT 7) l
+  JOIN daily a ON TRUE
+  JOIN daily b ON a.day = b.day + to_days(l.lag_days)
+),
+m AS (
+  SELECT lag_days, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+         SUM(x*x) AS sxx, SUM(y*y) AS syy
+  FROM lagged GROUP BY 1
+)
+SELECT lag_days, n AS n_day_pairs,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+         AS autocorr
+FROM m ORDER BY lag_days
+"""
+
+
 QUERIES = {
     "attribution_linear": attribution_linear,
     "ship_latency_quartiles": ship_latency_quartiles,
+    "metric_correlation_matrix": metric_correlation_matrix,
+    "weekly_seasonality_autocorr": weekly_seasonality_autocorr,
     "seg_daily_event_counts": seg_daily_event_counts,
     "dau": dau,
     "top_event_values": top_event_values,
@@ -2647,6 +2810,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "metric_correlation_matrix": METRIC_CORR_MATRIX_ORACLE,
+    "weekly_seasonality_autocorr": WEEKLY_AUTOCORR_ORACLE,
     "attribution_linear": ATTRIBUTION_LINEAR_ORACLE,
     "ship_latency_quartiles": SHIP_LATENCY_ORACLE,
     "seg_daily_event_counts": SEG_DAILY_ORACLE,

@@ -103,6 +103,8 @@ OPERATORS = [
     "semantic_contamination",
     "attribution_linear",
     "ship_latency_quartiles",
+    "metric_correlation_matrix",
+    "weekly_seasonality_autocorr",
 ]
 
 # Probe variants: (row label, queries() op, docs transform).  The
