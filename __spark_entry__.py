@@ -81,6 +81,7 @@ _GATE_PRIORITY = (
     "ship_latency_quartiles",
     "metric_correlation_matrix",
     "weekly_seasonality_autocorr",
+    "ann_filtered_topk",
     # last driver-checked in round 3 (stalest green coverage)
     "ann_brute_force_topk",
     "ann_ivf_topk",

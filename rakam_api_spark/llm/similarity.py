@@ -1219,8 +1219,105 @@ FROM (
 """
 
 
+def ann_filtered_topk(
+    spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 20, min_label: int = 5
+) -> DataFrame:
+    """FILTERED vector search: exact cosine top-k restricted to
+    candidates satisfying a metadata predicate (label ≥ min_label) —
+    the retrieval-with-metadata-filters shape every vector store
+    exposes (time ranges, tenant ids, source filters in RAG).
+
+    The predicate applies BEFORE the scoring kernel, so the scan is
+    pruned to the qualifying half of the corpus (pre-filtering, not
+    post-filtering — post-filter top-k under-fills when the filter is
+    selective).  At 100 TB the corpus would be partitioned/bucketed
+    by the filter column and the predicate becomes partition pruning.
+    Same integer-quantized exact-cosine kernel as
+    :func:`brute_force_topk`."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = sorted(
+        emb.where(F.col("vec_id") < n_queries).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    import numpy as np
+
+    def _quant(a):
+        return np.sign(a) * np.floor(np.abs(a) + 0.5)
+
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = _quant(np.array([r["embedding"] for r in qrows], dtype=np.float64) * QUANT)
+    qn2 = (Q * Q).sum(axis=1)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = _quant(np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * QUANT)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            dots = X @ Q.T
+            n2 = (X * X).sum(axis=1)
+            cos = dots / np.sqrt(n2[:, None] * qn2[None, :])
+            out_q, out_v, out_c = [], [], []
+            for j in range(len(q_ids)):
+                mask = ids != q_ids[j]
+                cand_ids, cand_cos = ids[mask], cos[mask, j]
+                top = min(k, len(cand_ids))
+                if top == 0:
+                    continue
+                order = np.lexsort((cand_ids, -cand_cos))[:top]
+                out_q.extend([int(q_ids[j])] * top)
+                out_v.extend(cand_ids[order].tolist())
+                out_c.extend(cand_cos[order].tolist())
+            yield pd.DataFrame({"q_id": out_q, "vec_id": out_v, "cosine": out_c})
+
+    # the metadata predicate prunes the scan BEFORE the kernel
+    cand = emb.where(F.col("label") >= min_label).select("vec_id", "embedding")
+    partial = cand.mapInPandas(kernel, "q_id long, vec_id long, cosine double")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        partial.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rnk")
+        .orderBy("q_id", "rnk")
+    )
+
+
+ANN_FILTERED_ORACLE = """
+WITH comp AS (
+  SELECT vec_id, CAST(i AS INT) AS pos,
+         CAST(round(CAST(embedding[CAST(i AS INT)+1] AS DOUBLE) * 10000, 0) AS BIGINT) AS q,
+         label
+  FROM embeddings, LATERAL unnest(range(0, len(embedding))) t(i)
+),
+norms AS (SELECT vec_id, SUM(q*q) AS norm2 FROM comp GROUP BY 1),
+qcomp AS (SELECT vec_id AS q_id, pos, q AS qq FROM comp WHERE vec_id < 20),
+dots AS (
+  SELECT q.q_id, c.vec_id, SUM(c.q * q.qq) AS dot
+  FROM comp c JOIN qcomp q USING (pos)
+  WHERE c.vec_id <> q.q_id AND c.label >= 5
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.q_id, d.vec_id,
+         CAST(d.dot AS DOUBLE) / sqrt(CAST(n.norm2 AS DOUBLE) * CAST(qn.norm2 AS DOUBLE)) AS cosine
+  FROM dots d
+  JOIN norms n  ON d.vec_id = n.vec_id
+  JOIN norms qn ON d.q_id = qn.vec_id
+)
+SELECT q_id, vec_id AS neighbor_id, cosine, rnk
+FROM (
+  SELECT q_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+
 QUERIES = {
     "ann_brute_force_topk": brute_force_topk,
+    "ann_filtered_topk": ann_filtered_topk,
     "semantic_contamination": semantic_contamination,
     "ann_ivf_topk": ivf_topk,
     "ann_kmeans_ivf_topk": kmeans_ivf_topk,
@@ -1232,6 +1329,7 @@ QUERIES = {
 ORACLES = {
     "ann_brute_force_topk": BRUTE_FORCE_ORACLE,
     "semantic_contamination": SEMANTIC_CONTAMINATION_ORACLE,
+    "ann_filtered_topk": ANN_FILTERED_ORACLE,
     "ann_ivf_topk": IVF_ORACLE,
     "ann_kmeans_ivf_topk": KMEANS_IVF_ORACLE,
     "embedding_cluster_profile": CLUSTER_PROFILE_ORACLE,
