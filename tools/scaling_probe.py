@@ -105,6 +105,7 @@ OPERATORS = [
     "ship_latency_quartiles",
     "metric_correlation_matrix",
     "weekly_seasonality_autocorr",
+    "ann_filtered_topk",
 ]
 
 # Probe variants: (row label, queries() op, docs transform).  The
