@@ -2548,7 +2548,12 @@ def ship_latency_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-grain min/max aggregate, then exact linear-interpolation
     percentiles per priority (Spark ``percentile`` ≡ DuckDB
     ``quantile_cont`` on the same integral day counts — at 100 TB
-    swap ``approx_percentile``, same call shape)."""
+    swap ``approx_percentile``, same call shape).  The interpolated
+    values are rounded to 9 decimals on both sides: the two engines'
+    interpolation FORMULAS (``(1-f)·a + f·b`` vs ``a + (b-a)·f``)
+    can differ in the last ulp under FMA contraction — the same
+    cross-engine-build hazard that red-flagged the unrounded Pearson
+    chain in round 5."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     per_order = (
@@ -2566,10 +2571,10 @@ def ship_latency_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_order.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.expr("percentile(first_ship_days, 0.25)").alias("first_p25"),
-            F.expr("percentile(first_ship_days, 0.5)").alias("first_p50"),
-            F.expr("percentile(last_ship_days, 0.75)").alias("last_p75"),
-            F.expr("percentile(last_ship_days, 0.95)").alias("last_p95"),
+            F.round(F.expr("percentile(first_ship_days, 0.25)"), 9).alias("first_p25"),
+            F.round(F.expr("percentile(first_ship_days, 0.5)"), 9).alias("first_p50"),
+            F.round(F.expr("percentile(last_ship_days, 0.75)"), 9).alias("last_p75"),
+            F.round(F.expr("percentile(last_ship_days, 0.95)"), 9).alias("last_p95"),
         )
         .orderBy("o_orderpriority")
     )
@@ -2585,10 +2590,10 @@ WITH per_order AS (
 )
 SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       quantile_cont(first_ship_days, 0.25) AS first_p25,
-       quantile_cont(first_ship_days, 0.5) AS first_p50,
-       quantile_cont(last_ship_days, 0.75) AS last_p75,
-       quantile_cont(last_ship_days, 0.95) AS last_p95
+       ROUND(quantile_cont(first_ship_days, 0.25), 9) AS first_p25,
+       ROUND(quantile_cont(first_ship_days, 0.5), 9) AS first_p50,
+       ROUND(quantile_cont(last_ship_days, 0.75), 9) AS last_p75,
+       ROUND(quantile_cont(last_ship_days, 0.95), 9) AS last_p95
 FROM per_order
 GROUP BY 1
 ORDER BY 1
