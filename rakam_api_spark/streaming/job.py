@@ -706,6 +706,56 @@ class StreamingIngest:
         return self._start_writer(stream, checkpoint_dir, trigger_available_now=False)
 
 
+def stream_health(query) -> dict:
+    """Operational snapshot of a running StreamingQuery — the
+    observability surface the reference pushes to CloudWatch on its
+    ingest path (S3BulkEventStore.java:79-172 emits
+    ``rakam-middleware-collection`` metrics per batch); here derived
+    from Structured Streaming's progress feed so any metrics sink
+    (StreamingQueryListener, Prometheus scraper) can consume it.
+
+    Returns {active, batch_id, num_input_rows, input_rows_per_sec,
+    processed_rows_per_sec, batch_duration_ms, state_rows,
+    state_memory_bytes, sources: [{description, start_offset,
+    end_offset}], total_input_rows} — all from ``lastProgress`` /
+    ``recentProgress`` (no extra Spark jobs; reading metrics must
+    never compete with the stream for executors)."""
+    lp = query.lastProgress
+    out = {
+        "active": bool(query.isActive),
+        "batch_id": None,
+        "num_input_rows": 0,
+        "input_rows_per_sec": 0.0,
+        "processed_rows_per_sec": 0.0,
+        "batch_duration_ms": None,
+        "state_rows": 0,
+        "state_memory_bytes": 0,
+        "sources": [],
+        "total_input_rows": sum(
+            int(p["numInputRows"]) for p in query.recentProgress
+        ),
+    }
+    if lp is None:
+        return out
+    out["batch_id"] = lp.get("batchId")
+    out["num_input_rows"] = int(lp.get("numInputRows", 0))
+    out["input_rows_per_sec"] = float(lp.get("inputRowsPerSecond") or 0.0)
+    out["processed_rows_per_sec"] = float(lp.get("processedRowsPerSecond") or 0.0)
+    out["batch_duration_ms"] = (lp.get("durationMs") or {}).get("triggerExecution")
+    for op in lp.get("stateOperators") or []:
+        out["state_rows"] += int(op.get("numRowsTotal", 0))
+        out["state_memory_bytes"] += int(op.get("memoryUsedBytes", 0))
+    for src in lp.get("sources") or []:
+        out["sources"].append(
+            {
+                "description": src.get("description"),
+                "start_offset": src.get("startOffset"),
+                "end_offset": src.get("endOffset"),
+            }
+        )
+    return out
+
+
 def write_envelope_file(path: str, events: list[dict]) -> None:
     """Test/gateway helper: write an envelope batch as a JSON-lines
     file (atomically: temp + rename, so the file source never reads

@@ -70,6 +70,15 @@ def test_localbus_produce_ingest_commit_roundtrip(spark, warehouse, tmp_path):
         busy = [p for p in q.recentProgress if p["numInputRows"] > 0]
         assert len(busy) >= 4
         assert max(p["numInputRows"] for p in busy) <= 10
+        # observability surface: stream_health reads the progress
+        # feed only (no Spark jobs) and reports the live essentials
+        from rakam_api_spark.streaming.job import stream_health
+
+        health = stream_health(q)
+        assert health["active"] is True
+        assert health["batch_id"] is not None
+        assert health["total_input_rows"] >= 40
+        assert health["sources"] and health["sources"][0]["description"]
     finally:
         q.stop()
     # epoch commit markers recorded for the processed epochs
