@@ -18,6 +18,7 @@ from rakam_api_spark.analytics import relational as _relational
 from rakam_api_spark.analytics import relational2 as _relational2
 from rakam_api_spark.llm import curation as _curation
 from rakam_api_spark.llm import dedup as _dedup
+from rakam_api_spark.llm import dedup_index as _dedup_index
 from rakam_api_spark.llm import multimodal as _multimodal
 from rakam_api_spark.llm import search as _search
 from rakam_api_spark.llm import similarity as _similarity
@@ -31,6 +32,7 @@ _MODULES = (
     _enrich,
     _windows,
     _dedup,
+    _dedup_index,
     _similarity,
     _text,
     _curation,
@@ -82,6 +84,7 @@ _GATE_PRIORITY = (
     "metric_correlation_matrix",
     "weekly_seasonality_autocorr",
     "ann_filtered_topk",
+    "dedup_incremental_batch",
     # last driver-checked in round 3 (stalest green coverage)
     "ann_brute_force_topk",
     "ann_ivf_topk",

@@ -211,3 +211,139 @@ class MinHashIndex:
             .where(F.col("est_jaccard") >= threshold)
             .select("new_id", "old_id", "source", "est_jaccard")
         )
+
+
+# --- oracle-gated incremental probe (driver gate row) --------------------
+
+_SPLIT_ID = 250  # corpus = doc_id < 250, incoming batch = doc_id >= 250
+
+
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+    """Oracle-gated INCREMENTAL dedup: treat docs with doc_id <
+    _SPLIT_ID as the accumulated corpus and the rest as today's
+    incoming batch, and compute each new doc's dedup decision
+    (smallest matching prior doc at signature-estimated Jaccard ≥
+    threshold) with the INDEX plan shape — batch band keys equi-join
+    corpus band keys, batch-internal self-join, signature-estimate
+    on collided pairs only.  The corpus side is computed in-plan here
+    (so DuckDB can mirror it); :class:`MinHashIndex` serves the same
+    join from its persisted tables.
+
+    Determinism: est_jaccard = matching slots / 16 is an exact
+    dyadic double; ``source`` is a pure function of old_id; the best
+    match per new doc is the smallest old_id."""
+    from .dedup import _docs
+
+    docs = _docs(spark, sf_dir)
+    sig = _minhash_signature(docs).cache()
+    sig.count()
+    bands = band_keys(sig)
+    new_b = bands.where(F.col("doc_id") >= _SPLIT_ID).withColumnRenamed("doc_id", "new_id")
+    old_b = bands.where(F.col("doc_id") < _SPLIT_ID).withColumnRenamed("doc_id", "old_id")
+    idx_hits = new_b.join(old_b, ["band", "band_key"]).select("new_id", "old_id")
+    batch_hits = (
+        new_b.join(
+            new_b.select(F.col("new_id").alias("old_id"), "band", "band_key"),
+            ["band", "band_key"],
+        )
+        .where(F.col("old_id") < F.col("new_id"))
+        .select("new_id", "old_id")
+    )
+    cand = idx_hits.unionByName(batch_hits).distinct()
+    s_new = sig.select(F.col("doc_id").alias("new_id"), *_SIG_COLS)
+    s_old = sig.select(
+        F.col("doc_id").alias("old_id"), *[F.col(c).alias(f"o_{c}") for c in _SIG_COLS]
+    )
+    probe = cand.join(s_new, "new_id").join(s_old, "old_id")
+    match_frac = sum(
+        (F.col(c) == F.col(f"o_{c}")).cast("int") for c in _SIG_COLS
+    ).cast("double") / F.lit(float(N_HASHES))
+    est = probe.select("new_id", "old_id", match_frac.alias("est_jaccard")).where(
+        F.col("est_jaccard") >= threshold
+    )
+    best = est.groupBy(F.col("new_id").alias("doc_id")).agg(
+        F.min_by(F.struct("old_id", "est_jaccard"), F.col("old_id")).alias("m")
+    )
+    return best.select(
+        "doc_id",
+        F.col("m.old_id").alias("duplicate_of"),
+        F.col("m.est_jaccard").alias("est_jaccard"),
+        F.when(F.col("m.old_id") < _SPLIT_ID, "index").otherwise("batch").alias("source"),
+    ).orderBy("doc_id")
+
+
+def _incremental_oracle() -> str:
+    from .dedup import _HEX
+
+    mins = ",\n         ".join(
+        f"MIN(CASE WHEN substr(h, 1, 1) = '{_HEX[i]}' THEN h END) AS r{i}"
+        for i in range(N_HASHES)
+    )
+    dense = ", ".join(
+        "COALESCE({}) AS mh{}".format(
+            ", ".join(f"r{(i + k) % N_HASHES}" for k in range(N_HASHES)), i
+        )
+        for i in range(N_HASHES)
+    )
+    bands_union = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS band_key FROM sig".format(
+            b=b,
+            concat=" || '|' || ".join(
+                f"mh{b * BAND_SIZE + j}" for j in range(BAND_SIZE)
+            ),
+        )
+        for b in range(N_HASHES // BAND_SIZE)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(N_HASHES)
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2] AS shingle
+  FROM docs, LATERAL unnest(range(1, len(w)-1)) t(i)
+),
+sig_raw AS (
+  SELECT doc_id,
+         {mins}
+  FROM (SELECT doc_id, md5(shingle) AS h FROM sh) GROUP BY doc_id
+),
+sig AS (SELECT doc_id, {dense} FROM sig_raw),
+bands AS (
+  {bands_union}
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM bands n JOIN bands o
+    ON n.band = o.band AND n.band_key = o.band_key
+  WHERE n.doc_id >= {_SPLIT_ID}
+    AND (o.doc_id < {_SPLIT_ID} OR (o.doc_id >= {_SPLIT_ID} AND o.doc_id < n.doc_id))
+),
+est AS (
+  SELECT new_id, old_id,
+         CAST(({match_sum}) AS DOUBLE) / {float(N_HASHES)} AS est_jaccard
+  FROM cand JOIN sig a ON a.doc_id = new_id JOIN sig b ON b.doc_id = old_id
+),
+best AS (
+  SELECT new_id AS doc_id, old_id, est_jaccard,
+         row_number() OVER (PARTITION BY new_id ORDER BY old_id ASC) AS rn
+  FROM est WHERE est_jaccard >= 0.5
+)
+SELECT doc_id, old_id AS duplicate_of, est_jaccard,
+       CASE WHEN old_id < {_SPLIT_ID} THEN 'index' ELSE 'batch' END AS source
+FROM best WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+DEDUP_INCREMENTAL_ORACLE = _incremental_oracle()
+
+
+QUERIES = {
+    "dedup_incremental_batch": dedup_incremental_batch,
+}
+
+ORACLES = {
+    "dedup_incremental_batch": DEDUP_INCREMENTAL_ORACLE,
+}

@@ -106,6 +106,7 @@ OPERATORS = [
     "metric_correlation_matrix",
     "weekly_seasonality_autocorr",
     "ann_filtered_topk",
+    "dedup_incremental_batch",
 ]
 
 # Probe variants: (row label, queries() op, docs transform).  The
