@@ -85,6 +85,7 @@ _GATE_PRIORITY = (
     "weekly_seasonality_autocorr",
     "ann_filtered_topk",
     "dedup_incremental_batch",
+    "source_signature_terms",
     # last driver-checked in round 3 (stalest green coverage)
     "ann_brute_force_topk",
     "ann_ivf_topk",

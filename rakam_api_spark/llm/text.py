@@ -433,9 +433,76 @@ FROM (
 """
 
 
+def source_signature_terms(
+    spark: SparkSession, sf_dir: str, k: int = 5, min_tf: int = 20
+) -> DataFrame:
+    """CHARACTERISTIC terms per source: for each source, the k tokens
+    whose corpus occurrences concentrate most heavily in that source
+    (share = source_tf / corpus_tf) among tokens the source uses at
+    least ``min_tf`` times — the corpus-descriptor report a data-mix
+    dashboard shows next to ``mix_weights`` (what makes each slice
+    lexically distinct, without tf-idf's log chain: share is ONE
+    exact-integer division, so the row hash-matches).
+
+    Two token-grain aggregates sharing one shuffle shape plus a
+    source-partitioned top-k window over the (tiny) qualifying term
+    set."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).where(F.col("token") != "")
+    per_source = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
+    corpus = per_source.groupBy("token").agg(F.sum("tf").alias("corpus_tf"))
+    from pyspark.sql import Window
+
+    scored = (
+        per_source.where(F.col("tf") >= min_tf)
+        .join(corpus, "token")
+        .withColumn(
+            "share", F.col("tf").cast("double") / F.col("corpus_tf").cast("double")
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("share"), F.desc("tf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("source", "rnk", "token", "tf", "corpus_tf", "share")
+        .orderBy("source", "rnk")
+    )
+
+
+SOURCE_SIGNATURE_ORACLE = """
+WITH toks AS (
+  SELECT source, t.token
+  FROM documents, unnest(string_split(text, ' ')) AS t(token)
+  WHERE t.token <> ''
+),
+per_source AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+),
+corpus AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS corpus_tf FROM per_source GROUP BY 1),
+scored AS (
+  SELECT source, token, tf, corpus_tf,
+         CAST(tf AS DOUBLE) / CAST(corpus_tf AS DOUBLE) AS share,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST(tf AS DOUBLE) / CAST(corpus_tf AS DOUBLE) DESC, tf DESC, token ASC
+         ) AS INT) AS rnk
+  FROM per_source JOIN corpus USING (token)
+  WHERE tf >= 20
+)
+SELECT source, rnk, token, tf, corpus_tf, share
+FROM scored WHERE rnk <= 5
+ORDER BY source, rnk
+"""
+
+
 QUERIES = {
     "text_quality": text_quality,
     "lexical_rarity": lexical_rarity,
+    "source_signature_terms": source_signature_terms,
     "token_counts": token_counts,
     "lang_id": lang_id,
     "doc_fingerprints": doc_fingerprints,
@@ -447,6 +514,7 @@ QUERIES = {
 ORACLES = {
     "text_quality": TEXT_QUALITY_ORACLE,
     "lexical_rarity": LEXICAL_RARITY_ORACLE,
+    "source_signature_terms": SOURCE_SIGNATURE_ORACLE,
     "token_counts": TOKEN_COUNTS_ORACLE,
     "lang_id": LANG_ID_ORACLE,
     "doc_fingerprints": DOC_FINGERPRINTS_ORACLE,

@@ -107,6 +107,7 @@ OPERATORS = [
     "weekly_seasonality_autocorr",
     "ann_filtered_topk",
     "dedup_incremental_batch",
+    "source_signature_terms",
 ]
 
 # Probe variants: (row label, queries() op, docs transform).  The
