@@ -1631,7 +1631,7 @@ WITH per_user AS (
          SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
   FROM per_user
 )
-SELECT n, sx, sy,
+SELECT n, CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
        ROUND(
          (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
          / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
