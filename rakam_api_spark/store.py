@@ -421,6 +421,7 @@ class EventStore:
         project: str,
         max_files_per_month: int = 8,
         retention_months: int | None = None,
+        max_index_fragments: int = 64,
     ) -> list[dict]:
         """The auto-indexer's DECISION step (reference M5: the
         auto-indexer watches collection stats and schedules
@@ -433,11 +434,17 @@ class EventStore:
         - ``expire``         months older than ``retention_months``
           behind each collection's newest month (TTL),
         - ``rollup_refresh`` published rollups missing base months
-          (e.g. appends landed since the last publish).
+          (e.g. appends landed since the last publish),
+        - ``index_refresh`` / ``index_compact`` registered derived
+          indexes (BM25 / MinHash / IVF, see ``register_index``) that
+          are stale vs their base table or fragmented beyond
+          ``max_index_fragments``.
 
         Returns [{collection, action, months, reason}, ...] ordered
         expire → compact → rollup_refresh per collection (expiring
-        first avoids compacting doomed partitions);
+        first avoids compacting doomed partitions), then index
+        actions (refresh before compact: refreshing appends new
+        fragments);
         ``run_maintenance`` executes the same list under the
         per-collection writer lock."""
         plan: list[dict] = []
@@ -495,6 +502,81 @@ class EventStore:
                             "reason": "base months absent from the published rollup",
                         }
                     )
+        plan.extend(self._index_plan(project, max_index_fragments))
+        return plan
+
+    # --- derived-index maintenance (auto-indexer over the LLM indexes) --
+
+    def register_index(
+        self,
+        project: str,
+        name: str,
+        kind: str,
+        path: str,
+        base_path: str,
+        id_col: str = "doc_id",
+    ) -> None:
+        """Register a persisted derived index (BM25 inverted / MinHash
+        dedup / IVF vector) with its base table so the maintenance
+        cycle covers it — the auto-indexer registration step
+        (reference M5 wires a listener per materialized view,
+        rakam-postgresql/src/main/java/org/rakam/postgresql/PostgresqlModule.java:192-242;
+        here the contract is persisted metastore config, and the
+        planner polls staleness instead of listening)."""
+        from .llm.index_maintenance import KINDS
+
+        if kind not in KINDS:
+            raise ValueError(f"unknown index kind {kind!r}; expected one of {KINDS}")
+        indexes = self.metastore.get_config(project, "INDEXES") or {}
+        indexes[name] = {
+            "kind": kind,
+            "path": path,
+            "base_path": base_path,
+            "id_col": id_col,
+        }
+        self.metastore.set_config(project, "INDEXES", indexes)
+
+    def registered_indexes(self, project: str) -> dict[str, dict]:
+        return dict(self.metastore.get_config(project, "INDEXES") or {})
+
+    def _index_plan(self, project: str, max_fragments: int) -> list[dict]:
+        """Index actions for ``maintenance_plan``: ``index_refresh``
+        when base ids are missing from the index (appends landed since
+        the last index write — VERDICT r6 #4's ``search_index_refresh``
+        generalized over the three kinds), ``index_compact`` when the
+        append-grown component's parquet fragment count exceeds
+        ``max_fragments`` (per-append postings/bands/cell debris).
+        Staleness is one doc-grain anti-join count; fragmentation is
+        directory metadata — no postings/band data is read to plan."""
+        from .llm import index_maintenance as im
+
+        plan: list[dict] = []
+        for name, meta in sorted(self.registered_indexes(project).items()):
+            if not os.path.isdir(meta["path"]):
+                continue
+            base = self.spark.read.parquet(meta["base_path"])
+            n_missing = im.missing_ids(
+                self.spark, meta["kind"], meta["path"], base, meta["id_col"]
+            ).count()
+            if n_missing:
+                plan.append(
+                    {
+                        "collection": name,
+                        "action": "index_refresh",
+                        "months": [],
+                        "reason": f"{n_missing} base ids not in the {meta['kind']} index",
+                    }
+                )
+            frags = im.fragment_count(meta["kind"], meta["path"])
+            if frags > max_fragments:
+                plan.append(
+                    {
+                        "collection": name,
+                        "action": "index_compact",
+                        "months": [],
+                        "reason": f"{frags} parquet fragments > {max_fragments}",
+                    }
+                )
         return plan
 
     def run_maintenance(self, project: str, plan: list[dict] | None = None, **plan_kwargs) -> list[dict]:
@@ -536,6 +618,23 @@ class EventStore:
                     months=item["months"],
                 )
                 item["outcome"] = f"{n} rollup rows"
+            elif item["action"] in ("index_refresh", "index_compact"):
+                from .llm import index_maintenance as im
+
+                imeta = self.registered_indexes(project)[coll]
+                # the index's own advisory writer lock: index
+                # maintenance serializes with concurrent appends the
+                # same way table maintenance serializes per collection
+                with _MaintenanceLock(imeta["path"].rstrip("/") + ".lock"):
+                    if item["action"] == "index_refresh":
+                        base = self.spark.read.parquet(imeta["base_path"])
+                        n = im.refresh(
+                            self.spark, imeta["kind"], imeta["path"], base, imeta["id_col"]
+                        )
+                        item["outcome"] = f"{n} ids appended to the {imeta['kind']} index"
+                    else:
+                        frags = im.compact(self.spark, imeta["kind"], imeta["path"])
+                        item["outcome"] = f"{frags} fragments after compaction"
         return plan
 
     def expire_months(self, project: str, collection: str, before_month: str) -> list[str]:
