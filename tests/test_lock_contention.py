@@ -1,0 +1,136 @@
+"""Two LIVE processes contending for the maintenance writer lock —
+the real acquisition code on both sides (the sibling test in
+test_store.py plants a pid file by hand; here the foreign holder runs
+``_MaintenanceLock.__enter__`` itself).  Pins the concurrency
+contract documented on the class: (1) a live holder makes the loser
+fail fast with ``MaintenanceLockHeld`` (no blocking, no queueing),
+(2) releasing hands the lock to the next acquirer, (3) a holder
+crash-killed mid-hold leaves a stale pid that the next live acquirer
+breaks and takes over."""
+
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+from rakam_api_spark.catalog import Metastore
+from rakam_api_spark.store import MaintenanceLockHeld
+
+_HOLDER_SRC = """
+import sys, time
+sys.path.insert(0, {repo!r})
+from rakam_api_spark.store import _MaintenanceLock
+
+lock_path, ready_path = sys.argv[1], sys.argv[2]
+with _MaintenanceLock(lock_path):
+    open(ready_path, "w").write("held")
+    time.sleep(60)   # hold until killed (the test controls lifetime)
+"""
+
+
+def _spawn_holder(lock_path: str, ready_path: str) -> subprocess.Popen:
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _HOLDER_SRC.format(repo="/root/repo"), lock_path, ready_path]
+    )
+    deadline = time.time() + 15
+    while not os.path.exists(ready_path):
+        if proc.poll() is not None:
+            raise AssertionError(f"holder exited early rc={proc.returncode}")
+        if time.time() > deadline:
+            proc.kill()
+            raise AssertionError("holder never acquired the lock")
+        time.sleep(0.05)
+    return proc
+
+
+@pytest.fixture()
+def contended_store(spark, warehouse):
+    from rakam_api_spark.api import EventCollector
+    from rakam_api_spark.enrich import EnrichmentPipeline, TimestampMapper
+
+    collector = EventCollector(
+        spark, Metastore(warehouse), pipeline=EnrichmentPipeline([TimestampMapper()])
+    )
+    for i in range(3):
+        collector.collect(
+            "proj", "ev", {"x": i, "_time": f"2024-01-0{i + 1} 09:00:00"}
+        )
+    return collector.store
+
+
+def test_live_contender_blocks_compact_then_release_hands_over(
+    contended_store, tmp_path
+):
+    store = contended_store
+    lock_path = store._base_path("proj", "ev") + ".lock"
+    ready = str(tmp_path / "ready")
+    holder = _spawn_holder(lock_path, ready)
+    try:
+        # the loser fails FAST with the documented error (no queueing)
+        t0 = time.time()
+        with pytest.raises(MaintenanceLockHeld, match="single-writer"):
+            store.compact("proj", "ev")
+        assert time.time() - t0 < 5
+        # the holder's lock file is intact (loser must not clobber it)
+        assert int(open(lock_path).read()) == holder.pid
+    finally:
+        holder.terminate()
+        holder.wait()
+    # graceful termination released nothing (SIGTERM kills mid-hold) —
+    # the NEXT acquirer breaks the now-stale pid and proceeds
+    assert store.compact("proj", "ev") == 1
+    assert not os.path.exists(lock_path)
+
+
+def test_crash_killed_holder_is_taken_over(contended_store, tmp_path):
+    store = contended_store
+    lock_path = store._base_path("proj", "ev") + ".lock"
+    ready = str(tmp_path / "ready")
+    holder = _spawn_holder(lock_path, ready)
+    # SIGKILL mid-hold: no cleanup handler runs, the pid file stays
+    os.kill(holder.pid, signal.SIGKILL)
+    holder.wait()
+    assert os.path.exists(lock_path)
+    # stale-pid takeover: the live writer breaks the lock and rewrites
+    assert store.compact("proj", "ev") == 1
+    assert not os.path.exists(lock_path)
+    rows = sorted(r["x"] for r in store.read("proj", "ev").collect())
+    assert rows == [0, 1, 2]
+
+
+def test_two_simultaneous_live_acquirers_exactly_one_wins(tmp_path):
+    """N processes race the SAME acquisition simultaneously (barrier on
+    a marker file): exactly one holds, the rest fail with
+    MaintenanceLockHeld — the O_EXCL create is the arbiter."""
+    lock_path = str(tmp_path / "c.lock")
+    go = str(tmp_path / "go")
+    src = """
+import sys, time, os
+sys.path.insert(0, "/root/repo")
+from rakam_api_spark.store import _MaintenanceLock, MaintenanceLockHeld
+
+lock_path, go = sys.argv[1], sys.argv[2]
+while not os.path.exists(go):
+    time.sleep(0.005)
+try:
+    with _MaintenanceLock(lock_path):
+        time.sleep(1.0)
+    print("WON")
+except MaintenanceLockHeld:
+    print("LOST")
+"""
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", src, lock_path, go], stdout=subprocess.PIPE, text=True
+        )
+        for _ in range(4)
+    ]
+    time.sleep(0.3)  # let everyone reach the barrier
+    open(go, "w").write("go")
+    outcomes = [p.communicate(timeout=30)[0].strip() for p in procs]
+    assert sorted(outcomes).count("WON") == 1, outcomes
+    assert outcomes.count("LOST") == 3, outcomes
+    assert not os.path.exists(lock_path)
