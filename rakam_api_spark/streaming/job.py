@@ -246,6 +246,8 @@ class StreamingIngest:
         ingest_parallelism: int = 8,
         seen_shards: int = 16,
         rollup_specs: dict[str, dict] | None = None,
+        maintenance_every: int = 0,
+        maintenance_kwargs: dict | None = None,
     ):
         self.collector = collector
         self.project = project
@@ -274,6 +276,22 @@ class StreamingIngest:
         # most.  Replays are safe: committed epochs no-op, and a
         # half-finished epoch's refresh recomputes from raw on retry.
         self.rollup_specs = rollup_specs or {}
+        # auto-indexer cycle wired to the stream (reference M5 reacts
+        # to data-change events,
+        # rakam-postgresql/src/main/java/org/rakam/postgresql/PostgresqlModule.java:192-242;
+        # here the trigger is the epoch clock): every
+        # ``maintenance_every`` committed epochs, the FULL
+        # maintenance plan (expire/compact/rollup_refresh plus the
+        # registered derived indexes) runs against the project, so
+        # micro-batch small-file debris stays bounded without any
+        # manual compaction call.  0 disables.  Runs AFTER the commit
+        # marker (maintenance never forces a batch replay), is gated
+        # by the per-collection/per-index writer locks, and a cycle
+        # skipped because another process holds a lock simply retries
+        # at the next trigger epoch.
+        self.maintenance_every = max(0, maintenance_every)
+        self.maintenance_kwargs = dict(maintenance_kwargs or {})
+        self.last_maintenance: list[dict] | None = None
         self.state = state_store or DEFAULT_STATE_STORE
         self.spark = collector.spark
         base = os.path.join(collector.metastore.warehouse_dir, project)
@@ -405,6 +423,26 @@ class StreamingIngest:
             parsed.unpersist()
             raw.unpersist()
         self._mark_committed(epoch_id)
+        if self.maintenance_every and epoch_id and epoch_id % self.maintenance_every == 0:
+            self._run_epoch_maintenance()
+
+    def _run_epoch_maintenance(self) -> None:
+        """One auto-indexer cycle between micro-batches.  A held lock
+        (another maintenance process on this warehouse) skips the
+        cycle instead of failing the stream — the next trigger epoch
+        retries; any other error propagates and fails the epoch's
+        caller visibly (a maintenance bug must not be silently
+        swallowed forever)."""
+        from ..store import MaintenanceLockHeld
+
+        try:
+            self.last_maintenance = self.collector.store.run_maintenance(
+                self.project, **self.maintenance_kwargs
+            )
+        except MaintenanceLockHeld:
+            self.last_maintenance = [
+                {"action": "skipped", "reason": "maintenance lock held elsewhere"}
+            ]
 
     def _shard_expr(self, uuid_col):
         return F.pmod(F.hash(uuid_col), F.lit(self.seen_shards)).cast("int")

@@ -164,3 +164,66 @@ def test_localbus_stream_maintains_rollup_and_routes(spark, warehouse, tmp_path)
     assert [(r["_month"], r["event_type"], r["n_events"]) for r in rows] == [
         ("2024-03", "view", 10)
     ]
+
+
+def test_localbus_stream_epoch_maintenance_bounds_small_files(spark, warehouse, tmp_path):
+    """The auto-indexer cycle wired to the stream: with
+    ``maintenance_every`` set, micro-batch small-file debris is
+    compacted between epochs, so the per-month parquet file count
+    stays bounded across 20+ micro-batches instead of growing one
+    file per batch — and no rows are lost across the concurrent
+    compaction pointer-swaps."""
+    import os
+
+    bus_dir = str(tmp_path / "bus3")
+    events = [
+        {
+            "collection": "clicks",
+            "properties": {"x": i, "_time": "2024-05-02 10:00:00"},
+            "api": {"uuid": f"m{i}"},
+        }
+        for i in range(44)
+    ]
+    producer = LocalBusProducer(bus_dir)
+    for key, value in to_kafka_envelopes(events, "proj"):
+        producer.send("events", key, value)
+    producer.flush()
+
+    ms = Metastore(warehouse)
+    collector = EventCollector(spark, ms, pipeline=EnrichmentPipeline([TimestampMapper()]))
+    ing = StreamingIngest(
+        collector,
+        "proj",
+        maintenance_every=5,
+        maintenance_kwargs={"max_files_per_month": 4},
+    )
+    q = ing.start_local_bus_stream(
+        bus_dir,
+        "events",
+        str(tmp_path / "ck3"),
+        max_offsets_per_trigger=2,  # 44 records → ≥22 micro-batches
+    )
+    try:
+        assert _await(
+            lambda: _stored_count(collector, "proj", "clicks") == 44, timeout=240.0
+        ), "stream did not ingest all events in time"
+        busy = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        assert len(busy) >= 10  # genuinely many micro-batches
+    finally:
+        q.stop()
+    # at least one maintenance cycle actually ran and compacted
+    assert ing.last_maintenance is not None
+    # file count bounded: without the cycle this would be ~22 files
+    # (one per micro-batch); with it, at most the compaction target
+    # plus the epochs since the last cycle
+    stats = {r["month"]: r for r in collector.store.table_stats("proj", "clicks").collect()}
+    n_files = stats["2024-05"]["n_files"]
+    assert n_files <= 4 + 5, f"small files unbounded: {n_files}"
+    # nothing lost across pointer swaps
+    xs = sorted(r["x"] for r in collector.store.read("proj", "clicks").collect())
+    assert xs == list(range(44))
+    # the swap left exactly one live versioned dir (old versions gone)
+    base = collector.store._base_path("proj", "clicks")
+    parent = os.path.dirname(base)
+    vdirs = [d for d in os.listdir(parent) if d.startswith(os.path.basename(base) + ".v")]
+    assert len(vdirs) <= 1
