@@ -711,6 +711,24 @@ def kmeans_ivf_topk(
         )
     assign = _assign_cells(comp, cents)
 
+    return _ivf_probe_score(comp, cents, assign, n_queries, nprobe, topk)
+
+
+def _ivf_probe_score(
+    comp: DataFrame,
+    cents: DataFrame,
+    assign: DataFrame,
+    n_queries: int,
+    nprobe: int,
+    topk: int,
+    member_ids: DataFrame | None = None,
+) -> DataFrame:
+    """The IVF probe/score tail shared by the plain and the FILTERED
+    k-means paths: rank cells per query against the broadcast
+    centroids, score only probed cells' members — optionally
+    semi-joined to ``member_ids`` (the metadata predicate's
+    qualifying set) BEFORE the scoring join, so a selective filter
+    shrinks the candidate volume instead of post-filtering top-k."""
     qcomp = comp.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), "pos", F.col("q").alias("qq")
     )
@@ -735,6 +753,8 @@ def kmeans_ivf_topk(
         .select("q_id", "label")
     )
     members = comp.join(assign, "vec_id")
+    if member_ids is not None:
+        members = members.join(member_ids, "vec_id", "left_semi")
     dots = (
         members.alias("m")
         .join(broadcast(probes.alias("p")), F.col("m.label") == F.col("p.label"))
@@ -765,6 +785,57 @@ def kmeans_ivf_topk(
         .where(F.col("rnk") <= topk)
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rnk")
         .orderBy("q_id", "rnk")
+    )
+
+
+def filtered_kmeans_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = K_CELLS,
+    iters: int = KM_ITERS,
+    nprobe: int = 5,
+    topk: int = 5,
+    n_queries: int = 20,
+    min_label: int = 5,
+) -> DataFrame:
+    """FILTERED IVF search: the metadata predicate (label ≥
+    min_label) composed with the learned-cell index — VERDICT r6 #7's
+    scale path for ``ann_filtered_topk``, whose exact brute-force
+    formulation stays as the recall baseline.
+
+    Probe-then-filter-then-rerank: cells are probed by query-centroid
+    similarity exactly as in :func:`kmeans_ivf_topk` (the index
+    structure is predicate-agnostic), the predicate's qualifying set
+    semi-joins the probed cells' members BEFORE any scoring work, and
+    only survivors get the exact integer-quantized cosine.  At 100 TB
+    with a cell-partitioned layout this is partition pruning (nprobe/k
+    of the files) times predicate pushdown inside each cell — the
+    full-scan-under-predicate baseline reads everything instead.
+    ``nprobe`` defaults wider than the unfiltered path (5 vs 3): a
+    selective filter thins each probed cell, so filtered search
+    probes more cells for the same candidate budget — the standard
+    filtered-ANN compensation.
+
+    Deterministic end-to-end (same Lloyd fit, integer arithmetic,
+    label tiebreaks), so the DuckDB oracle replicates the probe set
+    AND the filtered candidate set bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = _quantized_components(emb).cache()
+    comp.count()  # single deterministic materialization
+    cents = comp.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("label"), "pos", F.col("q").alias("cq")
+    )
+    for _ in range(iters):
+        assign = _assign_cells(comp, cents)
+        cents = (
+            comp.join(assign, "vec_id")
+            .groupBy("label", "pos")
+            .agg(F.floor(F.avg("q")).cast("long").alias("cq"))
+        )
+    assign = _assign_cells(comp, cents)
+    qualifying = emb.where(F.col("label") >= min_label).select("vec_id")
+    return _ivf_probe_score(
+        comp, cents, assign, n_queries, nprobe, topk, member_ids=qualifying
     )
 
 
@@ -808,9 +879,18 @@ def _kmeans_cte_chain(k: int = K_CELLS, iters: int = KM_ITERS) -> tuple[list, st
     return ctes, f"assign{iters + 1}", prev
 
 
-def _kmeans_oracle(k: int = K_CELLS, iters: int = KM_ITERS) -> str:
-    """DuckDB oracle for kmeans_ivf_topk: the k-means iterations
-    unrolled as CTE chains (cents0 → assign1/cents1 → …)."""
+def _kmeans_oracle(
+    k: int = K_CELLS,
+    iters: int = KM_ITERS,
+    nprobe: int = 3,
+    member_join: str = "",
+) -> str:
+    """DuckDB oracle for kmeans_ivf_topk (and, with ``nprobe=5`` +
+    ``member_join`` set, for the FILTERED variant): the k-means
+    iterations unrolled as CTE chains (cents0 → assign1/cents1 → …).
+    ``member_join`` is an extra JOIN clause inside the dots CTE that
+    restricts candidates to the metadata predicate's qualifying set —
+    mirroring the Spark side's semi-join before scoring."""
     ctes, final_assign, prev = _kmeans_cte_chain(k, iters)
     ctes = list(ctes)
     ctes += [
@@ -821,7 +901,7 @@ def _kmeans_oracle(k: int = K_CELLS, iters: int = KM_ITERS) -> str:
 )""",
         f"cnorm AS (SELECT label, SUM(cq*cq) AS cn2 FROM {prev} GROUP BY 1)",
         "qnorm AS (SELECT q_id, SUM(qq*qq) AS qn2 FROM qcomp GROUP BY 1)",
-        """probes AS (
+        f"""probes AS (
   SELECT q_id, label FROM (
     SELECT qc.q_id, qc.label,
            row_number() OVER (
@@ -829,14 +909,14 @@ def _kmeans_oracle(k: int = K_CELLS, iters: int = KM_ITERS) -> str:
              ORDER BY CAST(qc.dot AS DOUBLE) / sqrt(CAST(cn.cn2 AS DOUBLE) * CAST(qn.qn2 AS DOUBLE)) DESC,
                       qc.label ASC) AS rn
     FROM qcell qc JOIN cnorm cn USING (label) JOIN qnorm qn USING (q_id)
-  ) WHERE rn <= 3
+  ) WHERE rn <= {nprobe}
 )""",
         f"""dots AS (
   SELECT p.q_id, m.vec_id, SUM(m.q * q.qq) AS dot
   FROM comp m
   JOIN {final_assign} l ON m.vec_id = l.vec_id
   JOIN probes p ON l.label = p.label
-  JOIN qcomp q ON m.pos = q.pos AND p.q_id = q.q_id
+  JOIN qcomp q ON m.pos = q.pos AND p.q_id = q.q_id{member_join}
   WHERE m.vec_id <> p.q_id
   GROUP BY 1, 2
 )""",
@@ -864,6 +944,11 @@ FROM (
 
 
 KMEANS_IVF_ORACLE = _kmeans_oracle()
+
+ANN_FILTERED_IVF_ORACLE = _kmeans_oracle(
+    nprobe=5,
+    member_join="\n  JOIN (SELECT vec_id FROM embeddings WHERE label >= 5) f ON m.vec_id = f.vec_id",
+)
 
 
 def embedding_cluster_profile(
@@ -1321,6 +1406,7 @@ QUERIES = {
     "semantic_contamination": semantic_contamination,
     "ann_ivf_topk": ivf_topk,
     "ann_kmeans_ivf_topk": kmeans_ivf_topk,
+    "ann_filtered_ivf_topk": filtered_kmeans_ivf_topk,
     "embedding_cluster_profile": embedding_cluster_profile,
     "embedding_cosine_dedup": _cosine_dedup_gate,
     "ann_pq_topk": pq_ann_topk,
@@ -1332,6 +1418,7 @@ ORACLES = {
     "ann_filtered_topk": ANN_FILTERED_ORACLE,
     "ann_ivf_topk": IVF_ORACLE,
     "ann_kmeans_ivf_topk": KMEANS_IVF_ORACLE,
+    "ann_filtered_ivf_topk": ANN_FILTERED_IVF_ORACLE,
     "embedding_cluster_profile": CLUSTER_PROFILE_ORACLE,
     "embedding_cosine_dedup": COSINE_DEDUP_ORACLE.format(threshold=GATE_DEDUP_THRESHOLD),
     "ann_pq_topk": PQ_ANN_ORACLE,

@@ -78,3 +78,29 @@ def test_every_query_plans_without_unpartitioned_window(spark):
                 offenders.append(f"{name}: {stripped[:120]}")
     assert not failed, f"queries failing to plan: {failed}"
     assert not offenders, "unpartitioned Window over unbounded input:\n" + "\n".join(offenders)
+
+
+def test_exempt_windows_have_numeric_input_bounds(spark):
+    """The exemption list above is justified NUMERICALLY, not by
+    prose: each exempted query's window input must provably stay
+    bounded at any corpus size.  For the two top-k queries the output
+    cardinality IS the window input (TakeOrdered runs first); for the
+    day-grain backlog series, rows can never exceed the calendar span
+    the data covers — asserted against the output's own min/max day,
+    so a regression that re-grains the series to order grain (rows >>
+    span) fails here instead of hiding behind the exemption."""
+    qs = entrymod.queries()
+
+    # top-k windows: input == output == at most k rows
+    assert qs["revenue_pareto_top100"](spark, SF).count() <= 100
+    assert qs["vocab_coverage"](spark, SF).count() <= 50  # k=50 default
+
+    # day-grain window: rows == distinct days <= calendar span + 1
+    rows = qs["order_backlog_daily"](spark, SF).collect()
+    days = [r["day"] for r in rows]
+    assert len(days) == len(set(days))
+    span_days = (max(days) - min(days)).days + 1
+    assert len(days) <= span_days
+    # TPC-H's calendar spans ~7 years at ANY scale factor — the bound
+    # that keeps one task comfortable even decades from now
+    assert span_days < 20_000
