@@ -1,0 +1,89 @@
+"""EventStore's transaction-logged storage mode: legacy collections
+migrate in one commit, then every store lifecycle op (append, read,
+stats, maintenance compaction, TTL expiry, erase) routes through
+atomic TxnTable commits — the multi-writer-safe warehouse mode."""
+
+import os
+
+from rakam_api_spark.api import EventCollector
+from rakam_api_spark.catalog import Metastore
+from rakam_api_spark.enrich import EnrichmentPipeline, TimestampMapper
+
+
+def _collector(spark, warehouse):
+    return EventCollector(
+        spark, Metastore(warehouse), pipeline=EnrichmentPipeline([TimestampMapper()])
+    )
+
+
+def test_enable_txn_migrates_and_routes_lifecycle(spark, warehouse):
+    collector = _collector(spark, warehouse)
+    for i in range(4):
+        collector.collect(
+            "proj", "clicks", {"x": i, "_time": f"2024-01-0{i + 1} 09:00:00"}
+        )
+    store = collector.store
+    before = sorted(r["x"] for r in store.read("proj", "clicks").collect())
+
+    store.enable_txn("proj", "clicks")
+    assert store.txn_mode("proj", "clicks")
+    # migration preserved the data; the legacy directory is gone
+    assert sorted(r["x"] for r in store.read("proj", "clicks").collect()) == before
+    assert not os.path.exists(store._base_path("proj", "clicks"))
+    assert store.collections_with_data("proj") == ["clicks"]
+
+    # appends now land as commits (one per micro-batch)
+    v0 = store.txn_table("proj", "clicks").version()
+    for i in range(4, 10):
+        collector.collect(
+            "proj", "clicks", {"x": i, "_time": f"2024-02-0{i - 3} 09:00:00"}
+        )
+    txn = store.txn_table("proj", "clicks")
+    assert txn.version() == v0 + 6
+    assert sorted(r["x"] for r in store.read("proj", "clicks").collect()) == list(range(10))
+
+    # stats come from the manifest, per month
+    stats = {r["month"]: r for r in store.table_stats("proj", "clicks").collect()}
+    assert set(stats) == {"2024-01", "2024-02"}
+    assert stats["2024-02"]["n_rows"] == 6 and stats["2024-02"]["n_files"] == 6
+
+    # the maintenance cycle compacts through the txn commit path
+    plan = store.maintenance_plan("proj", max_files_per_month=4)
+    assert [(p["collection"], p["action"]) for p in plan] == [("clicks", "compact")]
+    store.run_maintenance("proj", plan)
+    stats = {r["month"]: r for r in store.table_stats("proj", "clicks").collect()}
+    assert stats["2024-02"]["n_files"] == 1
+    assert sorted(r["x"] for r in store.read("proj", "clicks").collect()) == list(range(10))
+    assert store.txn_table("proj", "clicks").history()[-1]["op"] == "compact"
+
+    # TTL expiry is a metadata-only commit + vacuum
+    dropped = store.expire_months("proj", "clicks", "2024-02")
+    assert dropped == ["2024-01"]
+    assert sorted(r["x"] for r in store.read("proj", "clicks").collect()) == list(range(4, 10))
+
+
+def test_erase_user_on_txn_collection(spark, warehouse):
+    collector = _collector(spark, warehouse)
+    for i in range(6):
+        collector.collect(
+            "proj",
+            "ev",
+            {"_user": f"u{i % 2}", "x": i, "_time": f"2024-01-0{i + 1} 09:00:00"},
+        )
+    store = collector.store
+    store.enable_txn("proj", "ev")
+    removed = store.erase_user("proj", "_user", "u1")
+    assert removed == {"ev": 3}
+    rows = store.read("proj", "ev").collect()
+    assert sorted(r["x"] for r in rows) == [0, 2, 4]
+    assert all(r["_user"] == "u0" for r in rows)
+    assert store.txn_table("proj", "ev").history()[-1]["op"] == "erase"
+    # no retired files linger (vacuumed after the erase commit)
+    txn = store.txn_table("proj", "ev")
+    on_disk = {
+        os.path.relpath(os.path.join(dp, f), txn.path).replace(os.sep, "/")
+        for dp, _, fs in os.walk(txn.path)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert on_disk == set(txn.live_files())

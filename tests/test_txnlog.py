@@ -1,0 +1,203 @@
+"""TxnTable: the cross-process atomic commit protocol.  Pins the
+lakehouse contracts — snapshot reads from the log (never the
+directory), manifest partition pruning, optimistic-concurrency
+rewrites, crash-orphan invisibility, and (with live processes) no
+lost appends under concurrent commits."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from rakam_api_spark.txnlog import CommitConflict, TxnTable
+
+
+def _rows(spark, lo, hi, month="2024-01"):
+    return spark.createDataFrame(
+        [(i, month) for i in range(lo, hi)], "x long, _month string"
+    )
+
+
+def _xs(df):
+    return sorted(r["x"] for r in df.select("x").collect())
+
+
+def test_append_read_version_history(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    assert t.version() == 0
+    v1 = t.append(_rows(spark, 0, 10), partition_col="_month")
+    v2 = t.append(_rows(spark, 10, 15, month="2024-02"), partition_col="_month")
+    assert (v1, v2) == (1, 2)
+    assert _xs(t.read()) == list(range(15))
+    hist = t.history()
+    assert [h["op"] for h in hist] == ["append", "append"]
+    # per-file row counts recorded in the manifest (stats without scans)
+    assert sum(e["rows"] for h in hist for e in h["add"]) == 15
+    # time travel: version 1 predates the second batch
+    assert _xs(t.read(version=1)) == list(range(10))
+
+
+def test_manifest_partition_pruning_never_lists_other_months(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_rows(spark, 0, 8, month="2024-01"), partition_col="_month")
+    t.append(_rows(spark, 8, 12, month="2024-02"), partition_col="_month")
+    pruned = t.live_files(partitions={"_month": ["2024-02"]})
+    assert pruned and all("_month=2024-02" in f for f in pruned)
+    df = t.read(partitions={"_month": ["2024-02"]})
+    assert _xs(df) == list(range(8, 12))
+    # the partition column is reconstructed from the hive layout
+    assert set(r["_month"] for r in df.select("_month").collect()) == {"2024-02"}
+
+
+def test_compact_retires_snapshot_keeps_rows_and_time_travel(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    for i in range(4):
+        t.append(_rows(spark, i * 5, i * 5 + 5), partition_col="_month")
+    before_files = t.live_files()
+    assert len(before_files) >= 4
+    t.compact(partition_col="_month")
+    assert len(t.live_files()) < len(before_files)
+    assert _xs(t.read()) == list(range(20))
+    # pre-compaction snapshot still readable (files retired, not deleted)
+    assert _xs(t.read(version=4)) == list(range(20))
+    assert t.live_files(version=4) == before_files
+    # vacuum beyond the horizon removes the retired files; current reads fine
+    deleted = t.vacuum(retain_versions=0)
+    assert set(deleted) == set(before_files)
+    assert _xs(t.read()) == list(range(20))
+
+
+def test_expire_partition_is_metadata_only(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_rows(spark, 0, 6, month="2023-12"), partition_col="_month")
+    t.append(_rows(spark, 6, 9, month="2024-01"), partition_col="_month")
+    t.remove_partition("_month", "2023-12")
+    assert _xs(t.read()) == [6, 7, 8]
+    assert t.history()[-1]["op"] == "expire"
+    # data files untouched until vacuum (time travel still works)
+    assert _xs(t.read(version=2)) == list(range(9))
+
+
+def test_crash_orphans_are_invisible_and_vacuumed(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_rows(spark, 0, 5), partition_col="_month")
+    # simulate a crash AFTER data-file placement, BEFORE commit: a
+    # parquet file inside the table tree that no commit registers
+    orphan_dir = str(tmp_path / "t" / "_month=2024-01")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"x": [99]}), os.path.join(orphan_dir, "deadbeef-orphan.parquet"))
+    assert _xs(t.read()) == list(range(5))  # reader never sees it
+    deleted = t.vacuum()
+    assert deleted == ["_month=2024-01/deadbeef-orphan.parquet"]
+    assert _xs(t.read()) == list(range(5))
+
+
+def test_rewrite_conflict_detected_and_compact_retries(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_rows(spark, 0, 5), partition_col="_month")
+    snapshot = t.live_files()
+    # a competing rewrite retires the snapshot first
+    t.commit(
+        add=[],
+        remove=snapshot,
+        op="expire",
+    )
+    with pytest.raises(CommitConflict, match="no longer live"):
+        t.commit(add=[], remove=snapshot, op="compact")
+    # compact() itself recovers: fresh appends land, snapshot changed
+    t.append(_rows(spark, 5, 9), partition_col="_month")
+    t.compact(partition_col="_month")
+    assert _xs(t.read()) == [5, 6, 7, 8]
+
+
+def test_mid_compact_append_survives(spark, tmp_path):
+    """An append that lands BETWEEN a compaction's snapshot and its
+    commit stays live — the remove set only names the snapshot's
+    files, so the directory-swap lost-update of the plain layout
+    cannot happen here."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_rows(spark, 0, 5), partition_col="_month")
+    snap_version = t.version()
+    snapshot = t.live_files(snap_version)
+    # compaction staged from the snapshot... meanwhile an append lands
+    t.append(_rows(spark, 5, 8), partition_col="_month")
+    # ...and the compaction commit (old snapshot's remove set) succeeds
+    df = t.read(version=snap_version)
+    tag = "aaaaaaaaaaaa"
+    staging = os.path.join(str(tmp_path / "t"), "_staging", tag)
+    # rewrite preserves the hive layout (compact()'s contract)
+    df.coalesce(1).write.mode("overwrite").partitionBy("_month").parquet(staging)
+    add = t._publish_staging(tag)
+    t.commit(add=add, remove=snapshot, op="compact")
+    assert _xs(t.read()) == list(range(8))  # nothing lost
+
+
+_WRITER_SRC = """
+import os, sys, json
+sys.path.insert(0, "/root/repo")
+import pyarrow as pa
+import pyarrow.parquet as pq
+from rakam_api_spark.txnlog import TxnTable
+
+path, wid, n_batches = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+t = TxnTable(None, path)
+go = os.path.join(path, "_go")
+import time
+while not os.path.exists(go):
+    time.sleep(0.005)
+for b in range(n_batches):
+    lo = wid * 1000 + b * 10
+    fname = f"w{wid}b{b}.parquet"
+    pq.write_table(pa.table({"x": list(range(lo, lo + 10))}), os.path.join(path, fname))
+    v = t.append_files([fname])
+print("DONE", wid)
+"""
+
+
+def test_concurrent_live_writers_lose_no_appends(spark, tmp_path):
+    """4 live processes × 5 append commits each, racing the O_EXCL
+    version arbiter: all 20 commits land under strictly consecutive
+    versions and every row is readable — the lost-update guarantee
+    mode-append directories cannot give across processes."""
+    import time
+
+    path = str(tmp_path / "t")
+    TxnTable(None, path)  # create the log dir
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WRITER_SRC, path, str(w), "5"],
+            stdout=subprocess.PIPE,
+            text=True,
+        )
+        for w in range(4)
+    ]
+    time.sleep(0.3)
+    open(os.path.join(path, "_go"), "w").write("go")
+    for p in procs:
+        out, _ = p.communicate(timeout=120)
+        assert "DONE" in out and p.returncode == 0
+    os.unlink(os.path.join(path, "_go"))
+
+    t = TxnTable(spark, path)
+    assert t.version() == 20
+    hist = t.history()
+    assert [h["version"] for h in hist] == list(range(1, 21))
+    writers = {h["writer"] for h in hist}
+    assert len(writers) == 4  # every process committed
+    want = sorted(
+        x for w in range(4) for b in range(5) for x in range(w * 1000 + b * 10, w * 1000 + b * 10 + 10)
+    )
+    assert _xs(t.read()) == want
+
+
+def test_commit_log_is_json_per_version(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_rows(spark, 0, 3), partition_col="_month")
+    p = os.path.join(str(tmp_path / "t"), "_txn", "v00000001.json")
+    rec = json.load(open(p))
+    assert rec["op"] == "append" and rec["add"]
+    assert all(e["partition"] == {"_month": "2024-01"} for e in rec["add"])
