@@ -202,6 +202,147 @@ FROM (
 """
 
 
+def dup_span_extents(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 8,
+    occ_cap: int = 16,
+    min_tokens: int = 12,
+    k: int = 50,
+) -> DataFrame:
+    """MAXIMAL duplicated token spans between document pairs — the
+    exact-substring training-data dedup signal (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499, finds substrings ≥ L shared across documents
+    via a suffix array).  A suffix array doesn't distribute; the
+    equivalent shared-nothing construction: positional n-gram match →
+    per-pair DIAGONAL islands → interval merge.
+
+    Two documents sharing an L-token substring share L−n+1 matching
+    n-grams at CONSECUTIVE positions on one alignment diagonal
+    (pos_a − pos_b constant), so gaps-and-islands over (doc_a, doc_b,
+    diagonal) reconstructs each maximal span exactly: island key =
+    pos_a − row_number(), span length = max(pos_a) − min(pos_a) + n.
+
+    Scale: the only fan-out is the per-gram pair join, capped by
+    ``occ_cap`` on TOTAL gram occurrences (≤ occ_cap² pairs per gram;
+    hot boilerplate grams are excluded here and belong to the
+    ``corpus_top_ngrams`` report instead); islands shuffle once on
+    (doc_a, doc_b, diagonal) — partition-local windows, never a
+    global sort.  All arithmetic is integer → the DuckDB oracle is
+    bit-exact; ``min_tokens`` > n guarantees every reported span
+    required a real multi-gram extension.
+
+    Reference scope: beyond-reference (no analytics engine in the
+    reference); companion to :func:`dup_ngram_spans`' fixed-n report.
+    """
+    docs = _docs(spark, sf_dir)
+    wdf = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    w = F.col("w")
+    pos_grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.struct(
+                i.alias("pos"), F.concat_ws(" ", F.slice(w, i, n)).alias("gram")
+            ),
+        ),
+    ).otherwise(F.array())
+    g = wdf.select("doc_id", F.explode(pos_grams).alias("pg")).select(
+        "doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram")
+    )
+    eligible = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"), F.count(F.lit(1)).alias("occ"))
+        .where((F.col("nd") >= 2) & (F.col("occ") <= occ_cap))
+        .select("gram")
+    )
+    ge = g.join(eligible, "gram", "left_semi")
+    a, b = ge.alias("a"), ge.alias("b")
+    m = (
+        a.join(b, "gram")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.pos").alias("pos_a"),
+            F.col("b.pos").alias("pos_b"),
+            (F.col("a.pos") - F.col("b.pos")).alias("d"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wnd = Window.partitionBy("doc_a", "doc_b", "d").orderBy("pos_a")
+    isl = m.withColumn("island", F.col("pos_a") - F.row_number().over(wnd))
+    spans = (
+        isl.groupBy("doc_a", "doc_b", "d", "island")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.max("pos_a") - F.min("pos_a") + n).alias("span_tokens"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .where(F.col("span_tokens") >= min_tokens)
+    )
+    return (
+        spans.select(
+            "doc_a",
+            "doc_b",
+            F.col("start_a").cast("long").alias("start_a"),
+            F.col("start_b").cast("long").alias("start_b"),
+            F.col("span_tokens").cast("long").alias("span_tokens"),
+            F.col("n_grams").cast("long").alias("n_grams"),
+        )
+        .orderBy(
+            F.desc("span_tokens"), F.asc("doc_a"), F.asc("doc_b"), F.asc("start_a"), F.asc("start_b")
+        )
+        .limit(k)
+    )
+
+
+DUP_SPAN_EXTENTS_ORACLE = """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(w[CAST(i AS INT):CAST(i AS INT)+7], ' ') AS gram
+  FROM docs, unnest(range(1, len(w) - 6)) t(i)
+  WHERE len(w) >= 8
+),
+eligible AS (
+  SELECT gram FROM g GROUP BY gram
+  HAVING COUNT(DISTINCT doc_id) >= 2 AND COUNT(*) <= 16
+),
+ge AS (SELECT g.* FROM g JOIN eligible USING (gram)),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b,
+         a.pos - b.pos AS d
+  FROM ge a JOIN ge b USING (gram)
+  WHERE a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT *, pos_a - row_number() OVER (
+    PARTITION BY doc_a, doc_b, d ORDER BY pos_a) AS island
+  FROM m
+),
+spans AS (
+  SELECT doc_a, doc_b,
+         MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
+         MAX(pos_a) - MIN(pos_a) + 8 AS span_tokens,
+         COUNT(*) AS n_grams
+  FROM isl GROUP BY doc_a, doc_b, d, island
+)
+SELECT doc_a, doc_b, CAST(start_a AS BIGINT) AS start_a,
+       CAST(start_b AS BIGINT) AS start_b,
+       CAST(span_tokens AS BIGINT) AS span_tokens,
+       CAST(n_grams AS BIGINT) AS n_grams
+FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY span_tokens DESC, doc_a ASC, doc_b ASC, start_a ASC, start_b ASC) AS rn
+  FROM spans WHERE span_tokens >= 12
+) WHERE rn <= 50
+"""
+
+
 # Absolute posting-list cap for the sparse pair join: a shingle kept
 # by the relative N/20 band can still have an N-proportional df, which
 # would make worst-case pair expansion O((N/20)²).  256 bounds every
@@ -410,6 +551,7 @@ SELECT doc_id, bm25_score, cosine FROM (
 QUERIES = {
     "bm25_search": bm25_search,
     "dup_ngram_spans": dup_ngram_spans,
+    "dup_span_extents": dup_span_extents,
     "sparse_tfidf_pairs": sparse_tfidf_pairs,
     "hybrid_search": hybrid_search,
 }
@@ -417,6 +559,7 @@ QUERIES = {
 ORACLES = {
     "bm25_search": BM25_ORACLE,
     "dup_ngram_spans": DUP_NGRAM_SPANS_ORACLE,
+    "dup_span_extents": DUP_SPAN_EXTENTS_ORACLE,
     "sparse_tfidf_pairs": SPARSE_TFIDF_ORACLE,
     "hybrid_search": HYBRID_SEARCH_ORACLE,
 }
