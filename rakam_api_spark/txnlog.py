@@ -79,6 +79,56 @@ def _file_rows(path: str) -> int | None:
         return None
 
 
+def _stat_safe(v):
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, (bool, int, float, str)):
+        return v
+    return None
+
+
+def _file_stats(path: str, max_cols: int = 8) -> dict | None:
+    """Per-file min/max column stats lifted from the parquet row-group
+    footers (already computed by the writer — zero extra scan cost),
+    recorded in the manifest for Iceberg-style data skipping.  Only
+    top-level columns with complete min/max across every row group
+    qualify; capped at ``max_cols`` so a 1000-column table doesn't
+    bloat the log.  Missing stats are always SAFE: a file without a
+    recorded range is never skipped."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return None
+    stats: dict[str, list] = {}
+    for ci in range(md.num_columns):
+        name = md.schema.column(ci).path
+        if "." in name:
+            continue  # nested leaves don't skip
+        lo = hi = None
+        complete = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                complete = False
+                break
+            mn, mx = _stat_safe(st.min), _stat_safe(st.max)
+            if mn is None or mx is None:
+                complete = False
+                break
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        if complete and lo is not None:
+            stats[name] = [lo, hi]
+            if len(stats) >= max_cols:
+                break
+    return stats or None
+
+
 class TxnTable:
     """A transaction-logged parquet table.  ``spark`` may be None for
     log-only writers (commit/append_files/vacuum work sparkless; the
@@ -168,11 +218,17 @@ class TxnTable:
         return os.path.join(self.path, rel)
 
     def live_files(
-        self, version: int | None = None, partitions: dict | None = None
+        self,
+        version: int | None = None,
+        partitions: dict | None = None,
+        ranges: dict | None = None,
     ) -> list[str]:
         """Relative paths live at ``version``, manifest-pruned by
-        ``partitions`` (column → allowed value list) WITHOUT touching
-        the filesystem — the scale path for selective reads."""
+        ``partitions`` (column → allowed value list) and by
+        ``ranges`` (column → (lo, hi) inclusive bounds matched
+        against the per-file min/max stats — Iceberg-style data
+        skipping) WITHOUT touching the filesystem.  A file lacking
+        stats for a ranged column is conservatively kept."""
         ents = self.state(version).values()
         out = []
         for e in ents:
@@ -180,13 +236,31 @@ class TxnTable:
                 part = e.get("partition") or {}
                 if any(part.get(c) not in vals for c, vals in partitions.items()):
                     continue
+            if ranges:
+                stats = e.get("stats") or {}
+                skip = False
+                for c, (lo, hi) in ranges.items():
+                    if c not in stats:
+                        continue  # no stats: keep (skipping must be safe)
+                    fmin, fmax = stats[c]
+                    if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
+                        skip = True
+                        break
+                if skip:
+                    continue
             out.append(e["path"])
         return sorted(out)
 
     def read(
-        self, version: int | None = None, partitions: dict | None = None
+        self,
+        version: int | None = None,
+        partitions: dict | None = None,
+        ranges: dict | None = None,
     ) -> DataFrame:
-        files = self.live_files(version, partitions)
+        """Snapshot read.  ``ranges`` skips files from manifest stats
+        only — callers still apply the actual row filter (skipping is
+        a superset guarantee, exactly as in Iceberg/Delta)."""
+        files = self.live_files(version, partitions, ranges)
         if not files:
             raise ValueError(
                 f"txn table {self.path} has no live files for this "
@@ -241,6 +315,7 @@ class TxnTable:
                         "path": rel.replace(os.sep, "/"),
                         "rows": _file_rows(self._abs(rel)),
                         "partition": partition,
+                        "stats": _file_stats(self._abs(rel)),
                     }
                 )
         shutil.rmtree(staging, ignore_errors=True)
@@ -250,12 +325,23 @@ class TxnTable:
         """Log-only append of pre-written parquet files already inside
         the table tree (relative paths) — the sparkless writer path."""
         add = [
-            {"path": f.replace(os.sep, "/"), "rows": _file_rows(self._abs(f)), "partition": partition}
+            {
+                "path": f.replace(os.sep, "/"),
+                "rows": _file_rows(self._abs(f)),
+                "partition": partition,
+                "stats": _file_stats(self._abs(f)),
+            }
             for f in files
         ]
         return self.commit(add=add, op="append")
 
-    def compact(self, partition_col: str | None = None, max_retries: int = 5) -> int:
+    def compact(
+        self,
+        partition_col: str | None = None,
+        max_retries: int = 5,
+        sort_by: str | None = None,
+        max_records_per_file: int | None = None,
+    ) -> int:
         """Rewrite the current snapshot at one file per partition and
         retire the snapshot's files in the same commit.  Loses a race
         against another rewrite → retries from the fresh snapshot
@@ -264,7 +350,14 @@ class TxnTable:
         ``partition_col`` must match the table's layout: a rewrite
         that drops (or invents) the hive partitioning would leave
         mixed directory structures that Spark's partition discovery
-        refuses — same contract as any lakehouse OPTIMIZE."""
+        refuses — same contract as any lakehouse OPTIMIZE.
+
+        ``sort_by`` clusters rows within each rewritten partition
+        (``sortWithinPartitions``) so the per-file min/max stats
+        tighten and range reads skip more files — the linear cousin
+        of OPTIMIZE ZORDER BY, sufficient for one dominant filter
+        column (time, id); multi-column interleaving is the only
+        thing a real Z-order adds."""
         for _ in range(max_retries):
             snap_version = self.version()
             snapshot = self.live_files(snap_version)
@@ -274,14 +367,19 @@ class TxnTable:
             if partition_col:
                 from pyspark.sql import functions as F
 
-                (
-                    df.repartition(F.col(partition_col))
-                    .write.mode("overwrite")
-                    .partitionBy(partition_col)
-                    .parquet(staging)
-                )
+                out = df.repartition(F.col(partition_col))
             else:
-                df.coalesce(1).write.mode("overwrite").parquet(staging)
+                out = df.coalesce(1)
+            if sort_by:
+                out = out.sortWithinPartitions(sort_by)
+            writer = out.write.mode("overwrite")
+            if max_records_per_file:
+                # target-file-size knob: with sort_by this yields a
+                # RUN of files with non-overlapping stat ranges
+                writer = writer.option("maxRecordsPerFile", max_records_per_file)
+            if partition_col:
+                writer = writer.partitionBy(partition_col)
+            writer.parquet(staging)
             add = self._publish_staging(tag)
             try:
                 return self.commit(add=add, remove=snapshot, op="compact")

@@ -201,3 +201,47 @@ def test_commit_log_is_json_per_version(spark, tmp_path):
     rec = json.load(open(p))
     assert rec["op"] == "append" and rec["add"]
     assert all(e["partition"] == {"_month": "2024-01"} for e in rec["add"])
+
+
+def test_manifest_stats_enable_file_skipping(spark, tmp_path):
+    """Per-file min/max stats land in the manifest at commit time
+    (lifted from parquet footers, no extra scan) and range reads skip
+    non-overlapping files without touching the filesystem."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(i,) for i in range(10)], "x long").coalesce(1))
+    t.append(
+        spark.createDataFrame([(i,) for i in range(100, 110)], "x long").coalesce(1)
+    )
+    hist = t.history()
+    assert hist[0]["add"][0]["stats"]["x"] == [0, 9]
+    assert hist[1]["add"][0]["stats"]["x"] == [100, 109]
+    # skipping prunes to the overlapping file only
+    assert len(t.live_files()) == 2
+    assert len(t.live_files(ranges={"x": (100, None)})) == 1
+    assert _xs(t.read(ranges={"x": (100, None)})) == list(range(100, 110))
+    # a ranged column without stats keeps every file (skipping is safe)
+    assert len(t.live_files(ranges={"zzz": (0, 1)})) == 2
+    # one-sided bounds work
+    assert len(t.live_files(ranges={"x": (None, 50)})) == 1
+
+
+def test_sorted_compaction_tightens_ranges_for_skipping(spark, tmp_path):
+    """compact(sort_by=...) clusters rows so the rewritten files carry
+    non-overlapping stat ranges — a selective range read then opens a
+    fraction of the files (the linear OPTIMIZE ZORDER analog)."""
+    import random
+
+    t = TxnTable(spark, str(tmp_path / "t"))
+    xs = list(range(100))
+    random.Random(7).shuffle(xs)
+    # two interleaved single-file appends: every file's range spans
+    # ~the whole domain, so nothing can skip
+    t.append(spark.createDataFrame([(x,) for x in xs[:50]], "x long").coalesce(1))
+    t.append(spark.createDataFrame([(x,) for x in xs[50:]], "x long").coalesce(1))
+    assert len(t.live_files(ranges={"x": (0, 9)})) == 2  # nothing skippable
+    t.compact(sort_by="x", max_records_per_file=25)
+    files = t.live_files()
+    assert len(files) == 4
+    pruned = t.live_files(ranges={"x": (0, 9)})
+    assert len(pruned) == 1  # 3 of 4 files skipped
+    assert sorted(r["x"] for r in t.read(ranges={"x": (0, 9)}).where("x <= 9").collect()) == list(range(10))
