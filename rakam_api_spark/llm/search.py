@@ -236,6 +236,22 @@ def dup_span_extents(
     Reference scope: beyond-reference (no analytics engine in the
     reference); companion to :func:`dup_ngram_spans`' fixed-n report.
     """
+    spans = _span_frame(spark, sf_dir, n=n, occ_cap=occ_cap, min_tokens=min_tokens)
+    return spans.orderBy(
+        F.desc("span_tokens"),
+        F.asc("doc_a"),
+        F.asc("doc_b"),
+        F.asc("start_a"),
+        F.asc("start_b"),
+    ).limit(k)
+
+
+def _span_frame(
+    spark: SparkSession, sf_dir: str, n: int, occ_cap: int, min_tokens: int
+) -> DataFrame:
+    """The unlimited maximal-span frame shared by
+    :func:`dup_span_extents` (ranked report) and
+    :func:`span_dedup_savings` (per-doc accounting)."""
     docs = _docs(spark, sf_dir)
     wdf = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
     w = F.col("w")
@@ -284,24 +300,91 @@ def dup_span_extents(
         )
         .where(F.col("span_tokens") >= min_tokens)
     )
+    return spans.select(
+        "doc_a",
+        "doc_b",
+        F.col("start_a").cast("long").alias("start_a"),
+        F.col("start_b").cast("long").alias("start_b"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+    )
+
+
+def span_dedup_savings(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 8,
+    occ_cap: int = 16,
+    min_tokens: int = 12,
+    k: int = 100,
+) -> DataFrame:
+    """Per-document duplicated-token accounting — what span-level
+    dedup would actually REMOVE (Lee et al. 2021 cut the duplicated
+    substring from all but one occurrence; this reports that cut,
+    doc by doc, under the keep-the-earliest policy).
+
+    Composition of :func:`dup_span_extents`: every span charges its
+    LATER document (doc_b) with the interval [start_b, start_b +
+    span_tokens); overlapping charges from different partners merge
+    via a second gaps-and-islands pass (running-max interval union),
+    so no token is counted twice.  ``dup_share`` is ONE double
+    division of exact integers — hash-exact vs the oracle.
+
+    Scale: input is the (already hot-key-capped) span list — orders
+    of magnitude smaller than the corpus; the union windows partition
+    per doc."""
+    from pyspark.sql import Window
+
+    spans = _span_frame(spark, sf_dir, n=n, occ_cap=occ_cap, min_tokens=min_tokens)
+    iv = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("span_tokens") - 1).alias("e"),
+    )
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.coalesce(F.max("e").over(wprev), F.lit(-1)), 1).otherwise(0),
+    )
+    wrun = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(wrun))
+    merged = islands.groupBy("doc_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("me") - F.col("ms") + 1).alias("dup_tokens"),
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("total_tokens")
+    )
     return (
-        spans.select(
-            "doc_a",
-            "doc_b",
-            F.col("start_a").cast("long").alias("start_a"),
-            F.col("start_b").cast("long").alias("start_b"),
-            F.col("span_tokens").cast("long").alias("span_tokens"),
-            F.col("n_grams").cast("long").alias("n_grams"),
+        per_doc.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.col("dup_tokens").cast("long").alias("dup_tokens"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            (
+                F.col("dup_tokens").cast("double") / F.col("total_tokens").cast("double")
+            ).alias("dup_share"),
         )
-        .orderBy(
-            F.desc("span_tokens"), F.asc("doc_a"), F.asc("doc_b"), F.asc("start_a"), F.asc("start_b")
-        )
+        .orderBy(F.desc("dup_tokens"), F.asc("doc_id"))
         .limit(k)
     )
 
 
-DUP_SPAN_EXTENTS_ORACLE = """
-WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+# the maximal-span derivation shared by both span oracles
+_SPANS_CTE = """
+docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 g AS (
   SELECT doc_id, CAST(i AS INT) AS pos,
          array_to_string(w[CAST(i AS INT):CAST(i AS INT)+7], ' ') AS gram
@@ -330,7 +413,12 @@ spans AS (
          MAX(pos_a) - MIN(pos_a) + 8 AS span_tokens,
          COUNT(*) AS n_grams
   FROM isl GROUP BY doc_a, doc_b, d, island
-)
+)"""
+
+DUP_SPAN_EXTENTS_ORACLE = (
+    "WITH "
+    + _SPANS_CTE
+    + """
 SELECT doc_a, doc_b, CAST(start_a AS BIGINT) AS start_a,
        CAST(start_b AS BIGINT) AS start_b,
        CAST(span_tokens AS BIGINT) AS span_tokens,
@@ -341,6 +429,53 @@ FROM (
   FROM spans WHERE span_tokens >= 12
 ) WHERE rn <= 50
 """
+)
+
+SPAN_DEDUP_SAVINGS_ORACLE = (
+    "WITH "
+    + _SPANS_CTE
+    + """,
+iv AS (
+  SELECT doc_b AS doc_id, start_b AS s, start_b + span_tokens - 1 AS e
+  FROM spans WHERE span_tokens >= 12
+),
+flagged AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+           PARTITION BY doc_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT doc_id, s, e,
+         SUM(new_island) OVER (
+           PARTITION BY doc_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+),
+merged AS (
+  SELECT doc_id, island, MIN(s) AS ms, MAX(e) AS me
+  FROM islands GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(me - ms + 1) AS BIGINT) AS dup_tokens
+  FROM merged GROUP BY doc_id
+),
+lens AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS total_tokens
+  FROM documents
+)
+SELECT doc_id, n_spans, dup_tokens, total_tokens,
+       CAST(dup_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS dup_share
+FROM (
+  SELECT p.doc_id, p.n_spans, p.dup_tokens, l.total_tokens,
+         row_number() OVER (ORDER BY p.dup_tokens DESC, p.doc_id ASC) AS rn
+  FROM per_doc p JOIN lens l USING (doc_id)
+) WHERE rn <= 100
+"""
+)
 
 
 # Absolute posting-list cap for the sparse pair join: a shingle kept
@@ -552,6 +687,7 @@ QUERIES = {
     "bm25_search": bm25_search,
     "dup_ngram_spans": dup_ngram_spans,
     "dup_span_extents": dup_span_extents,
+    "span_dedup_savings": span_dedup_savings,
     "sparse_tfidf_pairs": sparse_tfidf_pairs,
     "hybrid_search": hybrid_search,
 }
@@ -560,6 +696,7 @@ ORACLES = {
     "bm25_search": BM25_ORACLE,
     "dup_ngram_spans": DUP_NGRAM_SPANS_ORACLE,
     "dup_span_extents": DUP_SPAN_EXTENTS_ORACLE,
+    "span_dedup_savings": SPAN_DEDUP_SAVINGS_ORACLE,
     "sparse_tfidf_pairs": SPARSE_TFIDF_ORACLE,
     "hybrid_search": HYBRID_SEARCH_ORACLE,
 }
