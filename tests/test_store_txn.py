@@ -87,3 +87,62 @@ def test_erase_user_on_txn_collection(spark, warehouse):
         if f.endswith(".parquet")
     }
     assert on_disk == set(txn.live_files())
+
+
+def test_streaming_ingest_into_txn_collection(spark, warehouse, tmp_path):
+    """The streaming hot path over the transaction log: every
+    micro-batch lands as one atomic commit, the epoch-clock
+    maintenance cycle compacts through the commit path, and the final
+    log tells the full story (appends then compacts) with no rows
+    lost."""
+    import time
+
+    from rakam_api_spark.streaming import StreamingIngest
+    from rakam_api_spark.streaming.job import to_kafka_envelopes
+    from rakam_api_spark.streaming.localbus import LocalBusProducer
+
+    bus_dir = str(tmp_path / "bus")
+    events = [
+        {
+            "collection": "clicks",
+            "properties": {"x": i, "_time": "2024-06-01 10:00:00"},
+            "api": {"uuid": f"t{i}"},
+        }
+        for i in range(30)
+    ]
+    producer = LocalBusProducer(bus_dir)
+    for key, value in to_kafka_envelopes(events, "proj"):
+        producer.send("events", key, value)
+    producer.flush()
+
+    collector = _collector(spark, warehouse)
+    store = collector.store
+    store.metastore.create_project("proj")
+    store.metastore.set_config("proj", "TXN_clicks", True)  # txn from birth
+    ing = StreamingIngest(
+        collector,
+        "proj",
+        maintenance_every=4,
+        maintenance_kwargs={"max_files_per_month": 3},
+    )
+    q = ing.start_local_bus_stream(
+        bus_dir, "events", str(tmp_path / "ckpt"), max_offsets_per_trigger=3
+    )
+    try:
+        deadline = time.monotonic() + 240
+        while time.monotonic() < deadline:
+            try:
+                if store.read("proj", "clicks").count() == 30:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert sorted(r["x"] for r in store.read("proj", "clicks").collect()) == list(range(30))
+    txn = store.txn_table("proj", "clicks")
+    ops = [h["op"] for h in txn.history()]
+    assert ops.count("append") >= 10  # one commit per micro-batch
+    assert "compact" in ops  # the epoch maintenance cycle ran
+    stats = {r["month"]: r for r in store.table_stats("proj", "clicks").collect()}
+    assert stats["2024-06"]["n_files"] <= 3 + 4
