@@ -41,65 +41,70 @@ _MODULES = (
 )
 
 # The driver's correctness gate checks at most 50 queries per round, in
-# enumeration order.  With 125+ declared queries, plain module order
+# enumeration order.  With 145 declared queries, plain module order
 # would starve the tail modules of a driver-verified CORRECTNESS row
-# forever.  Round-6 rotation: (a) the three queries modified this round
-# (the r5-red `user_metric_correlation` plus the two scale fixes) must
-# re-enter the gate, (b) the 12 queries never driver-checked in any
-# round, (c) round-6 additions, (d) the queries last checked in round 3
-# (stalest green coverage); everything green in CORRECTNESS_r05
-# enumerates last.  Everything listed here passes
+# forever.  Round-7 rotation: (a) `user_metric_correlation` first — its
+# oracle's HUGEINT defect (uncast SUM(BIGINT)) is fixed this round and
+# it is the one query never driver-green; (b) the round-7 additions
+# (filtered IVF search, span dedup family); (c) the 45 queries whose
+# last driver-green row is round 4 — the stalest coverage; everything
+# green in rounds 5-6 enumerates last.  Everything listed here passes
 # tools/check_correctness.py locally at sf0.01 and sf0.001.
 _GATE_PRIORITY = (
-    # modified this round — must re-verify
+    # oracle fixed this round (CAST sx/sy AS BIGINT) — must re-verify
     "user_metric_correlation",
-    "sparse_tfidf_pairs",
-    "market_basket_part_types",
-    # never driver-checked in any round (verified locally in r5+r6)
-    "key_skew_report",
-    "hybrid_search",
-    "ann_pq_topk",
-    "funnel_unordered",
-    "session_entry_exit",
-    "rollup_reuse_monthly",
-    "quantile_rollup_sketch",
-    "theta_segment_setops",
-    "attribution_last_touch",
-    "priority_sample",
-    "dataset_splits",
-    "training_shuffle",
-    # round-6 additions (never driver-checked)
-    "media_phash_dedup",
-    "media_audio_dedup",
-    "media_video_dedup",
-    "q11_important_stock",
-    "q18_large_volume_customers",
-    "q21_suppliers_kept_waiting",
-    "lexical_rarity",
-    "order_backlog_daily",
-    "revenue_pareto_top100",
-    "semantic_contamination",
-    "attribution_linear",
-    "ship_latency_quartiles",
-    "metric_correlation_matrix",
-    "weekly_seasonality_autocorr",
-    "ann_filtered_topk",
-    "dedup_incremental_batch",
-    "source_signature_terms",
-    # last driver-checked in round 3 (stalest green coverage)
-    "ann_brute_force_topk",
-    "ann_ivf_topk",
-    "ann_kmeans_ivf_topk",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "doc_fingerprints",
-    "embedding_cosine_dedup",
-    "lang_id",
-    "multimodal_byte_stats",
-    "text_quality",
-    "token_counts",
+    # round-7 additions (never driver-checked)
+    "ann_filtered_ivf_topk",
+    "dup_span_extents",
+    "span_dedup_savings",
+    # last driver-checked in round 4 (stalest green coverage)
+    "orders_rollup",
+    "order_rank_in_customer",
+    "customer_order_stats",
+    "q6_forecast_revenue",
+    "q4_order_priority",
+    "customers_no_recent_orders",
+    "orders_cube",
+    "engaged_user_days_setops",
+    "revenue_grouping_sets_sql",
+    "cheapest_order_per_customer_sql",
+    "part_value_concentration",
+    "big_ticket_orders",
+    "late_sole_supplier",
+    "seg_daily_event_counts",
+    "dau",
+    "top_event_values",
+    "event_type_hourly_share",
+    "props_json_extract",
+    "props_variant_stats",
+    "funnel_signup_click_purchase",
+    "funnel_windowed_24h",
+    "ab_test_lift",
+    "cohort_ltv",
+    "time_to_convert",
+    "retention_cohorts",
+    "sessionization_stats",
+    "user_profile_snapshot",
+    "asof_view_before_purchase",
+    "value_percentiles",
+    "dau_approx_sketch",
+    "value_quantile_sketch",
+    "heavy_hitters_sketch",
+    "mau_rollup_sketch",
+    "rolling_uniques_7d",
+    "top_event_paths",
+    "daily_anomaly_zscore",
+    "latest_event_per_user",
+    "daily_value_moving_avg",
+    "enrich_geoip",
+    "enrich_useragent",
+    "enrich_referrer",
+    "enrich_timestamp_skew",
+    "enrich_pipeline_full",
+    "tumbling_window_counts",
+    "session_window_stats",
+    # stalest of the round-5 cohort fills the last slot
+    "q7_nation_volume",
 )
 
 
