@@ -67,6 +67,10 @@ EXTRA = [
     "lexical_rarity",
     "order_backlog_daily",
     "media_video_dedup",
+    # round-7 additions
+    "ann_filtered_ivf_topk",
+    "dup_span_extents",
+    "span_dedup_savings",
 ]
 
 

@@ -139,6 +139,16 @@ SHOW = {
     "media_video_dedup": "frame-fingerprint dedup: executor-side decode+hash "
     "(mapInPandas), distinct (video,hash) projection, idf-floor df filter before "
     "the posting-list equi-join — bounded pair expansion, no video×video join",
+    "ann_filtered_ivf_topk": "filtered IVF: learned cells probed per query "
+    "(broadcast centroids), the predicate's qualifying id set SEMI-JOINS the probed "
+    "members before any scoring work, exact rerank on survivors only — filter "
+    "pushdown times cell pruning, never full-scan-under-predicate",
+    "dup_span_extents": "maximal duplicated spans: positional grams doc-local, "
+    "occurrence-capped pair join, islands window partitioned per (pair, diagonal) "
+    "— the only corpus-sized shuffle is the gram stream",
+    "span_dedup_savings": "span savings: interval-union windows partition per doc "
+    "over the already-capped span list — input is orders of magnitude below the "
+    "corpus",
 }
 
 

@@ -108,6 +108,10 @@ OPERATORS = [
     "ann_filtered_topk",
     "dedup_incremental_batch",
     "source_signature_terms",
+    # round-7 operators
+    "ann_filtered_ivf_topk",
+    "dup_span_extents",
+    "span_dedup_savings",
 ]
 
 # Probe variants: (row label, queries() op, docs transform).  The
