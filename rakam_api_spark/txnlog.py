@@ -390,6 +390,112 @@ class TxnTable:
                 continue
         raise CommitConflict(f"compact lost {max_retries} rewrite races; giving up")
 
+    def merge(
+        self,
+        updates: DataFrame,
+        key: str,
+        partition_col: str | None = None,
+        max_retries: int = 5,
+    ) -> dict:
+        """MERGE (upsert) by ``key``: rows in ``updates`` replace live
+        rows with an equal key; unmatched keys insert.  ``updates``
+        must carry one row per key and the table's full schema
+        (including ``partition_col``'s value column when partitioned).
+
+        FILE-LEVEL targeting from the manifest: only live files whose
+        recorded [min, max] range of ``key`` overlaps the update
+        batch's key range are rewritten — after a sorted compaction
+        that is the touched slice of the table, not all of it (the
+        copy-on-write MERGE of Delta/Iceberg; a deletion-vector
+        format would make the untouched-row copy go away too).
+        Files without key stats are conservatively rewritten.
+        Optimistic like ``compact``: a lost race against another
+        rewrite retries from the fresh snapshot; concurrent appends
+        outside the remove set stay live (their keys were not visible
+        at this merge's snapshot — the usual lakehouse
+        read-committed caveat).
+
+        Returns {files_rewritten, rows_updated, rows_inserted,
+        version}."""
+        from pyspark.sql import functions as F
+
+        updates = updates.cache()
+        n_updates = updates.count()
+        if n_updates == 0:
+            updates.unpersist()
+            return {
+                "files_rewritten": 0,
+                "rows_updated": 0,
+                "rows_inserted": 0,
+                "version": self.version(),
+            }
+        # per-file targeting wants the actual key SET, not one global
+        # [lo, hi] range — a single outlier key would otherwise widen
+        # the range over every file.  A merge batch is request-sized
+        # by contract; past 100k distinct keys fall back to the coarse
+        # range (correct, just rewrites more).
+        import bisect
+
+        keys = sorted(
+            r[0] for r in updates.select(key).distinct().limit(100_001).collect()
+        )
+        coarse = len(keys) > 100_000
+        lo, hi = keys[0], keys[-1]
+
+        def _overlaps(rng) -> bool:
+            if rng is None:
+                return True  # no stats: conservatively rewrite
+            if coarse:
+                return not (rng[0] > hi or rng[1] < lo)
+            i = bisect.bisect_left(keys, rng[0])
+            return i < len(keys) and keys[i] <= rng[1]
+
+        for _ in range(max_retries):
+            snap_version = self.version()
+            candidates = sorted(
+                e["path"]
+                for e in self.state(snap_version).values()
+                if _overlaps((e.get("stats") or {}).get(key))
+            )
+            rows_updated = 0
+            if candidates:
+                existing = (
+                    self.spark.read.option("basePath", self.path)
+                    .option("mergeSchema", "true")
+                    .parquet(*[self._abs(f) for f in candidates])
+                )
+                rows_updated = existing.join(
+                    updates.select(key), key, "left_semi"
+                ).count()
+                keep = existing.join(updates.select(key), key, "left_anti")
+                merged = keep.select(*updates.columns).unionByName(updates)
+            else:
+                merged = updates
+            tag = _uuid.uuid4().hex[:12]
+            staging = os.path.join(self.path, _STAGING_DIR, tag)
+            writer = merged.write.mode("overwrite")
+            if partition_col:
+                writer = (
+                    merged.repartition(F.col(partition_col))
+                    .write.mode("overwrite")
+                    .partitionBy(partition_col)
+                )
+            writer.parquet(staging)
+            add = self._publish_staging(tag)
+            try:
+                v = self.commit(add=add, remove=candidates, op="merge")
+            except CommitConflict:
+                continue  # stale snapshot; staged files become orphans
+            updates.unpersist()
+            return {
+                "files_rewritten": len(candidates),
+                "rows_updated": rows_updated,
+                "rows_inserted": n_updates - rows_updated,
+                "version": v,
+            }
+        updates.unpersist()
+        raise CommitConflict(f"merge lost {max_retries} rewrite races; giving up")
+
     def remove_partition(self, col: str, value: str) -> int:
         """Retire every live file of one partition (TTL expiry) — a
         metadata-only commit, no data rewrite."""

@@ -245,3 +245,44 @@ def test_sorted_compaction_tightens_ranges_for_skipping(spark, tmp_path):
     pruned = t.live_files(ranges={"x": (0, 9)})
     assert len(pruned) == 1  # 3 of 4 files skipped
     assert sorted(r["x"] for r in t.read(ranges={"x": (0, 9)}).where("x <= 9").collect()) == list(range(10))
+
+
+def test_merge_targets_only_overlapping_files(spark, tmp_path):
+    """MERGE rewrites exactly the files whose manifest key range
+    overlaps the update batch; non-overlapping files survive
+    untouched (same relative paths live before and after)."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    xs = list(range(100))
+    t.append(spark.createDataFrame([(x, x * 10) for x in xs], "x long, v long").coalesce(1))
+    t.compact(sort_by="x", max_records_per_file=25)  # 4 files, disjoint x ranges
+    before = t.live_files()
+    assert len(before) == 4
+
+    updates = spark.createDataFrame([(10, -1), (12, -2), (200, -3)], "x long, v long")
+    out = t.merge(updates, key="x")
+    assert out["rows_updated"] == 2 and out["rows_inserted"] == 1
+    assert out["files_rewritten"] == 1  # only the 0-24 file overlapped [10, 200]... 
+    after = set(t.live_files())
+    untouched = set(before) & after
+    assert len(untouched) == 3  # three files never rewritten
+
+    df = t.read()
+    got = {r["x"]: r["v"] for r in df.collect()}
+    assert got[10] == -1 and got[12] == -2 and got[200] == -3
+    assert got[11] == 110 and got[50] == 500  # unmatched rows intact
+    assert len(got) == 101
+    assert t.history()[-1]["op"] == "merge"
+
+
+def test_merge_on_partitioned_table(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_rows(spark, 0, 10), partition_col="_month")
+    t.append(_rows(spark, 10, 15, month="2024-02"), partition_col="_month")
+    updates = spark.createDataFrame(
+        [(3, "2024-01"), (99, "2024-03")], "x long, _month string"
+    )
+    out = t.merge(updates, key="x", partition_col="_month")
+    assert out["rows_updated"] == 1 and out["rows_inserted"] == 1
+    assert _xs(t.read()) == sorted(set(range(15)) | {99})
+    months = {r["_month"] for r in t.read().select("_month").collect()}
+    assert months == {"2024-01", "2024-02", "2024-03"}
