@@ -744,7 +744,7 @@ class StreamingIngest:
         return self._start_writer(stream, checkpoint_dir, trigger_available_now=False)
 
 
-def stream_health(query) -> dict:
+def stream_health(query, ingest: "StreamingIngest | None" = None) -> dict:
     """Operational snapshot of a running StreamingQuery — the
     observability surface the reference pushes to CloudWatch on its
     ingest path (S3BulkEventStore.java:79-172 emits
@@ -757,7 +757,10 @@ def stream_health(query) -> dict:
     state_memory_bytes, sources: [{description, start_offset,
     end_offset}], total_input_rows} — all from ``lastProgress`` /
     ``recentProgress`` (no extra Spark jobs; reading metrics must
-    never compete with the stream for executors)."""
+    never compete with the stream for executors).  Passing the
+    ``ingest`` adds ``last_maintenance``: the outcome list of the most
+    recent epoch-clock maintenance cycle (already computed — still no
+    extra jobs)."""
     lp = query.lastProgress
     out = {
         "active": bool(query.isActive),
@@ -773,6 +776,8 @@ def stream_health(query) -> dict:
             int(p["numInputRows"]) for p in query.recentProgress
         ),
     }
+    if ingest is not None:
+        out["last_maintenance"] = ingest.last_maintenance
     if lp is None:
         return out
     out["batch_id"] = lp.get("batchId")

@@ -502,6 +502,56 @@ class TxnTable:
         victims = self.live_files(partitions={col: [value]})
         return self.commit(remove=victims, op="expire")
 
+    def read_incremental(
+        self, since_version: int, end_version: int | None = None
+    ) -> tuple[DataFrame | None, int]:
+        """Incremental consumption: the rows APPENDED after
+        ``since_version`` (exclusive) up to ``end_version`` (default:
+        current) — the read-new-data-since-checkpoint primitive a
+        downstream incremental pipeline polls (the append-only slice
+        of Delta's change data feed).
+
+        Returns (frame_or_None, end_version); the caller persists
+        ``end_version`` as its next checkpoint.  Logical-content-
+        preserving rewrites in the range are fine: ``compact`` adds
+        no rows (its additions are excluded — they re-package rows
+        already consumed), and ``expire`` only removes data the
+        consumer already saw.  A ``merge``/``erase`` in the range
+        UPDATES rows in place, which an append-only feed cannot
+        express — that raises ValueError and the consumer must
+        re-read the snapshot (same restriction Delta's CDF-less
+        streaming source enforces)."""
+        end = self.version() if end_version is None else end_version
+        files: list[str] = []
+        for v in range(since_version + 1, end + 1):
+            with open(self._commit_path(v)) as f:
+                rec = json.load(f)
+            op = rec.get("op")
+            if op == "append":
+                files.extend(e["path"] for e in rec.get("add", ()))
+            elif op in ("compact", "expire"):
+                continue  # content-preserving / retention-only
+            else:
+                raise ValueError(
+                    f"version {v} is a {op!r}: in-place row changes cannot "
+                    "be expressed as an append-only feed — re-read the "
+                    "snapshot and reset the checkpoint"
+                )
+        if not files:
+            return None, end
+        # a file appended AND expired within the range may already be
+        # vacuumed; serve only those still on disk (their rows fell
+        # out of retention before this consumer polled)
+        present = [f for f in files if os.path.exists(self._abs(f))]
+        if not present:
+            return None, end
+        df = (
+            self.spark.read.option("basePath", self.path)
+            .option("mergeSchema", "true")
+            .parquet(*[self._abs(f) for f in present])
+        )
+        return df, end
+
     # --- reclamation -----------------------------------------------------
 
     def vacuum(self, retain_versions: int = 0) -> list[str]:

@@ -286,3 +286,35 @@ def test_merge_on_partitioned_table(spark, tmp_path):
     assert _xs(t.read()) == sorted(set(range(15)) | {99})
     months = {r["_month"] for r in t.read().select("_month").collect()}
     assert months == {"2024-01", "2024-02", "2024-03"}
+
+
+def test_read_incremental_append_only_feed(spark, tmp_path):
+    """Checkpointed incremental consumption: each poll sees exactly
+    the rows appended since the last checkpoint; compaction in the
+    range is transparent (re-packaged rows are not re-delivered);
+    a merge in the range forces a snapshot re-read."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_rows(spark, 0, 5), partition_col="_month")
+    df, ckpt = t.read_incremental(0)
+    assert _xs(df) == list(range(5))
+
+    # nothing new: None frame, checkpoint unchanged
+    df2, ckpt2 = t.read_incremental(ckpt)
+    assert df2 is None and ckpt2 == ckpt
+
+    # two appends + a compact in the range: only the NEW rows flow,
+    # the compaction's re-packaged files are not re-delivered
+    t.append(_rows(spark, 5, 8), partition_col="_month")
+    t.compact(partition_col="_month")
+    t.append(_rows(spark, 8, 10), partition_col="_month")
+    df3, ckpt3 = t.read_incremental(ckpt)
+    assert _xs(df3) == list(range(5, 10))
+
+    # a merge breaks the append-only contract
+    t.merge(
+        spark.createDataFrame([(0, "2024-01")], "x long, _month string"),
+        key="x",
+        partition_col="_month",
+    )
+    with pytest.raises(ValueError, match="append-only"):
+        t.read_incremental(ckpt3)
