@@ -57,6 +57,9 @@ _GATE_PRIORITY = (
     "ann_filtered_ivf_topk",
     "dup_span_extents",
     "span_dedup_savings",
+    "attribution_time_decay",
+    "inter_event_time_quantiles",
+    "source_vocab_overlap",
     # last driver-checked in round 4 (stalest green coverage)
     "orders_rollup",
     "order_rank_in_customer",

@@ -71,6 +71,9 @@ EXTRA = [
     "ann_filtered_ivf_topk",
     "dup_span_extents",
     "span_dedup_savings",
+    "attribution_time_decay",
+    "inter_event_time_quantiles",
+    "source_vocab_overlap",
 ]
 
 

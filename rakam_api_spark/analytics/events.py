@@ -2761,7 +2761,159 @@ FROM m ORDER BY lag_days
 """
 
 
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-DECAY multi-touch attribution — the third standard model
+    beside last-touch and linear: each ``purchase`` splits credit over
+    its 7-day-lookback ``click``s with weight halving per day of age
+    (half-life = 1 day).
+
+    Determinism: the day-age k ∈ 0..6 gives INTEGER weights
+    2^(6−k) ∈ {64,…,1} (shiftleft, no libm pow), so each pair's share
+    is ONE double division of exact integers; only the final Σshare
+    is order-sensitive and is rounded to 6 decimals on both sides —
+    the ``attribution_linear`` gate pattern.
+
+    Plan shape shared with the linear model: purchases join their
+    in-window clicks on a user-equi key with a time-range residual
+    (bounded by touches-per-user-week), the per-conversion weight
+    total is a conversion-partitioned window over the pairs, and the
+    day rollup is grain-bounded.  Reference scope: §2.7 event
+    analytics (the reference delegates attribution SQL to its
+    warehouse)."""
+    ev = _events(spark, sf_dir)
+    week_us = 7 * 24 * US_PER_HOUR
+    day_us = 24 * US_PER_HOUR
+    sub = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        "user_id", "event_type", "event_id", "value", _us().alias("_us")
+    )
+    conv = sub.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("conv_id"),
+        F.col("_us").alias("conv_us"),
+        F.col("value").alias("conv_value"),
+    )
+    touches = sub.where(F.col("event_type") == "click").select(
+        "user_id", F.col("_us").alias("touch_us")
+    )
+    pairs = conv.join(
+        touches,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("touch_us") >= F.col("conv_us") - week_us)
+        & (F.col("touch_us") <= F.col("conv_us") - 1),
+    ).withColumn(
+        "weight",
+        F.expr(
+            f"shiftleft(cast(1 as bigint), 6 - cast((conv_us - touch_us) div {day_us} as int))"
+        ),
+    )
+    wtot = Window.partitionBy("c_user", "conv_id")
+    share = F.col("weight").cast("double") / F.sum("weight").over(wtot).cast("double")
+    return (
+        pairs.withColumn("share", share)
+        .groupBy(
+            F.expr(
+                f"date_add(date'1970-01-01', cast(touch_us div {day_us} as int))"
+            ).alias("touch_day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("share"), 6).alias("credited_conversions"),
+            F.round(F.sum(F.col("conv_value") * F.col("share")), 6).alias(
+                "attributed_revenue"
+            ),
+        )
+        .orderBy("touch_day")
+    )
+
+
+ATTRIBUTION_TIME_DECAY_ORACLE = """
+WITH sub AS (
+  SELECT user_id, event_type, event_id, value, epoch_us(ts) AS us
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+conv AS (
+  SELECT user_id AS c_user, event_id AS conv_id, us AS conv_us, value AS conv_value
+  FROM sub WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT c_user, conv_id, conv_value, t.us AS touch_us,
+         (CAST(1 AS BIGINT) << (6 - CAST((conv_us - t.us) // 86400000000 AS INT))) AS weight
+  FROM conv JOIN sub t
+    ON t.user_id = c_user AND t.event_type = 'click'
+   AND t.us >= conv_us - 604800000000 AND t.us <= conv_us - 1
+),
+shared AS (
+  SELECT touch_us, conv_value,
+         CAST(weight AS DOUBLE)
+           / CAST(SUM(weight) OVER (PARTITION BY c_user, conv_id) AS DOUBLE) AS share
+  FROM pairs
+)
+SELECT CAST(to_timestamp((touch_us // 86400000000) * 86400) AS DATE) AS touch_day,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(SUM(share), 6) AS credited_conversions,
+       ROUND(SUM(conv_value * share), 6) AS attributed_revenue
+FROM shared
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def inter_event_time_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement periodicity: quartiles of the time gap (seconds)
+    between a user's CONSECUTIVE events of the same type — how often
+    users come back per activity kind, the cadence metric behind
+    notification scheduling.
+
+    One user+type-keyed window computes the lag gaps (deterministic
+    order: timestamp then event_id tiebreak); exact ``percentile``
+    interpolation matches DuckDB ``quantile_cont`` bit-for-bit (the
+    ``value_percentiles`` contract).  Gap arithmetic is integer
+    microseconds scaled by one exact division by 10⁶."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("_us", "event_id")
+    gaps = (
+        ev.select("user_id", "event_type", "event_id", _us().alias("_us"))
+        .withColumn("prev_us", F.lag("_us").over(w))
+        .where(F.col("prev_us").isNotNull())
+        .select(
+            "event_type",
+            ((F.col("_us") - F.col("prev_us")).cast("double") / F.lit(1e6)).alias(
+                "gap_s"
+            ),
+        )
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.expr("percentile(gap_s, 0.25)").alias("p25_s"),
+            F.expr("percentile(gap_s, 0.5)").alias("p50_s"),
+            F.expr("percentile(gap_s, 0.75)").alias("p75_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+INTER_EVENT_TIME_ORACLE = """
+WITH gaps AS (
+  SELECT event_type,
+         CAST(us - LAG(us) OVER (
+           PARTITION BY user_id, event_type ORDER BY us, event_id) AS DOUBLE) / 1e6 AS gap_s
+  FROM (SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       quantile_cont(gap_s, 0.25) AS p25_s,
+       quantile_cont(gap_s, 0.5) AS p50_s,
+       quantile_cont(gap_s, 0.75) AS p75_s
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
+    "attribution_time_decay": attribution_time_decay,
+    "inter_event_time_quantiles": inter_event_time_quantiles,
     "attribution_linear": attribution_linear,
     "ship_latency_quartiles": ship_latency_quartiles,
     "metric_correlation_matrix": metric_correlation_matrix,
@@ -2815,6 +2967,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "attribution_time_decay": ATTRIBUTION_TIME_DECAY_ORACLE,
+    "inter_event_time_quantiles": INTER_EVENT_TIME_ORACLE,
     "metric_correlation_matrix": METRIC_CORR_MATRIX_ORACLE,
     "weekly_seasonality_autocorr": WEEKLY_AUTOCORR_ORACLE,
     "attribution_linear": ATTRIBUTION_LINEAR_ORACLE,

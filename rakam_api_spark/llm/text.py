@@ -499,7 +499,94 @@ ORDER BY source, rnk
 """
 
 
+def source_vocab_overlap(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
+    """Pairwise VOCABULARY overlap between sources: Jaccard of each
+    source's top-k token set — the mixture-design diagnostic beside
+    ``mix_weights`` and ``source_signature_terms`` (two sources with
+    near-identical working vocabularies are redundant in a data mix;
+    near-disjoint ones each earn their sampling weight).
+
+    Per-source top-k by (tf desc, token asc) — a source-partitioned
+    window over the token-grain aggregate; the pair join then touches
+    only |sources|·k rows (the top-k sets), never the corpus, and the
+    Jaccard is ONE exact-integer division: |A∩B| / (2k' − |A∩B|)
+    with k' the per-source set size (= k when the vocabulary is big
+    enough).  Scale: token-grain aggregate is the only corpus-sized
+    shuffle; everything after is dashboard-sized."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).where(F.col("token") != "")
+    per_source = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.desc("tf"), F.asc("token"))
+    top = (
+        per_source.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("source", "token")
+    )
+    sizes = top.groupBy("source").agg(F.count(F.lit(1)).alias("set_size"))
+    a, b = top.alias("a"), top.alias("b")
+    inter = (
+        a.join(b, "token")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_shared")).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+SOURCE_VOCAB_OVERLAP_ORACLE = """
+WITH per_source AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token <> ''
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT source, token FROM (
+    SELECT source, token,
+           row_number() OVER (PARTITION BY source ORDER BY tf DESC, token ASC) AS rnk
+    FROM per_source
+  ) WHERE rnk <= 50
+),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS set_size FROM top GROUP BY 1),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM top a JOIN top b USING (token)
+  WHERE a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_shared,
+       CAST(n_shared AS DOUBLE)
+         / CAST(sa.set_size + sb.set_size - n_shared AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+ORDER BY src_a, src_b
+"""
+
+
 QUERIES = {
+    "source_vocab_overlap": source_vocab_overlap,
     "text_quality": text_quality,
     "lexical_rarity": lexical_rarity,
     "source_signature_terms": source_signature_terms,
@@ -512,6 +599,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "source_vocab_overlap": SOURCE_VOCAB_OVERLAP_ORACLE,
     "text_quality": TEXT_QUALITY_ORACLE,
     "lexical_rarity": LEXICAL_RARITY_ORACLE,
     "source_signature_terms": SOURCE_SIGNATURE_ORACLE,

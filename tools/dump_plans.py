@@ -149,6 +149,14 @@ SHOW = {
     "span_dedup_savings": "span savings: interval-union windows partition per doc "
     "over the already-capped span list — input is orders of magnitude below the "
     "corpus",
+    "attribution_time_decay": "time-decay attribution: user-equi join with a "
+    "time-range residual, integer 2^(6-k) weights (no libm pow), per-conversion "
+    "weight total as a conversion-partitioned window over the pairs",
+    "inter_event_time_quantiles": "inter-event cadence: one (user, type)-keyed "
+    "window for the lag gaps, exact percentile per type",
+    "source_vocab_overlap": "vocabulary overlap: token-grain aggregate is the only "
+    "corpus-sized shuffle; the pair join touches |sources|*k top-k rows with "
+    "broadcast set sizes",
 }
 
 

@@ -112,6 +112,9 @@ OPERATORS = [
     "ann_filtered_ivf_topk",
     "dup_span_extents",
     "span_dedup_savings",
+    "attribution_time_decay",
+    "inter_event_time_quantiles",
+    "source_vocab_overlap",
 ]
 
 # Probe variants: (row label, queries() op, docs transform).  The
