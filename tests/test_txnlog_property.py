@@ -1,0 +1,99 @@
+"""Model-based property test for the TxnTable commit protocol: a
+random sequence of log-level operations (append / partition expiry /
+vacuum) must keep the manifest in lockstep with a trivial in-memory
+model — live-file sets match, DuckDB reads of the live files return
+exactly the model's rows, vacuumed state never loses live data, and a
+stale remove always conflicts.  Sparkless (pyarrow writes + DuckDB
+reads) so hypothesis can run whole sequences in milliseconds; the
+Spark data plane is covered by tests/test_txnlog.py."""
+
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from rakam_api_spark.txnlog import CommitConflict, TxnTable
+
+# an op is ("append", partition 0-2, batch size 1-5),
+#          ("expire", partition 0-2) or ("vacuum", retain 0-2)
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(0, 2), st.integers(1, 5)),
+        st.tuples(st.just("expire"), st.integers(0, 2)),
+        st.tuples(st.just("vacuum"), st.integers(0, 2)),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _read_rows(t: TxnTable) -> list[int]:
+    files = [t._abs(f) for f in t.live_files()]
+    if not files:
+        return []
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT x FROM read_parquet(?) ORDER BY x", [files]
+    ).fetchall()
+    con.close()
+    return [r[0] for r in rows]
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(ops=_OPS)
+def test_log_replay_matches_model(tmp_path_factory, ops):
+    root = tmp_path_factory.mktemp("txn")
+    t = TxnTable(None, str(root))
+    model: dict[str, list[int]] = {}  # rel path -> rows
+    next_x = 0
+    for i, op in enumerate(ops):
+        if op[0] == "append":
+            _, p, n = op
+            part_dir = os.path.join(str(root), f"p={p}")
+            os.makedirs(part_dir, exist_ok=True)
+            rel = f"p={p}/b{i}.parquet"
+            xs = list(range(next_x, next_x + n))
+            next_x += n
+            pq.write_table(pa.table({"x": xs}), t._abs(rel))
+            t.append_files([rel], partition={"p": str(p)})
+            model[rel] = xs
+        elif op[0] == "expire":
+            _, p = op
+            t.remove_partition("p", str(p))
+            model = {
+                f: xs
+                for f, xs in model.items()
+                if not f.startswith(f"p={p}/")
+            }
+        else:
+            _, retain = op
+            t.vacuum(retain_versions=retain)
+        # invariants after EVERY op
+        assert t.live_files() == sorted(model.keys())
+        assert _read_rows(t) == sorted(x for xs in model.values() for x in xs)
+        # versions are consecutive from 1 and history replays cleanly
+        hist = t.history()
+        assert [h["version"] for h in hist] == list(range(1, t.version() + 1))
+
+    # a stale remove (file already retired or never-live) must conflict
+    if model:
+        victim = sorted(model)[0]
+        t.commit(remove=[victim], op="expire")
+        with pytest.raises(CommitConflict):
+            t.commit(remove=[victim], op="expire")
+    with pytest.raises(CommitConflict):
+        t.commit(remove=["p=0/never-existed.parquet"], op="compact")
+
+    # final vacuum with no retention leaves EXACTLY the live files on disk
+    t.vacuum(retain_versions=0)
+    on_disk = sorted(
+        os.path.relpath(os.path.join(dp, f), str(root)).replace(os.sep, "/")
+        for dp, _, fs in os.walk(str(root))
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    assert on_disk == t.live_files()
