@@ -650,6 +650,17 @@ class EventStore:
     def registered_indexes(self, project: str) -> dict[str, dict]:
         return dict(self.metastore.get_config(project, "INDEXES") or {})
 
+    def _read_index_base(self, base_path: str) -> DataFrame:
+        """Read a registered index's base table regardless of storage
+        mode: a directory carrying a ``_txn`` log is read through the
+        manifest (retired files and crash orphans must not count as
+        'missing from the index'), anything else as plain parquet."""
+        if os.path.isdir(os.path.join(base_path, "_txn")):
+            from .txnlog import TxnTable
+
+            return TxnTable(self.spark, base_path).read()
+        return self.spark.read.parquet(base_path)
+
     def _index_plan(self, project: str, max_fragments: int) -> list[dict]:
         """Index actions for ``maintenance_plan``: ``index_refresh``
         when base ids are missing from the index (appends landed since
@@ -665,7 +676,7 @@ class EventStore:
         for name, meta in sorted(self.registered_indexes(project).items()):
             if not os.path.isdir(meta["path"]):
                 continue
-            base = self.spark.read.parquet(meta["base_path"])
+            base = self._read_index_base(meta["base_path"])
             n_missing = im.missing_ids(
                 self.spark, meta["kind"], meta["path"], base, meta["id_col"]
             ).count()
@@ -738,7 +749,7 @@ class EventStore:
                 # same way table maintenance serializes per collection
                 with _MaintenanceLock(imeta["path"].rstrip("/") + ".lock"):
                     if item["action"] == "index_refresh":
-                        base = self.spark.read.parquet(imeta["base_path"])
+                        base = self._read_index_base(imeta["base_path"])
                         n = im.refresh(
                             self.spark, imeta["kind"], imeta["path"], base, imeta["id_col"]
                         )

@@ -171,3 +171,32 @@ def test_index_refresh_respects_writer_lock(spark, warehouse, store, tmp_path):
     done = store.run_maintenance("proj", store.maintenance_plan("proj"))
     assert done[0]["outcome"].startswith("2 ids appended")
     assert not os.path.exists(lock_path)
+
+
+def test_index_over_txn_base_ignores_retired_files(spark, warehouse, store, tmp_path):
+    """A derived index whose BASE is a txn table must measure
+    staleness against the manifest's live rows — a compaction of the
+    base (which re-packages every row into new files) must NOT make
+    the index look stale, and real appends still surface."""
+    from rakam_api_spark.llm.search_index import SearchIndex
+    from rakam_api_spark.txnlog import TxnTable
+
+    base = str(tmp_path / "docs_txn")
+    t = TxnTable(spark, base)
+    t.append(_docs(spark, 0, 20).coalesce(1))
+    idx = str(tmp_path / "bm25_idx")
+    SearchIndex(spark, idx).build(t.read())
+    store.register_index("proj", "docs_bm25", "bm25", idx, base, id_col="doc_id")
+    assert store.maintenance_plan("proj") == []
+
+    # compaction rewrites the base's files; logically nothing changed
+    t.compact()
+    assert store.maintenance_plan("proj") == []
+
+    # a real append IS staleness, and the heal indexes only the delta
+    t.append(_docs(spark, 20, 25).coalesce(1))
+    plan = store.maintenance_plan("proj")
+    assert [(p["collection"], p["action"]) for p in plan] == [("docs_bm25", "index_refresh")]
+    done = store.run_maintenance("proj", plan)
+    assert done[0]["outcome"] == "5 ids appended to the bm25 index"
+    assert SearchIndex(spark, idx).validate()["n_docs"] == 25
