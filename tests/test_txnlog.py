@@ -318,3 +318,23 @@ def test_read_incremental_append_only_feed(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="append-only"):
         t.read_incremental(ckpt3)
+
+
+def test_schema_evolution_across_appends(spark, tmp_path):
+    """A widened batch (ADD COLUMN) coexists with older files: reads
+    merge schemas (old rows read NULL for the new column) and the
+    incremental feed carries the widened schema too."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_rows(spark, 0, 3), partition_col="_month")
+    wide = spark.createDataFrame(
+        [(3, "2024-01", "mobile"), (4, "2024-01", "web")],
+        "x long, _month string, channel string",
+    )
+    t.append(wide, partition_col="_month")
+    df = t.read()
+    assert set(df.columns) == {"x", "_month", "channel"}
+    got = {r["x"]: r["channel"] for r in df.collect()}
+    assert got == {0: None, 1: None, 2: None, 3: "mobile", 4: "web"}
+    inc, _v = t.read_incremental(1)
+    assert {r["x"] for r in inc.collect()} == {3, 4}
+    assert [r["channel"] for r in inc.orderBy("x").collect()] == ["mobile", "web"]
