@@ -63,6 +63,7 @@ _GATE_PRIORITY = (
     "attribution_time_decay",
     "inter_event_time_quantiles",
     "source_vocab_overlap",
+    "dedup_precision_audit",
     # last driver-checked in round 4 (stalest green coverage)
     "orders_rollup",
     "order_rank_in_customer",

@@ -74,6 +74,7 @@ EXTRA = [
     "attribution_time_decay",
     "inter_event_time_quantiles",
     "source_vocab_overlap",
+    "dedup_precision_audit",
 ]
 
 

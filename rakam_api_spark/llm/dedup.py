@@ -763,7 +763,86 @@ FROM labels l JOIN csize c USING (cluster_id)
 """
 
 
+def dedup_precision_audit(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Dedup QA harness as a query: the MinHash-LSH sweep's output
+    measured against exact n-gram-Jaccard GROUND TRUTH at the same
+    threshold — the evaluation every production dedup pipeline runs
+    before trusting its banding geometry.
+
+    Single-row report: n_true (exact pairs ≥ threshold), n_lsh (the
+    sweep's verified pairs), n_missed (true pairs the banding never
+    candidated — the recall gap), n_extra (sweep pairs absent from
+    truth; structurally 0 because the sweep verifies candidates with
+    the SAME exact measure — kept as an asserted invariant), and
+    recall as one double division of exact integers.
+
+    Scale: truth is the all-pairs shingle self-join — the audit is
+    meant for a SAMPLE at 100 TB (it bounds the cheap path by the
+    expensive one); the LSH side is the production O(corpus) plan.
+    """
+    truth = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold).select("d1", "d2")
+    lsh = minhash_lsh_pairs(spark, sf_dir, threshold=threshold).select("d1", "d2")
+    missed = truth.join(lsh, ["d1", "d2"], "left_anti")
+    extra = lsh.join(truth, ["d1", "d2"], "left_anti")
+    row = (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_lsh")))
+        .crossJoin(missed.agg(F.count(F.lit(1)).alias("n_missed")))
+        .crossJoin(extra.agg(F.count(F.lit(1)).alias("n_extra")))
+    )
+    recall = F.when(F.col("n_true") == 0, F.lit(1.0)).otherwise(
+        (F.col("n_true") - F.col("n_missed")).cast("double")
+        / F.col("n_true").cast("double")
+    )
+    return row.select("n_true", "n_lsh", "n_missed", "n_extra", recall.alias("recall"))
+
+
+def _precision_audit_oracle() -> str:
+    """Compose the audit from the two PROVEN oracle chains: the full
+    formatted MinHash-LSH oracle as one CTE, the exact-Jaccard truth
+    chain at the same 0.5 threshold as another."""
+    return f"""
+WITH lsh_pairs AS (
+{MINHASH_LSH_ORACLE}
+),
+tdocs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tsh AS (
+  SELECT DISTINCT doc_id,
+         w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2] AS shingle
+  FROM tdocs, LATERAL unnest(range(1, len(w)-1)) t(i)
+),
+tsizes AS (SELECT doc_id, COUNT(*) AS n FROM tsh GROUP BY 1),
+tinter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM tsh a JOIN tsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT d1, d2
+  FROM tinter JOIN tsizes s1 ON d1 = s1.doc_id JOIN tsizes s2 ON d2 = s2.doc_id
+  WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.5
+),
+lsh AS (SELECT d1, d2 FROM lsh_pairs),
+counts AS (
+  SELECT
+    CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+    CAST((SELECT COUNT(*) FROM lsh) AS BIGINT) AS n_lsh,
+    CAST((SELECT COUNT(*) FROM truth t LEFT JOIN lsh l
+          ON t.d1 = l.d1 AND t.d2 = l.d2 WHERE l.d1 IS NULL) AS BIGINT) AS n_missed,
+    CAST((SELECT COUNT(*) FROM lsh l LEFT JOIN truth t
+          ON t.d1 = l.d1 AND t.d2 = l.d2 WHERE t.d1 IS NULL) AS BIGINT) AS n_extra
+)
+SELECT n_true, n_lsh, n_missed, n_extra,
+       CASE WHEN n_true = 0 THEN 1.0
+            ELSE CAST(n_true - n_missed AS DOUBLE) / CAST(n_true AS DOUBLE) END AS recall
+FROM counts
+"""
+
+
 QUERIES = {
+    "dedup_precision_audit": dedup_precision_audit,
     "dedup_exact": exact_dedup,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
     "dedup_minhash_lsh": minhash_lsh_pairs,
@@ -772,6 +851,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_precision_audit": _precision_audit_oracle(),
     "dedup_exact": EXACT_DEDUP_ORACLE,
     "dedup_ngram_jaccard": NGRAM_JACCARD_ORACLE,
     "dedup_minhash_lsh": MINHASH_LSH_ORACLE,

@@ -157,6 +157,10 @@ SHOW = {
     "source_vocab_overlap": "vocabulary overlap: token-grain aggregate is the only "
     "corpus-sized shuffle; the pair join touches |sources|*k top-k rows with "
     "broadcast set sizes",
+    "dedup_precision_audit": "dedup QA: the LSH sweep and the exact truth join "
+    "only at the tiny pair level (anti-joins + four single-row aggregates "
+    "cross-joined) — the expensive all-pairs truth side is the audit's "
+    "deliberate sample-scope cost",
 }
 
 

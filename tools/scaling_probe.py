@@ -115,6 +115,7 @@ OPERATORS = [
     "attribution_time_decay",
     "inter_event_time_quantiles",
     "source_vocab_overlap",
+    "dedup_precision_audit",
 ]
 
 # Probe variants: (row label, queries() op, docs transform).  The
