@@ -64,6 +64,7 @@ _GATE_PRIORITY = (
     "inter_event_time_quantiles",
     "source_vocab_overlap",
     "dedup_precision_audit",
+    "funnel_step_latency",
     # last driver-checked in round 4 (stalest green coverage)
     "orders_rollup",
     "order_rank_in_customer",

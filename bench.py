@@ -75,6 +75,7 @@ EXTRA = [
     "inter_event_time_quantiles",
     "source_vocab_overlap",
     "dedup_precision_audit",
+    "funnel_step_latency",
 ]
 
 

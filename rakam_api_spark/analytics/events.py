@@ -2911,8 +2911,94 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-transition latency quartiles for the signup→click→purchase
+    funnel — WHERE users stall, not just whether they convert
+    (``funnel_signup_click_purchase`` counts; ``time_to_convert``
+    histograms end-to-end; this profiles each hop).
+
+    Per user: first signup, first click at-or-after it, first
+    purchase at-or-after that click — three conditional min
+    aggregations sharing one user-keyed shuffle shape; the step rows
+    then union into a two-group exact-percentile aggregate.  Integer
+    microsecond math scaled by one exact division; ``percentile`` ≡
+    DuckDB ``quantile_cont`` bit-for-bit."""
+    ev = _events(spark, sf_dir).withColumn("_us", _us())
+    s0 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("_us").alias("t0"))
+    )
+    s1 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s0, "user_id")
+        .where(F.col("_us") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("_us").alias("t1"), F.min("t0").alias("t0"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s1.select("user_id", "t1"), "user_id")
+        .where(F.col("_us") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("_us").alias("t2"), F.min("t1").alias("t1"))
+    )
+    hop1 = s1.select(
+        F.lit("1_signup_to_click").alias("step"),
+        ((F.col("t1") - F.col("t0")).cast("double") / F.lit(1e6)).alias("latency_s"),
+    )
+    hop2 = s2.select(
+        F.lit("2_click_to_purchase").alias("step"),
+        ((F.col("t2") - F.col("t1")).cast("double") / F.lit(1e6)).alias("latency_s"),
+    )
+    return (
+        hop1.unionByName(hop2)
+        .groupBy("step")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.expr("percentile(latency_s, 0.25)").alias("p25_s"),
+            F.expr("percentile(latency_s, 0.5)").alias("p50_s"),
+            F.expr("percentile(latency_s, 0.75)").alias("p75_s"),
+        )
+        .orderBy("step")
+    )
+
+
+FUNNEL_STEP_LATENCY_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+),
+s0 AS (
+  SELECT user_id, MIN(us) AS t0 FROM ev WHERE event_type = 'signup' GROUP BY 1
+),
+s1 AS (
+  SELECT e.user_id, MIN(e.us) AS t1, MIN(s0.t0) AS t0
+  FROM ev e JOIN s0 ON e.user_id = s0.user_id
+  WHERE e.event_type = 'click' AND e.us >= s0.t0
+  GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.us) AS t2, MIN(s1.t1) AS t1
+  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'purchase' AND e.us >= s1.t1
+  GROUP BY 1
+),
+hops AS (
+  SELECT '1_signup_to_click' AS step, CAST(t1 - t0 AS DOUBLE) / 1e6 AS latency_s FROM s1
+  UNION ALL
+  SELECT '2_click_to_purchase' AS step, CAST(t2 - t1 AS DOUBLE) / 1e6 AS latency_s FROM s2
+)
+SELECT step, CAST(COUNT(*) AS BIGINT) AS n_users,
+       quantile_cont(latency_s, 0.25) AS p25_s,
+       quantile_cont(latency_s, 0.5) AS p50_s,
+       quantile_cont(latency_s, 0.75) AS p75_s
+FROM hops GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "attribution_time_decay": attribution_time_decay,
+    "funnel_step_latency": funnel_step_latency,
     "inter_event_time_quantiles": inter_event_time_quantiles,
     "attribution_linear": attribution_linear,
     "ship_latency_quartiles": ship_latency_quartiles,
@@ -2968,6 +3054,7 @@ QUERIES = {
 
 ORACLES = {
     "attribution_time_decay": ATTRIBUTION_TIME_DECAY_ORACLE,
+    "funnel_step_latency": FUNNEL_STEP_LATENCY_ORACLE,
     "inter_event_time_quantiles": INTER_EVENT_TIME_ORACLE,
     "metric_correlation_matrix": METRIC_CORR_MATRIX_ORACLE,
     "weekly_seasonality_autocorr": WEEKLY_AUTOCORR_ORACLE,

@@ -161,6 +161,9 @@ SHOW = {
     "only at the tiny pair level (anti-joins + four single-row aggregates "
     "cross-joined) — the expensive all-pairs truth side is the audit's "
     "deliberate sample-scope cost",
+    "funnel_step_latency": "funnel hop latency: three conditional min aggregates "
+    "share the user-keyed shuffle shape; the percentile aggregate sees two "
+    "step groups of user-grain rows",
 }
 
 

@@ -116,6 +116,7 @@ OPERATORS = [
     "inter_event_time_quantiles",
     "source_vocab_overlap",
     "dedup_precision_audit",
+    "funnel_step_latency",
 ]
 
 # Probe variants: (row label, queries() op, docs transform).  The
