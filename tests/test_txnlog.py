@@ -338,3 +338,55 @@ def test_schema_evolution_across_appends(spark, tmp_path):
     inc, _v = t.read_incremental(1)
     assert {r["x"] for r in inc.collect()} == {3, 4}
     assert [r["channel"] for r in inc.orderBy("x").collect()] == ["mobile", "web"]
+
+
+def test_mid_merge_append_survives(spark, tmp_path):
+    """An append landing between a merge's snapshot and its commit
+    stays live — the merge's remove set names only its snapshot's
+    candidate files."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_rows(spark, 0, 5), partition_col="_month")
+    # stage the merge manually from the current snapshot
+    snap = t.live_files()
+    updates = spark.createDataFrame([(2, "2024-01")], "x long, _month string")
+    existing = t.read()
+    keep = existing.join(updates.select("x"), "x", "left_anti")
+    merged = keep.select(*updates.columns).unionByName(updates)
+    staging = os.path.join(str(tmp_path / "t"), "_staging", "bbbbbbbbbbbb")
+    merged.coalesce(1).write.mode("overwrite").partitionBy("_month").parquet(staging)
+    add = t._publish_staging("bbbbbbbbbbbb")
+    # a concurrent append lands first...
+    t.append(_rows(spark, 5, 7), partition_col="_month")
+    # ...then the merge commit with the OLD snapshot's remove set
+    t.commit(add=add, remove=snap, op="merge")
+    assert _xs(t.read()) == list(range(7))  # nothing lost
+
+
+def test_merge_retries_after_losing_to_compact(spark, tmp_path):
+    """merge() loses its first commit race to a compaction that
+    retired the snapshot, then succeeds from the fresh snapshot."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_rows(spark, 0, 6), partition_col="_month")
+
+    real_commit = t.commit
+    state = {"raced": False}
+
+    def racing_commit(add=None, remove=None, op="append"):
+        if op == "merge" and not state["raced"]:
+            state["raced"] = True
+            # competing writer compacts between snapshot and commit
+            real_compact()
+        return real_commit(add=add, remove=remove, op=op)
+
+    real_compact = lambda: TxnTable(spark, t.path).compact(partition_col="_month")  # noqa: E731
+    t.commit = racing_commit
+    out = t.merge(
+        spark.createDataFrame([(0, "2024-01"), (60, "2024-01")], "x long, _month string"),
+        key="x",
+        partition_col="_month",
+    )
+    t.commit = real_commit
+    assert state["raced"]
+    assert out["rows_updated"] == 1 and out["rows_inserted"] == 1
+    assert _xs(t.read()) == [0, 1, 2, 3, 4, 5, 60]
+    assert t.history()[-1]["op"] == "merge"
