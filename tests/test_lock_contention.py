@@ -117,7 +117,7 @@ while not os.path.exists(go):
     time.sleep(0.005)
 try:
     with _MaintenanceLock(lock_path):
-        time.sleep(1.0)
+        time.sleep(4.0)   # hold past any load-delayed straggler's attempt
     print("WON")
 except MaintenanceLockHeld:
     print("LOST")
