@@ -65,6 +65,7 @@ _GATE_PRIORITY = (
     "source_vocab_overlap",
     "dedup_precision_audit",
     "funnel_step_latency",
+    "media_resize_stats",
     # last driver-checked in round 4 (stalest green coverage)
     "orders_rollup",
     "order_rank_in_customer",

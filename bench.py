@@ -76,6 +76,7 @@ EXTRA = [
     "source_vocab_overlap",
     "dedup_precision_audit",
     "funnel_step_latency",
+    "media_resize_stats",
 ]
 
 

@@ -1606,8 +1606,74 @@ ORDER BY asset_a, asset_b
 """
 
 
+def image_resize(media: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """REAL resize stage for the raw image formats (the brief's
+    decode→resize pipeline step; ``resize_stub`` remains the
+    API-parity pass-through for undecodable payloads): decode to the
+    grayscale grid executor-side, NEAREST-NEIGHBOR sample to
+    (height, width) — source index ``(i·in)//out``, the standard
+    integer NN map — and emit per-asset dims + exact pixel sum +
+    mean.  Arrow-batched ``mapInPandas``; payload bytes never leave
+    the executor, the output is 5 scalars per asset.
+
+    Determinism: planted grids hold uint8 integers, float64
+    summation of ≤2¹⁴ such values is exact, and the mean is ONE
+    double division — hash-exact vs an arithmetic oracle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                grid = gray_pixel_grid(bytes(payload)) if payload is not None else None
+                if grid is None or grid.size == 0:
+                    continue
+                h_in, w_in = grid.shape
+                ri = (np.arange(height) * h_in) // height
+                ci = (np.arange(width) * w_in) // width
+                rz = grid[np.ix_(ri, ci)]
+                s = float(rz.sum())
+                out_rows.append(
+                    [int(aid), int(width), int(height), int(round(s)), s / (width * height)]
+                )
+            yield pd.DataFrame(
+                out_rows, columns=["asset_id", "out_w", "out_h", "pix_sum", "pix_mean"]
+            )
+
+    return (
+        media.where(F.col("media_type") == "image")
+        .select("asset_id", "payload")
+        .mapInPandas(
+            kernel,
+            "asset_id long, out_w int, out_h int, pix_sum long, pix_mean double",
+        )
+    )
+
+
+def media_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gated real resize: the planted 16×16 sawtooth corpus
+    downsampled 2× by nearest neighbor.  The oracle re-derives every
+    resized pixel from the generative formula — pixel (r, c) of
+    asset d is ((2c)·(17+13·(d mod 40)) + (2r)·7) mod 120 — so the
+    decode + NN-sample + aggregate pipeline is verified value-exact,
+    not just shape-exact."""
+    media = _planted_corpus(spark, sf_dir, "image", lambda d: _planted_image_bytes(d % 40))
+    return image_resize(media).orderBy("asset_id")
+
+
+MEDIA_RESIZE_STATS_ORACLE = f"""
+SELECT d.doc_id AS asset_id,
+       CAST(8 AS INT) AS out_w, CAST(8 AS INT) AS out_h,
+       CAST(SUM(((2*c.i)*(17 + 13*(d.doc_id % 40)) + (2*r.i)*7) % 120) AS BIGINT) AS pix_sum,
+       CAST(SUM(((2*c.i)*(17 + 13*(d.doc_id % 40)) + (2*r.i)*7) % 120) AS DOUBLE) / 64 AS pix_mean
+FROM documents d, unnest(range(0, 8)) r(i), unnest(range(0, 8)) c(i)
+WHERE d.doc_id < {_PLANT_N}
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "multimodal_byte_stats": multimodal_byte_stats,
+    "media_resize_stats": media_resize_stats,
     "media_phash_dedup": media_phash_dedup_query,
     "media_audio_dedup": media_audio_dedup_query,
     "media_video_dedup": media_video_dedup_query,
@@ -1615,6 +1681,7 @@ QUERIES = {
 
 ORACLES = {
     "multimodal_byte_stats": MULTIMODAL_BYTE_STATS_ORACLE,
+    "media_resize_stats": MEDIA_RESIZE_STATS_ORACLE,
     "media_phash_dedup": MEDIA_PHASH_DEDUP_ORACLE,
     "media_audio_dedup": MEDIA_AUDIO_DEDUP_ORACLE,
     "media_video_dedup": MEDIA_VIDEO_DEDUP_ORACLE,

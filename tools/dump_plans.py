@@ -164,6 +164,9 @@ SHOW = {
     "funnel_step_latency": "funnel hop latency: three conditional min aggregates "
     "share the user-keyed shuffle shape; the percentile aggregate sees two "
     "step groups of user-grain rows",
+    "media_resize_stats": "real NN resize: executor-side decode+sample in one "
+    "mapInPandas, five scalars per asset on the wire — payload bytes never "
+    "shuffle",
 }
 
 
