@@ -45,14 +45,15 @@ _MODULES = (
 # would starve the tail modules of a driver-verified CORRECTNESS row
 # forever.  Round-7 rotation: (a) `user_metric_correlation` first — its
 # oracle's HUGEINT defect (uncast SUM(BIGINT)) is fixed this round and
-# it is the one query never driver-green; (b) the six round-7 additions
-# (filtered IVF search, span dedup family, attribution/cadence/vocab);
+# it is the one query never driver-green; (b) the ten round-7 additions
+# (filtered IVF search, span dedup family, attribution/cadence/vocab,
+# dedup QA audit, funnel hop latency, real resize);
 # (c) the queries whose last driver-green row is round 4 — the stalest
-# coverage.  The list holds 53 names so its last three (the final two
-# r4-stale rows and the stalest r5 row) overflow the 50-slot gate and
-# lead the r8 rotation; everything green in rounds 5-6 enumerates
-# last.  Everything listed here passes tools/check_correctness.py
-# locally at sf0.01 and sf0.001.
+# coverage.  The list is longer than 50 names: the overflow (the last
+# few r4-stale rows and the stalest r5 row) sits just past the gate
+# and leads the r8 rotation; everything green in rounds 5-6
+# enumerates last.  Everything listed here passes
+# tools/check_correctness.py locally at sf0.01 and sf0.001.
 _GATE_PRIORITY = (
     # oracle fixed this round (CAST sx/sy AS BIGINT) — must re-verify
     "user_metric_correlation",
