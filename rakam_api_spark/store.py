@@ -437,10 +437,11 @@ class EventStore:
             if self.txn_mode(project, collection):
                 txn = self.txn_table(project, collection)
                 txn.compact(partition_col=self._txn_partition_col(txn))
-                # reclaim the retired/orphaned files now that the
-                # rewrite committed (no time-travel retention contract
-                # in the store API)
-                txn.vacuum(retain_versions=0)
+                # reclaim orphans and files retired BEFORE this
+                # rewrite; the snapshot the rewrite just replaced is
+                # retained one version so a reader that resolved it
+                # moments ago can still lazily open its files
+                txn.vacuum(retain_versions=1)
                 return len(txn.live_files())
             return self._compact_locked(project, collection, target_files_per_partition)
 
@@ -781,7 +782,7 @@ class EventStore:
                 # metadata-only commit; files reclaimed on vacuum
                 txn.remove_partition("_month", m)
             if dropped:
-                txn.vacuum(retain_versions=0)
+                txn.vacuum(retain_versions=1)
             return dropped
         path = self._table_path(project, collection)
         if not os.path.exists(path):
@@ -877,6 +878,12 @@ class EventStore:
         writer.parquet(staging)
         add = txn._publish_staging(tag)
         txn.commit(add=add, remove=snapshot, op="erase")
+        # retain_versions=0 is DELIBERATE here (compact/expire retain
+        # 1): erasure's contract is prompt physical removal of the
+        # user's rows — keeping the pre-erase snapshot readable would
+        # defeat the point.  An in-flight reader racing an erasure can
+        # fail and must re-resolve; that is the price of the right to
+        # be forgotten, not a retention bug.
         txn.vacuum(retain_versions=0)
         n_after = sum(e["rows"] or 0 for e in add)
         return n_before - n_after

@@ -44,6 +44,16 @@ Log/manifest pure-Python by design: commit arbitration must also be
 available to non-Spark writers (tests contend it from plain
 processes), and at 100 TB the log is KB-scale JSON while the data
 plane stays in Spark.
+
+Snapshot resolution is O(checkpoint_every), not O(total commits):
+every ``checkpoint_every`` (default 10) commits the committer writes
+``_txn/cXXXXXXXX.json`` holding the FULL live-file state at that
+version, and ``state(v)`` loads the nearest checkpoint ≤ v plus a
+tail replay of at most ``checkpoint_every`` commit files — the Delta
+checkpoint mechanism (reference analog: the 1-minute metastore cache,
+PostgresqlMetastore.java:50-63).  Checkpoints are published with
+write-temp-then-hardlink (atomic, loser of a race skips); a missing
+or torn checkpoint always degrades safely to full replay.
 """
 
 from __future__ import annotations
@@ -134,16 +144,36 @@ class TxnTable:
     log-only writers (commit/append_files/vacuum work sparkless; the
     data plane — read/append/compact — needs a session)."""
 
-    def __init__(self, spark: SparkSession | None, path: str):
+    #: write a full-state checkpoint every N commits (Delta uses 10)
+    CHECKPOINT_EVERY = 10
+    #: old checkpoints kept on disk (older state() calls full-replay)
+    CHECKPOINTS_RETAINED = 3
+
+    def __init__(
+        self,
+        spark: SparkSession | None,
+        path: str,
+        checkpoint_every: int | None = None,
+    ):
         self.spark = spark
         self.path = path
         self._txn = os.path.join(path, _TXN_DIR)
+        self.checkpoint_every = (
+            self.CHECKPOINT_EVERY if checkpoint_every is None else checkpoint_every
+        )
+        #: metadata files opened by the LAST state() call — the
+        #: observable the checkpoint contract is tested against
+        #: (≤ checkpoint_every + 1 regardless of log length)
+        self.last_state_file_opens = 0
         os.makedirs(self._txn, exist_ok=True)
 
     # --- log primitives --------------------------------------------------
 
     def _commit_path(self, version: int) -> str:
         return os.path.join(self._txn, f"v{version:08d}.json")
+
+    def _ckpt_path(self, version: int) -> str:
+        return os.path.join(self._txn, f"c{version:08d}.json")
 
     def version(self) -> int:
         vs = [
@@ -152,6 +182,13 @@ class TxnTable:
             if f.startswith("v") and f.endswith(".json")
         ]
         return max(vs, default=0)
+
+    def _checkpoint_versions(self) -> list[int]:
+        return sorted(
+            int(f[1:9])
+            for f in os.listdir(self._txn)
+            if f.startswith("c") and f.endswith(".json")
+        )
 
     def history(self) -> list[dict]:
         out = []
@@ -162,20 +199,83 @@ class TxnTable:
             out.append(rec)
         return out
 
-    def state(self, version: int | None = None) -> dict[str, dict]:
-        """Replay the log: relative file path → its add-entry
-        ({path, rows, partition}) for every file live at ``version``
-        (default: current)."""
+    def state(
+        self, version: int | None = None, use_checkpoints: bool = True
+    ) -> dict[str, dict]:
+        """Relative file path → its add-entry ({path, rows, partition,
+        stats}) for every file live at ``version`` (default: current).
+
+        Resolution = nearest checkpoint ≤ version + tail replay, so
+        snapshot cost is bounded by ``checkpoint_every`` commit-file
+        opens however long the log grows (one commit per streaming
+        epoch for a month would otherwise be ~86k opens per read).  A
+        vanished or unparsable checkpoint (concurrent prune, torn
+        write on a non-atomic store) degrades to full replay —
+        checkpoints are an accelerator, never a correctness
+        dependency."""
         upto = self.version() if version is None else version
         live: dict[str, dict] = {}
-        for v in range(1, upto + 1):
+        start = 1
+        opens = 0
+        ckpts = (
+            [c for c in self._checkpoint_versions() if c <= upto]
+            if use_checkpoints
+            else []
+        )
+        if ckpts:
+            try:
+                with open(self._ckpt_path(ckpts[-1])) as f:
+                    snap = json.load(f)
+                live = {e["path"]: e for e in snap["live"]}
+                start = ckpts[-1] + 1
+                opens += 1
+            except (OSError, ValueError, KeyError):
+                live, start = {}, 1
+        for v in range(start, upto + 1):
             with open(self._commit_path(v)) as f:
                 rec = json.load(f)
+            opens += 1
             for ent in rec.get("add", ()):
                 live[ent["path"]] = ent
             for r in rec.get("remove", ()):
                 live.pop(r, None)
+        self.last_state_file_opens = opens
         return live
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        """After commit ``version`` lands: if it's a checkpoint
+        boundary, publish the full live state as
+        ``_txn/c{version}.json``.  Write-temp-then-``os.link`` makes
+        the publish atomic AND arbitrated (the hardlink fails with
+        FileExistsError if a racing committer of the SAME version
+        already checkpointed — contents would be identical anyway, the
+        state at a fixed version is immutable).  Old checkpoints
+        beyond ``CHECKPOINTS_RETAINED`` are pruned; time travel past
+        them falls back to full replay."""
+        if self.checkpoint_every <= 0 or version % self.checkpoint_every != 0:
+            return
+        state = self.state(version)
+        payload = json.dumps(
+            {
+                "version": version,
+                "live": sorted(state.values(), key=lambda e: e["path"]),
+            }
+        )
+        tmp = self._ckpt_path(version) + f".tmp.{_uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(payload)
+        try:
+            os.link(tmp, self._ckpt_path(version))
+        except FileExistsError:
+            pass  # a racing committer already published this version
+        finally:
+            os.unlink(tmp)
+        old = self._checkpoint_versions()[: -self.CHECKPOINTS_RETAINED]
+        for v in old:
+            try:
+                os.unlink(self._ckpt_path(v))
+            except FileNotFoundError:
+                pass  # another pruner got it
 
     def commit(
         self,
@@ -210,6 +310,7 @@ class TxnTable:
                 continue  # lost the version race; re-validate and retry
             with os.fdopen(fd, "w") as f:
                 f.write(payload)
+            self._maybe_checkpoint(v)
             return v
 
     # --- data plane ------------------------------------------------------
@@ -271,6 +372,37 @@ class TxnTable:
             .option("mergeSchema", "true")
             .parquet(*[self._abs(f) for f in files])
         )
+
+    def export_manifest(
+        self, version: int | None = None, out_path: str | None = None
+    ) -> dict:
+        """Materialize one snapshot as a plain JSON manifest any
+        engine can consume WITHOUT understanding the commit log —
+        the external-interop answer for DuckDB/Trino-style readers
+        (the reference's whole analytics model is external engines
+        over shared storage, README.md:27-31).  The manifest lists
+        ABSOLUTE file paths (``files``), per-file partition values
+        and row counts (``entries``), and the snapshot ``version``;
+        a DuckDB reader gets snapshot consistency via
+        ``read_parquet([...files])`` — combined with
+        ``vacuum(min_age_seconds=...)`` the listed files stay on disk
+        for the retention horizon even if rewrites land after the
+        export.  Written atomically (temp + rename) when ``out_path``
+        is given, so a half-written manifest is never visible."""
+        v = self.version() if version is None else version
+        ents = sorted(self.state(v).values(), key=lambda e: e["path"])
+        manifest = {
+            "table": self.path,
+            "version": v,
+            "files": [self._abs(e["path"]) for e in ents],
+            "entries": ents,
+        }
+        if out_path:
+            tmp = out_path + f".tmp.{_uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmp, out_path)
+        return manifest
 
     def append(self, df: DataFrame, partition_col: str | None = None) -> int:
         """Stage → move → commit.  The Spark write lands in a private
@@ -554,19 +686,55 @@ class TxnTable:
 
     # --- reclamation -----------------------------------------------------
 
-    def vacuum(self, retain_versions: int = 0) -> list[str]:
+    def vacuum(
+        self, retain_versions: int = 1, min_age_seconds: float = 0.0
+    ) -> list[str]:
         """Delete data files that are (a) orphans no commit ever
         registered (crash debris, lost-race compactions) or (b)
         retired and not live in any of the last ``retain_versions``
         versions (time-travel horizon).  Never touches the log or
-        in-flight staging."""
+        in-flight staging.
+
+        ``retain_versions`` defaults to 1 (NOT 0): a reader that
+        resolved its snapshot at version V just before a rewrite
+        landed at V+1 opens its files lazily per Spark task — zero
+        retention would unlink them mid-scan, violating the
+        snapshot-consistency contract above (Delta defaults to a
+        7-day retention for the same reason).  ``min_age_seconds``
+        adds a wall-clock horizon on top: a retired file is only
+        deleted once the commit that retired it is at least this old
+        (so arbitrarily long-running scans survive any
+        ``retain_versions`` setting), and an orphan only once the
+        file itself is — which also protects the append window
+        between staging-publish and commit from a concurrent
+        vacuum."""
+        import time
+
         current = self.version()
         keep: set[str] = set()
         for v in range(max(1, current - retain_versions), current + 1):
             keep.update(self.state(v).keys())
-        ever: set[str] = set()
+        # commit version that retired each path (last remove wins) —
+        # the age horizon is measured from that commit file's mtime
+        retired_at: dict[str, int] = {}
         for rec in self.history():
-            ever.update(e["path"] for e in rec.get("add", ()))
+            for r in rec.get("remove", ()):
+                retired_at[r] = rec["version"]
+        now = time.time()
+        horizon = now - min_age_seconds
+
+        def _old_enough(rel: str, abs_path: str) -> bool:
+            if min_age_seconds <= 0:
+                return True
+            v = retired_at.get(rel)
+            try:
+                ref = os.path.getmtime(
+                    self._commit_path(v) if v is not None else abs_path
+                )
+            except OSError:
+                return False  # can't date it: keep (deletion must be safe)
+            return ref <= horizon
+
         deleted = []
         for dirpath, dirs, files in os.walk(self.path):
             rel_root = os.path.relpath(dirpath, self.path)
@@ -582,7 +750,10 @@ class TxnTable:
                 )
                 if rel in keep:
                     continue
+                abs_path = os.path.join(dirpath, fname)
+                if not _old_enough(rel, abs_path):
+                    continue
                 # orphan (never committed) or retired beyond horizon
-                os.unlink(os.path.join(dirpath, fname))
+                os.unlink(abs_path)
                 deleted.append(rel)
         return sorted(deleted)

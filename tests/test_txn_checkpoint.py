@@ -1,0 +1,197 @@
+"""Txn-log checkpointing + vacuum retention (VERDICT r7 Next #1/#2/#8).
+
+Pins the three scale contracts the round-7 review demanded of the
+transaction layer:
+
+- snapshot resolution is O(checkpoint_every) metadata opens however
+  long the log grows (200 streaming-epoch commits → state() opens
+  ≤ 11 files, not 200);
+- a reader that resolved its snapshot just before a compaction can
+  still lazily open its files after compact+vacuum (retain_versions=1
+  default; age horizon for long scans);
+- a snapshot can be exported as a plain manifest that a NON-Spark
+  engine (DuckDB) reads with full snapshot consistency.
+"""
+
+import json
+import os
+import time
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from rakam_api_spark.txnlog import TxnTable
+
+
+def _rows(spark, lo, hi, month="2024-01"):
+    return spark.createDataFrame(
+        [(i, month) for i in range(lo, hi)], "x long, _month string"
+    )
+
+
+def _xs(df):
+    return sorted(r["x"] for r in df.select("x").collect())
+
+
+# --- checkpoint mechanics (sparkless: metadata plane only) ---------------
+
+
+def test_state_opens_bounded_after_200_commits(tmp_path):
+    """The r7 metadata-path scale killer: 200 commits (one per
+    streaming epoch) must NOT mean 200 file opens per snapshot
+    resolution — the checkpoint bounds it at checkpoint_every + 1."""
+    t = TxnTable(None, str(tmp_path / "t"))
+    for i in range(200):
+        t.commit(add=[{"path": f"f{i:04d}.parquet", "rows": 1, "partition": None}])
+    state = t.state()
+    assert len(state) == 200
+    assert t.last_state_file_opens <= t.checkpoint_every + 1
+    # checkpointed resolution ≡ full replay, at any version
+    assert state == t.state(use_checkpoints=False)
+    assert t.state(137) == t.state(137, use_checkpoints=False)
+    # full replay really did pay O(V): the bound is load-bearing
+    t.state(use_checkpoints=False)
+    assert t.last_state_file_opens == 200
+
+
+def test_checkpoint_collision_and_prune(tmp_path):
+    """A racing committer that already published the same-version
+    checkpoint is benign (identical contents by construction); tmp
+    files never linger; old checkpoints are pruned but time travel
+    past them still answers via full replay."""
+    t = TxnTable(None, str(tmp_path / "t"), checkpoint_every=2)
+    t.commit(add=[{"path": "a.parquet", "rows": 1, "partition": None}])
+    # pre-stage the checkpoint the next commit will also try to write
+    # (a real racer writes identical content — the state at a fixed
+    # version is immutable); the committer must hit FileExistsError,
+    # skip, and clean its temp file
+    rigged = {
+        "version": 2,
+        "live": [
+            {"path": "a.parquet", "rows": 1, "partition": None},
+            {"path": "b.parquet", "rows": 1, "partition": None},
+        ],
+    }
+    with open(t._ckpt_path(2), "w") as f:
+        json.dump(rigged, f)
+    t.commit(add=[{"path": "b.parquet", "rows": 1, "partition": None}])  # collision
+    assert set(t.state()) == {"a.parquet", "b.parquet"}
+    for i in range(12):
+        t.commit(add=[{"path": f"c{i}.parquet", "rows": 1, "partition": None}])
+    assert set(t.state()) == set(t.state(use_checkpoints=False))
+    # pruning: at most CHECKPOINTS_RETAINED checkpoint files remain
+    assert len(t._checkpoint_versions()) <= t.CHECKPOINTS_RETAINED
+    # no torn/tmp checkpoint debris
+    assert not [f for f in os.listdir(t._txn) if ".tmp." in f]
+    # time travel to a version older than every retained checkpoint
+    assert set(t.state(1)) == {"a.parquet"}
+
+
+def test_corrupt_checkpoint_degrades_to_full_replay(tmp_path):
+    t = TxnTable(None, str(tmp_path / "t"), checkpoint_every=5)
+    for i in range(10):
+        t.commit(add=[{"path": f"f{i}.parquet", "rows": 1, "partition": None}])
+    ckpts = t._checkpoint_versions()
+    assert ckpts, "expected at least one checkpoint"
+    with open(t._ckpt_path(ckpts[-1]), "w") as f:
+        f.write("{torn")
+    assert len(t.state()) == 10  # safe fallback, correct answer
+
+
+# --- vacuum retention (VERDICT r7 What's-wrong #1) -----------------------
+
+
+def test_reader_snapshot_survives_compact_and_vacuum(spark, tmp_path):
+    """The exact race the r7 verdict flagged: a reader resolves its
+    snapshot at version V, a compaction lands at V+1 and vacuums —
+    Spark opens files lazily per task, so the reader's DEFERRED
+    collect must still find V's files.  retain_versions=1 (the new
+    default) keeps them."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_rows(spark, 0, 50), partition_col="_month")
+    t.append(_rows(spark, 50, 100), partition_col="_month")
+    reader = t.read()  # lazy: plan resolved, files not yet opened
+    t.compact(partition_col="_month")
+    t.vacuum()  # default retain_versions=1 — retains the reader's files
+    assert _xs(reader) == list(range(100))  # deferred scan succeeds
+    # zero retention (the old store.compact behavior) WOULD have
+    # deleted them — pin that the files only die past the horizon
+    t.vacuum(retain_versions=0)
+    live = {t._abs(f) for f in t.live_files()}
+    on_disk = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(str(tmp_path / "t"))
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert on_disk == live
+
+
+def test_vacuum_age_horizon_spares_recent_retirees(tmp_path):
+    """min_age_seconds: a just-retired file survives vacuum until the
+    RETIRING COMMIT is old enough — the long-running-scan guard that
+    works regardless of how many versions land meanwhile."""
+    t = TxnTable(None, str(tmp_path / "t"))
+    pq.write_table(pa.table({"x": [1]}), str(tmp_path / "t" / "a.parquet"))
+    t.append_files(["a.parquet"])
+    pq.write_table(pa.table({"x": [2]}), str(tmp_path / "t" / "b.parquet"))
+    t.commit(
+        add=[{"path": "b.parquet", "rows": 1, "partition": None}],
+        remove=["a.parquet"],
+        op="compact",
+    )
+    for i in range(3):  # push the retirement beyond any version horizon
+        pq.write_table(pa.table({"x": [i]}), str(tmp_path / "t" / f"c{i}.parquet"))
+        t.append_files([f"c{i}.parquet"])
+    assert t.vacuum(retain_versions=0, min_age_seconds=3600) == []
+    assert os.path.exists(str(tmp_path / "t" / "a.parquet"))
+    # age the retiring commit (v2) past the horizon and it goes
+    old = time.time() - 7200
+    os.utime(t._commit_path(2), (old, old))
+    assert t.vacuum(retain_versions=0, min_age_seconds=3600) == ["a.parquet"]
+
+
+def test_vacuum_age_horizon_spares_fresh_orphans(tmp_path):
+    """An orphan inside the append stage→commit window must not be
+    reaped by a concurrent vacuum running with an age horizon."""
+    t = TxnTable(None, str(tmp_path / "t"))
+    pq.write_table(pa.table({"x": [1]}), str(tmp_path / "t" / "live.parquet"))
+    t.append_files(["live.parquet"])
+    # simulate mid-append: file placed in the tree, commit not yet landed
+    pq.write_table(pa.table({"x": [2]}), str(tmp_path / "t" / "inflight.parquet"))
+    assert t.vacuum(min_age_seconds=3600) == []
+    old = time.time() - 7200
+    os.utime(str(tmp_path / "t" / "inflight.parquet"), (old, old))
+    assert t.vacuum(min_age_seconds=3600) == ["inflight.parquet"]  # true debris
+
+
+# --- external-engine manifest export (VERDICT r7 Next #8) ----------------
+
+
+def test_export_manifest_duckdb_roundtrip(spark, tmp_path):
+    """A non-Spark engine reads a CONSISTENT snapshot from the
+    exported manifest: later appends and compactions don't leak into
+    it, and the retention horizon keeps its files on disk."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_rows(spark, 0, 60), partition_col="_month")
+    out = str(tmp_path / "snapshot.json")
+    m = t.export_manifest(out_path=out)
+    assert m["version"] == 1 and len(m["files"]) >= 1
+    # mutate the table AFTER the export
+    t.append(_rows(spark, 60, 80), partition_col="_month")
+    t.compact(partition_col="_month")
+    t.vacuum()  # retain_versions=1 keeps the exported snapshot's files
+    with open(out) as f:
+        manifest = json.load(f)
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT COUNT(*) n, MIN(x) lo, MAX(x) hi FROM read_parquet(?)",
+        [manifest["files"]],
+    ).fetchone()
+    con.close()
+    assert got == (60, 0, 59)  # the v1 snapshot, not the live table
+    # entries carry partition + rows so planners can prune w/o opening
+    assert sum(e["rows"] for e in manifest["entries"]) == 60
+    assert all(e["partition"]["_month"] == "2024-01" for e in manifest["entries"])

@@ -47,7 +47,9 @@ def _read_rows(t: TxnTable) -> list[int]:
 @given(ops=_OPS)
 def test_log_replay_matches_model(tmp_path_factory, ops):
     root = tmp_path_factory.mktemp("txn")
-    t = TxnTable(None, str(root))
+    # checkpoint_every=3 so a 12-op sequence crosses several checkpoint
+    # boundaries AND the retained-checkpoint pruning path
+    t = TxnTable(None, str(root), checkpoint_every=3)
     model: dict[str, list[int]] = {}  # rel path -> rows
     next_x = 0
     for i, op in enumerate(ops):
@@ -74,6 +76,9 @@ def test_log_replay_matches_model(tmp_path_factory, ops):
             t.vacuum(retain_versions=retain)
         # invariants after EVERY op
         assert t.live_files() == sorted(model.keys())
+        # checkpoint-resolved state ≡ full log replay (the Delta
+        # checkpoint contract: an accelerator, never a divergence)
+        assert t.state() == t.state(use_checkpoints=False)
         assert _read_rows(t) == sorted(x for xs in model.values() for x in xs)
         # versions are consecutive from 1 and history replays cleanly
         hist = t.history()
