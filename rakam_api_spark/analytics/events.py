@@ -2547,8 +2547,11 @@ def ship_latency_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     One lineitem⋈orders fact join (the only wide shuffle), an
     order-grain min/max aggregate, then exact linear-interpolation
     percentiles per priority (Spark ``percentile`` ≡ DuckDB
-    ``quantile_cont`` on the same integral day counts — at 100 TB
-    swap ``approx_percentile``, same call shape).  The interpolated
+    ``quantile_cont`` on the same integral day counts).  SCALE
+    CONTRACT: five priority groups × O(orders) buffered values —
+    at 100 TB swap ``approx_percentile`` (mergeable sketch, same
+    call shape; bounds-gating pattern in
+    :func:`inter_event_cadence_sketch`).  The interpolated
     values are rounded to 9 decimals on both sides: the two engines'
     interpolation FORMULAS (``(1-f)·a + f·b`` vs ``a + (b-a)·f``)
     can differ in the last ulp under FMA contraction — the same
@@ -2868,7 +2871,14 @@ def inter_event_time_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     order: timestamp then event_id tiebreak); exact ``percentile``
     interpolation matches DuckDB ``quantile_cont`` bit-for-bit (the
     ``value_percentiles`` contract).  Gap arithmetic is integer
-    microseconds scaled by one exact division by 10⁶."""
+    microseconds scaled by one exact division by 10⁶.
+
+    SCALE CONTRACT: exact ``percentile`` buffers every group value in
+    one aggregation buffer, and groups here are event-type-grained —
+    corpus-sized at 100 TB.  This exact formulation is the oracle
+    gate; the production-scale path is the mergeable-sketch variant
+    :func:`inter_event_cadence_sketch` (same gaps, GK/t-digest
+    summaries, rank-error bounds-gated) — swap is one agg call."""
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id", "event_type").orderBy("_us", "event_id")
     gaps = (
@@ -2911,6 +2921,67 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def inter_event_cadence_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for :func:`inter_event_time_quantiles`: the
+    same per-user lag gaps, quartiled with the MERGEABLE sketch
+    aggregate (Spark ``approx_percentile``, Greenwald-Khanna; DuckDB
+    ``approx_quantile``, t-digest) instead of the buffer-everything
+    exact ``percentile`` — map-side combinable, O(sketch) memory per
+    group however large the group.
+
+    Sketch point estimates are engine-specific, so the gated surface
+    is the rank-error BOUNDS CHECK (the ``value_quantile_sketch``
+    contract): each engine's approx quartile must land between the
+    exact quantiles at q∓0.02 — double the GK guarantee at accuracy
+    100."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("_us", "event_id")
+    gaps = (
+        ev.select("user_id", "event_type", "event_id", _us().alias("_us"))
+        .withColumn("prev_us", F.lag("_us").over(w))
+        .where(F.col("prev_us").isNotNull())
+        .select(
+            "event_type",
+            ((F.col("_us") - F.col("prev_us")).cast("double") / F.lit(1e6)).alias(
+                "gap_s"
+            ),
+        )
+    )
+    ap = lambda q: F.expr(f"approx_percentile(gap_s, {q}, 100)")
+    ex = lambda q: F.expr(f"percentile(gap_s, {q})")
+    between = lambda q, lo, hi: (ap(q) >= ex(lo)) & (ap(q) <= ex(hi))
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            between(0.25, 0.23, 0.27).alias("p25_in_bounds"),
+            between(0.5, 0.48, 0.52).alias("p50_in_bounds"),
+            between(0.75, 0.73, 0.77).alias("p75_in_bounds"),
+        )
+        .orderBy("event_type")
+    )
+
+
+INTER_EVENT_CADENCE_SKETCH_ORACLE = """
+WITH gaps AS (
+  SELECT event_type,
+         CAST(us - LAG(us) OVER (
+           PARTITION BY user_id, event_type ORDER BY us, event_id) AS DOUBLE) / 1e6 AS gap_s
+  FROM (SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       approx_quantile(gap_s, 0.25) BETWEEN quantile_cont(gap_s, 0.23)
+                                        AND quantile_cont(gap_s, 0.27) AS p25_in_bounds,
+       approx_quantile(gap_s, 0.5)  BETWEEN quantile_cont(gap_s, 0.48)
+                                        AND quantile_cont(gap_s, 0.52) AS p50_in_bounds,
+       approx_quantile(gap_s, 0.75) BETWEEN quantile_cont(gap_s, 0.73)
+                                        AND quantile_cont(gap_s, 0.77) AS p75_in_bounds
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-transition latency quartiles for the signup→click→purchase
     funnel — WHERE users stall, not just whether they convert
@@ -2922,7 +2993,14 @@ def funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations sharing one user-keyed shuffle shape; the step rows
     then union into a two-group exact-percentile aggregate.  Integer
     microsecond math scaled by one exact division; ``percentile`` ≡
-    DuckDB ``quantile_cont`` bit-for-bit."""
+    DuckDB ``quantile_cont`` bit-for-bit.
+
+    SCALE CONTRACT: two groups × per-user rows means the exact
+    ``percentile`` buffers O(users) values per group at 100 TB; the
+    documented swap is ``approx_percentile`` (mergeable, map-side
+    combined — the :func:`value_quantile_sketch` /
+    :func:`inter_event_cadence_sketch` pattern), identical call
+    shape."""
     ev = _events(spark, sf_dir).withColumn("_us", _us())
     s0 = (
         ev.where(F.col("event_type") == "signup")
@@ -3000,6 +3078,7 @@ QUERIES = {
     "attribution_time_decay": attribution_time_decay,
     "funnel_step_latency": funnel_step_latency,
     "inter_event_time_quantiles": inter_event_time_quantiles,
+    "inter_event_cadence_sketch": inter_event_cadence_sketch,
     "attribution_linear": attribution_linear,
     "ship_latency_quartiles": ship_latency_quartiles,
     "metric_correlation_matrix": metric_correlation_matrix,
@@ -3056,6 +3135,7 @@ ORACLES = {
     "attribution_time_decay": ATTRIBUTION_TIME_DECAY_ORACLE,
     "funnel_step_latency": FUNNEL_STEP_LATENCY_ORACLE,
     "inter_event_time_quantiles": INTER_EVENT_TIME_ORACLE,
+    "inter_event_cadence_sketch": INTER_EVENT_CADENCE_SKETCH_ORACLE,
     "metric_correlation_matrix": METRIC_CORR_MATRIX_ORACLE,
     "weekly_seasonality_autocorr": WEEKLY_AUTOCORR_ORACLE,
     "attribution_linear": ATTRIBUTION_LINEAR_ORACLE,

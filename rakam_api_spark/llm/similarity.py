@@ -570,6 +570,7 @@ def ivf_index_topk(
     queries: DataFrame,
     nprobe: int = 3,
     topk: int = 5,
+    member_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Query a cell-partitioned IVF index: rank cells per query
     against the (broadcast) centroids, then scan ONLY the probed
@@ -578,7 +579,15 @@ def ivf_index_topk(
     never opened (plan-audited in tests/test_similarity_lsh.py).
 
     ``queries``: (q_id, embedding) frame.  Same integer-quantized
-    cosine as every other ANN path."""
+    cosine as every other ANN path.
+
+    ``member_ids`` (one ``vec_id`` column) restricts candidates to a
+    metadata predicate's qualifying set via a semi-join BEFORE any
+    scoring — filtered search over the PERSISTED artifact: partition
+    pruning (nprobe/k of the files) composed with the predicate,
+    never a post-filter of top-k.  The qualifying set comes from the
+    BASE table (where the metadata lives), keeping the artifact
+    schema stable under the incremental maintenance append path."""
     import os
 
     cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
@@ -613,6 +622,8 @@ def ivf_index_topk(
     corpus = spark.read.parquet(os.path.join(index_dir, "corpus")).where(
         F.col("cell").isin(probed_cells)
     )
+    if member_ids is not None:
+        corpus = corpus.join(member_ids, "vec_id", "left_semi")
     mcomp = corpus.select(
         "vec_id", "cell", F.posexplode("embedding").alias("pos", "v")
     ).select(
@@ -836,6 +847,88 @@ def filtered_kmeans_ivf_topk(
     qualifying = emb.where(F.col("label") >= min_label).select("vec_id")
     return _ivf_probe_score(
         comp, cents, assign, n_queries, nprobe, topk, member_ids=qualifying
+    )
+
+
+def _source_fingerprint(sf_dir: str) -> str:
+    """Cheap content fingerprint of the embeddings source (relpath,
+    size, mtime per file) — no data read.  Keys the cached IVF
+    artifact so a regenerated testdata dir can never be served by a
+    stale index."""
+    import hashlib
+    import os
+
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    parts = []
+    if os.path.isdir(src):
+        for dp, _dirs, fs in os.walk(src):
+            for f in sorted(fs):
+                p = os.path.join(dp, f)
+                st = os.stat(p)
+                parts.append(f"{os.path.relpath(p, src)}:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        st = os.stat(src)
+        parts.append(f"{src}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(sorted(parts)).encode()).hexdigest()[:16]
+
+
+def _resolve_ivf_artifact(spark: SparkSession, sf_dir: str) -> str:
+    """Return a persisted IVF index dir for ``sf_dir``'s embeddings,
+    building it once per source fingerprint (publish via build-temp →
+    atomic rename; a concurrent builder losing the rename race just
+    uses the winner's artifact).  This is the PRODUCTION read path
+    the maintenance planner keeps fresh — queries probe the artifact,
+    they don't re-learn centroids (VERDICT r7 Next #6)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    final = os.path.join(
+        tempfile.gettempdir(), f"rakam_ivf_{_source_fingerprint(sf_dir)}"
+    )
+    if os.path.isdir(os.path.join(final, "centroids")):
+        return final
+    tmp = final + f".build-{_uuid.uuid4().hex[:8]}"
+    build_ivf_index(spark, sf_dir, tmp)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race; theirs is identical
+    return final
+
+
+def ann_filtered_ivf_indexed(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = 5,
+    topk: int = 5,
+    n_queries: int = 20,
+    min_label: int = 5,
+    index_dir: str | None = None,
+) -> DataFrame:
+    """Filtered ANN over the PERSISTED IVF artifact: the production
+    counterpart of :func:`filtered_kmeans_ivf_topk`, which stays as
+    the inline-fit recall gate.  Centroids/cells are loaded from the
+    ``build_ivf_index`` output (the artifact ``register_index`` keeps
+    staleness-healed and fragment-compacted) and probed with the
+    metadata predicate's qualifying set semi-joined before scoring —
+    partition pruning × predicate, zero Lloyd iterations at query
+    time.
+
+    Identical output contract to the inline variant (same
+    deterministic fit frozen into the artifact, same integer-quantized
+    cosine, same tiebreaks), so the SAME DuckDB oracle
+    (ANN_FILTERED_IVF_ORACLE) gates both."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    if index_dir is None:
+        index_dir = _resolve_ivf_artifact(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    qualifying = emb.where(F.col("label") >= min_label).select("vec_id")
+    return ivf_index_topk(
+        spark, index_dir, queries, nprobe=nprobe, topk=topk, member_ids=qualifying
     )
 
 
@@ -1407,6 +1500,7 @@ QUERIES = {
     "ann_ivf_topk": ivf_topk,
     "ann_kmeans_ivf_topk": kmeans_ivf_topk,
     "ann_filtered_ivf_topk": filtered_kmeans_ivf_topk,
+    "ann_filtered_ivf_indexed": ann_filtered_ivf_indexed,
     "embedding_cluster_profile": embedding_cluster_profile,
     "embedding_cosine_dedup": _cosine_dedup_gate,
     "ann_pq_topk": pq_ann_topk,
@@ -1419,6 +1513,9 @@ ORACLES = {
     "ann_ivf_topk": IVF_ORACLE,
     "ann_kmeans_ivf_topk": KMEANS_IVF_ORACLE,
     "ann_filtered_ivf_topk": ANN_FILTERED_IVF_ORACLE,
+    # same oracle gates the artifact-probing variant: identical
+    # output contract, the fit is frozen into the index
+    "ann_filtered_ivf_indexed": ANN_FILTERED_IVF_ORACLE,
     "embedding_cluster_profile": CLUSTER_PROFILE_ORACLE,
     "embedding_cosine_dedup": COSINE_DEDUP_ORACLE.format(threshold=GATE_DEDUP_THRESHOLD),
     "ann_pq_topk": PQ_ANN_ORACLE,
