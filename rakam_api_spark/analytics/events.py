@@ -3074,11 +3074,219 @@ FROM hops GROUP BY 1 ORDER BY 1
 """
 
 
+def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of sessions (30-min-gap
+    sessionization, the :func:`sessionize` rule) containing exactly
+    ONE event, per day of session start — the engagement-quality
+    complement to ``sessionization_stats``'s per-user totals.
+
+    One user-keyed window shuffle (sessionize) + one session-grain
+    aggregate + one tiny per-day rollup; counts are exact integers
+    and the rate is a single division — deterministic.  At 100 TB
+    the window rides the events table's user bucketing like every
+    other sessionized query."""
+    sess = sessionize(_events(spark, sf_dir))
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("start_ts"),
+    )
+    return (
+        per_session.groupBy(F.col("start_ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum((F.col("n_events") == 1).cast("long")).alias("n_bounces"),
+        )
+        .withColumn(
+            "bounce_rate",
+            F.col("n_bounces").cast("double") / F.col("n_sessions").cast("double"),
+        )
+        .orderBy("day")
+    )
+
+
+SESSION_BOUNCE_RATE_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, ts, us,
+         CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), sessions AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS start_ts
+  FROM sessions GROUP BY 1, 2
+)
+SELECT CAST(start_ts AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS bounce_rate
+FROM per_session GROUP BY 1 ORDER BY 1
+"""
+
+
+def event_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event types co-occurring
+    in the same USER-DAY — which behaviors cluster (click+purchase)
+    vs repel, the signal behind next-action models and bundle
+    analysis.
+
+    Unit of co-occurrence = distinct (user, day, type) incidence;
+    pair counts come from a self-join of that incidence frame on the
+    user-day key restricted to ``a < b`` — the incidence frame is
+    |user-days|·|types| at most, so the join is far below raw-event
+    scale, and the final PMI table is |types|² rows.  PMI =
+    ln(n_ab·N / (n_a·n_b)): every count is an exact integer, the
+    ratio is one exact double expression, and the single ``ln`` is
+    rounded to 9 decimals on both sides (engine libm may differ in
+    the last ulp — the round-both-sides float rule)."""
+    ev = _events(spark, sf_dir)
+    inc = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day"), "event_type"
+    ).distinct()
+    n_units = inc.select("user_id", "day").distinct().count()
+    marg = inc.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_type"))
+    a = inc.alias("a")
+    b = inc.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ma = marg.select(F.col("event_type").alias("type_a"), F.col("n_type").alias("n_a"))
+    mb = marg.select(F.col("event_type").alias("type_b"), F.col("n_type").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.log(
+                    (F.col("n_both").cast("double") * F.lit(float(n_units)))
+                    / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+                ),
+                9,
+            ).alias("pmi"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+EVENT_COOCCURRENCE_PMI_ORACLE = """
+WITH inc AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type FROM events
+),
+units AS (SELECT COUNT(*) AS n FROM (SELECT DISTINCT user_id, day FROM inc)),
+marg AS (SELECT event_type, COUNT(*) AS n_type FROM inc GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+  FROM inc a JOIN inc b
+    ON a.user_id = b.user_id AND a.day = b.day AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b,
+       CAST(p.n_both AS BIGINT) AS n_both,
+       CAST(ma.n_type AS BIGINT) AS n_a,
+       CAST(mb.n_type AS BIGINT) AS n_b,
+       round(ln(CAST(p.n_both AS DOUBLE) * CAST(u.n AS DOUBLE)
+                / (CAST(ma.n_type AS DOUBLE) * CAST(mb.n_type AS DOUBLE))), 9) AS pmi
+FROM pairs p
+JOIN marg ma ON p.type_a = ma.event_type
+JOIN marg mb ON p.type_b = mb.event_type
+CROSS JOIN units u
+ORDER BY 1, 2
+"""
+
+
+def user_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity: Shannon entropy of each user's
+    event-type distribution, rolled up by the user's distinct-type
+    count — do heavy users spread across behaviors or specialize?
+
+    Per user: H = ln(n) − (Σ c·ln c)/n over the type counts c (the
+    algebraic form needs one pass over |user|×|types| rows).  Exact
+    aggregation discipline: each user's H is quantized to integer
+    MICRO-NATS (round(H·10⁶) as long — libm ulp noise is ~10⁻¹⁰
+    micro-nats, nowhere near a rounding boundary), so the per-bucket
+    mean is an exact integer sum and ONE division — float summation
+    order never matters (the decimal-aggregation rule applied to a
+    transcendental)."""
+    ev = _events(spark, sf_dir)
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_user = per_type.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("c").alias("n"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias(
+            "sclogc"
+        ),
+    )
+    h_micro = F.round(
+        (F.log(F.col("n").cast("double")) - F.col("sclogc") / F.col("n").cast("double"))
+        * 1e6,
+        0,
+    ).cast("long")
+    return (
+        per_user.select("n_types", h_micro.alias("h_micro"))
+        .groupBy("n_types")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            (
+                F.sum("h_micro").cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.lit(1e6))
+            ).alias("avg_entropy_nats"),
+        )
+        .orderBy("n_types")
+    )
+
+
+USER_ACTIVITY_ENTROPY_ORACLE = """
+WITH per_type AS (
+  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+),
+per_user AS (
+  SELECT user_id, COUNT(*) AS n_types, SUM(c) AS n,
+         SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS sclogc
+  FROM per_type GROUP BY 1
+),
+quant AS (
+  SELECT n_types,
+         CAST(round((ln(CAST(n AS DOUBLE)) - sclogc / CAST(n AS DOUBLE)) * 1e6, 0) AS BIGINT) AS h_micro
+  FROM per_user
+)
+SELECT n_types, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(h_micro) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e6) AS avg_entropy_nats
+FROM quant GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "attribution_time_decay": attribution_time_decay,
     "funnel_step_latency": funnel_step_latency,
     "inter_event_time_quantiles": inter_event_time_quantiles,
     "inter_event_cadence_sketch": inter_event_cadence_sketch,
+    "session_bounce_rate": session_bounce_rate,
+    "event_cooccurrence_pmi": event_cooccurrence_pmi,
+    "user_activity_entropy": user_activity_entropy,
     "attribution_linear": attribution_linear,
     "ship_latency_quartiles": ship_latency_quartiles,
     "metric_correlation_matrix": metric_correlation_matrix,
@@ -3136,6 +3344,9 @@ ORACLES = {
     "funnel_step_latency": FUNNEL_STEP_LATENCY_ORACLE,
     "inter_event_time_quantiles": INTER_EVENT_TIME_ORACLE,
     "inter_event_cadence_sketch": INTER_EVENT_CADENCE_SKETCH_ORACLE,
+    "session_bounce_rate": SESSION_BOUNCE_RATE_ORACLE,
+    "event_cooccurrence_pmi": EVENT_COOCCURRENCE_PMI_ORACLE,
+    "user_activity_entropy": USER_ACTIVITY_ENTROPY_ORACLE,
     "metric_correlation_matrix": METRIC_CORR_MATRIX_ORACLE,
     "weekly_seasonality_autocorr": WEEKLY_AUTOCORR_ORACLE,
     "attribution_linear": ATTRIBUTION_LINEAR_ORACLE,

@@ -850,6 +850,40 @@ def filtered_kmeans_ivf_topk(
     )
 
 
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN QA harness as a query: recall@5 of the learned-cell IVF
+    path (:func:`kmeans_ivf_topk`, nprobe=3) against exact
+    brute-force cosine GROUND TRUTH over the same query set — the
+    evaluation every vector-search deployment runs before trusting
+    nprobe/k geometry (the :func:`dedup_precision_audit` discipline
+    applied to similarity search).
+
+    Single-row report: n_queries, n_truth (= queries×5 truth pairs),
+    n_hit ((q_id, neighbor) pairs the IVF path recovered), and recall
+    as one double division of exact integers.  The truth side is the
+    20-query brute-force scan — request-sized by construction (the
+    query batch IS the bound; the corpus side stays the production
+    one-pass kernel), so no extra cap parameter is needed."""
+    truth = brute_force_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    approx = kmeans_ivf_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    hit = approx.join(truth, ["q_id", "neighbor_id"], "left_semi")
+    row = (
+        truth.agg(
+            F.countDistinct("q_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_truth"),
+        )
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+    )
+    return row.select(
+        "n_queries",
+        "n_truth",
+        "n_hit",
+        (F.col("n_hit").cast("double") / F.col("n_truth").cast("double")).alias(
+            "recall_at_5"
+        ),
+    )
+
+
 def _source_fingerprint(sf_dir: str) -> str:
     """Cheap content fingerprint of the embeddings source (relpath,
     size, mtime per file) — no data read.  Keys the cached IVF
@@ -1037,6 +1071,28 @@ FROM (
 
 
 KMEANS_IVF_ORACLE = _kmeans_oracle()
+
+# composed AFTER both constituent oracles exist: the audit verifies
+# the IVF chain against the brute-force chain inside ONE statement
+ANN_RECALL_AUDIT_ORACLE = f"""
+WITH truth_full AS (
+{BRUTE_FORCE_ORACLE}
+),
+approx_full AS (
+{KMEANS_IVF_ORACLE}
+),
+counts AS (
+  SELECT
+    CAST((SELECT COUNT(DISTINCT q_id) FROM truth_full) AS BIGINT) AS n_queries,
+    CAST((SELECT COUNT(*) FROM truth_full) AS BIGINT) AS n_truth,
+    CAST((SELECT COUNT(*) FROM approx_full a
+          JOIN truth_full t ON a.q_id = t.q_id AND a.neighbor_id = t.neighbor_id)
+         AS BIGINT) AS n_hit
+)
+SELECT n_queries, n_truth, n_hit,
+       CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall_at_5
+FROM counts
+"""
 
 ANN_FILTERED_IVF_ORACLE = _kmeans_oracle(
     nprobe=5,
@@ -1501,6 +1557,7 @@ QUERIES = {
     "ann_kmeans_ivf_topk": kmeans_ivf_topk,
     "ann_filtered_ivf_topk": filtered_kmeans_ivf_topk,
     "ann_filtered_ivf_indexed": ann_filtered_ivf_indexed,
+    "ann_recall_audit": ann_recall_audit,
     "embedding_cluster_profile": embedding_cluster_profile,
     "embedding_cosine_dedup": _cosine_dedup_gate,
     "ann_pq_topk": pq_ann_topk,
@@ -1516,6 +1573,7 @@ ORACLES = {
     # same oracle gates the artifact-probing variant: identical
     # output contract, the fit is frozen into the index
     "ann_filtered_ivf_indexed": ANN_FILTERED_IVF_ORACLE,
+    "ann_recall_audit": ANN_RECALL_AUDIT_ORACLE,
     "embedding_cluster_profile": CLUSTER_PROFILE_ORACLE,
     "embedding_cosine_dedup": COSINE_DEDUP_ORACLE.format(threshold=GATE_DEDUP_THRESHOLD),
     "ann_pq_topk": PQ_ANN_ORACLE,

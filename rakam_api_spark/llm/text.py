@@ -585,7 +585,51 @@ ORDER BY src_a, src_b
 """
 
 
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log₂-bucketed document-length distribution per source — the
+    first chart on every training-corpus dashboard (truncation-risk
+    and short-doc screening both read off it).
+
+    The bucket is floor(log₂(ws_tokens)) computed EXACTLY as
+    ``length(bin(n)) − 1`` (binary-representation length), never via
+    float ``log2`` — ``log2(2^k)`` can land at k−ε in one engine's
+    libm and flip the bucket at every power of two.  One narrow
+    (source, bucket) aggregate; counts and the integral bucket bounds
+    compare exactly."""
+    docs = _docs(spark, sf_dir)
+    n_tok = F.size(F.split(F.col("text"), " "))
+    bucket = (F.length(F.bin(n_tok.cast("long"))) - 1).cast("int")
+    return (
+        docs.select("source", n_tok.alias("n_tok"), bucket.alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tok").cast("long").alias("min_tokens"),
+            F.max("n_tok").cast("long").alias("max_tokens"),
+        )
+        .withColumn("bucket_lo", F.expr("shiftleft(CAST(1 AS BIGINT), bucket)"))
+        .orderBy("source", "bucket")
+    )
+
+
+DOC_LENGTH_HISTOGRAM_ORACLE = """
+WITH sized AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS n_tok,
+         CAST(length(bin(CAST(len(string_split(text, ' ')) AS BIGINT))) - 1 AS INT) AS bucket
+  FROM documents
+)
+SELECT source, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_tok) AS BIGINT) AS min_tokens,
+       CAST(MAX(n_tok) AS BIGINT) AS max_tokens,
+       CAST(1 AS BIGINT) << bucket AS bucket_lo
+FROM sized GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
+    "doc_length_histogram": doc_length_histogram,
     "source_vocab_overlap": source_vocab_overlap,
     "text_quality": text_quality,
     "lexical_rarity": lexical_rarity,
@@ -599,6 +643,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_length_histogram": DOC_LENGTH_HISTOGRAM_ORACLE,
     "source_vocab_overlap": SOURCE_VOCAB_OVERLAP_ORACLE,
     "text_quality": TEXT_QUALITY_ORACLE,
     "lexical_rarity": LEXICAL_RARITY_ORACLE,
