@@ -41,80 +41,75 @@ _MODULES = (
 )
 
 # The driver's correctness gate checks at most 50 queries per round, in
-# enumeration order.  With 145 declared queries, plain module order
+# enumeration order.  With 158 declared queries, plain module order
 # would starve the tail modules of a driver-verified CORRECTNESS row
-# forever.  Round-7 rotation: (a) `user_metric_correlation` first — its
-# oracle's HUGEINT defect (uncast SUM(BIGINT)) is fixed this round and
-# it is the one query never driver-green; (b) the ten round-7 additions
-# (filtered IVF search, span dedup family, attribution/cadence/vocab,
-# dedup QA audit, funnel hop latency, real resize);
-# (c) the queries whose last driver-green row is round 4 — the stalest
-# coverage.  The list is longer than 50 names: the overflow (the last
-# few r4-stale rows and the stalest r5 row) sits just past the gate
-# and leads the r8 rotation; everything green in rounds 5-6
-# enumerates last.  Everything listed here passes
+# forever.  Round-8 rotation (staleness computed from CORRECTNESS_r01-r07):
+# (a) the eight queries added or modified this round (the sampled
+# dedup audit, the artifact-probing filtered ANN, the cadence sketch,
+# the ANN recall audit, bounce rate, PMI, entropy, length histogram);
+# (b) the five queries whose last driver-green row is round 4 (they
+# sat just past the r7 gate cutoff); (c) the round-6-stale cohort
+# VERDICT r7 Next #4 names (TPC-H tail, attribution/latency/
+# correlation/seasonality, the media-dedup trio, the full ann_*
+# family, lexical/signature/incremental-dedup/contamination/hybrid);
+# (d) TPC-H r5-stale rows to fill slot 50.  The ~30 remaining
+# r5-stale queries lead the r9 rotation.  Everything listed passes
 # tools/check_correctness.py locally at sf0.01 and sf0.001.
 _GATE_PRIORITY = (
-    # oracle fixed this round (CAST sx/sy AS BIGINT) — must re-verify
-    "user_metric_correlation",
-    # round-7 additions (never driver-checked)
-    "ann_filtered_ivf_topk",
-    "dup_span_extents",
-    "span_dedup_savings",
-    "attribution_time_decay",
-    "inter_event_time_quantiles",
-    "source_vocab_overlap",
+    # (a) added or modified this round
     "dedup_precision_audit",
-    "funnel_step_latency",
-    "media_resize_stats",
-    # last driver-checked in round 4 (stalest green coverage)
-    "orders_rollup",
-    "order_rank_in_customer",
-    "customer_order_stats",
-    "q6_forecast_revenue",
-    "q4_order_priority",
-    "customers_no_recent_orders",
-    "orders_cube",
-    "engaged_user_days_setops",
-    "revenue_grouping_sets_sql",
-    "cheapest_order_per_customer_sql",
-    "part_value_concentration",
-    "big_ticket_orders",
-    "late_sole_supplier",
-    "seg_daily_event_counts",
-    "dau",
-    "top_event_values",
-    "event_type_hourly_share",
-    "props_json_extract",
-    "props_variant_stats",
-    "funnel_signup_click_purchase",
-    "funnel_windowed_24h",
-    "ab_test_lift",
-    "cohort_ltv",
-    "time_to_convert",
-    "retention_cohorts",
-    "sessionization_stats",
-    "user_profile_snapshot",
-    "asof_view_before_purchase",
-    "value_percentiles",
-    "dau_approx_sketch",
-    "value_quantile_sketch",
-    "heavy_hitters_sketch",
-    "mau_rollup_sketch",
-    "rolling_uniques_7d",
-    "top_event_paths",
-    "daily_anomaly_zscore",
-    "latest_event_per_user",
-    "daily_value_moving_avg",
-    "enrich_geoip",
-    "enrich_useragent",
+    "ann_filtered_ivf_indexed",
+    "ann_recall_audit",
+    "inter_event_cadence_sketch",
+    "session_bounce_rate",
+    "event_cooccurrence_pmi",
+    "user_activity_entropy",
+    "doc_length_histogram",
+    # (b) last driver-green in round 4
+    "enrich_pipeline_full",
     "enrich_referrer",
     "enrich_timestamp_skew",
-    "enrich_pipeline_full",
-    "tumbling_window_counts",
     "session_window_stats",
-    # stalest of the round-5 cohort fills the last slot
+    "tumbling_window_counts",
+    # (c) the round-6-stale cohort from VERDICT r7 Next #4
+    "q11_important_stock",
+    "q18_large_volume_customers",
+    "q21_suppliers_kept_waiting",
+    "attribution_linear",
+    "attribution_last_touch",
+    "ship_latency_quartiles",
+    "metric_correlation_matrix",
+    "weekly_seasonality_autocorr",
+    "media_phash_dedup",
+    "media_audio_dedup",
+    "media_video_dedup",
+    "ann_brute_force_topk",
+    "ann_filtered_topk",
+    "ann_ivf_topk",
+    "ann_kmeans_ivf_topk",
+    "ann_pq_topk",
+    "lexical_rarity",
+    "source_signature_terms",
+    "dedup_incremental_batch",
+    "semantic_contamination",
+    "hybrid_search",
+    # (d) TPC-H rows last green in round 5 fill the gate
+    "q2_min_cost_supplier",
     "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q12_late_priority",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "q20_dominant_supplier",
+    "q22_idle_balances",
+    "bm25_search",
+    "dedup_clusters",
 )
 
 

@@ -77,6 +77,14 @@ EXTRA = [
     "dedup_precision_audit",
     "funnel_step_latency",
     "media_resize_stats",
+    # round-8 additions
+    "ann_filtered_ivf_indexed",
+    "ann_recall_audit",
+    "inter_event_cadence_sketch",
+    "session_bounce_rate",
+    "event_cooccurrence_pmi",
+    "user_activity_entropy",
+    "doc_length_histogram",
 ]
 
 

@@ -167,6 +167,25 @@ SHOW = {
     "media_resize_stats": "real NN resize: executor-side decode+sample in one "
     "mapInPandas, five scalars per asset on the wire — payload bytes never "
     "shuffle",
+    "ann_filtered_ivf_indexed": "filtered ANN over the PERSISTED index: centroids "
+    "read from the artifact (no Lloyd at query time), cell IN-list prunes the "
+    "partitioned corpus scan, predicate semi-join lands before any scoring",
+    "ann_recall_audit": "ANN QA: brute-force truth (one-pass Arrow kernel) and the "
+    "IVF chain meet only at the (q_id, neighbor) pair level — a left-semi plus two "
+    "single-row aggregates",
+    "inter_event_cadence_sketch": "cadence quartiles, sketch path: the same lag-gap "
+    "window, then approx_percentile — mergeable map-side state, no per-group value "
+    "buffering",
+    "session_bounce_rate": "bounce rate: sessionize's user-keyed window, one "
+    "session-grain aggregate, a per-day rollup of integral counts",
+    "event_cooccurrence_pmi": "PMI: user-day incidence distinct() is the only "
+    "corpus-sized shuffle; the pair self-join runs on incidence rows, marginals "
+    "broadcast back",
+    "user_activity_entropy": "activity entropy: two partial-aggregated shuffles "
+    "((user,type) then user), micro-nat integer quantization makes the final mean "
+    "an exact integer sum",
+    "doc_length_histogram": "length histogram: doc-local token count + binary-string "
+    "bucket, one tiny (source, bucket) aggregate — no explode, no window",
 }
 
 

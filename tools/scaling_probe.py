@@ -117,6 +117,16 @@ OPERATORS = [
     "source_vocab_overlap",
     "dedup_precision_audit",
     "funnel_step_latency",
+    # round-8 operators (ann_filtered_ivf_indexed builds its artifact
+    # per scale dir — its row measures build+probe, the steady-state
+    # probe alone is strictly cheaper)
+    "ann_filtered_ivf_indexed",
+    "ann_recall_audit",
+    "inter_event_cadence_sketch",
+    "session_bounce_rate",
+    "event_cooccurrence_pmi",
+    "user_activity_entropy",
+    "doc_length_histogram",
 ]
 
 # Probe variants: (row label, queries() op, docs transform).  The
