@@ -474,6 +474,39 @@ class EventStore:
             n_files += sum(1 for f in files if f.endswith(".parquet"))
         return n_files
 
+    def export_manifest(
+        self, project: str, collection: str, out_path: str | None = None
+    ) -> dict:
+        """Snapshot manifest for EXTERNAL engines (the reference's
+        analytics model is other engines over shared storage,
+        README.md:27-31): a txn collection exports its live file list
+        at the current version via ``TxnTable.export_manifest`` —
+        snapshot-consistent under concurrent rewrites within the
+        vacuum retention horizon; a plain collection exports its
+        directory listing (consistent only under the maintenance
+        lock, which is why txn mode is the interop-grade path)."""
+        if self.txn_mode(project, collection):
+            return self.txn_table(project, collection).export_manifest(
+                out_path=out_path
+            )
+        path = self._table_path(project, collection)
+        files = sorted(
+            os.path.join(dp, f)
+            for dp, _dirs, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        manifest = {"table": path, "version": None, "files": files, "entries": []}
+        if out_path:
+            import json as _json
+            import uuid as _uuid
+
+            tmp = out_path + f".tmp.{_uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                _json.dump(manifest, f)
+            os.replace(tmp, out_path)
+        return manifest
+
     def table_stats(self, project: str, collection: str) -> DataFrame:
         """Per-month table statistics (rows, files, bytes, _time
         min/max) — the auto-indexer's bookkeeping (reference

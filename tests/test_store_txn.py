@@ -146,3 +146,36 @@ def test_streaming_ingest_into_txn_collection(spark, warehouse, tmp_path):
     assert "compact" in ops  # the epoch maintenance cycle ran
     stats = {r["month"]: r for r in store.table_stats("proj", "clicks").collect()}
     assert stats["2024-06"]["n_files"] <= 3 + 4
+
+
+def test_store_export_manifest_external_read(spark, warehouse):
+    """External-engine interop (VERDICT r7 Next #8 at the store API):
+    a txn collection exports a snapshot manifest DuckDB reads
+    consistently even after later appends land."""
+    import json
+
+    import duckdb
+
+    collector = _collector(spark, warehouse)
+    for i in range(3):
+        collector.collect(
+            "proj", "taps", {"x": i, "_time": f"2024-03-0{i + 1} 09:00:00"}
+        )
+    store = collector.store
+    store.enable_txn("proj", "taps")
+    out = os.path.join(warehouse, "taps_snapshot.json")
+    m = store.export_manifest("proj", "taps", out_path=out)
+    assert m["version"] is not None and m["files"]
+    # mutate AFTER the export
+    collector.collect("proj", "taps", {"x": 99, "_time": "2024-03-09 09:00:00"})
+    with open(out) as f:
+        manifest = json.load(f)
+    con = duckdb.connect()
+    xs = sorted(
+        r[0]
+        for r in con.execute(
+            "SELECT x FROM read_parquet(?, union_by_name=true)", [manifest["files"]]
+        ).fetchall()
+    )
+    con.close()
+    assert xs == [0, 1, 2]  # the exported snapshot, not the live table
