@@ -195,3 +195,20 @@ def test_export_manifest_duckdb_roundtrip(spark, tmp_path):
     # entries carry partition + rows so planners can prune w/o opening
     assert sum(e["rows"] for e in manifest["entries"]) == 60
     assert all(e["partition"]["_month"] == "2024-01" for e in manifest["entries"])
+
+
+def test_epoch_rate_spark_appends_stay_bounded(spark, tmp_path):
+    """The streaming shape of the opens-bound contract: one Spark
+    append per micro-batch epoch (exactly what store.write_batch
+    issues for a txn collection per trigger) for 30 epochs — snapshot
+    resolution must stay ≤ checkpoint_every + 1 metadata opens and
+    keep answering correctly, with checkpoints landing as a side
+    effect of the ordinary commit path."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    for epoch in range(30):
+        t.append(_rows(spark, epoch * 2, epoch * 2 + 2), partition_col="_month")
+    assert t.version() == 30
+    assert t._checkpoint_versions(), "commit path never checkpointed"
+    assert sum(e["rows"] for e in t.state().values()) == 60
+    assert t.last_state_file_opens <= t.checkpoint_every + 1
+    assert _xs(t.read()) == list(range(60))
