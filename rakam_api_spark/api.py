@@ -62,6 +62,10 @@ class IngestReport:
     # lineage for a distinct() pass.
     months_touched: list[str] | None = None
     _retained: bool = False
+    # True when a txn transaction-identifier (app, version) match made
+    # the append an idempotent no-op — the rows are already stored by
+    # the original attempt of this epoch (streaming replay path)
+    skipped_replay: bool = False
 
     def release(self) -> None:
         """Unpersist the retained batch frame (no-op otherwise)."""
@@ -129,6 +133,8 @@ class EventCollector:
         type_overrides: dict | None = None,
         retain_valid: bool = False,
         observe_months: bool = False,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
     ) -> IngestReport:
         collection = strip_collection_name(collection)
         if collection in self.excluded:
@@ -288,7 +294,29 @@ class EventCollector:
                 # the stored rows without re-running the pipeline
                 to_store = to_store.persist()
             result.valid = to_store
-            self.store.write_batch(project, collection, to_store)
+            wrote = self.store.write_batch(
+                project, collection, to_store,
+                txn_app=txn_app, txn_version=txn_version,
+            )
+            if not wrote:
+                # idempotent replay skip (txn transaction identifier
+                # already applied): the batch frame never executed, so
+                # the Observation holds nothing — report the replay as
+                # such.  Rows were stored by the ORIGINAL attempt;
+                # dead letters from that attempt are only lost if the
+                # crash fell between the valid append and the
+                # dead-letter write (diagnostics-only, bounded to one
+                # epoch — the price of never double-storing rows).
+                return IngestReport(
+                    collection=collection,
+                    stored=0,
+                    dead_lettered=0,
+                    new_fields={n: t.value for n, t in new_fields.items()},
+                    valid_df=result.valid,
+                    months_touched=None,
+                    _retained=retain_valid,
+                    skipped_replay=True,
+                )
             metrics = obs.get
             stored = int(metrics["n"])
             if stored == 0:

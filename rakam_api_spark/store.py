@@ -342,11 +342,27 @@ class EventStore:
         self.write_batch(project, collection, df)
         return n
 
-    def write_batch(self, project: str, collection: str, df: DataFrame) -> None:
+    def write_batch(
+        self,
+        project: str,
+        collection: str,
+        df: DataFrame,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
+    ) -> bool:
         """The write half of :meth:`append`, with no counting action:
         the ingest hot path meters rows via ``Observation`` on the
         frame it passes in, so the batch executes exactly once
-        (count + write used to be two full lineage passes)."""
+        (count + write used to be two full lineage passes).
+
+        ``txn_app``/``txn_version`` (txn collections only) make the
+        write IDEMPOTENT via the commit log's transaction identifiers:
+        a replayed streaming epoch whose first attempt already landed
+        this collection's append is a no-op — returns False and the
+        batch frame is never executed.  Plain-directory collections
+        ignore the tags (their replay guard is the uuid-dedup layer's
+        at-least-once contract).  Returns True when rows were
+        written."""
         if "_time" in df.columns:
             out = df.withColumn("_month", F.date_format(F.col("_time"), "yyyy-MM"))
             partition_cols = ["_month"]
@@ -356,14 +372,18 @@ class EventStore:
         if self.txn_mode(project, collection):
             # atomic commit: stage → move → one log entry; concurrent
             # appends from other processes interleave safely
-            self.txn_table(project, collection).append(
-                out, partition_col=partition_cols[0] if partition_cols else None
+            v = self.txn_table(project, collection).append(
+                out,
+                partition_col=partition_cols[0] if partition_cols else None,
+                app=txn_app,
+                app_version=txn_version,
             )
-            return
+            return v is not None
         writer = out.write.mode("append")
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(self._table_path(project, collection))
+        return True
 
     def append_dead_letter(self, project: str, df: DataFrame) -> int:
         n = df.count()

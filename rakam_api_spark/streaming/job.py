@@ -348,12 +348,54 @@ class StreamingIngest:
                     # rollup maintenance never re-executes the batch
                     # lineage for a distinct() pass
                     observe_months=coll in self.rollup_specs,
+                    # txn collections: per-(stream, collection) Delta-
+                    # style transaction identifier — a mid-epoch crash
+                    # replay re-runs the epoch, but collections whose
+                    # append ALREADY landed skip (exactly-once rows,
+                    # closing the partial-epoch double-append window
+                    # the epoch marker alone can't).  Namespaced by the
+                    # checkpoint token, so a fresh checkpoint (epoch
+                    # ids restart) never collides.
+                    txn_app=(
+                        f"stream:{self._commit_ns}:{coll}" if self._commit_ns else None
+                    ),
+                    txn_version=epoch_id if self._commit_ns else None,
                 )
                 try:
-                    if report.stored and push and report.valid_df is not None:
+                    if report.skipped_replay and coll in self.rollup_specs:
+                        # the original attempt may have crashed between
+                        # its append and its rollup refresh: recompute
+                        # the batch's months (one cheap distinct on the
+                        # replayed frame — replay-only cost) and
+                        # refresh idempotently from raw
+                        spec = self.rollup_specs[coll]
+                        months = [
+                            r["m"]
+                            for r in report.valid_df.select(
+                                F.date_format("_time", "yyyy-MM").alias("m")
+                            )
+                            .distinct()
+                            .collect()
+                        ]
+                        if months:
+                            self.collector.store.publish_rollup(
+                                self.project,
+                                coll,
+                                dims=tuple(spec.get("dims", ("event_type",))),
+                                measures=spec.get("measures"),
+                                months=sorted(months),
+                            )
+                    if (
+                        (report.stored or report.skipped_replay)
+                        and push
+                        and report.valid_df is not None
+                    ):
                         # push THIS batch's coerced rows only — never
-                        # a re-read of the stored table (each
-                        # subscriber sees each row exactly once)
+                        # a re-read of the stored table.  On a replay
+                        # skip the push re-runs too: callbacks stay
+                        # at-least-once (losing the append→push crash
+                        # window would be silent data loss downstream);
+                        # only STORAGE is exactly-once.
                         self.registry.push(
                             self.project, report.collection, report.valid_df,
                             row_cap=self.push_row_cap,

@@ -199,11 +199,10 @@ class TxnTable:
             out.append(rec)
         return out
 
-    def state(
-        self, version: int | None = None, use_checkpoints: bool = True
-    ) -> dict[str, dict]:
-        """Relative file path → its add-entry ({path, rows, partition,
-        stats}) for every file live at ``version`` (default: current).
+    def _resolve(
+        self, upto: int, use_checkpoints: bool = True
+    ) -> tuple[dict[str, dict], dict[str, int]]:
+        """Replay to ``upto``: (live files, app high-water marks).
 
         Resolution = nearest checkpoint ≤ version + tail replay, so
         snapshot cost is bounded by ``checkpoint_every`` commit-file
@@ -213,8 +212,8 @@ class TxnTable:
         write on a non-atomic store) degrades to full replay —
         checkpoints are an accelerator, never a correctness
         dependency."""
-        upto = self.version() if version is None else version
         live: dict[str, dict] = {}
+        apps: dict[str, int] = {}
         start = 1
         opens = 0
         ckpts = (
@@ -227,10 +226,11 @@ class TxnTable:
                 with open(self._ckpt_path(ckpts[-1])) as f:
                     snap = json.load(f)
                 live = {e["path"]: e for e in snap["live"]}
+                apps = dict(snap.get("apps", {}))
                 start = ckpts[-1] + 1
                 opens += 1
             except (OSError, ValueError, KeyError):
-                live, start = {}, 1
+                live, apps, start = {}, {}, 1
         for v in range(start, upto + 1):
             with open(self._commit_path(v)) as f:
                 rec = json.load(f)
@@ -239,8 +239,34 @@ class TxnTable:
                 live[ent["path"]] = ent
             for r in rec.get("remove", ()):
                 live.pop(r, None)
+            app = rec.get("app")
+            if app is not None:
+                appv = rec.get("appv", 0)
+                if appv > apps.get(app, -1):
+                    apps[app] = appv
         self.last_state_file_opens = opens
-        return live
+        return live, apps
+
+    def state(
+        self, version: int | None = None, use_checkpoints: bool = True
+    ) -> dict[str, dict]:
+        """Relative file path → its add-entry ({path, rows, partition,
+        stats}) for every file live at ``version`` (default: current).
+        Checkpoint-accelerated; see :meth:`_resolve`."""
+        upto = self.version() if version is None else version
+        return self._resolve(upto, use_checkpoints)[0]
+
+    def app_versions(
+        self, version: int | None = None, use_checkpoints: bool = True
+    ) -> dict[str, int]:
+        """Highest ``app_version`` committed per application id — the
+        Delta-style transaction-identifier table that makes replayed
+        idempotent writers (a streaming epoch re-run) no-ops.
+        Checkpoint-accelerated like :meth:`state` (the checkpoint
+        carries the marks, so resolution never replays the full
+        log)."""
+        upto = self.version() if version is None else version
+        return self._resolve(upto, use_checkpoints)[1]
 
     def _maybe_checkpoint(self, version: int) -> None:
         """After commit ``version`` lands: if it's a checkpoint
@@ -254,11 +280,12 @@ class TxnTable:
         them falls back to full replay."""
         if self.checkpoint_every <= 0 or version % self.checkpoint_every != 0:
             return
-        state = self.state(version)
+        live, apps = self._resolve(version)
         payload = json.dumps(
             {
                 "version": version,
-                "live": sorted(state.values(), key=lambda e: e["path"]),
+                "live": sorted(live.values(), key=lambda e: e["path"]),
+                "apps": apps,
             }
         )
         tmp = self._ckpt_path(version) + f".tmp.{_uuid.uuid4().hex[:8]}"
@@ -282,17 +309,36 @@ class TxnTable:
         add: list[dict] | None = None,
         remove: list[str] | None = None,
         op: str = "append",
-    ) -> int:
+        app: str | None = None,
+        app_version: int | None = None,
+    ) -> int | None:
         """Atomically publish a commit; returns its version.  Loops on
         version collisions (another writer took the slot), re-playing
         the log each attempt; raises :class:`CommitConflict` the
         moment any ``remove`` target is no longer live — the caller's
-        snapshot is stale and only IT knows how to redo the rewrite."""
+        snapshot is stale and only IT knows how to redo the rewrite.
+
+        ``app``/``app_version`` make the commit IDEMPOTENT (the Delta
+        transaction-identifier pattern): if the log already holds a
+        commit from ``app`` at ``app_version`` or later, nothing is
+        written and None returns — a replayed streaming epoch or a
+        retried writer whose first attempt DID land can never store
+        its rows twice.  The check runs inside the optimistic loop,
+        so two processes racing the same (app, version) serialize
+        through the O_EXCL slot and exactly one wins."""
         add = add or []
         remove = remove or []
         rec = {"op": op, "writer": _writer_id(), "add": add, "remove": remove}
+        if app is not None:
+            if app_version is None:
+                raise ValueError("app requires app_version")
+            rec["app"] = app
+            rec["appv"] = int(app_version)
         payload = json.dumps(rec)
         while True:
+            if app is not None:
+                if self.app_versions().get(app, -1) >= app_version:
+                    return None  # already applied: idempotent no-op
             if remove:
                 live = self.state()
                 gone = [r for r in remove if r not in live]
@@ -404,12 +450,30 @@ class TxnTable:
             os.replace(tmp, out_path)
         return manifest
 
-    def append(self, df: DataFrame, partition_col: str | None = None) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        partition_col: str | None = None,
+        app: str | None = None,
+        app_version: int | None = None,
+    ) -> int | None:
         """Stage → move → commit.  The Spark write lands in a private
         staging dir; its files move (same-filesystem rename) into the
         table tree under log-unique names and become visible in ONE
         commit — concurrent appends interleave safely and a crash at
-        any point publishes nothing."""
+        any point publishes nothing.
+
+        With ``app``/``app_version`` the append is IDEMPOTENT: an
+        already-applied (app, version) skips the Spark write entirely
+        and returns None; if a concurrent same-app commit lands
+        between the early check and this writer's commit slot, the
+        staged files become invisible orphans (vacuum reclaims) and
+        None still returns — rows can never land twice."""
+        if app is not None:
+            if app_version is None:
+                raise ValueError("app requires app_version")
+            if self.app_versions().get(app, -1) >= app_version:
+                return None  # replay of an applied epoch: skip the write too
         tag = _uuid.uuid4().hex[:12]
         staging = os.path.join(self.path, _STAGING_DIR, tag)
         writer = df.write.mode("overwrite")
@@ -417,7 +481,7 @@ class TxnTable:
             writer = writer.partitionBy(partition_col)
         writer.parquet(staging)
         add = self._publish_staging(tag)
-        return self.commit(add=add, op="append")
+        return self.commit(add=add, op="append", app=app, app_version=app_version)
 
     def _publish_staging(self, tag: str) -> list[dict]:
         """Move a staging write's parquet files into the table tree

@@ -179,3 +179,56 @@ def test_store_export_manifest_external_read(spark, warehouse):
     )
     con.close()
     assert xs == [0, 1, 2]  # the exported snapshot, not the live table
+
+
+def test_txn_collection_epoch_replay_never_double_appends(spark, warehouse, tmp_path):
+    """Exactly-once STORAGE for txn collections under the one replay
+    window the epoch marker cannot close: a crash after a
+    collection's append but before the epoch marker lands.  The
+    replayed epoch re-runs in full, but the collection's append
+    carries a (stream, collection, epoch) transaction identifier the
+    commit log already holds — the re-append is a metadata no-op
+    (Delta's txn appId/version pattern)."""
+    import json as _json
+
+    from rakam_api_spark.streaming import StreamingIngest
+
+    collector = _collector(spark, warehouse)
+    collector.collect("proj", "c", {"v": -1, "_time": "2024-01-01 09:00:00"})
+    collector.store.enable_txn("proj", "c")
+
+    ing = StreamingIngest(collector, "proj", dedup_uuids=False)
+    ing._commit_ns = "testns"
+
+    def batch(lo, hi):
+        lines = [
+            _json.dumps(
+                {
+                    "collection": "c",
+                    "properties": {"v": i, "_time": "2024-01-02 09:00:00"},
+                    "api": {"uuid": f"u{i}"},
+                }
+            )
+            for i in range(lo, hi)
+        ]
+        return spark.createDataFrame([(ln,) for ln in lines], "value string")
+
+    ing.process_batch(batch(0, 6), epoch_id=7)
+    store = collector.store
+    assert store.read("proj", "c").count() == 7
+    txn = store.txn_table("proj", "c")
+    assert txn.app_versions()["stream:testns:c"] == 7
+
+    # crash simulation: epoch marker vanished, the whole epoch re-runs
+    ing.state.delete(os.path.join(ing._commit_dir(), "epoch_7"))
+    ing.process_batch(batch(0, 6), epoch_id=7)
+    assert store.read("proj", "c").count() == 7  # no double append
+
+    # a replay of an OLDER epoch after later ones is equally inert,
+    # and a genuinely new epoch flows through
+    ing.process_batch(batch(6, 9), epoch_id=8)
+    assert store.read("proj", "c").count() == 10
+    ing.state.delete(os.path.join(ing._commit_dir(), "epoch_7"))
+    ing.process_batch(batch(0, 6), epoch_id=7)
+    assert store.read("proj", "c").count() == 10
+    assert txn.app_versions()["stream:testns:c"] == 8

@@ -299,10 +299,14 @@ def test_schema_inference_is_jvm_side(ingest):
         jobmod.StreamingIngest._parse_props
     )
     assert "schema_of_variant_agg" in src
-    # the ONLY collect in the hot loop is metadata-sized: the
-    # per-collection DDL row.  (Touched months for rollup maintenance
-    # ride the ingest write's Observation — no second lineage pass.)
-    assert src.count(".collect()") == 1
+    # both collects in the loop are metadata-sized: the
+    # per-collection DDL row (every epoch), and the distinct-months
+    # list on the REPLAY-ONLY skipped-append path (rollup re-refresh
+    # after a mid-epoch crash; bounded by the calendar, runs only
+    # when a txn transaction identifier skipped the append).
+    # (Touched months for the NORMAL path still ride the ingest
+    # write's Observation — no second lineage pass.)
+    assert src.count(".collect()") == 2
     assert "limit(" not in src  # no bounded driver sample remains
 
 

@@ -212,3 +212,46 @@ def test_epoch_rate_spark_appends_stay_bounded(spark, tmp_path):
     assert sum(e["rows"] for e in t.state().values()) == 60
     assert t.last_state_file_opens <= t.checkpoint_every + 1
     assert _xs(t.read()) == list(range(60))
+
+
+# --- transaction identifiers (Delta appId/version pattern) ---------------
+
+
+def _add(name):
+    return [{"path": f"{name}.parquet", "rows": 1, "partition": None}]
+
+
+def test_app_version_commits_are_idempotent(tmp_path):
+    t = TxnTable(None, str(tmp_path / "t"), checkpoint_every=3)
+    assert t.commit(add=_add("a"), app="s:c", app_version=0) == 1
+    # same epoch replayed: no commit, no version burn
+    assert t.commit(add=_add("dup"), app="s:c", app_version=0) is None
+    assert t.version() == 1
+    assert t.commit(add=_add("b"), app="s:c", app_version=1) == 2
+    # an OLDER epoch after later ones is equally inert
+    assert t.commit(add=_add("old"), app="s:c", app_version=0) is None
+    # independent apps don't interfere
+    assert t.commit(add=_add("x"), app="s2:c", app_version=0) == 3
+    assert t.app_versions() == {"s:c": 1, "s2:c": 0}
+    # app without version is a caller bug
+    with pytest.raises(ValueError):
+        t.commit(add=_add("y"), app="s:c")
+
+
+def test_app_versions_survive_checkpoint_resolution(tmp_path):
+    """The high-water marks must ride the checkpoint: a bounded
+    state() resolution (checkpoint + tail) answers the same marks as
+    a full replay, and a FRESH TxnTable instance (new process) sees
+    them too."""
+    t = TxnTable(None, str(tmp_path / "t"), checkpoint_every=3)
+    for v in range(5):
+        assert t.commit(add=_add(f"e{v}"), app="stream:c", app_version=v) == v + 1
+    for i in range(8):  # push several checkpoint boundaries
+        t.commit(add=_add(f"f{i}"))
+    assert t.app_versions() == {"stream:c": 4}
+    assert t.app_versions(use_checkpoints=False) == {"stream:c": 4}
+    t.app_versions()  # checkpoint-resolved: bounded metadata opens
+    assert t.last_state_file_opens <= t.checkpoint_every + 1
+    t2 = TxnTable(None, str(tmp_path / "t"), checkpoint_every=3)
+    assert t2.app_versions() == {"stream:c": 4}
+    assert t2.commit(add=_add("dup"), app="stream:c", app_version=3) is None
