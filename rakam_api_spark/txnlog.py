@@ -531,11 +531,53 @@ class TxnTable:
         ]
         return self.commit(add=add, op="append")
 
+    def _zorder_column(self, df: DataFrame, cols: list[str], bits_total: int = 16):
+        """Morton (Z-order) key over ``cols``: each column is
+        quantized to ``bits_total // len(cols)`` bits between its
+        min and max (ONE tiny min/max aggregate — 2·|cols| scalars to
+        the driver), then the bucket bits are interleaved with pure
+        shift/mask column arithmetic (whole-stage codegen, no UDF).
+        Uniform-width quantization; rank (quantile) quantization is
+        the skew-robust upgrade and slots into the same interleave.
+        Null or constant columns contribute bucket 0 and simply stop
+        discriminating — never an error."""
+        from pyspark.sql import functions as F
+
+        bits = max(1, bits_total // len(cols))
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+        row = df.agg(*aggs).collect()[0]
+        buckets = []
+        for c in cols:
+            lo, hi = row[f"_lo_{c}"], row[f"_hi_{c}"]
+            if lo is None or hi is None or lo == hi:
+                buckets.append(F.lit(0).cast("long"))
+                continue
+            span = float(hi) - float(lo)
+            b = F.floor(
+                (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(span) * (2**bits)
+            ).cast("long")
+            buckets.append(
+                F.when(F.col(c).isNull(), F.lit(0)).otherwise(
+                    F.least(F.greatest(b, F.lit(0)), F.lit(2**bits - 1))
+                )
+            )
+        z = F.lit(0).cast("long")
+        for bit in range(bits):
+            for i, bcol in enumerate(buckets):
+                z = z + F.shiftleft(
+                    F.shiftright(bcol.bitwiseAND(F.lit(1 << bit)), bit),
+                    bit * len(cols) + i,
+                ).cast("long")
+        return z
+
     def compact(
         self,
         partition_col: str | None = None,
         max_retries: int = 5,
         sort_by: str | None = None,
+        zorder_by: list[str] | None = None,
         max_records_per_file: int | None = None,
     ) -> int:
         """Rewrite the current snapshot at one file per partition and
@@ -552,8 +594,13 @@ class TxnTable:
         (``sortWithinPartitions``) so the per-file min/max stats
         tighten and range reads skip more files — the linear cousin
         of OPTIMIZE ZORDER BY, sufficient for one dominant filter
-        column (time, id); multi-column interleaving is the only
-        thing a real Z-order adds."""
+        column (time, id).  ``zorder_by`` is the multi-column form:
+        rows sort by a Morton-interleaved key over the listed
+        columns, so EVERY listed column's per-file ranges tighten and
+        range reads skip on any of them (OPTIMIZE ZORDER BY
+        semantics; mutually exclusive with ``sort_by``)."""
+        if sort_by and zorder_by:
+            raise ValueError("sort_by and zorder_by are mutually exclusive")
         for _ in range(max_retries):
             snap_version = self.version()
             snapshot = self.live_files(snap_version)
@@ -566,7 +613,13 @@ class TxnTable:
                 out = df.repartition(F.col(partition_col))
             else:
                 out = df.coalesce(1)
-            if sort_by:
+            if zorder_by:
+                out = (
+                    out.withColumn("_z", self._zorder_column(df, zorder_by))
+                    .sortWithinPartitions("_z")
+                    .drop("_z")
+                )
+            elif sort_by:
                 out = out.sortWithinPartitions(sort_by)
             writer = out.write.mode("overwrite")
             if max_records_per_file:

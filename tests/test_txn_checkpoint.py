@@ -255,3 +255,37 @@ def test_app_versions_survive_checkpoint_resolution(tmp_path):
     t2 = TxnTable(None, str(tmp_path / "t"), checkpoint_every=3)
     assert t2.app_versions() == {"stream:c": 4}
     assert t2.commit(add=_add("dup"), app="stream:c", app_version=3) is None
+
+
+# --- Z-order compaction (multi-column data skipping) ---------------------
+
+
+def test_zorder_compaction_skips_on_both_columns(spark, tmp_path):
+    """OPTIMIZE ZORDER BY semantics: after a Morton-interleaved
+    rewrite, range reads skip files on EITHER clustered column; a
+    linear sort only ever skips on its one column (every file spans
+    the other's full range)."""
+    from rakam_api_spark.txnlog import TxnTable as _T
+
+    t = _T(spark, str(tmp_path / "t"))
+    grid = spark.createDataFrame(
+        [(a, b) for a in range(64) for b in range(64)], "a long, b long"
+    )
+    t.append(grid)
+    t.compact(zorder_by=["a", "b"], max_records_per_file=256)
+    files = t.live_files()
+    assert len(files) >= 8
+    fa = t.live_files(ranges={"a": (0, 7)})
+    fb = t.live_files(ranges={"b": (0, 7)})
+    assert len(fa) <= len(files) // 2, (len(fa), len(files))
+    assert len(fb) <= len(files) // 2, (len(fb), len(files))
+    assert t.read().count() == 64 * 64  # clustering never loses rows
+
+    # the linear-sort counterfactual: b-ranges cannot skip anything
+    t.compact(sort_by="a", max_records_per_file=256)
+    lin_files = t.live_files()
+    assert len(t.live_files(ranges={"a": (0, 7)})) < len(lin_files)
+    assert len(t.live_files(ranges={"b": (0, 7)})) == len(lin_files)
+
+    with pytest.raises(ValueError):
+        t.compact(sort_by="a", zorder_by=["a", "b"])
