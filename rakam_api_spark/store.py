@@ -437,7 +437,14 @@ class EventStore:
         """
         return _MaintenanceLock(self._base_path(project, collection) + ".lock")
 
-    def compact(self, project: str, collection: str, target_files_per_partition: int = 1) -> int:
+    def compact(
+        self,
+        project: str,
+        collection: str,
+        target_files_per_partition: int = 1,
+        sort_by: str | None = None,
+        zorder_by: list[str] | None = None,
+    ) -> int:
         """Small-file compaction (the OPTIMIZE analog): streaming
         micro-batches write one file per trigger per partition, so a
         long-running ingest accumulates thousands of tiny files —
@@ -455,8 +462,16 @@ class EventStore:
         """
         with self.maintenance_lock(project, collection):
             if self.txn_mode(project, collection):
+                # sort_by/zorder_by cluster rows within each rewritten
+                # partition so manifest min/max ranges tighten and
+                # range reads skip files (txn collections only — the
+                # plain-dir layout has no per-file stats to exploit)
                 txn = self.txn_table(project, collection)
-                txn.compact(partition_col=self._txn_partition_col(txn))
+                txn.compact(
+                    partition_col=self._txn_partition_col(txn),
+                    sort_by=sort_by,
+                    zorder_by=zorder_by,
+                )
                 # reclaim orphans and files retired BEFORE this
                 # rewrite; the snapshot the rewrite just replaced is
                 # retained one version so a reader that resolved it
