@@ -41,10 +41,12 @@ _MODULES = (
 )
 
 # The driver's correctness gate checks at most 50 queries per round, in
-# enumeration order.  With 158 declared queries, plain module order
+# enumeration order.  With 164 declared queries, plain module order
 # would starve the tail modules of a driver-verified CORRECTNESS row
 # forever.  Round-8 rotation (staleness computed from CORRECTNESS_r01-r07):
-# (a) the eight queries added or modified this round (the sampled
+# (a) the fourteen queries added or modified this round (six brand-new:
+# cluster-safe splits, bigram-LM quality, Markov transitions, RFM
+# quartiles, co-purchase pairs, kNN label propagation; plus the sampled
 # dedup audit, the artifact-probing filtered ANN, the cadence sketch,
 # the ANN recall audit, bounce rate, PMI, entropy, length histogram);
 # (b) the five queries whose last driver-green row is round 4 (they
@@ -52,11 +54,18 @@ _MODULES = (
 # VERDICT r7 Next #4 names (TPC-H tail, attribution/latency/
 # correlation/seasonality, the media-dedup trio, the full ann_*
 # family, lexical/signature/incremental-dedup/contamination/hybrid);
-# (d) TPC-H r5-stale rows to fill slot 50.  The ~30 remaining
-# r5-stale queries lead the r9 rotation.  Everything listed passes
+# (d) TPC-H r5-stale rows to fill slot 50 (q17/q19/q20/q22/bm25/
+# dedup_clusters slipped past the cutoff and lead the r9 rotation
+# with the ~30 remaining r5-stale queries).  Everything listed passes
 # tools/check_correctness.py locally at sf0.01 and sf0.001.
 _GATE_PRIORITY = (
     # (a) added or modified this round
+    "cluster_safe_splits",
+    "lm_bigram_quality",
+    "event_transition_probs",
+    "rfm_quartiles",
+    "part_copurchase_pairs",
+    "knn_label_propagation",
     "dedup_precision_audit",
     "ann_filtered_ivf_indexed",
     "ann_recall_audit",

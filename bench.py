@@ -85,6 +85,12 @@ EXTRA = [
     "event_cooccurrence_pmi",
     "user_activity_entropy",
     "doc_length_histogram",
+    "cluster_safe_splits",
+    "lm_bigram_quality",
+    "event_transition_probs",
+    "rfm_quartiles",
+    "part_copurchase_pairs",
+    "knn_label_propagation",
 ]
 
 

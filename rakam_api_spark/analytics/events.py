@@ -3279,7 +3279,60 @@ FROM quant GROUP BY 1 ORDER BY 1
 """
 
 
+def event_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the event stream:
+    P(next event type | current event type), estimated from every
+    user's time-ordered event sequence.  The classic product-analytics
+    "what do users do after X" model (and the generator behind sankey
+    / flow visualizations).
+
+    One user-partitioned LEAD window (shares the events table's
+    user bucketing at 100 TB — same shape as ``top_event_paths``),
+    then a |event types|² aggregation, which is constant-sized no
+    matter the corpus.  P is a single division of exact integer
+    counts → bit-identical across engines, no rounding needed.
+    """
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(_us(), "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("curr_event"),
+            F.lead("event_type", 1).over(w).alias("next_event"),
+        )
+        .where(F.col("next_event").isNotNull())
+        .groupBy("curr_event", "next_event")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    wc = Window.partitionBy("curr_event")
+    return (
+        pairs.withColumn(
+            "p_transition",
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wc).cast("double"),
+        )
+        .orderBy("curr_event", "next_event")
+    )
+
+
+EVENT_TRANSITION_PROBS_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS curr_event,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_event
+  FROM events
+),
+pairs AS (
+  SELECT curr_event, next_event, CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM seq WHERE next_event IS NOT NULL GROUP BY 1, 2
+)
+SELECT curr_event, next_event, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / CAST(SUM(n_transitions) OVER (PARTITION BY curr_event) AS DOUBLE) AS p_transition
+FROM pairs ORDER BY curr_event, next_event
+"""
+
+
 QUERIES = {
+    "event_transition_probs": event_transition_probs,
     "attribution_time_decay": attribution_time_decay,
     "funnel_step_latency": funnel_step_latency,
     "inter_event_time_quantiles": inter_event_time_quantiles,
@@ -3340,6 +3393,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "event_transition_probs": EVENT_TRANSITION_PROBS_ORACLE,
     "attribution_time_decay": ATTRIBUTION_TIME_DECAY_ORACLE,
     "funnel_step_latency": FUNNEL_STEP_LATENCY_ORACLE,
     "inter_event_time_quantiles": INTER_EVENT_TIME_ORACLE,

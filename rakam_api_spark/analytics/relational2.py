@@ -893,7 +893,207 @@ SELECT
 """
 
 
+def rfm_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile-cut RFM over the ORDERS star (the companion to the
+    mean-split events-table ``rfm_segments``): per-customer Recency (days since
+    last order, anchored at the corpus max order date), Frequency
+    (order count) and Monetary (lifetime spend) are each cut at their
+    corpus quartiles, and customers roll up into (r, f, m) segment
+    cells — the classic CRM marketing segmentation.
+
+    Quartile CUTOFFS come from one tiny 3-value percentile
+    aggregation; bucket assignment is then ROW-LOCAL comparison
+    against the broadcast cutoffs — deliberately NOT an NTILE over a
+    global window, which would funnel every customer through one
+    partition.  The per-customer rollup shuffles once on custkey.
+    The exact ``percentile`` buffers the per-customer metric vector
+    in one aggregation buffer; at 100× the mergeable-sketch variant
+    (the ``value_quantile_sketch`` KLL path) is the documented scale
+    alternative for the cutoff step.
+
+    Determinism: recency/frequency are exact ints; monetary
+    aggregates in DECIMAL(18,6) then casts once to double;
+    ``percentile`` ≡ DuckDB ``quantile_cont`` interpolation
+    bit-for-bit; bucket labels are integer comparisons; segment
+    metrics are exact sums and a single division each.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(_dec("o_totalprice")).alias("monetary_dec"),
+    )
+    anchor = orders.agg(F.max("o_orderdate").alias("anchor"))
+    rfm = (
+        per_cust.crossJoin(broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("anchor"), F.col("last_order")).alias("recency_days"),
+            "frequency",
+            F.col("monetary_dec").cast("double").alias("monetary"),
+        )
+    )
+    cuts = rfm.agg(
+        F.expr("percentile(recency_days, array(0.25, 0.5, 0.75))").alias("rc"),
+        F.expr("percentile(frequency, array(0.25, 0.5, 0.75))").alias("fc"),
+        F.expr("percentile(monetary, array(0.25, 0.5, 0.75))").alias("mc"),
+    )
+
+    def _q(col, cut, asc):
+        # quartile 1..4; for recency LOWER is better so ascending
+        # comparison; frequency/monetary HIGHER is better.
+        v = F.col(col).cast("double")
+        if asc:
+            return (
+                F.lit(1)
+                + (v > F.element_at(cut, 1)).cast("int")
+                + (v > F.element_at(cut, 2)).cast("int")
+                + (v > F.element_at(cut, 3)).cast("int")
+            )
+        return (
+            F.lit(4)
+            - (v > F.element_at(cut, 1)).cast("int")
+            - (v > F.element_at(cut, 2)).cast("int")
+            - (v > F.element_at(cut, 3)).cast("int")
+        )
+
+    tagged = rfm.crossJoin(broadcast(cuts)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        _q("recency_days", F.col("rc"), asc=True).alias("r_q"),
+        _q("frequency", F.col("fc"), asc=False).alias("f_q"),
+        _q("monetary", F.col("mc"), asc=False).alias("m_q"),
+    )
+    return (
+        tagged.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("frequency").alias("total_orders"),
+            F.round(F.sum(_dec("monetary")).cast("double"), 6).alias("total_monetary"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
+RFM_QUARTILES_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey, MAX(o_orderdate) AS last_order,
+         COUNT(*) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS monetary_dec
+  FROM orders GROUP BY 1
+),
+anchor AS (SELECT MAX(o_orderdate) AS anchor FROM orders),
+rfm AS (
+  SELECT o_custkey,
+         date_diff('day', CAST(last_order AS DATE), CAST(anchor AS DATE)) AS recency_days,
+         frequency, CAST(monetary_dec AS DOUBLE) AS monetary
+  FROM per_cust, anchor
+),
+cuts AS (
+  SELECT quantile_cont(CAST(recency_days AS DOUBLE), [0.25, 0.5, 0.75]) AS rc,
+         quantile_cont(CAST(frequency AS DOUBLE), [0.25, 0.5, 0.75]) AS fc,
+         quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mc
+  FROM rfm
+),
+tagged AS (
+  SELECT o_custkey, recency_days, frequency, monetary,
+         1 + CAST(recency_days > rc[1] AS INT) + CAST(recency_days > rc[2] AS INT)
+           + CAST(recency_days > rc[3] AS INT) AS r_q,
+         4 - CAST(frequency > fc[1] AS INT) - CAST(frequency > fc[2] AS INT)
+           - CAST(frequency > fc[3] AS INT) AS f_q,
+         4 - CAST(monetary > mc[1] AS INT) - CAST(monetary > mc[2] AS INT)
+           - CAST(monetary > mc[3] AS INT) AS m_q
+  FROM rfm, cuts
+)
+SELECT r_q, f_q, m_q,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(frequency) AS BIGINT) AS total_orders,
+       round(CAST(SUM(CAST(monetary AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_monetary
+FROM tagged GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def part_copurchase_pairs(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Market-basket part affinity: pairs of parts bought together in
+    the same order, with co-occurrence count, support, and lift
+    (N·c12 / (c1·c2)) — the product-recommendation staple.
+
+    The pair expansion is a lineitem self-join co-partitioned on
+    ``l_orderkey``: fan-out per order is bounded by the order's line
+    count (≤ lines²/2, single digits squared), so the join output
+    stays O(orders) no matter the corpus — the same
+    bounded-by-construction discipline as the dedup pair joins.
+    Lift's numerator/denominator are exact BIGINT products; one
+    final division is bit-exact on both engines.  Top-k via a
+    total order ending in the unique (p1, p2) key.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    n_orders = li.select("l_orderkey").distinct().count()
+    part_orders = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = li.select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "okey")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    c1 = part_orders.select(F.col("l_partkey").alias("p1"), F.col("c").alias("c1"))
+    c2 = part_orders.select(F.col("l_partkey").alias("p2"), F.col("c").alias("c2"))
+    return (
+        pairs.join(broadcast(c1), "p1")
+        .join(broadcast(c2), "p2")
+        .select(
+            "p1",
+            "p2",
+            "c12",
+            (F.col("c12") * F.lit(int(n_orders))).cast("double").alias("_num"),
+            (F.col("c1") * F.col("c2")).cast("double").alias("_den"),
+            "c1",
+            "c2",
+        )
+        .select(
+            "p1",
+            "p2",
+            "c12",
+            "c1",
+            "c2",
+            (F.col("c12").cast("double") / F.lit(float(n_orders))).alias("support"),
+            (F.col("_num") / F.col("_den")).alias("lift"),
+        )
+        .orderBy(F.desc("c12"), "p1", "p2")
+        .limit(k)
+    )
+
+
+PART_COPURCHASE_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+po AS (SELECT l_partkey, COUNT(*) AS c FROM li GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT p1, p2, c12,
+       CAST(c1.c AS BIGINT) AS c1, CAST(c2.c AS BIGINT) AS c2,
+       CAST(c12 AS DOUBLE) / CAST(n.n_orders AS DOUBLE) AS support,
+       CAST(c12 * n.n_orders AS DOUBLE) / CAST(c1.c * c2.c AS DOUBLE) AS lift
+FROM pairs
+JOIN po c1 ON pairs.p1 = c1.l_partkey
+JOIN po c2 ON pairs.p2 = c2.l_partkey
+CROSS JOIN n
+ORDER BY c12 DESC, p1, p2 LIMIT 20
+"""
+
+
 QUERIES = {
+    "rfm_quartiles": rfm_quartiles,
+    "part_copurchase_pairs": part_copurchase_pairs,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q9_product_profit": q9_product_profit,
     "q10_returned_items": q10_returned_items,
@@ -914,6 +1114,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rfm_quartiles": RFM_QUARTILES_ORACLE,
+    "part_copurchase_pairs": PART_COPURCHASE_ORACLE,
     "q2_min_cost_supplier": Q2_ORACLE,
     "q9_product_profit": Q9_ORACLE,
     "q10_returned_items": Q10_ORACLE,

@@ -887,6 +887,178 @@ FROM per ORDER BY source
 """
 
 
+def cluster_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: hash the NEAR-DUP
+    CLUSTER id, not the document id, so a document and its near
+    duplicates always land in the same split — the standard guard
+    against eval contamination through paraphrase leakage (a val doc
+    whose near-twin sits in train inflates every metric).
+
+    Shape: the near-dup components come from the same bounded pair
+    graph as :func:`~rakam_api_spark.llm.dedup.dedup_clusters`
+    (Jaccard ≥ 0.6 pairs → min-label components); docs outside any
+    cluster are their own singleton (cluster key = own doc_id).  The
+    split decision is one md5 of the cluster key — row-local after a
+    single left join of the corpus against the (tiny, near-dup-only)
+    cluster labels.  At 100 TB the corpus is never self-joined here;
+    the pair graph is the already-bounded dedup output.
+
+    The report contrasts both strategies: per (strategy, split) doc
+    counts plus ``leaky_pairs`` — near-dup pairs whose endpoints
+    landed in DIFFERENT splits.  Cluster-keyed assignment yields 0
+    by construction (a component shares one hash); doc-keyed
+    assignment leaks whenever a pair straddles a hash boundary.
+    Oracle: identical recursive-CTE components + the same md5 rule.
+    """
+    from .dedup import dedup_clusters, ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    labels = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+
+    def _bucket(col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("split:"), col.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        )
+
+    def _split(bucket):
+        return (
+            F.when(bucket < 80, F.lit("train"))
+            .when(bucket < 90, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    tagged = (
+        docs.join(broadcast(labels), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("ckey"),
+        )
+        .select(
+            "doc_id",
+            _split(_bucket(F.col("doc_id"))).alias("doc_split"),
+            _split(_bucket(F.col("ckey"))).alias("cluster_split"),
+        )
+        .cache()
+    )
+    per = (
+        tagged.select(
+            F.lit("doc_hash").alias("strategy"), F.col("doc_split").alias("split")
+        )
+        .unionByName(
+            tagged.select(
+                F.lit("cluster_hash").alias("strategy"),
+                F.col("cluster_split").alias("split"),
+            )
+        )
+        .groupBy("strategy", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    e1 = tagged.select(F.col("doc_id").alias("d1"), "doc_split", "cluster_split")
+    e2 = tagged.select(
+        F.col("doc_id").alias("d2"),
+        F.col("doc_split").alias("doc_split2"),
+        F.col("cluster_split").alias("cluster_split2"),
+    )
+    leaks = (
+        pairs.join(e1, "d1")
+        .join(e2, "d2")
+        .agg(
+            F.sum(
+                (F.col("doc_split") != F.col("doc_split2")).cast("long")
+            ).alias("doc_hash"),
+            F.sum(
+                (F.col("cluster_split") != F.col("cluster_split2")).cast("long")
+            ).alias("cluster_hash"),
+        )
+        .select(
+            F.explode(
+                F.map_from_arrays(
+                    F.array(F.lit("doc_hash"), F.lit("cluster_hash")),
+                    F.array(F.col("doc_hash"), F.col("cluster_hash")),
+                )
+            ).alias("strategy", "leaky_pairs")
+        )
+    )
+    out = (
+        per.join(leaks, "strategy")
+        .select("strategy", "split", "n_docs", "leaky_pairs")
+        .orderBy("strategy", "split")
+    )
+    out = out.localCheckpoint(eager=True)  # sever the CC lineage
+    tagged.unpersist()
+    return out
+
+
+CLUSTER_SAFE_SPLITS_ORACLE = """
+WITH RECURSIVE docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2] AS shingle
+  FROM docs, LATERAL unnest(range(1, len(w)-1)) t(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT d1, d2
+  FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.6
+),
+adj AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+reach(doc_id, r) AS (
+  SELECT DISTINCT d1, d1 FROM adj
+  UNION
+  SELECT a.d2, reach.r FROM reach JOIN adj a ON a.d1 = reach.doc_id
+),
+labels AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1),
+tagged AS (
+  SELECT d.doc_id,
+         CASE WHEN bd < 80 THEN 'train' WHEN bd < 90 THEN 'val' ELSE 'test' END AS doc_split,
+         CASE WHEN bc < 80 THEN 'train' WHEN bc < 90 THEN 'val' ELSE 'test' END AS cluster_split
+  FROM (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bd,
+           CAST(('0x' || substr(md5('split:' || CAST(ckey AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bc
+    FROM (SELECT dd.doc_id, COALESCE(l.cluster_id, dd.doc_id) AS ckey
+          FROM documents dd LEFT JOIN labels l ON dd.doc_id = l.doc_id)
+  ) d
+),
+per AS (
+  SELECT strategy, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM (
+    SELECT 'doc_hash' AS strategy, doc_split AS split FROM tagged
+    UNION ALL
+    SELECT 'cluster_hash' AS strategy, cluster_split AS split FROM tagged
+  ) GROUP BY 1, 2
+),
+leaks AS (
+  SELECT
+    CAST(SUM(CASE WHEN t1.doc_split <> t2.doc_split THEN 1 ELSE 0 END) AS BIGINT) AS doc_hash,
+    CAST(SUM(CASE WHEN t1.cluster_split <> t2.cluster_split THEN 1 ELSE 0 END) AS BIGINT) AS cluster_hash
+  FROM pairs p JOIN tagged t1 ON p.d1 = t1.doc_id JOIN tagged t2 ON p.d2 = t2.doc_id
+),
+leakrows AS (
+  SELECT 'doc_hash' AS strategy, doc_hash AS leaky_pairs FROM leaks
+  UNION ALL
+  SELECT 'cluster_hash' AS strategy, cluster_hash AS leaky_pairs FROM leaks
+)
+SELECT per.strategy, per.split, per.n_docs, leakrows.leaky_pairs
+FROM per JOIN leakrows ON per.strategy = leakrows.strategy
+ORDER BY per.strategy, per.split
+"""
+
+
 QUERIES = {
     "quality_repetition_rules": quality_repetition_rules,
     "pii_redaction": pii_redaction,
@@ -902,6 +1074,7 @@ QUERIES = {
     "dataset_splits": dataset_splits,
     "training_shuffle": training_shuffle,
     "padding_efficiency": padding_efficiency,
+    "cluster_safe_splits": cluster_safe_splits,
 }
 
 ORACLES = {
@@ -919,4 +1092,5 @@ ORACLES = {
     "dataset_splits": DATASET_SPLITS_ORACLE,
     "training_shuffle": TRAINING_SHUFFLE_ORACLE,
     "padding_efficiency": PADDING_EFFICIENCY_ORACLE,
+    "cluster_safe_splits": CLUSTER_SAFE_SPLITS_ORACLE,
 }

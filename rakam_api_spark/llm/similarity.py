@@ -1549,7 +1549,134 @@ FROM (
 """
 
 
+def knn_label_propagation(
+    spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 20
+) -> DataFrame:
+    """k-NN label propagation: the unlabeled slice (vec_id <
+    n_queries plays the freshly-ingested batch) takes the majority
+    label of its k nearest LABELED neighbors by cosine — the
+    workhorse for cheap auto-labeling / weak supervision over an
+    embedding column, and the evaluation harness for embedding
+    quality (``correct`` compares against the held-back true label).
+
+    Plan: the query side is request-sized → its components and norms
+    BROADCAST; the labeled corpus streams through one (query,
+    candidate) hash aggregation for the dots — the same
+    never-materialize-the-corpus-pair-matrix shape as
+    ``brute_force_topk_exploded``; top-k per query via a per-query
+    window over the (queries × corpus partitions) survivors; the
+    vote is a k-row-per-query aggregation.  At 100 TB swap the exact
+    candidate scan for the IVF-probed candidate set — the scoring,
+    ranking and voting stages are unchanged.
+
+    Determinism: quantized-int dot products (exact f64), one
+    division per cosine; vote winner ordered by (votes DESC, label
+    ASC) — a total order, since labels are unique within a vote
+    group.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = _quantized_components(emb)
+    qcomp = comp.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), "pos", F.col("q").alias("qq")
+    )
+    cand = comp.where(F.col("vec_id") >= n_queries)
+    dots = (
+        cand.join(broadcast(qcomp), "pos")
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum(F.col("q") * F.col("qq")).alias("dot"))
+    )
+    norms = _norms(comp, "vec_id")
+    qnorms = norms.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("norm2").alias("qnorm2")
+    )
+    scored = (
+        dots.join(broadcast(qnorms), "q_id")
+        .join(norms, "vec_id")
+        .withColumn(
+            "cosine",
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("norm2").cast("double") * F.col("qnorm2").cast("double")),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    topk = scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+    labels = emb.select("vec_id", F.col("label").alias("nbr_label"))
+    votes = (
+        topk.join(labels, "vec_id")
+        .groupBy("q_id", "nbr_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    wv = Window.partitionBy("q_id").orderBy(F.desc("votes"), F.asc("nbr_label"))
+    pred = (
+        votes.withColumn("vrnk", F.row_number().over(wv))
+        .where(F.col("vrnk") == 1)
+        .select("q_id", F.col("nbr_label").alias("predicted_label"), "votes")
+    )
+    truth = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("true_label")
+    )
+    return (
+        pred.join(truth, "q_id")
+        .select(
+            "q_id",
+            "predicted_label",
+            F.col("votes").cast("long").alias("votes"),
+            "true_label",
+            (F.col("predicted_label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("q_id")
+    )
+
+
+KNN_LABEL_PROP_ORACLE = """
+WITH comp AS (
+  SELECT vec_id, CAST(i AS INT) AS pos,
+         CAST(round(CAST(embedding[CAST(i AS INT)+1] AS DOUBLE) * 10000, 0) AS BIGINT) AS q
+  FROM embeddings, LATERAL unnest(range(0, len(embedding))) t(i)
+),
+norms AS (SELECT vec_id, SUM(q*q) AS norm2 FROM comp GROUP BY 1),
+qcomp AS (SELECT vec_id AS q_id, pos, q AS qq FROM comp WHERE vec_id < 20),
+dots AS (
+  SELECT q.q_id, c.vec_id, SUM(c.q * q.qq) AS dot
+  FROM comp c JOIN qcomp q USING (pos)
+  WHERE c.vec_id >= 20
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.q_id, d.vec_id,
+         CAST(d.dot AS DOUBLE) / sqrt(CAST(n.norm2 AS DOUBLE) * CAST(qn.norm2 AS DOUBLE)) AS cosine
+  FROM dots d
+  JOIN norms n  ON d.vec_id = n.vec_id
+  JOIN norms qn ON d.q_id = qn.vec_id
+),
+topk AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rnk
+    FROM scored
+  ) WHERE rnk <= 5
+),
+votes AS (
+  SELECT t.q_id, e.label AS nbr_label, COUNT(*) AS votes
+  FROM topk t JOIN embeddings e ON t.vec_id = e.vec_id
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT q_id, nbr_label AS predicted_label, votes FROM (
+    SELECT q_id, nbr_label, votes,
+           row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, nbr_label ASC) AS vrnk
+    FROM votes
+  ) WHERE vrnk = 1
+)
+SELECT p.q_id, p.predicted_label, CAST(p.votes AS BIGINT) AS votes,
+       e.label AS true_label, p.predicted_label = e.label AS correct
+FROM pred p JOIN embeddings e ON p.q_id = e.vec_id
+ORDER BY p.q_id
+"""
+
+
 QUERIES = {
+    "knn_label_propagation": knn_label_propagation,
     "ann_brute_force_topk": brute_force_topk,
     "ann_filtered_topk": ann_filtered_topk,
     "semantic_contamination": semantic_contamination,
@@ -1564,6 +1691,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "knn_label_propagation": KNN_LABEL_PROP_ORACLE,
     "ann_brute_force_topk": BRUTE_FORCE_ORACLE,
     "semantic_contamination": SEMANTIC_CONTAMINATION_ORACLE,
     "ann_filtered_topk": ANN_FILTERED_ORACLE,

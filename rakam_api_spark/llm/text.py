@@ -628,7 +628,114 @@ FROM sized GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def lm_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality score: an add-one-smoothed bigram
+    language model is trained IN-QUERY on the clean reference slice
+    (the English documents — the stand-in for CCNet's Wikipedia LM)
+    and every document is scored by its average bigram log-probability.
+    Low scores flag gibberish / boilerplate / wrong-register text; the
+    companion ``oov_bigram_frac`` (share of bigrams the reference
+    never saw) separates "fluent but out-of-domain" from "not
+    language".
+
+    Plan shape at 100 TB: doc bigrams are row-local array ops
+    (split → transform → explode) compressed by a per-(doc, bigram)
+    partial aggregation BEFORE any join, then two hash equi-joins
+    against the reference bigram/prefix count tables (corpus-sized,
+    so shuffled joins on token keys — never broadcast, never a self
+    join) and one final doc_id rollup.  The LM "training" is itself
+    just two hash aggregations over the reference slice.
+
+    Determinism: P = (c12+1)/(c1+V) is a single division of exact
+    integers; log10 and the weighted average accumulate last-ulp
+    noise, so the score is ``round(.., 6)`` on BOTH engines
+    (the documented float-chain contract).  ``oov_bigram_frac`` is an
+    exact single division.  Reference: CCNet (Wenzek et al. 2020,
+    arXiv:1911.00359) §4.2 LM filtering.
+    """
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    with_bi = (
+        docs.select("doc_id", "lang", w.alias("w"))
+        .where(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w)-2),"
+                    " i -> struct(w[i] AS w1, w[i+1] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "lang", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    doc_bg = with_bi.groupBy("doc_id", "lang", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ref_bg = with_bi.where(F.col("lang") == "en")
+    c12 = ref_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab_size = (
+        docs.where(F.col("lang") == "en")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    logp = F.log10(
+        (F.coalesce(F.col("c12"), F.lit(0)) + 1).cast("double")
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")).cast("double")
+    )
+    scored = (
+        doc_bg.join(c12, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(broadcast(vocab_size))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("n") * logp) / F.sum("n").cast("double"), 6
+            ).alias("avg_logp"),
+            (
+                F.coalesce(F.sum(F.when(F.col("c12").isNull(), F.col("n"))), F.lit(0)).cast("double")
+                / F.sum("n").cast("double")
+            ).alias("oov_bigram_frac"),
+        )
+    )
+    return scored.orderBy("doc_id")
+
+
+LM_BIGRAM_QUALITY_ORACLE = """
+WITH docs AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+bi AS (
+  SELECT doc_id, lang, w[CAST(i AS INT)] AS w1, w[CAST(i AS INT)+1] AS w2
+  FROM docs, LATERAL unnest(range(1, len(w))) t(i)
+  WHERE len(w) >= 2
+),
+doc_bg AS (SELECT doc_id, lang, w1, w2, COUNT(*) AS n FROM bi GROUP BY 1, 2, 3, 4),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi WHERE lang = 'en' GROUP BY 1, 2),
+c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1),
+v AS (
+  SELECT COUNT(DISTINCT tok) AS v
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents WHERE lang = 'en')
+)
+SELECT doc_id, lang,
+       CAST(SUM(n) AS BIGINT) AS n_bigrams,
+       round(SUM(n * log10(CAST(COALESCE(c12.c12, 0) + 1 AS DOUBLE)
+                           / CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE)))
+             / CAST(SUM(n) AS DOUBLE), 6) AS avg_logp,
+       CAST(COALESCE(SUM(CASE WHEN c12.c12 IS NULL THEN n END), 0) AS DOUBLE)
+         / CAST(SUM(n) AS DOUBLE) AS oov_bigram_frac
+FROM doc_bg
+LEFT JOIN c12 USING (w1, w2)
+LEFT JOIN c1 USING (w1)
+CROSS JOIN v
+GROUP BY doc_id, lang
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "lm_bigram_quality": lm_bigram_quality,
     "doc_length_histogram": doc_length_histogram,
     "source_vocab_overlap": source_vocab_overlap,
     "text_quality": text_quality,
@@ -643,6 +750,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "lm_bigram_quality": LM_BIGRAM_QUALITY_ORACLE,
     "doc_length_histogram": DOC_LENGTH_HISTOGRAM_ORACLE,
     "source_vocab_overlap": SOURCE_VOCAB_OVERLAP_ORACLE,
     "text_quality": TEXT_QUALITY_ORACLE,

@@ -43,6 +43,20 @@ SHOW = {
     "contamination_check": "benchmark-contamination: the held-out shingle set is "
     "BROADCAST; the corpus streams through one equi-join + per-doc aggregation — "
     "never self-joined",
+    "cluster_safe_splits": "leakage-safe splits: corpus LEFT-joins the tiny near-dup "
+    "cluster labels (broadcast), split is a row-local md5 of the cluster key; the "
+    "leak check joins only the bounded pair list",
+    "lm_bigram_quality": "bigram-LM scoring: doc bigrams partially aggregated per "
+    "(doc, bigram) BEFORE the two shuffled equi-joins against the reference count "
+    "tables; no broadcast of the corpus-sized LM, no self-join",
+    "event_transition_probs": "Markov transitions: one user-partitioned LEAD window "
+    "(reuses the events bucketing) into a |types|\u00b2-sized aggregation",
+    "rfm_quartiles": "RFM: quartile cutoffs via one 3-value percentile agg then "
+    "ROW-LOCAL bucketing against broadcast cutoffs — no global NTILE window",
+    "part_copurchase_pairs": "market-basket pairs: lineitem self-join co-partitioned "
+    "on l_orderkey, fan-out bounded by per-order line count; dim counts broadcast",
+    "knn_label_propagation": "kNN labeling: request-sized query components broadcast; "
+    "labeled corpus streams one (query,candidate) hash agg; vote is k-rows-per-query",
     "pack_sequences": "sequence packing: running-sum window partitioned by source "
     "shard — parallel across sources, no global ordering anywhere",
     "heavy_hitters_sketch": "Misra-Gries frequent items: per-partition counter "
