@@ -1,0 +1,107 @@
+"""Invariant tests for the round-8 query additions beyond the oracle
+hash gate: properties the DuckDB comparison can't state (zero-leak
+guarantees, probability-mass closure, LM discrimination, market-basket
+bounds)."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from rakam_api_spark.analytics import events as events_mod
+from rakam_api_spark.analytics import relational2
+from rakam_api_spark.llm import curation, similarity, text
+from rakam_api_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cluster_safe_splits_zero_leak_and_conservation(spark):
+    rows = curation.cluster_safe_splits(spark, SF).collect()
+    by_strategy = {}
+    for r in rows:
+        by_strategy.setdefault(r["strategy"], []).append(r)
+    assert set(by_strategy) == {"doc_hash", "cluster_hash"}
+    n_docs = load_table(spark, SF, "documents").count()
+    for strategy, srows in by_strategy.items():
+        # every doc lands in exactly one split under each strategy
+        assert sum(r["n_docs"] for r in srows) == n_docs
+        leak = srows[0]["leaky_pairs"]
+        assert all(r["leaky_pairs"] == leak for r in srows)
+    # the guarantee the operator exists for: cluster-keyed assignment
+    # can never put a near-dup pair across a split boundary
+    assert by_strategy["cluster_hash"][0]["leaky_pairs"] == 0
+
+
+def test_lm_bigram_quality_discriminates_reference_language(spark):
+    rows = text.lm_bigram_quality(spark, SF).collect()
+    assert len(rows) > 0
+    en = [r for r in rows if r["lang"] == "en"]
+    other = [r for r in rows if r["lang"] != "en"]
+    assert en and other
+    mean_en = sum(r["avg_logp"] for r in en) / len(en)
+    mean_other = sum(r["avg_logp"] for r in other) / len(other)
+    # the LM is trained on the English slice: English docs must score
+    # strictly higher on average, with lower OOV mass
+    assert mean_en > mean_other
+    oov_en = sum(r["oov_bigram_frac"] for r in en) / len(en)
+    oov_other = sum(r["oov_bigram_frac"] for r in other) / len(other)
+    assert oov_en < oov_other
+    for r in rows:
+        assert 0.0 <= r["oov_bigram_frac"] <= 1.0
+        assert r["avg_logp"] < 0.0
+
+
+def test_event_transition_probability_mass_closes(spark):
+    rows = events_mod.event_transition_probs(spark, SF).collect()
+    assert rows
+    mass = {}
+    for r in rows:
+        assert r["n_transitions"] > 0
+        assert 0.0 < r["p_transition"] <= 1.0
+        mass[r["curr_event"]] = mass.get(r["curr_event"], 0.0) + r["p_transition"]
+    for curr, total in mass.items():
+        assert abs(total - 1.0) < 1e-9, (curr, total)
+
+
+def test_rfm_quartiles_cover_all_customers(spark):
+    rows = relational2.rfm_quartiles(spark, SF).collect()
+    n_cust = (
+        load_table(spark, SF, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for r in rows:
+        for q in ("r_q", "f_q", "m_q"):
+            assert 1 <= r[q] <= 4
+        assert r["total_monetary"] > 0
+
+
+def test_copurchase_bounds(spark):
+    rows = relational2.part_copurchase_pairs(spark, SF).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["p1"] < r["p2"]
+        assert r["c12"] <= min(r["c1"], r["c2"])
+        assert 0.0 < r["support"] <= 1.0
+        assert r["lift"] > 0.0
+    # ranked by co-occurrence count
+    counts = [r["c12"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_knn_label_propagation_contract(spark):
+    rows = similarity.knn_label_propagation(spark, SF).collect()
+    assert len(rows) == 20  # one prediction per query vector
+    emb = load_table(spark, SF, "embeddings")
+    truth = {
+        r["vec_id"]: r["label"]
+        for r in emb.where(F.col("vec_id") < 20).collect()
+    }
+    labels = {r["label"] for r in emb.collect()}
+    for r in rows:
+        assert r["q_id"] in truth
+        assert r["true_label"] == truth[r["q_id"]]
+        assert r["predicted_label"] in labels
+        assert 1 <= r["votes"] <= 5
+        assert r["correct"] == (r["predicted_label"] == r["true_label"])
