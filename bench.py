@@ -85,6 +85,9 @@ EXTRA = [
     "event_cooccurrence_pmi",
     "user_activity_entropy",
     "doc_length_histogram",
+    "dedup_threshold_curve",
+    "supplier_reliability_wilson",
+    "doc_ngram_novelty",
     "cluster_safe_splits",
     "lm_bigram_quality",
     "event_transition_probs",

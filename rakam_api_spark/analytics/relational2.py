@@ -1091,7 +1091,87 @@ ORDER BY c12 DESC, p1, p2 LIMIT 20
 """
 
 
+def supplier_reliability_wilson(
+    spark: SparkSession, sf_dir: str, min_lines: int = 20, k: int = 25
+) -> DataFrame:
+    """Worst suppliers by late-shipment rate, ranked by the WILSON
+    score lower bound (z=1.96) instead of the raw rate — the
+    small-sample-honest ranking (a 2/2 late supplier must not outrank
+    a 480/500 one).  Lateness follows the repo convention: shipped
+    ≥ 90 days after the order date (q12's predicate).
+
+    One partial-aggregatable rollup on suppkey over the
+    lineitem⋈orders fact join (the join is on orderkey — at 100 TB
+    the same co-partitioned shuffle every fact-fact query here
+    shares), then row-local Wilson arithmetic on the ≤|suppliers|
+    aggregate.  The Wilson expression is a multi-op float chain →
+    ``round(.., 9)`` on BOTH engines, and the ranking sorts the
+    ROUNDED column with the unique suppkey tiebreak, so order is
+    deterministic cross-engine.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    late = F.col("l_shipdate").cast("date") >= F.date_add(
+        F.col("o_orderdate").cast("date"), 90
+    )
+    per_supp = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(late.cast("long")).alias("n_late"),
+        )
+        .where(F.col("n_lines") >= min_lines)
+    )
+    z = 1.96
+    n = F.col("n_lines").cast("double")
+    p = F.col("n_late").cast("double") / n
+    wilson = (
+        p
+        + F.lit(z * z) / (2.0 * n)
+        - F.lit(z) * F.sqrt((p * (1.0 - p) + F.lit(z * z) / (4.0 * n)) / n)
+    ) / (1.0 + F.lit(z * z) / n)
+    return (
+        per_supp.select(
+            F.col("l_suppkey").alias("suppkey"),
+            "n_lines",
+            "n_late",
+            (F.col("n_late").cast("double") / n).alias("late_rate"),
+            F.round(wilson, 9).alias("wilson_lower"),
+        )
+        .orderBy(F.desc("wilson_lower"), "suppkey")
+        .limit(k)
+    )
+
+
+SUPPLIER_WILSON_ORACLE = """
+WITH per_supp AS (
+  SELECT l_suppkey AS suppkey, COUNT(*) AS n_lines,
+         SUM(CASE WHEN CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE) + INTERVAL 90 DAY
+             THEN 1 ELSE 0 END) AS n_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1 HAVING COUNT(*) >= 20
+),
+scored AS (
+  SELECT suppkey, CAST(n_lines AS BIGINT) AS n_lines, CAST(n_late AS BIGINT) AS n_late,
+         CAST(n_late AS DOUBLE) / CAST(n_lines AS DOUBLE) AS late_rate,
+         round((
+           CAST(n_late AS DOUBLE) / CAST(n_lines AS DOUBLE)
+           + (1.96 * 1.96) / (2.0 * CAST(n_lines AS DOUBLE))
+           - 1.96 * sqrt((CAST(n_late AS DOUBLE) / CAST(n_lines AS DOUBLE)
+                          * (1.0 - CAST(n_late AS DOUBLE) / CAST(n_lines AS DOUBLE))
+                          + (1.96 * 1.96) / (4.0 * CAST(n_lines AS DOUBLE)))
+                         / CAST(n_lines AS DOUBLE))
+         ) / (1.0 + (1.96 * 1.96) / CAST(n_lines AS DOUBLE)), 9) AS wilson_lower
+  FROM per_supp
+)
+SELECT suppkey, n_lines, n_late, late_rate, wilson_lower
+FROM scored ORDER BY wilson_lower DESC, suppkey LIMIT 25
+"""
+
+
 QUERIES = {
+    "supplier_reliability_wilson": supplier_reliability_wilson,
     "rfm_quartiles": rfm_quartiles,
     "part_copurchase_pairs": part_copurchase_pairs,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -1114,6 +1194,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "supplier_reliability_wilson": SUPPLIER_WILSON_ORACLE,
     "rfm_quartiles": RFM_QUARTILES_ORACLE,
     "part_copurchase_pairs": PART_COPURCHASE_ORACLE,
     "q2_min_cost_supplier": Q2_ORACLE,

@@ -902,7 +902,98 @@ FROM counts
 """
 
 
+# Grid spans both regimes of the corpus pair distribution: the
+# background-noise tail (<= ~0.07) and the planted near-dup band
+# (0.9-0.99) - so the curve actually bends at test scale.
+DEDUP_CURVE_THRESHOLDS = (0.02, 0.05, 0.3, 0.6, 0.9, 0.96, 0.98, 0.99)
+
+
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold-sensitivity curve: how many near-dup pairs
+    (and how many distinct docs) survive at each candidate Jaccard
+    threshold — the tuning artifact every dedup rollout needs before
+    committing to a cutoff (too low deletes fresh data, too high
+    keeps boilerplate).
+
+    One pass: the pair graph is computed ONCE at the lowest
+    threshold of interest (the grid floor — pairs below it can
+    never appear on the curve, so the bounded pair join stays the
+    only corpus-touching stage), then each pair fans out to the ≤8
+    thresholds it clears via one row-local array explode.  Mean
+    Jaccard per threshold is an order-dependent double sum →
+    ``round(.., 6)`` on both engines; pair/doc counts are exact.
+    """
+    pairs = ngram_jaccard_pairs(
+        spark, sf_dir, threshold=min(DEDUP_CURVE_THRESHOLDS)
+    ).select("d1", "d2", "jaccard")
+    thresholds = F.array(*[F.lit(t) for t in DEDUP_CURVE_THRESHOLDS])
+    fanned = pairs.select(
+        "d1",
+        "d2",
+        "jaccard",
+        F.explode(F.filter(thresholds, lambda t: F.col("jaccard") >= t)).alias(
+            "threshold"
+        ),
+    )
+    docs_per_t = (
+        fanned.select("threshold", F.explode(F.array("d1", "d2")).alias("doc_id"))
+        .groupBy("threshold")
+        .agg(F.countDistinct("doc_id").alias("n_docs_in_pairs"))
+    )
+    return (
+        fanned.groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("jaccard") / F.count(F.lit(1)).cast("double"), 6).alias(
+                "mean_jaccard"
+            ),
+        )
+        .join(docs_per_t, "threshold")
+        .orderBy("threshold")
+    )
+
+
+DEDUP_THRESHOLD_CURVE_ORACLE = """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2] AS shingle
+  FROM docs, LATERAL unnest(range(1, len(w)-1)) t(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT d1, d2,
+         CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) AS jaccard
+  FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.02
+),
+th AS (SELECT CAST(threshold AS DOUBLE) AS threshold
+       FROM (VALUES (0.02), (0.05), (0.3), (0.6), (0.9), (0.96), (0.98), (0.99)) t(threshold)),
+fanned AS (
+  SELECT th.threshold, d1, d2, jaccard FROM pairs JOIN th ON jaccard >= th.threshold
+),
+docs_per_t AS (
+  SELECT threshold, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_in_pairs
+  FROM (SELECT threshold, d1 AS doc_id FROM fanned
+        UNION ALL SELECT threshold, d2 FROM fanned)
+  GROUP BY 1
+)
+SELECT f.threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round(SUM(jaccard) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_jaccard,
+       d.n_docs_in_pairs
+FROM fanned f JOIN docs_per_t d ON f.threshold = d.threshold
+GROUP BY f.threshold, d.n_docs_in_pairs
+ORDER BY f.threshold
+"""
+
+
 QUERIES = {
+    "dedup_threshold_curve": dedup_threshold_curve,
     "dedup_precision_audit": dedup_precision_audit,
     "dedup_exact": exact_dedup,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
@@ -912,6 +1003,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_threshold_curve": DEDUP_THRESHOLD_CURVE_ORACLE,
     "dedup_precision_audit": _precision_audit_oracle(),
     "dedup_exact": EXACT_DEDUP_ORACLE,
     "dedup_ngram_jaccard": NGRAM_JACCARD_ORACLE,

@@ -734,7 +734,64 @@ ORDER BY doc_id
 """
 
 
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-novelty curve: for each document (in ingestion =
+    doc_id order), the fraction of its distinct word-3-grams that NO
+    earlier document contains — the "is new data still adding
+    information?" diagnostic that decides when crawling a source has
+    saturated.
+
+    Shape: one shingle aggregation to (shingle → min doc_id), one
+    join back, one doc-grain rollup — never a self-join, never a
+    window over the corpus; both shuffles key on the shingle/doc_id
+    the dedup family already uses.  ``novelty_frac`` is a single
+    exact-integer division.
+    """
+    from .dedup import word_shingles
+
+    sh = word_shingles(_docs(spark, sf_dir))
+    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first_seen, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double") / F.col("n_grams").cast("double")
+            ).alias("novelty_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_NGRAM_NOVELTY_ORACLE = """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2] AS shingle
+  FROM docs, LATERAL unnest(range(1, len(w)-1)) t(i)
+),
+first_seen AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS novelty_frac
+FROM sh JOIN first_seen USING (shingle)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "doc_ngram_novelty": doc_ngram_novelty,
     "lm_bigram_quality": lm_bigram_quality,
     "doc_length_histogram": doc_length_histogram,
     "source_vocab_overlap": source_vocab_overlap,
@@ -750,6 +807,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_ngram_novelty": DOC_NGRAM_NOVELTY_ORACLE,
     "lm_bigram_quality": LM_BIGRAM_QUALITY_ORACLE,
     "doc_length_histogram": DOC_LENGTH_HISTOGRAM_ORACLE,
     "source_vocab_overlap": SOURCE_VOCAB_OVERLAP_ORACLE,

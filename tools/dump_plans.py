@@ -57,6 +57,12 @@ SHOW = {
     "on l_orderkey, fan-out bounded by per-order line count; dim counts broadcast",
     "knn_label_propagation": "kNN labeling: request-sized query components broadcast; "
     "labeled corpus streams one (query,candidate) hash agg; vote is k-rows-per-query",
+    "dedup_threshold_curve": "threshold curve: pair graph computed ONCE at the curve "
+    "floor, each pair fans to its cleared thresholds row-locally (array filter+explode)",
+    "supplier_reliability_wilson": "Wilson ranking: one partial-aggregatable suppkey "
+    "rollup over the orderkey fact join; Wilson math row-local on the small aggregate",
+    "doc_ngram_novelty": "novelty: shingle->min(doc_id) agg + join back; no self-join, "
+    "no corpus window",
     "pack_sequences": "sequence packing: running-sum window partitioned by source "
     "shard — parallel across sources, no global ordering anywhere",
     "heavy_hitters_sketch": "Misra-Gries frequent items: per-partition counter "
