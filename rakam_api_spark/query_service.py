@@ -1,0 +1,227 @@
+"""Ad-hoc SQL query service — the engine-side implementation of the
+reference's query-execution contract.
+
+The reference's primary analytics surface is "POST SQL, run it on
+your event tables": its SPI declares the result envelope
+(``QueryResult`` with metadata/result/error/properties incl.
+``executionTimeInMillis`` / ``query`` / ``totalResult``,
+rakam-spi/.../report/QueryResult.java:17-47) and the structured
+error (``QueryError`` with message/sqlState/errorCode/errorLine/
+charPositionInLine, rakam-spi/.../report/QueryError.java:7-26), and
+delegates execution to the warehouse (Postgres/Presto) over the
+per-collection tables the ingest layer maintains (README.md:27-31,
+SURVEY.md §2.7).  Here the warehouse IS Spark: each collection of a
+project is exposed as a temp view named like the collection (the
+reference's ``SELECT ... FROM pageview`` addressing), plus the
+project's ``users`` profile table and any published ``<collection>
+__rollup`` pre-aggregates, and the statement runs through Catalyst.
+
+Scale notes: view registration is metadata-only (a DataFrame over
+the partitioned parquet/txn layout — no data is read until the
+query plans); predicate pushdown, `_month` partition pruning, and
+every optimization documented in PLANS.md apply unchanged because
+the query enters the same declarative path the built-in operators
+use.  Result collection is capped (``max_rows``) so a SELECT * over
+a 100 TB collection cannot OOM the driver — the reference's export
+path has the same server-side materialization concern
+(rakam/.../util/ExportUtil.java).
+
+Safety: only read statements are accepted (SELECT / WITH / VALUES /
+TABLE / EXPLAIN).  DDL/DML strings are rejected BEFORE touching
+``spark.sql`` because Spark executes commands eagerly on parse.
+"""
+
+from __future__ import annotations
+
+import re
+import threading
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .types import FieldType, from_spark_type
+
+_READ_KEYWORDS = ("select", "with", "values", "table", "explain")
+
+# Spark embeds the source position as "(line N, pos M)" in
+# ParseException and as "; line N pos M;" in AnalysisException.
+_POS_RE = re.compile(r"\(line (\d+), pos (\d+)\)|; line (\d+) pos (\d+)")
+
+
+@dataclass
+class QueryError:
+    """Mirror of the reference error envelope
+    (rakam-spi/.../report/QueryError.java:7-26)."""
+
+    message: str
+    sqlState: str | None = None
+    errorCode: int | None = None
+    errorLine: int | None = None
+    charPositionInLine: int | None = None
+
+
+@dataclass
+class QueryResult:
+    """Mirror of the reference result envelope
+    (rakam-spi/.../report/QueryResult.java:17-47): ``metadata`` is
+    the (name, FieldType) schema of the result, ``result`` the row
+    values (list per row), ``properties`` carries the reference's
+    documented keys (EXECUTION_TIME / QUERY / TOTAL_RESULT)."""
+
+    metadata: list[tuple[str, FieldType]]
+    result: list[list]
+    error: QueryError | None = None
+    properties: dict = field(default_factory=dict)
+
+    @property
+    def failed(self) -> bool:
+        return self.error is not None
+
+    @staticmethod
+    def error_result(error: QueryError) -> "QueryResult":
+        return QueryResult(metadata=[], result=[], error=error)
+
+
+def _field_type(spark_field) -> FieldType:
+    try:
+        return from_spark_type(spark_field.dataType, dict(spark_field.metadata or {}))
+    except ValueError:
+        # result-only types with no ingest FieldType (e.g. struct from
+        # a named_struct projection) surface as STRING-rendered values
+        return FieldType.STRING
+
+
+class QueryService:
+    """Execute ad-hoc read SQL against a project's collections.
+
+    One instance per (SparkSession, EventStore); per-call view
+    registration is serialized with a lock because Spark temp views
+    are session-scoped — two projects sharing a collection name must
+    not see each other's tables mid-flight.  Views are dropped in
+    ``finally`` so nothing leaks into later queries.
+    """
+
+    def __init__(self, spark: SparkSession, store, users=None) -> None:
+        self.spark = spark
+        self.store = store
+        self.users = users
+        self._lock = threading.Lock()
+
+    # -- view management --------------------------------------------------
+
+    def _project_views(self, project: str) -> dict[str, DataFrame]:
+        views: dict[str, DataFrame] = {}
+        ms = self.store.metastore
+        for coll in ms.collections(project):
+            try:
+                views[coll] = self.store.read(project, coll)
+            except FileNotFoundError:
+                continue
+            if self.store.rollup_meta(project, coll) is not None:
+                views[f"{coll}__rollup"] = self.store.read_rollup(project, coll)
+        if self.users is not None:
+            try:
+                views["users"] = self.users.table(project)
+            except FileNotFoundError:
+                pass
+        return views
+
+    @staticmethod
+    def _validate(sql: str) -> QueryError | None:
+        stripped = sql.strip().rstrip(";").strip()
+        if not stripped:
+            return QueryError("empty query")
+        if ";" in stripped:
+            return QueryError("multiple statements are not allowed")
+        head = stripped.split(None, 1)[0].lower().lstrip("(")
+        if head not in _READ_KEYWORDS:
+            return QueryError(
+                f"only read statements are allowed ({', '.join(k.upper() for k in _READ_KEYWORDS)}); got {head.upper()}",
+                errorCode=42601,
+            )
+        return None
+
+    # -- execution --------------------------------------------------------
+
+    def execute(self, project: str, sql: str, max_rows: int = 10_000) -> QueryResult:
+        """Run a read statement over the project's views and return
+        the reference result envelope.  ``max_rows`` caps driver-side
+        materialization: properties["truncated"] flags a clipped
+        result (and TOTAL_RESULT counts only returned rows)."""
+        err = self._validate(sql)
+        if err is not None:
+            return QueryResult.error_result(err)
+        start = time.monotonic()
+        with self._lock:
+            views = self._project_views(project)
+            try:
+                for name, df in views.items():
+                    df.createOrReplaceTempView(name)
+                try:
+                    out = self.spark.sql(sql)
+                    rows = out.limit(max_rows + 1).collect()
+                except Exception as exc:  # Parse/Analysis/execution
+                    return QueryResult.error_result(self._to_error(exc))
+            finally:
+                for name in views:
+                    self.spark.catalog.dropTempView(name)
+        truncated = len(rows) > max_rows
+        rows = rows[:max_rows]
+        elapsed_ms = int((time.monotonic() - start) * 1000)
+        return QueryResult(
+            metadata=[(f.name, _field_type(f)) for f in out.schema.fields],
+            result=[list(r) for r in rows],
+            properties={
+                "executionTimeInMillis": elapsed_ms,
+                "query": sql,
+                "totalResult": len(rows),
+                "truncated": truncated,
+            },
+        )
+
+    def explain(self, project: str, sql: str) -> str:
+        """Formatted physical plan of a read statement (the audit
+        hook PLANS.md uses for built-in operators, exposed for ad-hoc
+        SQL)."""
+        err = self._validate(sql)
+        if err is not None:
+            raise ValueError(err.message)
+        with self._lock:
+            views = self._project_views(project)
+            try:
+                for name, df in views.items():
+                    df.createOrReplaceTempView(name)
+                return self.spark.sql(sql)._jdf.queryExecution().explainString(
+                    self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                        "formatted"
+                    )
+                )
+            finally:
+                for name in views:
+                    self.spark.catalog.dropTempView(name)
+
+    @staticmethod
+    def _to_error(exc: Exception) -> QueryError:
+        msg = str(exc)
+        line = pos = None
+        m = _POS_RE.search(msg)
+        if m:
+            g = [x for x in m.groups() if x is not None]
+            line, pos = int(g[0]), int(g[1])
+        sql_state = getattr(exc, "getSqlState", lambda: None)()
+        condition = None
+        get_cond = getattr(exc, "getCondition", None) or getattr(
+            exc, "getErrorClass", None
+        )
+        if get_cond is not None:
+            try:
+                condition = get_cond()
+            except Exception:
+                condition = None
+        return QueryError(
+            message=msg.split("\n", 1)[0][:500],
+            sqlState=sql_state or condition,
+            errorLine=line,
+            charPositionInLine=pos,
+        )

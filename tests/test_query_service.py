@@ -1,0 +1,159 @@
+"""Ad-hoc SQL query service (query_service.py): the reference's
+QueryResult/QueryError execution contract over per-collection views
+(rakam-spi/.../report/QueryResult.java, QueryError.java)."""
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from rakam_api_spark.api import EventCollector
+from rakam_api_spark.catalog import Metastore
+from rakam_api_spark.enrich import EnrichmentPipeline, TimestampMapper
+from rakam_api_spark.query_service import QueryService
+from rakam_api_spark.types import FieldType
+from rakam_api_spark.users import UserStorage
+
+
+@pytest.fixture()
+def service(spark, warehouse):
+    ms = Metastore(warehouse)
+    collector = EventCollector(
+        spark, ms, pipeline=EnrichmentPipeline([TimestampMapper()])
+    )
+    rows = []
+    for i in range(30):
+        rows.append(
+            {
+                "collection": "pageview",
+                "properties": {
+                    "user_id": f"u{i % 5}",
+                    "event_type": "view" if i % 3 else "click",
+                    "value": float(i),
+                    "_time": f"2024-01-{i % 9 + 1:02d} 10:00:00",
+                },
+            }
+        )
+        rows.append(
+            {
+                "collection": "purchase",
+                "properties": {
+                    "user_id": f"u{i % 5}",
+                    "amount": float(i) * 2.0,
+                    "_time": f"2024-01-{i % 9 + 1:02d} 12:00:00",
+                },
+            }
+        )
+    collector.batch("proj", rows)
+    users = UserStorage(spark, ms)
+    users.batch_create(
+        "proj", [(f"u{i}", {"plan": "pro" if i % 2 else "free"}) for i in range(5)]
+    )
+    return QueryService(spark, collector.store, users=users)
+
+
+def test_select_group_by_over_collection(service):
+    res = service.execute(
+        "proj",
+        "SELECT event_type, COUNT(*) AS n, SUM(value) AS total "
+        "FROM pageview GROUP BY event_type ORDER BY event_type",
+    )
+    assert not res.failed
+    names = [n for n, _ in res.metadata]
+    assert names == ["event_type", "n", "total"]
+    by_type = {r[0]: (r[1], r[2]) for r in res.result}
+    assert by_type["click"] == (10, sum(float(i) for i in range(30) if i % 3 == 0))
+    assert by_type["view"] == (20, sum(float(i) for i in range(30) if i % 3))
+    assert res.properties["totalResult"] == 2
+    assert res.properties["query"].startswith("SELECT")
+    assert res.properties["executionTimeInMillis"] >= 0
+    assert res.properties["truncated"] is False
+
+
+def test_metadata_field_types(service):
+    res = service.execute(
+        "proj", "SELECT user_id, value, _time FROM pageview LIMIT 1"
+    )
+    assert not res.failed
+    types = dict(res.metadata)
+    assert types["user_id"] == FieldType.STRING
+    assert types["value"] == FieldType.DOUBLE
+    assert types["_time"] == FieldType.TIMESTAMP
+
+
+def test_join_collections_and_users_view(service):
+    res = service.execute(
+        "proj",
+        "SELECT u.plan, COUNT(DISTINCT p.user_id) AS payers, SUM(p.amount) AS rev "
+        "FROM purchase p JOIN users u ON p.user_id = u.id "
+        "GROUP BY u.plan ORDER BY u.plan",
+    )
+    assert not res.failed, res.error
+    plans = [r[0] for r in res.result]
+    assert plans == ["free", "pro"]
+    # every user purchased; 3 free (u0,u2,u4) vs 2 pro (u1,u3)
+    assert [r[1] for r in res.result] == [3, 2]
+
+
+def test_rollup_view_exposed_after_publish(service):
+    service.store.publish_rollup(
+        "proj",
+        "pageview",
+        dims=("event_type",),
+        measures={"n_events": "CAST(COUNT(*) AS BIGINT)"},
+    )
+    res = service.execute(
+        "proj",
+        "SELECT event_type, SUM(n_events) AS n FROM pageview__rollup "
+        "GROUP BY event_type ORDER BY event_type",
+    )
+    assert not res.failed, res.error
+    assert {tuple(r) for r in res.result} == {("click", 10), ("view", 20)}
+
+
+def test_syntax_error_carries_position(service):
+    res = service.execute("proj", "SELECT FROM WHERE")
+    assert res.failed
+    assert res.error.errorLine is not None
+    assert res.error.charPositionInLine is not None
+    assert res.result == [] and res.metadata == []
+
+
+def test_analysis_error_is_structured(service):
+    res = service.execute("proj", "SELECT nope FROM pageview")
+    assert res.failed
+    assert "nope" in res.error.message or "UNRESOLVED" in (res.error.sqlState or "")
+
+
+def test_write_statements_rejected_before_execution(service):
+    for sql in (
+        "DROP TABLE pageview",
+        "INSERT INTO pageview VALUES (1)",
+        "CREATE TABLE x (a INT)",
+        "SELECT 1; SELECT 2",
+    ):
+        res = service.execute("proj", sql)
+        assert res.failed, sql
+    # the store is untouched
+    assert service.store.read("proj", "pageview").count() == 30
+
+
+def test_truncation_cap(service):
+    res = service.execute("proj", "SELECT * FROM pageview", max_rows=7)
+    assert not res.failed
+    assert len(res.result) == 7
+    assert res.properties["truncated"] is True
+
+
+def test_views_do_not_leak_between_calls(service, spark):
+    service.execute("proj", "SELECT COUNT(*) FROM pageview")
+    with pytest.raises(Exception):
+        spark.sql("SELECT COUNT(*) FROM pageview").collect()
+
+
+def test_explain_returns_formatted_plan(service):
+    plan = service.explain(
+        "proj", "SELECT event_type, COUNT(*) FROM pageview GROUP BY event_type"
+    )
+    assert "HashAggregate" in plan or "Aggregate" in plan
