@@ -180,6 +180,38 @@ class QueryService:
             },
         )
 
+    def execute_export(
+        self, project: str, sql: str, fmt: str = "csv", max_rows: int = 100_000
+    ) -> bytes:
+        """Run a read statement and serialize the result in one of
+        the reference export formats — the ``ExportUtil`` analog
+        (rakam/.../util/ExportUtil.java: exportAsCSV / exportAsAvro
+        over a QueryResult): ``csv``, ``avro``, or ``json`` (the
+        QueryResult envelope).  Driver-side materialization is capped
+        by the exporters' ``max_rows`` guard; unbounded extracts
+        belong to the distributed ``export.write_*_dir`` paths."""
+        from . import export as export_mod
+
+        err = self._validate(sql)
+        if err is not None:
+            raise ValueError(err.message)
+        exporters = {
+            "csv": export_mod.export_csv,
+            "avro": export_mod.export_avro,
+            "json": export_mod.export_query_result_json,
+        }
+        if fmt not in exporters:
+            raise ValueError(f"unknown export format: {fmt!r} (csv|avro|json)")
+        with self._lock:
+            views = self._project_views(project)
+            try:
+                for name, df in views.items():
+                    df.createOrReplaceTempView(name)
+                return exporters[fmt](self.spark.sql(sql), max_rows=max_rows)
+            finally:
+                for name in views:
+                    self.spark.catalog.dropTempView(name)
+
     def explain(self, project: str, sql: str) -> str:
         """Formatted physical plan of a read statement (the audit
         hook PLANS.md uses for built-in operators, exposed for ad-hoc

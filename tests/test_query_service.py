@@ -152,6 +152,36 @@ def test_views_do_not_leak_between_calls(service, spark):
         spark.sql("SELECT COUNT(*) FROM pageview").collect()
 
 
+def test_execute_export_formats(service):
+    import json as json_mod
+
+    csv_bytes = service.execute_export(
+        "proj",
+        "SELECT event_type, COUNT(*) AS n FROM pageview GROUP BY event_type ORDER BY event_type",
+        fmt="csv",
+    )
+    lines = csv_bytes.decode("utf-8").strip().splitlines()
+    assert lines[0].split(",")[0].strip('"') == "event_type"
+    assert len(lines) == 3
+    payload = json_mod.loads(
+        service.execute_export(
+            "proj",
+            "SELECT event_type, COUNT(*) AS n FROM pageview GROUP BY event_type ORDER BY event_type",
+            fmt="json",
+        )
+    )
+    assert payload["metadata"][1]["type"] == "LONG"
+    assert [r[1] for r in payload["result"]] == [10, 20]
+    avro_bytes = service.execute_export(
+        "proj", "SELECT event_type FROM pageview LIMIT 3", fmt="avro"
+    )
+    assert avro_bytes[:4] == b"Obj\x01"
+    with pytest.raises(ValueError):
+        service.execute_export("proj", "DROP TABLE pageview", fmt="csv")
+    with pytest.raises(ValueError):
+        service.execute_export("proj", "SELECT 1", fmt="parquet")
+
+
 def test_explain_returns_formatted_plan(service):
     plan = service.explain(
         "proj", "SELECT event_type, COUNT(*) FROM pageview GROUP BY event_type"
