@@ -910,11 +910,15 @@ def cluster_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment leaks whenever a pair straddles a hash boundary.
     Oracle: identical recursive-CTE components + the same md5 rule.
     """
-    from .dedup import dedup_clusters, ngram_jaccard_pairs
+    from .dedup import connected_components, ngram_jaccard_pairs
 
     docs = _docs(spark, sf_dir)
-    labels = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
-    pairs = ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+    # ONE shingle self-join feeds both the component resolution and
+    # the leak check (calling dedup_clusters separately would run the
+    # pair join twice — measured ~2x the wall time of this shape).
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2").cache()
+    pairs.count()
+    labels = connected_components(pairs).select("doc_id", "cluster_id")
 
     def _bucket(col):
         return (
@@ -994,6 +998,7 @@ def cluster_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = out.localCheckpoint(eager=True)  # sever the CC lineage
     tagged.unpersist()
+    pairs.unpersist()
     return out
 
 
