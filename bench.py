@@ -85,6 +85,8 @@ EXTRA = [
     "event_cooccurrence_pmi",
     "user_activity_entropy",
     "doc_length_histogram",
+    "embedding_drift_by_label",
+    "customer_migration_matrix",
     "dedup_threshold_curve",
     "supplier_reliability_wilson",
     "doc_ngram_novelty",

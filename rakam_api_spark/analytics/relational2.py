@@ -1170,7 +1170,107 @@ FROM scored ORDER BY wilson_lower DESC, suppkey LIMIT 25
 """
 
 
+MIGRATION_SPLIT_DATE = "1998-05-01"  # midpoint of the order-date range
+
+
+def customer_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-tier migration matrix: each customer gets an
+    activity quartile (by order count) in period 1 and period 2
+    (orders before/after the range midpoint), and the matrix counts
+    every (tier_p1 → tier_p2) flow — including tier 0 = absent, so
+    new and churned customers are first-class cells.  The lifecycle
+    report behind "are our best customers downgrading?".
+
+    Same scale discipline as ``rfm_quartiles``: per-period quartile
+    CUTOFFS come from one tiny percentile aggregation; tier
+    assignment is row-local against the broadcast cutoffs (no global
+    NTILE window); the flow matrix is a ≤25-cell aggregation.  The
+    full-outer join of the two period frames is on custkey — the
+    dimension's own key.  Counts are exact; the share is a single
+    division of exact integers.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    split = F.lit(MIGRATION_SPLIT_DATE).cast("date")
+
+    def _period(df, name):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias(f"n_{name}")
+        )
+
+    p1 = _period(orders.where(od < split), "p1")
+    p2 = _period(orders.where(od >= split), "p2")
+    c1 = p1.agg(F.expr("percentile(n_p1, array(0.25, 0.5, 0.75))").alias("c1"))
+    c2 = p2.agg(F.expr("percentile(n_p2, array(0.25, 0.5, 0.75))").alias("c2"))
+
+    def _tier(col, cut):
+        v = F.col(col).cast("double")
+        return (
+            F.when(F.col(col).isNull(), F.lit(0))
+            .otherwise(
+                F.lit(1)
+                + (v > F.element_at(cut, 1)).cast("int")
+                + (v > F.element_at(cut, 2)).cast("int")
+                + (v > F.element_at(cut, 3)).cast("int")
+            )
+        )
+
+    joined = (
+        p1.join(p2, "o_custkey", "full_outer")
+        .crossJoin(broadcast(c1))
+        .crossJoin(broadcast(c2))
+        .select(
+            "o_custkey",
+            _tier("n_p1", F.col("c1")).alias("tier_p1"),
+            _tier("n_p2", F.col("c2")).alias("tier_p2"),
+        )
+    )
+    total = joined.count()
+    return (
+        joined.groupBy("tier_p1", "tier_p2")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            "tier_p1",
+            "tier_p2",
+            "n_customers",
+            (F.col("n_customers").cast("double") / F.lit(float(total))).alias(
+                "share"
+            ),
+        )
+        .orderBy("tier_p1", "tier_p2")
+    )
+
+
+CUSTOMER_MIGRATION_ORACLE = f"""
+WITH p1 AS (
+  SELECT o_custkey, COUNT(*) AS n_p1 FROM orders
+  WHERE CAST(o_orderdate AS DATE) < DATE '{MIGRATION_SPLIT_DATE}' GROUP BY 1
+),
+p2 AS (
+  SELECT o_custkey, COUNT(*) AS n_p2 FROM orders
+  WHERE CAST(o_orderdate AS DATE) >= DATE '{MIGRATION_SPLIT_DATE}' GROUP BY 1
+),
+c1 AS (SELECT quantile_cont(CAST(n_p1 AS DOUBLE), [0.25, 0.5, 0.75]) AS c FROM p1),
+c2 AS (SELECT quantile_cont(CAST(n_p2 AS DOUBLE), [0.25, 0.5, 0.75]) AS c FROM p2),
+joined AS (
+  SELECT COALESCE(p1.o_custkey, p2.o_custkey) AS o_custkey,
+         CASE WHEN n_p1 IS NULL THEN 0
+              ELSE 1 + CAST(n_p1 > c1.c[1] AS INT) + CAST(n_p1 > c1.c[2] AS INT)
+                     + CAST(n_p1 > c1.c[3] AS INT) END AS tier_p1,
+         CASE WHEN n_p2 IS NULL THEN 0
+              ELSE 1 + CAST(n_p2 > c2.c[1] AS INT) + CAST(n_p2 > c2.c[2] AS INT)
+                     + CAST(n_p2 > c2.c[3] AS INT) END AS tier_p2
+  FROM p1 FULL OUTER JOIN p2 USING (o_custkey), c1, c2
+),
+total AS (SELECT COUNT(*) AS t FROM joined)
+SELECT tier_p1, tier_p2, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(COUNT(*) AS DOUBLE) / CAST(total.t AS DOUBLE) AS share
+FROM joined, total GROUP BY tier_p1, tier_p2, total.t ORDER BY tier_p1, tier_p2
+"""
+
+
 QUERIES = {
+    "customer_migration_matrix": customer_migration_matrix,
     "supplier_reliability_wilson": supplier_reliability_wilson,
     "rfm_quartiles": rfm_quartiles,
     "part_copurchase_pairs": part_copurchase_pairs,
@@ -1194,6 +1294,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "customer_migration_matrix": CUSTOMER_MIGRATION_ORACLE,
     "supplier_reliability_wilson": SUPPLIER_WILSON_ORACLE,
     "rfm_quartiles": RFM_QUARTILES_ORACLE,
     "part_copurchase_pairs": PART_COPURCHASE_ORACLE,

@@ -1675,7 +1675,98 @@ ORDER BY p.q_id
 """
 
 
+def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: per label, the cosine between the
+    label's centroid in the REFERENCE window (first half of vec_ids)
+    and in the CURRENT window (second half) — the production check
+    that an upstream encoder change or data shift hasn't silently
+    rotated a class's embedding region (drift ≪ 1 ⇒ retrain/reindex).
+
+    The window boundary is data-derived (midpoint of the id range) so
+    the query is scale-factor-invariant.  One (label, window, pos)
+    aggregation over the quantized components — integer sums are
+    exact at any corpus size (|q| ≤ 10⁴ ⇒ per-pos sums < 2⁵³ for up
+    to ~10⁹ rows per label); cosine(Σref, Σcur) ≡ cosine of the mean
+    vectors, so the centroids never need the inexact division.  The
+    final cosine is a short float chain (two sqrts, one division) →
+    ``round(.., 9)`` on both engines.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    mid = emb.agg(((F.max("vec_id") + 1) / 2).cast("long").alias("mid"))
+    comp = _quantized_components(emb).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    sums = (
+        comp.crossJoin(broadcast(mid))
+        .withColumn(
+            "win", F.when(F.col("vec_id") < F.col("mid"), "ref").otherwise("cur")
+        )
+        .groupBy("label", "win", "pos")
+        .agg(F.sum("q").alias("s"), F.countDistinct("vec_id").alias("n"))
+    )
+    ref = sums.where(F.col("win") == "ref").select(
+        "label", "pos", F.col("s").alias("sr"), F.col("n").alias("n_ref")
+    )
+    cur = sums.where(F.col("win") == "cur").select(
+        "label", "pos", F.col("s").alias("sc"), F.col("n").alias("n_cur")
+    )
+    per_label = (
+        ref.join(cur, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.max("n_ref").alias("n_ref"),
+            F.max("n_cur").alias("n_cur"),
+            F.sum(F.col("sr") * F.col("sc")).alias("dot"),
+            F.sum(F.col("sr") * F.col("sr")).alias("nr2"),
+            F.sum(F.col("sc") * F.col("sc")).alias("nc2"),
+        )
+    )
+    return (
+        per_label.select(
+            "label",
+            "n_ref",
+            "n_cur",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("nr2").cast("double"))
+                    * F.sqrt(F.col("nc2").cast("double"))
+                ),
+                9,
+            ).alias("drift_cosine"),
+        )
+        .orderBy("label")
+    )
+
+
+EMBEDDING_DRIFT_ORACLE = """
+WITH comp AS (
+  SELECT e.vec_id, e.label, CAST(i AS INT) AS pos,
+         CAST(round(CAST(embedding[CAST(i AS INT)+1] AS DOUBLE) * 10000, 0) AS BIGINT) AS q
+  FROM embeddings e, LATERAL unnest(range(0, len(embedding))) t(i)
+),
+mid AS (SELECT CAST((MAX(vec_id) + 1) / 2 AS BIGINT) AS mid FROM embeddings),
+sums AS (
+  SELECT label, CASE WHEN vec_id < mid THEN 'ref' ELSE 'cur' END AS win, pos,
+         SUM(q) AS s, COUNT(DISTINCT vec_id) AS n
+  FROM comp, mid GROUP BY 1, 2, 3
+),
+joined AS (
+  SELECT r.label, r.pos, r.s AS sr, c.s AS sc, r.n AS n_ref, c.n AS n_cur
+  FROM (SELECT * FROM sums WHERE win = 'ref') r
+  JOIN (SELECT * FROM sums WHERE win = 'cur') c USING (label, pos)
+)
+SELECT label,
+       CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+       CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+       round(CAST(SUM(sr * sc) AS DOUBLE)
+             / (sqrt(CAST(SUM(sr * sr) AS DOUBLE)) * sqrt(CAST(SUM(sc * sc) AS DOUBLE))), 9) AS drift_cosine
+FROM joined GROUP BY label ORDER BY label
+"""
+
+
 QUERIES = {
+    "embedding_drift_by_label": embedding_drift_by_label,
     "knn_label_propagation": knn_label_propagation,
     "ann_brute_force_topk": brute_force_topk,
     "ann_filtered_topk": ann_filtered_topk,
@@ -1691,6 +1782,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_drift_by_label": EMBEDDING_DRIFT_ORACLE,
     "knn_label_propagation": KNN_LABEL_PROP_ORACLE,
     "ann_brute_force_topk": BRUTE_FORCE_ORACLE,
     "semantic_contamination": SEMANTIC_CONTAMINATION_ORACLE,

@@ -90,6 +90,51 @@ def test_copurchase_bounds(spark):
     assert counts == sorted(counts, reverse=True)
 
 
+def test_embedding_drift_bounds_and_coverage(spark):
+    rows = similarity.embedding_drift_by_label(spark, SF).collect()
+    emb = load_table(spark, SF, "embeddings")
+    n_labels = emb.select("label").distinct().count()
+    assert len(rows) == n_labels
+    for r in rows:
+        assert -1.0 <= r["drift_cosine"] <= 1.0
+        assert r["n_ref"] > 0 and r["n_cur"] > 0
+    # the synthetic labels are not geometric clusters, so |drift| ~ 0
+    # is the expected signal here; what matters is that the monitor is
+    # exactly reproducible (quantized integer sums + rounded cosine)
+    again = similarity.embedding_drift_by_label(spark, SF).collect()
+    assert [(r["label"], r["drift_cosine"]) for r in rows] == [
+        (r["label"], r["drift_cosine"]) for r in again
+    ]
+
+
+def test_customer_migration_conserves_customers(spark):
+    rows = relational2.customer_migration_matrix(spark, SF).collect()
+    n_cust = (
+        load_table(spark, SF, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert 0 <= r["tier_p1"] <= 4 and 0 <= r["tier_p2"] <= 4
+        # tier 0 rows are the new/churned cells: absent from one period
+        if r["tier_p1"] == 0:
+            assert r["tier_p2"] >= 1
+
+
+def test_dedup_threshold_curve_is_monotone(spark):
+    from rakam_api_spark.llm import dedup
+
+    rows = sorted(
+        dedup.dedup_threshold_curve(spark, SF).collect(),
+        key=lambda r: r["threshold"],
+    )
+    assert rows
+    pair_counts = [r["n_pairs"] for r in rows]
+    assert pair_counts == sorted(pair_counts, reverse=True)
+    means = [r["mean_jaccard"] for r in rows]
+    assert means == sorted(means)  # surviving pairs only get more similar
+
+
 def test_knn_label_propagation_contract(spark):
     rows = similarity.knn_label_propagation(spark, SF).collect()
     assert len(rows) == 20  # one prediction per query vector

@@ -63,6 +63,10 @@ SHOW = {
     "rollup over the orderkey fact join; Wilson math row-local on the small aggregate",
     "doc_ngram_novelty": "novelty: shingle->min(doc_id) agg + join back; no self-join, "
     "no corpus window",
+    "embedding_drift_by_label": "drift: one (label,window,pos) integer-sum aggregation; "
+    "cosine of summed vectors == cosine of centroids, no per-row division",
+    "customer_migration_matrix": "tier migration: two per-period custkey rollups, tiny "
+    "percentile cutoffs broadcast, row-local tiering, full-outer on the dim key",
     "pack_sequences": "sequence packing: running-sum window partitioned by source "
     "shard — parallel across sources, no global ordering anywhere",
     "heavy_hitters_sketch": "Misra-Gries frequent items: per-partition counter "
