@@ -41,11 +41,12 @@ _MODULES = (
 )
 
 # The driver's correctness gate checks at most 50 queries per round, in
-# enumeration order.  With 169 declared queries, plain module order
+# enumeration order.  With 171 declared queries, plain module order
 # would starve the tail modules of a driver-verified CORRECTNESS row
 # forever.  Round-8 rotation (staleness computed from CORRECTNESS_r01-r07):
-# (a) the nineteen queries added or modified this round (eleven brand-new:
-# embedding drift, customer tier migration, dedup threshold curve,
+# (a) the 21 queries added or modified this round (thirteen brand-new:
+# session-gap curve, any-order funnel, embedding drift, customer
+# tier migration, dedup threshold curve,
 # Wilson supplier reliability, n-gram novelty,
 # cluster-safe splits, bigram-LM quality, Markov transitions, RFM
 # quartiles, co-purchase pairs, kNN label propagation; plus the sampled
@@ -56,12 +57,14 @@ _MODULES = (
 # VERDICT r7 Next #4 names (TPC-H tail, attribution/latency/
 # correlation/seasonality, the media-dedup trio, the full ann_*
 # family, lexical/signature/incremental-dedup/contamination/hybrid);
-# (d) TPC-H r5-stale rows to fill slot 50 (q12-q22/bm25/dedup_clusters
+# (d) TPC-H r5-stale rows to fill slot 50 (q10-q22/bm25/dedup_clusters
 # slipped past the cutoff and lead the r9 rotation with the ~30
 # remaining r5-stale queries).  Everything listed passes
 # tools/check_correctness.py locally at sf0.01 and sf0.001.
 _GATE_PRIORITY = (
     # (a) added or modified this round
+    "session_gap_curve",
+    "unordered_funnel_completion",
     "embedding_drift_by_label",
     "customer_migration_matrix",
     "dedup_threshold_curve",

@@ -85,6 +85,8 @@ EXTRA = [
     "event_cooccurrence_pmi",
     "user_activity_entropy",
     "doc_length_histogram",
+    "session_gap_curve",
+    "unordered_funnel_completion",
     "embedding_drift_by_label",
     "customer_migration_matrix",
     "dedup_threshold_curve",

@@ -3331,7 +3331,164 @@ FROM pairs ORDER BY curr_event, next_event
 """
 
 
+SESSION_GAP_GRID_MIN = (5, 15, 30, 60)  # candidate gaps, minutes
+
+
+def session_gap_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-gap sensitivity curve: how many sessions (and how many
+    events per session) the corpus yields under each candidate
+    inactivity gap — the tuning artifact behind every sessionization
+    deployment (the 30-minute default is a convention, not a law).
+
+    ONE lag-window pass computes every user's inter-event deltas;
+    each gap threshold is then a row-local comparison fanned out of
+    the same delta column (array filter + explode) — sessionization
+    never re-runs per gap, because #sessions(g) = #active users +
+    #(deltas > g).  Exact integer counts; events-per-session is a
+    single division.
+    """
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(_us(), "event_id")
+    # microsecond deltas (the oracle's epoch_us grain) — ns-grain
+    # deltas would disagree with the oracle within 1 us of a boundary
+    deltas = ev.select(
+        "user_id",
+        (_us() - F.lag(_us(), 1).over(w)).alias("delta_us"),
+    )
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    gaps = F.array(*[F.lit(g * 60 * 1_000_000) for g in SESSION_GAP_GRID_MIN])
+    breaks = (
+        deltas.where(F.col("delta_us").isNotNull())
+        .select(
+            F.explode(
+                F.filter(gaps, lambda g: F.col("delta_us") > g)
+            ).alias("gap_us")
+        )
+        .groupBy("gap_us")
+        .agg(F.count(F.lit(1)).alias("n_breaks"))
+    )
+    grid = ev.sparkSession.createDataFrame(
+        [(g, g * 60 * 1_000_000) for g in SESSION_GAP_GRID_MIN],
+        "gap_minutes int, gap_us long",
+    )
+    return (
+        grid.join(breaks, "gap_us", "left")
+        .select(
+            "gap_minutes",
+            (F.coalesce(F.col("n_breaks"), F.lit(0)) + F.lit(int(n_users))).alias(
+                "n_sessions"
+            ),
+        )
+        .select(
+            "gap_minutes",
+            "n_sessions",
+            (F.lit(float(n_events)) / F.col("n_sessions").cast("double")).alias(
+                "events_per_session"
+            ),
+        )
+        .orderBy("gap_minutes")
+    )
+
+
+SESSION_GAP_CURVE_ORACLE = """
+WITH deltas AS (
+  SELECT epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS delta_us
+  FROM events
+),
+counts AS (SELECT (SELECT COUNT(*) FROM events) AS n_events,
+                  (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users),
+grid AS (SELECT CAST(gap_minutes AS INT) AS gap_minutes
+         FROM (VALUES (5), (15), (30), (60)) t(gap_minutes)),
+breaks AS (
+  SELECT gap_minutes, COUNT(*) AS n_breaks
+  FROM grid JOIN deltas ON delta_us > gap_minutes * CAST(60000000 AS BIGINT)
+  GROUP BY 1
+)
+SELECT g.gap_minutes,
+       CAST(COALESCE(b.n_breaks, 0) + c.n_users AS BIGINT) AS n_sessions,
+       CAST(c.n_events AS DOUBLE) / CAST(COALESCE(b.n_breaks, 0) + c.n_users AS DOUBLE) AS events_per_session
+FROM grid g LEFT JOIN breaks b USING (gap_minutes) CROSS JOIN counts c
+ORDER BY g.gap_minutes
+"""
+
+
+def unordered_funnel_completion(
+    spark: SparkSession, sf_dir: str, steps: tuple[str, ...] = ("signup", "click", "purchase")
+) -> DataFrame:
+    """Any-order funnel: users who performed ALL the step events
+    within a 7-day window, regardless of order — the companion to
+    the strict-sequence funnels (a checklist "activation" metric:
+    did the user do X, Y and Z in their first week, in any order).
+
+    Per (user, step) first-occurrence times via one aggregation;
+    completion = span(max first − min first) within the window.  The
+    per-user frame is |steps| rows wide — no window function over
+    the event grain, one shuffle on user_id.  Output: per-step reach
+    plus the all-steps / within-window completion counts — exact
+    integers and single divisions only.
+    """
+    window_us = 7 * US_PER_DAY
+    ev = _events(spark, sf_dir)
+    firsts = (
+        ev.where(F.col("event_type").isin(list(steps)))
+        .groupBy("user_id", "event_type")
+        .agg(F.min(_us()).alias("first_us"))
+    )
+    per_user = firsts.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_steps_done"),
+        (F.max("first_us") - F.min("first_us")).alias("span_us"),
+    )
+    total_users = ev.select("user_id").distinct().count()
+    return per_user.agg(
+        F.lit(int(total_users)).alias("n_users"),
+        F.count(F.lit(1)).alias("n_any_step"),
+        F.sum((F.col("n_steps_done") == len(steps)).cast("long")).alias(
+            "n_all_steps"
+        ),
+        F.sum(
+            (
+                (F.col("n_steps_done") == len(steps))
+                & (F.col("span_us") <= window_us)
+            ).cast("long")
+        ).alias("n_completed_7d"),
+    ).select(
+        "n_users",
+        "n_any_step",
+        "n_all_steps",
+        "n_completed_7d",
+        (
+            F.col("n_completed_7d").cast("double") / F.col("n_users").cast("double")
+        ).alias("completion_rate"),
+    )
+
+
+UNORDERED_FUNNEL_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, event_type, MIN(epoch_us(ts)) AS first_us
+  FROM events WHERE event_type IN ('signup', 'click', 'purchase')
+  GROUP BY 1, 2
+),
+per_user AS (
+  SELECT user_id, COUNT(*) AS n_steps_done,
+         MAX(first_us) - MIN(first_us) AS span_us
+  FROM firsts GROUP BY 1
+),
+tot AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events)
+SELECT CAST(tot.n_users AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_any_step,
+       CAST(SUM(CASE WHEN n_steps_done = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_all_steps,
+       CAST(SUM(CASE WHEN n_steps_done = 3 AND span_us <= 604800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_completed_7d,
+       CAST(SUM(CASE WHEN n_steps_done = 3 AND span_us <= 604800000000 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(tot.n_users AS DOUBLE) AS completion_rate
+FROM per_user, tot GROUP BY tot.n_users
+"""
+
+
 QUERIES = {
+    "session_gap_curve": session_gap_curve,
+    "unordered_funnel_completion": unordered_funnel_completion,
     "event_transition_probs": event_transition_probs,
     "attribution_time_decay": attribution_time_decay,
     "funnel_step_latency": funnel_step_latency,
@@ -3393,6 +3550,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "session_gap_curve": SESSION_GAP_CURVE_ORACLE,
+    "unordered_funnel_completion": UNORDERED_FUNNEL_ORACLE,
     "event_transition_probs": EVENT_TRANSITION_PROBS_ORACLE,
     "attribution_time_decay": ATTRIBUTION_TIME_DECAY_ORACLE,
     "funnel_step_latency": FUNNEL_STEP_LATENCY_ORACLE,

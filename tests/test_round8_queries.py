@@ -135,6 +135,29 @@ def test_dedup_threshold_curve_is_monotone(spark):
     assert means == sorted(means)  # surviving pairs only get more similar
 
 
+def test_session_gap_curve_monotone(spark):
+    rows = sorted(
+        events_mod.session_gap_curve(spark, SF).collect(),
+        key=lambda r: r["gap_minutes"],
+    )
+    assert [r["gap_minutes"] for r in rows] == [5, 15, 30, 60]
+    sessions = [r["n_sessions"] for r in rows]
+    # a longer inactivity gap can only merge sessions, never split them
+    assert sessions == sorted(sessions, reverse=True)
+    n_users = (
+        load_table(spark, SF, "events").select("user_id").distinct().count()
+    )
+    assert all(s >= n_users for s in sessions)
+    eps = [r["events_per_session"] for r in rows]
+    assert eps == sorted(eps)
+
+
+def test_unordered_funnel_bounds(spark):
+    row = events_mod.unordered_funnel_completion(spark, SF).collect()[0]
+    assert row["n_completed_7d"] <= row["n_all_steps"] <= row["n_any_step"] <= row["n_users"]
+    assert 0.0 <= row["completion_rate"] <= 1.0
+
+
 def test_knn_label_propagation_contract(spark):
     rows = similarity.knn_label_propagation(spark, SF).collect()
     assert len(rows) == 20  # one prediction per query vector

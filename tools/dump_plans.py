@@ -67,6 +67,10 @@ SHOW = {
     "cosine of summed vectors == cosine of centroids, no per-row division",
     "customer_migration_matrix": "tier migration: two per-period custkey rollups, tiny "
     "percentile cutoffs broadcast, row-local tiering, full-outer on the dim key",
+    "session_gap_curve": "gap curve: ONE lag-window pass over user-ordered events; each "
+    "gap is a row-local comparison fanned from the same delta column",
+    "unordered_funnel_completion": "any-order funnel: per-(user,step) first-times "
+    "aggregation, |steps|-row user frames, no event-grain window",
     "pack_sequences": "sequence packing: running-sum window partitioned by source "
     "shard — parallel across sources, no global ordering anywhere",
     "heavy_hitters_sketch": "Misra-Gries frequent items: per-partition counter "
