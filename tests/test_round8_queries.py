@@ -152,6 +152,21 @@ def test_session_gap_curve_monotone(spark):
     assert eps == sorted(eps)
 
 
+def test_session_gap_curve_matches_real_sessionization(spark):
+    """Cross-validation: the curve's closed form (#sessions(g) =
+    #active users + #(deltas > g)) must equal what the actual
+    sessionizer produces at every grid gap."""
+    curve = {
+        r["gap_minutes"]: r["n_sessions"]
+        for r in events_mod.session_gap_curve(spark, SF).collect()
+    }
+    ev = load_table(spark, SF, "events")
+    for gap_min, expected in curve.items():
+        sess = events_mod.sessionize(ev, gap_seconds=gap_min * 60)
+        actual = sess.select("user_id", "session_id").distinct().count()
+        assert actual == expected, (gap_min, actual, expected)
+
+
 def test_unordered_funnel_bounds(spark):
     row = events_mod.unordered_funnel_completion(spark, SF).collect()[0]
     assert row["n_completed_7d"] <= row["n_all_steps"] <= row["n_any_step"] <= row["n_users"]
