@@ -57,7 +57,7 @@ _MODULES = (
 # VERDICT r7 Next #4 names (TPC-H tail, attribution/latency/
 # correlation/seasonality, the media-dedup trio, the full ann_*
 # family, lexical/signature/incremental-dedup/contamination/hybrid);
-# (d) TPC-H r5-stale rows to fill slot 50 (q10-q22/bm25/dedup_clusters
+# (d) TPC-H r5-stale rows to fill slot 50 (q9-q22/bm25/dedup_clusters
 # slipped past the cutoff and lead the r9 rotation with the ~30
 # remaining r5-stale queries).  Everything listed passes
 # tools/check_correctness.py locally at sf0.01 and sf0.001.
