@@ -182,6 +182,20 @@ def test_execute_export_formats(service):
         service.execute_export("proj", "SELECT 1", fmt="parquet")
 
 
+def test_query_service_reads_txn_collections(service):
+    """Ad-hoc SQL must see a txn-logged collection's snapshot: after
+    enable_txn the store's read path resolves live files from the
+    commit log, and the view the service registers is that snapshot."""
+    service.store.enable_txn("proj", "pageview")
+    res = service.execute("proj", "SELECT COUNT(*) AS n FROM pageview")
+    assert not res.failed, res.error
+    assert res.result[0][0] == 30
+    # a compaction commit must not change query results
+    service.store.compact("proj", "pageview")
+    res2 = service.execute("proj", "SELECT COUNT(*) AS n FROM pageview")
+    assert res2.result[0][0] == 30
+
+
 def test_explain_returns_formatted_plan(service):
     plan = service.explain(
         "proj", "SELECT event_type, COUNT(*) FROM pageview GROUP BY event_type"
