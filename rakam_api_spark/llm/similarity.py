@@ -1765,7 +1765,65 @@ FROM joined GROUP BY label ORDER BY label
 """
 
 
+def crosslingual_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext-style cross-lingual pair mining (the CCMatrix/LASER
+    pattern): semantically-similar document pairs whose LANGUAGES
+    DIFFER — translation/paraphrase candidates for parallel-corpus
+    construction — reported per unordered language pair with the
+    strongest alignment score.
+
+    Rides the bounded LSH near-dup path end to end
+    (:func:`embedding_cosine_dedup`: hyperplane buckets → star
+    fallback → exact quantized verify — never all-pairs), then two
+    broadcast-able joins against the documents dimension (vec_id =
+    doc_id, the repo's established embedding↔document link; see
+    ``hybrid_search``) and a |langs|² rollup.  MAX is
+    order-insensitive and the cosines are the already-deterministic
+    quantized values, so no rounding is needed.
+    """
+    pairs = embedding_cosine_dedup(
+        spark, sf_dir, threshold=GATE_DEDUP_THRESHOLD
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    da = docs.select(F.col("doc_id").alias("v1"), F.col("lang").alias("la"))
+    db = docs.select(F.col("doc_id").alias("v2"), F.col("lang").alias("lb"))
+    tagged = (
+        pairs.join(broadcast(da), "v1")
+        .join(broadcast(db), "v2")
+        .where(F.col("la") != F.col("lb"))
+        .select(
+            F.least(F.col("la"), F.col("lb")).alias("lang_a"),
+            F.greatest(F.col("la"), F.col("lb")).alias("lang_b"),
+            "cosine",
+        )
+    )
+    return (
+        tagged.groupBy("lang_a", "lang_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("cosine").alias("max_cosine"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+CROSSLINGUAL_MINING_ORACLE = """
+SELECT lang_a, lang_b, CAST(COUNT(*) AS BIGINT) AS n_pairs, MAX(cosine) AS max_cosine
+FROM (
+  SELECT CASE WHEN da.lang <= db.lang THEN da.lang ELSE db.lang END AS lang_a,
+         CASE WHEN da.lang <= db.lang THEN db.lang ELSE da.lang END AS lang_b,
+         p.cosine
+  FROM ({pairs_sql}) p
+  JOIN documents da ON p.v1 = da.doc_id
+  JOIN documents db ON p.v2 = db.doc_id
+  WHERE da.lang <> db.lang
+)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
+    "crosslingual_mining": crosslingual_mining,
     "embedding_drift_by_label": embedding_drift_by_label,
     "knn_label_propagation": knn_label_propagation,
     "ann_brute_force_topk": brute_force_topk,
@@ -1782,6 +1840,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "crosslingual_mining": CROSSLINGUAL_MINING_ORACLE.format(
+        pairs_sql=COSINE_DEDUP_ORACLE.format(threshold=GATE_DEDUP_THRESHOLD)
+    ),
     "embedding_drift_by_label": EMBEDDING_DRIFT_ORACLE,
     "knn_label_propagation": KNN_LABEL_PROP_ORACLE,
     "ann_brute_force_topk": BRUTE_FORCE_ORACLE,

@@ -71,6 +71,8 @@ SHOW = {
     "gap is a row-local comparison fanned from the same delta column",
     "unordered_funnel_completion": "any-order funnel: per-(user,step) first-times "
     "aggregation, |steps|-row user frames, no event-grain window",
+    "crosslingual_mining": "bitext mining: rides the bounded LSH cosine pair path, two "
+    "broadcast dim joins on doc_id, |langs|\u00b2 rollup — never all-pairs",
     "pack_sequences": "sequence packing: running-sum window partitioned by source "
     "shard — parallel across sources, no global ordering anywhere",
     "heavy_hitters_sketch": "Misra-Gries frequent items: per-partition counter "
