@@ -157,7 +157,7 @@ def test_index_refresh_respects_writer_lock(spark, warehouse, store, tmp_path):
     plan = store.maintenance_plan("proj")
     assert plan and plan[0]["action"] == "index_refresh"
 
-    holder = subprocess.Popen(["sleep", "30"])
+    holder = subprocess.Popen(["sleep", "300"])
     lock_path = idx.rstrip("/") + ".lock"
     with open(lock_path, "w") as f:
         f.write(str(holder.pid))

@@ -33,7 +33,7 @@ def _run_stream(ingest, tmp_path, files):
         # and arrival order decides first-seen schema inference
         os.utime(p, (now - len(files) + i, now - len(files) + i))
     q = ingest.start_file_stream(str(in_dir), str(tmp_path / "ckpt"))
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not finish in 300s"
     return q
 
 
