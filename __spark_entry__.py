@@ -41,11 +41,12 @@ _MODULES = (
 )
 
 # The driver's correctness gate checks at most 50 queries per round, in
-# enumeration order.  With 172 declared queries, plain module order
+# enumeration order.  With 173 declared queries, plain module order
 # would starve the tail modules of a driver-verified CORRECTNESS row
 # forever.  Round-8 rotation (staleness computed from CORRECTNESS_r01-r07):
-# (a) the 22 queries added or modified this round (fourteen brand-new:
-# cross-lingual mining, session-gap curve, any-order funnel,
+# (a) the 23 queries added or modified this round (fifteen brand-new:
+# BPE merge candidates, cross-lingual mining, session-gap curve,
+# any-order funnel,
 # embedding drift, customer
 # tier migration, dedup threshold curve,
 # Wilson supplier reliability, n-gram novelty,
@@ -58,12 +59,13 @@ _MODULES = (
 # VERDICT r7 Next #4 names (TPC-H tail, attribution/latency/
 # correlation/seasonality, the media-dedup trio, the full ann_*
 # family, lexical/signature/incremental-dedup/contamination/hybrid);
-# (d) TPC-H r5-stale rows to fill slot 50 (q8-q22/bm25/dedup_clusters
+# (d) TPC-H r5-stale rows to fill slot 50 (q7-q22/bm25/dedup_clusters
 # slipped past the cutoff and lead the r9 rotation with the ~30
 # remaining r5-stale queries).  Everything listed passes
 # tools/check_correctness.py locally at sf0.01 and sf0.001.
 _GATE_PRIORITY = (
     # (a) added or modified this round
+    "bpe_merge_candidates",
     "crosslingual_mining",
     "session_gap_curve",
     "unordered_funnel_completion",

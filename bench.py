@@ -85,6 +85,7 @@ EXTRA = [
     "event_cooccurrence_pmi",
     "user_activity_entropy",
     "doc_length_histogram",
+    "bpe_merge_candidates",
     "crosslingual_mining",
     "session_gap_curve",
     "unordered_funnel_completion",

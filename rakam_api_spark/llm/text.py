@@ -790,7 +790,61 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """First BPE merge iteration (the tokenizer-training primitive,
+    Sennrich et al. 2016): the most frequent adjacent character pairs
+    across the corpus, each weighted by its words' occurrence counts.
+
+    The load-bearing scale choice is the classic BPE-trainer one:
+    operate on the VOCABULARY, not the corpus — one corpus pass
+    builds (word → count), which is vocabulary-sized, and the
+    character-pair explosion happens per DISTINCT word weighted by
+    its count.  At 100 TB the corpus is touched once (word count with
+    map-side combine); everything after is vocab-scale.  Counts are
+    exact integers; top-k is a total order ending in the unique pair
+    string.
+    """
+    docs = _docs(spark, sf_dir)
+    vocab = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .where(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = vocab.select(
+        "n",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word)-1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(k)
+    )
+
+
+BPE_MERGE_ORACLE = """
+WITH vocab AS (
+  SELECT word, COUNT(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE length(word) >= 2 GROUP BY 1
+),
+pairs AS (
+  SELECT substr(word, CAST(i AS INT), 2) AS pair, n
+  FROM vocab, LATERAL unnest(range(1, length(word))) t(i)
+)
+SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occurrences
+FROM pairs GROUP BY 1 ORDER BY n_occurrences DESC, pair LIMIT 20
+"""
+
+
 QUERIES = {
+    "bpe_merge_candidates": bpe_merge_candidates,
     "doc_ngram_novelty": doc_ngram_novelty,
     "lm_bigram_quality": lm_bigram_quality,
     "doc_length_histogram": doc_length_histogram,
@@ -807,6 +861,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "bpe_merge_candidates": BPE_MERGE_ORACLE,
     "doc_ngram_novelty": DOC_NGRAM_NOVELTY_ORACLE,
     "lm_bigram_quality": LM_BIGRAM_QUALITY_ORACLE,
     "doc_length_histogram": DOC_LENGTH_HISTOGRAM_ORACLE,

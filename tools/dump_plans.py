@@ -73,6 +73,8 @@ SHOW = {
     "aggregation, |steps|-row user frames, no event-grain window",
     "crosslingual_mining": "bitext mining: rides the bounded LSH cosine pair path, two "
     "broadcast dim joins on doc_id, |langs|\u00b2 rollup — never all-pairs",
+    "bpe_merge_candidates": "BPE trainer shape: ONE corpus pass builds the vocab, the "
+    "char-pair explosion is per DISTINCT word weighted by count — vocab-scale after scan",
     "pack_sequences": "sequence packing: running-sum window partitioned by source "
     "shard — parallel across sources, no global ordering anywhere",
     "heavy_hitters_sketch": "Misra-Gries frequent items: per-partition counter "

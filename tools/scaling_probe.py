@@ -127,6 +127,7 @@ OPERATORS = [
     "event_cooccurrence_pmi",
     "user_activity_entropy",
     "doc_length_histogram",
+    "bpe_merge_candidates",
     "crosslingual_mining",
     "session_gap_curve",
     "unordered_funnel_completion",
