@@ -196,6 +196,47 @@ def test_query_service_reads_txn_collections(service):
     assert res2.result[0][0] == 30
 
 
+def test_validate_fuzz_never_admits_writes():
+    """Property check on the read-only gate alone (no Spark): any
+    statement whose first keyword is a write verb must be rejected,
+    any semicolon-joined compound must be rejected, and a plain
+    SELECT wrapped in arbitrary whitespace/parens must pass."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rakam_api_spark.query_service import QueryService
+
+    write_heads = st.sampled_from(
+        ["DROP", "INSERT", "CREATE", "DELETE", "UPDATE", "ALTER",
+         "TRUNCATE", "MERGE", "SET", "GRANT", "CACHE", "MSCK"]
+    )
+    tail = st.text(
+        alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd", "Zs")),
+        max_size=40,
+    )
+    pad = st.text(alphabet=st.sampled_from(" \t\n"), max_size=5)
+
+    @settings(max_examples=200, deadline=None)
+    @given(head=write_heads, rest=tail, lead=pad)
+    def reject_writes(head, rest, lead):
+        assert QueryService._validate(f"{lead}{head} {rest}") is not None
+
+    @settings(max_examples=100, deadline=None)
+    @given(a=tail, b=tail)
+    def reject_compounds(a, b):
+        assert QueryService._validate(f"SELECT {a}; SELECT {b}") is not None
+
+    @settings(max_examples=100, deadline=None)
+    @given(lead=pad, trail=pad, col=st.sampled_from(["1", "x", "count(*)"]))
+    def admit_selects(lead, trail, col):
+        assert QueryService._validate(f"{lead}SELECT {col}{trail}") is None
+        assert QueryService._validate(f"{lead}(SELECT {col}){trail}") is None
+
+    reject_writes()
+    reject_compounds()
+    admit_selects()
+
+
 def test_explain_returns_formatted_plan(service):
     plan = service.explain(
         "proj", "SELECT event_type, COUNT(*) FROM pageview GROUP BY event_type"
