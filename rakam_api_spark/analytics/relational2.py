@@ -1044,9 +1044,12 @@ def part_copurchase_pairs(spark: SparkSession, sf_dir: str, k: int = 20) -> Data
     )
     c1 = part_orders.select(F.col("l_partkey").alias("p1"), F.col("c").alias("c1"))
     c2 = part_orders.select(F.col("l_partkey").alias("p2"), F.col("c").alias("c2"))
+    # part-count frames are |parts|-sized: let AQE pick the strategy
+    # rather than forcing a broadcast that a 100 TB part dimension
+    # would not fit
     return (
-        pairs.join(broadcast(c1), "p1")
-        .join(broadcast(c2), "p2")
+        pairs.join(c1, "p1")
+        .join(c2, "p2")
         .select(
             "p1",
             "p2",

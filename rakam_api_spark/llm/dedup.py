@@ -917,9 +917,12 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One pass: the pair graph is computed ONCE at the lowest
     threshold of interest (the grid floor — pairs below it can
-    never appear on the curve, so the bounded pair join stays the
-    only corpus-touching stage), then each pair fans out to the ≤8
-    thresholds it clears via one row-local array explode.  Mean
+    never appear on the curve, so the pair join stays the only
+    corpus-touching stage), then each pair fans out to the ≤8
+    thresholds it clears via one row-local array explode.  NOTE the
+    low floor widens the exact pair graph; at 100 TB feed the curve
+    from the MinHash-LSH candidate pairs (``minhash_lsh_pairs``)
+    instead of the exact self-join — the fan-out logic is unchanged.  Mean
     Jaccard per threshold is an order-dependent double sum →
     ``round(.., 6)`` on both engines; pair/doc counts are exact.
     """

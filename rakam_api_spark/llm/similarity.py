@@ -1775,7 +1775,8 @@ def crosslingual_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rides the bounded LSH near-dup path end to end
     (:func:`embedding_cosine_dedup`: hyperplane buckets → star
     fallback → exact quantized verify — never all-pairs), then two
-    broadcast-able joins against the documents dimension (vec_id =
+    joins against the documents dimension (AQE broadcasts the small
+    pair side, never the corpus) (vec_id =
     doc_id, the repo's established embedding↔document link; see
     ``hybrid_search``) and a |langs|² rollup.  MAX is
     order-insensitive and the cosines are the already-deterministic
@@ -1787,9 +1788,12 @@ def crosslingual_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     da = docs.select(F.col("doc_id").alias("v1"), F.col("lang").alias("la"))
     db = docs.select(F.col("doc_id").alias("v2"), F.col("lang").alias("lb"))
+    # no broadcast hint: the documents side is corpus-sized, the pair
+    # side is the (small) near-dup output — AQE broadcasts the PAIRS,
+    # which is the join direction that survives 100 TB
     tagged = (
-        pairs.join(broadcast(da), "v1")
-        .join(broadcast(db), "v2")
+        pairs.join(da, "v1")
+        .join(db, "v2")
         .where(F.col("la") != F.col("lb"))
         .select(
             F.least(F.col("la"), F.col("lb")).alias("lang_a"),

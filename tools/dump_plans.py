@@ -54,7 +54,8 @@ SHOW = {
     "rfm_quartiles": "RFM: quartile cutoffs via one 3-value percentile agg then "
     "ROW-LOCAL bucketing against broadcast cutoffs — no global NTILE window",
     "part_copurchase_pairs": "market-basket pairs: lineitem self-join co-partitioned "
-    "on l_orderkey, fan-out bounded by per-order line count; dim counts broadcast",
+    "on l_orderkey, fan-out bounded by per-order line count; count-join strategy "
+    "left to AQE (broadcast at test scale, shuffle when the part dim outgrows it)",
     "knn_label_propagation": "kNN labeling: request-sized query components broadcast; "
     "labeled corpus streams one (query,candidate) hash agg; vote is k-rows-per-query",
     "dedup_threshold_curve": "threshold curve: pair graph computed ONCE at the curve "
@@ -71,8 +72,8 @@ SHOW = {
     "gap is a row-local comparison fanned from the same delta column",
     "unordered_funnel_completion": "any-order funnel: per-(user,step) first-times "
     "aggregation, |steps|-row user frames, no event-grain window",
-    "crosslingual_mining": "bitext mining: rides the bounded LSH cosine pair path, two "
-    "broadcast dim joins on doc_id, |langs|\u00b2 rollup — never all-pairs",
+    "crosslingual_mining": "bitext mining: rides the bounded LSH cosine pair path; AQE broadcasts the "
+    "small pair side against the corpus-sized dim, |langs|\u00b2 rollup — never all-pairs",
     "bpe_merge_candidates": "BPE trainer shape: ONE corpus pass builds the vocab, the "
     "char-pair explosion is per DISTINCT word weighted by count — vocab-scale after scan",
     "pack_sequences": "sequence packing: running-sum window partitioned by source "
