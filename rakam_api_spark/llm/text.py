@@ -673,8 +673,13 @@ def lm_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_bg = with_bi.groupBy("doc_id", "lang", "w1", "w2").agg(
         F.count(F.lit(1)).alias("n")
     )
-    ref_bg = with_bi.where(F.col("lang") == "en")
-    c12 = ref_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # the LM counts derive from the already-aggregated doc bigrams —
+    # one corpus explode feeds both sides instead of two
+    c12 = (
+        doc_bg.where(F.col("lang") == "en")
+        .groupBy("w1", "w2")
+        .agg(F.sum("n").alias("c12"))
+    )
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab_size = (
         docs.where(F.col("lang") == "en")
