@@ -1228,17 +1228,23 @@ def customer_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             _tier("n_p2", F.col("c2")).alias("tier_p2"),
         )
     )
-    total = joined.count()
+    from pyspark.sql import Window
+
+    cells = joined.groupBy("tier_p1", "tier_p2").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    # grand total from a window over the ≤25-cell aggregate — no
+    # separate count() action, the join evaluates once
+    w_all = Window.partitionBy()
     return (
-        joined.groupBy("tier_p1", "tier_p2")
-        .agg(F.count(F.lit(1)).alias("n_customers"))
-        .select(
+        cells.select(
             "tier_p1",
             "tier_p2",
             "n_customers",
-            (F.col("n_customers").cast("double") / F.lit(float(total))).alias(
-                "share"
-            ),
+            (
+                F.col("n_customers").cast("double")
+                / F.sum("n_customers").over(w_all).cast("double")
+            ).alias("share"),
         )
         .orderBy("tier_p1", "tier_p2")
     )
