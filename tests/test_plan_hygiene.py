@@ -20,6 +20,10 @@ EXEMPT_BOUNDED_WINDOW = {
     "vocab_coverage",
     "revenue_pareto_top100",
     "order_backlog_daily",
+    # share-of-total over the (tier_p1, tier_p2) cell aggregate:
+    # tiers are 0..4 so the window input is <= 25 rows at ANY corpus
+    # size (asserted numerically below)
+    "customer_migration_matrix",
 }
 
 
@@ -94,6 +98,9 @@ def test_exempt_windows_have_numeric_input_bounds(spark):
     # top-k windows: input == output == at most k rows
     assert qs["revenue_pareto_top100"](spark, SF).count() <= 100
     assert qs["vocab_coverage"](spark, SF).count() <= 50  # k=50 default
+
+    # tier-cell window: input == output == at most 5x5 tier cells
+    assert qs["customer_migration_matrix"](spark, SF).count() <= 25
 
     # day-grain window: rows == distinct days <= calendar span + 1
     rows = qs["order_backlog_daily"](spark, SF).collect()
