@@ -34,6 +34,7 @@ import json
 import os
 import re
 import shutil
+import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -167,7 +168,17 @@ class _MaintenanceLock:
     - Same-host scope only (pid liveness via ``kill(pid, 0)``): on a
       multi-host deployment the warehouse needs a real transactional
       table format (Delta/Iceberg) or an external lock service —
-      documented limitation, see VERDICT r6 "What's missing" #2."""
+      documented limitation, see VERDICT r6 "What's missing" #2.
+
+    Atomicity: the pid file is published via write-private-temp then
+    ``os.link(tmp, lockpath)`` — the lock file NEVER exists empty, so
+    a contender can never misread a live holder as "unreadable ⇒
+    stale" (the window a plain O_EXCL-create-then-write leaves open
+    between create and flush).  Stale locks are broken by first
+    ``os.rename``-ing the lock to a private name — only one breaker
+    wins the rename — then re-verifying the renamed file's pid is
+    still dead before acquiring, so two breakers of one dead holder
+    can never leapfrog each other's fresh locks."""
 
     _DEPTH: dict[str, int] = {}
 
@@ -175,12 +186,22 @@ class _MaintenanceLock:
         self.path = path
 
     def _try_acquire(self) -> bool:
+        # Write the pid to a private temp first, then publish with a
+        # hardlink: creation is atomic WITH contents (never empty).
+        tmp = f"{self.path}.tmp.{os.getpid()}.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(os.getpid()))
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, self.path)
         except FileExistsError:
             return False
-        with os.fdopen(fd, "w") as f:
-            f.write(str(os.getpid()))
+        finally:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
         return True
 
     @staticmethod
@@ -202,18 +223,55 @@ class _MaintenanceLock:
             return self
         try:
             holder = int(open(self.path).read().strip() or 0)
+        except FileNotFoundError:
+            holder = -1  # holder released between our probe attempts
         except (OSError, ValueError):
-            holder = 0
-        if holder and holder != os.getpid() and self._pid_alive(holder):
+            # Publication is atomic-with-contents, so an unreadable
+            # lock is filesystem damage, not a mid-write window —
+            # treat as held (fail closed), never break it.
+            raise MaintenanceLockHeld(
+                f"{self.path}: lock file unreadable; refusing to break"
+            )
+        if holder > 0 and holder != os.getpid() and self._pid_alive(holder):
             raise MaintenanceLockHeld(
                 f"{self.path} held by live pid {holder}; maintenance ops are "
                 "single-writer per collection"
             )
-        # stale (holder dead / unreadable): break and re-acquire
-        try:
-            os.unlink(self.path)
-        except FileNotFoundError:
-            pass
+        if holder > 0:
+            # Stale (holder dead): arbitrate the break with a rename —
+            # exactly one breaker wins it — then re-verify the renamed
+            # file still names the dead pid we examined before taking
+            # over (a second breaker must not unlink a FRESH lock).
+            broken = f"{self.path}.breaking.{os.getpid()}.{uuid.uuid4().hex}"
+            try:
+                os.rename(self.path, broken)
+            except FileNotFoundError:
+                pass  # another breaker won; fall through to acquire
+            else:
+                try:
+                    renamed_holder = int(open(broken).read().strip() or 0)
+                except (OSError, ValueError):
+                    renamed_holder = 0
+                if renamed_holder != holder:
+                    # We renamed a DIFFERENT (fresh) lock — a breaker
+                    # race we lost.  Put the fresh holder's lock back
+                    # (atomic link; no-op if a third party already
+                    # re-published) and bow out — never steal it.
+                    try:
+                        os.link(broken, self.path)
+                    except FileExistsError:
+                        pass
+                    try:
+                        os.unlink(broken)
+                    except FileNotFoundError:
+                        pass
+                    raise MaintenanceLockHeld(
+                        f"{self.path}: lost stale-break race"
+                    )
+                try:
+                    os.unlink(broken)
+                except FileNotFoundError:
+                    pass
         if not self._try_acquire():
             raise MaintenanceLockHeld(f"{self.path}: lost acquisition race")
         self._DEPTH[self.path] = 1

@@ -134,3 +134,100 @@ except MaintenanceLockHeld:
     assert sorted(outcomes).count("WON") == 1, outcomes
     assert outcomes.count("LOST") == 3, outcomes
     assert not os.path.exists(lock_path)
+
+
+def test_planted_empty_lock_file_is_never_broken(tmp_path):
+    """An empty lock file can no longer be produced by the acquirer
+    (the pid is published atomically via link), so an empty file is
+    filesystem damage — the contender must fail CLOSED (raise, leave
+    the file alone), never treat it as stale and unlink it.  This
+    pins the fix for the r8 TOCTOU: the old code read holder=0 and
+    unlinked a live holder's still-empty lock."""
+    from rakam_api_spark.store import _MaintenanceLock
+
+    lock_path = str(tmp_path / "c.lock")
+    open(lock_path, "w").close()  # exists, EMPTY
+    with pytest.raises(MaintenanceLockHeld):
+        with _MaintenanceLock(lock_path):
+            pass
+    assert os.path.exists(lock_path), "contender must not break an empty lock"
+
+
+def test_suspended_live_holder_is_not_broken(tmp_path):
+    """A holder stopped with SIGSTOP (the GC-pause / scheduler-stall
+    analog that widened the r8 race window) is still LIVE to
+    kill(pid, 0) — a contender probing while the holder is frozen
+    must fail fast with MaintenanceLockHeld and leave the lock file
+    intact."""
+    from rakam_api_spark.store import _MaintenanceLock
+
+    lock_path = str(tmp_path / "c.lock")
+    ready = str(tmp_path / "ready")
+    holder = _spawn_holder(lock_path, ready)
+    try:
+        os.kill(holder.pid, signal.SIGSTOP)
+        with pytest.raises(MaintenanceLockHeld, match="single-writer"):
+            with _MaintenanceLock(lock_path):
+                pass
+        assert int(open(lock_path).read()) == holder.pid
+    finally:
+        os.kill(holder.pid, signal.SIGCONT)
+        holder.terminate()
+        holder.wait()
+
+
+def test_acquisition_race_stress_under_cpu_load(tmp_path):
+    """VERDICT r8 Next #1 'done' criterion: the 4-way acquisition race
+    repeated x20 WHILE concurrent CPU load runs on the machine (the
+    load is what widened the old empty-file window from nanoseconds
+    to a schedulable gap).  Exactly one winner every round.  The
+    winner holds until every loser has finished probing (file-based
+    rendezvous) so a load-delayed straggler can never legitimately
+    acquire after release and masquerade as a second winner."""
+    burners = [
+        subprocess.Popen([sys.executable, "-c", "while True: pass"])
+        for _ in range(8)
+    ]
+    src = """
+import sys, time, os
+sys.path.insert(0, "/root/repo")
+from rakam_api_spark.store import _MaintenanceLock, MaintenanceLockHeld
+
+lock_path, go, done_dir, me = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]
+while not os.path.exists(go):
+    time.sleep(0.002)
+try:
+    with _MaintenanceLock(lock_path):
+        deadline = time.time() + 10
+        while len(os.listdir(done_dir)) < 3 and time.time() < deadline:
+            time.sleep(0.005)
+    print("WON")
+except MaintenanceLockHeld:
+    open(os.path.join(done_dir, me), "w").close()
+    print("LOST")
+"""
+    try:
+        for rnd in range(20):
+            lock_path = str(tmp_path / f"r{rnd}.lock")
+            go = str(tmp_path / f"go{rnd}")
+            done_dir = tmp_path / f"done{rnd}"
+            done_dir.mkdir()
+            procs = [
+                subprocess.Popen(
+                    [sys.executable, "-c", src, lock_path, go, str(done_dir), str(i)],
+                    stdout=subprocess.PIPE,
+                    text=True,
+                )
+                for i in range(4)
+            ]
+            time.sleep(0.15)
+            open(go, "w").write("go")
+            outcomes = [p.communicate(timeout=40)[0].strip() for p in procs]
+            assert outcomes.count("WON") == 1, (rnd, outcomes)
+            assert outcomes.count("LOST") == 3, (rnd, outcomes)
+            assert not os.path.exists(lock_path)
+    finally:
+        for b in burners:
+            b.kill()
+        for b in burners:
+            b.wait()
