@@ -940,7 +940,13 @@ def cluster_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     tagged = (
-        docs.join(broadcast(labels), "doc_id", "left")
+        # No broadcast hint: `labels` is one row per document in ANY
+        # near-dup cluster — at web-corpus dup fractions that is a
+        # corpus-fraction-sized frame (tens of GB at 100 TB), over any
+        # broadcast threshold.  Let AQE pick the join strategy; the
+        # doc_id-keyed shuffle join is the shape that survives scale
+        # (same correction as b4a08db for crosslingual_mining).
+        docs.join(labels, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("ckey"),

@@ -43,9 +43,11 @@ SHOW = {
     "contamination_check": "benchmark-contamination: the held-out shingle set is "
     "BROADCAST; the corpus streams through one equi-join + per-doc aggregation — "
     "never self-joined",
-    "cluster_safe_splits": "leakage-safe splits: corpus LEFT-joins the tiny near-dup "
-    "cluster labels (broadcast), split is a row-local md5 of the cluster key; the "
-    "leak check joins only the bounded pair list",
+    "cluster_safe_splits": "leakage-safe splits: corpus LEFT-joins the near-dup "
+    "cluster labels on doc_id with NO broadcast hint — the label set is one row per "
+    "clustered document, a corpus-fraction-sized frame at web-corpus dup rates, so "
+    "AQE picks the strategy (shuffle join at scale); split is a row-local md5 of "
+    "the cluster key; the leak check joins only the bounded pair list",
     "lm_bigram_quality": "bigram-LM scoring: doc bigrams partially aggregated per "
     "(doc, bigram) BEFORE the two shuffled equi-joins against the reference count "
     "tables; no broadcast of the corpus-sized LM, no self-join",
