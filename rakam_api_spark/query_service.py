@@ -28,7 +28,16 @@ path has the same server-side materialization concern
 
 Safety: only read statements are accepted (SELECT / WITH / VALUES /
 TABLE / EXPLAIN).  DDL/DML strings are rejected BEFORE touching
-``spark.sql`` because Spark executes commands eagerly on parse.
+``spark.sql`` because Spark executes commands eagerly on parse — by
+a first-keyword gate AND a parser-level gate that parses the
+statement with Spark's own sqlParser (parse only, nothing runs) and
+rejects Commands and any tree containing a write node, which closes
+the CTE-prefixed-DML bypass ("WITH x AS (...) INSERT ...", whose
+leading keyword is a read keyword).
+
+Concurrency: the service lock covers only view registration +
+eager analysis (metadata-priced); execution always runs UNLOCKED,
+so a long analytical query never blocks other callers.
 """
 
 from __future__ import annotations
@@ -47,6 +56,35 @@ _READ_KEYWORDS = ("select", "with", "values", "table", "explain")
 # Spark embeds the source position as "(line N, pos M)" in
 # ParseException and as "; line N pos M;" in AnalysisException.
 _POS_RE = re.compile(r"\(line (\d+), pos (\d+)\)|; line (\d+) pos (\d+)")
+
+# String literals / quoted identifiers, blanked before the ';'
+# multi-statement check so `SELECT ';'` is not refused ('' / "" / ``
+# are the in-quote escape forms Spark's lexer accepts).
+_QUOTED_RE = re.compile(r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"|`(?:[^`]|``)*`")
+
+# Logical-plan node names that WRITE.  The first-keyword gate already
+# rejects bare DML, but Spark's grammar admits CTE-prefixed DML
+# ("WITH x AS (...) INSERT ..."), whose parsed root is a plain
+# UnresolvedWith — these node names anywhere in the parsed tree mean
+# the statement mutates state.
+_WRITE_NODES = frozenset(
+    {
+        "InsertIntoStatement",
+        "InsertIntoDir",
+        "InsertIntoContext",
+        "DeleteFromTable",
+        "UpdateTable",
+        "MergeIntoTable",
+        "ReplaceData",
+        "WriteDelta",
+    }
+)
+
+# First identifier on a treeString line, after the tree-drawing
+# margin ("  :  +- '") — node NAMES sit there; literal values that
+# merely CONTAIN a node name render later on the line, inside the
+# node's argument list, and never match.
+_TREE_NODE_RE = re.compile(r"^[\s:+|'-]*([A-Za-z][A-Za-z0-9_]*)")
 
 
 @dataclass
@@ -96,10 +134,12 @@ class QueryService:
     """Execute ad-hoc read SQL against a project's collections.
 
     One instance per (SparkSession, EventStore); per-call view
-    registration is serialized with a lock because Spark temp views
-    are session-scoped — two projects sharing a collection name must
-    not see each other's tables mid-flight.  Views are dropped in
-    ``finally`` so nothing leaks into later queries.
+    registration + analysis is serialized with a lock because Spark
+    temp views are session-scoped — two projects sharing a
+    collection name must not see each other's tables mid-flight.
+    Views are dropped in ``finally`` so nothing leaks into later
+    queries, and EXECUTION never holds the lock (see
+    :meth:`_analyze`).
     """
 
     def __init__(self, spark: SparkSession, store, users=None) -> None:
@@ -129,10 +169,15 @@ class QueryService:
 
     @staticmethod
     def _validate(sql: str) -> QueryError | None:
+        """Spark-free keyword gate (first line of defense; the
+        parser-level :meth:`_plan_gate` runs behind it).  The ';'
+        check blanks string literals and quoted identifiers first so
+        ``SELECT ';'`` is admitted while real compound statements are
+        still refused."""
         stripped = sql.strip().rstrip(";").strip()
         if not stripped:
             return QueryError("empty query")
-        if ";" in stripped:
+        if ";" in _QUOTED_RE.sub("''", stripped):
             return QueryError("multiple statements are not allowed")
         head = stripped.split(None, 1)[0].lower().lstrip("(")
         if head not in _READ_KEYWORDS:
@@ -142,30 +187,94 @@ class QueryService:
             )
         return None
 
+    def _plan_gate(self, sql: str) -> QueryError | None:
+        """Parser-level read-only gate: parse the statement with
+        Spark's own sqlParser (parse only — nothing executes) and
+        reject any plan that is a Command or contains a write node
+        anywhere in the tree.  Closes the CTE-prefixed-DML bypass:
+        "WITH x AS (SELECT 1) INSERT OVERWRITE DIRECTORY ... SELECT
+        * FROM x" has head 'with' yet its parsed tree carries an
+        InsertIntoDir node, and ``spark.sql`` would execute it
+        EAGERLY on parse.  EXPLAIN is the one admitted Command, and
+        only when the statement it explains passes the same node
+        scan (fail-closed: we refuse to even plan DML)."""
+        try:
+            jplan = (
+                self.spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+            )
+        except Exception as exc:  # ParseException → structured error
+            return self._to_error(exc)
+        command_cls = self.spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.catalyst.plans.logical.Command"
+        )
+        if command_cls.isInstance(jplan):
+            if jplan.getClass().getSimpleName() != "ExplainCommand":
+                return QueryError(
+                    "only read statements are allowed; parsed a command node "
+                    f"({jplan.getClass().getSimpleName()})",
+                    errorCode=42601,
+                )
+            jplan = jplan.logicalPlan()  # scan the EXPLAINed statement
+            if command_cls.isInstance(jplan):
+                return QueryError(
+                    "EXPLAIN of a command is not allowed", errorCode=42601
+                )
+        for line in jplan.treeString().splitlines():
+            m = _TREE_NODE_RE.match(line)
+            if m and m.group(1) in _WRITE_NODES:
+                return QueryError(
+                    f"only read statements are allowed; plan contains a write "
+                    f"node ({m.group(1)})",
+                    errorCode=42601,
+                )
+        return None
+
+    def _gate(self, sql: str) -> QueryError | None:
+        return self._validate(sql) or self._plan_gate(sql)
+
     # -- execution --------------------------------------------------------
+
+    def _analyze(self, project: str, sql: str) -> DataFrame:
+        """Register the project's views, let ``spark.sql`` parse AND
+        analyze the statement (Spark analyzes eagerly — view
+        references resolve into the returned Dataset's plan here),
+        then drop the views.  Only this metadata-only window holds
+        the lock: once analyzed, the DataFrame no longer needs the
+        temp views, so execution proceeds lock-free and concurrent
+        callers don't queue behind a long-running query (the r8
+        concurrency-1 defect).  The lock still guarantees two
+        projects sharing a collection name never see each other's
+        views mid-analysis."""
+        with self._lock:
+            views = self._project_views(project)
+            try:
+                for name, df in views.items():
+                    df.createOrReplaceTempView(name)
+                return self.spark.sql(sql)
+            finally:
+                for name in views:
+                    self.spark.catalog.dropTempView(name)
 
     def execute(self, project: str, sql: str, max_rows: int = 10_000) -> QueryResult:
         """Run a read statement over the project's views and return
         the reference result envelope.  ``max_rows`` caps driver-side
         materialization: properties["truncated"] flags a clipped
         result (and TOTAL_RESULT counts only returned rows)."""
-        err = self._validate(sql)
+        err = self._gate(sql)
         if err is not None:
             return QueryResult.error_result(err)
         start = time.monotonic()
-        with self._lock:
-            views = self._project_views(project)
-            try:
-                for name, df in views.items():
-                    df.createOrReplaceTempView(name)
-                try:
-                    out = self.spark.sql(sql)
-                    rows = out.limit(max_rows + 1).collect()
-                except Exception as exc:  # Parse/Analysis/execution
-                    return QueryResult.error_result(self._to_error(exc))
-            finally:
-                for name in views:
-                    self.spark.catalog.dropTempView(name)
+        try:
+            out = self._analyze(project, sql)
+        except Exception as exc:  # Parse/Analysis
+            return QueryResult.error_result(self._to_error(exc))
+        try:
+            # EXECUTION runs outside the lock: concurrent callers only
+            # serialize on the metadata-priced analysis window, never
+            # behind each other's long-running scans.
+            rows = out.limit(max_rows + 1).collect()
+        except Exception as exc:  # runtime/execution errors
+            return QueryResult.error_result(self._to_error(exc))
         truncated = len(rows) > max_rows
         rows = rows[:max_rows]
         elapsed_ms = int((time.monotonic() - start) * 1000)
@@ -192,7 +301,7 @@ class QueryService:
         belong to the distributed ``export.write_*_dir`` paths."""
         from . import export as export_mod
 
-        err = self._validate(sql)
+        err = self._gate(sql)
         if err is not None:
             raise ValueError(err.message)
         exporters = {
@@ -202,36 +311,21 @@ class QueryService:
         }
         if fmt not in exporters:
             raise ValueError(f"unknown export format: {fmt!r} (csv|avro|json)")
-        with self._lock:
-            views = self._project_views(project)
-            try:
-                for name, df in views.items():
-                    df.createOrReplaceTempView(name)
-                return exporters[fmt](self.spark.sql(sql), max_rows=max_rows)
-            finally:
-                for name in views:
-                    self.spark.catalog.dropTempView(name)
+        return exporters[fmt](self._analyze(project, sql), max_rows=max_rows)
 
     def explain(self, project: str, sql: str) -> str:
         """Formatted physical plan of a read statement (the audit
         hook PLANS.md uses for built-in operators, exposed for ad-hoc
         SQL)."""
-        err = self._validate(sql)
+        err = self._gate(sql)
         if err is not None:
             raise ValueError(err.message)
-        with self._lock:
-            views = self._project_views(project)
-            try:
-                for name, df in views.items():
-                    df.createOrReplaceTempView(name)
-                return self.spark.sql(sql)._jdf.queryExecution().explainString(
-                    self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                        "formatted"
-                    )
-                )
-            finally:
-                for name in views:
-                    self.spark.catalog.dropTempView(name)
+        out = self._analyze(project, sql)
+        return out._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
 
     @staticmethod
     def _to_error(exc: Exception) -> QueryError:

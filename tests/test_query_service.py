@@ -242,3 +242,97 @@ def test_explain_returns_formatted_plan(service):
         "proj", "SELECT event_type, COUNT(*) FROM pageview GROUP BY event_type"
     )
     assert "HashAggregate" in plan or "Aggregate" in plan
+
+
+def test_cte_prefixed_dml_is_rejected(service, tmp_path):
+    """The first-keyword gate alone admits "WITH ... INSERT ..."
+    (head='with'); the parser-level gate must reject it BEFORE
+    spark.sql, which would otherwise execute the write eagerly on
+    parse.  Verifies both the directory and table INSERT forms, and
+    that nothing was written."""
+    target = tmp_path / "pwn"
+    res = service.execute(
+        "proj",
+        f"WITH x AS (SELECT 1 AS a) INSERT OVERWRITE DIRECTORY "
+        f"'{target}' USING parquet SELECT * FROM x",
+    )
+    assert res.failed
+    assert "write node" in res.error.message
+    assert not target.exists(), "the INSERT must never have executed"
+    res2 = service.execute(
+        "proj", "WITH x AS (SELECT 1 AS a) INSERT INTO pageview SELECT * FROM x"
+    )
+    assert res2.failed
+    with pytest.raises(ValueError, match="write node"):
+        service.execute_export(
+            "proj",
+            f"WITH x AS (SELECT 1 AS a) INSERT OVERWRITE DIRECTORY "
+            f"'{target}' USING parquet SELECT * FROM x",
+        )
+    with pytest.raises(ValueError, match="write node"):
+        service.explain(
+            "proj", "WITH x AS (SELECT 1 AS a) INSERT INTO pageview SELECT * FROM x"
+        )
+
+
+def test_explain_of_command_is_rejected(service):
+    res = service.execute("proj", "EXPLAIN INSERT INTO pageview VALUES (1)")
+    assert res.failed
+    res2 = service.execute("proj", "EXPLAIN DROP TABLE pageview")
+    assert res2.failed
+    # EXPLAIN of a read statement still works through execute()
+    res3 = service.execute("proj", "EXPLAIN SELECT COUNT(*) FROM pageview")
+    assert not res3.failed
+
+
+def test_semicolon_inside_string_literal_is_admitted(service):
+    """A ';' inside a string literal is data, not a statement
+    separator — the gate blanks quoted regions before the compound
+    check (r8 VERDICT nit #5)."""
+    res = service.execute("proj", "SELECT ';' AS semi")
+    assert not res.failed, res.error
+    assert res.result == [[";"]]
+    # real compounds are still refused
+    assert service.execute("proj", "SELECT 1; SELECT 2").failed
+
+
+def test_write_node_name_as_literal_is_admitted(service):
+    """A string literal that merely CONTAINS a write-node name must
+    not trip the treeString scan (node names are matched only at the
+    line-leading position)."""
+    res = service.execute("proj", "SELECT 'InsertIntoStatement' AS s")
+    assert not res.failed, res.error
+    assert res.result == [["InsertIntoStatement"]]
+
+
+def test_concurrent_queries_do_not_serialize(service):
+    """r8 VERDICT What's wrong #3 'done' criterion: a slow query must
+    not block a fast one — the lock covers only view registration +
+    analysis, execution is lock-free.  The slow query sleeps 4s
+    inside execution (reflect → Thread.sleep); the fast COUNT(*)
+    must complete while the slow one is still running."""
+    import threading
+    import time as _t
+
+    done: dict[str, float] = {}
+
+    def slow():
+        service.execute(
+            "proj",
+            "SELECT reflect('java.lang.Thread', 'sleep', CAST(4000 AS BIGINT)) "
+            "FROM pageview LIMIT 1",
+        )
+        done["slow"] = _t.monotonic()
+
+    t = threading.Thread(target=slow)
+    t.start()
+    _t.sleep(1.0)  # let the slow query get past analysis into execution
+    res = service.execute("proj", "SELECT COUNT(*) AS n FROM pageview")
+    done["fast"] = _t.monotonic()
+    t.join(timeout=30)
+    assert not res.failed
+    assert res.result[0][0] == 30
+    assert "slow" in done, "slow query never finished"
+    assert done["fast"] < done["slow"], (
+        "fast query queued behind the slow one — execution is holding the lock"
+    )
