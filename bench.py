@@ -136,6 +136,7 @@ def main() -> None:
     ingest = run_ingest_bench(spark, n_events=200_000)
 
     total = round(sum(times.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     print(
         json.dumps(
             {
@@ -146,7 +147,25 @@ def main() -> None:
                 "queries_extra": extra,
                 "cold_value": round(sum(cold.values()), 3),
                 **ingest,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+            }
+        )
+    )
+    # Compact summary LAST: the full line above has grown past the
+    # driver's 2000-char tail capture (BENCH_r08.json recorded a null
+    # parse), so re-emit just the headline numbers as a second,
+    # always-capturable JSON line.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "cold_value": round(sum(cold.values()), 3),
+                "extra_total": round(sum(extra.values()), 3),
+                "n_queries": len(times) + len(extra),
+                "ingest_eps": ingest.get("ingest_eps"),
+                "sf": sf_val,
             }
         )
     )
