@@ -533,8 +533,14 @@ class EventStore:
                 # reclaim orphans and files retired BEFORE this
                 # rewrite; the snapshot the rewrite just replaced is
                 # retained one version so a reader that resolved it
-                # moments ago can still lazily open its files
-                txn.vacuum(retain_versions=1)
+                # moments ago can still lazily open its files.  The
+                # age guard protects a CONCURRENT append that has
+                # published staging files into the tree but not yet
+                # committed — appends don't take the maintenance
+                # lock, so without it those files would be reaped as
+                # orphans and the append would commit pointers to
+                # deleted files.
+                txn.vacuum(retain_versions=1, min_age_seconds=300)
                 return len(txn.live_files())
             return self._compact_locked(project, collection, target_files_per_partition)
 
@@ -908,7 +914,9 @@ class EventStore:
                 # metadata-only commit; files reclaimed on vacuum
                 txn.remove_partition("_month", m)
             if dropped:
-                txn.vacuum(retain_versions=1)
+                # same age guard as compact: a concurrent append's
+                # published-but-uncommitted files must not be reaped
+                txn.vacuum(retain_versions=1, min_age_seconds=300)
             return dropped
         path = self._table_path(project, collection)
         if not os.path.exists(path):
@@ -1009,8 +1017,11 @@ class EventStore:
         # user's rows — keeping the pre-erase snapshot readable would
         # defeat the point.  An in-flight reader racing an erasure can
         # fail and must re-resolve; that is the price of the right to
-        # be forgotten, not a retention bug.
-        txn.vacuum(retain_versions=0)
+        # be forgotten, not a retention bug.  Retired files delete
+        # promptly (min_age 0) while ORPHANS keep the age guard: a
+        # concurrent append's published-but-uncommitted files must
+        # survive this vacuum too.
+        txn.vacuum(retain_versions=0, orphan_min_age_seconds=300)
         n_after = sum(e["rows"] or 0 for e in add)
         return n_before - n_after
 

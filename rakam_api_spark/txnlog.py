@@ -288,21 +288,33 @@ class TxnTable:
                 "apps": apps,
             }
         )
+        # Checkpoints are an accelerator, never a correctness
+        # dependency — and this runs AFTER the commit file published,
+        # so no error here may escape (the caller would see a failed
+        # commit that actually succeeded and retry/double-write).  On
+        # filesystems without hardlink support os.link raises plain
+        # OSError, not FileExistsError: swallow the whole publish.
         tmp = self._ckpt_path(version) + f".tmp.{_uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            f.write(payload)
         try:
-            os.link(tmp, self._ckpt_path(version))
-        except FileExistsError:
-            pass  # a racing committer already published this version
-        finally:
-            os.unlink(tmp)
-        old = self._checkpoint_versions()[: -self.CHECKPOINTS_RETAINED]
-        for v in old:
+            with open(tmp, "w") as f:
+                f.write(payload)
             try:
-                os.unlink(self._ckpt_path(v))
-            except FileNotFoundError:
-                pass  # another pruner got it
+                os.link(tmp, self._ckpt_path(version))
+            except FileExistsError:
+                pass  # a racing committer already published this version
+            finally:
+                os.unlink(tmp)
+            old = self._checkpoint_versions()[: -self.CHECKPOINTS_RETAINED]
+            for v in old:
+                try:
+                    os.unlink(self._ckpt_path(v))
+                except FileNotFoundError:
+                    pass  # another pruner got it
+        except OSError:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
     def commit(
         self,
@@ -803,8 +815,45 @@ class TxnTable:
 
     # --- reclamation -----------------------------------------------------
 
+    def _vacuum_hwm_path(self) -> str:
+        # leading underscore: must not match version()'s v*.json scan
+        return os.path.join(self._txn, "_vacuum_hwm.json")
+
+    def _load_vacuum_hwm(self) -> tuple[int, dict[str, int]]:
+        """(last scanned version, pending tombstones path→retiring
+        version).  Pending tombstones are removals vacuum has already
+        SEEN but whose files it could not yet delete (retention /
+        age horizon) — carrying them forward is what lets each pass
+        scan only the commits since the previous pass."""
+        try:
+            with open(self._vacuum_hwm_path()) as f:
+                d = json.load(f)
+            return int(d.get("version", 0)), {
+                k: int(v) for k, v in d.get("pending", {}).items()
+            }
+        except (OSError, ValueError):
+            return 0, {}
+
+    def _store_vacuum_hwm(self, version: int, pending: dict[str, int]) -> None:
+        tmp = self._vacuum_hwm_path() + f".tmp.{_uuid.uuid4().hex[:8]}"
+        try:
+            with open(tmp, "w") as f:
+                json.dump({"version": version, "pending": pending}, f)
+            os.replace(tmp, self._vacuum_hwm_path())
+        except OSError:
+            # the high-water mark is an accelerator, never a
+            # correctness dependency: losing it only means the next
+            # vacuum re-scans commits it already saw (idempotent)
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
     def vacuum(
-        self, retain_versions: int = 1, min_age_seconds: float = 0.0
+        self,
+        retain_versions: int = 1,
+        min_age_seconds: float = 0.0,
+        orphan_min_age_seconds: float | None = None,
     ) -> list[str]:
         """Delete data files that are (a) orphans no commit ever
         registered (crash debris, lost-race compactions) or (b)
@@ -821,36 +870,55 @@ class TxnTable:
         adds a wall-clock horizon on top: a retired file is only
         deleted once the commit that retired it is at least this old
         (so arbitrarily long-running scans survive any
-        ``retain_versions`` setting), and an orphan only once the
-        file itself is — which also protects the append window
-        between staging-publish and commit from a concurrent
-        vacuum."""
+        ``retain_versions`` setting).  ``orphan_min_age_seconds``
+        (defaults to ``min_age_seconds``) guards ORPHANS by the
+        file's own mtime — protecting the append window between
+        staging-publish and commit from a concurrent vacuum — and is
+        a SEPARATE knob so the erasure path can delete its retired
+        files promptly while still age-guarding in-flight appends.
+
+        Metadata cost is bounded by a persisted high-water mark
+        (``_txn/_vacuum_hwm.json``): each pass replays only commits
+        since the previous pass, carrying not-yet-deletable removals
+        forward as pending tombstones — never the full
+        O(total commits) ``history()`` replay (the read path's
+        checkpoint bound, applied to the maintenance plane)."""
         import time
 
+        if orphan_min_age_seconds is None:
+            orphan_min_age_seconds = min_age_seconds
         current = self.version()
         keep: set[str] = set()
+        opens = 0
         for v in range(max(1, current - retain_versions), current + 1):
             keep.update(self.state(v).keys())
+            opens += self.last_state_file_opens
         # commit version that retired each path (last remove wins) —
-        # the age horizon is measured from that commit file's mtime
-        retired_at: dict[str, int] = {}
-        for rec in self.history():
+        # the age horizon is measured from that commit file's mtime.
+        # Resume from the high-water mark: `retired_at` starts as the
+        # pending tombstones earlier passes saw but could not delete.
+        hwm, retired_at = self._load_vacuum_hwm()
+        for v in range(hwm + 1, current + 1):
+            with open(self._commit_path(v)) as f:
+                rec = json.load(f)
+            opens += 1
             for r in rec.get("remove", ()):
-                retired_at[r] = rec["version"]
+                retired_at[r] = v
+        self.last_vacuum_file_opens = opens
         now = time.time()
-        horizon = now - min_age_seconds
 
         def _old_enough(rel: str, abs_path: str) -> bool:
-            if min_age_seconds <= 0:
-                return True
             v = retired_at.get(rel)
+            age = min_age_seconds if v is not None else orphan_min_age_seconds
+            if age <= 0:
+                return True
             try:
                 ref = os.path.getmtime(
                     self._commit_path(v) if v is not None else abs_path
                 )
             except OSError:
                 return False  # can't date it: keep (deletion must be safe)
-            return ref <= horizon
+            return ref <= now - age
 
         deleted = []
         for dirpath, dirs, files in os.walk(self.path):
@@ -873,4 +941,16 @@ class TxnTable:
                 # orphan (never committed) or retired beyond horizon
                 os.unlink(abs_path)
                 deleted.append(rel)
+        # Advance the high-water mark; tombstones survive only while
+        # their file still exists (kept by retention or age) so the
+        # pending map stays bounded by the not-yet-reclaimable set.
+        gone = set(deleted)
+        self._store_vacuum_hwm(
+            current,
+            {
+                p: v
+                for p, v in retired_at.items()
+                if p not in gone and os.path.exists(self._abs(p))
+            },
+        )
         return sorted(deleted)

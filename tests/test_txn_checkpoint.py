@@ -289,3 +289,89 @@ def test_zorder_compaction_skips_on_both_columns(spark, tmp_path):
 
     with pytest.raises(ValueError):
         t.compact(sort_by="a", zorder_by=["a", "b"])
+
+
+# --- vacuum metadata bound (VERDICT r8 Next #6 / What's-wrong #4) --------
+
+
+def test_vacuum_opens_bounded_after_200_commits(tmp_path):
+    """vacuum used to rebuild its retired-at map via history() —
+    O(total commits) file opens per maintenance pass.  With the
+    persisted high-water mark each pass replays only commits since
+    the previous pass, plus the checkpoint-bounded state()
+    resolutions for the retention window."""
+    t = TxnTable(None, str(tmp_path / "t"))
+    root = str(tmp_path / "t")
+    for i in range(200):
+        pq.write_table(pa.table({"x": [i]}), os.path.join(root, f"f{i:04d}.parquet"))
+        remove = [f"f{i - 1:04d}.parquet"] if i else []
+        t.commit(
+            add=[{"path": f"f{i:04d}.parquet", "rows": 1, "partition": None}],
+            remove=remove,
+        )
+        if i % 20 == 19:
+            t.vacuum(retain_versions=1)
+    # the final pass saw at most the 20 commits since the previous
+    # vacuum + (retain+1) checkpoint-bounded snapshot resolutions
+    bound = 20 + 2 * (t.checkpoint_every + 1) + 1
+    assert t.last_vacuum_file_opens <= bound, t.last_vacuum_file_opens
+    # and the table is exactly its live set on disk
+    on_disk = {f for f in os.listdir(root) if f.endswith(".parquet")}
+    live = set(t.live_files())
+    assert live <= on_disk
+    # everything beyond the 1-version retention was reclaimed
+    assert len(on_disk - live) <= 2
+
+
+def test_vacuum_pending_tombstone_carries_age_guard(tmp_path):
+    """A removal seen by one vacuum pass but spared by the age
+    horizon must stay correctly dated by its RETIRING COMMIT in later
+    passes (which no longer rescan that commit): the carried
+    tombstone, not the file's own mtime, drives the horizon."""
+    t = TxnTable(None, str(tmp_path / "t"))
+    root = str(tmp_path / "t")
+    pq.write_table(pa.table({"x": [1]}), os.path.join(root, "a.parquet"))
+    t.append_files(["a.parquet"])
+    pq.write_table(pa.table({"x": [2]}), os.path.join(root, "b.parquet"))
+    t.commit(
+        add=[{"path": "b.parquet", "rows": 1, "partition": None}],
+        remove=["a.parquet"],
+        op="compact",
+    )
+    # backdate the DATA file far past any horizon: if a later pass
+    # misclassified a.parquet as an orphan it would delete it
+    old = time.time() - 7200
+    os.utime(os.path.join(root, "a.parquet"), (old, old))
+    assert t.vacuum(retain_versions=0, min_age_seconds=3600) == []
+    # second pass scans zero new commits (hwm advanced) yet must
+    # still know a.parquet's retirement version from the tombstone
+    assert t.vacuum(retain_versions=0, min_age_seconds=3600) == []
+    assert os.path.exists(os.path.join(root, "a.parquet"))
+    # age the RETIRING commit past the horizon: now it goes
+    os.utime(t._commit_path(2), (old, old))
+    assert t.vacuum(retain_versions=0, min_age_seconds=3600) == ["a.parquet"]
+    # tombstone is dropped once reclaimed — the pending map stays
+    # bounded by the not-yet-reclaimable set
+    _, pending = t._load_vacuum_hwm()
+    assert "a.parquet" not in pending
+
+
+def test_erasure_vacuum_prompt_retire_but_orphan_guard(tmp_path):
+    """The erasure shape: retain_versions=0 + orphan_min_age —
+    retired files (the erased rows) delete PROMPTLY while a
+    concurrent append's published-but-uncommitted file survives."""
+    t = TxnTable(None, str(tmp_path / "t"))
+    root = str(tmp_path / "t")
+    pq.write_table(pa.table({"x": [1]}), os.path.join(root, "pre.parquet"))
+    t.append_files(["pre.parquet"])
+    pq.write_table(pa.table({"x": [2]}), os.path.join(root, "post.parquet"))
+    t.commit(
+        add=[{"path": "post.parquet", "rows": 1, "partition": None}],
+        remove=["pre.parquet"],
+        op="erase",
+    )
+    # mid-append file: in the tree, commit not yet landed
+    pq.write_table(pa.table({"x": [3]}), os.path.join(root, "inflight.parquet"))
+    deleted = t.vacuum(retain_versions=0, orphan_min_age_seconds=3600)
+    assert deleted == ["pre.parquet"], deleted  # prompt erasure
+    assert os.path.exists(os.path.join(root, "inflight.parquet"))  # guarded
