@@ -1692,7 +1692,10 @@ def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``round(.., 9)`` on both engines.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    mid = emb.agg(((F.max("vec_id") + 1) / 2).cast("long").alias("mid"))
+    # explicit floor on BOTH engines: Spark's double->long cast
+    # truncates while DuckDB's CAST rounds, so an even max(vec_id)
+    # would shift the window boundary by one vector between them
+    mid = emb.agg(F.floor((F.max("vec_id") + 1) / 2).cast("long").alias("mid"))
     comp = _quantized_components(emb).join(
         emb.select("vec_id", "label"), "vec_id"
     )
@@ -1745,7 +1748,7 @@ WITH comp AS (
          CAST(round(CAST(embedding[CAST(i AS INT)+1] AS DOUBLE) * 10000, 0) AS BIGINT) AS q
   FROM embeddings e, LATERAL unnest(range(0, len(embedding))) t(i)
 ),
-mid AS (SELECT CAST((MAX(vec_id) + 1) / 2 AS BIGINT) AS mid FROM embeddings),
+mid AS (SELECT CAST(floor((MAX(vec_id) + 1) / 2) AS BIGINT) AS mid FROM embeddings),
 sums AS (
   SELECT label, CASE WHEN vec_id < mid THEN 'ref' ELSE 'cur' END AS win, pos,
          SUM(q) AS s, COUNT(DISTINCT vec_id) AS n
