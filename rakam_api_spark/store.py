@@ -165,10 +165,8 @@ class _MaintenanceLock:
       file behind; the next acquirer detects the dead pid, breaks
       the stale lock, and takes over — so one crashed maintenance
       job can never wedge a collection.
-    - Same-host scope only (pid liveness via ``kill(pid, 0)``): on a
-      multi-host deployment the warehouse needs a real transactional
-      table format (Delta/Iceberg) or an external lock service —
-      documented limitation, see VERDICT r6 "What's missing" #2.
+    - Stale detection is scope-dependent — see "Scope" below; the
+      default assumes all maintenance writers share this host.
 
     Atomicity: the pid file is published via write-private-temp then
     ``os.link(tmp, lockpath)`` — the lock file NEVER exists empty, so
@@ -178,12 +176,29 @@ class _MaintenanceLock:
     ``os.rename``-ing the lock to a private name — only one breaker
     wins the rename — then re-verifying the renamed file's pid is
     still dead before acquiring, so two breakers of one dead holder
-    can never leapfrog each other's fresh locks."""
+    can never leapfrog each other's fresh locks.
+
+    Scope (``scope`` parameter / ``EventStore(maintenance_lock_scope=)``):
+
+    - ``"host"`` (default): stale detection via ``kill(pid, 0)`` —
+      correct ONLY when every maintenance writer runs on this host.
+    - ``"external"``: pid liveness is meaningless across hosts (a
+      foreign pid number says nothing over NFS/object storage), so a
+      foreign lock file is ALWAYS treated as held and never broken —
+      fail closed.  Use this on multi-host deployments, where
+      at-most-one-maintenance-job arbitration and crashed-holder
+      cleanup belong to an external scheduler/lock service (or move
+      the warehouse to Delta/Iceberg, whose commit protocol subsumes
+      the lock).  The txn log's commit arbitration is unaffected
+      either way (O_EXCL per commit file, no liveness inference)."""
 
     _DEPTH: dict[str, int] = {}
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, scope: str = "host"):
+        if scope not in ("host", "external"):
+            raise ValueError(f"unknown maintenance lock scope: {scope!r}")
         self.path = path
+        self.scope = scope
 
     def _try_acquire(self) -> bool:
         # Write the pid to a private temp first, then publish with a
@@ -231,6 +246,15 @@ class _MaintenanceLock:
             # treat as held (fail closed), never break it.
             raise MaintenanceLockHeld(
                 f"{self.path}: lock file unreadable; refusing to break"
+            )
+        if holder > 0 and holder != os.getpid() and self.scope == "external":
+            # Cross-host deployment: a foreign pid number proves
+            # nothing here, so never infer staleness — the external
+            # scheduler/lock service owns crashed-holder cleanup.
+            raise MaintenanceLockHeld(
+                f"{self.path} held (pid {holder}); scope=external never "
+                "breaks foreign locks — stale cleanup belongs to the "
+                "external lock service"
             )
         if holder > 0 and holder != os.getpid() and self._pid_alive(holder):
             raise MaintenanceLockHeld(
@@ -305,10 +329,27 @@ def salted_repartition(df: DataFrame, key_col: str, n_partitions: int, salt_buck
 
 
 class EventStore:
-    def __init__(self, spark: SparkSession, metastore: Metastore):
+    def __init__(
+        self,
+        spark: SparkSession,
+        metastore: Metastore,
+        maintenance_lock_scope: str = "host",
+    ):
+        """``maintenance_lock_scope``: ``"host"`` (default) uses pid
+        liveness to break crashed holders' locks — valid only when
+        every maintenance writer shares this host; ``"external"``
+        never breaks foreign locks (fail closed) and expects an
+        external scheduler/lock service (or a Delta/Iceberg
+        warehouse) to arbitrate multi-host maintenance.  See
+        :class:`_MaintenanceLock` for the full contract."""
         self.spark = spark
         self.metastore = metastore
         self.warehouse = metastore.warehouse_dir
+        if maintenance_lock_scope not in ("host", "external"):
+            raise ValueError(
+                f"unknown maintenance_lock_scope: {maintenance_lock_scope!r}"
+            )
+        self.maintenance_lock_scope = maintenance_lock_scope
 
     def _base_path(self, project: str, collection: str) -> str:
         return os.path.join(self.warehouse, _safe(project), _safe(collection))
@@ -493,7 +534,10 @@ class EventStore:
 
         Usage: ``with store.maintenance_lock(project, collection): ...``
         """
-        return _MaintenanceLock(self._base_path(project, collection) + ".lock")
+        return _MaintenanceLock(
+            self._base_path(project, collection) + ".lock",
+            scope=self.maintenance_lock_scope,
+        )
 
     def compact(
         self,
@@ -880,7 +924,10 @@ class EventStore:
                 # the index's own advisory writer lock: index
                 # maintenance serializes with concurrent appends the
                 # same way table maintenance serializes per collection
-                with _MaintenanceLock(imeta["path"].rstrip("/") + ".lock"):
+                with _MaintenanceLock(
+                    imeta["path"].rstrip("/") + ".lock",
+                    scope=self.maintenance_lock_scope,
+                ):
                     if item["action"] == "index_refresh":
                         base = self._read_index_base(imeta["base_path"])
                         n = im.refresh(

@@ -231,3 +231,32 @@ except MaintenanceLockHeld:
             b.kill()
         for b in burners:
             b.wait()
+
+
+def test_external_scope_never_breaks_foreign_locks(tmp_path):
+    """maintenance_lock_scope="external" (multi-host deployments):
+    pid liveness proves nothing across hosts, so a foreign lock file
+    — even one naming a DEAD local pid — is treated as held, never
+    broken; cleanup belongs to the external lock service.  Own-pid
+    debris (crash-restart of the same process id) may still be
+    reclaimed, and a free lock acquires normally."""
+    from rakam_api_spark.store import _MaintenanceLock
+
+    lock_path = str(tmp_path / "c.lock")
+    # plant a lock naming a pid that is certainly dead locally
+    dead = 4_000_000
+    open(lock_path, "w").write(str(dead))
+    with pytest.raises(MaintenanceLockHeld, match="external"):
+        with _MaintenanceLock(lock_path, scope="external"):
+            pass
+    assert int(open(lock_path).read()) == dead  # untouched
+    # host scope WOULD break the same dead-pid lock
+    os.unlink(lock_path)
+    open(lock_path, "w").write(str(dead))
+    with _MaintenanceLock(lock_path, scope="host"):
+        assert int(open(lock_path).read()) == os.getpid()
+    # free lock: external scope acquires and releases normally
+    with _MaintenanceLock(str(tmp_path / "d.lock"), scope="external"):
+        pass
+    with pytest.raises(ValueError):
+        _MaintenanceLock(lock_path, scope="cluster")
