@@ -24,6 +24,7 @@ single-partition window.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -1278,7 +1279,222 @@ FROM joined, total GROUP BY tier_p1, tier_p2, total.t ORDER BY tier_p1, tier_p2
 """
 
 
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation trade balance over the star: revenue EARNED by the
+    nation's suppliers vs money SPENT by the nation's customers, and
+    the balance — the macro view a TPC-H-style BI deployment serves
+    (reference delegates such reports to the warehouse,
+    rakam/README.md:27-31).
+
+    Plan: TWO independent fact aggregations, never one mega-join —
+    the supply side joins lineitem to the broadcast supplier dim and
+    partial-aggregates per nationkey before the tiny nation join; the
+    demand side is the q7-style lineitem⋈orders orderkey shuffle,
+    then the custkey shuffle to customer, aggregated per nationkey at
+    each step's grain.  A FULL outer join of the two 25-row nation
+    aggregates closes it — a nation with suppliers but no customers
+    still reports.
+
+    Determinism: both sides aggregate DECIMAL(18,6) volumes (exact),
+    cast to double once at the end; balance is one double subtraction
+    of those exact decimal casts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    supply = (
+        li.join(broadcast(supp.select("s_suppkey", "s_nationkey")), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_nationkey")
+        .agg(F.sum(_vol()).alias("supply_dec"))
+        .select(F.col("s_nationkey").alias("nationkey"), "supply_dec")
+    )
+    demand = (
+        li.select("l_orderkey", _vol().alias("vol"))
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(F.sum("vol").alias("demand_dec"))
+        .select(F.col("c_nationkey").alias("nationkey"), "demand_dec")
+    )
+    return (
+        supply.join(demand, "nationkey", "full")
+        .join(broadcast(nation), F.col("nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.coalesce(F.col("supply_dec"), F.lit(0).cast(DEC)).cast("double").alias("supply_revenue"),
+            F.coalesce(F.col("demand_dec"), F.lit(0).cast(DEC)).cast("double").alias("purchase_spend"),
+            (
+                F.coalesce(F.col("supply_dec"), F.lit(0).cast(DEC)).cast("double")
+                - F.coalesce(F.col("demand_dec"), F.lit(0).cast(DEC)).cast("double")
+            ).alias("trade_balance"),
+        )
+        .orderBy("nation")
+    )
+
+
+NATION_TRADE_BALANCE_ORACLE = f"""
+WITH supply AS (
+  SELECT s_nationkey AS nationkey, SUM({_VOL_SQL}) AS supply_dec
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1
+),
+demand AS (
+  SELECT c_nationkey AS nationkey, SUM({_VOL_SQL}) AS demand_dec
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1
+)
+SELECT n_name AS nation,
+       CAST(COALESCE(supply_dec, 0) AS DOUBLE) AS supply_revenue,
+       CAST(COALESCE(demand_dec, 0) AS DOUBLE) AS purchase_spend,
+       CAST(COALESCE(supply_dec, 0) AS DOUBLE)
+         - CAST(COALESCE(demand_dec, 0) AS DOUBLE) AS trade_balance
+FROM supply FULL OUTER JOIN demand USING (nationkey)
+JOIN nation ON nationkey = n_nationkey
+ORDER BY nation
+"""
+
+
+def order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order cadence per market segment: the gap in days
+    between a customer's consecutive orders, summarized per segment
+    (median / p90 / mean gap, customers with a repeat order, total
+    gaps) — the repeat-purchase-cycle report behind replenishment
+    campaigns.
+
+    Plan: ONE custkey-partitioned LAG window over orders ordered by
+    (o_orderdate, o_orderkey) — the unique-key tiebreak makes
+    same-day order pairs deterministic — then a custkey-shuffled join
+    to the customer dim for the segment, and a 5-segment aggregate.
+    The window partitions by customer (bounded by orders-per-
+    customer), never a global funnel.
+
+    Determinism: gaps are exact integer days; ``percentile`` ≡
+    DuckDB ``quantile_cont`` interpolation bit-for-bit on integer
+    inputs; the mean is an explicit exact-integer-sum / count double
+    division rounded to 6."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn("prev_date", F.lag("o_orderdate").over(w))
+        .where(F.col("prev_date").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff(F.col("o_orderdate"), F.col("prev_date")).alias("gap_days"),
+        )
+    )
+    return (
+        gaps.join(cust.select("c_custkey", "c_mktsegment"), gaps.o_custkey == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("repeat_customers"),
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.expr("percentile(gap_days, 0.5)").alias("median_gap_days"),
+            F.expr("percentile(gap_days, 0.9)").alias("p90_gap_days"),
+            F.round(
+                F.sum("gap_days").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("mean_gap_days"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORDER_GAP_STATS_ORACLE = """
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day', LAG(o_orderdate) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), o_orderdate) AS gap_days
+  FROM orders
+  QUALIFY gap_days IS NOT NULL
+)
+SELECT c_mktsegment,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS repeat_customers,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       quantile_cont(gap_days, 0.5) AS median_gap_days,
+       quantile_cont(gap_days, 0.9) AS p90_gap_days,
+       round(CAST(SUM(gap_days) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_gap_days
+FROM gaps JOIN customer ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def running_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative monthly revenue per region with each month's
+    running share of the region's total — the year-to-date pacing
+    chart every revenue dashboard carries.
+
+    Plan: revenue first collapses to the (region, month) grain —
+    one orders⋈customer custkey shuffle, broadcast nation/region —
+    and only THEN do the two windows run, over an aggregate of at
+    most regions × months rows (5 × ~84 here; bounded by the date
+    span at any corpus size, the documented exemption class for
+    aggregate-grain windows).  Cumulative sum and region total are
+    both region-partitioned windows.
+
+    Determinism: monthly revenue sums DECIMAL(18,6); the running sum
+    accumulates DECIMALS (exact, order-free) and casts to double per
+    row; share is one double division rounded to 9."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    monthly = (
+        orders.join(cust.select("c_custkey", "c_nationkey"), orders.o_custkey == F.col("c_custkey"))
+        .join(broadcast(nation.select("n_nationkey", "n_regionkey")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .agg(F.sum(_dec("o_totalprice")).alias("rev_dec"))
+    )
+    wcum = Window.partitionBy("region").orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    wtot = Window.partitionBy("region")
+    return (
+        monthly.select(
+            "region",
+            "month",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            F.sum("rev_dec").over(wcum).cast("double").alias("cum_revenue"),
+            F.round(
+                F.sum("rev_dec").over(wcum).cast("double")
+                / F.sum("rev_dec").over(wtot).cast("double"),
+                9,
+            ).alias("cum_share"),
+        )
+        .orderBy("region", "month")
+    )
+
+
+RUNNING_REVENUE_SHARE_ORACLE = """
+WITH monthly AS (
+  SELECT r_name AS region, strftime(o_orderdate, '%Y-%m') AS month,
+         SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev_dec
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, month,
+       CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(SUM(rev_dec) OVER (PARTITION BY region ORDER BY month
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue,
+       round(CAST(SUM(rev_dec) OVER (PARTITION BY region ORDER BY month
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(SUM(rev_dec) OVER (PARTITION BY region) AS DOUBLE), 9) AS cum_share
+FROM monthly ORDER BY region, month
+"""
+
+
 QUERIES = {
+    "nation_trade_balance": nation_trade_balance,
+    "order_gap_stats": order_gap_stats,
+    "running_revenue_share": running_revenue_share,
     "customer_migration_matrix": customer_migration_matrix,
     "supplier_reliability_wilson": supplier_reliability_wilson,
     "rfm_quartiles": rfm_quartiles,
@@ -1303,6 +1519,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "nation_trade_balance": NATION_TRADE_BALANCE_ORACLE,
+    "order_gap_stats": ORDER_GAP_STATS_ORACLE,
+    "running_revenue_share": RUNNING_REVENUE_SHARE_ORACLE,
     "customer_migration_matrix": CUSTOMER_MIGRATION_ORACLE,
     "supplier_reliability_wilson": SUPPLIER_WILSON_ORACLE,
     "rfm_quartiles": RFM_QUARTILES_ORACLE,
