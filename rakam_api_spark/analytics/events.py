@@ -3486,7 +3486,266 @@ FROM per_user, tot GROUP BY tot.n_users
 """
 
 
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITION-BASED (U-shaped 40/20/40) multi-touch attribution:
+    the first and last ``click`` in a conversion's 7-day lookback
+    each take 40% of the credit, the middle touches share the
+    remaining 20% equally (1 touch → 100%, 2 touches → 50/50) — the
+    third standard model next to last-touch and linear, same family
+    as ``attribution_linear``.
+
+    Plan: identical bounded pair build (RANGE-window touch count, a
+    user-equi join with a time-range residual bounded by
+    touches-per-user-week), plus ONE extra window: the touch's rank
+    within its conversion, partitioned per conversion (bounded by
+    the same weekly touch count) with an event-id tiebreak for
+    same-microsecond touches.  Credit is then row-local arithmetic.
+
+    Determinism: the rank's tiebreak is the unique touch event id;
+    credited sums are multi-term float reductions → ``round(.., 6)``
+    on both engines (the ``attribution_linear`` convention)."""
+    ev = _events(spark, sf_dir)
+    week_us = 7 * 24 * US_PER_HOUR
+    sub = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        "user_id", "event_type", "event_id", "value", _us().alias("_us")
+    )
+    wr = Window.partitionBy("user_id").orderBy("_us").rangeBetween(-week_us, -1)
+    n_touches = F.sum(
+        F.when(F.col("event_type") == "click", F.lit(1)).otherwise(F.lit(0))
+    ).over(wr)
+    conv = (
+        sub.withColumn("n_touches", n_touches)
+        .where((F.col("event_type") == "purchase") & (F.col("n_touches") > 0))
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("conv_id"),
+            F.col("_us").alias("conv_us"),
+            F.col("value").alias("conv_value"),
+            "n_touches",
+        )
+    )
+    touches = sub.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("touch_id"), F.col("_us").alias("touch_us")
+    )
+    pairs = conv.join(
+        touches,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("touch_us") >= F.col("conv_us") - week_us)
+        & (F.col("touch_us") <= F.col("conv_us") - 1),
+    )
+    wrank = Window.partitionBy("conv_id").orderBy("touch_us", "touch_id")
+    ranked = pairs.withColumn("touch_rank", F.row_number().over(wrank))
+    n = F.col("n_touches").cast("double")
+    credit = (
+        F.when(F.col("n_touches") == 1, F.lit(1.0))
+        .when(F.col("n_touches") == 2, F.lit(0.5))
+        .when(F.col("touch_rank") == 1, F.lit(0.4))
+        .when(F.col("touch_rank") == F.col("n_touches"), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (n - F.lit(2.0)))
+    )
+    day_us = 24 * US_PER_HOUR
+    return (
+        ranked.groupBy(
+            F.expr(
+                f"date_add(date'1970-01-01', cast(touch_us div {day_us} as int))"
+            ).alias("touch_day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum(credit), 6).alias("credited_conversions"),
+            F.round(F.sum(F.col("conv_value") * credit), 6).alias("attributed_revenue"),
+        )
+        .orderBy("touch_day")
+    )
+
+
+ATTRIBUTION_POSITION_ORACLE = """
+WITH sub AS (
+  SELECT user_id, event_type, event_id, value, epoch_us(ts) AS us
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+conv AS (
+  SELECT user_id AS c_user, event_id AS conv_id, us AS conv_us, value AS conv_value,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY us
+           RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING) AS n_touches
+  FROM sub
+  QUALIFY event_type = 'purchase' AND n_touches > 0
+),
+touches AS (
+  SELECT user_id, event_id AS touch_id, us AS touch_us FROM sub WHERE event_type = 'click'
+),
+ranked AS (
+  SELECT c.*, t.touch_us,
+         ROW_NUMBER() OVER (PARTITION BY c.conv_id ORDER BY t.touch_us, t.touch_id) AS touch_rank
+  FROM conv c JOIN touches t
+    ON t.user_id = c.c_user
+   AND t.touch_us >= c.conv_us - 604800000000
+   AND t.touch_us <= c.conv_us - 1
+),
+credited AS (
+  SELECT *,
+         CASE WHEN n_touches = 1 THEN 1.0
+              WHEN n_touches = 2 THEN 0.5
+              WHEN touch_rank = 1 THEN 0.4
+              WHEN touch_rank = n_touches THEN 0.4
+              ELSE 0.2 / (CAST(n_touches AS DOUBLE) - 2.0) END AS credit
+  FROM ranked
+)
+SELECT CAST('1970-01-01' AS DATE) + CAST(touch_us // 86400000000 AS INT) AS touch_day,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round(SUM(credit), 6) AS credited_conversions,
+       round(SUM(conv_value * credit), 6) AS attributed_revenue
+FROM credited GROUP BY 1 ORDER BY 1
+"""
+
+
+def event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (Fano factor) of user activity per event type: the
+    variance-to-mean ratio of a user's DAILY event counts over their
+    active days — Fano ≈ 1 is Poisson-like steady usage, ≫ 1 is
+    bursty binge behavior.  The per-type mean Fano separates steady
+    telemetry streams from bursty human actions.
+
+    Plan: exact integer (user, type, day) counts, partially
+    aggregated map-side; the per-(user, type) moment aggregation
+    carries only exact integer sums (Σc, Σc²) so the Fano is a short
+    row-local double chain; the final per-type mean is the only
+    multi-term float reduction.
+
+    Determinism: the Fano chain is written IDENTICALLY on both
+    engines (sumsq/n − mean², ÷ mean); per-type mean of per-user
+    Fanos is order-dependent → ``round(.., 6)``."""
+    ev = _events(spark, sf_dir)
+    day_us = 24 * US_PER_HOUR
+    daily = (
+        ev.select(
+            "user_id",
+            "event_type",
+            (_us() / F.lit(day_us)).cast("long").alias("day_id"),
+        )
+        .groupBy("user_id", "event_type", "day_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_user = daily.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("sq"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_days").cast("double")
+    var = F.col("sq").cast("double") / F.col("n_days").cast("double") - mean * mean
+    fano = var / mean
+    return (
+        per_user.where(F.col("n_days") >= 3)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.sum(fano) / F.count(F.lit(1)).cast("double"), 6).alias(
+                "mean_fano"
+            ),
+            F.round(F.max(fano), 6).alias("max_fano"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENT_BURSTINESS_ORACLE = """
+WITH daily AS (
+  SELECT user_id, event_type, epoch_us(ts) // 86400000000 AS day_id,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2, 3
+),
+per_user AS (
+  SELECT user_id, event_type, COUNT(*) AS n_days,
+         SUM(c) AS s, SUM(c * c) AS sq
+  FROM daily GROUP BY 1, 2
+),
+fanos AS (
+  SELECT event_type,
+         (CAST(sq AS DOUBLE) / CAST(n_days AS DOUBLE)
+           - (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+             * (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)))
+         / (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)) AS fano
+  FROM per_user WHERE n_days >= 3
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+       round(SUM(fano) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_fano,
+       round(MAX(fano), 6) AS max_fano
+FROM fanos GROUP BY 1 ORDER BY 1
+"""
+
+
+def session_depth_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of session depth (events per 30-min-gap session)
+    in log₂ buckets: how much of the traffic is one-shot bounces vs
+    deep multi-action sessions — the engagement histogram behind
+    bounce-rate and stickiness reports, riding the SAME sessionizer
+    as ``sessionization_stats`` (cross-validated chain).
+
+    Plan: the sessionizer's one user-keyed shuffle, a (user, session)
+    count, then a ~10-bucket aggregate; the share division is a
+    single-row broadcast of the session total.
+
+    Determinism: bucket = floor(log₂(n)) — exact at powers of two in
+    IEEE754 on both engines, unambiguous elsewhere; counts exact;
+    share rounded to 9."""
+    sess = sessionize(_events(spark, sf_dir))
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    bucketed = per_session.select(
+        F.floor(F.log2("n_events")).cast("long").alias("depth_bucket"),
+        "n_events",
+    )
+    total = bucketed.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        bucketed.groupBy("depth_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "depth_bucket",
+            "n_sessions",
+            "n_events",
+            F.round(
+                F.col("n_sessions").cast("double") / F.col("n_total").cast("double"), 9
+            ).alias("session_share"),
+        )
+        .orderBy("depth_bucket")
+    )
+
+
+SESSION_DEPTH_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), sessions AS (
+  SELECT user_id, us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events FROM sessions GROUP BY 1, 2
+), tot AS (SELECT COUNT(*) AS n_total FROM per_session)
+SELECT CAST(FLOOR(log2(n_events)) AS BIGINT) AS depth_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       round(CAST(COUNT(*) AS DOUBLE) / CAST(tot.n_total AS DOUBLE), 9) AS session_share
+FROM per_session, tot GROUP BY 1, tot.n_total ORDER BY 1
+"""
+
+
 QUERIES = {
+    "attribution_position_based": attribution_position_based,
+    "event_burstiness": event_burstiness,
+    "session_depth_distribution": session_depth_distribution,
     "session_gap_curve": session_gap_curve,
     "unordered_funnel_completion": unordered_funnel_completion,
     "event_transition_probs": event_transition_probs,
@@ -3550,6 +3809,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "attribution_position_based": ATTRIBUTION_POSITION_ORACLE,
+    "event_burstiness": EVENT_BURSTINESS_ORACLE,
+    "session_depth_distribution": SESSION_DEPTH_ORACLE,
     "session_gap_curve": SESSION_GAP_CURVE_ORACLE,
     "unordered_funnel_completion": UNORDERED_FUNNEL_ORACLE,
     "event_transition_probs": EVENT_TRANSITION_PROBS_ORACLE,
