@@ -1021,7 +1021,77 @@ ORDER BY f.threshold
 """
 
 
+def dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage/compute savings EXACT dedup would deliver, reported
+    per source: for every content-identical group (md5 of the full
+    text) the lowest doc_id is the keeper; every other copy's
+    characters are 'saved'.  The per-source ledger (docs, dup docs,
+    chars, chars saved, savings ratio) is the go/no-go artifact a
+    dedup rollout starts from — which feeds justify the pipeline.
+
+    A cross-source duplicate charges the savings to the DUPLICATE's
+    own source (the copy is what gets deleted), so a mirror/scraper
+    source shows its true redundancy even when the canonical lives
+    elsewhere.
+
+    Scale: one md5-grain aggregation (map-side combined) + one
+    equi-join of the corpus back onto the md5-grain keeper frame —
+    the ``exact_dedup`` shape with a per-source rollup; no windows,
+    no self-join.  Determinism: counts and char sums are exact
+    integers; the ratio is one double division rounded to 9."""
+    docs = _docs(spark, sf_dir)
+    hashed = docs.select(
+        "doc_id", "source", F.length("text").alias("n_chars_m"), F.md5("text").alias("h")
+    )
+    keepers = hashed.groupBy("h").agg(F.min("doc_id").alias("keeper_id"))
+    tagged = hashed.join(keepers, "h").withColumn(
+        "is_dup", (F.col("doc_id") != F.col("keeper_id")).cast("int")
+    )
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_dup").alias("n_dup_docs"),
+            F.sum("n_chars_m").alias("total_chars"),
+            F.sum(F.col("is_dup") * F.col("n_chars_m")).alias("chars_saved"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            "total_chars",
+            "chars_saved",
+            F.round(
+                F.col("chars_saved").cast("double") / F.col("total_chars").cast("double"),
+                9,
+            ).alias("savings_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+DEDUP_SAVINGS_ORACLE = """
+WITH hashed AS (
+  SELECT doc_id, source, length(text) AS n_chars_m, md5(text) AS h FROM documents
+),
+keepers AS (SELECT h, MIN(doc_id) AS keeper_id FROM hashed GROUP BY 1),
+tagged AS (
+  SELECT source, n_chars_m,
+         CASE WHEN doc_id <> keeper_id THEN 1 ELSE 0 END AS is_dup
+  FROM hashed JOIN keepers USING (h)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+       CAST(SUM(n_chars_m) AS BIGINT) AS total_chars,
+       CAST(SUM(is_dup * n_chars_m) AS BIGINT) AS chars_saved,
+       round(CAST(SUM(is_dup * n_chars_m) AS DOUBLE) / CAST(SUM(n_chars_m) AS DOUBLE), 9) AS savings_ratio
+FROM tagged GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
+    "dedup_savings_by_source": dedup_savings_by_source,
     "dedup_threshold_curve": dedup_threshold_curve,
     "dedup_precision_audit": dedup_precision_audit,
     "dedup_exact": exact_dedup,
@@ -1032,6 +1102,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_savings_by_source": DEDUP_SAVINGS_ORACLE,
     "dedup_threshold_curve": DEDUP_THRESHOLD_CURVE_ORACLE,
     "dedup_precision_audit": _precision_audit_oracle(),
     "dedup_exact": EXACT_DEDUP_ORACLE,

@@ -1829,7 +1829,88 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity of the per-label embedding
+    CENTROIDS — the class-confusability matrix a labeling pipeline
+    watches: two labels whose centroids converge are candidates for
+    merge (or a sign the encoder stopped separating them).  Sibling
+    of :func:`embedding_drift_by_label` (drift is within-label
+    across time; this is between-label).
+
+    Scale: the corpus collapses to one (label, pos) integer-sum
+    aggregation (labels × dims rows — KB-scale at ANY corpus size);
+    the pair join runs on that aggregate only (L·(L−1)/2 pairs),
+    never on vectors.  cosine(Σa, Σb) ≡ cosine of the mean vectors,
+    so centroids never need the inexact division.
+
+    Determinism: quantized integer sums are exact; the final cosine
+    is a short double chain → ``round(.., 9)`` both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = _quantized_components(emb).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    sums = comp.groupBy("label", "pos").agg(
+        F.sum("q").alias("s"), F.countDistinct("vec_id").alias("n")
+    )
+    a = sums.select(
+        F.col("label").alias("label_a"), "pos", F.col("s").alias("sa"),
+        F.col("n").alias("n_a"),
+    )
+    bside = sums.select(
+        F.col("label").alias("label_b"), "pos", F.col("s").alias("sb"),
+        F.col("n").alias("n_b"),
+    )
+    return (
+        a.join(bside, "pos")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.sum(F.col("sa") * F.col("sb")).alias("dot"),
+            F.sum(F.col("sa") * F.col("sa")).alias("na2"),
+            F.sum(F.col("sb") * F.col("sb")).alias("nb2"),
+        )
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                ),
+                9,
+            ).alias("centroid_cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+LABEL_CENTROID_SIM_ORACLE = """
+WITH comp AS (
+  SELECT e.vec_id, e.label, CAST(i AS INT) AS pos,
+         CAST(round(CAST(embedding[CAST(i AS INT)+1] AS DOUBLE) * 10000, 0) AS BIGINT) AS q
+  FROM embeddings e, LATERAL unnest(range(0, len(embedding))) t(i)
+),
+sums AS (
+  SELECT label, pos, SUM(q) AS s, COUNT(DISTINCT vec_id) AS n
+  FROM comp GROUP BY 1, 2
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       CAST(MAX(a.n) AS BIGINT) AS n_a, CAST(MAX(b.n) AS BIGINT) AS n_b,
+       round(CAST(SUM(a.s * b.s) AS DOUBLE)
+             / (sqrt(CAST(SUM(a.s * a.s) AS DOUBLE))
+                * sqrt(CAST(SUM(b.s * b.s) AS DOUBLE))), 9) AS centroid_cosine
+FROM sums a JOIN sums b ON a.pos = b.pos AND a.label < b.label
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
+    "label_centroid_similarity": label_centroid_similarity,
     "crosslingual_mining": crosslingual_mining,
     "embedding_drift_by_label": embedding_drift_by_label,
     "knn_label_propagation": knn_label_propagation,
@@ -1847,6 +1928,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "label_centroid_similarity": LABEL_CENTROID_SIM_ORACLE,
     "crosslingual_mining": CROSSLINGUAL_MINING_ORACLE.format(
         pairs_sql=COSINE_DEDUP_ORACLE.format(threshold=GATE_DEDUP_THRESHOLD)
     ),

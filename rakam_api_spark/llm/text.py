@@ -848,7 +848,89 @@ FROM pairs GROUP BY 1 ORDER BY n_occurrences DESC, pair LIMIT 20
 """
 
 
+def zipf_slope_by_source(
+    spark: SparkSession, sf_dir: str, top_ranks: int = 500
+) -> DataFrame:
+    """Zipf-law fit per source: the least-squares slope of
+    ln(frequency) against ln(rank) over each source's ``top_ranks``
+    most frequent tokens.  Natural text tracks slope ≈ −1 (Zipf
+    1949); a source whose slope flattens (many equally-common
+    tokens: templated/generated text) or steepens sharply
+    (degenerate repetition) is a curation flag — a corpus-level
+    quality screen next to the per-doc ``text_quality`` rules.
+
+    Plan: token counts collapse per (source, token) map-side; the
+    rank window partitions per source over the source's vocabulary
+    (the only sort, vocab-grain not corpus-grain); everything after
+    the top-``top_ranks`` filter is a 5-row closed-form regression
+    from six sums.  Rank ties break on the token string, so the
+    boundary at rank ``top_ranks`` is deterministic.
+
+    Determinism: ln() of exact integers may differ in the last ulp
+    across engines, so the regression output is ``round(.., 6)``
+    both sides (error ≤ Σ n·ulp ≈ 1e-13 ≪ 5e-7 — the established
+    float-chain convention)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).where(F.col("token") != "")
+    counts = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.partitionBy("source").orderBy(F.desc("tf"), F.asc("token"))
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_ranks)
+        .select(
+            "source",
+            F.log(F.col("rank").cast("double")).alias("x"),
+            F.log(F.col("tf").cast("double")).alias("y"),
+        )
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxx, sxy = F.sum(F.col("x") * F.col("x")), F.sum(F.col("x") * F.col("y"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(slope, 6).alias("zipf_slope"),
+            F.round((sy - slope * sx) / n, 6).alias("zipf_intercept"),
+        )
+        .orderBy("source")
+    )
+
+
+ZIPF_SLOPE_ORACLE = """
+WITH toks AS (
+  SELECT source, t.token
+  FROM documents, unnest(string_split(text, ' ')) AS t(token)
+  WHERE t.token <> ''
+),
+counts AS (SELECT source, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+ranked AS (
+  SELECT source, ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(tf AS DOUBLE)) AS y
+  FROM (
+    SELECT source, tf,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY tf DESC, token ASC) AS rank
+    FROM counts
+  ) WHERE rank <= 500
+),
+sums AS (
+  SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM ranked GROUP BY 1
+)
+SELECT source, CAST(n AS BIGINT) AS n_terms,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS zipf_intercept
+FROM sums ORDER BY source
+"""
+
+
 QUERIES = {
+    "zipf_slope_by_source": zipf_slope_by_source,
     "bpe_merge_candidates": bpe_merge_candidates,
     "doc_ngram_novelty": doc_ngram_novelty,
     "lm_bigram_quality": lm_bigram_quality,
@@ -866,6 +948,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "zipf_slope_by_source": ZIPF_SLOPE_ORACLE,
     "bpe_merge_candidates": BPE_MERGE_ORACLE,
     "doc_ngram_novelty": DOC_NGRAM_NOVELTY_ORACLE,
     "lm_bigram_quality": LM_BIGRAM_QUALITY_ORACLE,
