@@ -1090,7 +1090,80 @@ FROM tagged GROUP BY 1 ORDER BY 1
 """
 
 
+def doc_prefix_duplication(
+    spark: SparkSession, sf_dir: str, prefix_tokens: int = 8
+) -> DataFrame:
+    """Boilerplate-prefix detector: documents sharing their first
+    ``prefix_tokens`` words (templated intros, scraped headers,
+    license preambles) grouped per source — the targeted screen for
+    prefix boilerplate that full-document dedup misses because the
+    bodies differ.  Standard pre-training curation signal (the
+    C4/CCNet pipelines strip such lines).
+
+    Scale: one row-local prefix hash (md5 of the first-k-token
+    slice), one hash-grain aggregate (map-side combined), one join
+    back — the exact-dedup shape at prefix grain; no windows, no
+    self-join.  Determinism: all counts exact integers; the share is
+    one double division rounded to 9."""
+    docs = _docs(spark, sf_dir)
+    prefixed = docs.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.split(F.col("text"), " "), 1, prefix_tokens)
+            )
+        ).alias("ph"),
+    )
+    groups = prefixed.groupBy("ph").agg(F.count(F.lit(1)).alias("group_size"))
+    tagged = prefixed.join(groups, "ph")
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("group_size") > 1).cast("long")).alias("boilerplate_docs"),
+            F.countDistinct(
+                F.when(F.col("group_size") > 1, F.col("ph"))
+            ).alias("n_shared_prefixes"),
+            F.max("group_size").alias("max_prefix_group"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "boilerplate_docs",
+            "n_shared_prefixes",
+            "max_prefix_group",
+            F.round(
+                F.col("boilerplate_docs").cast("double")
+                / F.col("n_docs").cast("double"),
+                9,
+            ).alias("boilerplate_share"),
+        )
+        .orderBy("source")
+    )
+
+
+DOC_PREFIX_DUP_ORACLE = """
+WITH prefixed AS (
+  SELECT doc_id, source,
+         md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS ph
+  FROM documents
+),
+groups AS (SELECT ph, COUNT(*) AS group_size FROM prefixed GROUP BY 1)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN group_size > 1 THEN 1 ELSE 0 END) AS BIGINT) AS boilerplate_docs,
+       CAST(COUNT(DISTINCT CASE WHEN group_size > 1 THEN ph END) AS BIGINT) AS n_shared_prefixes,
+       CAST(MAX(group_size) AS BIGINT) AS max_prefix_group,
+       round(CAST(SUM(CASE WHEN group_size > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS boilerplate_share
+FROM prefixed JOIN groups USING (ph)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
+    "doc_prefix_duplication": doc_prefix_duplication,
     "dedup_savings_by_source": dedup_savings_by_source,
     "dedup_threshold_curve": dedup_threshold_curve,
     "dedup_precision_audit": dedup_precision_audit,
@@ -1102,6 +1175,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_prefix_duplication": DOC_PREFIX_DUP_ORACLE,
     "dedup_savings_by_source": DEDUP_SAVINGS_ORACLE,
     "dedup_threshold_curve": DEDUP_THRESHOLD_CURVE_ORACLE,
     "dedup_precision_audit": _precision_audit_oracle(),

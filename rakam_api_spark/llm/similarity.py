@@ -1909,7 +1909,111 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mislabel/outlier audit: every vector's cosine to its
+    OWN label centroid; report per label the member count, the mean
+    affinity, the minimum, and the most atypical vector — the triage
+    list a labeling QA pass reviews first (a vector far from its own
+    centroid is a mislabel or an encoder artifact).
+
+    Scale: the label centroid-sums are a (labels × dims) aggregate
+    (KB at any corpus size) joined back onto the component stream on
+    (label, pos) — AQE broadcasts the tiny side; per-vector dot and
+    norm are exact integer sums, so the only float math is one
+    cosine chain per vector.  The arg-min is resolved by equality
+    join against the per-label minimum with a MIN(vec_id) tiebreak —
+    deterministic on both engines, no ordered aggregate.
+
+    Determinism: cosine rounded to 9 BEFORE the min/arg-min so both
+    engines agree on ties; the mean is a multi-term float reduction
+    → ``round(.., 6)``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = _quantized_components(emb).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    cents = comp.groupBy("label", "pos").agg(F.sum("q").alias("s"))
+    cent_norm = cents.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).alias("c2")
+    )
+    per_vec = (
+        comp.join(cents, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("q") * F.col("s")).alias("dot"),
+            F.sum(F.col("q") * F.col("q")).alias("v2"),
+        )
+        .join(cent_norm, "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("v2").cast("double"))
+                    * F.sqrt(F.col("c2").cast("double"))
+                ),
+                9,
+            ).alias("cos_r"),
+        )
+    )
+    stats = per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.sum("cos_r") / F.count(F.lit(1)).cast("double"), 6).alias(
+            "mean_affinity"
+        ),
+        F.min("cos_r").alias("min_affinity"),
+    )
+    outlier = (
+        per_vec.join(
+            stats.select("label", F.col("min_affinity").alias("m")), "label"
+        )
+        .where(F.col("cos_r") == F.col("m"))
+        .groupBy("label")
+        .agg(F.min("vec_id").alias("outlier_vec_id"))
+    )
+    return (
+        stats.join(outlier, "label")
+        .select("label", "n_vecs", "mean_affinity", "min_affinity", "outlier_vec_id")
+        .orderBy("label")
+    )
+
+
+EMBEDDING_LABEL_OUTLIERS_ORACLE = """
+WITH comp AS (
+  SELECT e.vec_id, e.label, CAST(i AS INT) AS pos,
+         CAST(round(CAST(embedding[CAST(i AS INT)+1] AS DOUBLE) * 10000, 0) AS BIGINT) AS q
+  FROM embeddings e, LATERAL unnest(range(0, len(embedding))) t(i)
+),
+cents AS (SELECT label, pos, SUM(q) AS s FROM comp GROUP BY 1, 2),
+cent_norm AS (SELECT label, SUM(s * s) AS c2 FROM cents GROUP BY 1),
+per_vec AS (
+  SELECT vec_id, c.label,
+         round(CAST(SUM(q * s) AS DOUBLE)
+               / (sqrt(CAST(SUM(q * q) AS DOUBLE)) * sqrt(CAST(MAX(c2) AS DOUBLE))), 9) AS cos_r
+  FROM comp c
+  JOIN cents USING (label, pos)
+  JOIN cent_norm cn ON cn.label = c.label
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         round(SUM(cos_r) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_affinity,
+         MIN(cos_r) AS min_affinity
+  FROM per_vec GROUP BY 1
+),
+outlier AS (
+  SELECT p.label, MIN(p.vec_id) AS outlier_vec_id
+  FROM per_vec p JOIN stats s ON p.label = s.label AND p.cos_r = s.min_affinity
+  GROUP BY 1
+)
+SELECT s.label, n_vecs, mean_affinity, min_affinity, outlier_vec_id
+FROM stats s JOIN outlier o ON s.label = o.label
+ORDER BY s.label
+"""
+
+
 QUERIES = {
+    "embedding_label_outliers": embedding_label_outliers,
     "label_centroid_similarity": label_centroid_similarity,
     "crosslingual_mining": crosslingual_mining,
     "embedding_drift_by_label": embedding_drift_by_label,
@@ -1928,6 +2032,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_label_outliers": EMBEDDING_LABEL_OUTLIERS_ORACLE,
     "label_centroid_similarity": LABEL_CENTROID_SIM_ORACLE,
     "crosslingual_mining": CROSSLINGUAL_MINING_ORACLE.format(
         pairs_sql=COSINE_DEDUP_ORACLE.format(threshold=GATE_DEDUP_THRESHOLD)
