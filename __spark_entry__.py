@@ -41,83 +41,41 @@ _MODULES = (
 )
 
 # The driver's correctness gate checks at most 50 queries per round, in
-# enumeration order.  With 173 declared queries, plain module order
+# enumeration order.  With 184 declared queries, plain module order
 # would starve the tail modules of a driver-verified CORRECTNESS row
-# forever.  Round-8 rotation (staleness computed from CORRECTNESS_r01-r07):
-# (a) the 23 queries added or modified this round (fifteen brand-new:
-# BPE merge candidates, cross-lingual mining, session-gap curve,
-# any-order funnel,
-# embedding drift, customer
-# tier migration, dedup threshold curve,
-# Wilson supplier reliability, n-gram novelty,
-# cluster-safe splits, bigram-LM quality, Markov transitions, RFM
-# quartiles, co-purchase pairs, kNN label propagation; plus the sampled
-# dedup audit, the artifact-probing filtered ANN, the cadence sketch,
-# the ANN recall audit, bounce rate, PMI, entropy, length histogram);
-# (b) the five queries whose last driver-green row is round 4 (they
-# sat just past the r7 gate cutoff); (c) the round-6-stale cohort
-# VERDICT r7 Next #4 names (TPC-H tail, attribution/latency/
-# correlation/seasonality, the media-dedup trio, the full ann_*
-# family, lexical/signature/incremental-dedup/contamination/hybrid);
-# (d) TPC-H r5-stale rows to fill slot 50 (q7-q22/bm25/dedup_clusters
-# slipped past the cutoff and lead the r9 rotation with the ~30
-# remaining r5-stale queries).  Everything listed passes
+# forever.  Round-9 rotation (staleness computed from CORRECTNESS_r01-r08):
+# (a) the 14 queries added or modified this round — eleven brand-new
+# (nation trade balance, order-gap cadence, running revenue share,
+# position-based attribution, burstiness, session depth, label-centroid
+# similarity, embedding label outliers, Zipf slope, dedup savings,
+# prefix boilerplate) plus the three with round-9 code changes
+# (threshold curve's enforced sample, cluster_safe_splits' dropped
+# broadcast, the drift midpoint floor); (b) the r5-stale cohort VERDICT
+# r8 Next #7 names — the TPC-H tail q7-q22 / bm25 / dedup_clusters that
+# slipped past the r8 cutoff at slot 50, then the remaining r5-stale
+# rows in enumeration order; ten r5-stale rows (rfm_segments,
+# segment_overlap_matrix, sliding_window_counts, source_dup_matrix,
+# stickiness_dau_mau, stratified_sample, top3_parts_per_brand,
+# user_lifecycle_grid, value_histogram, vocab_coverage) don't fit and
+# lead the r10 rotation.  Everything listed passes
 # tools/check_correctness.py locally at sf0.01 and sf0.001.
 _GATE_PRIORITY = (
     # (a) added or modified this round
-    "bpe_merge_candidates",
-    "crosslingual_mining",
-    "session_gap_curve",
-    "unordered_funnel_completion",
-    "embedding_drift_by_label",
-    "customer_migration_matrix",
+    "nation_trade_balance",
+    "order_gap_stats",
+    "running_revenue_share",
+    "attribution_position_based",
+    "event_burstiness",
+    "session_depth_distribution",
+    "label_centroid_similarity",
+    "embedding_label_outliers",
+    "zipf_slope_by_source",
+    "dedup_savings_by_source",
+    "doc_prefix_duplication",
     "dedup_threshold_curve",
-    "supplier_reliability_wilson",
-    "doc_ngram_novelty",
     "cluster_safe_splits",
-    "lm_bigram_quality",
-    "event_transition_probs",
-    "rfm_quartiles",
-    "part_copurchase_pairs",
-    "knn_label_propagation",
-    "dedup_precision_audit",
-    "ann_filtered_ivf_indexed",
-    "ann_recall_audit",
-    "inter_event_cadence_sketch",
-    "session_bounce_rate",
-    "event_cooccurrence_pmi",
-    "user_activity_entropy",
-    "doc_length_histogram",
-    # (b) last driver-green in round 4
-    "enrich_pipeline_full",
-    "enrich_referrer",
-    "enrich_timestamp_skew",
-    "session_window_stats",
-    "tumbling_window_counts",
-    # (c) the round-6-stale cohort from VERDICT r7 Next #4
-    "q11_important_stock",
-    "q18_large_volume_customers",
-    "q21_suppliers_kept_waiting",
-    "attribution_linear",
-    "attribution_last_touch",
-    "ship_latency_quartiles",
-    "metric_correlation_matrix",
-    "weekly_seasonality_autocorr",
-    "media_phash_dedup",
-    "media_audio_dedup",
-    "media_video_dedup",
-    "ann_brute_force_topk",
-    "ann_filtered_topk",
-    "ann_ivf_topk",
-    "ann_kmeans_ivf_topk",
-    "ann_pq_topk",
-    "lexical_rarity",
-    "source_signature_terms",
-    "dedup_incremental_batch",
-    "semantic_contamination",
-    "hybrid_search",
-    # (d) TPC-H rows last green in round 5 fill the gate
-    "q2_min_cost_supplier",
+    "embedding_drift_by_label",
+    # (b) the r5-stale cohort (VERDICT r8 Next #7)
     "q7_nation_volume",
     "q8_market_share",
     "q9_product_profit",
@@ -133,6 +91,27 @@ _GATE_PRIORITY = (
     "q22_idle_balances",
     "bm25_search",
     "dedup_clusters",
+    "contamination_check",
+    "corpus_top_ngrams",
+    "curation_funnel",
+    "daily_new_vs_returning",
+    "data_quality_audit",
+    "doc_chunking",
+    "doc_typicality",
+    "dup_ngram_spans",
+    "embedding_cluster_profile",
+    "event_transition_matrix",
+    "events_pivot_daily",
+    "funnel_daily_trend",
+    "funnel_with_exclusion",
+    "hourly_counts_gapfilled",
+    "mix_weights",
+    "pack_sequences",
+    "padding_efficiency",
+    "pii_redaction",
+    "power_user_curve",
+    "quality_repetition_rules",
+    "quality_top_quartile",
 )
 
 

@@ -221,6 +221,37 @@ SHOW = {
     "an exact integer sum",
     "doc_length_histogram": "length histogram: doc-local token count + binary-string "
     "bucket, one tiny (source, bucket) aggregate — no explode, no window",
+    "nation_trade_balance": "trade balance: TWO independent fact aggregations "
+    "(supplier-side broadcast dim, customer-side q7-style orderkey+custkey shuffles), "
+    "full-outer-joined at the 25-row nation grain — never one mega-join",
+    "order_gap_stats": "order cadence: one custkey-partitioned LAG window with a "
+    "unique-key tiebreak, custkey-shuffled customer join, 5-segment aggregate",
+    "running_revenue_share": "running share: revenue collapses to (region, month) "
+    "BEFORE the windows — cumulative and total windows run over a regions x months "
+    "aggregate bounded by the date span, both region-partitioned",
+    "attribution_position_based": "U-shaped attribution: the linear model's bounded "
+    "pair build plus ONE per-conversion rank window (bounded by touches-per-user-"
+    "week); credit is row-local arithmetic",
+    "event_burstiness": "burstiness: exact integer (user,type,day) counts partially "
+    "aggregated map-side; per-user Fano from integer moment sums; one per-type "
+    "reduction",
+    "session_depth_distribution": "session depth: the sessionizer's one user-keyed "
+    "shuffle, (user,session) count, ~10-bucket aggregate; share via single-row "
+    "broadcast total",
+    "label_centroid_similarity": "centroid confusability: corpus collapses to a "
+    "(label, pos) integer-sum aggregate (labels x dims rows at ANY corpus size); "
+    "the pair join runs on that aggregate only",
+    "embedding_label_outliers": "label outliers: (label, pos) centroid sums joined "
+    "back onto the component stream (AQE broadcasts the tiny side); arg-min via "
+    "equality join against the per-label minimum, no ordered aggregate",
+    "zipf_slope_by_source": "Zipf fit: (source, token) counts map-side combined; the "
+    "only sort is the per-source rank window at VOCABULARY grain (never corpus "
+    "grain); regression is closed-form from six sums",
+    "dedup_savings_by_source": "dedup savings: one md5-grain aggregate + one "
+    "equi-join back (the exact_dedup shape) with a per-source rollup — no window, "
+    "no self-join",
+    "doc_prefix_duplication": "prefix boilerplate: row-local first-k-token hash, "
+    "prefix-grain aggregate, join back — exact-dedup shape at prefix grain",
 }
 
 
