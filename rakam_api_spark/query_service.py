@@ -142,11 +142,36 @@ class QueryService:
     :meth:`_analyze`).
     """
 
-    def __init__(self, spark: SparkSession, store, users=None) -> None:
+    #: result-cache capacity (LRU beyond this)
+    CACHE_MAX_ENTRIES = 256
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store,
+        users=None,
+        cache_ttl_seconds: float = 0.0,
+    ) -> None:
+        """``cache_ttl_seconds`` > 0 enables the query-result cache:
+        a successful ``execute`` result is reused for identical
+        (project, sql, max_rows) calls while BOTH hold — (a) the
+        entry is younger than the TTL and (b) the project's
+        dependency signature is unchanged.  The signature is EXACT
+        for transaction-logged collections (the txn version) and for
+        compactions of plain collections (the versioned directory
+        path + its mtime); plain-directory APPENDS don't bump the
+        top directory's mtime, so for those the TTL alone bounds the
+        staleness window — the same freshness contract as the
+        reference's 1-minute metastore cache
+        (rakam-postgresql/.../PostgresqlMetastore.java:50-63).
+        Cached hits carry ``properties["cached"] = True``."""
         self.spark = spark
         self.store = store
         self.users = users
         self._lock = threading.Lock()
+        self.cache_ttl_seconds = cache_ttl_seconds
+        self._cache: dict = {}  # key -> (result, stamp, signature)
+        self._cache_lock = threading.Lock()
 
     # -- view management --------------------------------------------------
 
@@ -255,6 +280,60 @@ class QueryService:
                 for name in views:
                     self.spark.catalog.dropTempView(name)
 
+    def _dep_signature(self, project: str) -> tuple:
+        """Freshness signature of everything the project's views can
+        read: txn versions are exact; plain collections contribute
+        their CURRENT versioned directory path + mtime (captures
+        compaction pointer swaps; appends are TTL-bounded, see
+        ``__init__``)."""
+        import os
+
+        sig = []
+        for coll in sorted(self.store.metastore.collections(project)):
+            try:
+                if self.store.txn_mode(project, coll):
+                    sig.append(
+                        (coll, "txn", self.store.txn_table(project, coll).version())
+                    )
+                    continue
+            except Exception:
+                pass
+            path = self.store._table_path(project, coll)
+            try:
+                st = os.stat(path)
+                sig.append((coll, "dir", path, st.st_mtime_ns))
+            except OSError:
+                sig.append((coll, "missing"))
+        return tuple(sig)
+
+    def _cache_get(self, key: tuple, project: str) -> QueryResult | None:
+        if self.cache_ttl_seconds <= 0:
+            return None
+        with self._cache_lock:
+            hit = self._cache.get(key)
+        if hit is None:
+            return None
+        result, stamp, sig = hit
+        if time.monotonic() - stamp > self.cache_ttl_seconds:
+            return None
+        if sig != self._dep_signature(project):
+            with self._cache_lock:
+                self._cache.pop(key, None)
+            return None
+        return QueryResult(
+            metadata=result.metadata,
+            result=result.result,
+            properties={**result.properties, "cached": True},
+        )
+
+    def _cache_put(self, key: tuple, project: str, result: QueryResult, sig: tuple) -> None:
+        if self.cache_ttl_seconds <= 0 or result.failed:
+            return
+        with self._cache_lock:
+            self._cache[key] = (result, time.monotonic(), sig)
+            while len(self._cache) > self.CACHE_MAX_ENTRIES:
+                self._cache.pop(next(iter(self._cache)))
+
     def execute(self, project: str, sql: str, max_rows: int = 10_000) -> QueryResult:
         """Run a read statement over the project's views and return
         the reference result envelope.  ``max_rows`` caps driver-side
@@ -263,6 +342,16 @@ class QueryService:
         err = self._gate(sql)
         if err is not None:
             return QueryResult.error_result(err)
+        key = (project, sql, max_rows)
+        cached = self._cache_get(key, project)
+        if cached is not None:
+            return cached
+        # signature BEFORE execution: a write landing mid-query makes
+        # the stored signature stale, so the entry self-invalidates
+        # rather than serving the pre-write result as fresh
+        sig = (
+            self._dep_signature(project) if self.cache_ttl_seconds > 0 else ()
+        )
         start = time.monotonic()
         try:
             out = self._analyze(project, sql)
@@ -278,7 +367,7 @@ class QueryService:
         truncated = len(rows) > max_rows
         rows = rows[:max_rows]
         elapsed_ms = int((time.monotonic() - start) * 1000)
-        return QueryResult(
+        result = QueryResult(
             metadata=[(f.name, _field_type(f)) for f in out.schema.fields],
             result=[list(r) for r in rows],
             properties={
@@ -288,6 +377,8 @@ class QueryService:
                 "truncated": truncated,
             },
         )
+        self._cache_put(key, project, result, sig)
+        return result
 
     def execute_export(
         self, project: str, sql: str, fmt: str = "csv", max_rows: int = 100_000

@@ -336,3 +336,66 @@ def test_concurrent_queries_do_not_serialize(service):
     assert done["fast"] < done["slow"], (
         "fast query queued behind the slow one — execution is holding the lock"
     )
+
+
+def test_result_cache_hit_ttl_and_txn_invalidation(service):
+    """Query-result cache: identical (project, sql, max_rows) calls
+    reuse the stored result inside the TTL while the dependency
+    signature holds; a committed write to a txn collection bumps the
+    signature and invalidates; TTL expiry invalidates; disabled by
+    default."""
+    import time as _t
+
+    from rakam_api_spark.query_service import QueryService
+
+    # default service: cache off, no "cached" marker ever
+    r0 = service.execute("proj", "SELECT COUNT(*) AS n FROM pageview")
+    assert "cached" not in r0.properties
+
+    cached_svc = QueryService(
+        service.spark, service.store, users=service.users, cache_ttl_seconds=60.0
+    )
+    sql = "SELECT event_type, COUNT(*) AS n FROM pageview GROUP BY event_type ORDER BY event_type"
+    r1 = cached_svc.execute("proj", sql)
+    assert "cached" not in r1.properties
+    r2 = cached_svc.execute("proj", sql)
+    assert r2.properties.get("cached") is True
+    assert r2.result == r1.result and r2.metadata == r1.metadata
+
+    # a committed write to a TXN collection invalidates exactly
+    service.store.enable_txn("proj", "pageview")
+    r3 = cached_svc.execute("proj", sql)  # repopulate under txn signature
+    assert "cached" not in r3.properties
+    assert cached_svc.execute("proj", sql).properties.get("cached") is True
+    from rakam_api_spark.api import EventCollector
+    from rakam_api_spark.enrich import EnrichmentPipeline, TimestampMapper
+
+    collector = EventCollector(
+        service.spark,
+        service.store.metastore,
+        pipeline=EnrichmentPipeline([TimestampMapper()]),
+    )
+    collector.collect(
+        "proj",
+        "pageview",
+        {"user_id": "u9", "event_type": "view", "value": 1.0, "_time": "2024-02-01 10:00:00"},
+    )
+    r4 = cached_svc.execute("proj", sql)
+    assert "cached" not in r4.properties, "txn append must invalidate the cache"
+    n_view = {row[0]: row[1] for row in r4.result}["view"]
+    assert n_view == {row[0]: row[1] for row in r1.result}["view"] + 1
+
+    # TTL expiry
+    short_svc = QueryService(
+        service.spark, service.store, users=service.users, cache_ttl_seconds=0.2
+    )
+    short_svc.execute("proj", sql)
+    assert short_svc.execute("proj", sql).properties.get("cached") is True
+    _t.sleep(0.3)
+    assert "cached" not in short_svc.execute("proj", sql).properties
+
+    # errors are never cached
+    bad = cached_svc.execute("proj", "SELECT nope FROM pageview")
+    assert bad.failed
+    bad2 = cached_svc.execute("proj", "SELECT nope FROM pageview")
+    assert bad2.failed and "cached" not in (bad2.properties or {})
