@@ -2012,7 +2012,95 @@ ORDER BY s.label
 """
 
 
+def ivf_cell_balance(
+    spark: SparkSession, sf_dir: str, k: int = K_CELLS, iters: int = KM_ITERS
+) -> DataFrame:
+    """IVF index-health report (single row): how balanced are the
+    k-means cells the ANN queries probe?  Skewed cells are the IVF
+    failure mode — one hot cell turns every probe into a near-scan —
+    and this is the number the index-maintenance planner should watch
+    to decide a re-fit.  Same deterministic Lloyd fit as
+    ``ann_kmeans_ivf_topk`` (shared machinery, shared oracle CTE
+    chain), then: non-empty cell count, empty cells out of k,
+    min/max/mean occupancy, imbalance (max/mean), and the largest
+    cell's id (max occupancy, min-label tiebreak).
+
+    Scale: the fit is the documented iterative path (broadcast
+    centroids, integer costs); the report itself aggregates the
+    assignment — one row per VECTOR collapses to one row per CELL,
+    then to one row.  Determinism: occupancies are exact integers;
+    mean/imbalance are single double divisions rounded to 6."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = _quantized_components(emb).cache()
+    comp.count()  # single deterministic materialization
+    cents = comp.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("label"), "pos", F.col("q").alias("cq")
+    )
+    for _ in range(iters):
+        assign = _assign_cells(comp, cents)
+        cents = (
+            comp.join(assign, "vec_id")
+            .groupBy("label", "pos")
+            .agg(F.floor(F.avg("q")).cast("long").alias("cq"))
+        )
+    assign = _assign_cells(comp, cents)
+    sizes = assign.groupBy("label").agg(F.count(F.lit(1)).alias("n")).cache()
+    stats = sizes.agg(
+        F.count(F.lit(1)).alias("n_cells_used"),
+        (F.lit(k) - F.count(F.lit(1))).cast("long").alias("n_empty_cells"),
+        F.min("n").alias("min_cell"),
+        F.max("n").alias("max_cell"),
+        F.round(
+            F.sum("n").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_cell"),
+        F.round(
+            F.max("n").cast("double")
+            / (F.sum("n").cast("double") / F.count(F.lit(1)).cast("double")),
+            6,
+        ).alias("imbalance"),
+    )
+    largest = (
+        sizes.join(stats.select(F.col("max_cell").alias("mx")), sizes.n == F.col("mx"))
+        .agg(F.min("label").alias("largest_cell"))
+    )
+    result = stats.crossJoin(largest).localCheckpoint(eager=True)
+    comp.unpersist()
+    sizes.unpersist()
+    return result
+
+
+def _ivf_cell_balance_oracle(k: int = K_CELLS, iters: int = KM_ITERS) -> str:
+    ctes, final_assign, _ = _kmeans_cte_chain(k, iters)
+    ctes = list(ctes)
+    ctes += [
+        f"sizes AS (SELECT label, COUNT(*) AS n FROM {final_assign} GROUP BY 1)",
+        f"""stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells_used,
+         CAST({k} - COUNT(*) AS BIGINT) AS n_empty_cells,
+         CAST(MIN(n) AS BIGINT) AS min_cell,
+         CAST(MAX(n) AS BIGINT) AS max_cell,
+         round(CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_cell,
+         round(CAST(MAX(n) AS DOUBLE)
+               / (CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)), 6) AS imbalance
+  FROM sizes
+)""",
+        """largest AS (
+  SELECT MIN(label) AS largest_cell FROM sizes
+  WHERE n = (SELECT MAX(n) FROM sizes)
+)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT n_cells_used, n_empty_cells, min_cell, max_cell, mean_cell, imbalance, largest_cell\nFROM stats, largest"
+    )
+
+
+IVF_CELL_BALANCE_ORACLE = _ivf_cell_balance_oracle()
+
+
 QUERIES = {
+    "ivf_cell_balance": ivf_cell_balance,
     "embedding_label_outliers": embedding_label_outliers,
     "label_centroid_similarity": label_centroid_similarity,
     "crosslingual_mining": crosslingual_mining,
@@ -2032,6 +2120,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ivf_cell_balance": IVF_CELL_BALANCE_ORACLE,
     "embedding_label_outliers": EMBEDDING_LABEL_OUTLIERS_ORACLE,
     "label_centroid_similarity": LABEL_CENTROID_SIM_ORACLE,
     "crosslingual_mining": CROSSLINGUAL_MINING_ORACLE.format(

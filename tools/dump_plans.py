@@ -252,6 +252,9 @@ SHOW = {
     "no self-join",
     "doc_prefix_duplication": "prefix boilerplate: row-local first-k-token hash, "
     "prefix-grain aggregate, join back — exact-dedup shape at prefix grain",
+    "ivf_cell_balance": "IVF health: the shared Lloyd fit (broadcast centroids, "
+    "integer costs), then vectors collapse to cells to ONE report row — the "
+    "re-fit trigger the index maintenance planner watches",
 }
 
 
