@@ -44,7 +44,7 @@ _MODULES = (
 # enumeration order.  With 184 declared queries, plain module order
 # would starve the tail modules of a driver-verified CORRECTNESS row
 # forever.  Round-9 rotation (staleness computed from CORRECTNESS_r01-r08):
-# (a) the 15 queries added or modified this round — eleven brand-new
+# (a) the 18 queries added or modified this round — eleven brand-new
 # (nation trade balance, order-gap cadence, running revenue share,
 # position-based attribution, burstiness, session depth, label-centroid
 # similarity, embedding label outliers, Zipf slope, dedup savings,
@@ -53,7 +53,8 @@ _MODULES = (
 # broadcast, the drift midpoint floor); (b) the r5-stale cohort VERDICT
 # r8 Next #7 names — the TPC-H tail q7-q22 / bm25 / dedup_clusters that
 # slipped past the r8 cutoff at slot 50, then the remaining r5-stale
-# rows in enumeration order; eleven r5-stale rows (quality_top_quartile, rfm_segments,
+# rows in enumeration order; fourteen r5-stale rows (pii_redaction, power_user_curve,
+# quality_repetition_rules, quality_top_quartile, rfm_segments,
 # segment_overlap_matrix, sliding_window_counts, source_dup_matrix,
 # stickiness_dau_mau, stratified_sample, top3_parts_per_brand,
 # user_lifecycle_grid, value_histogram, vocab_coverage) don't fit and
@@ -63,6 +64,9 @@ _GATE_PRIORITY = (
     # (a) added or modified this round
     "nation_trade_balance",
     "ivf_cell_balance",
+    "order_priority_drift",
+    "supplier_hhi",
+    "dedup_cluster_size_histogram",
     "order_gap_stats",
     "running_revenue_share",
     "attribution_position_based",
@@ -109,9 +113,6 @@ _GATE_PRIORITY = (
     "mix_weights",
     "pack_sequences",
     "padding_efficiency",
-    "pii_redaction",
-    "power_user_curve",
-    "quality_repetition_rules",
 )
 
 

@@ -1491,7 +1491,139 @@ FROM monthly ORDER BY region, month
 """
 
 
+def order_priority_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority mix drift per month: the χ² statistic of each
+    month's priority distribution against the corpus-wide mix — the
+    standard data-drift monitor (a month whose order-priority mix
+    diverges flags an upstream intake change or a seasonality the
+    SLA planning must absorb).
+
+    Plan: ONE (month, priority) integer-count aggregate; the overall
+    mix is a priorities-sized broadcast; χ² is row-local arithmetic
+    summed over ≤ |priorities| cells per month.  No windows.
+
+    Determinism: counts exact; expected = month_total × overall
+    share and the χ² terms are written IDENTICALLY on both engines;
+    the per-month sum over ≤5 cells → ``round(.., 6)``."""
+    orders = load_table(spark, sf_dir, "orders")
+    cell = (
+        orders.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            "o_orderpriority",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    overall = cell.groupBy("o_orderpriority").agg(F.sum("n").alias("n_pri"))
+    total = cell.agg(F.sum("n").alias("n_total"))
+    month_tot = cell.groupBy("month").agg(F.sum("n").alias("n_month"))
+    expected = (
+        F.col("n_month").cast("double")
+        * F.col("n_pri").cast("double")
+        / F.col("n_total").cast("double")
+    )
+    chi_term = (F.col("n").cast("double") - expected) * (
+        F.col("n").cast("double") - expected
+    ) / expected
+    return (
+        cell.join(broadcast(overall), "o_orderpriority")
+        .join(month_tot, "month")
+        .crossJoin(broadcast(total))
+        .groupBy("month")
+        .agg(
+            F.max("n_month").alias("n_orders"),
+            F.round(F.sum(chi_term), 6).alias("chi_square"),
+        )
+        .orderBy("month")
+    )
+
+
+ORDER_PRIORITY_DRIFT_ORACLE = """
+WITH cell AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+overall AS (SELECT o_orderpriority, SUM(n) AS n_pri FROM cell GROUP BY 1),
+total AS (SELECT SUM(n) AS n_total FROM cell),
+month_tot AS (SELECT month, SUM(n) AS n_month FROM cell GROUP BY 1)
+SELECT month, CAST(MAX(n_month) AS BIGINT) AS n_orders,
+       round(SUM(
+         (CAST(n AS DOUBLE) - CAST(n_month AS DOUBLE) * CAST(n_pri AS DOUBLE) / CAST(n_total AS DOUBLE))
+         * (CAST(n AS DOUBLE) - CAST(n_month AS DOUBLE) * CAST(n_pri AS DOUBLE) / CAST(n_total AS DOUBLE))
+         / (CAST(n_month AS DOUBLE) * CAST(n_pri AS DOUBLE) / CAST(n_total AS DOUBLE))
+       ), 6) AS chi_square
+FROM cell JOIN overall USING (o_orderpriority) JOIN month_tot USING (month), total
+GROUP BY month ORDER BY month
+"""
+
+
+def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration report per nation: the Herfindahl-
+    Hirschman index of supplier revenue shares (Σ shareᵢ², 1/n ≤
+    HHI ≤ 1) plus the top supplier's share — the procurement-risk
+    metric behind single-source-dependency reviews (HHI > 0.25 is
+    the antitrust rule-of-thumb for concentrated markets).
+
+    Plan: one (nation, supplier) revenue rollup off the lineitem⋈
+    supplier broadcast join (partial-aggregated map-side), then a
+    25-row nation aggregate; HHI = Σ revᵢ² / (Σ revᵢ)² needs no
+    per-supplier share materialization.  Top share via max/total.
+
+    Determinism: revenue sums in DECIMAL (exact); revᵢ² accumulates
+    as double per nation (order-dependent) → ``round(.., 9)`` both
+    engines; top share is max/total of exact decimal casts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    per_supp = (
+        li.join(
+            broadcast(supp.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == supp.s_suppkey,
+        )
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(F.sum(_vol()).alias("rev_dec"))
+        .select(
+            "s_nationkey",
+            F.col("rev_dec").cast("double").alias("rev"),
+        )
+    )
+    return (
+        per_supp.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(
+                F.sum(F.col("rev") * F.col("rev"))
+                / (F.sum("rev") * F.sum("rev")),
+                9,
+            ).alias("hhi"),
+            F.round(F.max("rev") / F.sum("rev"), 9).alias("top_share"),
+        )
+        .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"), "n_suppliers", "hhi", "top_share"
+        )
+        .orderBy("nation")
+    )
+
+
+SUPPLIER_HHI_ORACLE = f"""
+WITH per_supp AS (
+  SELECT s_nationkey, s_suppkey,
+         CAST(SUM({_VOL_SQL}) AS DOUBLE) AS rev
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+)
+SELECT n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       round(SUM(rev * rev) / (SUM(rev) * SUM(rev)), 9) AS hhi,
+       round(MAX(rev) / SUM(rev), 9) AS top_share
+FROM per_supp JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
+    "order_priority_drift": order_priority_drift,
+    "supplier_hhi": supplier_hhi,
     "nation_trade_balance": nation_trade_balance,
     "order_gap_stats": order_gap_stats,
     "running_revenue_share": running_revenue_share,
@@ -1519,6 +1651,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "order_priority_drift": ORDER_PRIORITY_DRIFT_ORACLE,
+    "supplier_hhi": SUPPLIER_HHI_ORACLE,
     "nation_trade_balance": NATION_TRADE_BALANCE_ORACLE,
     "order_gap_stats": ORDER_GAP_STATS_ORACLE,
     "running_revenue_share": RUNNING_REVENUE_SHARE_ORACLE,

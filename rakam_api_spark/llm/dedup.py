@@ -1162,7 +1162,51 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution: how many components of
+    each size the Jaccard ≥ 0.6 pair graph resolves to — the shape
+    that decides dedup POLICY (many small pairs → keep-one suffices;
+    a few giant components → the corpus has template families that
+    need source-level treatment, cf. the heavy-tailed cluster
+    distributions reported by Lee et al. 2021).
+
+    Rides the proven :func:`dedup_clusters` chain (bounded pair
+    graph → min-label components); the histogram is two tiny
+    aggregations on top (cluster grain, then size grain).  Covers
+    CLUSTERED docs only (singletons never enter the pair graph), so
+    every size ≥ 2.  All counts exact integers."""
+    clusters = dedup_clusters(spark, sf_dir)
+    per_cluster = clusters.groupBy("cluster_id").agg(
+        F.max("cluster_size").alias("cluster_size")
+    )
+    return (
+        per_cluster.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+DEDUP_CLUSTER_HISTOGRAM_ORACLE = f"""
+WITH fullq AS (
+{DEDUP_CLUSTERS_ORACLE}
+),
+per_cluster AS (
+  SELECT cluster_id, MAX(cluster_size) AS cluster_size FROM fullq GROUP BY 1
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+FROM per_cluster GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
 QUERIES = {
+    "dedup_cluster_size_histogram": dedup_cluster_size_histogram,
     "doc_prefix_duplication": doc_prefix_duplication,
     "dedup_savings_by_source": dedup_savings_by_source,
     "dedup_threshold_curve": dedup_threshold_curve,
@@ -1175,6 +1219,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_cluster_size_histogram": DEDUP_CLUSTER_HISTOGRAM_ORACLE,
     "doc_prefix_duplication": DOC_PREFIX_DUP_ORACLE,
     "dedup_savings_by_source": DEDUP_SAVINGS_ORACLE,
     "dedup_threshold_curve": DEDUP_THRESHOLD_CURVE_ORACLE,

@@ -255,6 +255,15 @@ SHOW = {
     "ivf_cell_balance": "IVF health: the shared Lloyd fit (broadcast centroids, "
     "integer costs), then vectors collapse to cells to ONE report row — the "
     "re-fit trigger the index maintenance planner watches",
+    "order_priority_drift": "priority-mix drift: ONE (month, priority) count "
+    "aggregate; chi-square is row-local over <=5 cells per month against the "
+    "broadcast overall mix — no windows",
+    "supplier_hhi": "supply concentration: (nation, supplier) revenue rollup off "
+    "a broadcast dim join, then a 25-row aggregate; HHI from sum-of-squares, no "
+    "per-supplier share materialization",
+    "dedup_cluster_size_histogram": "cluster-size shape: rides the bounded "
+    "dedup_clusters chain; histogram is two tiny aggregations on the component "
+    "output (cluster grain then size grain)",
 }
 
 
