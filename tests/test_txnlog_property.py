@@ -73,7 +73,20 @@ def test_log_replay_matches_model(tmp_path_factory, ops):
             }
         else:
             _, retain = op
+            hwm_before, _ = t._load_vacuum_hwm()
             t.vacuum(retain_versions=retain)
+            # r9 metadata bound: a pass replays only commits past the
+            # high-water mark, plus the checkpoint-bounded state()
+            # resolutions for the retention window
+            bound = (
+                (t.version() - hwm_before)
+                + (retain + 1) * (t.checkpoint_every + 1)
+                + 2
+            )
+            assert t.last_vacuum_file_opens <= bound
+            # pending tombstones only ever name files still on disk
+            _, pending = t._load_vacuum_hwm()
+            assert all(os.path.exists(t._abs(p)) for p in pending)
         # invariants after EVERY op
         assert t.live_files() == sorted(model.keys())
         # checkpoint-resolved state ≡ full log replay (the Delta

@@ -142,6 +142,22 @@ OPERATORS = [
     "rfm_quartiles",
     "part_copurchase_pairs",
     "knn_label_propagation",
+    # round-9 operators
+    "nation_trade_balance",
+    "order_gap_stats",
+    "running_revenue_share",
+    "attribution_position_based",
+    "event_burstiness",
+    "session_depth_distribution",
+    "label_centroid_similarity",
+    "embedding_label_outliers",
+    "zipf_slope_by_source",
+    "dedup_savings_by_source",
+    "doc_prefix_duplication",
+    "ivf_cell_balance",
+    "order_priority_drift",
+    "supplier_hhi",
+    "dedup_cluster_size_histogram",
 ]
 
 # Probe variants: (row label, queries() op, docs transform).  The
