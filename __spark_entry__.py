@@ -41,25 +41,27 @@ _MODULES = (
 )
 
 # The driver's correctness gate checks at most 50 queries per round, in
-# enumeration order.  With 184 declared queries, plain module order
+# enumeration order.  With 192 declared queries, plain module order
 # would starve the tail modules of a driver-verified CORRECTNESS row
 # forever.  Round-9 rotation (staleness computed from CORRECTNESS_r01-r08):
-# (a) the 18 queries added or modified this round — eleven brand-new
+# (a) the 22 queries added or modified this round — fifteen brand-new
 # (nation trade balance, order-gap cadence, running revenue share,
 # position-based attribution, burstiness, session depth, label-centroid
 # similarity, embedding label outliers, Zipf slope, dedup savings,
-# prefix boilerplate) plus the three with round-9 code changes
+# prefix boilerplate, order streaks, late-run streaks, discount
+# elasticity, Benford audit) plus the three with round-9 code changes
 # (threshold curve's enforced sample, cluster_safe_splits' dropped
 # broadcast, the drift midpoint floor); (b) the r5-stale cohort VERDICT
 # r8 Next #7 names — the TPC-H tail q7-q22 / bm25 / dedup_clusters that
 # slipped past the r8 cutoff at slot 50, then the remaining r5-stale
-# rows in enumeration order; fourteen r5-stale rows (pii_redaction, power_user_curve,
-# quality_repetition_rules, quality_top_quartile, rfm_segments,
-# segment_overlap_matrix, sliding_window_counts, source_dup_matrix,
-# stickiness_dau_mau, stratified_sample, top3_parts_per_brand,
-# user_lifecycle_grid, value_histogram, vocab_coverage) don't fit and
-# lead the r10 rotation.  Everything listed passes
-# tools/check_correctness.py locally at sf0.01 and sf0.001.
+# rows in enumeration order; eighteen r5-stale rows (hourly_counts_gapfilled,
+# mix_weights, pack_sequences, padding_efficiency, pii_redaction,
+# power_user_curve, quality_repetition_rules, quality_top_quartile,
+# rfm_segments, segment_overlap_matrix, sliding_window_counts,
+# source_dup_matrix, stickiness_dau_mau, stratified_sample,
+# top3_parts_per_brand, user_lifecycle_grid, value_histogram,
+# vocab_coverage) don't fit and lead the r10 rotation.  Everything
+# listed passes tools/check_correctness.py locally at sf0.01 and sf0.001.
 _GATE_PRIORITY = (
     # (a) added or modified this round
     "nation_trade_balance",
@@ -77,6 +79,10 @@ _GATE_PRIORITY = (
     "zipf_slope_by_source",
     "dedup_savings_by_source",
     "doc_prefix_duplication",
+    "customer_order_streaks",
+    "supplier_late_streaks",
+    "discount_elasticity_by_priority",
+    "benford_price_audit",
     "dedup_threshold_curve",
     "cluster_safe_splits",
     "embedding_drift_by_label",
@@ -109,10 +115,6 @@ _GATE_PRIORITY = (
     "events_pivot_daily",
     "funnel_daily_trend",
     "funnel_with_exclusion",
-    "hourly_counts_gapfilled",
-    "mix_weights",
-    "pack_sequences",
-    "padding_efficiency",
 )
 
 

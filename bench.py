@@ -100,6 +100,26 @@ EXTRA = [
     "rfm_quartiles",
     "part_copurchase_pairs",
     "knn_label_propagation",
+    # round-9 additions
+    "nation_trade_balance",
+    "order_gap_stats",
+    "running_revenue_share",
+    "attribution_position_based",
+    "event_burstiness",
+    "session_depth_distribution",
+    "label_centroid_similarity",
+    "embedding_label_outliers",
+    "zipf_slope_by_source",
+    "dedup_savings_by_source",
+    "doc_prefix_duplication",
+    "ivf_cell_balance",
+    "order_priority_drift",
+    "supplier_hhi",
+    "dedup_cluster_size_histogram",
+    "customer_order_streaks",
+    "supplier_late_streaks",
+    "discount_elasticity_by_priority",
+    "benford_price_audit",
 ]
 
 

@@ -1621,7 +1621,310 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of CONSECUTIVE months with at least one order, per
+    customer, reported as a histogram (streak length → customer
+    count) — the classic gaps-and-islands consistency report behind
+    "active N months in a row" loyalty tiers.
+
+    Plan: orders collapse to the distinct (custkey, month-index)
+    grain FIRST (one hash aggregate, map-side partial), so the
+    row_number window runs over at most months-per-customer rows per
+    partition — bounded by the date span, never by order volume.
+    The island key is the classic ``month_index − row_number``
+    difference; two more custkey-grain aggregates and a final
+    histogram aggregate on ≤ span-many distinct lengths.
+
+    Determinism: every value is an exact integer (month indexes,
+    counts); the histogram orders by its unique streak-length key."""
+    orders = load_table(spark, sf_dir, "orders")
+    months = (
+        orders.select(
+            "o_custkey",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mi"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("mi")
+    islands = months.withColumn("grp", F.col("mi") - F.row_number().over(w))
+    streaks = islands.groupBy("o_custkey", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    per_cust = streaks.groupBy("o_custkey").agg(F.max("len").alias("streak_months"))
+    return (
+        per_cust.groupBy("streak_months")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("streak_months")
+    )
+
+
+CUSTOMER_ORDER_STREAKS_ORACLE = """
+WITH months AS (
+  SELECT DISTINCT o_custkey, year(o_orderdate) * 12 + month(o_orderdate) AS mi
+  FROM orders
+),
+islands AS (
+  SELECT o_custkey,
+         mi - ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY mi) AS grp
+  FROM months
+),
+per_cust AS (
+  SELECT o_custkey, MAX(len) AS streak_months
+  FROM (SELECT o_custkey, grp, COUNT(*) AS len FROM islands GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT CAST(streak_months AS BIGINT) AS streak_months,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM per_cust GROUP BY 1 ORDER BY 1
+"""
+
+
+def supplier_late_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier longest run of CONSECUTIVE late shipments
+    (lateness = shipped > 90 days after the order date, the q21
+    convention), top 25 — the systemic-delay screen that separates a
+    supplier having a bad week from one with a one-off late order.
+
+    Plan: one lineitem⋈orders orderkey shuffle attaches the order
+    date; the islands trick needs two suppkey-partitioned
+    row_number windows over (shipdate, orderkey, linenumber) — the
+    composite unique tiebreak makes same-day rows deterministic —
+    then suppkey-grain aggregates only.  Windows are bounded by
+    lineitems-per-supplier; the top-25 is a total order ending in
+    the unique supplier key (TakeOrderedAndProject).
+
+    Determinism: run lengths and counts are exact integers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    fact = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "l_suppkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("l_shipdate").cast("date")
+            > F.date_add(F.col("o_orderdate").cast("date"), 90)
+        ).alias("late"),
+    )
+    order_cols = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    w_all = Window.partitionBy("l_suppkey").orderBy(*order_cols)
+    w_late = Window.partitionBy("l_suppkey", "late").orderBy(*order_cols)
+    runs = (
+        fact.withColumn("grp", F.row_number().over(w_all) - F.row_number().over(w_late))
+        .where(F.col("late"))
+        .groupBy("l_suppkey", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    per_supp = runs.groupBy("l_suppkey").agg(
+        F.max("run_len").alias("longest_late_run"),
+        F.sum("run_len").alias("n_late"),
+    )
+    totals = fact.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n_shipments"))
+    return (
+        per_supp.join(totals, "l_suppkey")
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            "longest_late_run",
+            "n_late",
+            "n_shipments",
+        )
+        .orderBy(F.desc("longest_late_run"), F.desc("n_late"), F.asc("suppkey"))
+        .limit(25)
+    )
+
+
+SUPPLIER_LATE_STREAKS_ORACLE = """
+WITH fact AS (
+  SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+         l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+grps AS (
+  SELECT l_suppkey, late,
+         ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                            ORDER BY l_shipdate, l_orderkey, l_linenumber)
+         - ROW_NUMBER() OVER (PARTITION BY l_suppkey, late
+                              ORDER BY l_shipdate, l_orderkey, l_linenumber) AS grp
+  FROM fact
+),
+runs AS (
+  SELECT l_suppkey, grp, COUNT(*) AS run_len
+  FROM grps WHERE late GROUP BY 1, 2
+),
+per_supp AS (
+  SELECT l_suppkey, MAX(run_len) AS longest_late_run, SUM(run_len) AS n_late
+  FROM runs GROUP BY 1
+),
+totals AS (SELECT l_suppkey, COUNT(*) AS n_shipments FROM fact GROUP BY 1)
+SELECT CAST(per_supp.l_suppkey AS BIGINT) AS suppkey,
+       CAST(longest_late_run AS BIGINT) AS longest_late_run,
+       CAST(n_late AS BIGINT) AS n_late,
+       CAST(n_shipments AS BIGINT) AS n_shipments
+FROM per_supp JOIN totals ON per_supp.l_suppkey = totals.l_suppkey
+ORDER BY longest_late_run DESC, n_late DESC, suppkey ASC
+LIMIT 25
+"""
+
+
+def discount_elasticity_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope of line revenue against discount level,
+    per order priority — "how much net revenue do we buy per point
+    of discount, and does the urgent-order segment respond
+    differently?".  The closed-form b = (nΣxy − ΣxΣy)/(nΣxx − ΣxΣx)
+    over x = discount in integer percent, y = discounted revenue.
+
+    Plan: one lineitem⋈orders orderkey shuffle to attach the
+    priority, then a single 5-row aggregate of six sums — the
+    regression itself is constant work after the partial-aggregated
+    shuffle; nothing is windowed and nothing funnels.
+
+    Determinism: x is an exact integer, y aggregates in
+    DECIMAL(18,6) widened to DECIMAL(38,6) for the Σxy product (the
+    nΣxy cross terms reach ~1e17 at sf1 — past DECIMAL(18)'s range
+    but exact at 38) — every sum is order-free exact; the single
+    final division is a double rounded to 6 on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    wide = "decimal(38,6)"
+    x = F.round(F.col("l_discount") * 100).cast("long")
+    fact = li.join(
+        orders.select("o_orderkey", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "o_orderpriority",
+        x.alias("x"),
+        _vol().alias("y"),
+    )
+    agg = fact.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("y").cast(wide)).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum((F.col("x").cast(wide) * F.col("y")).cast(wide)).alias("sxy"),
+    )
+    num = (
+        F.col("n").cast(wide) * F.col("sxy")
+        - F.col("sx").cast(wide) * F.col("sy")
+    ).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return agg.select(
+        "o_orderpriority",
+        "n",
+        F.round(F.col("sy").cast("double"), 6).alias("revenue"),
+        F.round(num / den, 6).alias("slope_per_discount_pct"),
+    ).orderBy("o_orderpriority")
+
+
+DISCOUNT_ELASTICITY_ORACLE = f"""
+WITH fact AS (
+  SELECT o_orderpriority,
+         CAST(round(l_discount * 100) AS BIGINT) AS x,
+         {_VOL_SQL} AS y
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+-- DuckDB caps decimal multiplies at combined width 38, so the
+-- cross terms use the tightest widths that hold the sf<=0.1 oracle
+-- scales exactly (Spark's side carries DECIMAL(38,6) throughout;
+-- both are exact, so they agree).
+agg AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(26,6))) AS DECIMAL(26,6)) AS sy,
+         SUM(x * x) AS sxx,
+         CAST(SUM(CAST(x AS DECIMAL(3,0)) * y) AS DECIMAL(26,6)) AS sxy
+  FROM fact GROUP BY 1
+)
+SELECT o_orderpriority,
+       n,
+       round(CAST(sy AS DOUBLE), 6) AS revenue,
+       round(CAST(CAST(n AS DECIMAL(12,0)) * sxy - CAST(sx AS DECIMAL(12,0)) * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_per_discount_pct
+FROM agg ORDER BY o_orderpriority
+"""
+
+
+# log10(1 + 1/d) for d = 1..9, precomputed so BOTH engines consume
+# the same literal doubles (cross-libm log10 could differ in the
+# last ulp; a shared constant cannot).
+_BENFORD_EXPECTED = [
+    0.301029995664, 0.176091259056, 0.124938736608, 0.096910013008,
+    0.079181246048, 0.066946789631, 0.057991946978, 0.051152522447,
+    0.045757490561,
+]
+
+
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals against
+    Benford's law — the standard synthetic-data / fraud screen (a
+    fabricated price column shows a flat digit histogram; organic
+    multiplicative totals track log10(1+1/d)).
+
+    Plan: one project (integer cents → leading digit via the exact
+    integer-to-string path, no float log10) and one 9-row hash
+    aggregate; the grand total joins back as a broadcast of one row.
+
+    Determinism: the leading digit comes from CAST(BIGINT AS
+    STRING) — identical across engines, unlike floor(log10(x))
+    whose last-ulp behavior at powers of ten is libm-dependent.
+    Shares are a single exact division rounded to 9; the expected
+    values are shared literals; deviation is one subtraction of
+    identically-computed doubles."""
+    orders = load_table(spark, sf_dir, "orders")
+    expected = F.element_at(
+        F.array(*[F.lit(v) for v in _BENFORD_EXPECTED]),
+        F.col("digit").cast("int"),
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    digits = orders.select(
+        F.substring(cents.cast("string"), 1, 1).cast("long").alias("digit")
+    )
+    total = digits.groupBy().agg(F.count(F.lit(1)).alias("total"))
+    return (
+        digits.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("total"), 9).alias("share"),
+            F.round(
+                F.col("n") / F.col("total") - expected, 9
+            ).alias("deviation"),
+        )
+        .orderBy("digit")
+    )
+
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {v!r}" for d, v in enumerate(_BENFORD_EXPECTED, start=1)
+)
+
+BENFORD_PRICE_ORACLE = f"""
+WITH digits AS (
+  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+),
+counts AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY 1
+),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM digits)
+SELECT digit, n,
+       round(CAST(n AS DOUBLE) / total, 9) AS share,
+       round(CAST(n AS DOUBLE) / total - (CASE digit {_BENFORD_CASE} END), 9) AS deviation
+FROM counts, total
+ORDER BY digit
+"""
+
+
 QUERIES = {
+    "customer_order_streaks": customer_order_streaks,
+    "supplier_late_streaks": supplier_late_streaks,
+    "discount_elasticity_by_priority": discount_elasticity_by_priority,
+    "benford_price_audit": benford_price_audit,
     "order_priority_drift": order_priority_drift,
     "supplier_hhi": supplier_hhi,
     "nation_trade_balance": nation_trade_balance,
@@ -1651,6 +1954,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "customer_order_streaks": CUSTOMER_ORDER_STREAKS_ORACLE,
+    "supplier_late_streaks": SUPPLIER_LATE_STREAKS_ORACLE,
+    "discount_elasticity_by_priority": DISCOUNT_ELASTICITY_ORACLE,
+    "benford_price_audit": BENFORD_PRICE_ORACLE,
     "order_priority_drift": ORDER_PRIORITY_DRIFT_ORACLE,
     "supplier_hhi": SUPPLIER_HHI_ORACLE,
     "nation_trade_balance": NATION_TRADE_BALANCE_ORACLE,

@@ -158,6 +158,10 @@ OPERATORS = [
     "order_priority_drift",
     "supplier_hhi",
     "dedup_cluster_size_histogram",
+    "customer_order_streaks",
+    "supplier_late_streaks",
+    "discount_elasticity_by_priority",
+    "benford_price_audit",
 ]
 
 # Probe variants: (row label, queries() op, docs transform).  The
