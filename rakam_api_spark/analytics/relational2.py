@@ -1627,32 +1627,48 @@ def customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     count) — the classic gaps-and-islands consistency report behind
     "active N months in a row" loyalty tiers.
 
-    Plan: orders collapse to the distinct (custkey, month-index)
-    grain FIRST (one hash aggregate, map-side partial), so the
-    row_number window runs over at most months-per-customer rows per
-    partition — bounded by the date span, never by order volume.
-    The island key is the classic ``month_index − row_number``
-    difference; two more custkey-grain aggregates and a final
-    histogram aggregate on ≤ span-many distinct lengths.
+    Plan: ONE custkey-grain ``collect_set(month_index)`` aggregate
+    (map-side partial collapses each customer's orders to their
+    distinct months before the shuffle — the set is bounded by the
+    date span in months, never by order volume), then the longest
+    consecutive run folds ROW-LOCALLY over the sorted month array
+    with ``F.aggregate`` — no window, no sort, no islands self-grouping.
+    The only other exchange is the ≤ span-row histogram.  The DuckDB
+    oracle keeps the classic gaps-and-islands window formulation, so
+    two independent algorithms must agree.
 
     Determinism: every value is an exact integer (month indexes,
     counts); the histogram orders by its unique streak-length key."""
     orders = load_table(spark, sf_dir, "orders")
-    months = (
-        orders.select(
-            "o_custkey",
-            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mi"),
-        )
-        .distinct()
+    mi = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_set(mi.alias("mi"))).alias("months")
     )
-    w = Window.partitionBy("o_custkey").orderBy("mi")
-    islands = months.withColumn("grp", F.col("mi") - F.row_number().over(w))
-    streaks = islands.groupBy("o_custkey", "grp").agg(
-        F.count(F.lit(1)).alias("len")
+    zero = F.struct(
+        F.lit(-2).cast("long").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
     )
-    per_cust = streaks.groupBy("o_custkey").agg(F.max("len").alias("streak_months"))
+    streak = F.aggregate(
+        F.col("months"),
+        zero,
+        lambda acc, m: F.struct(
+            m.alias("prev"),
+            F.when(m == acc["prev"] + 1, acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(m == acc["prev"] + 1, acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
     return (
-        per_cust.groupBy("streak_months")
+        per_cust.select(streak.alias("streak_months"))
+        .groupBy("streak_months")
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("streak_months")
     )
@@ -1689,9 +1705,14 @@ def supplier_late_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     date; the islands trick needs two suppkey-partitioned
     row_number windows over (shipdate, orderkey, linenumber) — the
     composite unique tiebreak makes same-day rows deterministic —
-    then suppkey-grain aggregates only.  Windows are bounded by
-    lineitems-per-supplier; the top-25 is a total order ending in
-    the unique supplier key (TakeOrderedAndProject).
+    and both windows plus every downstream aggregate reuse the ONE
+    suppkey exchange (subset-partitioning satisfies the
+    (suppkey,late,grp) clusterings).  Late AND non-late runs group
+    together so the per-supplier totals fall out of the same frame —
+    the fact join is scanned exactly once, no totals re-join.
+    Windows are bounded by lineitems-per-supplier; the top-25 is a
+    total order ending in the unique supplier key
+    (TakeOrderedAndProject).
 
     Determinism: run lengths and counts are exact integers."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -1714,17 +1735,17 @@ def supplier_late_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_late = Window.partitionBy("l_suppkey", "late").orderBy(*order_cols)
     runs = (
         fact.withColumn("grp", F.row_number().over(w_all) - F.row_number().over(w_late))
-        .where(F.col("late"))
-        .groupBy("l_suppkey", "grp")
+        .groupBy("l_suppkey", "late", "grp")
         .agg(F.count(F.lit(1)).alias("run_len"))
     )
+    late_len = F.when(F.col("late"), F.col("run_len"))
     per_supp = runs.groupBy("l_suppkey").agg(
-        F.max("run_len").alias("longest_late_run"),
-        F.sum("run_len").alias("n_late"),
+        F.max(late_len).alias("longest_late_run"),
+        F.sum(F.coalesce(late_len, F.lit(0))).alias("n_late"),
+        F.sum("run_len").alias("n_shipments"),
     )
-    totals = fact.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n_shipments"))
     return (
-        per_supp.join(totals, "l_suppkey")
+        per_supp.where(F.col("longest_late_run").isNotNull())
         .select(
             F.col("l_suppkey").alias("suppkey"),
             "longest_late_run",

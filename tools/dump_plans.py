@@ -264,6 +264,24 @@ SHOW = {
     "dedup_cluster_size_histogram": "cluster-size shape: rides the bounded "
     "dedup_clusters chain; histogram is two tiny aggregations on the component "
     "output (cluster grain then size grain)",
+    "customer_order_streaks": "gaps-and-islands without the window: ONE "
+    "custkey-grain collect_set(month) aggregate (map-side partial, set bounded "
+    "by the date span in months), longest run folds row-locally over the sorted "
+    "array — no sort, no islands regroup; the oracle keeps the classic window "
+    "formulation so two algorithms must agree",
+    "supplier_late_streaks": "consecutive-late runs: one orderkey equi-join "
+    "attaches the order date, then BOTH row_number windows AND every downstream "
+    "aggregate share the single suppkey exchange (subset-partitioning satisfies "
+    "the (suppkey,late,grp) clusterings); late and non-late runs group together "
+    "so totals fall out of the same frame — the fact join is scanned ONCE, no "
+    "totals re-join; top-25 via TakeOrderedAndProject on a unique composite key",
+    "discount_elasticity_by_priority": "regression as aggregation: the "
+    "closed-form slope needs only six sums per priority — one partial-aggregated "
+    "shuffle after the orderkey join, DECIMAL(38,6) cross terms exact at sf1, "
+    "division happens on 5 rows",
+    "benford_price_audit": "fraud screen: leading digit via exact "
+    "integer-to-string (no libm log10), one 9-row hash aggregate, grand total "
+    "joins back as a single-row broadcast",
 }
 
 
