@@ -30,6 +30,7 @@ for the sessionization/funnel workloads (SPARK-19256 hive bucketing)
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -721,8 +722,16 @@ class EventStore:
           ``max_files_per_month`` (streaming micro-batch debris),
         - ``expire``         months older than ``retention_months``
           behind each collection's newest month (TTL),
-        - ``rollup_refresh`` published rollups missing base months
-          (e.g. appends landed since the last publish),
+        - ``rollup_refresh`` published rollups whose cells are behind
+          the base: months MISSING from the rollup, plus months whose
+          base content CHANGED after their cells were computed —
+          txn collections prove this from the commit log (the
+          recorded per-month snapshot version vs
+          ``TxnTable.months_changed_since``; metadata only, exact),
+          legacy collections from per-month file-set signatures
+          (errs toward refresh); an un-attributable change
+          (merge/erase, a month gone from base) plans a FULL rebuild
+          (``months=None``),
         - ``index_refresh`` / ``index_compact`` registered derived
           indexes (BM25 / MinHash / IVF, see ``register_index``) that
           are stale vs their base table or fragmented beyond
@@ -741,12 +750,18 @@ class EventStore:
             if not stats:
                 continue
             months = sorted(r["month"] for r in stats)
+            # months THIS plan will expire: their stale rollup cells
+            # are cleared by the expire action's own full-rebuild
+            # follow-up, so the staleness check below must not ALSO
+            # demand a full rebuild for them
+            expired_planned: set[str] = set()
             if retention_months is not None and len(months) > 1:
                 # cutoff = retention_months behind the NEWEST month
                 y, m = map(int, months[-1].split("-"))
                 total = y * 12 + (m - 1) - retention_months
                 cutoff = f"{total // 12:04d}-{total % 12 + 1:02d}"
                 expired = [mm for mm in months if mm < cutoff]
+                expired_planned.update(expired)
                 if expired:
                     plan.append(
                         {
@@ -771,7 +786,8 @@ class EventStore:
                         "reason": f"> {max_files_per_month} files per month partition",
                     }
                 )
-            if self.rollup_meta(project, coll) is not None:
+            rmeta = self.rollup_meta(project, coll)
+            if rmeta is not None:
                 rolled = set()
                 rdir = self._base_path(project, coll) + ".rollup"
                 if os.path.isdir(rdir):
@@ -780,16 +796,91 @@ class EventStore:
                         for d in os.listdir(rdir)
                         if d.startswith("_month=")
                     }
-                missing = sorted(set(months) - rolled)
-                if missing:
+                base_months = set(months)
+                missing = sorted(base_months - rolled)
+                # staleness BEYOND missing months: a month already in
+                # the rollup whose BASE content changed after its
+                # cells were computed (the common case — appends into
+                # the current month).  Txn mode compares the recorded
+                # per-month snapshot version against the commit log
+                # (metadata only, exact); legacy mode compares the
+                # recorded file-set signature (errs toward refresh).
+                stale: list[str] = []
+                full = False
+                verified_to: int | None = None
+                if self.txn_mode(project, coll) and rmeta.get("month_versions"):
+                    mv = rmeta["month_versions"]
+                    txn = self.txn_table(project, coll)
+                    verified_to = txn.version()
+                    changed, full = txn.months_changed_since(
+                        max(0, min(mv.values(), default=0)), verified_to
+                    )
+                    # a recorded month whose base rows vanished
+                    # entirely (expire outside run_maintenance) keeps
+                    # stale cells a partial refresh can't clear —
+                    # dynamic overwrite only touches months with rows
+                    full = full or any(
+                        m in rolled
+                        and m not in base_months
+                        and m not in expired_planned
+                        for m in changed
+                    )
+                    stale = sorted(
+                        m
+                        for m, cv in changed.items()
+                        if m in base_months
+                        and m in rolled
+                        and cv > mv.get(m, -1)
+                    )
+                elif not self.txn_mode(project, coll) and rmeta.get("month_sigs"):
+                    ms = rmeta["month_sigs"]
+                    sigs_now = self._month_sigs(project, coll)
+                    # months this plan's compact action will rewrite
+                    # get refreshed too: compaction changes the file
+                    # signature (content-preserving, but a legacy
+                    # table has no commit log to prove it), and the
+                    # refresh runs AFTER the compact so it records
+                    # the post-compact signature — keeping the next
+                    # plan empty instead of flagging a false change
+                    stale = sorted(
+                        m
+                        for m in base_months & rolled
+                        if ms.get(m) is None
+                        or sigs_now.get(m) != ms.get(m)
+                        or m in fat
+                    )
+                    full = bool(rolled - base_months - expired_planned)
+                if full:
                     plan.append(
                         {
                             "collection": coll,
                             "action": "rollup_refresh",
-                            "months": missing,
-                            "reason": "base months absent from the published rollup",
+                            "months": None,
+                            "reason": "un-attributable base change (merge/erase/"
+                            "unpartitioned append, or a month left retention) "
+                            "since the rollup's snapshot",
                         }
                     )
+                elif missing or stale:
+                    reasons = []
+                    if missing:
+                        reasons.append("base months absent from the published rollup")
+                    if stale:
+                        reasons.append("base content changed since the cells' snapshot")
+                    item = {
+                        "collection": coll,
+                        "action": "rollup_refresh",
+                        "months": sorted(set(missing) | set(stale)),
+                        "reason": "; ".join(reasons),
+                    }
+                    if verified_to is not None:
+                        # run_maintenance advances UNCHANGED months'
+                        # recorded versions to this scan horizon, so
+                        # the next plan's commit-log scan starts here
+                        # — the scan stays bounded by commits between
+                        # EXECUTED maintenance cycles
+                        item["verified_to"] = verified_to
+                    plan.append(item)
         plan.extend(self._index_plan(project, max_index_fragments))
         return plan
 
@@ -916,6 +1007,25 @@ class EventStore:
                     measures=dict(meta["measures"]),
                     months=item["months"],
                 )
+                vt = item.get("verified_to")
+                if vt is not None and item["months"] is not None:
+                    # the planner's commit-log scan proved every
+                    # non-flagged month unchanged through version
+                    # ``vt`` — advance their recorded versions so the
+                    # NEXT plan's scan starts at vt instead of
+                    # re-reading the same commits (keeps the scan
+                    # bounded by commits between executed cycles)
+                    with self.maintenance_lock(project, coll):
+                        meta = self.rollup_meta(project, coll)
+                        mv = dict(meta.get("month_versions") or {})
+                        refreshed = set(item["months"])
+                        bumped = {
+                            m: (v if m in refreshed else max(v, vt))
+                            for m, v in mv.items()
+                        }
+                        if bumped != mv:
+                            meta["month_versions"] = bumped
+                            self._write_rollup_meta(project, coll, meta)
                 item["outcome"] = f"{n} rollup rows"
             elif item["action"] in ("index_refresh", "index_compact"):
                 from .llm import index_maintenance as im
@@ -1167,10 +1277,40 @@ class EventStore:
         Runs under the per-collection maintenance lock (single-writer:
         a concurrent double-publish could interleave the full-rebuild
         delete with another writer's partition files).
+
+        Freshness bookkeeping: ``_rollup_meta.json`` records, per
+        refreshed month, the txn snapshot version (txn mode — pinned
+        BEFORE the read, so concurrent unlocked appends can't be
+        silently included-but-unrecorded) or the base file-set
+        signature (legacy mode — snapshotted before the read, so a
+        racing append makes the record stale, never falsely fresh).
+        ``maintenance_plan`` compares these against the current base
+        to flag months whose cells are behind — see its docstring.
         """
         measures = measures or DEFAULT_ROLLUP_MEASURES
         with self.maintenance_lock(project, collection):
-            raw = self._raw_read(project, collection)
+            as_of: int | None = None
+            base_sigs: dict[str, str] | None = None
+            if self.txn_mode(project, collection):
+                # pin the snapshot version BEFORE reading: appends
+                # don't take the maintenance lock, so read() at "now"
+                # could see rows newer than the version we record —
+                # masking their months from the staleness planner
+                txn = self.txn_table(project, collection)
+                as_of = txn.version()
+                raw = (
+                    txn.read(version=as_of)
+                    if txn.live_files(version=as_of)
+                    else None
+                )
+            else:
+                # legacy mode: snapshot the per-month file signatures
+                # FIRST for the same reason — a file landing between
+                # this listing and the aggregate's scan makes the
+                # recorded sig stale, which errs toward an extra
+                # refresh, never toward masked staleness
+                base_sigs = self._month_sigs(project, collection)
+                raw = self._raw_read(project, collection)
             if raw is None:
                 raise FileNotFoundError(
                     f"no data to roll up: {project}.{collection}"
@@ -1196,7 +1336,11 @@ class EventStore:
             # refresh — other months' files are untouched
             meta = {"dims": list(dims), "measures": dict(measures)}
             existing = self.rollup_meta(project, collection)
-            if months is not None and existing is not None and existing != meta:
+            if (
+                months is not None
+                and existing is not None
+                and {k: existing.get(k) for k in ("dims", "measures")} != meta
+            ):
                 # a partial (per-month) refresh under a different
                 # dim/measure contract would leave a frankentable —
                 # require a full rebuild to change the contract
@@ -1210,9 +1354,66 @@ class EventStore:
                 .mode("overwrite")
                 .parquet(out)
             )
-            with open(os.path.join(out, "_rollup_meta.json"), "w") as f:
-                json.dump(meta, f)
+            # per-month freshness bookkeeping for maintenance_plan's
+            # staleness check: which snapshot each month's cells were
+            # computed at — the txn version (exact) or the legacy
+            # file-set signature (append/compact-sensitive, errs
+            # toward refresh).  Months this call did NOT touch keep
+            # their previous record; an untouched month with no
+            # record (pre-feature rollup) gets the stale sentinel so
+            # the next maintenance cycle refreshes it once and
+            # converges.
+            rolled = sorted(
+                d.split("=", 1)[1]
+                for d in os.listdir(out)
+                if d.startswith("_month=")
+            )
+            refreshed = set(rolled) if months is None else set(months)
+            if as_of is not None:
+                prev = (existing or {}).get("month_versions") or {}
+                meta["month_versions"] = {
+                    m: (as_of if m in refreshed else prev.get(m, -1))
+                    for m in rolled
+                }
+            else:
+                prev = (existing or {}).get("month_sigs") or {}
+                base_sigs = base_sigs or {}
+                meta["month_sigs"] = {
+                    m: (base_sigs.get(m) if m in refreshed else prev.get(m))
+                    for m in rolled
+                }
+            self._write_rollup_meta(project, collection, meta)
             return self.spark.read.parquet(out).count()
+
+    def _write_rollup_meta(self, project: str, collection: str, meta: dict) -> None:
+        out = self._base_path(project, collection) + ".rollup"
+        with open(os.path.join(out, "_rollup_meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    def _month_sigs(self, project: str, collection: str) -> dict[str, str]:
+        """Per-month file-set signature of a LEGACY collection's base
+        table: md5 over the sorted (name, size) parquet listing of
+        each ``_month=`` directory.  Pure directory metadata — no
+        file contents are read.  Appends and compactions both change
+        the signature; compaction's is a false positive the
+        maintenance cycle avoids by re-recording sigs after it
+        compacts (content is preserved by construction there)."""
+        path = self._table_path(project, collection)
+        sigs: dict[str, str] = {}
+        if not os.path.isdir(path):
+            return sigs
+        for d in sorted(os.listdir(path)):
+            if not d.startswith("_month="):
+                continue
+            entries = sorted(
+                (f, os.path.getsize(os.path.join(path, d, f)))
+                for f in os.listdir(os.path.join(path, d))
+                if f.endswith(".parquet")
+            )
+            sigs[d.split("=", 1)[1]] = hashlib.md5(
+                json.dumps(entries).encode()
+            ).hexdigest()
+        return sigs
 
     def rollup_meta(self, project: str, collection: str) -> dict | None:
         """The published rollup's dim/measure contract, or None if no

@@ -691,7 +691,10 @@ class StreamingIngest:
                 "dims": list(spec.get("dims", ("event_type",))),
                 "measures": dict(spec.get("measures") or DEFAULT_ROLLUP_MEASURES),
             }
-            if existing != effective:
+            # compare the CONTRACT keys only — the published meta also
+            # carries per-month freshness bookkeeping (month_versions/
+            # month_sigs) that a spec never states
+            if {k: existing.get(k) for k in ("dims", "measures")} != effective:
                 raise ValueError(
                     f"rollup spec for {self.project}.{coll} differs from the "
                     f"published contract {existing}; run a full rebuild "

@@ -80,6 +80,15 @@ def _writer_id() -> str:
     return f"{os.getpid()}@{socket.gethostname()}"
 
 
+def _month_from_path(rel: str) -> str | None:
+    """Parse the ``_month=YYYY-MM`` hive segment out of a relative
+    file path, or None when the file is unpartitioned."""
+    for seg in rel.split("/"):
+        if seg.startswith("_month="):
+            return seg.split("=", 1)[1]
+    return None
+
+
 def _file_rows(path: str) -> int | None:
     try:
         import pyarrow.parquet as pq
@@ -762,6 +771,56 @@ class TxnTable:
         metadata-only commit, no data rewrite."""
         victims = self.live_files(partitions={col: [value]})
         return self.commit(remove=victims, op="expire")
+
+    def months_changed_since(
+        self, version: int, end: int | None = None
+    ) -> tuple[dict[str, int], bool]:
+        """Which ``_month`` partitions' CONTENT changed after
+        ``version`` (exclusive) — from commit METADATA only, no data
+        or parquet-footer reads.  Returns ``({month:
+        last_change_version}, needs_full)``:
+
+        - ``append``  marks its add-entries' months (new rows),
+        - ``expire``  marks the months parsed from its remove paths
+          (rows left retention — derived aggregates must drop them),
+        - ``compact`` is skipped (content-preserving repackaging),
+        - ``merge``/anything else sets ``needs_full`` — in-place row
+          changes carry no per-month attribution, as does any append
+          entry without a ``_month`` partition value.
+
+        This is the staleness primitive behind incremental
+        materialized-rollup maintenance: a planner that recorded the
+        snapshot version per refreshed month re-aggregates ONLY the
+        months this reports, never the whole history.  Cost is
+        O(commits since ``version``) driver-side JSON reads — bounded
+        by the append rate between maintenance cycles, independent of
+        table size."""
+        end = self.version() if end is None else end
+        changed: dict[str, int] = {}
+        needs_full = False
+        for v in range(version + 1, end + 1):
+            with open(self._commit_path(v)) as f:
+                rec = json.load(f)
+            op = rec.get("op")
+            if op == "compact":
+                continue
+            if op == "append":
+                for e in rec.get("add", ()):
+                    m = (e.get("partition") or {}).get("_month")
+                    if m is None:
+                        needs_full = True
+                    else:
+                        changed[m] = v
+            elif op == "expire":
+                for path in rec.get("remove", ()):
+                    m = _month_from_path(path)
+                    if m is None:
+                        needs_full = True
+                    else:
+                        changed[m] = v
+            else:
+                needs_full = True
+        return changed, needs_full
 
     def read_incremental(
         self, since_version: int, end_version: int | None = None
