@@ -38,6 +38,14 @@ leading keyword is a read keyword).
 Concurrency: the service lock covers only view registration +
 eager analysis (metadata-priced); execution always runs UNLOCKED,
 so a long analytical query never blocks other callers.
+
+Time travel: ``execute(as_of={collection: version})`` resolves a
+transaction-logged collection's view to its commit-log snapshot at
+that version (``history()`` lists them) — the lakehouse AS OF read,
+served from the same manifest ``TxnTable.read(version=)`` uses
+everywhere else.  Snapshot resolution is metadata-only; the data
+files themselves are immutable, so a traveled query plans and prunes
+exactly like a current one.
 """
 
 from __future__ import annotations
@@ -175,10 +183,26 @@ class QueryService:
 
     # -- view management --------------------------------------------------
 
-    def _project_views(self, project: str) -> dict[str, DataFrame]:
+    def _project_views(
+        self, project: str, as_of: dict[str, int] | None = None
+    ) -> dict[str, DataFrame]:
         views: dict[str, DataFrame] = {}
         ms = self.store.metastore
+        as_of = as_of or {}
         for coll in ms.collections(project):
+            if coll in as_of:
+                # time travel: the view is the txn snapshot at the
+                # requested version (validated in execute()).  The
+                # current ``__rollup`` is deliberately NOT registered
+                # beside a historical base — mixing grains across
+                # versions would silently serve inconsistent numbers.
+                txn = self.store.txn_table(project, coll)
+                views[coll] = (
+                    txn.read(version=as_of[coll])
+                    if txn.live_files(version=as_of[coll])
+                    else self.store.read(project, coll).limit(0)
+                )
+                continue
             try:
                 views[coll] = self.store.read(project, coll)
             except FileNotFoundError:
@@ -191,6 +215,56 @@ class QueryService:
             except FileNotFoundError:
                 pass
         return views
+
+    def _validate_as_of(
+        self, project: str, as_of: dict[str, int] | None
+    ) -> QueryError | None:
+        """Time travel is only meaningful where a commit log proves
+        what each version contained: every ``as_of`` key must be a
+        transaction-logged collection and every version must exist."""
+        if not as_of:
+            return None
+        known = set(self.store.metastore.collections(project))
+        for coll, v in as_of.items():
+            if coll not in known:
+                return QueryError(f"unknown collection {coll!r}", errorCode=42704)
+            if not self.store.txn_mode(project, coll):
+                return QueryError(
+                    f"time travel requires transaction-logged storage; "
+                    f"{coll!r} is a plain collection (enable_txn first)",
+                    errorCode=0,
+                )
+            current = self.store.txn_table(project, coll).version()
+            if not isinstance(v, int) or v < 0 or v > current:
+                return QueryError(
+                    f"version {v!r} out of range for {coll!r} "
+                    f"(latest is {current})",
+                    errorCode=22003,
+                )
+        return None
+
+    def history(self, project: str, collection: str) -> list[dict]:
+        """The commit history of a transaction-logged collection —
+        one dict per version (op, writer, counts), the reference
+        point for picking an ``as_of`` version.  Raises ValueError
+        for plain collections."""
+        if not self.store.txn_mode(project, collection):
+            raise ValueError(
+                f"{collection!r} is not transaction-logged; no history"
+            )
+        txn = self.store.txn_table(project, collection)
+        out = []
+        for v, rec in enumerate(txn.history(), start=1):
+            out.append(
+                {
+                    "version": v,
+                    "op": rec.get("op"),
+                    "writer": rec.get("writer"),
+                    "n_added": len(rec.get("add") or ()),
+                    "n_removed": len(rec.get("remove") or ()),
+                }
+            )
+        return out
 
     @staticmethod
     def _validate(sql: str) -> QueryError | None:
@@ -259,7 +333,9 @@ class QueryService:
 
     # -- execution --------------------------------------------------------
 
-    def _analyze(self, project: str, sql: str) -> DataFrame:
+    def _analyze(
+        self, project: str, sql: str, as_of: dict[str, int] | None = None
+    ) -> DataFrame:
         """Register the project's views, let ``spark.sql`` parse AND
         analyze the statement (Spark analyzes eagerly — view
         references resolve into the returned Dataset's plan here),
@@ -271,7 +347,7 @@ class QueryService:
         projects sharing a collection name never see each other's
         views mid-analysis."""
         with self._lock:
-            views = self._project_views(project)
+            views = self._project_views(project, as_of)
             try:
                 for name, df in views.items():
                     df.createOrReplaceTempView(name)
@@ -334,15 +410,33 @@ class QueryService:
             while len(self._cache) > self.CACHE_MAX_ENTRIES:
                 self._cache.pop(next(iter(self._cache)))
 
-    def execute(self, project: str, sql: str, max_rows: int = 10_000) -> QueryResult:
+    def execute(
+        self,
+        project: str,
+        sql: str,
+        max_rows: int = 10_000,
+        as_of: dict[str, int] | None = None,
+    ) -> QueryResult:
         """Run a read statement over the project's views and return
         the reference result envelope.  ``max_rows`` caps driver-side
         materialization: properties["truncated"] flags a clipped
-        result (and TOTAL_RESULT counts only returned rows)."""
-        err = self._gate(sql)
+        result (and TOTAL_RESULT counts only returned rows).
+
+        ``as_of`` maps collection → txn version for TIME TRAVEL: the
+        named collections resolve to their commit-log snapshot at
+        that version (``history()`` lists the versions); only
+        transaction-logged collections accept it.  A traveled
+        collection's ``__rollup`` view is not registered — current
+        cells beside a historical base would mix versions."""
+        err = self._gate(sql) or self._validate_as_of(project, as_of)
         if err is not None:
             return QueryResult.error_result(err)
-        key = (project, sql, max_rows)
+        key = (
+            project,
+            sql,
+            max_rows,
+            tuple(sorted((as_of or {}).items())),
+        )
         cached = self._cache_get(key, project)
         if cached is not None:
             return cached
@@ -354,7 +448,7 @@ class QueryService:
         )
         start = time.monotonic()
         try:
-            out = self._analyze(project, sql)
+            out = self._analyze(project, sql, as_of)
         except Exception as exc:  # Parse/Analysis
             return QueryResult.error_result(self._to_error(exc))
         try:

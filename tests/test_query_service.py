@@ -399,3 +399,85 @@ def test_result_cache_hit_ttl_and_txn_invalidation(service):
     assert bad.failed
     bad2 = cached_svc.execute("proj", "SELECT nope FROM pageview")
     assert bad2.failed and "cached" not in (bad2.properties or {})
+
+
+def test_time_travel_reads_the_requested_snapshot(service):
+    """as_of={collection: version} resolves the view to the commit-log
+    snapshot: rows appended after that version are invisible, the
+    latest version matches the current read, and history() lists the
+    versions a caller can travel to."""
+    service.store.enable_txn("proj", "pageview")
+    v1 = service.store.txn_table("proj", "pageview").version()
+    collector = EventCollector(
+        service.spark,
+        service.store.metastore,
+        pipeline=EnrichmentPipeline([TimestampMapper()]),
+    )
+    collector.collect(
+        "proj",
+        "pageview",
+        {"user_id": "u9", "event_type": "view", "value": 99.0, "_time": "2024-02-01 10:00:00"},
+    )
+    v2 = service.store.txn_table("proj", "pageview").version()
+    assert v2 == v1 + 1
+
+    sql = "SELECT COUNT(*) AS n FROM pageview"
+    n_now = service.execute("proj", sql).result[0][0]
+    n_v1 = service.execute("proj", sql, as_of={"pageview": v1}).result[0][0]
+    assert n_now == n_v1 + 1
+    assert service.execute("proj", sql, as_of={"pageview": v2}).result[0][0] == n_now
+
+    hist = service.history("proj", "pageview")
+    assert [h["version"] for h in hist] == list(range(1, v2 + 1))
+    assert hist[-1]["op"] == "append" and hist[-1]["n_added"] >= 1
+
+
+def test_time_travel_validation_and_rollup_isolation(service):
+    # plain collection: refused with a structured error, not an exception
+    res = service.execute(
+        "proj", "SELECT COUNT(*) FROM purchase", as_of={"purchase": 1}
+    )
+    assert res.failed and "transaction-logged" in res.error.message
+
+    service.store.enable_txn("proj", "pageview")
+    v = service.store.txn_table("proj", "pageview").version()
+    # out-of-range version: refused
+    res = service.execute(
+        "proj", "SELECT COUNT(*) FROM pageview", as_of={"pageview": v + 10}
+    )
+    assert res.failed and "out of range" in res.error.message
+    # unknown collection: refused
+    res = service.execute(
+        "proj", "SELECT 1", as_of={"nope": 1}
+    )
+    assert res.failed and "unknown collection" in res.error.message
+    # history of a plain collection: refused
+    with pytest.raises(ValueError):
+        service.history("proj", "purchase")
+
+    # a traveled collection's __rollup view is NOT registered (current
+    # cells beside a historical base would mix versions)
+    service.store.publish_rollup("proj", "pageview", dims=("event_type",))
+    ok = service.execute("proj", "SELECT COUNT(*) FROM pageview__rollup")
+    assert not ok.failed
+    res = service.execute(
+        "proj",
+        "SELECT COUNT(*) FROM pageview__rollup",
+        as_of={"pageview": v},
+    )
+    assert res.failed  # TABLE_OR_VIEW_NOT_FOUND under time travel
+
+
+def test_time_travel_results_cached_per_version(service):
+    service.store.enable_txn("proj", "pageview")
+    v = service.store.txn_table("proj", "pageview").version()
+    svc = QueryService(
+        service.spark, service.store, users=service.users, cache_ttl_seconds=60
+    )
+    sql = "SELECT COUNT(*) AS n FROM pageview"
+    a = svc.execute("proj", sql, as_of={"pageview": v})
+    b = svc.execute("proj", sql, as_of={"pageview": v})
+    c = svc.execute("proj", sql)
+    assert b.properties.get("cached") is True
+    assert "cached" not in c.properties  # different key: current read
+    assert a.result == b.result == c.result
