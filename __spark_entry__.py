@@ -44,24 +44,28 @@ _MODULES = (
 # enumeration order.  With 192 declared queries, plain module order
 # would starve the tail modules of a driver-verified CORRECTNESS row
 # forever.  Round-9 rotation (staleness computed from CORRECTNESS_r01-r08):
-# (a) the 22 queries added or modified this round — fifteen brand-new
+# (a) the 24 queries added or modified this round — twenty-one brand-new
 # (nation trade balance, order-gap cadence, running revenue share,
 # position-based attribution, burstiness, session depth, label-centroid
 # similarity, embedding label outliers, Zipf slope, dedup savings,
 # prefix boilerplate, order streaks, late-run streaks, discount
-# elasticity, Benford audit) plus the three with round-9 code changes
+# elasticity, Benford audit, KM order-survival curve, unit-value price
+# index, IVF cell balance, priority drift, supplier HHI, cluster-size
+# histogram) plus the three with round-9 code changes
 # (threshold curve's enforced sample, cluster_safe_splits' dropped
 # broadcast, the drift midpoint floor); (b) the r5-stale cohort VERDICT
 # r8 Next #7 names — the TPC-H tail q7-q22 / bm25 / dedup_clusters that
 # slipped past the r8 cutoff at slot 50, then the remaining r5-stale
-# rows in enumeration order; eighteen r5-stale rows (hourly_counts_gapfilled,
+# rows in enumeration order; twenty r5-stale rows (funnel_daily_trend,
+# funnel_with_exclusion, hourly_counts_gapfilled,
 # mix_weights, pack_sequences, padding_efficiency, pii_redaction,
 # power_user_curve, quality_repetition_rules, quality_top_quartile,
 # rfm_segments, segment_overlap_matrix, sliding_window_counts,
 # source_dup_matrix, stickiness_dau_mau, stratified_sample,
 # top3_parts_per_brand, user_lifecycle_grid, value_histogram,
 # vocab_coverage) don't fit and lead the r10 rotation.  Everything
-# listed passes tools/check_correctness.py locally at sf0.01 and sf0.001.
+# listed passes tools/check_correctness.py locally at sf0.01 and sf0.001
+# (the round-9 additions also at sf0.1).
 _GATE_PRIORITY = (
     # (a) added or modified this round
     "nation_trade_balance",
@@ -83,6 +87,8 @@ _GATE_PRIORITY = (
     "supplier_late_streaks",
     "discount_elasticity_by_priority",
     "benford_price_audit",
+    "order_survival_curve",
+    "part_price_index_quarterly",
     "dedup_threshold_curve",
     "cluster_safe_splits",
     "embedding_drift_by_label",
@@ -113,8 +119,6 @@ _GATE_PRIORITY = (
     "embedding_cluster_profile",
     "event_transition_matrix",
     "events_pivot_daily",
-    "funnel_daily_trend",
-    "funnel_with_exclusion",
 )
 
 

@@ -120,6 +120,8 @@ EXTRA = [
     "supplier_late_streaks",
     "discount_elasticity_by_priority",
     "benford_price_audit",
+    "order_survival_curve",
+    "part_price_index_quarterly",
 ]
 
 

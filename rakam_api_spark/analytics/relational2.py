@@ -1941,7 +1941,242 @@ ORDER BY digit
 """
 
 
+def order_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier estimate of time-to-NEXT-order (week grain): the
+    survival-analysis view of repeat-purchase behavior, with proper
+    RIGHT-CENSORING — a customer's span from their last order to the
+    end of observation is "still waiting", not "never reordered",
+    and ignoring it biases every naive gap average.  Emits, per
+    week-since-order: the at-risk count, reorder events, censored
+    spans, hazard d/n, and the KM survival Π(1 − d_u/n_u).
+
+    Plan: ONE custkey-partitioned lead window builds the spans (the
+    same events-shaped shuffle every sessionizer uses), then
+    everything else runs at WEEK grain — the bucket aggregate is
+    partial-aggregated, and the two unpartitioned windows (risk-set
+    cumsum, survival cumsum-of-logs) see at most span/7 ≈ a few
+    hundred rows at ANY corpus size (numeric bound asserted in
+    test_plan_hygiene).
+
+    Determinism: n/d/c are exact integers; hazard is one division
+    rounded to 9; survival is exp∘Σln over identically-computed
+    doubles rounded to 6 (round-both-sides float-chain convention —
+    the exact-rational product overflows, and both engines sum the
+    same ≤ span-length log series).
+
+    Censoring horizon = max(o_orderdate) across ALL orders (a shared
+    administrative end-of-study), so every span is well-defined."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    horizon = orders.groupBy().agg(F.max("o_orderdate").alias("end_date"))
+    spans = (
+        orders.select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn("nxt", F.lead("o_orderdate").over(w))
+        .crossJoin(broadcast(horizon))
+        .select(
+            F.floor(
+                F.datediff(
+                    F.coalesce(F.col("nxt"), F.col("end_date")).cast("date"),
+                    F.col("o_orderdate").cast("date"),
+                )
+                / 7
+            ).alias("week"),
+            F.col("nxt").isNotNull().cast("long").alias("ev"),
+        )
+    )
+    buckets = spans.groupBy("week").agg(
+        F.sum("ev").alias("d_events"),
+        F.sum(F.lit(1) - F.col("ev")).alias("c_censored"),
+    )
+    total = spans.groupBy().agg(F.count(F.lit(1)).alias("total"))
+    w_prior = Window.orderBy("week").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("week").rowsBetween(Window.unboundedPreceding, 0)
+    at_risk = (
+        buckets.crossJoin(broadcast(total))
+        .withColumn(
+            "n_at_risk",
+            F.col("total")
+            - F.coalesce(
+                F.sum(F.col("d_events") + F.col("c_censored")).over(w_prior),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "factor",
+            F.lit(1.0)
+            - F.col("d_events").cast("double") / F.col("n_at_risk").cast("double"),
+        )
+        .withColumn(
+            # the terminal bucket can have d == n (everyone at risk
+            # exits): ln(0) errors on DuckDB and nulls on Spark, so
+            # the zero factor is flagged and pins survival to 0 from
+            # that week on — the mathematically correct limit
+            "hit_zero",
+            F.max((F.col("factor") <= 0).cast("int")).over(w_cum),
+        )
+        .withColumn(
+            "survival",
+            F.when(F.col("hit_zero") == 1, F.lit(0.0)).otherwise(
+                F.exp(
+                    F.sum(
+                        F.when(F.col("factor") > 0, F.log(F.col("factor")))
+                    ).over(w_cum)
+                )
+            ),
+        )
+    )
+    return at_risk.select(
+        "week",
+        "n_at_risk",
+        "d_events",
+        "c_censored",
+        F.round(
+            F.col("d_events").cast("double") / F.col("n_at_risk").cast("double"), 9
+        ).alias("hazard"),
+        F.round(F.col("survival"), 6).alias("km_survival"),
+    ).orderBy("week")
+
+
+ORDER_SURVIVAL_ORACLE = """
+WITH horizon AS (SELECT MAX(o_orderdate) AS end_date FROM orders),
+spans AS (
+  SELECT CAST(floor(datediff('day', o_orderdate,
+               COALESCE(LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey),
+                        end_date)) / 7) AS BIGINT) AS week,
+         CASE WHEN LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) IS NULL
+              THEN 0 ELSE 1 END AS ev
+  FROM orders, horizon
+),
+buckets AS (
+  SELECT week,
+         CAST(SUM(ev) AS BIGINT) AS d_events,
+         CAST(SUM(1 - ev) AS BIGINT) AS c_censored
+  FROM spans GROUP BY 1
+),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM spans),
+risk AS (
+  SELECT week, d_events, c_censored,
+         CAST(total - COALESCE(SUM(d_events + c_censored) OVER (
+             ORDER BY week ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS n_at_risk
+  FROM buckets, total
+),
+factors AS (
+  SELECT *, 1.0 - CAST(d_events AS DOUBLE) / n_at_risk AS factor FROM risk
+)
+SELECT week, n_at_risk, d_events, c_censored,
+       round(CAST(d_events AS DOUBLE) / n_at_risk, 9) AS hazard,
+       round(CASE WHEN MAX(CASE WHEN factor <= 0 THEN 1 ELSE 0 END) OVER (
+                    ORDER BY week ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+                  THEN 0.0
+                  ELSE exp(SUM(CASE WHEN factor > 0 THEN ln(factor) END) OVER (
+                       ORDER BY week ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             END, 6) AS km_survival
+FROM factors ORDER BY week
+"""
+
+
+def part_price_index_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-value price index (Drobisch) of the parts basket by
+    quarter: average realized price per unit of the MATCHED basket
+    (parts traded in both the base quarter and quarter t), relative
+    to the same basket's base-quarter unit value —
+    I_t = (Σ mass_t / Σ qty_t) ÷ (Σ mass_0 / Σ qty_0), matched on
+    part.  The matched-sample unit-value index national statistics
+    offices compute from transaction data when item-level fixed
+    baskets (Laspeyres) would need a per-item price division — this
+    formulation needs only FOUR exact sums per quarter, so it stays
+    bit-deterministic where a per-part p̄_t = mass/qty division
+    would hit engine-specific decimal-division scale rules.
+
+    Plan: ONE (part, quarter) grain aggregate off the lineitem scan
+    (partial-aggregated), the base-quarter slice joins back on
+    partkey (part-dim-sized — AQE picks broadcast vs shuffle), and a
+    quarter-grain final aggregate.  No windows, no fact self-join.
+
+    Determinism: extendedprice is the per-line TOTAL so Σ mass and
+    Σ qty are exact DECIMAL sums; the index is one double expression
+    (a·d)/(b·c) of four exact decimals, rounded to 9 on both sides."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qtr = F.concat(
+        F.year("l_shipdate").cast("string"),
+        F.lit("-Q"),
+        ((F.month("l_shipdate") + 2) / 3).cast("int").cast("string"),
+    )
+    cell = li.groupBy(F.col("l_partkey").alias("partkey"), qtr.alias("quarter")).agg(
+        F.sum(_dec("l_extendedprice")).alias("mass"),  # Σ price·qty (exact)
+        F.sum(_dec("l_quantity")).alias("qty"),
+    )
+    base_q = cell.groupBy().agg(F.min("quarter").alias("base_quarter"))
+    base = (
+        cell.crossJoin(broadcast(base_q))
+        .where(F.col("quarter") == F.col("base_quarter"))
+        .select(
+            "partkey",
+            F.col("mass").alias("base_mass"),
+            F.col("qty").alias("base_qty"),
+        )
+    )
+    agg = (
+        cell.join(base, "partkey")
+        .groupBy("quarter")
+        .agg(
+            F.sum("mass").alias("mass_now"),
+            F.sum("qty").alias("qty_now"),
+            F.sum("base_mass").alias("mass_base"),
+            F.sum("base_qty").alias("qty_base"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+    )
+    idx = (
+        F.col("mass_now").cast("double") * F.col("qty_base").cast("double")
+    ) / (F.col("qty_now").cast("double") * F.col("mass_base").cast("double"))
+    return agg.select(
+        "quarter",
+        "n_parts",
+        F.round(F.col("mass_now").cast("double"), 6).alias("matched_mass"),
+        F.round(idx, 9).alias("unit_value_index"),
+    ).orderBy("quarter")
+
+
+PART_PRICE_INDEX_ORACLE = """
+WITH cell AS (
+  SELECT l_partkey AS partkey,
+         year(l_shipdate) || '-Q' || CAST((month(l_shipdate) + 2) // 3 AS VARCHAR)
+           AS quarter,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS mass,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS qty
+  FROM lineitem GROUP BY 1, 2
+),
+base_q AS (SELECT MIN(quarter) AS base_quarter FROM cell),
+base AS (
+  SELECT partkey, mass AS base_mass, qty AS base_qty
+  FROM cell, base_q WHERE quarter = base_quarter
+),
+agg AS (
+  SELECT c.quarter,
+         CAST(SUM(c.mass) AS DECIMAL(26,6)) AS mass_now,
+         CAST(SUM(c.qty) AS DECIMAL(26,6)) AS qty_now,
+         CAST(SUM(b.base_mass) AS DECIMAL(26,6)) AS mass_base,
+         CAST(SUM(b.base_qty) AS DECIMAL(26,6)) AS qty_base,
+         CAST(COUNT(*) AS BIGINT) AS n_parts
+  FROM cell c JOIN base b USING (partkey)
+  GROUP BY 1
+)
+SELECT quarter, n_parts,
+       round(CAST(mass_now AS DOUBLE), 6) AS matched_mass,
+       round((CAST(mass_now AS DOUBLE) * CAST(qty_base AS DOUBLE))
+             / (CAST(qty_now AS DOUBLE) * CAST(mass_base AS DOUBLE)), 9)
+         AS unit_value_index
+FROM agg ORDER BY quarter
+"""
+
+
 QUERIES = {
+    "order_survival_curve": order_survival_curve,
+    "part_price_index_quarterly": part_price_index_quarterly,
     "customer_order_streaks": customer_order_streaks,
     "supplier_late_streaks": supplier_late_streaks,
     "discount_elasticity_by_priority": discount_elasticity_by_priority,
@@ -1975,6 +2210,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "order_survival_curve": ORDER_SURVIVAL_ORACLE,
+    "part_price_index_quarterly": PART_PRICE_INDEX_ORACLE,
     "customer_order_streaks": CUSTOMER_ORDER_STREAKS_ORACLE,
     "supplier_late_streaks": SUPPLIER_LATE_STREAKS_ORACLE,
     "discount_elasticity_by_priority": DISCOUNT_ELASTICITY_ORACLE,

@@ -24,6 +24,10 @@ EXEMPT_BOUNDED_WINDOW = {
     # tiers are 0..4 so the window input is <= 25 rows at ANY corpus
     # size (asserted numerically below)
     "customer_migration_matrix",
+    # KM risk-set cumsum + survival cumsum-of-logs run over the
+    # WEEK-grain bucket aggregate: rows <= calendar span / 7 at ANY
+    # corpus size (asserted numerically below)
+    "order_survival_curve",
 }
 
 
@@ -101,6 +105,13 @@ def test_exempt_windows_have_numeric_input_bounds(spark):
 
     # tier-cell window: input == output == at most 5x5 tier cells
     assert qs["customer_migration_matrix"](spark, SF).count() <= 25
+
+    # week-grain KM curve: rows == distinct weeks <= calendar span/7
+    km = qs["order_survival_curve"](spark, SF).collect()
+    weeks = [r["week"] for r in km]
+    assert len(weeks) == len(set(weeks))
+    assert max(weeks) - min(weeks) + 1 < 3000  # ~7y span / 7 days
+    assert len(weeks) <= max(weeks) - min(weeks) + 1
 
     # day-grain window: rows == distinct days <= calendar span + 1
     rows = qs["order_backlog_daily"](spark, SF).collect()

@@ -282,6 +282,14 @@ SHOW = {
     "benford_price_audit": "fraud screen: leading digit via exact "
     "integer-to-string (no libm log10), one 9-row hash aggregate, grand total "
     "joins back as a single-row broadcast",
+    "order_survival_curve": "Kaplan-Meier with right-censoring: ONE "
+    "custkey-partitioned lead window builds the spans, then risk-set and "
+    "survival windows run over the WEEK-grain bucket aggregate — <= span/7 "
+    "rows at any corpus size (numeric bound in test_plan_hygiene)",
+    "part_price_index_quarterly": "unit-value price index: (part,quarter) "
+    "grain partial-aggregated off the scan, base-quarter slice joins back "
+    "part-dim-sized (AQE picks the strategy), index from four exact decimal "
+    "sums per quarter — no per-part division, no windows",
 }
 
 

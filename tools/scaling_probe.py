@@ -162,6 +162,8 @@ OPERATORS = [
     "supplier_late_streaks",
     "discount_elasticity_by_priority",
     "benford_price_audit",
+    "order_survival_curve",
+    "part_price_index_quarterly",
 ]
 
 # Probe variants: (row label, queries() op, docs transform).  The
