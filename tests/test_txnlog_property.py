@@ -115,3 +115,97 @@ def test_log_replay_matches_model(tmp_path_factory, ops):
         if f.endswith(".parquet")
     )
     assert on_disk == t.live_files()
+
+
+# --- months_changed_since (rollup staleness primitive) -----------------
+
+# an op is ("append", month 0-3), ("append_nopart",) — an
+# unattributable add — ("compact", month), ("expire", month), or
+# ("merge",)
+_STALE_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(0, 3)),
+        st.tuples(st.just("append_nopart")),
+        st.tuples(st.just("compact"), st.integers(0, 3)),
+        st.tuples(st.just("expire"), st.integers(0, 3)),
+        st.tuples(st.just("merge")),
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(ops=_STALE_OPS)
+def test_months_changed_since_matches_model(tmp_path_factory, ops):
+    """months_changed_since must agree with a trivial event model at
+    EVERY possible scan floor: appends mark their month at their
+    version, expiry marks the month it actually removed files from,
+    compaction (content-preserving) marks nothing, and merge or an
+    unpartitioned add forces needs_full — the exact contract the
+    rollup-staleness planner relies on."""
+    root = tmp_path_factory.mktemp("txn_stale")
+    t = TxnTable(None, str(root), checkpoint_every=4)
+    month = lambda m: f"2024-0{m + 1}"  # noqa: E731
+    # model: (version, kind, month_or_None)
+    events: list[tuple[int, str, str | None]] = []
+    live: dict[str, list[str]] = {}  # month -> rel paths
+    seq = 0
+
+    def _write(rel: str):
+        os.makedirs(os.path.dirname(t._abs(rel)), exist_ok=True)
+        pq.write_table(pa.table({"x": [seq]}), t._abs(rel))
+
+    for op in ops:
+        if op[0] == "append":
+            m = month(op[1])
+            rel = f"_month={m}/b{seq}.parquet"
+            _write(rel)
+            v = t.append_files([rel], partition={"_month": m})
+            live.setdefault(m, []).append(rel)
+            events.append((v, "append", m))
+        elif op[0] == "append_nopart":
+            rel = f"b{seq}.parquet"
+            _write(rel)
+            v = t.append_files([rel], partition=None)
+            events.append((v, "full", None))
+        elif op[0] == "compact":
+            m = month(op[1])
+            if not live.get(m):
+                continue
+            rel = f"_month={m}/c{seq}.parquet"
+            _write(rel)
+            v = t.commit(
+                add=[{"path": rel, "partition": {"_month": m}}],
+                remove=list(live[m]),
+                op="compact",
+            )
+            live[m] = [rel]
+            events.append((v, "compact", m))
+        elif op[0] == "expire":
+            m = month(op[1])
+            removed = bool(live.get(m))
+            v = t.remove_partition("_month", m)
+            live.pop(m, None)
+            events.append((v, "expire" if removed else "noop", m))
+        else:
+            v = t.commit(op="merge")
+            events.append((v, "full", None))
+        seq += 1
+
+    end = t.version()
+    for since in range(0, end + 1):
+        changed, full = t.months_changed_since(since)
+        exp_changed: dict[str, int] = {}
+        exp_full = False
+        for v, kind, m in events:
+            if v <= since:
+                continue
+            if kind in ("append", "expire"):
+                exp_changed[m] = v
+            elif kind == "full":
+                exp_full = True
+        assert changed == exp_changed, f"since={since}"
+        assert full == exp_full, f"since={since}"
+    # scanning from the head reports nothing
+    assert t.months_changed_since(end) == ({}, False)
