@@ -44,19 +44,21 @@ _MODULES = (
 # enumeration order.  With 192 declared queries, plain module order
 # would starve the tail modules of a driver-verified CORRECTNESS row
 # forever.  Round-9 rotation (staleness computed from CORRECTNESS_r01-r08):
-# (a) the 24 queries added or modified this round — twenty-one brand-new
+# (a) the 26 queries added or modified this round — twenty-three brand-new
 # (nation trade balance, order-gap cadence, running revenue share,
 # position-based attribution, burstiness, session depth, label-centroid
 # similarity, embedding label outliers, Zipf slope, dedup savings,
 # prefix boilerplate, order streaks, late-run streaks, discount
 # elasticity, Benford audit, KM order-survival curve, unit-value price
-# index, IVF cell balance, priority drift, supplier HHI, cluster-size
+# index, embedding-norm audit, seasonality index, IVF cell balance,
+# priority drift, supplier HHI, cluster-size
 # histogram) plus the three with round-9 code changes
 # (threshold curve's enforced sample, cluster_safe_splits' dropped
 # broadcast, the drift midpoint floor); (b) the r5-stale cohort VERDICT
 # r8 Next #7 names — the TPC-H tail q7-q22 / bm25 / dedup_clusters that
 # slipped past the r8 cutoff at slot 50, then the remaining r5-stale
-# rows in enumeration order; twenty r5-stale rows (funnel_daily_trend,
+# rows in enumeration order; twenty-two r5-stale rows (event_transition_matrix,
+# events_pivot_daily, funnel_daily_trend,
 # funnel_with_exclusion, hourly_counts_gapfilled,
 # mix_weights, pack_sequences, padding_efficiency, pii_redaction,
 # power_user_curve, quality_repetition_rules, quality_top_quartile,
@@ -89,6 +91,8 @@ _GATE_PRIORITY = (
     "benford_price_audit",
     "order_survival_curve",
     "part_price_index_quarterly",
+    "embedding_norm_audit",
+    "orders_seasonality_index",
     "dedup_threshold_curve",
     "cluster_safe_splits",
     "embedding_drift_by_label",
@@ -117,8 +121,6 @@ _GATE_PRIORITY = (
     "doc_typicality",
     "dup_ngram_spans",
     "embedding_cluster_profile",
-    "event_transition_matrix",
-    "events_pivot_daily",
 )
 
 

@@ -122,6 +122,8 @@ EXTRA = [
     "benford_price_audit",
     "order_survival_curve",
     "part_price_index_quarterly",
+    "embedding_norm_audit",
+    "orders_seasonality_index",
 ]
 
 

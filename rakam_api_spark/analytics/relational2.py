@@ -2174,7 +2174,76 @@ FROM agg ORDER BY quarter
 """
 
 
+def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal index by calendar month (1–12): each month-of-year's
+    share of orders and revenue expressed relative to a uniform
+    month — index 1.0 = exactly average, 1.2 = 20% over — the
+    classical multiplicative-decomposition seasonal factor retailers
+    use for inventory and staffing curves.
+
+    Plan: one 12-row hash aggregate over the orders scan (month-of-
+    year is row-local), the grand totals broadcast back as a single
+    row — two scans collapsed into one via window-free sums of the
+    12-row aggregate itself (a second tiny aggregate, not a second
+    table scan).
+
+    Determinism: counts and decimal revenue sums are exact; each
+    index is one double expression of exact values rounded to 9."""
+    orders = load_table(spark, sf_dir, "orders")
+    cell = orders.groupBy(F.month("o_orderdate").alias("month_of_year")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).alias("revenue"),
+    )
+    totals = cell.groupBy().agg(
+        F.sum("n_orders").alias("t_orders"),
+        F.sum("revenue").alias("t_revenue"),
+    )
+    return (
+        cell.crossJoin(broadcast(totals))
+        .select(
+            "month_of_year",
+            "n_orders",
+            F.round(F.col("revenue").cast("double"), 6).alias("revenue"),
+            F.round(
+                F.lit(12.0)
+                * F.col("n_orders").cast("double")
+                / F.col("t_orders").cast("double"),
+                9,
+            ).alias("order_seasonal_index"),
+            F.round(
+                F.lit(12.0)
+                * F.col("revenue").cast("double")
+                / F.col("t_revenue").cast("double"),
+                9,
+            ).alias("revenue_seasonal_index"),
+        )
+        .orderBy("month_of_year")
+    )
+
+
+ORDERS_SEASONALITY_ORACLE = """
+WITH cell AS (
+  SELECT month(o_orderdate) AS month_of_year,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(26,6)) AS revenue
+  FROM orders GROUP BY 1
+),
+totals AS (
+  SELECT CAST(SUM(n_orders) AS BIGINT) AS t_orders,
+         CAST(SUM(revenue) AS DECIMAL(26,6)) AS t_revenue
+  FROM cell
+)
+SELECT month_of_year, n_orders,
+       round(CAST(revenue AS DOUBLE), 6) AS revenue,
+       round(12.0 * n_orders / t_orders, 9) AS order_seasonal_index,
+       round(12.0 * CAST(revenue AS DOUBLE) / CAST(t_revenue AS DOUBLE), 9)
+         AS revenue_seasonal_index
+FROM cell, totals ORDER BY month_of_year
+"""
+
+
 QUERIES = {
+    "orders_seasonality_index": orders_seasonality_index,
     "order_survival_curve": order_survival_curve,
     "part_price_index_quarterly": part_price_index_quarterly,
     "customer_order_streaks": customer_order_streaks,
@@ -2210,6 +2279,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "orders_seasonality_index": ORDERS_SEASONALITY_ORACLE,
     "order_survival_curve": ORDER_SURVIVAL_ORACLE,
     "part_price_index_quarterly": PART_PRICE_INDEX_ORACLE,
     "customer_order_streaks": CUSTOMER_ORDER_STREAKS_ORACLE,

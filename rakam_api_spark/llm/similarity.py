@@ -2099,7 +2099,59 @@ def _ivf_cell_balance_oracle(k: int = K_CELLS, iters: int = KM_ITERS) -> str:
 IVF_CELL_BALANCE_ORACLE = _ivf_cell_balance_oracle()
 
 
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-norm health report: vector counts,
+    degenerate (all-zero) vectors, and the norm² envelope — the
+    sanity screen every embedding pipeline runs before similarity
+    search (zero or wildly-scaled vectors poison cosine math and
+    IVF assignment silently).
+
+    Plan: ONE posexplode + (vec_id)-grain integer aggregate (the
+    shared quantized-norm kernel), a label join at id grain, then a
+    |labels|-row rollup — no windows, no pairs, nothing quadratic.
+
+    Determinism: norms are EXACT integer sums of quantized
+    components (the module's round(x·10⁴) convention), so count/
+    min/max/zero are exact and the mean is one integer-over-integer
+    division rounded to 6."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    norms = _norms(_quantized_components(emb), "vec_id")
+    labeled = norms.join(emb.select("vec_id", "label"), "vec_id")
+    return (
+        labeled.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum((F.col("norm2") == 0).cast("long")).alias("n_zero"),
+            F.min("norm2").alias("min_norm2"),
+            F.max("norm2").alias("max_norm2"),
+            F.round(
+                F.sum("norm2").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_norm2"),
+        )
+        .orderBy("label")
+    )
+
+
+EMBEDDING_NORM_AUDIT_ORACLE = """
+WITH comp AS (
+  SELECT vec_id,
+         CAST(round(CAST(embedding[CAST(i AS INT)+1] AS DOUBLE) * 10000, 0) AS BIGINT) AS q
+  FROM embeddings, LATERAL unnest(range(0, len(embedding))) t(i)
+),
+norms AS (SELECT vec_id, SUM(q*q) AS norm2 FROM comp GROUP BY 1)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(CASE WHEN norm2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       CAST(MIN(norm2) AS BIGINT) AS min_norm2,
+       CAST(MAX(norm2) AS BIGINT) AS max_norm2,
+       round(CAST(SUM(norm2) AS DOUBLE) / COUNT(*), 6) AS mean_norm2
+FROM norms JOIN embeddings USING (vec_id)
+GROUP BY label ORDER BY label
+"""
+
+
 QUERIES = {
+    "embedding_norm_audit": embedding_norm_audit,
     "ivf_cell_balance": ivf_cell_balance,
     "embedding_label_outliers": embedding_label_outliers,
     "label_centroid_similarity": label_centroid_similarity,
@@ -2120,6 +2172,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_norm_audit": EMBEDDING_NORM_AUDIT_ORACLE,
     "ivf_cell_balance": IVF_CELL_BALANCE_ORACLE,
     "embedding_label_outliers": EMBEDDING_LABEL_OUTLIERS_ORACLE,
     "label_centroid_similarity": LABEL_CENTROID_SIM_ORACLE,

@@ -290,6 +290,12 @@ SHOW = {
     "grain partial-aggregated off the scan, base-quarter slice joins back "
     "part-dim-sized (AQE picks the strategy), index from four exact decimal "
     "sums per quarter — no per-part division, no windows",
+    "embedding_norm_audit": "norm health: one posexplode + id-grain integer "
+    "aggregate (the shared quantized-norm kernel), label join at id grain, "
+    "|labels|-row rollup — nothing quadratic, exact integer norms",
+    "orders_seasonality_index": "seasonal factors: one 12-row hash aggregate "
+    "over the scan; grand totals are a second aggregate OF THE 12 ROWS "
+    "broadcast back as one row — the fact table is scanned once",
 }
 
 

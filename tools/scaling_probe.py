@@ -164,6 +164,8 @@ OPERATORS = [
     "benford_price_audit",
     "order_survival_curve",
     "part_price_index_quarterly",
+    "embedding_norm_audit",
+    "orders_seasonality_index",
 ]
 
 # Probe variants: (row label, queries() op, docs transform).  The
