@@ -619,19 +619,30 @@ class EventStore:
         return n_files
 
     def export_manifest(
-        self, project: str, collection: str, out_path: str | None = None
+        self,
+        project: str,
+        collection: str,
+        out_path: str | None = None,
+        version: int | None = None,
     ) -> dict:
         """Snapshot manifest for EXTERNAL engines (the reference's
         analytics model is other engines over shared storage,
         README.md:27-31): a txn collection exports its live file list
-        at the current version via ``TxnTable.export_manifest`` —
-        snapshot-consistent under concurrent rewrites within the
-        vacuum retention horizon; a plain collection exports its
-        directory listing (consistent only under the maintenance
-        lock, which is why txn mode is the interop-grade path)."""
+        at the current version — or at ``version`` (time travel: the
+        same snapshot the query service serves for that ``as_of``) —
+        via ``TxnTable.export_manifest``, snapshot-consistent under
+        concurrent rewrites within the vacuum retention horizon; a
+        plain collection exports its directory listing (consistent
+        only under the maintenance lock, which is why txn mode is
+        the interop-grade path; ``version`` raises there)."""
         if self.txn_mode(project, collection):
             return self.txn_table(project, collection).export_manifest(
-                out_path=out_path
+                version=version, out_path=out_path
+            )
+        if version is not None:
+            raise ValueError(
+                "versioned manifest export requires transaction-logged "
+                f"storage; {collection!r} is a plain collection"
             )
         path = self._table_path(project, collection)
         files = sorted(

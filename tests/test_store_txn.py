@@ -180,6 +180,20 @@ def test_store_export_manifest_external_read(spark, warehouse):
     con.close()
     assert xs == [0, 1, 2]  # the exported snapshot, not the live table
 
+    # versioned export (time travel): the manifest at the pre-append
+    # version still lists exactly the first snapshot, and a plain
+    # collection refuses a versioned export
+    m_old = store.export_manifest("proj", "taps", version=m["version"])
+    assert m_old["files"] == m["files"]
+    m_new = store.export_manifest("proj", "taps")
+    assert m_new["version"] == m["version"] + 1
+    assert len(m_new["files"]) == len(m["files"]) + 1
+    collector.collect("proj", "plain", {"x": 0, "_time": "2024-03-01 09:00:00"})
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="transaction-logged"):
+        store.export_manifest("proj", "plain", version=1)
+
 
 def test_txn_collection_epoch_replay_never_double_appends(spark, warehouse, tmp_path):
     """Exactly-once STORAGE for txn collections under the one replay
