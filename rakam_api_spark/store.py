@@ -1513,12 +1513,31 @@ class EventStore:
 
     # --- read -----------------------------------------------------------
 
-    def read(self, project: str, collection: str) -> DataFrame:
+    def read(
+        self, project: str, collection: str, version: int | None = None
+    ) -> DataFrame:
         """Read a collection under its current (widest) registered
         schema; files written before an ADD COLUMN read NULL for the
-        new columns."""
+        new columns.  ``version`` time-travels a transaction-logged
+        collection to that commit-log snapshot (the same resolution
+        the query service's ``as_of`` and the versioned manifest
+        export use); it raises for plain collections, whose
+        directory layout keeps no history."""
         schema = self.metastore.get_collection(project, collection)
-        df = self._raw_read(project, collection)
+        if version is not None:
+            if not self.txn_mode(project, collection):
+                raise ValueError(
+                    "versioned read requires transaction-logged storage; "
+                    f"{collection!r} is a plain collection"
+                )
+            txn = self.txn_table(project, collection)
+            df = (
+                txn.read(version=version)
+                if txn.live_files(version=version)
+                else None
+            )
+        else:
+            df = self._raw_read(project, collection)
         if df is None:
             # missing dir / only _SUCCESS markers / txn table with no
             # live files: empty frame under the registered schema

@@ -194,6 +194,14 @@ def test_store_export_manifest_external_read(spark, warehouse):
     with _pytest.raises(ValueError, match="transaction-logged"):
         store.export_manifest("proj", "plain", version=1)
 
+    # store.read(version=) resolves the same snapshot the manifest
+    # lists — and refuses plain collections
+    old_xs = sorted(r["x"] for r in store.read("proj", "taps", version=m["version"]).collect())
+    assert old_xs == [0, 1, 2]
+    assert sorted(r["x"] for r in store.read("proj", "taps").collect()) == [0, 1, 2, 99]
+    with _pytest.raises(ValueError, match="transaction-logged"):
+        store.read("proj", "plain", version=1)
+
 
 def test_txn_collection_epoch_replay_never_double_appends(spark, warehouse, tmp_path):
     """Exactly-once STORAGE for txn collections under the one replay
