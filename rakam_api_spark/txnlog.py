@@ -913,6 +913,7 @@ class TxnTable:
         retain_versions: int = 1,
         min_age_seconds: float = 0.0,
         orphan_min_age_seconds: float | None = None,
+        dry_run: bool = False,
     ) -> list[str]:
         """Delete data files that are (a) orphans no commit ever
         registered (crash debris, lost-race compactions) or (b)
@@ -935,6 +936,12 @@ class TxnTable:
         staging-publish and commit from a concurrent vacuum — and is
         a SEPARATE knob so the erasure path can delete its retired
         files promptly while still age-guarding in-flight appends.
+
+        ``dry_run=True`` returns exactly what a real pass would
+        delete under the same horizons but unlinks NOTHING and leaves
+        the high-water mark untouched — the audit step an operator
+        runs before a retention change (Delta's ``VACUUM ... DRY
+        RUN``).
 
         Metadata cost is bounded by a persisted high-water mark
         (``_txn/_vacuum_hwm.json``): each pass replays only commits
@@ -998,8 +1005,11 @@ class TxnTable:
                 if not _old_enough(rel, abs_path):
                     continue
                 # orphan (never committed) or retired beyond horizon
-                os.unlink(abs_path)
+                if not dry_run:
+                    os.unlink(abs_path)
                 deleted.append(rel)
+        if dry_run:
+            return sorted(deleted)
         # Advance the high-water mark; tombstones survive only while
         # their file still exists (kept by retention or age) so the
         # pending map stays bounded by the not-yet-reclaimable set.

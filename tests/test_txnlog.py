@@ -390,3 +390,34 @@ def test_merge_retries_after_losing_to_compact(spark, tmp_path):
     assert out["rows_updated"] == 1 and out["rows_inserted"] == 1
     assert _xs(t.read()) == [0, 1, 2, 3, 4, 5, 60]
     assert t.history()[-1]["op"] == "merge"
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
+    """vacuum(dry_run=True) returns exactly what a real pass would
+    reclaim under the same horizons, deletes nothing, and leaves the
+    high-water mark untouched — the audit step before a retention
+    change."""
+    import os as _os
+
+    t = TxnTable(spark, str(tmp_path / "t"))
+    df = spark.range(4).selectExpr("id AS x")
+    t.append(df)
+    t.compact()  # retires the original files
+    # orphan: a parquet file no commit registered
+    orphan = _os.path.join(t.path, "orphan-debris.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"x": [99]}), orphan)
+
+    hwm_before = t._load_vacuum_hwm()
+    preview = t.vacuum(retain_versions=0, dry_run=True)
+    assert preview  # retired originals + the orphan
+    assert all(_os.path.exists(t._abs(p)) for p in preview)
+    assert t._load_vacuum_hwm() == hwm_before  # no state advanced
+
+    real = t.vacuum(retain_versions=0)
+    assert real == preview  # the preview was exact
+    assert not any(_os.path.exists(t._abs(p)) for p in real)
+    # table content untouched throughout
+    assert sorted(r.x for r in t.read().collect()) == [0, 1, 2, 3]
