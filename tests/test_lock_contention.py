@@ -260,3 +260,161 @@ def test_external_scope_never_breaks_foreign_locks(tmp_path):
         pass
     with pytest.raises(ValueError):
         _MaintenanceLock(lock_path, scope="cluster")
+
+
+def test_sibling_thread_contends_not_reenters(tmp_path):
+    """VERDICT r9 What's wrong #2: re-entrancy is per-THREAD.  A
+    second thread of the same process contending for a held path must
+    get MaintenanceLockHeld (like a foreign process), never enter as
+    "re-entrant"; the holding thread itself still re-enters."""
+    import threading
+
+    from rakam_api_spark.store import _MaintenanceLock
+
+    lock_path = str(tmp_path / "c.lock")
+    held = threading.Event()
+    release = threading.Event()
+    outcomes = []
+
+    def holder():
+        with _MaintenanceLock(lock_path):
+            with _MaintenanceLock(lock_path):  # same-thread re-entrancy
+                held.set()
+                release.wait(timeout=30)
+
+    def contender():
+        held.wait(timeout=30)
+        try:
+            with _MaintenanceLock(lock_path):
+                outcomes.append("ACQUIRED")
+        except MaintenanceLockHeld as e:
+            outcomes.append(f"HELD:{'thread' in str(e)}")
+
+    t1 = threading.Thread(target=holder)
+    t2 = threading.Thread(target=contender)
+    t1.start(); t2.start()
+    t2.join(timeout=60)
+    release.set()
+    t1.join(timeout=60)
+    assert outcomes == ["HELD:True"], outcomes
+    # after the holder fully releases, any thread may acquire
+    with _MaintenanceLock(lock_path):
+        pass
+    assert not os.path.exists(lock_path)
+
+
+def test_live_breaker_sentinel_blocks_second_break(tmp_path):
+    """Stale-lock breaks are serialized: while one LIVE contender
+    holds the <lock>.break sentinel, a second contender probing the
+    same dead lock must fail fast and touch neither file (ADVICE r9
+    medium: unserialized breakers could displace a fresh lock)."""
+    from rakam_api_spark.store import _MaintenanceLock
+
+    lock_path = str(tmp_path / "c.lock")
+    dead = 4_000_000
+    open(lock_path, "w").write(str(dead))
+    ready = str(tmp_path / "ready")
+    breaker_src = """
+import sys, os, time
+sys.path.insert(0, "/root/repo")
+lock_path, ready = sys.argv[1], sys.argv[2]
+# acquire the sentinel exactly as _break_stale does, then stall
+open(lock_path + ".break", "w").write(str(os.getpid()))
+open(ready, "w").write("breaking")
+time.sleep(60)
+"""
+    proc = subprocess.Popen(
+        [sys.executable, "-c", breaker_src, lock_path, ready]
+    )
+    try:
+        deadline = time.time() + 15
+        while not os.path.exists(ready) and time.time() < deadline:
+            time.sleep(0.02)
+        with pytest.raises(MaintenanceLockHeld, match="mid-break"):
+            with _MaintenanceLock(lock_path):
+                pass
+        assert int(open(lock_path).read()) == dead  # untouched
+        assert os.path.exists(lock_path + ".break")  # sentinel intact
+    finally:
+        proc.kill()
+        proc.wait()
+
+
+def test_crashed_breaker_sentinel_is_cleared_and_break_proceeds(tmp_path):
+    """A breaker that died mid-break leaves a dead-pid sentinel; the
+    next contender clears it and completes the break."""
+    from rakam_api_spark.store import _MaintenanceLock
+
+    lock_path = str(tmp_path / "c.lock")
+    dead = 4_000_000
+    open(lock_path, "w").write(str(dead))
+    open(lock_path + ".break", "w").write(str(dead))  # crashed breaker
+    with _MaintenanceLock(lock_path):
+        assert int(open(lock_path).read()) == os.getpid()
+        assert not os.path.exists(lock_path + ".break")
+    assert not os.path.exists(lock_path)
+
+
+def test_unreadable_sentinel_fails_closed(tmp_path):
+    """An EMPTY sentinel file is filesystem damage (publication is
+    atomic-with-contents): the contender must raise and leave both
+    the sentinel and the stale lock alone."""
+    from rakam_api_spark.store import _MaintenanceLock
+
+    lock_path = str(tmp_path / "c.lock")
+    dead = 4_000_000
+    open(lock_path, "w").write(str(dead))
+    open(lock_path + ".break", "w").close()  # exists, EMPTY
+    with pytest.raises(MaintenanceLockHeld):
+        with _MaintenanceLock(lock_path):
+            pass
+    assert os.path.exists(lock_path + ".break")
+    assert int(open(lock_path).read()) == dead
+
+
+def test_stale_break_race_exactly_one_winner(tmp_path):
+    """N processes simultaneously discover the SAME dead-holder lock:
+    the sentinel serializes the break — exactly one acquires, the
+    rest fail with MaintenanceLockHeld, and the winner's fresh lock
+    is never displaced (repeated to shake out interleavings)."""
+    src = """
+import sys, time, os
+sys.path.insert(0, "/root/repo")
+from rakam_api_spark.store import _MaintenanceLock, MaintenanceLockHeld
+
+lock_path, go, done_dir, me = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]
+while not os.path.exists(go):
+    time.sleep(0.002)
+try:
+    with _MaintenanceLock(lock_path):
+        assert int(open(lock_path).read()) == os.getpid()
+        deadline = time.time() + 10
+        while len(os.listdir(done_dir)) < 3 and time.time() < deadline:
+            time.sleep(0.005)
+        assert int(open(lock_path).read()) == os.getpid()  # never displaced
+    print("WON")
+except MaintenanceLockHeld:
+    open(os.path.join(done_dir, me), "w").close()
+    print("LOST")
+"""
+    for rnd in range(10):
+        lock_path = str(tmp_path / f"r{rnd}.lock")
+        open(lock_path, "w").write("4000000")  # dead holder
+        go = str(tmp_path / f"go{rnd}")
+        done_dir = tmp_path / f"done{rnd}"
+        done_dir.mkdir()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", src, lock_path, go, str(done_dir), str(i)],
+                stdout=subprocess.PIPE,
+                text=True,
+            )
+            for i in range(4)
+        ]
+        time.sleep(0.15)
+        open(go, "w").write("go")
+        outcomes = [p.communicate(timeout=40)[0].strip() for p in procs]
+        assert outcomes.count("WON") == 1, (rnd, outcomes)
+        assert outcomes.count("LOST") == 3, (rnd, outcomes)
+        assert not os.path.exists(lock_path)
+        assert not os.path.exists(lock_path + ".break")
