@@ -41,86 +41,70 @@ _MODULES = (
 )
 
 # The driver's correctness gate checks at most 50 queries per round, in
-# enumeration order.  With 192 declared queries, plain module order
+# enumeration order.  With 196 declared queries, plain module order
 # would starve the tail modules of a driver-verified CORRECTNESS row
-# forever.  Round-9 rotation (staleness computed from CORRECTNESS_r01-r08):
-# (a) the 26 queries added or modified this round — twenty-three brand-new
-# (nation trade balance, order-gap cadence, running revenue share,
-# position-based attribution, burstiness, session depth, label-centroid
-# similarity, embedding label outliers, Zipf slope, dedup savings,
-# prefix boilerplate, order streaks, late-run streaks, discount
-# elasticity, Benford audit, KM order-survival curve, unit-value price
-# index, embedding-norm audit, seasonality index, IVF cell balance,
-# priority drift, supplier HHI, cluster-size
-# histogram) plus the three with round-9 code changes
-# (threshold curve's enforced sample, cluster_safe_splits' dropped
-# broadcast, the drift midpoint floor); (b) the r5-stale cohort VERDICT
-# r8 Next #7 names — the TPC-H tail q7-q22 / bm25 / dedup_clusters that
-# slipped past the r8 cutoff at slot 50, then the remaining r5-stale
-# rows in enumeration order; twenty-two r5-stale rows (event_transition_matrix,
-# events_pivot_daily, funnel_daily_trend,
-# funnel_with_exclusion, hourly_counts_gapfilled,
-# mix_weights, pack_sequences, padding_efficiency, pii_redaction,
-# power_user_curve, quality_repetition_rules, quality_top_quartile,
-# rfm_segments, segment_overlap_matrix, sliding_window_counts,
-# source_dup_matrix, stickiness_dau_mau, stratified_sample,
-# top3_parts_per_brand, user_lifecycle_grid, value_histogram,
-# vocab_coverage) don't fit and lead the r10 rotation.  Everything
-# listed passes tools/check_correctness.py locally at sf0.01 and sf0.001
-# (the round-9 additions also at sf0.1).
+# forever.  Round-10 rotation (staleness computed from
+# CORRECTNESS_r01-r09; matches VERDICT r9 Next #3 exactly): (a) queries
+# added this round lead (new code always verifies first); (b) the
+# twenty-two r5-stale rows VERDICT r9 names verbatim; (c) the r6-stale
+# cohort (q1/q3/q5, dedup family, sketches, curation staples) in
+# staleness-then-name order, as many as fit the 50-slot budget.
+# Everything listed passes tools/check_correctness.py locally at
+# sf0.01 and sf0.001 (round-10 additions also at sf0.1).
 _GATE_PRIORITY = (
-    # (a) added or modified this round
-    "nation_trade_balance",
-    "ivf_cell_balance",
-    "order_priority_drift",
-    "supplier_hhi",
-    "dedup_cluster_size_histogram",
-    "order_gap_stats",
-    "running_revenue_share",
-    "attribution_position_based",
-    "event_burstiness",
-    "session_depth_distribution",
-    "label_centroid_similarity",
-    "embedding_label_outliers",
-    "zipf_slope_by_source",
-    "dedup_savings_by_source",
-    "doc_prefix_duplication",
-    "customer_order_streaks",
-    "supplier_late_streaks",
-    "discount_elasticity_by_priority",
-    "benford_price_audit",
-    "order_survival_curve",
-    "part_price_index_quarterly",
-    "embedding_norm_audit",
-    "orders_seasonality_index",
-    "dedup_threshold_curve",
-    "cluster_safe_splits",
-    "embedding_drift_by_label",
-    # (b) the r5-stale cohort (VERDICT r8 Next #7)
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q12_late_priority",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_revenue",
-    "q20_dominant_supplier",
-    "q22_idle_balances",
-    "bm25_search",
-    "dedup_clusters",
-    "contamination_check",
-    "corpus_top_ngrams",
-    "curation_funnel",
-    "daily_new_vs_returning",
-    "data_quality_audit",
-    "doc_chunking",
-    "doc_typicality",
-    "dup_ngram_spans",
-    "embedding_cluster_profile",
+    # (a) added this round — see the round-10 sections of QUERIES.md
+    # (b) the r5-stale cohort (VERDICT r9 Next #3, verbatim order)
+    "event_transition_matrix",
+    "events_pivot_daily",
+    "funnel_daily_trend",
+    "funnel_with_exclusion",
+    "hourly_counts_gapfilled",
+    "mix_weights",
+    "pack_sequences",
+    "padding_efficiency",
+    "pii_redaction",
+    "power_user_curve",
+    "quality_repetition_rules",
+    "quality_top_quartile",
+    "rfm_segments",
+    "segment_overlap_matrix",
+    "sliding_window_counts",
+    "source_dup_matrix",
+    "stickiness_dau_mau",
+    "stratified_sample",
+    "top3_parts_per_brand",
+    "user_lifecycle_grid",
+    "value_histogram",
+    "vocab_coverage",
+    # (c) the r6-stale cohort, staleness-then-name order
+    "dataset_splits",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprints",
+    "embedding_cosine_dedup",
+    "funnel_unordered",
+    "key_skew_report",
+    "lang_id",
+    "market_basket_part_types",
+    "multimodal_byte_stats",
+    "order_backlog_daily",
+    "part_type_margin",
+    "priority_sample",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "quantile_rollup_sketch",
+    "revenue_pareto_top100",
+    "rollup_reuse_monthly",
+    "session_entry_exit",
+    "sparse_tfidf_pairs",
+    "text_quality",
+    "theta_segment_setops",
+    "token_counts",
+    "top_customers",
+    "training_shuffle",
 )
 
 
