@@ -14,8 +14,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from rakam_api_spark.analytics import enrichment_queries as _enrich
 from rakam_api_spark.analytics import events as _events
+from rakam_api_spark.analytics import events2 as _events2
 from rakam_api_spark.analytics import relational as _relational
 from rakam_api_spark.analytics import relational2 as _relational2
+from rakam_api_spark.analytics import relational3 as _relational3
 from rakam_api_spark.llm import curation as _curation
 from rakam_api_spark.llm import dedup as _dedup
 from rakam_api_spark.llm import dedup_index as _dedup_index
@@ -28,7 +30,9 @@ from rakam_api_spark.streaming import windows as _windows
 _MODULES = (
     _relational,
     _relational2,
+    _relational3,
     _events,
+    _events2,
     _enrich,
     _windows,
     _dedup,
@@ -53,6 +57,18 @@ _MODULES = (
 # sf0.01 and sf0.001 (round-10 additions also at sf0.1).
 _GATE_PRIORITY = (
     # (a) added this round — see the round-10 sections of QUERIES.md
+    "parts_price_size_skyline",
+    "customer_gini_by_segment",
+    "revenue_qoq_growth",
+    "churn_hazard_by_tenure",
+    "first_event_type_by_cohort",
+    "ttr_by_source",
+    "hapax_ratio_by_source",
+    "char_class_composition",
+    "dataset_card_stats",
+    "sampling_temperature_weights",
+    "ivf_nprobe_recall_curve",
+    "dedup_transitivity_audit",
     # (b) the r5-stale cohort (VERDICT r9 Next #3, verbatim order)
     "event_transition_matrix",
     "events_pivot_daily",

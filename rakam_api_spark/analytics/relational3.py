@@ -1,0 +1,289 @@
+"""Round-10 relational additions over the star schema: the skyline
+(Pareto-frontier) operator, revenue-inequality (Gini) reporting, and
+quarter-over-quarter growth — BI shapes the reference serves through
+its warehouse SQL (reference README.md:17,27-31; SURVEY.md §2.7),
+re-expressed as declarative DataFrame plans.
+
+Determinism conventions match relational.py: money aggregates on
+DECIMAL (exact), ratios/indices are single double divisions of exact
+operands (or rounded on BOTH engines), every ordering ends in a
+unique key.
+
+Scale notes: the skyline avoids the quadratic dominance self-join via
+a two-level decomposition (price-level max + a running max over
+price levels) whose only window runs over DISTINCT PRICE LEVELS — a
+domain-bounded set, not the corpus; Gini needs one rank window per
+market segment (segments are an enum, spend rows are per-customer
+aggregates, i.e. already reduced); QoQ growth's lag window runs over
+(nation × quarter) aggregate rows — both window inputs shrink with
+aggregation BEFORE any window sees them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..tables import load_table
+from .relational import DEC, _dec
+from .relational2 import _vol, _VOL_SQL
+
+
+def parts_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of the parts catalog: the parts for which no
+    other part is simultaneously cheaper-or-equal AND larger-or-equal
+    (with at least one strict) — the classic SKYLINE operator
+    ("best size for the money"; Börzsönyi, Kossmann & Stocker, "The
+    Skyline Operator", ICDE 2001), which the reference would push to
+    its warehouse as a quadratic NOT EXISTS.
+
+    Algorithm (no quadratic self-join, no unpartitioned window):
+    collapse to price LEVELS (per-price max size), bucket the levels
+    by floor(price/100), and split "largest size strictly cheaper"
+    into (a) the in-bucket running max — a window PARTITIONED by
+    bucket — plus (b) the max over all strictly-cheaper buckets,
+    computed with a triangular join over the per-bucket aggregate
+    (tiny: one row per 100-wide price band, bounded by the price
+    DOMAIN, not the catalog size).  A part survives iff its size
+    beats that combined strictly-cheaper max AND no same-price part
+    is strictly larger (size = its level's max).  Equal (price, size)
+    twins don't dominate each other — both stay.
+
+    Scale: TPC-H retail prices are near-unique per part, so a naive
+    "window over price levels" would be a single-partition sort of
+    the whole catalog; here every window is bucket-partitioned and
+    the only global structure is the per-bucket max table (domain-
+    bounded).  The DuckDB oracle uses the straightforward single
+    global window over levels instead — two different decompositions
+    must produce the same frontier."""
+    part = load_table(spark, sf_dir, "part")
+    lvl = part.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").alias("lvl_max")
+    )
+    lvl = lvl.withColumn("bucket", F.floor(F.col("price") / F.lit(100.0)))
+    # (b) best size in any strictly-cheaper bucket: triangular join on
+    # the per-bucket aggregate (one row per price band)
+    bagg = lvl.groupBy("bucket").agg(F.max("lvl_max").alias("bmax"))
+    prevb = (
+        bagg.alias("a")
+        .join(
+            broadcast(bagg.alias("b")),
+            F.col("b.bucket") < F.col("a.bucket"),
+            "left",
+        )
+        .groupBy(F.col("a.bucket").alias("bucket"))
+        .agg(F.max("b.bmax").alias("prev_bucket_max"))
+    )
+    # (a) best size at a strictly-cheaper price INSIDE the bucket
+    w_in = Window.partitionBy("bucket").orderBy("price").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    lvl = (
+        lvl.withColumn("in_prev", F.max("lvl_max").over(w_in))
+        .join(broadcast(prevb), "bucket")
+        .withColumn(
+            "cheaper_max",
+            F.greatest(
+                F.coalesce(F.col("in_prev"), F.lit(-1)),
+                F.coalesce(F.col("prev_bucket_max"), F.lit(-1)),
+            ),
+        )
+    )
+    return (
+        part.join(broadcast(lvl), part["p_retailprice"] == lvl["price"])
+        .where(
+            (F.col("p_size") == F.col("lvl_max"))
+            & (F.col("p_size") > F.col("cheaper_max"))
+        )
+        .select("p_partkey", "p_name", "p_brand", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    )
+
+
+PARTS_SKYLINE_ORACLE = """
+WITH lvl AS (
+  SELECT p_retailprice AS price, MAX(p_size) AS lvl_max
+  FROM part GROUP BY 1
+),
+run AS (
+  SELECT price, lvl_max,
+         MAX(lvl_max) OVER (
+           ORDER BY price ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_max
+  FROM lvl
+)
+SELECT p.p_partkey, p.p_name, p.p_brand, p.p_retailprice, p.p_size
+FROM part p JOIN run r ON p.p_retailprice = r.price
+WHERE p.p_size = r.lvl_max AND (r.prev_max IS NULL OR p.p_size > r.prev_max)
+ORDER BY p.p_retailprice, p.p_partkey
+"""
+
+
+def customer_gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue inequality per market segment: the Gini coefficient of
+    per-customer total spend, by the exact rank formula
+    G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over spends sorted ascending —
+    the concentration metric behind "how dependent is this segment on
+    its whales" (companion to ``revenue_pareto_top100`` /
+    ``part_value_concentration``, which report top-k shares instead
+    of the full-distribution index).
+
+    Exactness: spends are DECIMAL sums; rank·spend products accumulate
+    in DECIMAL(38,6) (exact — the rank is an integer), so the only
+    float step is the final two-term formula, identical in both
+    engines.  Equal spends make Σ i·xᵢ invariant to tie order, so no
+    tiebreak is even needed for determinism (we still rank by
+    (spend, custkey) to keep the plan's sort total).
+
+    Scale: one orderkey-grain join, one per-customer aggregate, then a
+    rank window PER SEGMENT over already-reduced per-customer rows —
+    at 100 TB the window input is |customers|, not |lineitems|, and
+    segments split it further."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(_dec("o_totalprice")).alias("spend"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_mktsegment", "c_custkey", "spend")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("spend", "c_custkey")
+    ranked = spend.withColumn("r", F.row_number().over(w))
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("spend").cast("decimal(38,6)").alias("_sx"),
+            F.sum(
+                F.col("r").cast("decimal(38,6)") * F.col("spend").cast("decimal(38,6)")
+            ).alias("_srx"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            F.round(F.col("_sx").cast("double"), 6).alias("total_spend"),
+            F.round(
+                F.lit(2.0) * F.col("_srx").cast("double")
+                / (F.col("n_customers").cast("double") * F.col("_sx").cast("double"))
+                - (F.col("n_customers") + 1).cast("double")
+                / F.col("n_customers").cast("double"),
+                9,
+            ).alias("gini"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+CUSTOMER_GINI_ORACLE = """
+WITH spend AS (
+  SELECT c_mktsegment, c_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS spend
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT c_mktsegment, spend,
+         row_number() OVER (
+           PARTITION BY c_mktsegment ORDER BY spend, c_custkey
+         ) AS r
+  FROM spend
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       round(CAST(SUM(CAST(spend AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_spend,
+       round(
+         2.0 * CAST(SUM(CAST(r AS DECIMAL(38,6)) * CAST(spend AS DECIMAL(38,6))) AS DOUBLE)
+           / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(spend AS DECIMAL(38,6))) AS DOUBLE))
+         - CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+         9
+       ) AS gini
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+
+def revenue_qoq_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarter-over-quarter revenue growth per customer nation: each
+    (nation, quarter)'s discounted lineitem revenue and its growth
+    rate against the nation's PREVIOUS observed quarter — the pacing
+    report behind every "are we growing" dashboard tile.
+
+    Revenue sums on DECIMAL; growth is (rev − prev)/prev as one
+    double division of exact decimals (NULL for a nation's first
+    quarter).  The lag window runs over (nation × quarter) aggregate
+    rows — 25 nations × a calendar-bounded quarter count — never the
+    fact table.
+
+    Scale: one orderkey-grain fact join, customer/nation broadcast,
+    partial-aggregatable groupBy; the window input is O(nations ×
+    quarters) at any corpus size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    quarter = F.concat(
+        F.year("o_orderdate").cast("string"),
+        F.lit("-Q"),
+        F.quarter("o_orderdate").cast("string"),
+    )
+    cell = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(broadcast(cust.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), quarter.alias("quarter"))
+        .agg(F.sum(_vol()).alias("_rev"))
+    )
+    w = Window.partitionBy("nation").orderBy("quarter")
+    return (
+        cell.withColumn("_prev", F.lag("_rev").over(w))
+        .select(
+            "nation",
+            "quarter",
+            F.round(F.col("_rev").cast("double"), 6).alias("revenue"),
+            F.round(
+                (F.col("_rev") - F.col("_prev")).cast("double")
+                / F.col("_prev").cast("double"),
+                9,
+            ).alias("qoq_growth"),
+        )
+        .orderBy("nation", "quarter")
+    )
+
+
+REVENUE_QOQ_ORACLE = f"""
+WITH cell AS (
+  SELECT n_name AS nation,
+         CAST(year(o_orderdate) AS VARCHAR) || '-Q' ||
+           CAST(quarter(o_orderdate) AS VARCHAR) AS quarter,
+         SUM({_VOL_SQL}) AS rev
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT nation, quarter,
+       round(CAST(rev AS DOUBLE), 6) AS revenue,
+       round(
+         CAST(rev - lag(rev) OVER (PARTITION BY nation ORDER BY quarter) AS DOUBLE)
+           / CAST(lag(rev) OVER (PARTITION BY nation ORDER BY quarter) AS DOUBLE),
+         9
+       ) AS qoq_growth
+FROM cell ORDER BY nation, quarter
+"""
+
+
+QUERIES = {
+    "parts_price_size_skyline": parts_price_size_skyline,
+    "customer_gini_by_segment": customer_gini_by_segment,
+    "revenue_qoq_growth": revenue_qoq_growth,
+}
+
+ORACLES = {
+    "parts_price_size_skyline": PARTS_SKYLINE_ORACLE,
+    "customer_gini_by_segment": CUSTOMER_GINI_ORACLE,
+    "revenue_qoq_growth": REVENUE_QOQ_ORACLE,
+}

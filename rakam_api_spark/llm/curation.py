@@ -1070,7 +1070,135 @@ ORDER BY per.strategy, per.split
 """
 
 
+def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row DATASET CARD: the headline numbers a published corpus
+    snapshot carries (docs, sources, languages, characters, tokens,
+    exact-duplicate rate, mean document length) — the summary
+    artifact data-card / datasheet practice asks every training-set
+    release to publish (Gebru et al., "Datasheets for Datasets").
+
+    Everything is exact integer aggregation in ONE pass over the
+    corpus (token counts from a split-size projection, duplicate
+    groups from an md5 distinct count — the ``dedup_exact`` keyer);
+    the two rates are single double divisions.
+    """
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    return (
+        docs.select(
+            "source",
+            "lang",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.size(w).cast("long").alias("n_tok"),
+            F.md5(F.col("text")).alias("_h"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.countDistinct("_h").alias("distinct_texts"),
+        )
+        .select(
+            "n_docs",
+            "n_sources",
+            "n_langs",
+            "total_chars",
+            "total_tokens",
+            (F.col("n_docs") - F.col("distinct_texts")).alias("exact_dup_docs"),
+            (
+                (F.col("n_docs") - F.col("distinct_texts")).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("exact_dup_rate"),
+            (
+                F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
+            ).alias("mean_doc_tokens"),
+        )
+    )
+
+
+DATASET_CARD_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS exact_dup_docs,
+       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS exact_dup_rate,
+       CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS mean_doc_tokens
+FROM documents
+"""
+
+
+SAMPLING_TEMPERATURE = 0.7
+
+
+def sampling_temperature_weights(
+    spark: SparkSession, sf_dir: str, tau: float = SAMPLING_TEMPERATURE
+) -> DataFrame:
+    """Temperature-scaled language sampling weights (the multilingual
+    LM recipe: wᵢ ∝ pᵢ^τ with τ = 0.7, as in XLM-R / mT5 — Conneau et
+    al. 2020 §3.1): flattens the language mixture TOWARD uniform
+    without inverting it, unlike ``mix_weights``' fully-uniform
+    target.  ``boost`` = wᵢ/pᵢ is the per-language oversampling
+    factor a data loader applies.
+
+    Token counts are exact; pᵢ^τ is one ``pow`` on a double ratio of
+    identical integers, and every output float is rounded on BOTH
+    engines, so libm ulp drift can't reach the hash.  The Σpᵢ^τ
+    normalizer is a single-row broadcast — two tiny aggregations over
+    the per-language table."""
+    docs = _docs(spark, sf_dir)
+    per_lang = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("lang_tokens")
+    )
+    tot = per_lang.agg(F.sum("lang_tokens").alias("total_tokens"))
+    p = F.col("lang_tokens").cast("double") / F.col("total_tokens").cast("double")
+    scored = per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang", "lang_tokens", p.alias("p"), F.pow(p, F.lit(tau)).alias("pt")
+    )
+    z = scored.agg(F.sum("pt").alias("z"))
+    return (
+        scored.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "lang_tokens",
+            F.round("p", 9).alias("token_share"),
+            F.round(F.col("pt") / F.col("z"), 9).alias("sample_weight"),
+            F.round(F.col("pt") / F.col("z") / F.col("p"), 9).alias("boost"),
+        )
+        .orderBy("lang")
+    )
+
+
+SAMPLING_TEMPERATURE_ORACLE = """
+WITH per_lang AS (
+  SELECT lang, SUM(len(string_split(text, ' '))) AS lang_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT SUM(lang_tokens) AS total_tokens FROM per_lang),
+scored AS (
+  SELECT lang, lang_tokens,
+         CAST(lang_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS p,
+         pow(CAST(lang_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 0.7) AS pt
+  FROM per_lang, tot
+),
+z AS (SELECT SUM(pt) AS z FROM scored)
+SELECT lang, CAST(lang_tokens AS BIGINT) AS lang_tokens,
+       round(p, 9) AS token_share,
+       round(pt / z, 9) AS sample_weight,
+       round(pt / z / p, 9) AS boost
+FROM scored, z ORDER BY lang
+"""
+
+
+
 QUERIES = {
+    "dataset_card_stats": dataset_card_stats,
+    "sampling_temperature_weights": sampling_temperature_weights,
     "quality_repetition_rules": quality_repetition_rules,
     "pii_redaction": pii_redaction,
     "contamination_check": contamination_check,
@@ -1089,6 +1217,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dataset_card_stats": DATASET_CARD_ORACLE,
+    "sampling_temperature_weights": SAMPLING_TEMPERATURE_ORACLE,
     "quality_repetition_rules": QUALITY_REPETITION_ORACLE,
     "pii_redaction": PII_REDACTION_ORACLE,
     "contamination_check": CONTAMINATION_ORACLE,

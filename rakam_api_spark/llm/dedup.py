@@ -912,7 +912,138 @@ DEDUP_CURVE_THRESHOLDS = (0.02, 0.05, 0.3, 0.6, 0.9, 0.96, 0.98, 0.99)
 # banding geometry, so the pair graph must come from the exact
 # shingle self-join — which is only safe when its input is bounded
 # BY CONSTRUCTION.  2000 docs ⇒ ≤ ~2M candidate pairs worst-case.
+
+
 CURVE_MAX_DOCS = 2000
+
+
+def dedup_transitivity_audit(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.35,
+    max_docs: int = CURVE_MAX_DOCS,
+) -> DataFrame:
+    """How transitive is the near-dup relation at the chosen
+    threshold?  The global clustering coefficient of the exact
+    Jaccard ≥ threshold pair graph — 3·triangles / wedges — on the
+    same enforced hash-rank sample the precision audit uses.  This is
+    the number that justifies CLUSTER-level dedup policy: a relation
+    that is nearly transitive means connected components ≈ duplicate
+    groups and keep-one-per-component is safe; low transitivity means
+    chains of borderline pairs glue unrelated docs together and the
+    threshold (or the component strategy) needs raising
+    (``cluster_safe_splits`` / ``dedup_clusters`` consume exactly
+    this assumption).
+
+    Geometry: the default threshold sits BELOW the dedup operating
+    point (0.35 vs 0.5) because transitivity is exactly the question
+    of whether borderline pairs chain — at 0.5 the synthetic corpus
+    resolves to clean disjoint pairs and the statistic is vacuous;
+    0.35 admits the chain-forming band the policy decision is about.
+    The sample is the threshold-curve's enforced 2000-doc hash-rank
+    sample (pairs ≤ max_docs²/2 BY CONSTRUCTION, the same bound
+    ``dedup_threshold_curve`` carries).
+
+    Exact integers end-to-end: wedges = Σ deg·(deg−1)/2 over node
+    degrees, triangles by the canonical a<b<c three-edge join on the
+    ≤ max_docs·(max_docs−1)/2-bounded edge set; transitivity is one
+    double division (NULL when the graph has no wedges).  The oracle
+    recomputes both counts from the sampled exact-Jaccard chain."""
+    if max_docs <= 0:
+        raise ValueError("dedup_transitivity_audit requires max_docs >= 1")
+    sample = audit_sample(spark, sf_dir, max_docs).cache()
+    edges = ngram_jaccard_pairs(
+        spark, sf_dir, threshold=threshold, docs=sample
+    ).select("d1", "d2").cache()
+    deg = (
+        edges.select(F.col("d1").alias("node"))
+        .unionAll(edges.select(F.col("d2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("n_wedges")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    triangles = (
+        e1.join(e2, F.col("e1.d2") == F.col("e2.d1"))
+        .join(
+            e3,
+            (F.col("e1.d1") == F.col("e3.d1")) & (F.col("e2.d2") == F.col("e3.d2")),
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    row = (
+        edges.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(wedges)
+        .crossJoin(triangles)
+    )
+    return row.select(
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(
+            F.col("n_wedges") > 0,
+            F.lit(3.0) * F.col("n_triangles").cast("double")
+            / F.col("n_wedges").cast("double"),
+        ).alias("transitivity"),
+    )
+
+
+def _transitivity_oracle() -> str:
+    """Sampled exact-Jaccard edges (the precision-audit chain at the
+    same threshold), then degrees → wedges and the canonical
+    three-edge triangle join."""
+    return f"""
+WITH sample_ids AS (
+  SELECT doc_id FROM documents
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+  LIMIT {CURVE_MAX_DOCS}
+),
+sampled_documents AS (
+  SELECT d.* FROM documents d JOIN sample_ids USING (doc_id)
+),
+tdocs AS (SELECT doc_id, string_split(text, ' ') AS w FROM sampled_documents),
+tsh AS (
+  SELECT DISTINCT doc_id,
+         w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2] AS shingle
+  FROM tdocs, LATERAL unnest(range(1, len(w)-1)) t(i)
+),
+tsizes AS (SELECT doc_id, COUNT(*) AS n FROM tsh GROUP BY 1),
+tinter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM tsh a JOIN tsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT d1, d2
+  FROM tinter JOIN tsizes s1 ON d1 = s1.doc_id JOIN tsizes s2 ON d2 = s2.doc_id
+  WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.35
+),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT d1 AS node FROM edges UNION ALL SELECT d2 AS node FROM edges
+  ) GROUP BY 1
+),
+counts AS (
+  SELECT
+    CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+    CAST((SELECT SUM(deg * (deg - 1) / 2) FROM deg) AS BIGINT) AS n_wedges,
+    CAST((SELECT COUNT(*) FROM edges e1
+          JOIN edges e2 ON e1.d2 = e2.d1
+          JOIN edges e3 ON e1.d1 = e3.d1 AND e2.d2 = e3.d2) AS BIGINT) AS n_triangles
+)
+SELECT n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0
+            THEN 3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+       END AS transitivity
+FROM counts
+"""
+
+
+DEDUP_TRANSITIVITY_ORACLE = _transitivity_oracle()
+
 
 
 def dedup_threshold_curve(
@@ -1206,6 +1337,7 @@ FROM per_cluster GROUP BY cluster_size ORDER BY cluster_size
 
 
 QUERIES = {
+    "dedup_transitivity_audit": dedup_transitivity_audit,
     "dedup_cluster_size_histogram": dedup_cluster_size_histogram,
     "doc_prefix_duplication": doc_prefix_duplication,
     "dedup_savings_by_source": dedup_savings_by_source,
@@ -1219,6 +1351,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_transitivity_audit": DEDUP_TRANSITIVITY_ORACLE,
     "dedup_cluster_size_histogram": DEDUP_CLUSTER_HISTOGRAM_ORACLE,
     "doc_prefix_duplication": DOC_PREFIX_DUP_ORACLE,
     "dedup_savings_by_source": DEDUP_SAVINGS_ORACLE,

@@ -884,6 +884,93 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_nprobe_recall_curve(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobes: tuple = (1, 2, 4),
+    k: int = K_CELLS,
+    iters: int = KM_ITERS,
+    topk: int = 5,
+    n_queries: int = 20,
+) -> DataFrame:
+    """Recall-vs-nprobe TUNING CURVE for the learned-cell IVF path:
+    recall@5 against exact brute-force truth at nprobe ∈ {1, 2, 4} —
+    the artifact every IVF deployment reads before fixing its probe
+    budget (``ann_recall_audit`` reports the single production
+    operating point; the curve shows what one more probe buys).
+
+    The Lloyd fit and cell assignment are computed ONCE and shared by
+    every probe budget (the index is probe-agnostic); each budget
+    adds only the probe/score tail, and the truth side is the one
+    request-sized brute-force pass.  All counts are exact integers;
+    recall is one double division per row.  The oracle re-derives
+    each operating point from the shared unrolled-CTE k-means chain."""
+    from functools import reduce as _reduce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = _quantized_components(emb).cache()
+    comp.count()  # single deterministic materialization
+    cents = comp.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("label"), "pos", F.col("q").alias("cq")
+    )
+    for _ in range(iters):
+        assign = _assign_cells(comp, cents)
+        cents = (
+            comp.join(assign, "vec_id")
+            .groupBy("label", "pos")
+            .agg(F.floor(F.avg("q")).cast("long").alias("cq"))
+        )
+    assign = _assign_cells(comp, cents)
+    truth = brute_force_topk(spark, sf_dir, k=topk, n_queries=n_queries).select(
+        "q_id", "neighbor_id"
+    )
+    rows = []
+    for n in nprobes:
+        approx = _ivf_probe_score(comp, cents, assign, n_queries, n, topk).select(
+            "q_id", "neighbor_id"
+        )
+        hit = approx.join(truth, ["q_id", "neighbor_id"], "left_semi")
+        rows.append(
+            truth.agg(F.count(F.lit(1)).alias("n_truth"))
+            .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+            .select(
+                F.lit(n).cast("int").alias("nprobe"),
+                "n_truth",
+                "n_hit",
+                (
+                    F.col("n_hit").cast("double") / F.col("n_truth").cast("double")
+                ).alias("recall"),
+            )
+        )
+    return _reduce(lambda a, b: a.unionByName(b), rows).orderBy("nprobe")
+
+
+def _nprobe_curve_oracle(nprobes: tuple = (1, 2, 4)) -> str:
+    """Compose the curve from the proven chains: brute-force truth as
+    one CTE, one full unrolled k-means IVF statement per probe budget
+    (the fit CTEs repeat per budget — redundant but each chain is the
+    exact statement already verified standalone)."""
+    ctes = [f"truth AS (\n{BRUTE_FORCE_ORACLE}\n)"]
+    selects = []
+    for n in nprobes:
+        ctes.append(f"a{n} AS (\n{_kmeans_oracle(nprobe=n)}\n)")
+        selects.append(
+            f"""SELECT CAST({n} AS INT) AS nprobe,
+       CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT COUNT(*) FROM a{n} x
+             JOIN truth t ON x.q_id = t.q_id AND x.neighbor_id = t.neighbor_id)
+            AS BIGINT) AS n_hit,
+       CAST((SELECT COUNT(*) FROM a{n} x
+             JOIN truth t ON x.q_id = t.q_id AND x.neighbor_id = t.neighbor_id)
+            AS DOUBLE) / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE) AS recall"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM (\n{body}\n) ORDER BY nprobe"
+    )
+
+
+
 def _source_fingerprint(sf_dir: str) -> str:
     """Cheap content fingerprint of the embeddings source (relpath,
     size, mtime per file) — no data read.  Keys the cached IVF
@@ -1093,6 +1180,8 @@ SELECT n_queries, n_truth, n_hit,
        CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall_at_5
 FROM counts
 """
+
+IVF_NPROBE_CURVE_ORACLE = _nprobe_curve_oracle()
 
 ANN_FILTERED_IVF_ORACLE = _kmeans_oracle(
     nprobe=5,
@@ -2166,6 +2255,7 @@ QUERIES = {
     "ann_filtered_ivf_topk": filtered_kmeans_ivf_topk,
     "ann_filtered_ivf_indexed": ann_filtered_ivf_indexed,
     "ann_recall_audit": ann_recall_audit,
+    "ivf_nprobe_recall_curve": ivf_nprobe_recall_curve,
     "embedding_cluster_profile": embedding_cluster_profile,
     "embedding_cosine_dedup": _cosine_dedup_gate,
     "ann_pq_topk": pq_ann_topk,
@@ -2191,6 +2281,7 @@ ORACLES = {
     # output contract, the fit is frozen into the index
     "ann_filtered_ivf_indexed": ANN_FILTERED_IVF_ORACLE,
     "ann_recall_audit": ANN_RECALL_AUDIT_ORACLE,
+    "ivf_nprobe_recall_curve": IVF_NPROBE_CURVE_ORACLE,
     "embedding_cluster_profile": CLUSTER_PROFILE_ORACLE,
     "embedding_cosine_dedup": COSINE_DEDUP_ORACLE.format(threshold=GATE_DEDUP_THRESHOLD),
     "ann_pq_topk": PQ_ANN_ORACLE,

@@ -929,7 +929,202 @@ FROM sums ORDER BY source
 """
 
 
+def ttr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per source via the pooled type-token ratio:
+    Σ per-doc distinct tokens / Σ per-doc tokens — the vocabulary-
+    richness screen beside ``vocab_coverage`` (coverage asks how far
+    the top-k vocabulary reaches; TTR asks how repetitive the average
+    document is).  ``low_ttr_docs`` counts documents where fewer than
+    half the tokens are distinct — an EXACT integer predicate
+    (2·distinct < tokens), so the quality-gate count needs no float
+    compare at all.
+
+    Per-doc counts are exact integers from one projection (no
+    explode); the source rollup is partial-aggregatable; the only
+    float is the final pooled division, identical in both engines.
+    """
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    per_doc = docs.select(
+        "source",
+        F.size(w).alias("n_tok"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("n_distinct").alias("total_distinct"),
+            F.sum(
+                F.when(F.col("n_distinct") * 2 < F.col("n_tok"), 1).otherwise(0)
+            ).alias("low_ttr_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "total_distinct",
+            "low_ttr_docs",
+            (
+                F.col("total_distinct").cast("double")
+                / F.col("total_tokens").cast("double")
+            ).alias("pooled_ttr"),
+        )
+        .orderBy("source")
+    )
+
+
+TTR_BY_SOURCE_ORACLE = """
+WITH per_doc AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_distinct) AS BIGINT) AS total_distinct,
+       CAST(SUM(CASE WHEN n_distinct * 2 < n_tok THEN 1 ELSE 0 END) AS BIGINT)
+         AS low_ttr_docs,
+       CAST(SUM(n_distinct) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE) AS pooled_ttr
+FROM per_doc GROUP BY 1 ORDER BY 1
+"""
+
+
+def hapax_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena profile per source: how much of each source's
+    vocabulary occurs exactly once, and how much token MASS those
+    singletons carry — the long-tail diagnostic that complements
+    ``zipf_slope_by_source`` (the slope fits the head; the hapax
+    share measures the tail a tokenizer/LM must absorb).
+
+    One explode → (source, token) counts (partial-aggregatable), one
+    source rollup; shares are single double divisions of exact
+    integers."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    counts = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum("cnt").alias("total_tokens"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias("hapax_count"),
+        )
+        .select(
+            "source",
+            "vocab_size",
+            "total_tokens",
+            "hapax_count",
+            (
+                F.col("hapax_count").cast("double")
+                / F.col("vocab_size").cast("double")
+            ).alias("hapax_vocab_share"),
+            (
+                F.col("hapax_count").cast("double")
+                / F.col("total_tokens").cast("double")
+            ).alias("hapax_mass_share"),
+        )
+        .orderBy("source")
+    )
+
+
+HAPAX_RATIO_ORACLE = """
+WITH tok AS (
+  SELECT source, t.token
+  FROM documents, LATERAL unnest(string_split(text, ' ')) t(token)
+),
+counts AS (SELECT source, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+       CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS hapax_vocab_share,
+       CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+         AS hapax_mass_share
+FROM counts GROUP BY 1 ORDER BY 1
+"""
+
+
+def char_class_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per source: the corpus-pooled
+    fraction of letters, digits, spaces, and other marks — the
+    cheapest possible encoding/noise screen (a source whose "other"
+    share spikes is markup, mojibake, or binary spill; a digit-heavy
+    source is tables/logs, not prose).
+
+    Per-doc class counts are EXACT integers via length differences
+    under class-targeted ``regexp_replace`` (the character classes
+    ``[a-zA-Z]`` / ``[0-9]`` / the literal space behave identically
+    in both regex engines); the source rollup sums exactly and each
+    fraction is one double division."""
+    docs = _docs(spark, sf_dir)
+    n = F.length("text")
+    alpha = n - F.length(F.regexp_replace("text", "[a-zA-Z]", ""))
+    digit = n - F.length(F.regexp_replace("text", "[0-9]", ""))
+    space = n - F.length(F.regexp_replace("text", " ", ""))
+    per_doc = docs.select(
+        "source",
+        n.alias("n_chars"),
+        alpha.alias("n_alpha"),
+        digit.alias("n_digit"),
+        space.alias("n_space"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_alpha").alias("_a"),
+        F.sum("n_digit").alias("_d"),
+        F.sum("n_space").alias("_s"),
+    )
+    tc = F.col("total_chars").cast("double")
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        (F.col("_a").cast("double") / tc).alias("alpha_frac"),
+        (F.col("_d").cast("double") / tc).alias("digit_frac"),
+        (F.col("_s").cast("double") / tc).alias("space_frac"),
+        (
+            (F.col("total_chars") - F.col("_a") - F.col("_d") - F.col("_s")).cast(
+                "double"
+            )
+            / tc
+        ).alias("other_frac"),
+    ).orderBy("source")
+
+
+CHAR_CLASS_ORACLE = """
+WITH per_doc AS (
+  SELECT source,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS n_alpha,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+         length(text) - length(regexp_replace(text, ' ', '', 'g')) AS n_space
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_alpha) AS DOUBLE) / CAST(SUM(n_chars) AS DOUBLE) AS alpha_frac,
+       CAST(SUM(n_digit) AS DOUBLE) / CAST(SUM(n_chars) AS DOUBLE) AS digit_frac,
+       CAST(SUM(n_space) AS DOUBLE) / CAST(SUM(n_chars) AS DOUBLE) AS space_frac,
+       CAST(SUM(n_chars) - SUM(n_alpha) - SUM(n_digit) - SUM(n_space) AS DOUBLE)
+         / CAST(SUM(n_chars) AS DOUBLE) AS other_frac
+FROM per_doc GROUP BY 1 ORDER BY 1
+"""
+
+
+
 QUERIES = {
+    "ttr_by_source": ttr_by_source,
+    "hapax_ratio_by_source": hapax_ratio_by_source,
+    "char_class_composition": char_class_composition,
     "zipf_slope_by_source": zipf_slope_by_source,
     "bpe_merge_candidates": bpe_merge_candidates,
     "doc_ngram_novelty": doc_ngram_novelty,
@@ -948,6 +1143,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ttr_by_source": TTR_BY_SOURCE_ORACLE,
+    "hapax_ratio_by_source": HAPAX_RATIO_ORACLE,
+    "char_class_composition": CHAR_CLASS_ORACLE,
     "zipf_slope_by_source": ZIPF_SLOPE_ORACLE,
     "bpe_merge_candidates": BPE_MERGE_ORACLE,
     "doc_ngram_novelty": DOC_NGRAM_NOVELTY_ORACLE,
