@@ -157,10 +157,114 @@ def _file_stats(path: str, max_cols: int = 8) -> dict | None:
     return stats or None
 
 
+#: bloom sizing: bits grow with the file's distinct count (×10 bits
+#: per value ≈ 1.2% fpr at k=7) up to this cap — 64 Kbit = 8 KB
+#: bitset ≈ 10.9 KB base64 per (file, column) manifest entry
+_BLOOM_MAX_BITS = 1 << 16
+_BLOOM_K = 7
+
+
+def _bloom_key(v) -> bytes:
+    """Canonical byte key for a bloom-hashed value: integers and
+    integer-valued floats hash identically (a reader probing 42 must
+    hit a writer that saw 42.0), booleans as true/false, everything
+    else via str() — documented so external writers can interop."""
+    if isinstance(v, bool):
+        s = "true" if v else "false"
+    elif isinstance(v, float) and v.is_integer():
+        s = str(int(v))
+    else:
+        s = str(v)
+    return s.encode("utf-8")
+
+
+def _bloom_hashes(key: bytes, m: int, k: int):
+    import hashlib as _hl
+
+    h = _hl.md5(key).digest()
+    h1 = int.from_bytes(h[:8], "big")
+    h2 = int.from_bytes(h[8:], "big") | 1  # odd → full-period stride
+    return ((h1 + i * h2) % m for i in range(k))
+
+
+def _bloom_build(values) -> dict | None:
+    """Build one bloom filter dict {m, k, b64} over an iterable of
+    column values (Nones skipped).  Kirsch-Mitzenmacher double
+    hashing from one md5 per DISTINCT value — pure Python, but the
+    work is O(distinct per file) at write time only."""
+    import base64 as _b64
+
+    keys = {_bloom_key(v) for v in values if v is not None}
+    if not keys:
+        return None
+    m = 1024
+    while m < 10 * len(keys) and m < _BLOOM_MAX_BITS:
+        m <<= 1
+    bits = bytearray(m // 8)
+    for key in keys:
+        for idx in _bloom_hashes(key, m, _BLOOM_K):
+            bits[idx >> 3] |= 1 << (idx & 7)
+    return {"m": m, "k": _BLOOM_K, "b64": _b64.b64encode(bytes(bits)).decode()}
+
+
+def _bloom_might_contain(bloom: dict, v) -> bool:
+    """False = the value is DEFINITELY absent from the file; True =
+    maybe present (read it).  Any malformed bloom degrades to True —
+    skipping is an accelerator, never a correctness dependency."""
+    import base64 as _b64
+
+    try:
+        m, k = int(bloom["m"]), int(bloom["k"])
+        bits = _b64.b64decode(bloom["b64"])
+        if m <= 0 or k <= 0 or len(bits) * 8 < m:
+            return True
+        return all(
+            bits[idx >> 3] & (1 << (idx & 7))
+            for idx in _bloom_hashes(_bloom_key(v), m, k)
+        )
+    except Exception:
+        return True
+
+
+def _file_blooms(path: str, cols: list[str]) -> dict | None:
+    """Per-file bloom filters for ``cols`` (those present in the
+    file's schema), read column-pruned via pyarrow — the write-time
+    cost is one scan of just the bloomed columns of the file the
+    writer just produced."""
+    try:
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(path)
+        have = [c for c in cols if c in pf.schema_arrow.names]
+        if not have:
+            return None
+        t = pf.read(columns=have)
+    except Exception:
+        return None
+    out = {}
+    for c in have:
+        b = _bloom_build(t[c].to_pylist())
+        if b is not None:
+            out[c] = b
+    return out or None
+
+
 class TxnTable:
     """A transaction-logged parquet table.  ``spark`` may be None for
     log-only writers (commit/append_files/vacuum work sparkless; the
-    data plane — read/append/compact — needs a session)."""
+    data plane — read/append/compact — needs a session).
+
+    ``bloom_cols`` opts columns into PER-FILE BLOOM FILTERS recorded
+    in the manifest (Iceberg/Delta-style point-lookup skipping for
+    high-cardinality columns where min/max ranges don't discriminate
+    — user ids, uuids): every file this instance writes (append,
+    compact, merge, append_files) carries a bloom per listed column,
+    and ``live_files(equals={col: value})`` drops files whose bloom
+    proves the value absent — a point lookup over a 10⁶-file table
+    opens ~fpr·files instead of all of them, from manifest metadata
+    alone.  Files written without blooms (older writers, other
+    instances) are conservatively kept, so mixed histories stay
+    correct."""
 
     #: write a full-state checkpoint every N commits (Delta uses 10)
     CHECKPOINT_EVERY = 10
@@ -172,9 +276,11 @@ class TxnTable:
         spark: SparkSession | None,
         path: str,
         checkpoint_every: int | None = None,
+        bloom_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.path = path
+        self.bloom_cols = list(bloom_cols or [])
         self._txn = os.path.join(path, _TXN_DIR)
         self.checkpoint_every = (
             self.CHECKPOINT_EVERY if checkpoint_every is None else checkpoint_every
@@ -493,13 +599,18 @@ class TxnTable:
         version: int | None = None,
         partitions: dict | None = None,
         ranges: dict | None = None,
+        equals: dict | None = None,
     ) -> list[str]:
         """Relative paths live at ``version``, manifest-pruned by
-        ``partitions`` (column → allowed value list) and by
-        ``ranges`` (column → (lo, hi) inclusive bounds matched
-        against the per-file min/max stats — Iceberg-style data
-        skipping) WITHOUT touching the filesystem.  A file lacking
-        stats for a ranged column is conservatively kept."""
+        ``partitions`` (column → allowed value list), by ``ranges``
+        (column → (lo, hi) inclusive bounds matched against the
+        per-file min/max stats — Iceberg-style data skipping), and by
+        ``equals`` (column → exact value: files are dropped when the
+        per-file BLOOM proves the value absent, or when the value
+        falls outside the file's min/max range — the point-lookup
+        path for ``bloom_cols`` columns) — all WITHOUT touching the
+        filesystem.  A file lacking stats/blooms for a queried column
+        is conservatively kept."""
         ents = self.state(version).values()
         out = []
         for e in ents:
@@ -519,6 +630,25 @@ class TxnTable:
                         break
                 if skip:
                     continue
+            if equals:
+                stats = e.get("stats") or {}
+                blooms = e.get("blooms") or {}
+                skip = False
+                for c, v in equals.items():
+                    if c in stats:
+                        fmin, fmax = stats[c]
+                        try:
+                            if v < fmin or v > fmax:
+                                skip = True
+                                break
+                        except TypeError:
+                            pass  # incomparable stat types: bloom decides
+                    b = blooms.get(c)
+                    if b is not None and not _bloom_might_contain(b, v):
+                        skip = True
+                        break
+                if skip:
+                    continue
             out.append(e["path"])
         return sorted(out)
 
@@ -528,15 +658,17 @@ class TxnTable:
         partitions: dict | None = None,
         ranges: dict | None = None,
         files: list[str] | None = None,
+        equals: dict | None = None,
     ) -> DataFrame:
-        """Snapshot read.  ``ranges`` skips files from manifest stats
-        only — callers still apply the actual row filter (skipping is
-        a superset guarantee, exactly as in Iceberg/Delta).  ``files``
-        short-circuits log resolution with a list the caller already
-        obtained from :meth:`live_files` — callers that need both the
-        file list and the DataFrame resolve the log once, not twice."""
+        """Snapshot read.  ``ranges``/``equals`` skip files from
+        manifest stats and blooms only — callers still apply the
+        actual row filter (skipping is a superset guarantee, exactly
+        as in Iceberg/Delta).  ``files`` short-circuits log resolution
+        with a list the caller already obtained from
+        :meth:`live_files` — callers that need both the file list and
+        the DataFrame resolve the log once, not twice."""
         if files is None:
-            files = self.live_files(version, partitions, ranges)
+            files = self.live_files(version, partitions, ranges, equals)
         if not files:
             raise ValueError(
                 f"txn table {self.path} has no live files for this "
@@ -635,29 +767,36 @@ class TxnTable:
                 final = f"{tag}-{fname}"
                 os.replace(os.path.join(dirpath, fname), os.path.join(destdir, final))
                 rel = final if reldir == "." else os.path.join(reldir, final)
-                add.append(
-                    {
-                        "path": rel.replace(os.sep, "/"),
-                        "rows": _file_rows(self._abs(rel)),
-                        "partition": partition,
-                        "stats": _file_stats(self._abs(rel)),
-                    }
-                )
+                ent = {
+                    "path": rel.replace(os.sep, "/"),
+                    "rows": _file_rows(self._abs(rel)),
+                    "partition": partition,
+                    "stats": _file_stats(self._abs(rel)),
+                }
+                if self.bloom_cols:
+                    blooms = _file_blooms(self._abs(rel), self.bloom_cols)
+                    if blooms:
+                        ent["blooms"] = blooms
+                add.append(ent)
         shutil.rmtree(staging, ignore_errors=True)
         return add
 
     def append_files(self, files: list[str], partition: dict | None = None) -> int:
         """Log-only append of pre-written parquet files already inside
         the table tree (relative paths) — the sparkless writer path."""
-        add = [
-            {
+        add = []
+        for f in files:
+            ent = {
                 "path": f.replace(os.sep, "/"),
                 "rows": _file_rows(self._abs(f)),
                 "partition": partition,
                 "stats": _file_stats(self._abs(f)),
             }
-            for f in files
-        ]
+            if self.bloom_cols:
+                blooms = _file_blooms(self._abs(f), self.bloom_cols)
+                if blooms:
+                    ent["blooms"] = blooms
+            add.append(ent)
         return self.commit(add=add, op="append")
 
     def _zorder_column(self, df: DataFrame, cols: list[str], bits_total: int = 16):

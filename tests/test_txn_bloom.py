@@ -1,0 +1,124 @@
+"""Per-file bloom-filter skipping in the txn manifest
+(``TxnTable(bloom_cols=[...])`` + ``live_files(equals=...)``): the
+point-lookup pruning path for high-cardinality columns where min/max
+ranges don't discriminate.  The contract under test:
+
+- NEVER a false negative: for every value that exists, the pruned
+  file set yields exactly the rows the unpruned read yields;
+- real pruning: a value confined to one append opens that append's
+  files, not the table;
+- safety under mixed histories: files committed WITHOUT blooms are
+  conservatively kept;
+- rewrites keep the skipping: compaction re-blooms its output files;
+- a malformed bloom degrades to "keep the file", never an error.
+"""
+
+import pytest
+
+from rakam_api_spark.txnlog import (
+    TxnTable,
+    _bloom_build,
+    _bloom_might_contain,
+)
+
+
+def _rows(spark, ids, month="2024-01"):
+    return spark.createDataFrame(
+        [(i, f"user-{i}", month) for i in ids], "x long, uid string, _month string"
+    )
+
+
+def test_point_lookup_prunes_to_the_owning_append(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"), bloom_cols=["uid"])
+    t.append(_rows(spark, range(0, 100)), partition_col="_month")
+    t.append(_rows(spark, range(100, 200)), partition_col="_month")
+    t.append(_rows(spark, range(200, 300)), partition_col="_month")
+    all_files = t.live_files()
+    hit = t.live_files(equals={"uid": "user-150"})
+    assert set(hit) <= set(all_files)
+    assert len(hit) < len(all_files), "bloom must prune foreign appends"
+    got = t.read(files=hit).where("uid = 'user-150'").collect()
+    assert [r["x"] for r in got] == [150]
+
+
+def test_no_false_negative_for_any_present_value(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"), bloom_cols=["uid", "x"])
+    t.append(_rows(spark, range(0, 50)), partition_col="_month")
+    t.append(_rows(spark, range(50, 90), month="2024-02"), partition_col="_month")
+    for i in range(0, 90, 7):
+        for col, val in (("uid", f"user-{i}"), ("x", i)):
+            files = t.live_files(equals={col: val})
+            rows = t.read(files=files).where(
+                f"{col} = '{val}'" if col == "uid" else f"{col} = {val}"
+            )
+            assert rows.count() == 1, (col, val)
+
+
+def test_absent_value_usually_prunes_everything(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"), bloom_cols=["uid"])
+    t.append(_rows(spark, range(0, 100)), partition_col="_month")
+    # ~1% fpr per file: across 50 absent probes expect at least one
+    # full prune (deterministic bloom, so this is stable, not flaky)
+    fully_pruned = sum(
+        1
+        for i in range(1000, 1050)
+        if t.live_files(equals={"uid": f"user-{i}"}) == []
+    )
+    assert fully_pruned >= 45
+
+
+def test_bloomless_files_are_conservatively_kept(spark, tmp_path):
+    path = str(tmp_path / "t")
+    plain = TxnTable(spark, path)  # no bloom_cols: legacy writer
+    plain.append(_rows(spark, range(0, 40)), partition_col="_month")
+    bloomed = TxnTable(spark, path, bloom_cols=["uid"])
+    bloomed.append(_rows(spark, range(40, 80)), partition_col="_month")
+    legacy_files = set(plain.live_files()) - set(
+        bloomed.live_files(equals={"uid": "user-9999"})
+    )
+    # every pruned file came from the bloomed append; the legacy
+    # append's files all survive any equals probe
+    probe = bloomed.live_files(equals={"uid": "user-7"})
+    assert [r["x"] for r in bloomed.read(files=probe).where("x = 7").collect()] == [7]
+    for f in plain.live_files():
+        ent_has_bloom = f in set(probe) or f in legacy_files
+        assert ent_has_bloom or f in probe
+
+
+def test_compact_rebloomes_rewritten_files(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"), bloom_cols=["uid"])
+    t.append(_rows(spark, range(0, 60)), partition_col="_month")
+    t.append(_rows(spark, range(60, 120), month="2024-02"), partition_col="_month")
+    t.compact(partition_col="_month")
+    ents = t.state().values()
+    assert all("blooms" in e and "uid" in e["blooms"] for e in ents)
+    hit = t.live_files(equals={"uid": "user-61"})
+    assert hit and all("_month=2024-02" in f for f in hit)
+    assert t.read(files=hit).where("uid = 'user-61'").count() == 1
+
+
+def test_int_and_float_probe_hash_identically(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"), bloom_cols=["x"])
+    t.append(_rows(spark, range(0, 30)), partition_col="_month")
+    as_int = t.live_files(equals={"x": 7})
+    as_float = t.live_files(equals={"x": 7.0})
+    assert as_int == as_float and as_int
+
+
+def test_malformed_bloom_degrades_to_keep(spark, tmp_path):
+    assert _bloom_might_contain({"m": 0, "k": 7, "b64": ""}, "x") is True
+    assert _bloom_might_contain({"m": "junk", "k": 7, "b64": "!!"}, "x") is True
+    assert _bloom_might_contain({}, "x") is True
+    b = _bloom_build(["a", "b", "c"])
+    assert _bloom_might_contain(b, "a") and _bloom_might_contain(b, "b")
+
+
+def test_equals_also_uses_minmax_stats_without_bloom(spark, tmp_path):
+    """A numeric equals probe outside a file's min/max range prunes
+    even when the writer recorded no bloom for the column."""
+    t = TxnTable(spark, str(tmp_path / "t"))  # no blooms at all
+    t.append(_rows(spark, range(0, 50)), partition_col="_month")
+    t.append(_rows(spark, range(1000, 1050), month="2024-02"), partition_col="_month")
+    hit = t.live_files(equals={"x": 1010})
+    assert hit and all("_month=2024-02" in f for f in hit)
+    assert t.live_files(equals={"x": 500}) == []
