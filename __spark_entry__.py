@@ -69,6 +69,11 @@ _GATE_PRIORITY = (
     "sampling_temperature_weights",
     "ivf_nprobe_recall_curve",
     "dedup_transitivity_audit",
+    "pq_reconstruction_error",
+    "customer_repeat_within_90d",
+    "order_composition_trend",
+    "session_conversion_by_entry",
+    "wau_wow_growth",
     # (b) the r5-stale cohort (VERDICT r9 Next #3, verbatim order)
     "event_transition_matrix",
     "events_pivot_daily",

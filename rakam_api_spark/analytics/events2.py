@@ -159,12 +159,150 @@ FROM cell ORDER BY cohort_month, first_event_type
 """
 
 
+def session_conversion_by_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session conversion by ENTRY action: sessions (30-min-gap
+    convention, as in ``sessionization_stats``) grouped by their
+    first event type, with the share that contains a ``purchase`` —
+    the landing-experience report ("sessions that start with a view
+    convert at X%, sessions that start with an error at Y%").
+
+    One user-partitioned window pass builds session ids (lag + cumsum
+    over the same exchange); the entry event is a MIN over the
+    (ts_ns, event_id, type) struct per session — no second window —
+    and conversion is a MAX over a boolean.  Counts exact; the rate
+    is one double division."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    gap = F.col("ts_ns") - F.lag("ts_ns").over(w)
+    new_sess = (gap.isNull() | (gap > 30 * 60 * 1_000_000_000)).cast("long")
+    sess = ev.select(
+        "user_id",
+        "ts_ns",
+        "event_id",
+        "event_type",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_no"),
+    )
+    per_session = sess.groupBy("user_id", "session_no").agg(
+        F.min(F.struct("ts_ns", "event_id", "event_type")).alias("entry"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted"),
+    )
+    return (
+        per_session.groupBy(F.col("entry.event_type").alias("entry_event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("converted").alias("n_converted"),
+        )
+        .select(
+            "entry_event_type",
+            "n_sessions",
+            "n_converted",
+            (
+                F.col("n_converted").cast("double") / F.col("n_sessions").cast("double")
+            ).alias("conversion_rate"),
+        )
+        .orderBy("entry_event_type")
+    )
+
+
+SESSION_CONVERSION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+              IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+              > 30 * 60 * 1000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+sess AS (
+  SELECT user_id, event_id, event_type, us,
+         SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_no
+  FROM seq
+),
+ranked AS (
+  SELECT user_id, session_no, event_type,
+         row_number() OVER (
+           PARTITION BY user_id, session_no ORDER BY us, event_id
+         ) AS rn,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id, session_no
+         ) AS converted
+  FROM sess
+)
+SELECT event_type AS entry_event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       CAST(SUM(converted) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS conversion_rate
+FROM ranked WHERE rn = 1
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def wau_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly active users with week-over-week growth — the growth
+    chart beside ``stickiness_dau_mau`` (stickiness is depth, this is
+    trajectory).  The previous week's WAU arrives by an EQUI-JOIN on
+    week−7 days over the week-grain aggregate (no window at all, so
+    nothing is single-partition whatever the calendar span); weeks
+    with no prior observed week report NULL growth.
+
+    Counts are exact; growth is one double division."""
+    ev = _events(spark, sf_dir)
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    wau = ev.groupBy(wk.alias("week")).agg(
+        F.countDistinct("user_id").alias("wau"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    prev = wau.select(
+        F.date_add(F.col("week"), 7).alias("week"), F.col("wau").alias("prev_wau")
+    )
+    return (
+        wau.join(prev, "week", "left")
+        .select(
+            "week",
+            "wau",
+            "n_events",
+            (
+                (F.col("wau") - F.col("prev_wau")).cast("double")
+                / F.col("prev_wau").cast("double")
+            ).alias("wow_growth"),
+        )
+        .orderBy("week")
+    )
+
+
+WAU_WOW_ORACLE = """
+WITH wau AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT w.week, w.wau, w.n_events,
+       CAST(w.wau - p.wau AS DOUBLE) / CAST(p.wau AS DOUBLE) AS wow_growth
+FROM wau w LEFT JOIN wau p ON w.week = p.week + INTERVAL 7 DAY
+ORDER BY w.week
+"""
+
+
+
 QUERIES = {
+    "session_conversion_by_entry": session_conversion_by_entry,
+    "wau_wow_growth": wau_wow_growth,
     "churn_hazard_by_tenure": churn_hazard_by_tenure,
     "first_event_type_by_cohort": first_event_type_by_cohort,
 }
 
 ORACLES = {
+    "session_conversion_by_entry": SESSION_CONVERSION_ORACLE,
+    "wau_wow_growth": WAU_WOW_ORACLE,
     "churn_hazard_by_tenure": CHURN_HAZARD_ORACLE,
     "first_event_type_by_cohort": FIRST_EVENT_COHORT_ORACLE,
 }

@@ -276,13 +276,152 @@ FROM cell ORDER BY nation, quarter
 """
 
 
+def customer_repeat_within_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase activation per acquisition cohort: of the
+    customers whose FIRST order lands in month m, how many placed a
+    second order within 90 days of that first order — the onboarding
+    KPI behind "do this quarter's new customers come back?"
+    (``retention_cohorts`` answers this on the events stream; this is
+    the star-schema revenue-side twin).
+
+    Two aggregations, one self-reference resolved as a broadcast-able
+    aggregate join: per-customer first-order date (partial-agg), then
+    orders re-joined on custkey with the 90-day date predicate and
+    counted per customer — no window touches order rows.  Counts are
+    exact; the rate is one double division."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    firsts = orders.groupBy("o_custkey").agg(F.min("o_orderdate").alias("d0"))
+    in_window = (
+        orders.join(firsts, "o_custkey")
+        .where(F.datediff(F.col("o_orderdate"), F.col("d0")) <= 90)
+        .groupBy("o_custkey", "d0")
+        .agg(F.count(F.lit(1)).alias("n_orders_90d"))
+    )
+    cohort = in_window.select(
+        F.date_trunc("month", F.col("d0")).cast("date").alias("cohort_month"),
+        (F.col("n_orders_90d") >= 2).cast("int").alias("repeated"),
+    )
+    return (
+        cohort.groupBy("cohort_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_new_customers"),
+            F.sum("repeated").alias("n_repeat_90d"),
+        )
+        .select(
+            "cohort_month",
+            "n_new_customers",
+            "n_repeat_90d",
+            (
+                F.col("n_repeat_90d").cast("double")
+                / F.col("n_new_customers").cast("double")
+            ).alias("repeat_rate"),
+        )
+        .orderBy("cohort_month")
+    )
+
+
+CUSTOMER_REPEAT_90D_ORACLE = """
+WITH firsts AS (
+  SELECT o_custkey, MIN(o_orderdate) AS d0 FROM orders GROUP BY 1
+),
+in_window AS (
+  SELECT o.o_custkey, f.d0, COUNT(*) AS n_orders_90d
+  FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+  WHERE date_diff('day', f.d0, o.o_orderdate) <= 90
+  GROUP BY 1, 2
+)
+SELECT CAST(date_trunc('month', d0) AS DATE) AS cohort_month,
+       CAST(COUNT(*) AS BIGINT) AS n_new_customers,
+       CAST(SUM(CASE WHEN n_orders_90d >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repeat_90d,
+       CAST(SUM(CASE WHEN n_orders_90d >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS repeat_rate
+FROM in_window GROUP BY 1 ORDER BY 1
+"""
+
+
+def order_composition_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-composition trend: per order month, the average number
+    of lineitems, distinct parts, and total quantity per order — the
+    "are baskets getting bigger or just more frequent" decomposition
+    that pairs with ``revenue_qoq_growth`` (growth splits into
+    orders × basket size × price; this reports the middle factor).
+
+    One order-grain aggregate from the fact join (partial-agg: count,
+    distinct-part count, quantity sum per order), one month rollup.
+    Quantities sum on DECIMAL; every average is a single double
+    division of exact operands."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    per_order = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.sum(_dec("l_quantity")).alias("qty"),
+        )
+    )
+    return (
+        per_order.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("n_items").alias("_items"),
+            F.sum("n_parts").alias("_parts"),
+            F.sum("qty").cast("decimal(38,6)").alias("_qty"),
+        )
+        .select(
+            "month",
+            "n_orders",
+            (F.col("_items").cast("double") / F.col("n_orders").cast("double")).alias(
+                "avg_items_per_order"
+            ),
+            (F.col("_parts").cast("double") / F.col("n_orders").cast("double")).alias(
+                "avg_parts_per_order"
+            ),
+            F.round(
+                F.col("_qty").cast("double") / F.col("n_orders").cast("double"), 9
+            ).alias("avg_qty_per_order"),
+        )
+        .orderBy("month")
+    )
+
+
+ORDER_COMPOSITION_ORACLE = """
+WITH per_order AS (
+  SELECT o_orderkey, o_orderdate,
+         COUNT(*) AS n_items,
+         COUNT(DISTINCT l_partkey) AS n_parts,
+         SUM(CAST(l_quantity AS DECIMAL(18,6))) AS qty
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+)
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(n_items) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_items_per_order,
+       CAST(SUM(n_parts) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_parts_per_order,
+       round(CAST(SUM(CAST(qty AS DECIMAL(38,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+         AS avg_qty_per_order
+FROM per_order GROUP BY 1 ORDER BY 1
+"""
+
+
+
 QUERIES = {
+    "customer_repeat_within_90d": customer_repeat_within_90d,
+    "order_composition_trend": order_composition_trend,
     "parts_price_size_skyline": parts_price_size_skyline,
     "customer_gini_by_segment": customer_gini_by_segment,
     "revenue_qoq_growth": revenue_qoq_growth,
 }
 
 ORACLES = {
+    "customer_repeat_within_90d": CUSTOMER_REPEAT_90D_ORACLE,
+    "order_composition_trend": ORDER_COMPOSITION_ORACLE,
     "parts_price_size_skyline": PARTS_SKYLINE_ORACLE,
     "customer_gini_by_segment": CUSTOMER_GINI_ORACLE,
     "revenue_qoq_growth": REVENUE_QOQ_ORACLE,

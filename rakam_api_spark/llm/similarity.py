@@ -1375,7 +1375,11 @@ def pq_ann_topk(
     )
 
 
-def _pq_oracle(m: int = PQ_M, kc: int = PQ_K, iters: int = PQ_ITERS) -> str:
+def _pq_cte_chain(m: int = PQ_M, kc: int = PQ_K, iters: int = PQ_ITERS):
+    """Shared CTE chain for the deterministic per-subspace Lloyd fit:
+    (ctes, final_assign_name, final_cents_name) — used by the PQ
+    top-k oracle and the reconstruction-error oracle so both verify
+    the SAME unrolled iterations."""
     dsub = 64 // m
     ctes = [
         f"""comp AS (
@@ -1410,7 +1414,12 @@ def _pq_oracle(m: int = PQ_M, kc: int = PQ_K, iters: int = PQ_ITERS) -> str:
 )"""
             )
             prev = f"cents{i}"
-    final_assign = f"assign{iters + 1}"
+    return ctes, f"assign{iters + 1}", prev
+
+
+def _pq_oracle(m: int = PQ_M, kc: int = PQ_K, iters: int = PQ_ITERS) -> str:
+    ctes, final_assign, prev = _pq_cte_chain(m, kc, iters)
+    ctes = list(ctes)
     ctes += [
         "qcomp AS (SELECT vec_id AS q_id, m, spos, q AS qq FROM comp WHERE vec_id < 20)",
         f"""dtab AS (
@@ -1439,6 +1448,136 @@ FROM (
 
 
 PQ_ANN_ORACLE = _pq_oracle()
+
+
+def pq_reconstruction_error(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = PQ_M,
+    kc: int = PQ_K,
+    iters: int = PQ_ITERS,
+) -> DataFrame:
+    """Codebook-quality audit for the PQ index: per corpus label, the
+    exact reconstruction error of the encoded vectors — Σ‖x_sub −
+    c_code‖² over every subspace — against the vectors' own energy
+    (Σ‖x‖²).  ``relative_err`` is the fraction of signal the 32-bit
+    codes throw away; a label whose error runs hot is one the ADC
+    scores will misrank first (the re-fit trigger beside
+    ``ivf_cell_balance``, which watches the coarse index the same
+    way).
+
+    The fit is the SAME deterministic per-subspace Lloyd chain as
+    :func:`pq_ann_topk` (integer costs, floor(avg) centroids, fixed
+    init, label tiebreaks); the audit adds one (vec, m)-grain join of
+    codes to broadcast codebooks and two aggregations.  All errors
+    and norms are exact integers; the two ratios are single double
+    divisions.  The oracle unrolls the identical iterations via the
+    shared CTE chain."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dsub = F.expr(f"pos div {64 // m}")
+    comp = (
+        _quantized_components(emb)
+        .select("vec_id", dsub.alias("m"), F.expr(f"pos % {64 // m}").alias("spos"), "q")
+        .cache()
+    )
+    comp.count()
+    cents = comp.where(F.col("vec_id") < kc).select(
+        "m", F.col("vec_id").alias("label"), "spos", F.col("q").alias("cq")
+    )
+
+    def assign(cs):
+        costs = (
+            comp.join(broadcast(cs), ["m", "spos"])
+            .groupBy("vec_id", "m", "label")
+            .agg(
+                (F.sum(F.col("cq") * F.col("cq")) - 2 * F.sum(F.col("q") * F.col("cq"))).alias(
+                    "cost"
+                )
+            )
+        )
+        w = Window.partitionBy("vec_id", "m").orderBy(F.asc("cost"), F.asc("label"))
+        return (
+            costs.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "m", "label")
+        )
+
+    for _ in range(iters):
+        a = assign(cents)
+        cents = (
+            comp.join(a, ["vec_id", "m"])
+            .groupBy("m", "label", "spos")
+            .agg(F.floor(F.avg("q")).cast("long").alias("cq"))
+        )
+    codes = assign(cents)
+    err = (
+        comp.join(codes, ["vec_id", "m"])
+        .join(
+            broadcast(cents.withColumnRenamed("spos", "cspos")), ["m", "label"]
+        )
+        .where(F.col("spos") == F.col("cspos"))
+        .groupBy("vec_id")
+        .agg(F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))).alias("err"))
+    )
+    norms = _norms(comp, "vec_id")
+    return (
+        err.join(norms, "vec_id")
+        .join(emb.select("vec_id", F.col("label").alias("true_label")), "vec_id")
+        .groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("err").alias("total_err"),
+            F.sum("norm2").alias("total_norm2"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            "total_err",
+            "total_norm2",
+            (F.col("total_err").cast("double") / F.col("total_norm2").cast("double")).alias(
+                "relative_err"
+            ),
+            (F.col("total_err").cast("double") / F.col("n_vectors").cast("double")).alias(
+                "mean_err"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+def _pq_recon_oracle(m: int = PQ_M, kc: int = PQ_K, iters: int = PQ_ITERS) -> str:
+    ctes, final_assign, prev = _pq_cte_chain(m, kc, iters)
+    ctes = list(ctes)
+    ctes += [
+        f"""recon AS (
+  SELECT c.vec_id, SUM((c.q - t.cq) * (c.q - t.cq)) AS err
+  FROM comp c
+  JOIN {final_assign} a ON c.vec_id = a.vec_id AND c.m = a.m
+  JOIN {prev} t ON a.m = t.m AND a.label = t.label AND c.spos = t.spos
+  GROUP BY 1
+)""",
+        "vnorms AS (SELECT vec_id, SUM(q*q) AS norm2 FROM comp GROUP BY 1)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT e.label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(r.err) AS BIGINT) AS total_err,
+       CAST(SUM(v.norm2) AS BIGINT) AS total_norm2,
+       CAST(SUM(r.err) AS DOUBLE) / CAST(SUM(v.norm2) AS DOUBLE) AS relative_err,
+       CAST(SUM(r.err) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_err
+FROM recon r
+JOIN vnorms v USING (vec_id)
+JOIN embeddings e USING (vec_id)
+GROUP BY 1 ORDER BY 1
+"""
+    )
+
+
+PQ_RECON_ORACLE = _pq_recon_oracle()
+
 
 
 def semantic_contamination(
@@ -2259,6 +2398,7 @@ QUERIES = {
     "embedding_cluster_profile": embedding_cluster_profile,
     "embedding_cosine_dedup": _cosine_dedup_gate,
     "ann_pq_topk": pq_ann_topk,
+    "pq_reconstruction_error": pq_reconstruction_error,
 }
 
 ORACLES = {
@@ -2285,4 +2425,5 @@ ORACLES = {
     "embedding_cluster_profile": CLUSTER_PROFILE_ORACLE,
     "embedding_cosine_dedup": COSINE_DEDUP_ORACLE.format(threshold=GATE_DEDUP_THRESHOLD),
     "ann_pq_topk": PQ_ANN_ORACLE,
+    "pq_reconstruction_error": PQ_RECON_ORACLE,
 }

@@ -296,6 +296,22 @@ SHOW = {
     "orders_seasonality_index": "seasonal factors: one 12-row hash aggregate "
     "over the scan; grand totals are a second aggregate OF THE 12 ROWS "
     "broadcast back as one row — the fact table is scanned once",
+    "parts_price_size_skyline": "skyline without the quadratic dominance "
+    "self-join: per-price-level aggregate, bucket-PARTITIONED running-max "
+    "windows, and a triangular join over the tiny per-band table (TPC-H "
+    "prices are near-unique, so a global window over levels would be a "
+    "single-partition sort of the catalog)",
+    "churn_hazard_by_tenure": "discrete hazard: one user-keyed aggregate to "
+    "(first, last) week, then the at-risk reverse-cumsum as a triangular "
+    "join over the TENURE-grain aggregate — no unpartitioned window, no "
+    "second pass over users",
+    "customer_gini_by_segment": "Gini: rank window runs per SEGMENT over "
+    "per-customer aggregate rows (3 orders of magnitude below the fact "
+    "table); rank·spend accumulates in DECIMAL(38,6) so the plan carries "
+    "exact arithmetic to the final two-term formula",
+    "ivf_nprobe_recall_curve": "one shared Lloyd fit + assignment feeds "
+    "every probe budget; per-budget tails reuse the cached quantized "
+    "components, truth is the single request-sized brute-force pass",
 }
 
 
