@@ -506,9 +506,43 @@ class EventStore:
     def txn_table(self, project: str, collection: str):
         from .txnlog import TxnTable
 
-        return TxnTable(self.spark, self._base_path(project, collection) + ".txn")
+        return TxnTable(
+            self.spark,
+            self._base_path(project, collection) + ".txn",
+            bloom_cols=self.bloom_cols(project, collection),
+        )
 
-    def enable_txn(self, project: str, collection: str) -> None:
+    def bloom_cols(self, project: str, collection: str) -> list[str]:
+        """Columns opted into per-file bloom filters for this
+        collection (metastore-persisted, so EVERY writer — ingest
+        appends, compaction, maintenance — blooms consistently)."""
+        try:
+            return list(
+                self.metastore.get_config(project, f"BLOOM_COLS_{collection}") or []
+            )
+        except Exception:
+            return []
+
+    def set_bloom_cols(
+        self, project: str, collection: str, cols: list[str]
+    ) -> None:
+        """Opt ``cols`` into per-file bloom filters in the collection's
+        txn manifest: point lookups via ``read(equals={col: value})``
+        then open only the files whose bloom (or min/max range) admits
+        the value.  Applies to files written AFTER the call — run
+        ``compact()`` to re-bloom existing history; files without
+        blooms are conservatively kept, so the setting can be flipped
+        at any time without a correctness risk."""
+        self.metastore.set_config(
+            project, f"BLOOM_COLS_{collection}", [str(c) for c in cols]
+        )
+
+    def enable_txn(
+        self,
+        project: str,
+        collection: str,
+        bloom_cols: list[str] | None = None,
+    ) -> None:
         """Switch a collection to the transaction-logged storage mode
         (txnlog.TxnTable): appends/compaction/expiry become atomic
         commits with optimistic concurrency, making the collection
@@ -520,8 +554,14 @@ class EventStore:
         leaves the legacy table live and the txn dir orphaned —
         re-running converges)."""
         if self.txn_mode(project, collection):
+            if bloom_cols is not None:
+                self.set_bloom_cols(project, collection, bloom_cols)
             return
         with self.maintenance_lock(project, collection):
+            if bloom_cols is not None:
+                # set BEFORE the migration append so the migration
+                # commit's files already carry blooms
+                self.set_bloom_cols(project, collection, bloom_cols)
             legacy = self._table_path(project, collection)
             txn = self.txn_table(project, collection)
             if os.path.isdir(legacy) and any(
@@ -1641,7 +1681,11 @@ class EventStore:
     # --- read -----------------------------------------------------------
 
     def read(
-        self, project: str, collection: str, version: int | None = None
+        self,
+        project: str,
+        collection: str,
+        version: int | None = None,
+        equals: dict | None = None,
     ) -> DataFrame:
         """Read a collection under its current (widest) registered
         schema; files written before an ADD COLUMN read NULL for the
@@ -1649,10 +1693,23 @@ class EventStore:
         collection to that commit-log snapshot (the same resolution
         the query service's ``as_of`` and the versioned manifest
         export use); it raises for plain collections, whose
-        directory layout keeps no history."""
+        directory layout keeps no history.
+
+        ``equals`` (column → exact value) is the POINT-LOOKUP path
+        for transaction-logged collections: the manifest's per-file
+        blooms (see :meth:`set_bloom_cols`) and min/max stats prune
+        the file list before Spark opens anything — the returned
+        frame is a SUPERSET of matching rows (bloom false positives
+        keep whole files), so callers still apply the row filter,
+        exactly as with Iceberg/Delta data skipping."""
         schema = self.metastore.get_collection(project, collection)
-        if version is not None:
-            if not self.txn_mode(project, collection):
+        if equals is not None and not self.txn_mode(project, collection):
+            raise ValueError(
+                "equals pruning requires transaction-logged storage; "
+                f"{collection!r} is a plain collection"
+            )
+        if version is not None or equals is not None:
+            if version is not None and not self.txn_mode(project, collection):
                 raise ValueError(
                     "versioned read requires transaction-logged storage; "
                     f"{collection!r} is a plain collection"
@@ -1661,7 +1718,7 @@ class EventStore:
             # one log resolution feeds both the existence check and
             # the read (out-of-range versions raise a descriptive
             # ValueError inside live_files' state() call)
-            files = txn.live_files(version=version)
+            files = txn.live_files(version=version, equals=equals)
             df = txn.read(files=files) if files else None
         else:
             df = self._raw_read(project, collection)

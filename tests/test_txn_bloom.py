@@ -122,3 +122,48 @@ def test_equals_also_uses_minmax_stats_without_bloom(spark, tmp_path):
     hit = t.live_files(equals={"x": 1010})
     assert hit and all("_month=2024-02" in f for f in hit)
     assert t.live_files(equals={"x": 500}) == []
+
+
+def test_store_point_lookup_via_equals(spark, warehouse):
+    """EventStore integration: set_bloom_cols persists in the
+    metastore so every writer blooms consistently, and
+    store.read(equals=) prunes from the manifest.  The returned frame
+    is a SUPERSET (bloom fpr keeps whole files); the row filter on
+    top yields exactly the right rows.  Plain collections refuse the
+    parameter; absent values yield an empty frame under the
+    registered schema."""
+    from rakam_api_spark.api import EventCollector
+    from rakam_api_spark.catalog import Metastore
+    from rakam_api_spark.enrich import EnrichmentPipeline, TimestampMapper
+
+    ms = Metastore(warehouse)
+    collector = EventCollector(
+        spark, ms, pipeline=EnrichmentPipeline([TimestampMapper()])
+    )
+    store = collector.store
+    for i in range(40):
+        collector.collect(
+            "proj",
+            "ev",
+            {"uid": f"user-{i}", "x": i, "_time": f"2024-0{i % 3 + 1}-05 09:00:00"},
+        )
+    with pytest.raises(ValueError, match="transaction-logged"):
+        store.read("proj", "ev", equals={"uid": "u1"})
+    store.enable_txn("proj", "ev", bloom_cols=["uid"])
+    assert store.bloom_cols("proj", "ev") == ["uid"]
+    # the migration commit itself carries blooms
+    ents = store.txn_table("proj", "ev").state().values()
+    assert any("blooms" in e for e in ents)
+    # appends after the flip bloom too (collector routes through txn)
+    collector.collect(
+        "proj", "ev", {"uid": "user-99", "x": 99, "_time": "2024-05-01 09:00:00"}
+    )
+    hit = store.read("proj", "ev", equals={"uid": "user-99"})
+    assert [r["x"] for r in hit.where("uid = 'user-99'").collect()] == [99]
+    all_files = store.txn_table("proj", "ev").live_files()
+    pruned = store.txn_table("proj", "ev").live_files(equals={"uid": "user-99"})
+    assert len(pruned) < len(all_files)
+    # absent value: empty frame under the registered schema
+    assert store.read("proj", "ev", equals={"uid": "nope-1"}).where(
+        "uid = 'nope-1'"
+    ).count() == 0
