@@ -74,6 +74,10 @@ _GATE_PRIORITY = (
     "order_composition_trend",
     "session_conversion_by_entry",
     "wau_wow_growth",
+    "embedding_intrinsic_dim",
+    "discount_by_quantity_bucket",
+    "order_value_lognormal_fit",
+    "type_diversity_trend",
     # (b) the r5-stale cohort (VERDICT r9 Next #3, verbatim order)
     "event_transition_matrix",
     "events_pivot_daily",

@@ -293,7 +293,60 @@ ORDER BY w.week
 
 
 
+def type_diversity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-breadth trend: per month, the mean number of
+    DISTINCT event types an active user touched and the share of
+    users touching 3+ — is the product's surface area per user
+    widening or narrowing over time?  (``user_activity_entropy``
+    scores breadth per user once; this tracks the population monthly.)
+
+    Two partial-aggregatable groupBys — (month, user) distinct-type
+    counts, then the month rollup; the 3+ gate is an exact integer
+    predicate and both ratios are single double divisions."""
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy(
+        F.date_trunc("month", F.col("ts")).cast("date").alias("month"), "user_id"
+    ).agg(F.countDistinct("event_type").alias("n_types"))
+    return (
+        per_user.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.sum("n_types").alias("_t"),
+            F.sum((F.col("n_types") >= 3).cast("long")).alias("_w"),
+        )
+        .select(
+            "month",
+            "active_users",
+            (F.col("_t").cast("double") / F.col("active_users").cast("double")).alias(
+                "mean_types_per_user"
+            ),
+            (F.col("_w").cast("double") / F.col("active_users").cast("double")).alias(
+                "share_3plus_types"
+            ),
+        )
+        .orderBy("month")
+    )
+
+
+TYPE_DIVERSITY_ORACLE = """
+WITH per_user AS (
+  SELECT CAST(date_trunc('month', ts) AS DATE) AS month, user_id,
+         COUNT(DISTINCT event_type) AS n_types
+  FROM events GROUP BY 1, 2
+)
+SELECT month,
+       CAST(COUNT(*) AS BIGINT) AS active_users,
+       CAST(SUM(n_types) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS mean_types_per_user,
+       CAST(SUM(CASE WHEN n_types >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS share_3plus_types
+FROM per_user GROUP BY 1 ORDER BY 1
+"""
+
+
+
 QUERIES = {
+    "type_diversity_trend": type_diversity_trend,
     "session_conversion_by_entry": session_conversion_by_entry,
     "wau_wow_growth": wau_wow_growth,
     "churn_hazard_by_tenure": churn_hazard_by_tenure,
@@ -301,6 +354,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "type_diversity_trend": TYPE_DIVERSITY_ORACLE,
     "session_conversion_by_entry": SESSION_CONVERSION_ORACLE,
     "wau_wow_growth": WAU_WOW_ORACLE,
     "churn_hazard_by_tenure": CHURN_HAZARD_ORACLE,

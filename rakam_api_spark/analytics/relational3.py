@@ -411,7 +411,125 @@ FROM per_order GROUP BY 1 ORDER BY 1
 
 
 
+def discount_by_quantity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-discount policy audit: mean discount and realized unit
+    price per quantity bucket (1–10, 11–20, …) — "do bigger baskets
+    actually get better prices?"  The pricing-governance twin of
+    ``discount_elasticity_by_priority`` (elasticity fits revenue
+    against discount; this reads the discount POLICY itself off the
+    quantity axis).
+
+    One partial-aggregatable groupBy over the fact scan; discounts
+    and prices sum on DECIMAL, each mean is one double division; the
+    bucket key is exact integer arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.floor((F.col("l_quantity") - 1) / 10).cast("long"), F.lit(4)
+    )
+    unit_price = _dec("l_extendedprice")
+    return (
+        li.groupBy(bucket.alias("qty_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(_dec("l_discount")).alias("_d"),
+            F.sum(unit_price).alias("_p"),
+            F.sum(_dec("l_quantity")).alias("_q"),
+        )
+        .select(
+            "qty_bucket",
+            "n_lines",
+            F.round(F.col("_d").cast("double") / F.col("n_lines").cast("double"), 9).alias(
+                "mean_discount"
+            ),
+            F.round(F.col("_p").cast("double") / F.col("_q").cast("double"), 9).alias(
+                "mean_unit_price"
+            ),
+        )
+        .orderBy("qty_bucket")
+    )
+
+
+DISCOUNT_BY_QTY_ORACLE = """
+SELECT LEAST(CAST(floor((l_quantity - 1) / 10) AS BIGINT), 4) AS qty_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       round(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS mean_discount,
+       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 9)
+         AS mean_unit_price
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+def order_value_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-of-moments LOG-NORMAL fit of order values per market
+    segment: μ = mean(ln x), σ² = E[ln²x] − μ², with the implied
+    median e^μ — the parametric summary behind capacity planning and
+    synthetic-data generation ("orders are log-normal with these
+    parameters"), complementing ``value_histogram``'s non-parametric
+    shape and ``benford_price_audit``'s digit test.
+
+    Determinism: each ln(o_totalprice) is rounded to 9 dp on BOTH
+    engines and accumulated as DECIMAL(18,9) (squares in
+    DECIMAL(37,18)) — exact sums whatever the aggregation order; μ,
+    σ, and e^μ are then identical float expressions of identical
+    exact inputs, rounded at the edge."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    lnx = F.round(F.log(F.col("o_totalprice").cast("double")), 9).cast(
+        "decimal(18,9)"
+    )
+    per_seg = (
+        orders.join(
+            broadcast(cust.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("c_mktsegment", lnx.alias("lnx"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("lnx").alias("_s1"),
+            F.sum(F.col("lnx") * F.col("lnx")).alias("_s2"),
+        )
+    )
+    mu = F.col("_s1").cast("double") / F.col("n_orders").cast("double")
+    sigma2 = F.col("_s2").cast("double") / F.col("n_orders").cast("double") - mu * mu
+    return per_seg.select(
+        "c_mktsegment",
+        "n_orders",
+        F.round(mu, 9).alias("mu"),
+        F.round(F.sqrt(sigma2), 9).alias("sigma"),
+        F.round(F.exp(mu), 6).alias("implied_median"),
+    ).orderBy("c_mktsegment")
+
+
+ORDER_LOGNORMAL_ORACLE = """
+WITH obs AS (
+  SELECT c_mktsegment,
+         CAST(round(ln(CAST(o_totalprice AS DOUBLE)), 9) AS DECIMAL(18,9)) AS lnx
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+agg AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(lnx) AS s1,
+         SUM(lnx * lnx) AS s2
+  FROM obs GROUP BY 1
+)
+SELECT c_mktsegment, n_orders,
+       round(CAST(s1 AS DOUBLE) / CAST(n_orders AS DOUBLE), 9) AS mu,
+       round(sqrt(CAST(s2 AS DOUBLE) / CAST(n_orders AS DOUBLE)
+                  - (CAST(s1 AS DOUBLE) / CAST(n_orders AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n_orders AS DOUBLE))), 9) AS sigma,
+       round(exp(CAST(s1 AS DOUBLE) / CAST(n_orders AS DOUBLE)), 6) AS implied_median
+FROM agg ORDER BY c_mktsegment
+"""
+
+
+
 QUERIES = {
+    "discount_by_quantity_bucket": discount_by_quantity_bucket,
+    "order_value_lognormal_fit": order_value_lognormal_fit,
     "customer_repeat_within_90d": customer_repeat_within_90d,
     "order_composition_trend": order_composition_trend,
     "parts_price_size_skyline": parts_price_size_skyline,
@@ -420,6 +538,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "discount_by_quantity_bucket": DISCOUNT_BY_QTY_ORACLE,
+    "order_value_lognormal_fit": ORDER_LOGNORMAL_ORACLE,
     "customer_repeat_within_90d": CUSTOMER_REPEAT_90D_ORACLE,
     "order_composition_trend": ORDER_COMPOSITION_ORACLE,
     "parts_price_size_skyline": PARTS_SKYLINE_ORACLE,

@@ -971,6 +971,117 @@ def _nprobe_curve_oracle(nprobes: tuple = (1, 2, 4)) -> str:
 
 
 
+TWONN_SAMPLE = 256
+
+
+def embedding_intrinsic_dim(
+    spark: SparkSession, sf_dir: str, sample_n: int = TWONN_SAMPLE
+) -> DataFrame:
+    """Intrinsic-dimension estimate of the embedding manifold by the
+    TWO-NN estimator (Facco, d'Errico, Rodriguez & Laio, "Estimating
+    the intrinsic dimension of datasets by a minimal neighborhood
+    information", Scientific Reports 2017): for each point, μ = r₂/r₁
+    (distance to 2nd vs 1st nearest neighbor); the MLE is
+    d̂ = N / Σ ln μ.  An embedding column whose intrinsic dimension
+    collapses (or explodes toward the ambient dimension) signals an
+    encoder regression before any downstream recall number moves —
+    the geometric companion to ``embedding_norm_audit`` (scale) and
+    ``ivf_cell_balance`` (partition shape).
+
+    All-pairs distances are quadratic, so the estimator runs on the
+    ENFORCED hash-rank sample (``sample_n`` vectors chosen by
+    md5(vec_id) — the audit_sample discipline; pairs ≤ sample_n² BY
+    CONSTRUCTION).  Distances are exact integer squared-euclidean on
+    the quantized components; ties break by neighbor id; coincident
+    points (r₁ = 0) are excluded as the paper prescribes.  ln μ =
+    (ln d₂² − ln d₁²)/2 is rounded to 9 dp on BOTH engines and summed
+    as DECIMAL so accumulation order can't drift the hash."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    chosen = (
+        emb.select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("_h"))
+        .orderBy("_h", "vec_id")
+        .limit(sample_n)
+        .select("vec_id")
+    )
+    comp = _quantized_components(emb.join(broadcast(chosen), "vec_id"))
+    a = comp.select(F.col("vec_id").alias("a"), "pos", F.col("q").alias("qa"))
+    b = comp.select(F.col("vec_id").alias("b"), "pos", F.col("q").alias("qb"))
+    d2 = (
+        a.join(b, "pos")
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum((F.col("qa") - F.col("qb")) * (F.col("qa") - F.col("qb"))).alias("d2"))
+    )
+    w = Window.partitionBy("a").orderBy(F.asc("d2"), F.asc("b"))
+    nn2 = (
+        d2.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .groupBy("a")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("d2"))).alias("d1"),
+            F.min(F.when(F.col("rn") == 2, F.col("d2"))).alias("d2nd"),
+        )
+        .where((F.col("d1") > 0) & F.col("d2nd").isNotNull())
+    )
+    lnmu = F.round(
+        (F.log(F.col("d2nd").cast("double")) - F.log(F.col("d1").cast("double")))
+        / F.lit(2.0),
+        9,
+    ).cast("decimal(18,9)")
+    return (
+        nn2.select(lnmu.alias("lnmu"))
+        .agg(F.count(F.lit(1)).alias("n_used"), F.sum("lnmu").alias("_s"))
+        .select(
+            F.lit(sample_n).cast("int").alias("n_sampled"),
+            "n_used",
+            F.round(
+                F.col("n_used").cast("double") / F.col("_s").cast("double"), 6
+            ).alias("intrinsic_dim"),
+        )
+    )
+
+
+EMBEDDING_INTRINSIC_DIM_ORACLE = f"""
+WITH chosen AS (
+  SELECT vec_id FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {TWONN_SAMPLE}
+),
+comp AS (
+  SELECT e.vec_id, CAST(i AS INT) AS pos,
+         CAST(round(CAST(embedding[CAST(i AS INT)+1] AS DOUBLE) * 10000, 0) AS BIGINT) AS q
+  FROM embeddings e JOIN chosen USING (vec_id),
+       LATERAL unnest(range(0, len(embedding))) t(i)
+),
+d2 AS (
+  SELECT x.vec_id AS a, y.vec_id AS b, SUM((x.q - y.q) * (x.q - y.q)) AS d2
+  FROM comp x JOIN comp y ON x.pos = y.pos AND x.vec_id <> y.vec_id
+  GROUP BY 1, 2
+),
+nn AS (
+  SELECT a, d2,
+         row_number() OVER (PARTITION BY a ORDER BY d2 ASC, b ASC) AS rn
+  FROM d2
+),
+pairs AS (
+  SELECT a,
+         MIN(CASE WHEN rn = 1 THEN d2 END) AS d1,
+         MIN(CASE WHEN rn = 2 THEN d2 END) AS d2nd
+  FROM nn WHERE rn <= 2 GROUP BY 1
+),
+used AS (
+  SELECT CAST(round((ln(CAST(d2nd AS DOUBLE)) - ln(CAST(d1 AS DOUBLE))) / 2.0, 9)
+              AS DECIMAL(18,9)) AS lnmu
+  FROM pairs WHERE d1 > 0 AND d2nd IS NOT NULL
+)
+SELECT CAST({TWONN_SAMPLE} AS INT) AS n_sampled,
+       CAST(COUNT(*) AS BIGINT) AS n_used,
+       round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(lnmu) AS DOUBLE), 6) AS intrinsic_dim
+FROM used
+"""
+
+
+
 def _source_fingerprint(sf_dir: str) -> str:
     """Cheap content fingerprint of the embeddings source (relpath,
     size, mtime per file) — no data read.  Keys the cached IVF
@@ -2395,6 +2506,7 @@ QUERIES = {
     "ann_filtered_ivf_indexed": ann_filtered_ivf_indexed,
     "ann_recall_audit": ann_recall_audit,
     "ivf_nprobe_recall_curve": ivf_nprobe_recall_curve,
+    "embedding_intrinsic_dim": embedding_intrinsic_dim,
     "embedding_cluster_profile": embedding_cluster_profile,
     "embedding_cosine_dedup": _cosine_dedup_gate,
     "ann_pq_topk": pq_ann_topk,
@@ -2422,6 +2534,7 @@ ORACLES = {
     "ann_filtered_ivf_indexed": ANN_FILTERED_IVF_ORACLE,
     "ann_recall_audit": ANN_RECALL_AUDIT_ORACLE,
     "ivf_nprobe_recall_curve": IVF_NPROBE_CURVE_ORACLE,
+    "embedding_intrinsic_dim": EMBEDDING_INTRINSIC_DIM_ORACLE,
     "embedding_cluster_profile": CLUSTER_PROFILE_ORACLE,
     "embedding_cosine_dedup": COSINE_DEDUP_ORACLE.format(threshold=GATE_DEDUP_THRESHOLD),
     "ann_pq_topk": PQ_ANN_ORACLE,
