@@ -124,6 +124,28 @@ EXTRA = [
     "part_price_index_quarterly",
     "embedding_norm_audit",
     "orders_seasonality_index",
+    # round-10 additions
+    "parts_price_size_skyline",
+    "customer_gini_by_segment",
+    "revenue_qoq_growth",
+    "churn_hazard_by_tenure",
+    "first_event_type_by_cohort",
+    "ttr_by_source",
+    "hapax_ratio_by_source",
+    "char_class_composition",
+    "dataset_card_stats",
+    "sampling_temperature_weights",
+    "ivf_nprobe_recall_curve",
+    "dedup_transitivity_audit",
+    "pq_reconstruction_error",
+    "customer_repeat_within_90d",
+    "order_composition_trend",
+    "session_conversion_by_entry",
+    "wau_wow_growth",
+    "embedding_intrinsic_dim",
+    "discount_by_quantity_bucket",
+    "order_value_lognormal_fit",
+    "type_diversity_trend",
 ]
 
 
