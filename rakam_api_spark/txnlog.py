@@ -76,6 +76,16 @@ class CommitConflict(RuntimeError):
     from the current version."""
 
 
+class SchemaConflict(RuntimeError):
+    """An append's DataFrame redefines an existing column with a
+    DIFFERENT type.  Without this gate the conflict only surfaces at
+    READ time (mergeSchema fails on the union), after the bad files
+    are already committed; rejecting at append keeps every committed
+    snapshot readable.  Additive new columns are always allowed
+    (schema evolution); fix a true type change by casting the frame
+    before appending."""
+
+
 class CorruptCommit(RuntimeError):
     """A commit file exists but holds no parseable JSON.  The current
     writer publishes commits atomically-with-contents (write private
@@ -358,8 +368,10 @@ class TxnTable:
 
     def _resolve(
         self, upto: int, use_checkpoints: bool = True
-    ) -> tuple[dict[str, dict], dict[str, int]]:
-        """Replay to ``upto``: (live files, app high-water marks).
+    ) -> tuple[dict[str, dict], dict[str, int], list | None]:
+        """Replay to ``upto``: (live files, app high-water marks,
+        table schema as [[name, sparkSimpleTypeString], ...] or None
+        for logs written before schema tracking).
 
         Resolution = nearest checkpoint ≤ version + tail replay, so
         snapshot cost is bounded by ``checkpoint_every`` commit-file
@@ -371,6 +383,7 @@ class TxnTable:
         dependency."""
         live: dict[str, dict] = {}
         apps: dict[str, int] = {}
+        schema: list | None = None
         start = 1
         opens = 0
         ckpts = (
@@ -384,10 +397,11 @@ class TxnTable:
                     snap = json.load(f)
                 live = {e["path"]: e for e in snap["live"]}
                 apps = dict(snap.get("apps", {}))
+                schema = snap.get("schema")
                 start = ckpts[-1] + 1
                 opens += 1
             except (OSError, ValueError, KeyError):
-                live, apps, start = {}, {}, 1
+                live, apps, schema, start = {}, {}, None, 1
         for v in range(start, upto + 1):
             rec = self._read_commit(v)
             opens += 1
@@ -395,13 +409,15 @@ class TxnTable:
                 live[ent["path"]] = ent
             for r in rec.get("remove", ()):
                 live.pop(r, None)
+            if rec.get("schema") is not None:
+                schema = rec["schema"]
             app = rec.get("app")
             if app is not None:
                 appv = rec.get("appv", 0)
                 if appv > apps.get(app, -1):
                     apps[app] = appv
         self.last_state_file_opens = opens
-        return live, apps
+        return live, apps, schema
 
     def _check_version_range(self, version: int) -> int:
         """Validate a requested snapshot version up front with a
@@ -441,6 +457,52 @@ class TxnTable:
         )
         return self._resolve(upto, use_checkpoints)[1]
 
+    def table_schema(
+        self, version: int | None = None, use_checkpoints: bool = True
+    ) -> list | None:
+        """The table schema at ``version`` as [[name,
+        sparkSimpleTypeString], ...], or None for logs written before
+        schema tracking (enforcement then starts with the next
+        schema-carrying append).  Versioned like :meth:`state` — time
+        travel sees the schema the snapshot was written under."""
+        upto = (
+            self.version() if version is None else self._check_version_range(version)
+        )
+        return self._resolve(upto, use_checkpoints)[2]
+
+    def _merged_schema(self, df: DataFrame) -> list:
+        """Validate ``df`` against the current table schema and return
+        the merged (evolved) schema to record with the commit.
+
+        Existing columns must keep their exact type; new columns
+        append (additive evolution, the Delta/mergeSchema contract
+        enforced at WRITE time).  Raises :class:`SchemaConflict` with
+        the offending columns named."""
+        current = self.table_schema()
+        incoming = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+        if current is None:
+            return incoming
+        known = {n: t for n, t in current}
+        conflicts = [
+            (n, known[n], t) for n, t in incoming if n in known and known[n] != t
+        ]
+        if conflicts:
+            detail = "; ".join(
+                f"{n}: table has {told}, append has {tnew}"
+                for n, told, tnew in conflicts
+            )
+            raise SchemaConflict(
+                f"append to {self.path} redefines existing column types "
+                f"({detail}); cast the frame to the table types (or write "
+                "a new column) — type changes are not additive evolution"
+            )
+        merged = [list(x) for x in current]
+        have = set(known)
+        for n, t in incoming:
+            if n not in have:
+                merged.append([n, t])
+        return merged
+
     def _maybe_checkpoint(self, version: int) -> None:
         """After commit ``version`` lands: if it's a checkpoint
         boundary, publish the full live state as
@@ -453,12 +515,13 @@ class TxnTable:
         them falls back to full replay."""
         if self.checkpoint_every <= 0 or version % self.checkpoint_every != 0:
             return
-        live, apps = self._resolve(version)
+        live, apps, schema = self._resolve(version)
         payload = json.dumps(
             {
                 "version": version,
                 "live": sorted(live.values(), key=lambda e: e["path"]),
                 "apps": apps,
+                "schema": schema,
             }
         )
         # Checkpoints are an accelerator, never a correctness
@@ -496,6 +559,7 @@ class TxnTable:
         op: str = "append",
         app: str | None = None,
         app_version: int | None = None,
+        schema: list | None = None,
     ) -> int | None:
         """Atomically publish a commit; returns its version.  Loops on
         version collisions (another writer took the slot), re-playing
@@ -514,6 +578,10 @@ class TxnTable:
         add = add or []
         remove = remove or []
         rec = {"op": op, "writer": _writer_id(), "add": add, "remove": remove}
+        if schema is not None:
+            # the table schema AS OF this commit ([[name, type], ...]);
+            # _resolve keeps the latest, table_schema() serves it
+            rec["schema"] = schema
         if app is not None:
             if app_version is None:
                 raise ValueError("app requires app_version")
@@ -735,6 +803,7 @@ class TxnTable:
                 raise ValueError("app requires app_version")
             if self.app_versions().get(app, -1) >= app_version:
                 return None  # replay of an applied epoch: skip the write too
+        schema = self._merged_schema(df)  # reject type conflicts BEFORE writing
         tag = _uuid.uuid4().hex[:12]
         staging = os.path.join(self.path, _STAGING_DIR, tag)
         writer = df.write.mode("overwrite")
@@ -742,7 +811,9 @@ class TxnTable:
             writer = writer.partitionBy(partition_col)
         writer.parquet(staging)
         add = self._publish_staging(tag)
-        return self.commit(add=add, op="append", app=app, app_version=app_version)
+        return self.commit(
+            add=add, op="append", app=app, app_version=app_version, schema=schema
+        )
 
     def _publish_staging(self, tag: str) -> list[dict]:
         """Move a staging write's parquet files into the table tree
@@ -936,6 +1007,7 @@ class TxnTable:
         version}."""
         from pyspark.sql import functions as F
 
+        self._merged_schema(updates)  # same write-time type gate as append
         updates = updates.cache()
         n_updates = updates.count()
         if n_updates == 0:

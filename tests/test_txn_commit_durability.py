@@ -91,12 +91,21 @@ def test_reader_polling_under_live_committers_never_errors(tmp_path):
     procs = [_spawn_committer(path) for _ in range(2)]
     try:
         polls = 0
-        deadline = time.time() + 20
-        while time.time() < deadline and t.version() < 60:
+        # generous deadline: the property under test is "no poll ever
+        # raises", not throughput — under heavy machine load the
+        # committer subprocesses may be scheduled rarely
+        deadline = time.time() + 60
+        while time.time() < deadline:
             live = t.state(use_checkpoints=False)
-            assert len(live) == t.last_state_file_opens or len(live) >= 0
+            assert len(live) >= 0
             t.history(limit=5)
             polls += 1
+            if (
+                polls > 10
+                and t.version() >= 20
+                and len({h["writer"] for h in t.history()}) == 2
+            ):
+                break
         assert polls > 10
     finally:
         for p in procs:

@@ -421,3 +421,45 @@ def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
     assert not any(_os.path.exists(t._abs(p)) for p in real)
     # table content untouched throughout
     assert sorted(r.x for r in t.read().collect()) == [0, 1, 2, 3]
+
+
+def test_schema_enforcement_rejects_type_conflicts_at_append(spark, tmp_path):
+    """Schema is tracked IN THE LOG and enforced at write time: an
+    append that redefines an existing column's type is rejected
+    BEFORE any file lands (the conflict used to surface only at read
+    time, after the bad files were committed); additive new columns
+    still evolve freely; table_schema() time-travels with the log and
+    survives checkpoint-accelerated resolution."""
+    from rakam_api_spark.txnlog import SchemaConflict
+
+    t = TxnTable(spark, str(tmp_path / "t"), checkpoint_every=2)
+    t.append(_rows(spark, 0, 5), partition_col="_month")
+    v1 = t.version()
+    assert ["x", "bigint"] in t.table_schema()
+    # additive evolution: a new column widens the schema
+    wider = spark.createDataFrame(
+        [(100, "2024-02", "hello")], "x long, _month string, note string"
+    )
+    t.append(wider, partition_col="_month")
+    assert ["note", "string"] in t.table_schema()
+    # time travel: the pre-evolution snapshot keeps the old schema
+    assert ["note", "string"] not in t.table_schema(version=v1)
+    # type conflict: rejected with the column named, nothing committed
+    bad = spark.createDataFrame([("7", "2024-03")], "x string, _month string")
+    before = t.version()
+    with pytest.raises(SchemaConflict, match="x: table has bigint"):
+        t.append(bad, partition_col="_month")
+    assert t.version() == before
+    # merge runs the same gate
+    with pytest.raises(SchemaConflict):
+        t.merge(bad, key="x")
+    # readable end-to-end after evolution (the gate's whole point)
+    assert t.read().count() == 6
+    # enforcement survives checkpoint-based resolution (schema rides
+    # the checkpoint payload, not just the commit tail)
+    for i in range(5):
+        t.append(_rows(spark, 10 + i, 11 + i), partition_col="_month")
+    assert t._checkpoint_versions()
+    assert ["note", "string"] in t.table_schema()
+    with pytest.raises(SchemaConflict):
+        t.append(bad, partition_col="_month")
