@@ -552,7 +552,10 @@ class EventStore:
         migrated in one commit; the legacy directory is retired after
         the migration commit lands (crash before the config flip
         leaves the legacy table live and the txn dir orphaned —
-        re-running converges)."""
+        re-running converges).  ``bloom_cols`` opts columns into
+        per-file bloom filters at the same time (persisted via
+        :meth:`set_bloom_cols` BEFORE the migration append, so the
+        migrated files already carry blooms)."""
         if self.txn_mode(project, collection):
             if bloom_cols is not None:
                 self.set_bloom_cols(project, collection, bloom_cols)
