@@ -45,7 +45,7 @@ _MODULES = (
 )
 
 # The driver's correctness gate checks at most 50 queries per round, in
-# enumeration order.  With 196 declared queries, plain module order
+# enumeration order.  With 222 declared queries, plain module order
 # would starve the tail modules of a driver-verified CORRECTNESS row
 # forever.  Round-10 rotation (staleness computed from
 # CORRECTNESS_r01-r09; matches VERDICT r9 Next #3 exactly): (a) queries
@@ -78,6 +78,11 @@ _GATE_PRIORITY = (
     "discount_by_quantity_bucket",
     "order_value_lognormal_fit",
     "type_diversity_trend",
+    "lsh_band_efficiency",
+    "brand_repeat_loyalty",
+    "domestic_supply_share",
+    "hour_of_week_profile",
+    "session_duration_by_entry",
     # (b) the r5-stale cohort (VERDICT r9 Next #3, verbatim order)
     "event_transition_matrix",
     "events_pivot_daily",

@@ -146,6 +146,11 @@ EXTRA = [
     "discount_by_quantity_bucket",
     "order_value_lognormal_fit",
     "type_diversity_trend",
+    "lsh_band_efficiency",
+    "brand_repeat_loyalty",
+    "domestic_supply_share",
+    "hour_of_week_profile",
+    "session_duration_by_entry",
 ]
 
 

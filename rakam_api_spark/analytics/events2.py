@@ -345,7 +345,152 @@ FROM per_user GROUP BY 1 ORDER BY 1
 
 
 
+def hour_of_week_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic heatmap by (day-of-week × hour): the 168-cell activity
+    profile behind capacity planning and send-time optimization, with
+    each cell's share of total traffic.  Day-of-week is computed by
+    pure integer date arithmetic anchored on a known Monday
+    (1970-01-05) — Spark's and DuckDB's native dow functions disagree
+    on week start, so neither is used.
+
+    One partial-aggregatable groupBy to a 168-row table; the grand
+    total is a second aggregate OF THOSE 168 ROWS broadcast back as
+    one row (the ``mix_weights`` idiom — no global window, so nothing
+    is single-partition even in the plan)."""
+    ev = _events(spark, sf_dir)
+    day = F.col("ts").cast("date")
+    dow = (F.datediff(day, F.lit("1970-01-05").cast("date")) % 7 + 7) % 7 + 1
+    cell = ev.groupBy(
+        dow.cast("int").alias("dow"), F.hour("ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    total = cell.agg(F.sum("n_events").alias("_tot"))
+    return (
+        cell.crossJoin(F.broadcast(total))
+        .select(
+            "dow",
+            "hour",
+            "n_events",
+            "n_users",
+            F.round(
+                F.col("n_events").cast("double") / F.col("_tot").cast("double"), 9
+            ).alias("share"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+HOUR_OF_WEEK_ORACLE = """
+WITH cell AS (
+  SELECT CAST(((date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) % 7 + 7) % 7 + 1)
+              AS INT) AS dow,
+         CAST(hour(ts) AS INT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM events GROUP BY 1, 2
+)
+SELECT dow, hour, n_events, n_users,
+       round(CAST(n_events AS DOUBLE) / CAST(SUM(n_events) OVER () AS DOUBLE), 9)
+         AS share
+FROM cell ORDER BY dow, hour
+"""
+
+
+def session_duration_by_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session length by ENTRY action: for sessions grouped by their
+    first event type, the median and p90 session duration (seconds)
+    and the mean events per session — "do error-entered sessions run
+    short?".  Completes the entry-grain pair with
+    :func:`session_conversion_by_entry` (outcome there, engagement
+    depth here).
+
+    The same single user-partitioned window pass builds session ids;
+    durations are exact microsecond integers; the quantiles are
+    Spark ``percentile`` ≡ DuckDB ``quantile_cont`` (bit-identical
+    interpolation of exact integers, divided by 1e6 at the edge)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    gap = F.col("ts_ns") - F.lag("ts_ns").over(w)
+    new_sess = (gap.isNull() | (gap > 30 * 60 * 1_000_000_000)).cast("long")
+    us = F.expr("ts_ns div 1000")
+    sess = ev.select(
+        "user_id",
+        "ts_ns",
+        "event_id",
+        "event_type",
+        us.alias("us"),
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_no"),
+    )
+    per_session = sess.groupBy("user_id", "session_no").agg(
+        F.min(F.struct("ts_ns", "event_id", "event_type")).alias("entry"),
+        (F.max("us") - F.min("us")).alias("dur_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        per_session.groupBy(F.col("entry.event_type").alias("entry_event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(F.expr("percentile(dur_us, 0.5)") / 1e6, 6).alias("median_sec"),
+            F.round(F.expr("percentile(dur_us, 0.9)") / 1e6, 6).alias("p90_sec"),
+            (
+                F.sum("n_events").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("mean_events"),
+        )
+        .orderBy("entry_event_type")
+    )
+
+
+SESSION_DURATION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+              IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+              > 30 * 60 * 1000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+sess AS (
+  SELECT user_id, event_id, event_type, us,
+         SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_no
+  FROM seq
+),
+ranked AS (
+  SELECT user_id, session_no, event_type, us,
+         row_number() OVER (
+           PARTITION BY user_id, session_no ORDER BY us, event_id
+         ) AS rn
+  FROM sess
+),
+per_session AS (
+  SELECT user_id, session_no,
+         MAX(CASE WHEN rn = 1 THEN event_type END) AS entry_type,
+         MAX(us) - MIN(us) AS dur_us,
+         COUNT(*) AS n_events
+  FROM ranked GROUP BY 1, 2
+)
+SELECT entry_type AS entry_event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       round(quantile_cont(dur_us, 0.5) / 1e6, 6) AS median_sec,
+       round(quantile_cont(dur_us, 0.9) / 1e6, 6) AS p90_sec,
+       CAST(SUM(n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_events
+FROM per_session GROUP BY 1 ORDER BY 1
+"""
+
+
+
 QUERIES = {
+    "hour_of_week_profile": hour_of_week_profile,
+    "session_duration_by_entry": session_duration_by_entry,
     "type_diversity_trend": type_diversity_trend,
     "session_conversion_by_entry": session_conversion_by_entry,
     "wau_wow_growth": wau_wow_growth,
@@ -354,6 +499,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "hour_of_week_profile": HOUR_OF_WEEK_ORACLE,
+    "session_duration_by_entry": SESSION_DURATION_ORACLE,
     "type_diversity_trend": TYPE_DIVERSITY_ORACLE,
     "session_conversion_by_entry": SESSION_CONVERSION_ORACLE,
     "wau_wow_growth": WAU_WOW_ORACLE,

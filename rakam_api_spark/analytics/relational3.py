@@ -527,7 +527,128 @@ FROM agg ORDER BY c_mktsegment
 
 
 
+def brand_repeat_loyalty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand loyalty: per part brand, the share of its buyers who came
+    back for the SAME brand in a second distinct order — the repeat
+    metric merchandising teams rank assortments by (the brand-grain
+    refinement of ``customer_repeat_within_90d``'s store-wide rate).
+
+    One fact join with a broadcast part dim, a (brand, customer)
+    distinct-order aggregate (partial-agg), then a brand rollup —
+    counts exact, the rate one double division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per = (
+        li.join(broadcast(part.select("p_partkey", "p_brand")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("p_brand", "o_custkey")
+        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    )
+    return (
+        per.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_buyers"),
+            F.sum((F.col("n_orders") >= 2).cast("long")).alias("repeat_buyers"),
+        )
+        .select(
+            "p_brand",
+            "n_buyers",
+            "repeat_buyers",
+            (
+                F.col("repeat_buyers").cast("double") / F.col("n_buyers").cast("double")
+            ).alias("repeat_rate"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+BRAND_REPEAT_ORACLE = """
+WITH per AS (
+  SELECT p_brand, o_custkey, COUNT(DISTINCT l_orderkey) AS n_orders
+  FROM lineitem
+  JOIN part   ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+)
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_buyers,
+       CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS repeat_buyers,
+       CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS repeat_rate
+FROM per GROUP BY 1 ORDER BY 1
+"""
+
+
+def domestic_supply_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain localization: per customer nation, the share of
+    purchase revenue supplied by that SAME nation's suppliers — the
+    single-number localization KPI that ``nation_trade_balance``
+    decomposes into separate earned/spent flows (TPC-H Q5 measures
+    only the domestic slice; this reports it AGAINST the total).
+
+    One orderkey-grain fact join; supplier/customer/nation dims
+    broadcast; revenue sums on DECIMAL split by an exact nationkey
+    equality flag — one pass, no second scan for the denominator."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    vol = _vol()
+    agg = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(vol).alias("_total"),
+            F.sum(
+                F.when(F.col("c_nationkey") == F.col("s_nationkey"), vol).otherwise(
+                    F.lit(0).cast(DEC)
+                )
+            ).alias("_domestic"),
+        )
+    )
+    return (
+        agg.join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.round(F.col("_total").cast("double"), 6).alias("total_revenue"),
+            F.round(F.col("_domestic").cast("double"), 6).alias("domestic_revenue"),
+            F.round(
+                F.col("_domestic").cast("double") / F.col("_total").cast("double"), 9
+            ).alias("domestic_share"),
+        )
+        .orderBy("nation")
+    )
+
+
+DOMESTIC_SUPPLY_ORACLE = f"""
+WITH agg AS (
+  SELECT c_nationkey,
+         SUM({_VOL_SQL}) AS total,
+         SUM(CASE WHEN c_nationkey = s_nationkey THEN {_VOL_SQL}
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS domestic
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1
+)
+SELECT n_name AS nation,
+       round(CAST(total AS DOUBLE), 6) AS total_revenue,
+       round(CAST(domestic AS DOUBLE), 6) AS domestic_revenue,
+       round(CAST(domestic AS DOUBLE) / CAST(total AS DOUBLE), 9) AS domestic_share
+FROM agg JOIN nation ON c_nationkey = n_nationkey
+ORDER BY nation
+"""
+
+
+
 QUERIES = {
+    "brand_repeat_loyalty": brand_repeat_loyalty,
+    "domestic_supply_share": domestic_supply_share,
     "discount_by_quantity_bucket": discount_by_quantity_bucket,
     "order_value_lognormal_fit": order_value_lognormal_fit,
     "customer_repeat_within_90d": customer_repeat_within_90d,
@@ -538,6 +659,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "brand_repeat_loyalty": BRAND_REPEAT_ORACLE,
+    "domestic_supply_share": DOMESTIC_SUPPLY_ORACLE,
     "discount_by_quantity_bucket": DISCOUNT_BY_QTY_ORACLE,
     "order_value_lognormal_fit": ORDER_LOGNORMAL_ORACLE,
     "customer_repeat_within_90d": CUSTOMER_REPEAT_90D_ORACLE,

@@ -416,6 +416,188 @@ WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.5
 )
 
 
+def lsh_band_efficiency(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    max_bucket: int = 500,
+) -> DataFrame:
+    """Banding-geometry audit for the MinHash-LSH index: per band,
+    how many multi-doc buckets fire, how many candidate pairs they
+    generate, and what fraction verify at the operating threshold —
+    the observed counterpart of the theoretical S-curve P(fire | s) =
+    1 − (1 − s^r)^b that picks (bands × rows).  A band whose
+    precision collapses is hashing noise (rows-per-band too small for
+    the corpus's similarity profile); bands generating no candidates
+    are dead weight.  The LSH sibling of ``ivf_cell_balance`` /
+    ``pq_reconstruction_error`` — every index here ships with its
+    health report.
+
+    Reuses the production kernels: the same signature/banding/star-
+    fallback chain enumerates (band, pair) candidates, and the
+    verified set is :func:`minhash_lsh_pairs`' own output semi-joined
+    per band.  Counts are exact; precision is one double division
+    (NULL for a candidate-less band)."""
+    docs = _docs(spark, sf_dir)
+    sig = _minhash_signature(docs).cache()
+    sig.count()
+    n_bands = N_HASHES // BAND_SIZE
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"mh{b * BAND_SIZE + j}") for j in range(BAND_SIZE)])
+            ).alias("key"),
+        )
+        for b in range(n_bands)
+    ]
+    bands_long = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key")
+    )
+    buckets = (
+        bands_long.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .where(F.size("ds") > 1)
+    )
+    pair_expr = F.when(
+        F.size("ds") <= max_bucket,
+        F.expr(
+            "flatten(transform(ds, (x, i) -> "
+            "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"
+        ),
+    ).otherwise(
+        F.expr("transform(slice(ds, 2, size(ds)), y -> struct(ds[0] AS d1, y AS d2))")
+    )
+    band_pairs = (
+        buckets.select("band", F.explode(pair_expr).alias("p"))
+        .select("band", "p.d1", "p.d2")
+        .distinct()
+        .cache()
+    )
+    band_pairs.count()
+    verified = minhash_lsh_pairs(
+        spark, sf_dir, threshold=threshold, max_bucket=max_bucket
+    ).select("d1", "d2")
+    hits = band_pairs.join(verified, ["d1", "d2"], "left_semi")
+    n_buckets = buckets.groupBy("band").agg(F.count(F.lit(1)).alias("n_buckets"))
+    n_cand = band_pairs.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    n_ver = hits.groupBy("band").agg(F.count(F.lit(1)).alias("n_verified"))
+    return (
+        n_buckets.join(n_cand, "band", "left")
+        .join(n_ver, "band", "left")
+        .select(
+            "band",
+            "n_buckets",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("n_verified", F.lit(0)).alias("n_verified"),
+            F.when(
+                F.coalesce("n_candidates", F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("n_verified", F.lit(0)).cast("double")
+                    / F.col("n_candidates").cast("double"),
+                    9,
+                ),
+            ).alias("band_precision"),
+        )
+        .orderBy("band")
+    )
+
+
+def _band_efficiency_oracle(max_bucket: int = 500, threshold: float = 0.5) -> str:
+    """Per-band rollup over the SAME signature/banding chain the pair
+    oracle uses (fragments regenerated identically)."""
+    mins = ",\n         ".join(
+        f"MIN(CASE WHEN substr(h, 1, 1) = '{_HEX[i]}' THEN h END) AS r{i}"
+        for i in range(N_HASHES)
+    )
+    dense = ", ".join(
+        "COALESCE({}) AS mh{}".format(
+            ", ".join(f"r{(i + k) % N_HASHES}" for k in range(N_HASHES)), i
+        )
+        for i in range(N_HASHES)
+    )
+    bands_union = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS band_key FROM sig".format(
+            b=b,
+            concat=" || '|' || ".join(
+                f"mh{b * BAND_SIZE + j}" for j in range(BAND_SIZE)
+            ),
+        )
+        for b in range(N_HASHES // BAND_SIZE)
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2] AS shingle
+  FROM docs, LATERAL unnest(range(1, len(w)-1)) t(i)
+),
+sig_raw AS (
+  SELECT doc_id,
+         {mins}
+  FROM (SELECT doc_id, md5(shingle) AS h FROM sh) GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id, {dense}
+  FROM sig_raw
+),
+bands AS (
+  {bands_union}
+),
+bsize AS (
+  SELECT band, band_key, COUNT(*) AS n, MIN(doc_id) AS mn
+  FROM bands GROUP BY 1, 2
+),
+band_pairs AS (
+  SELECT DISTINCT a.band, a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  JOIN bsize s ON s.band = a.band AND s.band_key = a.band_key
+  WHERE s.n <= {max_bucket} OR a.doc_id = s.mn
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+cand AS (SELECT DISTINCT d1, d2 FROM band_pairs),
+inter AS (
+  SELECT c.d1, c.d2, COUNT(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.d1
+  JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT i.d1, i.d2
+  FROM inter i JOIN sizes s1 ON i.d1 = s1.doc_id JOIN sizes s2 ON i.d2 = s2.doc_id
+  WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) >= {threshold}
+),
+per_band AS (
+  SELECT bp.band,
+         COUNT(*) AS n_candidates,
+         SUM(CASE WHEN v.d1 IS NOT NULL THEN 1 ELSE 0 END) AS n_verified
+  FROM band_pairs bp
+  LEFT JOIN verified v ON bp.d1 = v.d1 AND bp.d2 = v.d2
+  GROUP BY 1
+),
+bucket_counts AS (
+  SELECT band, COUNT(*) AS n_buckets FROM bsize WHERE n > 1 GROUP BY 1
+)
+SELECT bc.band,
+       CAST(bc.n_buckets AS BIGINT) AS n_buckets,
+       CAST(COALESCE(pb.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(pb.n_verified, 0) AS BIGINT) AS n_verified,
+       CASE WHEN COALESCE(pb.n_candidates, 0) > 0
+            THEN round(CAST(pb.n_verified AS DOUBLE) / CAST(pb.n_candidates AS DOUBLE), 9)
+       END AS band_precision
+FROM bucket_counts bc LEFT JOIN per_band pb ON bc.band = pb.band
+ORDER BY bc.band
+"""
+
+
+LSH_BAND_EFFICIENCY_ORACLE = _band_efficiency_oracle()
+
+
+
 # --- simhash -------------------------------------------------------------
 
 # 60-bit SimHash, banded as 4 x 15 bits.  Band WIDTH is the scale
@@ -1337,6 +1519,7 @@ FROM per_cluster GROUP BY cluster_size ORDER BY cluster_size
 
 
 QUERIES = {
+    "lsh_band_efficiency": lsh_band_efficiency,
     "dedup_transitivity_audit": dedup_transitivity_audit,
     "dedup_cluster_size_histogram": dedup_cluster_size_histogram,
     "doc_prefix_duplication": doc_prefix_duplication,
@@ -1351,6 +1534,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "lsh_band_efficiency": LSH_BAND_EFFICIENCY_ORACLE,
     "dedup_transitivity_audit": DEDUP_TRANSITIVITY_ORACLE,
     "dedup_cluster_size_histogram": DEDUP_CLUSTER_HISTOGRAM_ORACLE,
     "doc_prefix_duplication": DOC_PREFIX_DUP_ORACLE,

@@ -209,3 +209,42 @@ def test_months_changed_since_matches_model(tmp_path_factory, ops):
         assert full == exp_full, f"since={since}"
     # scanning from the head reports nothing
     assert t.months_changed_since(end) == ({}, False)
+
+
+@given(
+    values=st.sets(
+        st.one_of(
+            st.text(max_size=40),
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.floats(allow_nan=False, allow_infinity=False),
+            st.booleans(),
+        ),
+        max_size=300,
+    ),
+    probes=st.lists(
+        st.one_of(st.text(max_size=40), st.integers(), st.floats(allow_nan=False)),
+        max_size=30,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_bloom_never_false_negative(values, probes):
+    """The bloom contract under arbitrary value mixes: every inserted
+    value MUST test positive (false negatives would silently drop
+    matching files from point lookups — a correctness bug, unlike
+    false positives which only cost reads).  Also pins the int/float
+    canonicalization: 7 and 7.0 are the same key in both directions."""
+    from rakam_api_spark.txnlog import _bloom_build, _bloom_might_contain
+
+    bloom = _bloom_build(values)
+    if bloom is None:
+        assert not values
+        return
+    for v in values:
+        assert _bloom_might_contain(bloom, v), v
+        if isinstance(v, int) and not isinstance(v, bool):
+            assert _bloom_might_contain(bloom, float(v)) or abs(v) > 2**53
+        if isinstance(v, float) and v.is_integer() and abs(v) < 2**53:
+            assert _bloom_might_contain(bloom, int(v))
+    # probes are allowed to false-positive, never to raise
+    for p in probes:
+        _bloom_might_contain(bloom, p)
