@@ -463,12 +463,32 @@ class UserStorage:
             return self.spark.createDataFrame([], self.ANON_SCHEMA)
         return self.spark.read.parquet(path)
 
-    def stitch(self, project: str, events: DataFrame, user_col: str = "_user") -> DataFrame:
+    def stitch(
+        self,
+        project: str,
+        events: DataFrame,
+        user_col: str = "_user",
+        transitive: bool = False,
+    ) -> DataFrame:
         """Rewrite anonymous ids in an event frame to their merged
-        identity via a broadcast join on the (small) mapping table."""
-        mapping = self.anonymous_mapping(project).select(
-            F.col("id").alias("__anon"), F.col("_user").alias("__resolved")
-        )
+        identity via a broadcast join on the (small) mapping table.
+
+        ``transitive=True`` resolves CHAINS and multi-device graphs:
+        anon1→anon2→user, or two identified users later merged — the
+        single-hop default would leave anon1 pointing at the
+        intermediate id.  Resolution goes through
+        :meth:`identity_components` (connected components over the
+        undirected mapping graph, canonical = the component's minimum
+        IDENTIFIED id), so every id in a linked cluster rewrites to
+        one stable identity."""
+        if transitive:
+            mapping = self.identity_components(project).select(
+                F.col("id").alias("__anon"), F.col("canonical").alias("__resolved")
+            )
+        else:
+            mapping = self.anonymous_mapping(project).select(
+                F.col("id").alias("__anon"), F.col("_user").alias("__resolved")
+            )
         from pyspark.sql.functions import broadcast
 
         out = events.join(
@@ -477,3 +497,140 @@ class UserStorage:
         return out.withColumn(
             user_col, F.coalesce(F.col("__resolved"), F.col(user_col).cast("string"))
         ).drop("__anon", "__resolved")
+
+    _IDENTITY_DRIVER_MAX_EDGES = 50_000
+
+    def identity_components(self, project: str) -> DataFrame:
+        """Transitive identity resolution: connected components over
+        the UNDIRECTED anon-mapping graph, one row per id appearing in
+        any mapping — ``(id, canonical, component_size)``.
+
+        Canonical id = the component's minimum IDENTIFIED id (an id
+        that ever appeared on the ``_user`` side of a mapping) when
+        one exists, else the minimum id — deterministic whatever order
+        merges arrived in, and stable under cycles (a→b recorded both
+        ways collapses to one canonical).  Chains (anon1→anon2→user)
+        and user-to-user merges all land on one identity — the
+        multi-device stitch the single-hop mapping can't express.
+
+        Scale: the edge list is the mapping table (request-sized
+        relative to events).  ≤ 50k edges resolves with an in-driver
+        union-find (bounded collect BY CONSTRUCTION); larger graphs
+        take the same min-label-propagation loop the dedup clusterer
+        uses — one join + one aggregation per round over EDGES, rounds
+        ≤ graph diameter, the corpus never shuffled."""
+        from pyspark.sql.functions import broadcast
+
+        m = self.anonymous_mapping(project).select(
+            F.col("id").cast("string").alias("a"),
+            F.col("_user").cast("string").alias("b"),
+        ).where(F.col("a").isNotNull() & F.col("b").isNotNull()).distinct()
+        # identified = a mapping SINK: appears as a merge target and
+        # never as a merged-away id (a chain's intermediate anon id
+        # sits on both sides; a user merged INTO another user
+        # deliberately loses its identity, so it is excluded too)
+        anon_side = m.select(F.col("a").alias("id")).distinct()
+        identified = (
+            m.select(F.col("b").alias("id"))
+            .distinct()
+            .join(anon_side, "id", "left_anti")
+        )
+        edges = m.cache()
+        n_edges = edges.count()
+        if n_edges == 0:
+            edges.unpersist()
+            return self.spark.createDataFrame(
+                [], "id string, canonical string, component_size long"
+            )
+        if n_edges <= self._IDENTITY_DRIVER_MAX_EDGES:
+            rows = edges.collect()
+            parent: dict[str, str] = {}
+
+            def find(x: str) -> str:
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for r in rows:
+                a, b = r["a"], r["b"]
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            comp: dict[str, list[str]] = {}
+            for node in parent:
+                comp.setdefault(find(node), []).append(node)
+            labels = self.spark.createDataFrame(
+                [
+                    (node, min(members), len(members))
+                    for members in comp.values()
+                    for node in members
+                ],
+                "id string, cluster string, component_size long",
+            )
+            edges.unpersist()
+        else:
+            # distributed min-label propagation (the dedup-cluster loop
+            # shape, string labels)
+            adj = edges.unionByName(
+                edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            ).cache()
+            labels = (
+                adj.select(F.col("a").alias("id")).distinct().withColumn(
+                    "cluster", F.col("id")
+                )
+            ).cache()
+            labels.count()
+            while True:
+                neigh = (
+                    adj.join(labels, adj["b"] == labels["id"])
+                    .groupBy(F.col("a").alias("id"))
+                    .agg(F.min("cluster").alias("nlabel"))
+                )
+                nxt = (
+                    labels.join(neigh, "id", "left")
+                    .select(
+                        "id",
+                        F.least(
+                            F.col("cluster"),
+                            F.coalesce(F.col("nlabel"), F.col("cluster")),
+                        ).alias("cluster"),
+                        (
+                            F.coalesce(F.col("nlabel"), F.col("cluster"))
+                            < F.col("cluster")
+                        )
+                        .cast("int")
+                        .alias("chg"),
+                    )
+                    .cache()
+                )
+                changed = nxt.agg(F.sum("chg")).collect()[0][0] or 0
+                labels.unpersist()
+                labels = nxt.select("id", "cluster").cache()
+                if changed == 0:
+                    break
+            sizes = labels.groupBy("cluster").agg(
+                F.count(F.lit(1)).alias("component_size")
+            )
+            labels = labels.join(sizes, "cluster").select(
+                "id", "cluster", "component_size"
+            )
+            adj.unpersist()
+            edges.unpersist()
+        # canonical = min IDENTIFIED id in the component, else min id
+        canon = (
+            labels.join(broadcast(identified), "id", "left_semi")
+            .groupBy("cluster")
+            .agg(F.min("id").alias("canonical"))
+        )
+        return (
+            labels.join(canon, "cluster", "left")
+            .select(
+                "id",
+                F.coalesce("canonical", "cluster").alias("canonical"),
+                "component_size",
+            )
+            .orderBy("id")
+        )

@@ -204,3 +204,50 @@ def test_interrupted_bucket_swap_recovers(storage):
     storage.set_properties("p", "u1", {"a": 99.0})
     assert not os.path.exists(old)
     assert storage.table("p").count() == 30
+
+
+def test_transitive_identity_stitching(storage, spark):
+    """Chains and multi-device graphs resolve to ONE canonical
+    identity: anon-a → anon-b → user-1 rewrites anon-a straight to
+    the identified id (single-hop would stop at anon-b); a later
+    user-to-user merge folds both users' clusters together; a cycle
+    recorded in both directions collapses deterministically; ids
+    outside the graph pass through untouched."""
+    storage.merge_anonymous("p", "anon-a", "anon-b")
+    storage.merge_anonymous("p", "anon-b", "user-1")
+    storage.merge_anonymous("p", "anon-c", "user-2")
+    # device cycle: two anon ids merged into each other (no
+    # identified id in the component -> canonical = min id)
+    storage.merge_anonymous("p", "dev-x", "dev-y")
+    storage.merge_anonymous("p", "dev-y", "dev-x")
+
+    comp = {r["id"]: r["canonical"] for r in storage.identity_components("p").collect()}
+    assert comp["anon-a"] == "user-1" and comp["anon-b"] == "user-1"
+    assert comp["anon-c"] == "user-2"
+    assert comp["dev-x"] == "dev-x" and comp["dev-y"] == "dev-x"
+
+    events = spark.createDataFrame(
+        [("anon-a", 1), ("anon-b", 2), ("user-1", 3), ("dev-y", 4), ("other", 5)],
+        "_user string, n bigint",
+    )
+    # single-hop keeps the old (intermediate) behavior
+    hop1 = {r["n"]: r["_user"] for r in storage.stitch("p", events).collect()}
+    assert hop1[1] == "anon-b"
+    # transitive lands everything on the canonical identity
+    out = {
+        r["n"]: r["_user"]
+        for r in storage.stitch("p", events, transitive=True).collect()
+    }
+    assert out[1] == "user-1" and out[2] == "user-1" and out[3] == "user-1"
+    assert out[4] == "dev-x"
+    assert out[5] == "other"
+
+    # user-to-user merge unifies previously-separate clusters
+    storage.merge_anonymous("p", "user-2", "user-1")
+    comp = {r["id"]: r["canonical"] for r in storage.identity_components("p").collect()}
+    assert comp["anon-c"] == "user-1" and comp["user-2"] == "user-1"
+    sizes = {
+        r["id"]: r["component_size"]
+        for r in storage.identity_components("p").collect()
+    }
+    assert sizes["anon-a"] == 5  # anon-a, anon-b, user-1, anon-c, user-2
