@@ -312,6 +312,13 @@ SHOW = {
     "ivf_nprobe_recall_curve": "one shared Lloyd fit + assignment feeds "
     "every probe budget; per-budget tails reuse the cached quantized "
     "components, truth is the single request-sized brute-force pass",
+    "lsh_band_efficiency": "per-band audit rides the production "
+    "signature/banding kernels: band pairs from the bucket groupBy's "
+    "in-bucket expansion (star fallback intact), verified set semi-joined "
+    "per band — no extra corpus scan beyond the pair verify",
+    "session_duration_by_entry": "ONE user-partitioned window pass builds "
+    "session ids (lag + running sum share the exchange); entry via "
+    "struct-MIN in the same session aggregate — no second window",
 }
 
 
