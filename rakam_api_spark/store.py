@@ -1689,6 +1689,7 @@ class EventStore:
         collection: str,
         version: int | None = None,
         equals: dict | None = None,
+        timestamp: float | None = None,
     ) -> DataFrame:
         """Read a collection under its current (widest) registered
         schema; files written before an ADD COLUMN read NULL for the
@@ -1711,6 +1712,17 @@ class EventStore:
                 "equals pruning requires transaction-logged storage; "
                 f"{collection!r} is a plain collection"
             )
+        if timestamp is not None:
+            # TIMESTAMP AS OF: resolve to the commit-log version
+            # current at that wall-clock instant (O(log commits))
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            if not self.txn_mode(project, collection):
+                raise ValueError(
+                    "timestamp travel requires transaction-logged storage; "
+                    f"{collection!r} is a plain collection"
+                )
+            version = self.txn_table(project, collection).version_at(timestamp)
         if version is not None or equals is not None:
             if version is not None and not self.txn_mode(project, collection):
                 raise ValueError(

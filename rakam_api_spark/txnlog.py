@@ -65,6 +65,7 @@ import socket
 import uuid as _uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _TXN_DIR = "_txn"
 _STAGING_DIR = "_staging"
@@ -86,6 +87,14 @@ class SchemaConflict(RuntimeError):
     before appending."""
 
 
+class ConstraintViolation(RuntimeError):
+    """An append/merge carries rows that make a registered CHECK
+    constraint FALSE (SQL semantics: NULL passes, only FALSE
+    violates).  Rejected BEFORE any file lands, so every committed
+    snapshot satisfies every constraint that was active when it was
+    written — the Delta CHECK-constraint contract."""
+
+
 class CorruptCommit(RuntimeError):
     """A commit file exists but holds no parseable JSON.  The current
     writer publishes commits atomically-with-contents (write private
@@ -97,6 +106,12 @@ class CorruptCommit(RuntimeError):
 
 def _writer_id() -> str:
     return f"{os.getpid()}@{socket.gethostname()}"
+
+
+def _now() -> float:
+    import time as _time
+
+    return _time.time()
 
 
 def _month_from_path(rel: str) -> str | None:
@@ -368,10 +383,11 @@ class TxnTable:
 
     def _resolve(
         self, upto: int, use_checkpoints: bool = True
-    ) -> tuple[dict[str, dict], dict[str, int], list | None]:
+    ) -> tuple[dict[str, dict], dict[str, int], list | None, dict]:
         """Replay to ``upto``: (live files, app high-water marks,
         table schema as [[name, sparkSimpleTypeString], ...] or None
-        for logs written before schema tracking).
+        for logs written before schema tracking, active CHECK
+        constraints {name: sql_expr}).
 
         Resolution = nearest checkpoint ≤ version + tail replay, so
         snapshot cost is bounded by ``checkpoint_every`` commit-file
@@ -384,6 +400,7 @@ class TxnTable:
         live: dict[str, dict] = {}
         apps: dict[str, int] = {}
         schema: list | None = None
+        constraints: dict[str, str] = {}
         start = 1
         opens = 0
         ckpts = (
@@ -398,10 +415,11 @@ class TxnTable:
                 live = {e["path"]: e for e in snap["live"]}
                 apps = dict(snap.get("apps", {}))
                 schema = snap.get("schema")
+                constraints = dict(snap.get("constraints", {}))
                 start = ckpts[-1] + 1
                 opens += 1
             except (OSError, ValueError, KeyError):
-                live, apps, schema, start = {}, {}, None, 1
+                live, apps, schema, constraints, start = {}, {}, None, {}, 1
         for v in range(start, upto + 1):
             rec = self._read_commit(v)
             opens += 1
@@ -411,13 +429,17 @@ class TxnTable:
                 live.pop(r, None)
             if rec.get("schema") is not None:
                 schema = rec["schema"]
+            for cn, ce in (rec.get("set_constraints") or {}).items():
+                constraints[cn] = ce
+            for cn in rec.get("drop_constraints") or ():
+                constraints.pop(cn, None)
             app = rec.get("app")
             if app is not None:
                 appv = rec.get("appv", 0)
                 if appv > apps.get(app, -1):
                     apps[app] = appv
         self.last_state_file_opens = opens
-        return live, apps, schema
+        return live, apps, schema, constraints
 
     def _check_version_range(self, version: int) -> int:
         """Validate a requested snapshot version up front with a
@@ -431,6 +453,34 @@ class TxnTable:
                 f"{self.path} (latest is {current})"
             )
         return version
+
+    def version_at(self, timestamp: float) -> int:
+        """TIMESTAMP AS OF resolution (the Delta analog): the highest
+        version whose commit time is ≤ ``timestamp`` (0 = the empty
+        pre-history when the first commit is already later).  Commit
+        times are recorded IN the commit record at publish (never
+        file mtimes, which rewrites/copies disturb); versions are
+        published in order, so commit times are monotone per host and
+        a BINARY SEARCH resolves in O(log commits) metadata opens —
+        never a full replay.  Multi-host clock skew can locally
+        disorder timestamps; the binary search then lands on A
+        boundary consistent with the recorded times, which is the
+        strongest guarantee wall-clock travel can offer (Delta's
+        contract is the same).  Commits from writers predating
+        timestamp tracking sort as time 0 (always included)."""
+        lo, hi = 1, self.version()
+        if hi == 0:
+            return 0
+        ans = 0
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            ts = self._read_commit(mid).get("ts") or 0.0
+            if ts <= timestamp:
+                ans = mid
+                lo = mid + 1
+            else:
+                hi = mid - 1
+        return ans
 
     def state(
         self, version: int | None = None, use_checkpoints: bool = True
@@ -469,6 +519,85 @@ class TxnTable:
             self.version() if version is None else self._check_version_range(version)
         )
         return self._resolve(upto, use_checkpoints)[2]
+
+    def constraints(
+        self, version: int | None = None, use_checkpoints: bool = True
+    ) -> dict[str, str]:
+        """Active CHECK constraints {name: sql_expr} at ``version`` —
+        versioned and checkpoint-carried like the schema."""
+        upto = (
+            self.version() if version is None else self._check_version_range(version)
+        )
+        return self._resolve(upto, use_checkpoints)[3]
+
+    def add_constraint(self, name: str, sql_expr: str) -> int:
+        """Register a CHECK constraint (Delta ``ALTER TABLE ADD
+        CONSTRAINT`` analog): every LATER append/merge must satisfy
+        ``sql_expr`` (SQL CHECK semantics — NULL passes, FALSE
+        rejects) or it fails with :class:`ConstraintViolation` before
+        any file lands.  The registration itself validates against
+        the CURRENT snapshot, so a constraint can never be added that
+        existing data already violates.  Metadata-only commit; fully
+        versioned (time travel sees the constraints active at the
+        snapshot)."""
+        if self.spark is not None and self.live_files():
+            df = self.read()
+            bad = df.where(F.expr(sql_expr) == F.lit(False)).count()
+            if bad:
+                raise ConstraintViolation(
+                    f"cannot add constraint {name!r} ({sql_expr}): {bad} "
+                    "existing rows violate it"
+                )
+        rec_extra = {"set_constraints": {name: sql_expr}}
+        return self._commit_meta(rec_extra, op="set_constraint")
+
+    def drop_constraint(self, name: str) -> int:
+        """Retire a CHECK constraint (metadata-only commit)."""
+        return self._commit_meta({"drop_constraints": [name]}, op="drop_constraint")
+
+    def _commit_meta(self, extra: dict, op: str) -> int:
+        """Publish a data-free commit carrying constraint metadata,
+        through the same atomic slot arbitration as data commits."""
+        rec = {
+            "op": op,
+            "writer": _writer_id(),
+            "ts": _now(),
+            "add": [],
+            "remove": [],
+        }
+        rec.update(extra)
+        payload = json.dumps(rec)
+        while True:
+            v = self.version() + 1
+            if self._publish_commit(v, payload):
+                self._maybe_checkpoint(v)
+                return v
+
+    def _check_constraints(self, df: DataFrame) -> None:
+        """Validate an incoming frame against every active constraint
+        in ONE job (a single conditional-sum aggregate row)."""
+        active = self.constraints()
+        if not active:
+            return
+        names = list(active)
+        counts = df.agg(
+            *[
+                F.sum(
+                    F.when(F.expr(active[n]) == F.lit(False), 1).otherwise(0)
+                ).alias(f"c{i}")
+                for i, n in enumerate(names)
+            ]
+        ).first()
+        bad = [
+            f"{n} ({active[n]}): {counts[i]} rows"
+            for i, n in enumerate(names)
+            if (counts[i] or 0) > 0
+        ]
+        if bad:
+            raise ConstraintViolation(
+                f"append to {self.path} violates CHECK constraints — "
+                + "; ".join(bad)
+            )
 
     def _merged_schema(self, df: DataFrame) -> list:
         """Validate ``df`` against the current table schema and return
@@ -515,13 +644,14 @@ class TxnTable:
         them falls back to full replay."""
         if self.checkpoint_every <= 0 or version % self.checkpoint_every != 0:
             return
-        live, apps, schema = self._resolve(version)
+        live, apps, schema, constraints = self._resolve(version)
         payload = json.dumps(
             {
                 "version": version,
                 "live": sorted(live.values(), key=lambda e: e["path"]),
                 "apps": apps,
                 "schema": schema,
+                "constraints": constraints,
             }
         )
         # Checkpoints are an accelerator, never a correctness
@@ -577,7 +707,13 @@ class TxnTable:
         through the O_EXCL slot and exactly one wins."""
         add = add or []
         remove = remove or []
-        rec = {"op": op, "writer": _writer_id(), "add": add, "remove": remove}
+        rec = {
+            "op": op,
+            "writer": _writer_id(),
+            "ts": _now(),
+            "add": add,
+            "remove": remove,
+        }
         if schema is not None:
             # the table schema AS OF this commit ([[name, type], ...]);
             # _resolve keeps the latest, table_schema() serves it
@@ -804,6 +940,7 @@ class TxnTable:
             if self.app_versions().get(app, -1) >= app_version:
                 return None  # replay of an applied epoch: skip the write too
         schema = self._merged_schema(df)  # reject type conflicts BEFORE writing
+        self._check_constraints(df)  # CHECK constraints gate the write too
         tag = _uuid.uuid4().hex[:12]
         staging = os.path.join(self.path, _STAGING_DIR, tag)
         writer = df.write.mode("overwrite")
@@ -1008,6 +1145,7 @@ class TxnTable:
         from pyspark.sql import functions as F
 
         self._merged_schema(updates)  # same write-time type gate as append
+        self._check_constraints(updates)
         updates = updates.cache()
         n_updates = updates.count()
         if n_updates == 0:
