@@ -427,12 +427,39 @@ class QueryService:
             while len(self._cache) > self.CACHE_MAX_ENTRIES:
                 self._cache.pop(next(iter(self._cache)))
 
+    def _as_of_from_timestamp(
+        self, project: str, timestamp: float
+    ) -> tuple[dict[str, int] | None, QueryError | None]:
+        """TIMESTAMP AS OF for the whole project: resolve EVERY
+        transaction-logged collection to its version at ``timestamp``
+        (``TxnTable.version_at`` — O(log commits) each).  Refused when
+        the project has no txn collection at all (the travel would
+        silently read current data)."""
+        out: dict[str, int] = {}
+        try:
+            colls = self.store.metastore.collections(project)
+        except Exception:
+            colls = []
+        for coll in colls:
+            if self.store.txn_mode(project, coll):
+                out[coll] = self.store.txn_table(project, coll).version_at(
+                    timestamp
+                )
+        if not out:
+            return None, QueryError(
+                "timestamp travel requires at least one transaction-logged "
+                "collection in the project (enable_txn first)",
+                errorCode=0,
+            )
+        return out, None
+
     def execute(
         self,
         project: str,
         sql: str,
         max_rows: int = 10_000,
         as_of: dict[str, int] | None = None,
+        as_of_timestamp: float | None = None,
     ) -> QueryResult:
         """Run a read statement over the project's views and return
         the reference result envelope.  ``max_rows`` caps driver-side
@@ -444,7 +471,20 @@ class QueryService:
         that version (``history()`` lists the versions); only
         transaction-logged collections accept it.  A traveled
         collection's ``__rollup`` view is not registered — current
-        cells beside a historical base would mix versions."""
+        cells beside a historical base would mix versions.
+
+        ``as_of_timestamp`` is the wall-clock form: EVERY txn
+        collection in the project travels to its version at that
+        instant ("query the warehouse as of yesterday 09:00") —
+        mutually exclusive with ``as_of``."""
+        if as_of_timestamp is not None:
+            if as_of is not None:
+                return QueryResult.error_result(
+                    QueryError("pass as_of OR as_of_timestamp, not both", errorCode=0)
+                )
+            as_of, ts_err = self._as_of_from_timestamp(project, as_of_timestamp)
+            if ts_err is not None:
+                return QueryResult.error_result(ts_err)
         err = self._gate(sql) or self._validate_as_of(project, as_of)
         if err is not None:
             return QueryResult.error_result(err)

@@ -586,3 +586,40 @@ def test_versioned_read_out_of_range_is_descriptive(service):
     # in-range still works, and version=0 is the empty pre-history
     assert service.store.read("proj", "pageview", version=v).count() > 0
     assert service.store.read("proj", "pageview", version=0).count() == 0
+
+
+def test_execute_as_of_timestamp(service):
+    """as_of_timestamp travels EVERY txn collection to its version at
+    the wall-clock instant; current reads are unaffected, the cache
+    keys per resolved version, and misuse is a structured error."""
+    import time as _time
+
+    # before any txn collection exists: structured refusal
+    pre = service.execute(
+        "proj", "SELECT COUNT(*) AS n FROM pageview", as_of_timestamp=_time.time()
+    )
+    assert pre.failed and "transaction-logged" in pre.error.message
+    service.store.enable_txn("proj", "pageview")
+    _time.sleep(0.02)
+    mid = _time.time()
+    _time.sleep(0.02)
+    collector = EventCollector(
+        service.spark,
+        service.store.metastore,
+        pipeline=EnrichmentPipeline([TimestampMapper()]),
+    )
+    collector.collect(
+        "proj",
+        "pageview",
+        {"user_id": "u8", "event_type": "view", "value": 1.0, "_time": "2024-03-01 10:00:00"},
+    )
+    sql = "SELECT COUNT(*) AS n FROM pageview"
+    n_now = service.execute("proj", sql).result[0][0]
+    n_mid = service.execute("proj", sql, as_of_timestamp=mid).result[0][0]
+    assert n_now == n_mid + 1
+    # both forms together: refused
+    res = service.execute("proj", sql, as_of={"pageview": 1}, as_of_timestamp=mid)
+    assert res.failed and "not both" in res.error.message
+    # unknown project: refused structurally, never an exception
+    svc_err = service.execute("other_proj", sql, as_of_timestamp=mid)
+    assert svc_err.failed
