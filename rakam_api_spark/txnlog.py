@@ -423,10 +423,17 @@ class TxnTable:
         for v in range(start, upto + 1):
             rec = self._read_commit(v)
             opens += 1
-            for ent in rec.get("add", ()):
-                live[ent["path"]] = ent
+            # remove BEFORE add: every historical commit's two sets are
+            # disjoint (appends add, rewrites retire other files), so
+            # this order is identity for old logs — and it lets a
+            # METADATA-UPDATE commit (rebloom) carry the same path in
+            # both sets: the remove validates the file is still live
+            # (CommitConflict if a rewrite retired it mid-flight), the
+            # add re-registers it with the refreshed entry
             for r in rec.get("remove", ()):
                 live.pop(r, None)
+            for ent in rec.get("add", ()):
+                live[ent["path"]] = ent
             if rec.get("schema") is not None:
                 schema = rec["schema"]
             for cn, ce in (rec.get("set_constraints") or {}).items():
@@ -1006,6 +1013,53 @@ class TxnTable:
                     ent["blooms"] = blooms
             add.append(ent)
         return self.commit(add=add, op="append")
+
+    def rebloom(self, max_retries: int = 5) -> int:
+        """Backfill bloom filters for live files that predate this
+        table's ``bloom_cols`` setting — a METADATA-ONLY commit (no
+        data file is rewritten): each stale entry is re-registered
+        with freshly computed blooms by carrying its path in BOTH the
+        remove and add sets of one commit.  Replay applies removes
+        first, so the entry updates in place; the remove set's
+        liveness validation makes the update conflict-safe (a compact
+        retiring one of the files mid-flight raises CommitConflict
+        and the rebloom retries against the fresh snapshot, skipping
+        the retired file).  Returns the number of entries backfilled.
+
+        This is the heal path the maintenance cycle wants after
+        ``set_bloom_cols`` on a table with history: compaction would
+        also re-bloom, but rewriting data to fix metadata is the
+        wrong cost model — this touches only the bloomed columns of
+        the stale files once."""
+        if not self.bloom_cols:
+            return 0
+        for _ in range(max_retries):
+            stale = [
+                dict(e)
+                for e in self.state().values()
+                if any(c not in (e.get("blooms") or {}) for c in self.bloom_cols)
+            ]
+            if not stale:
+                return 0
+            updated = []
+            for e in stale:
+                blooms = _file_blooms(self._abs(e["path"]), self.bloom_cols)
+                if not blooms:
+                    continue  # column absent in this file: nothing to add
+                e["blooms"] = {**(e.get("blooms") or {}), **blooms}
+                updated.append(e)
+            if not updated:
+                return 0
+            try:
+                self.commit(
+                    add=updated,
+                    remove=[e["path"] for e in updated],
+                    op="rebloom",
+                )
+                return len(updated)
+            except CommitConflict:
+                continue  # a rewrite retired a stale file; re-snapshot
+        raise CommitConflict(f"rebloom lost {max_retries} races; giving up")
 
     def _zorder_column(self, df: DataFrame, cols: list[str], bits_total: int = 16):
         """Morton (Z-order) key over ``cols``: each column is

@@ -167,3 +167,32 @@ def test_store_point_lookup_via_equals(spark, warehouse):
     assert store.read("proj", "ev", equals={"uid": "nope-1"}).where(
         "uid = 'nope-1'"
     ).count() == 0
+
+
+def test_rebloom_backfills_legacy_files_metadata_only(spark, tmp_path):
+    """Files written before bloom_cols was set gain blooms via ONE
+    metadata commit — no data file is rewritten (same physical paths,
+    same mtimes) — and point lookups prune afterwards; a second call
+    is a no-op; already-bloomed files are untouched."""
+    import os
+
+    path = str(tmp_path / "t")
+    legacy = TxnTable(spark, path)
+    legacy.append(_rows(spark, range(0, 40)), partition_col="_month")
+    legacy.append(_rows(spark, range(40, 80), month="2024-02"), partition_col="_month")
+    t = TxnTable(spark, path, bloom_cols=["uid"])
+    t.append(_rows(spark, range(80, 120), month="2024-03"), partition_col="_month")
+    files_before = sorted(t.live_files())
+    mtimes = {f: os.stat(t._abs(f)).st_mtime_ns for f in files_before}
+    assert t.rebloom() > 0
+    assert sorted(t.live_files()) == files_before  # same physical files
+    for f, m in mtimes.items():
+        assert os.stat(t._abs(f)).st_mtime_ns == m  # data untouched
+    ents = t.state().values()
+    assert all("uid" in (e.get("blooms") or {}) for e in ents)
+    hit = t.live_files(equals={"uid": "user-7"})
+    assert hit and len(hit) < len(files_before)
+    assert t.read(files=hit).where("uid = 'user-7'").count() == 1
+    assert t.rebloom() == 0  # converged: second pass is a no-op
+    # time travel still sees the PRE-rebloom entries at old versions
+    assert t.read(version=2).count() == 80
