@@ -967,6 +967,28 @@ class EventStore:
                         "reason": f"> {max_files_per_month} files per month partition",
                     }
                 )
+            bcols = self.bloom_cols(project, coll)
+            if bcols and self.txn_mode(project, coll):
+                # bloom heal: live entries predating set_bloom_cols
+                # lack point-lookup blooms — a metadata-only commit
+                # backfills them (TxnTable.rebloom).  Planned after
+                # compact so freshly rewritten files (which bloom at
+                # write time) don't get double work; the executor's
+                # rebloom re-snapshots anyway.
+                n_stale = sum(
+                    1
+                    for e in self.txn_table(project, coll).state().values()
+                    if any(c not in (e.get("blooms") or {}) for c in bcols)
+                )
+                if n_stale:
+                    plan.append(
+                        {
+                            "collection": coll,
+                            "action": "rebloom",
+                            "months": None,
+                            "reason": f"{n_stale} live files lack blooms for {bcols}",
+                        }
+                    )
             rmeta = self.rollup_meta(project, coll)
             if rmeta is not None:
                 rolled = set()
@@ -1179,6 +1201,10 @@ class EventStore:
             elif item["action"] == "compact":
                 n_files = self.compact(project, coll)
                 item["outcome"] = f"{n_files} files after compaction"
+            elif item["action"] == "rebloom":
+                with self.maintenance_lock(project, coll):
+                    n = self.txn_table(project, coll).rebloom()
+                item["outcome"] = f"{n} entries rebloomed"
             elif item["action"] == "rollup_refresh":
                 meta = self.rollup_meta(project, coll)
                 n = self.publish_rollup(

@@ -196,3 +196,33 @@ def test_rebloom_backfills_legacy_files_metadata_only(spark, tmp_path):
     assert t.rebloom() == 0  # converged: second pass is a no-op
     # time travel still sees the PRE-rebloom entries at old versions
     assert t.read(version=2).count() == 80
+
+
+def test_maintenance_plans_and_runs_rebloom(spark, warehouse):
+    """The auto-indexer cycle heals missing blooms: enabling
+    bloom_cols on a table with history makes the next plan carry a
+    rebloom action, run_maintenance executes it under the writer
+    lock, and the following plan is bloom-clean."""
+    from rakam_api_spark.api import EventCollector
+    from rakam_api_spark.catalog import Metastore
+    from rakam_api_spark.enrich import EnrichmentPipeline, TimestampMapper
+
+    ms = Metastore(warehouse)
+    collector = EventCollector(
+        spark, ms, pipeline=EnrichmentPipeline([TimestampMapper()])
+    )
+    store = collector.store
+    for i in range(20):
+        collector.collect(
+            "proj", "ev", {"uid": f"user-{i}", "_time": "2024-01-05 09:00:00"}
+        )
+    store.enable_txn("proj", "ev")  # no blooms yet: migration is bloomless
+    store.set_bloom_cols("proj", "ev", ["uid"])
+    plan = store.maintenance_plan("proj")
+    actions = [p for p in plan if p["action"] == "rebloom"]
+    assert actions and "uid" in actions[0]["reason"]
+    done = store.run_maintenance("proj", plan=actions)
+    assert "rebloomed" in done[0]["outcome"] and not done[0]["outcome"].startswith("0 ")
+    assert [p for p in store.maintenance_plan("proj") if p["action"] == "rebloom"] == []
+    hit = store.read("proj", "ev", equals={"uid": "user-3"})
+    assert hit.where("uid = 'user-3'").count() == 1
