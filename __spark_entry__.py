@@ -45,7 +45,7 @@ _MODULES = (
 )
 
 # The driver's correctness gate checks at most 50 queries per round, in
-# enumeration order.  With 222 declared queries, plain module order
+# enumeration order.  With 224 declared queries, plain module order
 # would starve the tail modules of a driver-verified CORRECTNESS row
 # forever.  Round-10 rotation (staleness computed from
 # CORRECTNESS_r01-r09; matches VERDICT r9 Next #3 exactly): (a) queries
@@ -83,6 +83,8 @@ _GATE_PRIORITY = (
     "domestic_supply_share",
     "hour_of_week_profile",
     "session_duration_by_entry",
+    "value_mix_by_type_monthly",
+    "supplier_latency_consistency",
     # (b) the r5-stale cohort (VERDICT r9 Next #3, verbatim order)
     "event_transition_matrix",
     "events_pivot_daily",

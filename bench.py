@@ -151,6 +151,8 @@ EXTRA = [
     "domestic_supply_share",
     "hour_of_week_profile",
     "session_duration_by_entry",
+    "value_mix_by_type_monthly",
+    "supplier_latency_consistency",
 ]
 
 

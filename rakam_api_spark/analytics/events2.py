@@ -488,7 +488,56 @@ FROM per_session GROUP BY 1 ORDER BY 1
 
 
 
+def value_mix_by_type_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue/value composition trend: per month, each event type's
+    share of the month's total value — the mix-shift chart that shows
+    WHICH behavior the value growth in ``wau_wow_growth`` actually
+    comes from.  Value sums on DECIMAL; shares are one rounded double
+    division per cell against the month total computed by a window
+    over the (month × type) aggregate — an enum-bounded input."""
+    ev = _events(spark, sf_dir)
+    cell = ev.groupBy(
+        F.date_trunc("month", F.col("ts")).cast("date").alias("month"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("_v"),
+    )
+    w = Window.partitionBy("month")
+    return (
+        cell.select(
+            "month",
+            "event_type",
+            "n_events",
+            F.round(F.col("_v").cast("double"), 6).alias("total_value"),
+            F.round(
+                F.col("_v").cast("double")
+                / F.sum("_v").over(w).cast("double"),
+                9,
+            ).alias("value_share"),
+        )
+        .orderBy("month", "event_type")
+    )
+
+
+VALUE_MIX_ORACLE = """
+WITH cell AS (
+  SELECT CAST(date_trunc('month', ts) AS DATE) AS month, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,6))) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT month, event_type, n_events,
+       round(CAST(v AS DOUBLE), 6) AS total_value,
+       round(CAST(v AS DOUBLE) /
+             CAST(SUM(v) OVER (PARTITION BY month) AS DOUBLE), 9) AS value_share
+FROM cell ORDER BY month, event_type
+"""
+
+
+
 QUERIES = {
+    "value_mix_by_type_monthly": value_mix_by_type_monthly,
     "hour_of_week_profile": hour_of_week_profile,
     "session_duration_by_entry": session_duration_by_entry,
     "type_diversity_trend": type_diversity_trend,
@@ -499,6 +548,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "value_mix_by_type_monthly": VALUE_MIX_ORACLE,
     "hour_of_week_profile": HOUR_OF_WEEK_ORACLE,
     "session_duration_by_entry": SESSION_DURATION_ORACLE,
     "type_diversity_trend": TYPE_DIVERSITY_ORACLE,

@@ -646,7 +646,74 @@ ORDER BY nation
 
 
 
+def supplier_latency_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delivery CONSISTENCY per supplier: mean and standard deviation
+    of order-to-ship latency (days), top 25 highest-volume suppliers —
+    procurement cares about variance as much as speed (a supplier
+    averaging 40±2 days beats one averaging 35±25 for planning), the
+    spread companion to ``supplier_reliability_wilson``'s on-time
+    rate.
+
+    Latencies are exact integer day counts; n, Σd, Σd² accumulate
+    exactly, so mean and the population σ = sqrt(Σd²/n − (Σd/n)²)
+    are identical float expressions of identical exact inputs,
+    rounded at the edge.  One fact join + one supplier-grain
+    aggregate; the top-25 is TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    d = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).cast("long")
+    agg = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_shipments"),
+            F.sum(d).alias("_s1"),
+            F.sum(d * d).alias("_s2"),
+        )
+    )
+    mean = F.col("_s1").cast("double") / F.col("n_shipments").cast("double")
+    var = F.col("_s2").cast("double") / F.col("n_shipments").cast("double") - mean * mean
+    return (
+        agg.join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_shipments",
+            F.round(mean, 9).alias("mean_latency_days"),
+            F.round(F.sqrt(var), 9).alias("stddev_latency_days"),
+        )
+        .orderBy(F.desc("n_shipments"), "s_suppkey")
+        .limit(25)
+    )
+
+
+SUPPLIER_CONSISTENCY_ORACLE = """
+WITH agg AS (
+  SELECT l_suppkey,
+         CAST(COUNT(*) AS BIGINT) AS n_shipments,
+         SUM(CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT)) AS s1,
+         SUM(CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT)
+             * CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT)) AS s2
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, n_shipments,
+       round(CAST(s1 AS DOUBLE) / CAST(n_shipments AS DOUBLE), 9)
+         AS mean_latency_days,
+       round(sqrt(CAST(s2 AS DOUBLE) / CAST(n_shipments AS DOUBLE)
+                  - (CAST(s1 AS DOUBLE) / CAST(n_shipments AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n_shipments AS DOUBLE))), 9)
+         AS stddev_latency_days
+FROM agg JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY n_shipments DESC, s_suppkey
+LIMIT 25
+"""
+
+
+
 QUERIES = {
+    "supplier_latency_consistency": supplier_latency_consistency,
     "brand_repeat_loyalty": brand_repeat_loyalty,
     "domestic_supply_share": domestic_supply_share,
     "discount_by_quantity_bucket": discount_by_quantity_bucket,
@@ -659,6 +726,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "supplier_latency_consistency": SUPPLIER_CONSISTENCY_ORACLE,
     "brand_repeat_loyalty": BRAND_REPEAT_ORACLE,
     "domestic_supply_share": DOMESTIC_SUPPLY_ORACLE,
     "discount_by_quantity_bucket": DISCOUNT_BY_QTY_ORACLE,
