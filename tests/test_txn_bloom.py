@@ -226,3 +226,89 @@ def test_maintenance_plans_and_runs_rebloom(spark, warehouse):
     assert [p for p in store.maintenance_plan("proj") if p["action"] == "rebloom"] == []
     hit = store.read("proj", "ev", equals={"uid": "user-3"})
     assert hit.where("uid = 'user-3'").count() == 1
+
+
+def test_committer_never_materializes_column_values(spark, tmp_path, monkeypatch):
+    """The round-11 contract (VERDICT r10 Next #1): a Spark-attached
+    table builds blooms EXECUTOR-SIDE — the committing process never
+    runs the pyarrow value read.  Pinned by making the driver-side
+    fallback explode: append/compact/rebloom must still succeed AND
+    still record blooms."""
+    from rakam_api_spark import txnlog
+
+    def _boom(path, cols):
+        raise AssertionError(
+            "driver-side bloom build invoked on a Spark-attached table"
+        )
+
+    monkeypatch.setattr(txnlog, "_file_blooms", _boom)
+    t = TxnTable(spark, str(tmp_path / "t"), bloom_cols=["uid"])
+    t.append(_rows(spark, range(0, 60)), partition_col="_month")
+    t.append(_rows(spark, range(60, 120), month="2024-02"), partition_col="_month")
+    ents = list(t.state().values())
+    assert ents and all("uid" in (e.get("blooms") or {}) for e in ents)
+    hit = t.live_files(equals={"uid": "user-70"})
+    assert hit and len(hit) < len(t.live_files())
+    assert t.read(files=hit).where("uid = 'user-70'").count() == 1
+    t.compact(partition_col="_month")  # rewrites re-bloom executor-side too
+    assert all("uid" in e["blooms"] for e in t.state().values())
+    # rebloom's backfill is executor-side as well
+    legacy = TxnTable(spark, str(tmp_path / "l"))
+    legacy.append(_rows(spark, range(0, 30)), partition_col="_month")
+    t2 = TxnTable(spark, str(tmp_path / "l"), bloom_cols=["uid"])
+    assert t2.rebloom() > 0
+    assert all("uid" in e["blooms"] for e in t2.state().values())
+
+
+def test_cross_type_probes_never_false_negative(spark, tmp_path):
+    """ADVICE r10: Decimal/date/timestamp/bytes columns must hit when
+    probed with an equal-but-differently-typed value — write-side
+    canonical keys and probe-side keys agree, so bloom pruning can
+    never silently drop rows for these types."""
+    from datetime import date, datetime
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [
+            (Decimal("42.00"), date(2024, 3, 5), datetime(2024, 3, 5, 9, 30),
+             bytearray(b"\x01\x02"), "2024-01"),
+            (Decimal("0.50"), date(2024, 4, 6), datetime(2024, 4, 6, 10, 0),
+             bytearray(b"zz"), "2024-01"),
+        ],
+        "d decimal(10,2), dt date, ts timestamp, bin binary, _month string",
+    )
+    t = TxnTable(
+        spark, str(tmp_path / "t"), bloom_cols=["d", "dt", "ts", "bin"]
+    )
+    t.append(df, partition_col="_month")
+    assert all("d" in (e.get("blooms") or {}) for e in t.state().values())
+    for col, probes in (
+        ("d", [Decimal("42.00"), Decimal("42"), 42, 42.0, Decimal("0.50"), 0.5]),
+        ("dt", [date(2024, 3, 5), "2024-03-05"]),
+        ("ts", [datetime(2024, 3, 5, 9, 30), "2024-03-05 09:30:00"]),
+        ("bin", [b"\x01\x02", bytearray(b"zz")]),
+    ):
+        for p in probes:
+            assert t.live_files(equals={col: p}), (col, p)
+
+
+def test_digest_partials_flip_to_bitset_past_cap(spark, tmp_path):
+    """A file with more distinct values than _BLOOM_DIGEST_CAP ships
+    a fixed-size bitset partial instead of an unbounded digest list —
+    the driver-side payload is capped at 8 KB per (slice, file, col)
+    no matter the batch size — and the merged bloom still has no
+    false negatives."""
+    from rakam_api_spark.txnlog import _BLOOM_DIGEST_CAP, _BLOOM_MAX_BITS
+
+    n = _BLOOM_DIGEST_CAP + 200
+    df = spark.range(n).selectExpr(
+        "id as x", "concat('user-', id) as uid", "'2024-01' as _month"
+    ).coalesce(1)
+    t = TxnTable(spark, str(tmp_path / "t"), bloom_cols=["uid"])
+    t.append(df, partition_col="_month")
+    ents = list(t.state().values())
+    assert len(ents) == 1
+    bloom = ents[0]["blooms"]["uid"]
+    assert bloom["m"] == _BLOOM_MAX_BITS  # saturated sizing, 8 KB bitset
+    for i in range(0, n, 997):
+        assert t.live_files(equals={"uid": f"user-{i}"}), i

@@ -105,3 +105,82 @@ def test_store_timestamp_travel(spark, warehouse):
     assert store.read("proj", "ev", timestamp=time.time()).count() == 2
     with pytest.raises(ValueError, match="not both"):
         store.read("proj", "ev", version=1, timestamp=mid)
+
+
+def test_concurrent_add_constraint_conflicts_with_inflight_append(
+    spark, tmp_path
+):
+    """ADVICE r10: an append that validated BEFORE a concurrent
+    add_constraint landed must NOT commit unvalidated — commit()
+    re-reads the active constraint set at claim time and raises
+    CommitConflict, so a committed snapshot can never violate an
+    active constraint.  A retried append then revalidates (and here
+    fails loudly, because the rows really do violate the new rule)."""
+    from rakam_api_spark.txnlog import CommitConflict
+
+    path = str(tmp_path / "t")
+    t = TxnTable(spark, path)
+    t.append(_rows(spark, [1.0, 2.0]), partition_col="_month")
+
+    orig = t._check_constraints
+    fired = {}
+
+    def race(df):
+        orig(df)  # validation against the OLD (empty) constraint set
+        if not fired:
+            fired["x"] = True
+            TxnTable(spark, path).add_constraint("pos", "amount > 0")
+
+    t._check_constraints = race
+    bad = _rows(spark, [-5.0])
+    with pytest.raises(CommitConflict, match="constraints changed"):
+        t.append(bad, partition_col="_month")
+    # the losing writer's staged files never became visible
+    assert t.read().where("amount < 0").count() == 0
+    # the honest retry revalidates against the new set and is refused
+    t._check_constraints = orig
+    with pytest.raises(ConstraintViolation):
+        t.append(bad, partition_col="_month")
+
+
+def test_lost_race_remerges_schema_keeping_both_columns(spark, tmp_path):
+    """ADVICE r10: two concurrent column-evolving appends must BOTH
+    keep their new column in the tracked schema — the merged schema
+    is recomputed against the fresh snapshot inside the commit retry
+    loop, not last-writer-wins from a stale pre-computation."""
+    path = str(tmp_path / "t")
+    t = TxnTable(spark, path)
+    t.append(_rows(spark, [1.0]), partition_col="_month")
+
+    sibling_df = spark.createDataFrame(
+        [(100, 1.0, "2024-01", "from-b")],
+        "x long, amount double, _month string, col_b string",
+    )
+    orig_publish = t._publish_commit
+    lost = {}
+
+    def lose_once(version, payload):
+        if not lost:
+            lost["x"] = True
+            # a sibling writer lands a DIFFERENT evolved column first
+            TxnTable(spark, path).append(sibling_df, partition_col="_month")
+            return False  # and this writer loses the version race
+        return orig_publish(version, payload)
+
+    t._publish_commit = lose_once
+    mine = spark.createDataFrame(
+        [(200, 2.0, "2024-01", 7)],
+        "x long, amount double, _month string, col_a bigint",
+    )
+    t.append(mine, partition_col="_month")
+    names = [n for n, _t in t.table_schema()]
+    assert "col_a" in names and "col_b" in names, names
+    # and a later append can't redefine the surviving column's type
+    from rakam_api_spark.txnlog import SchemaConflict
+
+    redef = spark.createDataFrame(
+        [(1, 1.0, "2024-01", "now-a-string")],
+        "x long, amount double, _month string, col_a string",
+    )
+    with pytest.raises(SchemaConflict):
+        TxnTable(spark, path).append(redef, partition_col="_month")

@@ -371,12 +371,12 @@ def test_merge_retries_after_losing_to_compact(spark, tmp_path):
     real_commit = t.commit
     state = {"raced": False}
 
-    def racing_commit(add=None, remove=None, op="append"):
+    def racing_commit(add=None, remove=None, op="append", **kw):
         if op == "merge" and not state["raced"]:
             state["raced"] = True
             # competing writer compacts between snapshot and commit
             real_compact()
-        return real_commit(add=add, remove=remove, op=op)
+        return real_commit(add=add, remove=remove, op=op, **kw)
 
     real_compact = lambda: TxnTable(spark, t.path).compact(partition_col="_month")  # noqa: E731
     t.commit = racing_commit
@@ -463,3 +463,27 @@ def test_schema_enforcement_rejects_type_conflicts_at_append(spark, tmp_path):
     assert ["note", "string"] in t.table_schema()
     with pytest.raises(SchemaConflict):
         t.append(bad, partition_col="_month")
+
+
+def test_read_incremental_skips_metadata_only_commits(spark, tmp_path):
+    """ADVICE r10: rebloom / set_constraint / drop_constraint are
+    content-preserving — an incremental consumer polling across one
+    keeps its append-only feed (no ValueError, no duplicated rows),
+    and months_changed_since reports no changed months for them."""
+    path = str(tmp_path / "t")
+    t = TxnTable(spark, path)
+    t.append(_rows(spark, 1, 2), partition_col="_month")
+    _df, ckpt = t.read_incremental(0)
+    bloomed = TxnTable(spark, path, bloom_cols=["x"])
+    assert bloomed.rebloom() > 0
+    t.add_constraint("pos", "x > 0")
+    t.drop_constraint("pos")
+    # three metadata commits, zero new rows: the feed stays quiet
+    inc, ckpt2 = t.read_incremental(ckpt)
+    assert inc is None and ckpt2 == t.version()
+    changed, needs_full = t.months_changed_since(ckpt)
+    assert changed == {} and needs_full is False
+    # rows appended AFTER the metadata commits flow exactly once
+    t.append(_rows(spark, 2, 3, month="2024-02"), partition_col="_month")
+    inc, _ = t.read_incremental(ckpt2)
+    assert [r["x"] for r in inc.collect()] == [2]
