@@ -623,3 +623,74 @@ def test_execute_as_of_timestamp(service):
     # unknown project: refused structurally, never an exception
     svc_err = service.execute("other_proj", sql, as_of_timestamp=mid)
     assert svc_err.failed
+
+
+def test_point_lookup_sql_prunes_files_from_blooms(spark, warehouse):
+    """VERDICT r10 Next #7: a conjunctive equality predicate on a
+    bloomed column reaches the manifest — the view behind the query
+    is built from the bloom-pruned file list, so point-lookup SQL
+    opens ~fpr·files instead of the whole snapshot.  Results are
+    EXACT either way (pruning keeps a superset; the row filter still
+    applies); unsafe shapes (OR, double references) never prune."""
+    ms = Metastore(warehouse)
+    collector = EventCollector(
+        spark, ms, pipeline=EnrichmentPipeline([TimestampMapper()])
+    )
+    store = collector.store
+    for i in range(60):
+        collector.collect(
+            "proj",
+            "ev",
+            {
+                "uid": f"user-{i}",
+                "x": i,
+                "_time": f"2024-0{i % 3 + 1}-05 09:00:00",
+            },
+        )
+    store.enable_txn("proj", "ev", bloom_cols=["uid"])
+    # several bloomed appends so there is something to prune
+    for i in range(60, 120):
+        collector.collect(
+            "proj",
+            "ev",
+            {
+                "uid": f"user-{i}",
+                "x": i,
+                "_time": f"2024-0{i % 3 + 1}-05 09:00:00",
+            },
+        )
+    svc = QueryService(spark, store)
+    all_files = set(store.txn_table("proj", "ev").live_files())
+
+    def scan_files(sql):
+        return set(svc._analyze("proj", sql).inputFiles())
+
+    point = "SELECT x FROM ev WHERE uid = 'user-99'"
+    pruned = scan_files(point)
+    assert len(pruned) < len(all_files), (len(pruned), len(all_files))
+    res = svc.execute("proj", point)
+    assert res.error is None and [r[0] for r in res.result] == [99]
+    # absent value: usually prunes everything; always returns 0 rows
+    res0 = svc.execute("proj", "SELECT x FROM ev WHERE uid = 'nope-1'")
+    assert res0.error is None and res0.result == []
+    # OR predicates are NOT conjunctive point constraints: no pruning
+    disj = scan_files(
+        "SELECT x FROM ev WHERE uid = 'user-99' OR uid = 'user-3'"
+    )
+    assert len(disj) == len(set(scan_files("SELECT x FROM ev")))
+    resd = svc.execute(
+        "proj", "SELECT x FROM ev WHERE uid = 'user-99' OR uid = 'user-3' ORDER BY x"
+    )
+    assert [r[0] for r in resd.result] == [3, 99]
+    # the view referenced twice: each occurrence may need different
+    # files — pruning must not fire
+    twice = (
+        "SELECT a.x FROM ev a JOIN ev b ON a.x = b.x + 96 "
+        "WHERE a.uid = 'user-99'"
+    )
+    assert len(scan_files(twice)) == len(all_files)
+    rest = svc.execute("proj", twice)
+    assert [r[0] for r in rest.result] == [99]
+    # conjunctive AND with a non-bloomed column still prunes on uid
+    conj = scan_files("SELECT x FROM ev WHERE uid = 'user-99' AND x > 0")
+    assert len(conj) < len(all_files)
