@@ -45,98 +45,51 @@ _MODULES = (
 )
 
 # The driver's correctness gate checks at most 50 queries per round, in
-# enumeration order.  With 224 declared queries, plain module order
+# enumeration order.  With 224+ declared queries, plain module order
 # would starve the tail modules of a driver-verified CORRECTNESS row
-# forever.  Round-10 rotation (staleness computed from
-# CORRECTNESS_r01-r09; matches VERDICT r9 Next #3 exactly): (a) queries
-# added this round lead (new code always verifies first); (b) the
-# twenty-two r5-stale rows VERDICT r9 names verbatim; (c) the r6-stale
-# cohort (q1/q3/q5, dedup family, sketches, curation staples) in
-# staleness-then-name order, as many as fit the 50-slot budget.
-# Everything listed passes tools/check_correctness.py locally at
-# sf0.01 and sf0.001 (round-10 additions also at sf0.1).
+# forever.  Round-11 rotation (VERDICT r10 Next #4 verbatim): (a)
+# queries added this round lead (new code always verifies first); (b)
+# the r7-stale cohort the verdict names — q2, the q8–q22 family,
+# attribution linear/last-touch, props_json_extract,
+# asof_view_before_purchase, rolling_uniques_7d, latest_event_per_user,
+# the sketch family, media audio/video dedup, bm25_search,
+# dup_ngram_spans.  Everything listed passes
+# tools/check_correctness.py locally at sf0.01 and sf0.001.
 _GATE_PRIORITY = (
-    # (a) added this round — see the round-10 sections of QUERIES.md
-    "parts_price_size_skyline",
-    "customer_gini_by_segment",
-    "revenue_qoq_growth",
-    "churn_hazard_by_tenure",
-    "first_event_type_by_cohort",
-    "ttr_by_source",
-    "hapax_ratio_by_source",
-    "char_class_composition",
-    "dataset_card_stats",
-    "sampling_temperature_weights",
-    "ivf_nprobe_recall_curve",
-    "dedup_transitivity_audit",
-    "pq_reconstruction_error",
-    "customer_repeat_within_90d",
-    "order_composition_trend",
-    "session_conversion_by_entry",
-    "wau_wow_growth",
-    "embedding_intrinsic_dim",
-    "discount_by_quantity_bucket",
-    "order_value_lognormal_fit",
-    "type_diversity_trend",
-    "lsh_band_efficiency",
-    "brand_repeat_loyalty",
-    "domestic_supply_share",
-    "hour_of_week_profile",
-    "session_duration_by_entry",
-    "value_mix_by_type_monthly",
-    "supplier_latency_consistency",
-    # (b) the r5-stale cohort (VERDICT r9 Next #3, verbatim order)
-    "event_transition_matrix",
-    "events_pivot_daily",
-    "funnel_daily_trend",
-    "funnel_with_exclusion",
-    "hourly_counts_gapfilled",
-    "mix_weights",
-    "pack_sequences",
-    "padding_efficiency",
-    "pii_redaction",
-    "power_user_curve",
-    "quality_repetition_rules",
-    "quality_top_quartile",
-    "rfm_segments",
-    "segment_overlap_matrix",
-    "sliding_window_counts",
-    "source_dup_matrix",
-    "stickiness_dau_mau",
-    "stratified_sample",
-    "top3_parts_per_brand",
-    "user_lifecycle_grid",
-    "value_histogram",
-    "vocab_coverage",
-    # (c) the r6-stale cohort, staleness-then-name order
-    "dataset_splits",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "doc_fingerprints",
-    "embedding_cosine_dedup",
-    "funnel_unordered",
-    "key_skew_report",
-    "lang_id",
-    "market_basket_part_types",
-    "multimodal_byte_stats",
-    "order_backlog_daily",
-    "part_type_margin",
-    "priority_sample",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "quantile_rollup_sketch",
-    "revenue_pareto_top100",
-    "rollup_reuse_monthly",
-    "session_entry_exit",
-    "sparse_tfidf_pairs",
-    "text_quality",
-    "theta_segment_setops",
-    "token_counts",
-    "top_customers",
-    "training_shuffle",
+    # (a) added in round 11 — see the round-11 section of QUERIES.md
+    # (prepended as they land)
+    # (b) the r7-stale cohort (VERDICT r10 Next #4, verbatim)
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_late_priority",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_dominant_supplier",
+    "q21_suppliers_kept_waiting",
+    "q22_idle_balances",
+    "attribution_linear",
+    "attribution_last_touch",
+    "props_json_extract",
+    "asof_view_before_purchase",
+    "rolling_uniques_7d",
+    "latest_event_per_user",
+    "dau_approx_sketch",
+    "value_quantile_sketch",
+    "heavy_hitters_sketch",
+    "mau_rollup_sketch",
+    "inter_event_cadence_sketch",
+    "media_audio_dedup",
+    "media_video_dedup",
+    "bm25_search",
+    "dup_ngram_spans",
 )
 
 

@@ -23,6 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod
 from rakam_api_spark.session import get_spark
 
+# FROZEN since round 1 — the longitudinal anchor (VERDICT r10 Next
+# #6): never add to or remove from this list; growth goes to EXTRA.
+# ``value`` in the output is the sum over exactly these 17 queries,
+# directly comparable across rounds (r1 anchor: 24.222 s warm).
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -215,6 +219,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "cold_value": round(sum(cold.values()), 3),
+                # the longitudinal anchor, spelled out: ``value`` is
+                # the FROZEN r1 17-query set; extras carry all growth
+                "headline_fixed": total,
+                "n_headline_fixed": len(times),
                 "extra_total": round(sum(extra.values()), 3),
                 "n_queries": len(times) + len(extra),
                 "ingest_eps": ingest.get("ingest_eps"),
