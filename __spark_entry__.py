@@ -15,9 +15,11 @@ from pyspark.sql import DataFrame, SparkSession
 from rakam_api_spark.analytics import enrichment_queries as _enrich
 from rakam_api_spark.analytics import events as _events
 from rakam_api_spark.analytics import events2 as _events2
+from rakam_api_spark.analytics import events3 as _events3
 from rakam_api_spark.analytics import relational as _relational
 from rakam_api_spark.analytics import relational2 as _relational2
 from rakam_api_spark.analytics import relational3 as _relational3
+from rakam_api_spark.analytics import relational4 as _relational4
 from rakam_api_spark.llm import curation as _curation
 from rakam_api_spark.llm import dedup as _dedup
 from rakam_api_spark.llm import dedup_index as _dedup_index
@@ -31,8 +33,10 @@ _MODULES = (
     _relational,
     _relational2,
     _relational3,
+    _relational4,
     _events,
     _events2,
+    _events3,
     _enrich,
     _windows,
     _dedup,
@@ -56,8 +60,26 @@ _MODULES = (
 # dup_ngram_spans.  Everything listed passes
 # tools/check_correctness.py locally at sf0.01 and sf0.001.
 _GATE_PRIORITY = (
-    # (a) added in round 11 — see the round-11 section of QUERIES.md
-    # (prepended as they land)
+    # (a) the 19 queries added in round 11 (QUERIES.md round-11 section)
+    "order_weekday_priority_mix",
+    "customer_interpurchase_gaps",
+    "acctbal_decile_profile",
+    "brand_return_rate_quarterly",
+    "retail_markup_by_type",
+    "customer_decile_revenue_share",
+    "region_trade_matrix",
+    "new_vs_returning_daily",
+    "resurrections_monthly",
+    "user_entropy_tiers",
+    "weekend_lift_by_type",
+    "first_week_activation_retention",
+    "value_share_by_user_band",
+    "sentence_stats_by_source",
+    "doc_length_gini_by_source",
+    "shouting_docs_top20",
+    "token_length_histogram",
+    "embedding_dimension_profile",
+    "label_centroid_distances",
     # (b) the r7-stale cohort (VERDICT r10 Next #4, verbatim)
     "q2_min_cost_supplier",
     "q8_market_share",

@@ -1,0 +1,418 @@
+"""Round-11 event-analytics additions: acquisition mix, resurrection
+counts, per-user behavioral entropy, weekend lift, first-week
+activation → retention, and value concentration by spend band —
+lifecycle/engagement reports the reference's event-explorer and
+retention modules point at (rakam-spi/.../UserPluginConfig.java:18-19;
+reference README.md:17), expressed as declarative DataFrame plans
+over the events stream.
+
+Determinism: day grain is ``CAST(ts AS DATE)``; day-of-week is
+integer date arithmetic anchored on Monday 1970-01-05 (native dow
+functions disagree across engines); value sums go through
+DECIMAL(18,6); every rate is a single double division of exact
+integers/decimals; double chains that must cross engines (entropy's
+ln) are rounded identically on BOTH sides (the ``lm_bigram_quality``
+precedent).
+
+Scale: every operator reduces to (user, day) or (user, type) grain
+with ONE user-keyed exchange before anything else runs; the only
+window is a lag PARTITIONED BY USER over per-user-day rows
+(resurrections); shares use the ``mix_weights`` idiom (cell aggregate
++ broadcast-back total), never a global window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+_MONDAY = "1970-01-05"
+_DEC = "decimal(18,6)"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _day():
+    return F.col("ts").cast("date")
+
+
+def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily acquisition mix: events and users split into NEW (the
+    user's first-ever active day is this day) vs RETURNING — the
+    growth-accounting denominator every DAU chart needs next to it.
+
+    Plan: reduce to (user, day) counts, one user-keyed aggregate for
+    first days, classify, one day-grain rollup.  The share is one
+    double division of exact counts."""
+    ev = _events(spark, sf_dir)
+    ud = ev.groupBy("user_id", _day().alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    first = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    j = ud.join(first, "user_id").withColumn(
+        "is_new", (F.col("day") == F.col("first_day")).cast("int")
+    )
+    return (
+        j.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("is_new") == 1, F.col("n_events")).otherwise(0)).alias(
+                "new_events"
+            ),
+            F.sum(
+                F.when(F.col("is_new") == 0, F.col("n_events")).otherwise(0)
+            ).alias("returning_events"),
+            F.sum("is_new").alias("new_users"),
+            F.sum(F.lit(1) - F.col("is_new")).alias("returning_users"),
+        )
+        .select(
+            "day",
+            "new_events",
+            "returning_events",
+            "new_users",
+            "returning_users",
+            F.round(
+                F.col("new_events").cast("double")
+                / (F.col("new_events") + F.col("returning_events")).cast("double"),
+                9,
+            ).alias("share_new_events"),
+        )
+        .orderBy("day")
+    )
+
+
+NEW_VS_RETURNING_ORACLE = """
+WITH ud AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+f AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY 1),
+j AS (
+  SELECT ud.day, ud.n_events,
+         CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END AS is_new
+  FROM ud JOIN f USING (user_id)
+)
+SELECT day,
+       CAST(SUM(CASE WHEN is_new = 1 THEN n_events ELSE 0 END) AS BIGINT)
+         AS new_events,
+       CAST(SUM(CASE WHEN is_new = 0 THEN n_events ELSE 0 END) AS BIGINT)
+         AS returning_events,
+       CAST(SUM(is_new) AS BIGINT) AS new_users,
+       CAST(SUM(1 - is_new) AS BIGINT) AS returning_users,
+       round(CAST(SUM(CASE WHEN is_new = 1 THEN n_events ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(n_events) AS DOUBLE), 9) AS share_new_events
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
+def resurrections_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resurrection counts: users coming back after ≥ 3 silent days,
+    bucketed by the month of the comeback day — the win-back metric
+    next to churn (``user_lifecycle_grid``'s "resurrected" state,
+    with the gap spelled out).
+
+    Plan: distinct (user, day) rows, ONE lag window PARTITIONED BY
+    USER over those reduced rows, a month-grain rollup.  All integer
+    day arithmetic — no float anywhere."""
+    ev = _events(spark, sf_dir)
+    ud = ev.select("user_id", _day().alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    gap = F.datediff(F.col("day"), F.lag("day").over(w))
+    res = ud.withColumn("gap", gap).where(F.col("gap") >= 3)
+    return (
+        res.groupBy(F.date_trunc("month", F.col("day")).cast("date").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_resurrections"),
+            F.countDistinct("user_id").alias("n_resurrected_users"),
+            F.min("gap").alias("min_gap_days"),
+            F.max("gap").alias("max_gap_days"),
+        )
+        .orderBy("month")
+    )
+
+
+RESURRECTIONS_ORACLE = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+g AS (
+  SELECT user_id, day,
+         date_diff('day', lag(day) OVER (PARTITION BY user_id ORDER BY day),
+                   day) AS gap
+  FROM ud
+)
+SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_resurrections,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_resurrected_users,
+       CAST(MIN(gap) AS INT) AS min_gap_days,
+       CAST(MAX(gap) AS INT) AS max_gap_days
+FROM g WHERE gap >= 3
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def user_entropy_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity by activity tier: each user's Shannon
+    entropy over their event-type distribution (H = ln n − Σc·ln c/n,
+    nats), rolled up by activity tier — do heavy users spread across
+    features or hammer one?  (The per-user companion to
+    ``type_diversity_trend``'s corpus-level distinct counts.)
+
+    Determinism: c and n are exact integers; ln runs on bit-identical
+    int-valued doubles; per-user H is rounded to 6 BEFORE the tier
+    average, and the average itself rounds to 6 (the residual
+    summation-order error is ~1e-12, far under the displayed grain —
+    the ``lm_bigram_quality`` convention)."""
+    ev = _events(spark, sf_dir)
+    uc = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    per_user = uc.groupBy("user_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias(
+            "_clnc"
+        ),
+    )
+    h = F.round(
+        F.log(F.col("n").cast("double"))
+        - F.col("_clnc") / F.col("n").cast("double"),
+        6,
+    )
+    tier = (
+        F.when(F.col("n") < 55, "a_lt_55")
+        .when(F.col("n") < 65, "b_55_64")
+        .when(F.col("n") < 75, "c_65_74")
+        .otherwise("d_75_plus")
+    )
+    return (
+        per_user.select(tier.alias("tier"), h.alias("h"), "n")
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.sum("h") / F.count(F.lit(1)), 6).alias("avg_entropy"),
+            F.max("h").alias("max_entropy"),
+        )
+        .orderBy("tier")
+    )
+
+
+USER_ENTROPY_ORACLE = """
+WITH uc AS (
+  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+),
+pu AS (
+  SELECT user_id, SUM(c) AS n,
+         SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS _clnc
+  FROM uc GROUP BY 1
+),
+h AS (
+  SELECT CASE WHEN n < 55 THEN 'a_lt_55'
+              WHEN n < 65 THEN 'b_55_64'
+              WHEN n < 75 THEN 'c_65_74'
+              ELSE 'd_75_plus' END AS tier,
+         round(ln(CAST(n AS DOUBLE)) - _clnc / CAST(n AS DOUBLE), 6) AS h
+  FROM pu
+)
+SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_users,
+       round(SUM(h) / COUNT(*), 6) AS avg_entropy,
+       MAX(h) AS max_entropy
+FROM h GROUP BY 1 ORDER BY 1
+"""
+
+
+def weekend_lift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend lift per event type: events per weekend day vs per
+    weekday, as the normalized ratio 5·we/(2·wd) — the seasonality
+    screen behind send-time and capacity planning
+    (``hour_of_week_profile``'s 168 cells collapsed to the one
+    number per type people actually quote).
+
+    All exact integer counts; the lift is one double division."""
+    ev = _events(spark, sf_dir)
+    day = _day()
+    dow = (F.datediff(day, F.lit(_MONDAY).cast("date")) % 7 + 7) % 7 + 1
+    g = ev.groupBy("event_type").agg(
+        F.sum((dow >= 6).cast("long")).alias("weekend_events"),
+        F.sum((dow <= 5).cast("long")).alias("weekday_events"),
+    )
+    return (
+        g.select(
+            "event_type",
+            "weekend_events",
+            "weekday_events",
+            F.when(
+                F.col("weekday_events") > 0,
+                F.round(
+                    (F.lit(5) * F.col("weekend_events")).cast("double")
+                    / (F.lit(2) * F.col("weekday_events")).cast("double"),
+                    9,
+                ),
+            ).alias("weekend_lift"),
+        )
+        .orderBy("event_type")
+    )
+
+
+WEEKEND_LIFT_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         SUM(CASE WHEN ((date_diff('day', DATE '1970-01-05', CAST(ts AS DATE))
+                         % 7 + 7) % 7 + 1) >= 6 THEN 1 ELSE 0 END)
+           AS weekend_events,
+         SUM(CASE WHEN ((date_diff('day', DATE '1970-01-05', CAST(ts AS DATE))
+                         % 7 + 7) % 7 + 1) <= 5 THEN 1 ELSE 0 END)
+           AS weekday_events
+  FROM events GROUP BY 1
+)
+SELECT event_type,
+       CAST(weekend_events AS BIGINT) AS weekend_events,
+       CAST(weekday_events AS BIGINT) AS weekday_events,
+       CASE WHEN weekday_events > 0
+            THEN round(CAST(5 * weekend_events AS DOUBLE)
+                       / CAST(2 * weekday_events AS DOUBLE), 9)
+            END AS weekend_lift
+FROM g ORDER BY event_type
+"""
+
+
+def first_week_activation_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activation → retention: users bucketed by how many ACTIVE DAYS
+    their first week held (≤5 / 6 / 7), with the share still active
+    2+ weeks later (any event on days 14–27 after their first) — the
+    canonical "does early engagement predict retention" table
+    (``retention_cohorts`` asks when; this asks how much activation
+    matters).
+
+    Plan: (user, day) reduction → ONE user-keyed aggregate computing
+    first day, first-week active days, and the day-14–27 flag
+    together → a ≤ 3-row rollup.  Exact integer day arithmetic;
+    the rate is one double division."""
+    ev = _events(spark, sf_dir)
+    ud = ev.select("user_id", _day().alias("day")).distinct()
+    first = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    j = ud.join(first, "user_id").withColumn(
+        "offset", F.datediff(F.col("day"), F.col("first_day"))
+    )
+    per_user = j.groupBy("user_id").agg(
+        F.sum((F.col("offset") <= 6).cast("long")).alias("week0_days"),
+        F.max(
+            ((F.col("offset") >= 14) & (F.col("offset") <= 27)).cast("long")
+        ).alias("retained"),
+    )
+    bucket = (
+        F.when(F.col("week0_days") <= 5, "a_le_5_days")
+        .when(F.col("week0_days") == 6, "b_6_days")
+        .otherwise("c_7_days")
+    )
+    return (
+        per_user.groupBy(bucket.alias("activation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("retained").alias("n_retained"),
+        )
+        .select(
+            "activation",
+            "n_users",
+            "n_retained",
+            F.round(
+                F.col("n_retained").cast("double") / F.col("n_users").cast("double"),
+                9,
+            ).alias("retention_rate"),
+        )
+        .orderBy("activation")
+    )
+
+
+ACTIVATION_RETENTION_ORACLE = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+f AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY 1),
+o AS (
+  SELECT ud.user_id, date_diff('day', f.first_day, ud.day) AS off
+  FROM ud JOIN f USING (user_id)
+),
+pu AS (
+  SELECT user_id,
+         SUM(CASE WHEN off <= 6 THEN 1 ELSE 0 END) AS week0_days,
+         MAX(CASE WHEN off BETWEEN 14 AND 27 THEN 1 ELSE 0 END) AS retained
+  FROM o GROUP BY 1
+)
+SELECT CASE WHEN week0_days <= 5 THEN 'a_le_5_days'
+            WHEN week0_days = 6 THEN 'b_6_days'
+            ELSE 'c_7_days' END AS activation,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(retained) AS BIGINT) AS n_retained,
+       round(CAST(SUM(retained) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+         AS retention_rate
+FROM pu GROUP BY 1 ORDER BY 1
+"""
+
+
+def value_share_by_user_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value concentration by spend band: users bucketed by lifetime
+    event value (500-wide bands, capped at 11+) with each band's
+    share of all value — the monetization pyramid
+    (``power_user_curve`` counts events; this weighs revenue).
+
+    Determinism: per-user totals are exact DECIMAL sums; the band is
+    an exact floor on DECIMAL/100; shares divide two exact decimals
+    once.  No window anywhere — the band is a domain-bounded
+    expression, not a rank."""
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast(_DEC)).alias("_tot")
+    )
+    band = F.least(F.floor(F.col("_tot") / F.lit(500)).cast("int"), F.lit(11))
+    cell = per_user.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("_tot").alias("_band_val")
+    )
+    total = cell.agg(F.sum("_band_val").alias("_all"))
+    return (
+        cell.crossJoin(F.broadcast(total))
+        .select(
+            "band",
+            "n_users",
+            F.col("_band_val").cast("double").alias("band_value"),
+            F.round(
+                F.col("_band_val").cast("double") / F.col("_all").cast("double"),
+                9,
+            ).alias("share_of_value"),
+        )
+        .orderBy("band")
+    )
+
+
+VALUE_BAND_ORACLE = """
+WITH pu AS (
+  SELECT user_id, SUM(CAST(value AS DECIMAL(18,6))) AS _tot
+  FROM events GROUP BY 1
+),
+cell AS (
+  SELECT LEAST(CAST(FLOOR(_tot / 500) AS INT), 11) AS band,
+         COUNT(*) AS n_users, SUM(_tot) AS _band_val
+  FROM pu GROUP BY 1
+),
+tot AS (SELECT SUM(_band_val) AS _all FROM cell)
+SELECT band, CAST(n_users AS BIGINT) AS n_users,
+       CAST(_band_val AS DOUBLE) AS band_value,
+       round(CAST(_band_val AS DOUBLE) / CAST(_all AS DOUBLE), 9)
+         AS share_of_value
+FROM cell, tot ORDER BY band
+"""
+
+
+QUERIES = {
+    "new_vs_returning_daily": new_vs_returning_daily,
+    "resurrections_monthly": resurrections_monthly,
+    "user_entropy_tiers": user_entropy_tiers,
+    "weekend_lift_by_type": weekend_lift_by_type,
+    "first_week_activation_retention": first_week_activation_retention,
+    "value_share_by_user_band": value_share_by_user_band,
+}
+
+ORACLES = {
+    "new_vs_returning_daily": NEW_VS_RETURNING_ORACLE,
+    "resurrections_monthly": RESURRECTIONS_ORACLE,
+    "user_entropy_tiers": USER_ENTROPY_ORACLE,
+    "weekend_lift_by_type": WEEKEND_LIFT_ORACLE,
+    "first_week_activation_retention": ACTIVATION_RETENTION_ORACLE,
+    "value_share_by_user_band": VALUE_BAND_ORACLE,
+}

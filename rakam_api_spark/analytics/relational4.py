@@ -1,0 +1,490 @@
+"""Round-11 relational additions over the star schema: calendar-mix,
+purchase-cadence, balance/revenue decile, return-rate-trend, markup
+and cross-region-flow reports — BI shapes the reference serves
+through its warehouse SQL (reference README.md:17,27-31; SURVEY.md
+§2.7), re-expressed as declarative DataFrame plans.
+
+Determinism conventions match relational.py: money/quantity
+aggregates on DECIMAL (exact); every ratio is a single double
+division of exact operands (or rounded identically on both engines);
+every ordering ends in a unique key; day-of-week is integer date
+arithmetic anchored on a known Monday (1970-01-05) because Spark's
+and DuckDB's native dow functions disagree on week start.
+
+Scale notes: nothing here windows over raw fact rows — the only
+windows are ntile/rank PARTITIONED by market segment over
+per-customer AGGREGATE rows (the ``customer_gini_by_segment``
+precedent: segments are an enum, the partition input is already
+reduced by one groupBy).  Shares are computed with the
+``mix_weights`` idiom: aggregate to a domain-bounded cell table, a
+second aggregate OF THOSE cells broadcast back — never a global
+window over the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .relational import DEC, _dec
+from .relational2 import _VOL_SQL, _vol
+
+_MONDAY = "1970-01-05"  # a known Monday: dow = days-since mod 7 + 1
+
+
+def _dow(col):
+    day = col.cast("date")
+    return (
+        (F.datediff(day, F.lit(_MONDAY).cast("date")) % 7 + 7) % 7 + 1
+    ).cast("int")
+
+
+def order_weekday_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order volume and value by (day-of-week × priority), with each
+    priority's share of its weekday — the ops-calendar report behind
+    staffing and SLA planning (which priorities dominate Mondays?).
+
+    Plan: one partial-aggregatable groupBy to a ≤ 7×5-cell table;
+    weekday totals are an aggregate OF THOSE cells joined back
+    (broadcast-sized by construction).  Value sums are DECIMAL; the
+    share is one double division of exact counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    cell = orders.groupBy(
+        _dow(F.col("o_orderdate")).alias("dow"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).alias("_val"),
+    )
+    daytot = cell.groupBy("dow").agg(F.sum("n_orders").alias("_day_n"))
+    return (
+        cell.join(F.broadcast(daytot), "dow")
+        .select(
+            "dow",
+            "priority",
+            "n_orders",
+            F.col("_val").cast("double").alias("total_value"),
+            F.round(
+                F.col("n_orders").cast("double") / F.col("_day_n").cast("double"),
+                9,
+            ).alias("share_of_day"),
+        )
+        .orderBy("dow", "priority")
+    )
+
+
+ORDER_WEEKDAY_MIX_ORACLE = """
+WITH cell AS (
+  SELECT CAST(((date_diff('day', DATE '1970-01-05', CAST(o_orderdate AS DATE))
+                % 7 + 7) % 7 + 1) AS INT) AS dow,
+         o_orderpriority AS priority,
+         COUNT(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS _val
+  FROM orders GROUP BY 1, 2
+),
+daytot AS (SELECT dow, SUM(n_orders) AS _day_n FROM cell GROUP BY 1)
+SELECT c.dow, c.priority, CAST(c.n_orders AS BIGINT) AS n_orders,
+       CAST(c._val AS DOUBLE) AS total_value,
+       round(CAST(c.n_orders AS DOUBLE) / CAST(d._day_n AS DOUBLE), 9)
+         AS share_of_day
+FROM cell c JOIN daytot d USING (dow)
+ORDER BY dow, priority
+"""
+
+
+def customer_interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-cadence profile per market segment: how long between
+    a repeat customer's orders.  A customer's MEAN gap needs no
+    window at all — consecutive gaps telescope, so mean = (last −
+    first) / (n − 1) in exact integer days; the segment rollup
+    reports the POOLED mean (Σ span / Σ gaps — one double division
+    of exact integers) and the min/max per-customer mean (min/max
+    over bit-identical doubles, deterministic) rather than an
+    order-dependent double average.
+
+    Plan: one per-customer aggregate, a customer-dim join, one
+    segment rollup — zero windows, zero fact-row shuffles beyond the
+    custkey aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.datediff(
+                F.max(F.col("o_orderdate").cast("date")),
+                F.min(F.col("o_orderdate").cast("date")),
+            ).alias("span_days"),
+        )
+        .where(F.col("n_orders") >= 3)
+    )
+    mean_gap = F.col("span_days").cast("double") / (
+        F.col("n_orders") - F.lit(1)
+    ).cast("double")
+    j = per_cust.join(
+        customer, per_cust["o_custkey"] == customer["c_custkey"]
+    )
+    return (
+        j.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_repeat_customers"),
+            F.sum("span_days").alias("_span"),
+            F.sum(F.col("n_orders") - F.lit(1)).alias("_gaps"),
+            F.round(F.min(mean_gap), 9).alias("min_mean_gap_days"),
+            F.round(F.max(mean_gap), 9).alias("max_mean_gap_days"),
+        )
+        .select(
+            "segment",
+            "n_repeat_customers",
+            F.round(
+                F.col("_span").cast("double") / F.col("_gaps").cast("double"), 9
+            ).alias("pooled_mean_gap_days"),
+            "min_mean_gap_days",
+            "max_mean_gap_days",
+        )
+        .orderBy("segment")
+    )
+
+
+INTERPURCHASE_GAPS_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         COUNT(*) AS n_orders,
+         date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+                   MAX(CAST(o_orderdate AS DATE))) AS span_days
+  FROM orders GROUP BY 1 HAVING COUNT(*) >= 3
+)
+SELECT c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_repeat_customers,
+       round(CAST(SUM(span_days) AS DOUBLE)
+             / CAST(SUM(n_orders - 1) AS DOUBLE), 9) AS pooled_mean_gap_days,
+       round(MIN(CAST(span_days AS DOUBLE) / CAST(n_orders - 1 AS DOUBLE)), 9)
+         AS min_mean_gap_days,
+       round(MAX(CAST(span_days AS DOUBLE) / CAST(n_orders - 1 AS DOUBLE)), 9)
+         AS max_mean_gap_days
+FROM per_cust JOIN customer ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def acctbal_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-balance decile table per market segment: the
+    distribution profile (n, min, max, mean per decile) credit teams
+    read instead of raw quantiles — ntile ranks are identical across
+    engines once the order is total, where engine-specific quantile
+    INTERPOLATION is not.
+
+    Plan: the only window is ntile PARTITIONED BY SEGMENT over
+    customer-dim rows (already one row per customer); means divide a
+    DECIMAL sum by an exact count."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    d = customer.withColumn("decile", F.ntile(10).over(w))
+    return (
+        d.groupBy(F.col("c_mktsegment").alias("segment"), "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("c_acctbal"), 6).alias("min_balance"),
+            F.round(F.max("c_acctbal"), 6).alias("max_balance"),
+            F.round(
+                F.sum(_dec("c_acctbal")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("avg_balance"),
+        )
+        .orderBy("segment", "decile")
+    )
+
+
+ACCTBAL_DECILE_ORACLE = """
+WITH d AS (
+  SELECT c_mktsegment, c_acctbal,
+         ntile(10) OVER (PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal, c_custkey) AS decile
+  FROM customer
+)
+SELECT c_mktsegment AS segment, decile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       round(MIN(c_acctbal), 6) AS min_balance,
+       round(MAX(c_acctbal), 6) AS max_balance,
+       round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS avg_balance
+FROM d GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def brand_return_rate_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate trend by brand × ship quarter: the share of
+    shipped quantity that came back flagged 'R' — the
+    quality-regression tripwire behind the reference's returned-item
+    reporting (the trend view of TPC-H Q10's snapshot).
+
+    Plan: one part-dim join (dimension side is broadcast-sized; AQE
+    chooses), one partial-aggregatable groupBy to brand×quarter
+    cells.  Quantities are DECIMAL sums; the rate is one double
+    division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    quarter = F.date_trunc("quarter", F.col("l_shipdate")).cast("date")
+    j = li.join(part, li["l_partkey"] == part["p_partkey"])
+    cell = j.groupBy(
+        F.col("p_brand").alias("brand"), quarter.alias("quarter")
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(_dec("l_quantity")).alias("_qty"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", _dec("l_quantity")).otherwise(
+                F.lit(0).cast(DEC)
+            )
+        ).alias("_rqty"),
+    )
+    return cell.select(
+        "brand",
+        "quarter",
+        "n_items",
+        F.col("_qty").cast("double").alias("total_qty"),
+        F.round(
+            F.col("_rqty").cast("double") / F.col("_qty").cast("double"), 9
+        ).alias("return_rate"),
+    ).orderBy("brand", "quarter")
+
+
+BRAND_RETURN_RATE_ORACLE = """
+SELECT p_brand AS brand,
+       CAST(date_trunc('quarter', l_shipdate) AS DATE) AS quarter,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty,
+       round(CAST(SUM(CASE WHEN l_returnflag = 'R'
+                           THEN CAST(l_quantity AS DECIMAL(18,6))
+                           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 9)
+         AS return_rate
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def retail_markup_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized markup over catalog price by part type: how actual
+    line revenue compares to quantity × retail price — the pricing-
+    discipline report (aggregate ratio of exact DECIMAL sums, plus
+    the per-item extremes).
+
+    Determinism: each row's markup is ONE double division of exact
+    decimal operands (bit-identical across engines), so min/max pick
+    identical values; the aggregate markup divides two exact DECIMAL
+    sums once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(part, li["l_partkey"] == part["p_partkey"])
+    base = _dec("l_quantity") * _dec("p_retailprice")
+    row_markup = _dec("l_extendedprice").cast("double") / base.cast("double")
+    g = j.groupBy(F.col("p_type").alias("part_type")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(_dec("l_extendedprice")).alias("_ext"),
+        F.sum(base).alias("_base"),
+        F.round(F.min(row_markup), 9).alias("min_item_markup"),
+        F.round(F.max(row_markup), 9).alias("max_item_markup"),
+    )
+    return g.select(
+        "part_type",
+        "n_items",
+        F.round(
+            F.col("_ext").cast("double") / F.col("_base").cast("double"), 9
+        ).alias("aggregate_markup"),
+        "min_item_markup",
+        "max_item_markup",
+    ).orderBy("part_type")
+
+
+RETAIL_MARKUP_ORACLE = """
+WITH j AS (
+  SELECT p_type,
+         CAST(l_extendedprice AS DECIMAL(18,6)) AS ext,
+         CAST(l_quantity AS DECIMAL(18,6))
+           * CAST(p_retailprice AS DECIMAL(18,6)) AS base
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT p_type AS part_type,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       round(CAST(SUM(ext) AS DOUBLE) / CAST(SUM(base) AS DOUBLE), 9)
+         AS aggregate_markup,
+       round(MIN(CAST(ext AS DOUBLE) / CAST(base AS DOUBLE)), 9)
+         AS min_item_markup,
+       round(MAX(CAST(ext AS DOUBLE) / CAST(base AS DOUBLE)), 9)
+         AS max_item_markup
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
+def customer_decile_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration by spend decile within each market
+    segment: rank customers by exact total spend, cut into deciles,
+    report each decile's revenue share of its segment — the
+    "how much do the top 10% carry" table (the decile-resolution
+    companion to ``customer_gini_by_segment``'s single index).
+
+    Plan: one orderkey-grain join + per-customer DECIMAL aggregate,
+    then ntile PARTITIONED BY SEGMENT over those reduced rows;
+    segment totals aggregate the ≤ |segments|×10 cells and join
+    back broadcast-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.sum(_vol()).alias("_spend"))
+    )
+    j = per_cust.join(
+        customer, per_cust["o_custkey"] == customer["c_custkey"]
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("_spend", "c_custkey")
+    d = j.withColumn("decile", F.ntile(10).over(w))
+    seg = d.groupBy(F.col("c_mktsegment").alias("segment"), "decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("_spend").alias("_rev"),
+    )
+    segtot = seg.groupBy("segment").agg(F.sum("_rev").alias("_seg_tot"))
+    return (
+        seg.join(F.broadcast(segtot), "segment")
+        .select(
+            "segment",
+            "decile",
+            "n_customers",
+            F.col("_rev").cast("double").alias("revenue"),
+            F.round(
+                F.col("_rev").cast("double") / F.col("_seg_tot").cast("double"),
+                9,
+            ).alias("share_of_segment"),
+        )
+        .orderBy("segment", "decile")
+    )
+
+
+CUSTOMER_DECILE_SHARE_ORACLE = f"""
+WITH per_cust AS (
+  SELECT o_custkey, SUM({_VOL_SQL}) AS _spend
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1
+),
+d AS (
+  SELECT c_mktsegment, _spend,
+         ntile(10) OVER (PARTITION BY c_mktsegment
+                         ORDER BY _spend, c_custkey) AS decile
+  FROM per_cust JOIN customer ON o_custkey = c_custkey
+),
+seg AS (
+  SELECT c_mktsegment AS segment, decile,
+         COUNT(*) AS n_customers, SUM(_spend) AS _rev
+  FROM d GROUP BY 1, 2
+),
+segtot AS (SELECT segment, SUM(_rev) AS _seg_tot FROM seg GROUP BY 1)
+SELECT s.segment, s.decile, CAST(s.n_customers AS BIGINT) AS n_customers,
+       CAST(s._rev AS DOUBLE) AS revenue,
+       round(CAST(s._rev AS DOUBLE) / CAST(t._seg_tot AS DOUBLE), 9)
+         AS share_of_segment
+FROM seg s JOIN segtot t USING (segment)
+ORDER BY segment, decile
+"""
+
+
+def region_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-region trade flows: revenue by (customer region ×
+    supplier region) with each flow's share of world trade — the
+    region-grain matrix behind TPC-H Q7/Q8's nation-pair questions
+    (and the region-level rollup of ``nation_trade_balance``).
+
+    Plan: fact rows join two TINY dim chains (customer→nation→region
+    and supplier→nation→region — broadcast-sized; AQE chooses), one
+    groupBy to a ≤ 5×5 cell table; the world total aggregates those
+    cells and joins back as one row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cust_region = (
+        customer.join(nation, customer["c_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .select(F.col("c_custkey"), F.col("r_name").alias("cust_region"))
+    )
+    supp_region = (
+        supplier.join(nation, supplier["s_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .select(F.col("s_suppkey"), F.col("r_name").alias("supp_region"))
+    )
+    flows = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust_region, F.col("o_custkey") == cust_region["c_custkey"])
+        .join(supp_region, li["l_suppkey"] == supp_region["s_suppkey"])
+    )
+    cell = flows.groupBy("cust_region", "supp_region").agg(
+        F.count(F.lit(1)).alias("n_items"), F.sum(_vol()).alias("_rev")
+    )
+    total = cell.agg(F.sum("_rev").alias("_world"))
+    return (
+        cell.crossJoin(F.broadcast(total))
+        .select(
+            "cust_region",
+            "supp_region",
+            "n_items",
+            F.col("_rev").cast("double").alias("revenue"),
+            F.round(
+                F.col("_rev").cast("double") / F.col("_world").cast("double"), 9
+            ).alias("share_of_world"),
+        )
+        .orderBy("cust_region", "supp_region")
+    )
+
+
+REGION_TRADE_ORACLE = f"""
+WITH cr AS (
+  SELECT c_custkey, r_name AS cust_region
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+),
+sr AS (
+  SELECT s_suppkey, r_name AS supp_region
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+),
+cell AS (
+  SELECT cust_region, supp_region,
+         COUNT(*) AS n_items, SUM({_VOL_SQL}) AS _rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                JOIN cr ON o_custkey = c_custkey
+                JOIN sr ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+),
+world AS (SELECT SUM(_rev) AS _world FROM cell)
+SELECT cust_region, supp_region, CAST(n_items AS BIGINT) AS n_items,
+       CAST(_rev AS DOUBLE) AS revenue,
+       round(CAST(_rev AS DOUBLE) / CAST(_world AS DOUBLE), 9)
+         AS share_of_world
+FROM cell, world
+ORDER BY cust_region, supp_region
+"""
+
+
+QUERIES = {
+    "order_weekday_priority_mix": order_weekday_priority_mix,
+    "customer_interpurchase_gaps": customer_interpurchase_gaps,
+    "acctbal_decile_profile": acctbal_decile_profile,
+    "brand_return_rate_quarterly": brand_return_rate_quarterly,
+    "retail_markup_by_type": retail_markup_by_type,
+    "customer_decile_revenue_share": customer_decile_revenue_share,
+    "region_trade_matrix": region_trade_matrix,
+}
+
+ORACLES = {
+    "order_weekday_priority_mix": ORDER_WEEKDAY_MIX_ORACLE,
+    "customer_interpurchase_gaps": INTERPURCHASE_GAPS_ORACLE,
+    "acctbal_decile_profile": ACCTBAL_DECILE_ORACLE,
+    "brand_return_rate_quarterly": BRAND_RETURN_RATE_ORACLE,
+    "retail_markup_by_type": RETAIL_MARKUP_ORACLE,
+    "customer_decile_revenue_share": CUSTOMER_DECILE_SHARE_ORACLE,
+    "region_trade_matrix": REGION_TRADE_ORACLE,
+}

@@ -2489,7 +2489,164 @@ GROUP BY label ORDER BY label
 """
 
 
+
+
+# --- round-11 additions -------------------------------------------------
+
+
+def embedding_dimension_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 highest-variance embedding dimensions (mean + population
+    variance per coordinate): the collapse/anisotropy screen run
+    before ANN indexing — dead dimensions waste PQ codebook bits, and
+    a few dominant ones hint the corpus needs rotation/OPQ
+    (companion to ``embedding_intrinsic_dim``'s single number).
+
+    Exactness: components go through the module's round(x·10⁴)
+    integer quantization; Σq and Σq² are exact DECIMAL sums, so
+    variance = (n·Σq² − (Σq)²) / n² divides two exact values once —
+    bit-identical across engines, deterministic top-10 with the dim
+    index as tiebreak."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    comp = _quantized_components(emb)
+    g = comp.groupBy(F.col("pos").alias("dim")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("_s"),
+        F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).alias("_s2"),
+    )
+    mean = F.col("_s").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("n").cast("decimal(38,0)") * F.col("_s2")
+        - F.col("_s") * F.col("_s")
+    ).cast("double") / (F.col("n").cast("double") * F.col("n").cast("double"))
+    return (
+        g.select(
+            "dim",
+            "n",
+            F.round(mean / F.lit(float(QUANT)), 9).alias("mean_component"),
+            F.round(var / F.lit(float(QUANT * QUANT)), 9).alias(
+                "var_component"
+            ),
+        )
+        .orderBy(F.desc("var_component"), "dim")
+        .limit(10)
+    )
+
+
+EMBEDDING_DIM_PROFILE_ORACLE = """
+WITH comp AS (
+  SELECT CAST(i AS INT) AS dim,
+         CAST(round(CAST(embedding[CAST(i AS INT)+1] AS DOUBLE) * 10000, 0)
+              AS BIGINT) AS q
+  FROM embeddings, LATERAL unnest(range(0, len(embedding))) t(i)
+),
+g AS (
+  SELECT dim, COUNT(*) AS n,
+         SUM(CAST(q AS DECIMAL(38,0))) AS _s,
+         SUM(CAST(q*q AS DECIMAL(38,0))) AS _s2
+  FROM comp GROUP BY 1
+)
+SELECT dim, CAST(n AS BIGINT) AS n,
+       round((CAST(_s AS DOUBLE) / CAST(n AS DOUBLE)) / 10000.0, 9)
+         AS mean_component,
+       round((CAST(CAST(n AS DECIMAL(38,0)) * _s2 - _s * _s AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / 100000000.0, 9)
+         AS var_component
+FROM g
+ORDER BY var_component DESC, dim
+LIMIT 10
+"""
+
+
+def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Euclidean distances between label centroids — the
+    class-separation matrix behind contamination checks and
+    label-propagation sanity (labels whose centroids nearly coincide
+    will bleed into each other under kNN).
+
+    Exactness: per-(label, dim) sums are exact integers (quantized
+    components); the pair distance uses the common-denominator form
+    Σ(sa·nb − sb·na)² / (na·nb)² with the numerator summed EXACTLY in
+    DECIMAL(38,0), so the only float steps are one division, one
+    sqrt, one rescale — identical on both engines.
+
+    Scale: the corpus is touched once (one (label, dim) aggregate =
+    |labels|·d rows); the pair join runs over that TINY aggregate,
+    never over vectors."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    comp = _quantized_components(emb).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    cent = comp.groupBy("label", "pos").agg(
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    pair = a.join(
+        b,
+        (F.col("a.pos") == F.col("b.pos"))
+        & (F.col("a.label") < F.col("b.label")),
+    ).select(
+        F.col("a.label").alias("label_a"),
+        F.col("b.label").alias("label_b"),
+        F.col("a.n").alias("na"),
+        F.col("b.n").alias("nb"),
+        (
+            (F.col("a.s") * F.col("b.n").cast("decimal(38,0)")
+             - F.col("b.s") * F.col("a.n").cast("decimal(38,0)"))
+        ).alias("d"),
+    )
+    g = pair.groupBy("label_a", "label_b", "na", "nb").agg(
+        F.sum((F.col("d") * F.col("d")).cast("decimal(38,0)")).alias("_num")
+    )
+    dist = F.sqrt(F.col("_num").cast("double")) / (
+        F.col("na").cast("double")
+        * F.col("nb").cast("double")
+        * F.lit(float(QUANT))
+    )
+    return (
+        g.select(
+            "label_a",
+            "label_b",
+            F.round(dist, 9).alias("centroid_distance"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+LABEL_CENTROID_DIST_ORACLE = """
+WITH comp AS (
+  SELECT e.label, CAST(i AS INT) AS pos,
+         CAST(round(CAST(embedding[CAST(i AS INT)+1] AS DOUBLE) * 10000, 0)
+              AS BIGINT) AS q
+  FROM embeddings e, LATERAL unnest(range(0, len(embedding))) t(i)
+),
+cent AS (
+  SELECT label, pos, SUM(CAST(q AS DECIMAL(38,0))) AS s, COUNT(*) AS n
+  FROM comp GROUP BY 1, 2
+),
+pair AS (
+  SELECT a.label AS label_a, b.label AS label_b, a.n AS na, b.n AS nb,
+         (a.s * CAST(b.n AS DECIMAL(38,0))
+          - b.s * CAST(a.n AS DECIMAL(38,0))) AS d
+  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+),
+g AS (
+  SELECT label_a, label_b, na, nb,
+         SUM(CAST(d*d AS DECIMAL(38,0))) AS _num
+  FROM pair GROUP BY 1, 2, 3, 4
+)
+SELECT label_a, label_b,
+       round(sqrt(CAST(_num AS DOUBLE))
+             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * 10000.0), 9)
+         AS centroid_distance
+FROM g ORDER BY label_a, label_b
+"""
+
+
+
 QUERIES = {
+    "embedding_dimension_profile": embedding_dimension_profile,
+    "label_centroid_distances": label_centroid_distances,
     "embedding_norm_audit": embedding_norm_audit,
     "ivf_cell_balance": ivf_cell_balance,
     "embedding_label_outliers": embedding_label_outliers,
@@ -2514,6 +2671,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_dimension_profile": EMBEDDING_DIM_PROFILE_ORACLE,
+    "label_centroid_distances": LABEL_CENTROID_DIST_ORACLE,
     "embedding_norm_audit": EMBEDDING_NORM_AUDIT_ORACLE,
     "ivf_cell_balance": IVF_CELL_BALANCE_ORACLE,
     "embedding_label_outliers": EMBEDDING_LABEL_OUTLIERS_ORACLE,

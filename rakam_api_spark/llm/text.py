@@ -1121,7 +1121,251 @@ FROM per_doc GROUP BY 1 ORDER BY 1
 
 
 
+
+
+# --- round-11 additions -------------------------------------------------
+
+
+def sentence_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-shape profile per source: sentences per doc and mean
+    sentence length — the readability screen next to
+    ``text_quality``'s token features (boilerplate-heavy sources show
+    few, long "sentences"; chat-like sources many short ones).
+
+    Sentences = non-blank segments after splitting on [.!?]+ runs —
+    the SAME higher-order expression in both engines (split →
+    filter(trim ≠ '') → length sum), all exact integers; the two
+    means are single double divisions.
+
+    Scale: one pass over docs, partial-aggregatable groupBy to
+    |sources| rows; the sentence arrays live only inside the
+    projection (never shuffled)."""
+    docs = _docs(spark, sf_dir)
+    sent = F.expr(
+        "filter(split(text, '[.!?]+'), x -> length(trim(x)) > 0)"
+    )
+    per_doc = docs.select(
+        "source",
+        F.size(sent).alias("n_sent"),
+        F.expr(
+            "aggregate(filter(split(text, '[.!?]+'), "
+            "x -> length(trim(x)) > 0), 0L, (a, x) -> a + length(trim(x)))"
+        ).alias("sent_chars"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_sent").alias("total_sentences"),
+            F.round(
+                F.sum("n_sent").cast("double") / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("sentences_per_doc"),
+            F.round(
+                F.sum("sent_chars").cast("double")
+                / F.sum("n_sent").cast("double"),
+                9,
+            ).alias("mean_sentence_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+SENTENCE_STATS_ORACLE = """
+WITH per_doc AS (
+  SELECT source,
+         len(list_filter(string_split_regex(text, '[.!?]+'),
+                         x -> length(trim(x)) > 0)) AS n_sent,
+         coalesce(list_sum(list_transform(
+           list_filter(string_split_regex(text, '[.!?]+'),
+                       x -> length(trim(x)) > 0),
+           x -> length(trim(x)))), 0) AS sent_chars
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_sent) AS BIGINT) AS total_sentences,
+       round(CAST(SUM(n_sent) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+         AS sentences_per_doc,
+       round(CAST(SUM(sent_chars) AS DOUBLE) / CAST(SUM(n_sent) AS DOUBLE), 9)
+         AS mean_sentence_chars
+FROM per_doc GROUP BY 1 ORDER BY 1
+"""
+
+
+def doc_length_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length inequality per source: the Gini coefficient of document
+    character counts by the exact rank formula (the
+    ``customer_gini_by_segment`` kernel pointed at the corpus) — a
+    skew screen for mixture weighting (a source whose token budget is
+    carried by a few huge docs behaves very differently in sampling
+    than its doc count suggests).
+
+    Exactness: rank·chars products accumulate in DECIMAL(38,6); the
+    only float step is the final two-term formula, identical on both
+    engines.  The rank window is PARTITIONED BY SOURCE (sources are
+    an enum)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select("source", "n_chars", "doc_id").withColumn(
+        "r", F.row_number().over(w)
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("decimal(38,6)")).alias("_sx"),
+            F.sum(
+                F.col("r").cast("decimal(38,6)")
+                * F.col("n_chars").cast("decimal(38,6)")
+            ).alias("_srx"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("_sx").cast("double"), 6).alias("total_chars"),
+            F.round(
+                F.lit(2.0) * F.col("_srx").cast("double")
+                / (F.col("n_docs").cast("double") * F.col("_sx").cast("double"))
+                - (F.col("n_docs") + 1).cast("double")
+                / F.col("n_docs").cast("double"),
+                9,
+            ).alias("gini"),
+        )
+        .orderBy("source")
+    )
+
+
+DOC_LENGTH_GINI_ORACLE = """
+WITH ranked AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS r
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE), 6)
+         AS total_chars,
+       round(
+         2.0 * CAST(SUM(CAST(r AS DECIMAL(38,6))
+                        * CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE)
+           / (CAST(COUNT(*) AS DOUBLE)
+              * CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE))
+         - CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+         9
+       ) AS gini
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+
+def shouting_docs_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 shoutiest documents: highest uppercase share among
+    alphabetic characters (min 40 letters) — the ALL-CAPS/boilerplate
+    outlier list quality reviewers eyeball after
+    ``char_class_composition``'s per-source aggregate.
+
+    Counts via regexp strip-and-measure (identical semantics both
+    engines); the ratio is one double division; ties break on
+    doc_id."""
+    docs = _docs(spark, sf_dir)
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    upper = F.length(F.regexp_replace(F.col("text"), "[^A-Z]", ""))
+    d = docs.select(
+        "doc_id",
+        "source",
+        alpha.alias("alpha_chars"),
+        upper.alias("upper_chars"),
+    ).where(F.col("alpha_chars") >= 40)
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "alpha_chars",
+            "upper_chars",
+            F.round(
+                F.col("upper_chars").cast("double")
+                / F.col("alpha_chars").cast("double"),
+                9,
+            ).alias("upper_ratio"),
+        )
+        .orderBy(F.desc("upper_ratio"), "doc_id")
+        .limit(20)
+    )
+
+
+SHOUTING_DOCS_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+         length(regexp_replace(text, '[^A-Z]', '', 'g')) AS upper_chars
+  FROM documents
+)
+SELECT doc_id, source, CAST(alpha_chars AS BIGINT) AS alpha_chars,
+       CAST(upper_chars AS BIGINT) AS upper_chars,
+       round(CAST(upper_chars AS DOUBLE) / CAST(alpha_chars AS DOUBLE), 9)
+         AS upper_ratio
+FROM d WHERE alpha_chars >= 40
+ORDER BY upper_ratio DESC, doc_id
+LIMIT 20
+"""
+
+
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token-length histogram (whitespace tokens, length
+    capped at 15+): the tokenizer-budget shape — how much of the
+    corpus is short function words vs long identifiers — feeding BPE
+    vocabulary sizing next to ``bpe_merge_candidates``.
+
+    One tokenize pass, explode to (bucket) grain, partial-aggregated
+    counts; the share divides exact longs against the broadcast
+    one-row total."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("t")
+    ).where(F.length("t") > 0)
+    cell = tok.groupBy(
+        F.least(F.length("t"), F.lit(15)).cast("int").alias("token_len")
+    ).agg(F.count(F.lit(1)).alias("n_tokens"))
+    total = cell.agg(F.sum("n_tokens").alias("_tot"))
+    return (
+        cell.crossJoin(F.broadcast(total))
+        .select(
+            "token_len",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("_tot").cast("double"),
+                9,
+            ).alias("share"),
+        )
+        .orderBy("token_len")
+    )
+
+
+TOKEN_LENGTH_HIST_ORACLE = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS t FROM documents
+),
+cell AS (
+  SELECT CAST(LEAST(length(t), 15) AS INT) AS token_len,
+         COUNT(*) AS n_tokens
+  FROM tok WHERE length(t) > 0 GROUP BY 1
+),
+tot AS (SELECT SUM(n_tokens) AS _tot FROM cell)
+SELECT token_len, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / CAST(_tot AS DOUBLE), 9) AS share
+FROM cell, tot ORDER BY token_len
+"""
+
+
+
 QUERIES = {
+    "sentence_stats_by_source": sentence_stats_by_source,
+    "doc_length_gini_by_source": doc_length_gini_by_source,
+    "shouting_docs_top20": shouting_docs_top20,
+    "token_length_histogram": token_length_histogram,
     "ttr_by_source": ttr_by_source,
     "hapax_ratio_by_source": hapax_ratio_by_source,
     "char_class_composition": char_class_composition,
@@ -1143,6 +1387,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sentence_stats_by_source": SENTENCE_STATS_ORACLE,
+    "doc_length_gini_by_source": DOC_LENGTH_GINI_ORACLE,
+    "shouting_docs_top20": SHOUTING_DOCS_ORACLE,
+    "token_length_histogram": TOKEN_LENGTH_HIST_ORACLE,
     "ttr_by_source": TTR_BY_SOURCE_ORACLE,
     "hapax_ratio_by_source": HAPAX_RATIO_ORACLE,
     "char_class_composition": CHAR_CLASS_ORACLE,

@@ -18,6 +18,26 @@ import __spark_entry__ as entrymod
 from rakam_api_spark.session import get_spark
 
 SHOW = {
+    # round-11 additions
+    "order_weekday_priority_mix": "one partial-agg groupBy to <=35 cells; weekday totals join the cell table broadcast-sized",
+    "customer_interpurchase_gaps": "telescoped gaps: per-customer mean from (max-min)/(n-1), NO window; one custkey aggregate + dim join",
+    "acctbal_decile_profile": "ntile PARTITIONED BY SEGMENT over customer-dim rows (enum partitions, input already one row/customer)",
+    "brand_return_rate_quarterly": "fact x part-dim join (AQE broadcast), partial-agg to brand x quarter cells; DECIMAL sums",
+    "retail_markup_by_type": "single fact-dim join; aggregate markup = ratio of two exact DECIMAL sums; min/max over bit-identical row doubles",
+    "customer_decile_revenue_share": "per-customer DECIMAL aggregate BEFORE the segment-partitioned ntile; segment totals from the 10x|segments| cell table",
+    "region_trade_matrix": "two tiny dim chains broadcast onto the fact scan; groupBy to <=25 cells; world total aggregates the cells",
+    "new_vs_returning_daily": "reduce to (user,day) then ONE user-keyed aggregate for first days; day rollup; no window",
+    "resurrections_monthly": "lag window PARTITIONED BY USER over per-user-day rows (already distinct-reduced)",
+    "user_entropy_tiers": "(user,type) counts -> user aggregate -> 4-row tier rollup; entropy rounded both sides before averaging",
+    "weekend_lift_by_type": "single partial-agg groupBy with conditional sums; dow is pure column arithmetic (codegen)",
+    "first_week_activation_retention": "(user,day) reduction -> one user aggregate computing activation+retention flags together -> 3-row rollup",
+    "value_share_by_user_band": "per-user DECIMAL totals; band is a domain-bounded floor expression (no rank window); broadcast-back total",
+    "sentence_stats_by_source": "higher-order array exprs stay inside the projection (codegen); partial-agg to |sources| rows; arrays never shuffled",
+    "doc_length_gini_by_source": "rank window PARTITIONED BY SOURCE; rank*chars accumulates in DECIMAL(38,6); final two-term float formula",
+    "shouting_docs_top20": "regexp strip+measure in codegen; TakeOrderedAndProject(20) — no global sort materialized",
+    "token_length_histogram": "explode -> partial-agg counts per 15-bucket domain; share vs broadcast 1-row total",
+    "embedding_dimension_profile": "one posexplode pass; per-dim exact integer moments; top-10 via TakeOrderedAndProject",
+    "label_centroid_distances": "corpus touched once ((label,dim) aggregate); pair join runs over the tiny centroid table only",
     "q6_forecast_revenue": "pure filter+agg: every predicate reaches the parquet scan "
     "(PushedFilters), 2-column projection, single-row exchange",
     "q5_region_revenue": "5-way dimension join: every dim broadcast, fact table never "

@@ -31,6 +31,26 @@ BASE = "/root/testdata/sf0.1"
 OFF = 10_000_000
 
 OPERATORS = [
+    # round-11 additions
+    "order_weekday_priority_mix",
+    "customer_interpurchase_gaps",
+    "acctbal_decile_profile",
+    "brand_return_rate_quarterly",
+    "retail_markup_by_type",
+    "customer_decile_revenue_share",
+    "region_trade_matrix",
+    "new_vs_returning_daily",
+    "resurrections_monthly",
+    "user_entropy_tiers",
+    "weekend_lift_by_type",
+    "first_week_activation_retention",
+    "value_share_by_user_band",
+    "sentence_stats_by_source",
+    "doc_length_gini_by_source",
+    "shouting_docs_top20",
+    "token_length_histogram",
+    "embedding_dimension_profile",
+    "label_centroid_distances",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
