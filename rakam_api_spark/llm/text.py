@@ -1269,7 +1269,13 @@ def shouting_docs_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Counts via regexp strip-and-measure (identical semantics both
     engines); the ratio is one double division; ties break on
-    doc_id."""
+    doc_id.
+
+    Scale: one linear pass over the text (CPU-bound regex inside
+    whole-stage codegen, embarrassingly parallel, no shuffle — its
+    scaling slope measures per-core regex throughput, not a plan
+    problem), finishing in TakeOrderedAndProject(20) so no global
+    sort ever materializes."""
     docs = _docs(spark, sf_dir)
     alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
     upper = F.length(F.regexp_replace(F.col("text"), "[^A-Z]", ""))

@@ -354,6 +354,22 @@ def main() -> None:
         "`BroadcastNestedLoopJoin` for dimension joins, `Exchange` count (each is a "
         "shuffle), and partial (`partial_…`) aggregates before exchanges.",
         "",
+        "## Size assumptions stated honestly",
+        "",
+        "- **Identity stitching** (`users.stitch`, `users.identity_components`):"
+        " the anonymous mapping and the identified-id set GROW WITH THE USER BASE"
+        " (one row per merged visitor), so neither carries a forced `broadcast()`"
+        " hint — size-based planning/AQE broadcasts while they are small and"
+        " shuffle-joins past the threshold (round-11; the r8"
+        " `cluster_safe_splits` precedent).  The ≤50k-edge driver union-find in"
+        " `identity_components` is bounded BY CONSTRUCTION (the collect is"
+        " gated on the counted edge total); larger graphs take the distributed"
+        " min-label propagation, whose lineage is truncated every 5 rounds"
+        " (`localCheckpoint`) because the per-round plan otherwise DOUBLES.",
+        "- **Merge key targeting** (`txnlog.merge`): the distinct-key probe is"
+        " bounded at 100k keys by contract; past it the coarse [lo, hi] range"
+        " applies (correct, rewrites more).",
+        "",
     ]
     for name, note in SHOW.items():
         df = qs[name](spark, sf_dir)
