@@ -201,12 +201,27 @@ class QueryService:
                 # current ``__rollup`` is deliberately NOT registered
                 # beside a historical base — mixing grains across
                 # versions would silently serve inconsistent numbers.
-                # ``eq`` (extracted equality predicates on bloomed
-                # columns) prunes the file list from manifest blooms +
-                # min/max — a SUPERSET of the matching files, so the
-                # query's own row filter still yields exact results.
+                # ``eq`` (extracted point/range predicates) prunes the
+                # file list from manifest blooms + min/max — a SUPERSET
+                # of the matching files, so the query's own row filter
+                # still yields exact results.  IN alternatives union
+                # per value; conjuncts on different columns intersect.
                 txn = self.store.txn_table(project, coll)
-                files = txn.live_files(version=as_of.get(coll), equals=eq)
+                ver = as_of.get(coll)
+                ranges = {
+                    c: tuple(b) for c, b in ((eq or {}).get("ranges") or {}).items()
+                }
+                files = txn.live_files(version=ver, ranges=ranges or None)
+                for col, vals in ((eq or {}).get("equals") or {}).items():
+                    if not vals:  # proven contradiction: nothing matches
+                        files = []
+                        break
+                    allowed: set = set()
+                    for v in vals:
+                        allowed.update(
+                            txn.live_files(version=ver, equals={col: v})
+                        )
+                    files = [f for f in files if f in allowed]
                 views[coll] = (
                     txn.read(files=files)
                     if files
@@ -231,24 +246,35 @@ class QueryService:
     _REL_RE = re.compile(r"'UnresolvedRelation \[([^\]]+)\]")
 
     def _equality_pruning(self, project: str, sql: str) -> dict[str, dict]:
-        """Extract CONJUNCTIVE equality predicates on bloomed columns
-        from the statement's parsed (unresolved) plan, for manifest
-        file pruning — the pass that turns per-file blooms into
-        end-to-end point-lookup wins (``WHERE _user = 'x'`` opens
-        ~fpr·files instead of the whole snapshot; VERDICT r10 Next #7).
+        """Extract CONJUNCTIVE point/range predicates from the
+        statement's parsed (unresolved) plan, for manifest file
+        pruning — the pass that turns per-file blooms and min/max
+        stats into end-to-end query wins (``WHERE _user = 'x'`` opens
+        ~fpr·files instead of the whole snapshot; VERDICT r10 Next
+        #7).  Returns ``{collection: {"equals": {col: [values]},
+        "ranges": {col: [lo, hi]}}}`` — equals lists carry ``IN``
+        alternatives (a file survives if it might contain ANY of
+        them); an EMPTY list is a proven contradiction (``col = 'a'
+        AND col IN ('b')``) and prunes every file.
 
-        Safety rules (pruning must only ever drop files the value
-        PROVABLY cannot inhabit):
+        Applies to every transaction-logged collection: equality uses
+        blooms AND min/max, ranges use min/max — a column without
+        stats/blooms is simply never pruned on (live_files keeps it).
+
+        Safety rules (pruning must only ever drop files the predicate
+        PROVABLY rules out):
 
         - only Filter nodes whose child subtree contains exactly ONE
           relation occurrence, of a collection that appears exactly
           once in the WHOLE statement (counting subquery expressions
           via treeString) — a second occurrence might need files the
           first occurrence's predicate excludes;
-        - only top-level And-conjuncts of the form ``col = literal``
-          (Or/Not/In/casts/attr-to-attr all ignored — they are not
-          conjunctive point constraints);
+        - only top-level And-conjuncts of the forms ``col = literal``,
+          ``col IN (literals)``, ``col </<=/>/>= literal`` (strict
+          bounds widen to inclusive — conservative).  Or/Not/casts/
+          attr-to-attr are ignored;
         - only simple literal types whose bloom keys are canonical
+          and whose stat comparisons are total
           (string/integral/float/boolean);
         - a parse failure or any surprise shape returns {} — pruning
           is an accelerator, never a correctness dependency.
@@ -256,9 +282,9 @@ class QueryService:
         bloomed: dict[str, set] = {}
         for coll in self.store.metastore.collections(project):
             if self.store.txn_mode(project, coll):
-                cols = self.store.bloom_cols(project, coll)
-                if cols:
-                    bloomed[coll.lower()] = set(cols)
+                bloomed[coll.lower()] = set(
+                    self.store.bloom_cols(project, coll) or []
+                )
         if not bloomed:
             return {}
         try:
@@ -296,29 +322,73 @@ class QueryService:
                 pass
             return None, False
 
-        def conjuncts(cond, into: dict, cols: set):
+        def attr_col(expr):
+            if expr.getClass().getSimpleName() != "UnresolvedAttribute":
+                return None
+            return str(expr.name()).split(".")[-1]
+
+        def conjuncts(cond, eq: dict, rng: dict):
             kind = cond.getClass().getSimpleName()
             if kind == "And":
-                conjuncts(cond.left(), into, cols)
-                conjuncts(cond.right(), into, cols)
+                conjuncts(cond.left(), eq, rng)
+                conjuncts(cond.right(), eq, rng)
                 return
-            if kind != "EqualTo":
+            if kind == "In":
+                col = attr_col(cond.value())
+                if col is None:
+                    return
+                vals = []
+                lst = cond.list()
+                for i in range(lst.length()):
+                    e = lst.apply(i)
+                    if e.getClass().getSimpleName() != "Literal":
+                        return  # a non-literal alternative: not prunable
+                    v, ok = lit_value(e)
+                    if not ok:
+                        return
+                    vals.append(v)
+                _merge_eq(eq, col, vals)
                 return
-            left, right = cond.left(), cond.right()
-            lk = left.getClass().getSimpleName()
-            rk = right.getClass().getSimpleName()
-            if lk == "UnresolvedAttribute" and rk == "Literal":
-                attr, lit = left, right
-            elif rk == "UnresolvedAttribute" and lk == "Literal":
-                attr, lit = right, left
+            if kind in (
+                "EqualTo",
+                "GreaterThan",
+                "GreaterThanOrEqual",
+                "LessThan",
+                "LessThanOrEqual",
+            ):
+                left, right = cond.left(), cond.right()
+                col, lit, flipped = attr_col(left), right, False
+                if col is None or lit.getClass().getSimpleName() != "Literal":
+                    col, lit, flipped = attr_col(right), left, True
+                    if col is None or lit.getClass().getSimpleName() != "Literal":
+                        return
+                v, ok = lit_value(lit)
+                if not ok:
+                    return
+                if kind == "EqualTo":
+                    _merge_eq(eq, col, [v])
+                    return
+                # strict bounds widen to inclusive — conservative
+                is_lower = kind in ("GreaterThan", "GreaterThanOrEqual")
+                if flipped:  # literal OP col reverses the direction
+                    is_lower = not is_lower
+                lo, hi = rng.get(col, (None, None))
+                try:
+                    if is_lower:
+                        lo = v if lo is None else max(lo, v)
+                    else:
+                        hi = v if hi is None else min(hi, v)
+                except TypeError:
+                    return  # incomparable bound types: drop this conjunct
+                rng[col] = (lo, hi)
+
+        def _merge_eq(eq: dict, col: str, vals: list):
+            if col in eq:
+                # both conjuncts must hold: intersect the alternatives
+                # (an empty intersection is a proven contradiction)
+                eq[col] = [v for v in eq[col] if v in vals]
             else:
-                return
-            col = str(attr.name()).split(".")[-1]
-            if col not in cols:
-                return
-            v, ok = lit_value(lit)
-            if ok:
-                into[col] = v
+                eq[col] = vals
 
         def walk(node):
             try:
@@ -334,9 +404,15 @@ class QueryService:
                 if sub[rel] != 1 or total.get(rel) != 1 or rel not in bloomed:
                     return
                 eq: dict = {}
-                conjuncts(node.condition(), eq, bloomed[rel])
-                if eq:
-                    found.setdefault(rel, {}).update(eq)
+                rng: dict = {}
+                conjuncts(node.condition(), eq, rng)
+                rng = {c: b for c, b in rng.items() if b != (None, None)}
+                if eq or rng:
+                    slot = found.setdefault(rel, {"equals": {}, "ranges": {}})
+                    for c, vals in eq.items():
+                        _merge_eq(slot["equals"], c, vals)
+                    for c, b in rng.items():
+                        slot["ranges"][c] = b
             except Exception:
                 return  # surprise node shape: skip, never fail the query
 

@@ -694,3 +694,72 @@ def test_point_lookup_sql_prunes_files_from_blooms(spark, warehouse):
     # conjunctive AND with a non-bloomed column still prunes on uid
     conj = scan_files("SELECT x FROM ev WHERE uid = 'user-99' AND x > 0")
     assert len(conj) < len(all_files)
+
+
+def test_in_list_and_range_predicates_prune_files(spark, warehouse):
+    """Round-11 extension of the pruning pass: IN lists union the
+    per-value bloom verdicts (a file survives if ANY alternative
+    might be present), range predicates prune on min/max stats, a
+    contradictory conjunction (col='a' AND col IN ('b')) prunes
+    everything, and strict bounds stay conservative."""
+    ms = Metastore(warehouse)
+    collector = EventCollector(
+        spark, ms, pipeline=EnrichmentPipeline([TimestampMapper()])
+    )
+    store = collector.store
+
+    def batch(lo, hi):
+        for i in range(lo, hi):
+            collector.collect(
+                "proj",
+                "ev",
+                {"uid": f"user-{i}", "x": i, "_time": "2024-01-05 09:00:00"},
+            )
+
+    batch(0, 40)
+    store.enable_txn("proj", "ev", bloom_cols=["uid"])
+    batch(40, 80)
+    batch(80, 120)
+    svc = QueryService(spark, store)
+    all_files = set(store.txn_table("proj", "ev").live_files())
+
+    def scan_files(sql):
+        return set(svc._analyze("proj", sql).inputFiles())
+
+    # IN list: prunes to the union of the owning appends, exact rows
+    sql_in = "SELECT x FROM ev WHERE uid IN ('user-50', 'user-99') ORDER BY x"
+    assert len(scan_files(sql_in)) < len(all_files)
+    res = svc.execute("proj", sql_in)
+    assert [r[0] for r in res.result] == [50, 99]
+    # range on a stats column (x is not bloomed — min/max does it)
+    sql_rng = "SELECT x FROM ev WHERE x >= 100 AND x <= 110 ORDER BY x"
+    assert len(scan_files(sql_rng)) < len(all_files)
+    assert [r[0] for r in svc.execute("proj", sql_rng).result] == list(
+        range(100, 111)
+    )
+    # strict bound widens to inclusive (conservative), same results
+    assert [
+        r[0]
+        for r in svc.execute(
+            "proj", "SELECT x FROM ev WHERE x > 100 AND x < 110 ORDER BY x"
+        ).result
+    ] == list(range(101, 110))
+    # reversed literal-first orientation
+    assert [
+        r[0]
+        for r in svc.execute(
+            "proj", "SELECT x FROM ev WHERE 100 <= x AND 110 >= x ORDER BY x"
+        ).result
+    ] == list(range(100, 111))
+    # contradiction: col = a AND col IN (b) — proven empty, zero files
+    sql_contra = (
+        "SELECT x FROM ev WHERE uid = 'user-50' AND uid IN ('user-99')"
+    )
+    assert scan_files(sql_contra) == set()
+    assert svc.execute("proj", sql_contra).result == []
+    # IN with a non-literal member: not prunable, still correct
+    res = svc.execute(
+        "proj",
+        "SELECT x FROM ev WHERE uid IN ('user-50', concat('user-', '99')) ORDER BY x",
+    )
+    assert [r[0] for r in res.result] == [50, 99]
