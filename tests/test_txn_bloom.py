@@ -312,3 +312,55 @@ def test_digest_partials_flip_to_bitset_past_cap(spark, tmp_path):
     assert bloom["m"] == _BLOOM_MAX_BITS  # saturated sizing, 8 KB bitset
     for i in range(0, n, 997):
         assert t.live_files(equals={"uid": f"user-{i}"}), i
+
+
+def test_rebloom_heterogeneous_schemas_falls_back_per_file(spark, tmp_path):
+    """Legacy files whose bloomed column has CONFLICTING types (long
+    in one file, string in another — predating the write-time schema
+    gate) break the batch mergeSchema read; the executor-side build
+    falls back to per-file Spark reads and still blooms both.  The
+    canonical key makes int 42 and string '42' hash identically, so
+    probes of either type hit."""
+    import os
+
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    spark.createDataFrame([(42, "2024-01")], "uid long, _month string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "a"))
+    spark.createDataFrame(
+        [("zz-7", "2024-01")], "uid string, _month string"
+    ).coalesce(1).write.parquet(str(tmp_path / "b"))
+    rels = []
+    for src in ("a", "b"):
+        for f in os.listdir(str(tmp_path / src)):
+            if f.endswith(".parquet"):
+                rel = f"{src}-{f}"
+                os.rename(str(tmp_path / src / f), os.path.join(path, rel))
+                rels.append(rel)
+    logonly = TxnTable(None, path)  # sparkless writer registers them
+    logonly.append_files(sorted(rels))
+    t = TxnTable(spark, path, bloom_cols=["uid"])
+    assert t.rebloom() == 2
+    ents = {e["path"]: e for e in t.state().values()}
+    assert all("uid" in e["blooms"] for e in ents.values())
+    for probe in (42, "42"):
+        hit = t.live_files(equals={"uid": probe})
+        assert any("a-" in f for f in hit), (probe, hit)
+    assert any("b-" in f for f in t.live_files(equals={"uid": "zz-7"}))
+
+
+def test_bloom_col_absent_from_files_is_conservative(spark, tmp_path):
+    """A bloom column that never appears in the data files (e.g. a
+    hive PARTITION column, or a column of a different collection)
+    yields no bloom entries — every probe keeps every file, never an
+    error, and partition pruning still works through `partitions=`."""
+    t = TxnTable(spark, str(tmp_path / "t"), bloom_cols=["_month", "ghost"])
+    t.append(_rows(spark, range(0, 30)), partition_col="_month")
+    ents = list(t.state().values())
+    # partition/ghost columns are not in the parquet files: no blooms
+    assert all("blooms" not in e or not e["blooms"] for e in ents)
+    assert t.live_files(equals={"_month": "2024-01"}) == sorted(
+        e["path"] for e in ents
+    )
+    assert t.read(files=t.live_files(equals={"ghost": "x"})).count() == 30
