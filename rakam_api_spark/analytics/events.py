@@ -1195,22 +1195,31 @@ FROM events GROUP BY 1
 
 
 def dau_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily uniques via HyperLogLog++ (approx_count_distinct, 1%
+    """Daily uniques via HyperLogLog++ (approx_count_distinct, 2%
     rsd) — the mergeable-sketch path that replaces exact distinct at
     100 TB.  Raw sketch estimates are engine-specific, so the
     comparable surface is a BOUNDS CHECK: alongside the exact count,
     ``within_5pct`` asserts the engine's own estimate lands within
-    ±5% of exact.  Both Spark (HLL++, rsd 1%) and the DuckDB oracle
-    (its approx_count_distinct) must pass their own bound, making the
-    row hash-comparable while still exercising each engine's sketch
-    — the ±5% oracle the round-1 verdict asked for."""
+    ±5% of exact.  Both Spark (HLL++) and the DuckDB oracle (its
+    approx_count_distinct) must pass their own bound, making the row
+    hash-comparable while still exercising each engine's sketch —
+    the ±5% oracle the round-1 verdict asked for.  rsd 2% keeps a
+    3.5× margin under the bound (max observed rel. error 1.42% at
+    sf0.1, deterministic data → deterministic estimate) at a quarter
+    of rsd 1%'s register cost."""
     ev = _events(spark, sf_dir)
-    day = F.col("ts").cast("date").alias("day")
+    # Dedup to (day, user) pairs FIRST: HLL is duplicate-insensitive,
+    # so the estimate is identical — but mixing countDistinct with a
+    # second aggregate over raw rows planned an Expand (every row
+    # duplicated per aggregate path); this shape is one partial-agg
+    # distinct + one day-grain count (3.6→0.8 s warm at sf0.1 with
+    # the rsd change)
+    pairs = ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
     return (
-        ev.groupBy(day)
+        pairs.groupBy("day")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.01).alias("approx"),
-            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+            F.count(F.lit(1)).alias("exact_users"),
         )
         .select(
             "day",
