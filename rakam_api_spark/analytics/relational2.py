@@ -2092,9 +2092,18 @@ def part_price_index_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame:
     would hit engine-specific decimal-division scale rules.
 
     Plan: ONE (part, quarter) grain aggregate off the lineitem scan
-    (partial-aggregated), the base-quarter slice joins back on
-    partkey (part-dim-sized — AQE picks broadcast vs shuffle), and a
-    quarter-grain final aggregate.  No windows, no fact self-join.
+    (partial-aggregated), joined to a base-quarter per-part aggregate
+    DERIVED DIRECTLY FROM THE FACT SCAN (filtered by the broadcast
+    1-row min-quarter, itself computed from min(raw shipdate) —
+    quarter is monotone in date, so the string is built once on one
+    row, not per row) — the cell aggregate is consumed exactly ONCE
+    (round-11 re-plan: the old shape derived base_q AND the base
+    slice from `cell`, re-running the full (part, quarter)
+    aggregation three times — at sf0.1 each re-run is ~0.1 s so the
+    local wall stays AQE-floor-bound either way, but at 100 TB the
+    cell aggregate IS the dominant cost and tripling it is the
+    difference).  The base side is part-dim-sized; AQE picks
+    broadcast.  No windows, no fact self-join.
 
     Determinism: extendedprice is the per-line TOTAL so Σ mass and
     Σ qty are exact DECIMAL sums; the index is one double expression
@@ -2109,18 +2118,29 @@ def part_price_index_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_dec("l_extendedprice")).alias("mass"),  # Σ price·qty (exact)
         F.sum(_dec("l_quantity")).alias("qty"),
     )
-    base_q = cell.groupBy().agg(F.min("quarter").alias("base_quarter"))
+    # the base quarter from a column-pruned scan of l_shipdate alone
+    # (NOT a re-aggregation of cell — cell must be consumed once);
+    # min over the RAW date (quarter is monotone in date), the string
+    # built once on the 1-row result instead of per row
+    min_ship = li.agg(F.min("l_shipdate").alias("_min_ship"))
+    base_q = min_ship.select(
+        F.concat(
+            F.year("_min_ship").cast("string"),
+            F.lit("-Q"),
+            ((F.month("_min_ship") + 2) / 3).cast("int").cast("string"),
+        ).alias("base_quarter")
+    )
     base = (
-        cell.crossJoin(broadcast(base_q))
-        .where(F.col("quarter") == F.col("base_quarter"))
-        .select(
-            "partkey",
-            F.col("mass").alias("base_mass"),
-            F.col("qty").alias("base_qty"),
+        li.crossJoin(broadcast(base_q))
+        .where(qtr == F.col("base_quarter"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(_dec("l_extendedprice")).alias("base_mass"),
+            F.sum(_dec("l_quantity")).alias("base_qty"),
         )
     )
     agg = (
-        cell.join(base, "partkey")
+        cell.join(base, "partkey")  # inner join = matched basket only
         .groupBy("quarter")
         .agg(
             F.sum("mass").alias("mass_now"),
