@@ -644,10 +644,19 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = F.col("l_shipdate").cast("date") > F.date_add(
         F.col("o_orderdate").cast("date"), 90
     )
-    per_order = fact.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
-        F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+    # reduce to (order, supplier) grain FIRST: two countDistincts in
+    # one aggregate planned an Expand (every fact row duplicated per
+    # distinct path); this shape is two plain partial-aggregatable
+    # groupBys with identical semantics
+    pair = fact.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(late.cast("int")).alias("late_any")
+    )
+    per_order = pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("late_any").alias("n_late"),
+        F.max(F.when(F.col("late_any") == 1, F.col("l_suppkey"))).alias(
+            "late_supp"
+        ),
     )
     blamed = per_order.where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
     return (
