@@ -112,6 +112,17 @@ _GATE_PRIORITY = (
     "media_video_dedup",
     "bm25_search",
     "dup_ngram_spans",
+    # (a2) the round-11 SECOND batch sits right after the 50-slot
+    # boundary: the gate budget is exactly consumed by batch 1 (19) +
+    # the 31 cohort rows the verdict's done-criterion names — batch 2
+    # is verified locally at sf0.001/0.01/0.1 and leads the r12 gate
+    "lineitem_field_correlations",
+    "order_size_histogram",
+    "weekday_hour_peak_per_type",
+    "sessions_per_user_histogram",
+    "word_freq_top50",
+    "avg_word_len_by_lang",
+    "centroid_confusion_matrix",
 )
 
 

@@ -158,6 +158,13 @@ EXTRA = [
     "value_mix_by_type_monthly",
     "supplier_latency_consistency",
     # round-11 additions
+    "lineitem_field_correlations",
+    "order_size_histogram",
+    "weekday_hour_peak_per_type",
+    "sessions_per_user_histogram",
+    "word_freq_top50",
+    "avg_word_len_by_lang",
+    "centroid_confusion_matrix",
     "order_weekday_priority_mix",
     "customer_interpurchase_gaps",
     "acctbal_decile_profile",

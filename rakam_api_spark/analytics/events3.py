@@ -399,7 +399,142 @@ FROM cell, tot ORDER BY band
 """
 
 
+def weekday_hour_peak_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak activity cell per event type: the (day-of-week × hour)
+    cell with the most events, its count and share of the type's
+    traffic — the one-line answer ops teams extract from
+    ``hour_of_week_profile``'s 168-cell heatmap (an ARGMAX-over-cells
+    operator).
+
+    Plan: one partial-aggregatable groupBy to ≤ |types|×168 cells;
+    the argmax is a row_number window PARTITIONED BY TYPE over that
+    bounded cell table (ties break on (dow, hour) — deterministic);
+    type totals aggregate the same cells."""
+    ev = _events(spark, sf_dir)
+    day = _day()
+    dow = (F.datediff(day, F.lit(_MONDAY).cast("date")) % 7 + 7) % 7 + 1
+    cell = ev.groupBy(
+        "event_type",
+        dow.cast("int").alias("dow"),
+        F.hour("ts").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n_events"), "dow", "hour"
+    )
+    tot = cell.groupBy("event_type").agg(F.sum("n_events").alias("_tot"))
+    return (
+        cell.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            F.col("dow").alias("peak_dow"),
+            F.col("hour").alias("peak_hour"),
+            F.col("n_events").alias("peak_events"),
+            F.round(
+                F.col("n_events").cast("double") / F.col("_tot").cast("double"),
+                9,
+            ).alias("peak_share"),
+        )
+        .orderBy("event_type")
+    )
+
+
+WEEKDAY_HOUR_PEAK_ORACLE = """
+WITH cell AS (
+  SELECT event_type,
+         CAST(((date_diff('day', DATE '1970-01-05', CAST(ts AS DATE))
+                % 7 + 7) % 7 + 1) AS INT) AS dow,
+         CAST(hour(ts) AS INT) AS hour,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY n_events DESC, dow, hour) AS rn
+  FROM cell
+),
+tot AS (SELECT event_type, SUM(n_events) AS _tot FROM cell GROUP BY 1)
+SELECT r.event_type, r.dow AS peak_dow, r.hour AS peak_hour,
+       CAST(r.n_events AS BIGINT) AS peak_events,
+       round(CAST(r.n_events AS DOUBLE) / CAST(t._tot AS DOUBLE), 9)
+         AS peak_share
+FROM ranked r JOIN tot t USING (event_type)
+WHERE r.rn = 1 ORDER BY r.event_type
+"""
+
+
+def sessions_per_user_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions-per-user distribution (30-minute inactivity gap, the
+    module's sessionization convention): how many users sit in each
+    5-wide session-count band (capped at 100+) over the corpus — the engagement-frequency histogram
+    next to ``sessionization_stats``' per-session shape.
+
+    Plan: ONE lag window PARTITIONED BY USER over the event stream
+    marks session starts; a user-grain sum and a bounded histogram
+    groupBy follow.  All exact integers; the share is one double
+    division."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    gap = F.col("ts_ns") - F.lag("ts_ns").over(w)
+    starts = ev.select(
+        "user_id",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000_000), 1)
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    per_user = starts.groupBy("user_id").agg(
+        F.sum("is_start").alias("n_sessions")
+    )
+    band = F.least(F.floor(F.col("n_sessions") / F.lit(5)) * 5, F.lit(100))
+    cell = per_user.groupBy(band.cast("int").alias("session_band")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    total = cell.agg(F.sum("n_users").alias("_tot"))
+    return (
+        cell.crossJoin(F.broadcast(total))
+        .select(
+            "session_band",
+            "n_users",
+            F.round(
+                F.col("n_users").cast("double") / F.col("_tot").cast("double"),
+                9,
+            ).alias("share_of_users"),
+        )
+        .orderBy("session_band")
+    )
+
+
+SESSIONS_PER_USER_ORACLE = """
+WITH starts AS (
+  SELECT user_id,
+         CASE WHEN lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+              IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+              > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+),
+per_user AS (SELECT user_id, SUM(is_start) AS n_sessions FROM starts GROUP BY 1),
+cell AS (
+  SELECT CAST(LEAST((n_sessions // 5) * 5, 100) AS INT) AS session_band,
+         COUNT(*) AS n_users
+  FROM per_user GROUP BY 1
+),
+tot AS (SELECT SUM(n_users) AS _tot FROM cell)
+SELECT session_band,
+       CAST(n_users AS BIGINT) AS n_users,
+       round(CAST(n_users AS DOUBLE) / CAST(_tot AS DOUBLE), 9)
+         AS share_of_users
+FROM cell, tot ORDER BY session_band
+"""
+
+
 QUERIES = {
+    "weekday_hour_peak_per_type": weekday_hour_peak_per_type,
+    "sessions_per_user_histogram": sessions_per_user_histogram,
     "new_vs_returning_daily": new_vs_returning_daily,
     "resurrections_monthly": resurrections_monthly,
     "user_entropy_tiers": user_entropy_tiers,
@@ -409,6 +544,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "weekday_hour_peak_per_type": WEEKDAY_HOUR_PEAK_ORACLE,
+    "sessions_per_user_histogram": SESSIONS_PER_USER_ORACLE,
     "new_vs_returning_daily": NEW_VS_RETURNING_ORACLE,
     "resurrections_monthly": RESURRECTIONS_ORACLE,
     "user_entropy_tiers": USER_ENTROPY_ORACLE,

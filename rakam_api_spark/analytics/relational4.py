@@ -469,7 +469,147 @@ ORDER BY cust_region, supp_region
 """
 
 
+def lineitem_field_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlations between lineitem measures — (quantity,
+    discount), (quantity, extendedprice), (discount, extendedprice) —
+    the dependence screen behind pricing analyses (is discount
+    actually tied to volume?).  A NEW aggregate class for the engine:
+    exact-moment correlation.
+
+    Determinism: all five moments per pair (n, Σx, Σy, Σx², Σy², Σxy)
+    are EXACT DECIMAL sums in one partial-aggregatable pass; each
+    moment casts to double once (correctly-rounded in both engines)
+    and the Pearson formula is an identical double chain, rounded to
+    9.  One aggregate row — no second pass, no window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, d, p = _dec("l_quantity"), _dec("l_discount"), _dec("l_extendedprice")
+    big = "decimal(38,12)"
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("sq"),
+        F.sum(d).alias("sd"),
+        F.sum(p).alias("sp"),
+        F.sum((q * q).cast(big)).alias("sqq"),
+        F.sum((d * d).cast(big)).alias("sdd"),
+        F.sum((p * p).cast(big)).alias("spp"),
+        F.sum((q * d).cast(big)).alias("sqd"),
+        F.sum((q * p).cast(big)).alias("sqp"),
+        F.sum((d * p).cast(big)).alias("sdp"),
+    )
+
+    def _r(sx, sy, sxx, syy, sxy):
+        n = F.col("n").cast("double")
+        ax, ay = F.col(sx).cast("double"), F.col(sy).cast("double")
+        axx, ayy = F.col(sxx).cast("double"), F.col(syy).cast("double")
+        axy = F.col(sxy).cast("double")
+        return F.round(
+            (n * axy - ax * ay)
+            / F.sqrt((n * axx - ax * ax) * (n * ayy - ay * ay)),
+            9,
+        )
+
+    return agg.select(
+        F.col("n"),
+        _r("sq", "sd", "sqq", "sdd", "sqd").alias("r_quantity_discount"),
+        _r("sq", "sp", "sqq", "spp", "sqp").alias("r_quantity_price"),
+        _r("sd", "sp", "sdd", "spp", "sdp").alias("r_discount_price"),
+    )
+
+
+LINEITEM_CORR_ORACLE = """
+WITH m AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sq,
+         SUM(CAST(l_discount AS DECIMAL(18,6))) AS sd,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sp,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(28,6))
+                  * CAST(l_quantity AS DECIMAL(28,6)) AS DECIMAL(38,12))) AS sqq,
+         SUM(CAST(CAST(l_discount AS DECIMAL(28,6))
+                  * CAST(l_discount AS DECIMAL(28,6)) AS DECIMAL(38,12))) AS sdd,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,6))
+                  * CAST(l_extendedprice AS DECIMAL(28,6)) AS DECIMAL(38,12))) AS spp,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(28,6))
+                  * CAST(l_discount AS DECIMAL(28,6)) AS DECIMAL(38,12))) AS sqd,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(28,6))
+                  * CAST(l_extendedprice AS DECIMAL(28,6)) AS DECIMAL(38,12))) AS sqp,
+         SUM(CAST(CAST(l_discount AS DECIMAL(28,6))
+                  * CAST(l_extendedprice AS DECIMAL(28,6)) AS DECIMAL(38,12))) AS sdp
+  FROM lineitem
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round((CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE)
+              - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                     - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+                       - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 9)
+         AS r_quantity_discount,
+       round((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
+              - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                     - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                       - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 9)
+         AS r_quantity_price,
+       round((CAST(n AS DOUBLE) * CAST(sdp AS DOUBLE)
+              - CAST(sd AS DOUBLE) * CAST(sp AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+                     - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                       - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 9)
+         AS r_discount_price
+FROM m
+"""
+
+
+def order_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lines-per-order distribution: how many orders have 1, 2, …
+    lineitems, with each size's share — the order-shape profile
+    behind batching and picking economics (the distribution version
+    of ``order_composition_trend``'s averages).
+
+    Two partial-aggregatable groupBys (order grain, then size grain)
+    and a broadcast-back total — all exact integers, one double
+    division for the share."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    cell = per_order.groupBy("n_lines").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    total = cell.agg(F.sum("n_orders").alias("_tot"))
+    return (
+        cell.crossJoin(F.broadcast(total))
+        .select(
+            "n_lines",
+            "n_orders",
+            F.round(
+                F.col("n_orders").cast("double") / F.col("_tot").cast("double"),
+                9,
+            ).alias("share_of_orders"),
+        )
+        .orderBy("n_lines")
+    )
+
+
+ORDER_SIZE_HIST_ORACLE = """
+WITH per_order AS (
+  SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY 1
+),
+cell AS (SELECT n_lines, COUNT(*) AS n_orders FROM per_order GROUP BY 1),
+tot AS (SELECT SUM(n_orders) AS _tot FROM cell)
+SELECT CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       round(CAST(n_orders AS DOUBLE) / CAST(_tot AS DOUBLE), 9)
+         AS share_of_orders
+FROM cell, tot ORDER BY n_lines
+"""
+
+
 QUERIES = {
+    "lineitem_field_correlations": lineitem_field_correlations,
+    "order_size_histogram": order_size_histogram,
     "order_weekday_priority_mix": order_weekday_priority_mix,
     "customer_interpurchase_gaps": customer_interpurchase_gaps,
     "acctbal_decile_profile": acctbal_decile_profile,
@@ -480,6 +620,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "lineitem_field_correlations": LINEITEM_CORR_ORACLE,
+    "order_size_histogram": ORDER_SIZE_HIST_ORACLE,
     "order_weekday_priority_mix": ORDER_WEEKDAY_MIX_ORACLE,
     "customer_interpurchase_gaps": INTERPURCHASE_GAPS_ORACLE,
     "acctbal_decile_profile": ACCTBAL_DECILE_ORACLE,

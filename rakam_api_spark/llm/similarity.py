@@ -2644,7 +2644,109 @@ FROM g ORDER BY label_a, label_b
 
 
 
+def centroid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classifier confusion matrix: assign every
+    vector to its closest LABEL CENTROID (Euclidean) and cross-tab
+    predicted vs true label — the linear-separability screen behind
+    label-quality audits (a label whose members mostly land on
+    another centroid is noisy or duplicated; the classifier view of
+    ``label_centroid_distances``' geometry).
+
+    Exactness: distances use the common-denominator form
+    Σ(q·n − s)² / (n·QUANT)² over integer-quantized components —
+    the numerator is an exact DECIMAL sum, so each (vector, label)
+    distance is sqrt+divide on identical exact values in both
+    engines (bit-identical doubles); argmin breaks ties on the label
+    id.  Deterministic end to end.
+
+    Scale: the corpus is posexploded ONCE; the centroid table is
+    |labels|·d rows (domain-bounded — the broadcast is justified by
+    construction, unlike user-scale frames); the candidate fan-out is
+    |vectors|·|labels| at (vec, label) grain, linear in the corpus
+    for an enum label set."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    comp = _quantized_components(emb).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    cent = comp.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
+        F.count(F.lit(1)).alias("cn"),
+    )
+    pair = comp.join(broadcast(cent), "pos")
+    term = (
+        F.col("q").cast("decimal(38,0)") * F.col("cn").cast("decimal(38,0)")
+        - F.col("s")
+    )
+    d2 = pair.groupBy("vec_id", "label", "clabel", "cn").agg(
+        F.sum((term * term).cast("decimal(38,0)")).alias("num")
+    )
+    dist = F.sqrt(F.col("num").cast("double")) / (
+        F.col("cn").cast("double") * F.lit(float(QUANT))
+    )
+    pred = d2.groupBy("vec_id", "label").agg(
+        F.min(F.struct(dist.alias("d"), F.col("clabel").alias("cl"))).alias("m")
+    )
+    conf = pred.groupBy(
+        F.col("label").alias("true_label"),
+        F.col("m.cl").alias("pred_label"),
+    ).agg(F.count(F.lit(1)).alias("n_vectors"))
+    tot = conf.groupBy("true_label").agg(F.sum("n_vectors").alias("_n"))
+    return (
+        conf.join(broadcast(tot), "true_label")
+        .select(
+            "true_label",
+            "pred_label",
+            "n_vectors",
+            F.round(
+                F.col("n_vectors").cast("double") / F.col("_n").cast("double"),
+                9,
+            ).alias("share_of_true"),
+        )
+        .orderBy("true_label", "pred_label")
+    )
+
+
+CENTROID_CONFUSION_ORACLE = """
+WITH comp AS (
+  SELECT e.vec_id, e.label, CAST(i AS INT) AS pos,
+         CAST(round(CAST(embedding[CAST(i AS INT)+1] AS DOUBLE) * 10000, 0)
+              AS HUGEINT) AS q
+  FROM embeddings e, LATERAL unnest(range(0, len(embedding))) t(i)
+),
+cent AS (
+  SELECT label AS clabel, pos, SUM(q) AS s, COUNT(*) AS cn
+  FROM comp GROUP BY 1, 2
+),
+d2 AS (
+  SELECT c.vec_id, c.label, ct.clabel, ct.cn,
+         SUM((c.q * ct.cn - ct.s) * (c.q * ct.cn - ct.s)) AS num
+  FROM comp c JOIN cent ct USING (pos)
+  GROUP BY 1, 2, 3, 4
+),
+pred AS (
+  SELECT vec_id, label, clabel,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY sqrt(CAST(num AS DOUBLE))
+                    / (CAST(cn AS DOUBLE) * 10000.0), clabel
+         ) AS rn
+  FROM d2
+),
+conf AS (
+  SELECT label AS true_label, clabel AS pred_label, COUNT(*) AS n_vectors
+  FROM pred WHERE rn = 1 GROUP BY 1, 2
+),
+tot AS (SELECT true_label, SUM(n_vectors) AS _n FROM conf GROUP BY 1)
+SELECT c.true_label, c.pred_label, CAST(c.n_vectors AS BIGINT) AS n_vectors,
+       round(CAST(c.n_vectors AS DOUBLE) / CAST(t._n AS DOUBLE), 9)
+         AS share_of_true
+FROM conf c JOIN tot t USING (true_label)
+ORDER BY c.true_label, c.pred_label
+"""
+
+
 QUERIES = {
+    "centroid_confusion_matrix": centroid_confusion_matrix,
     "embedding_dimension_profile": embedding_dimension_profile,
     "label_centroid_distances": label_centroid_distances,
     "embedding_norm_audit": embedding_norm_audit,
@@ -2671,6 +2773,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "centroid_confusion_matrix": CENTROID_CONFUSION_ORACLE,
     "embedding_dimension_profile": EMBEDDING_DIM_PROFILE_ORACLE,
     "label_centroid_distances": LABEL_CENTROID_DIST_ORACLE,
     "embedding_norm_audit": EMBEDDING_NORM_AUDIT_ORACLE,

@@ -1367,7 +1367,95 @@ FROM cell, tot ORDER BY token_len
 
 
 
+def word_freq_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 words (whitespace tokens, ≥3 chars,
+    lowercased) with counts and corpus share — the frequency head
+    every tokenizer/stopword decision starts from (the global
+    companion to ``zipf_slope_by_source``'s fitted tail).
+
+    One tokenize pass, partial-aggregated counts, top-50 via a total
+    (count desc, token asc) order ending in the unique token —
+    TakeOrderedAndProject, no global sort materialized."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("t")
+    ).where(F.length("t") >= 3)
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("_tot"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.col("t").alias("token"),
+            F.col("n").alias("n_occurrences"),
+            F.round(
+                F.col("n").cast("double") / F.col("_tot").cast("double"), 9
+            ).alias("share"),
+        )
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(50)
+    )
+
+
+WORD_FREQ_TOP50_ORACLE = """
+WITH tok AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents
+),
+counts AS (
+  SELECT t, COUNT(*) AS n FROM tok WHERE length(t) >= 3 GROUP BY 1
+),
+tot AS (SELECT SUM(n) AS _tot FROM counts)
+SELECT t AS token, CAST(n AS BIGINT) AS n_occurrences,
+       round(CAST(n AS DOUBLE) / CAST(_tot AS DOUBLE), 9) AS share
+FROM counts, tot
+ORDER BY n_occurrences DESC, token
+LIMIT 50
+"""
+
+
+def avg_word_len_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean token length per language: the tokenizer-fertility proxy
+    (longer mean words → more subword splits per word) next to
+    ``lang_id``'s classification and ``token_counts``' volumes.
+
+    One tokenize pass; Σ lengths and Σ tokens are exact integers per
+    language; the mean is one double division."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("t")
+    ).where(F.length("t") > 0)
+    return (
+        tok.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.length("t")).alias("_chars"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            F.round(
+                F.col("_chars").cast("double") / F.col("n_tokens").cast("double"),
+                9,
+            ).alias("mean_token_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+AVG_WORD_LEN_ORACLE = """
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       round(CAST(SUM(length(t)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+         AS mean_token_chars
+FROM tok WHERE length(t) > 0
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
+    "word_freq_top50": word_freq_top50,
+    "avg_word_len_by_lang": avg_word_len_by_lang,
     "sentence_stats_by_source": sentence_stats_by_source,
     "doc_length_gini_by_source": doc_length_gini_by_source,
     "shouting_docs_top20": shouting_docs_top20,
@@ -1393,6 +1481,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "word_freq_top50": WORD_FREQ_TOP50_ORACLE,
+    "avg_word_len_by_lang": AVG_WORD_LEN_ORACLE,
     "sentence_stats_by_source": SENTENCE_STATS_ORACLE,
     "doc_length_gini_by_source": DOC_LENGTH_GINI_ORACLE,
     "shouting_docs_top20": SHOUTING_DOCS_ORACLE,

@@ -19,6 +19,13 @@ from rakam_api_spark.session import get_spark
 
 SHOW = {
     # round-11 additions
+    "lineitem_field_correlations": "ONE partial-agg pass computes all ten exact decimal moments; Pearson is a final 1-row projection",
+    "order_size_histogram": "two partial-agg groupBys (order grain -> size grain) + broadcast-back total; all integers",
+    "weekday_hour_peak_per_type": "argmax via row_number over the <=|types|x168 cell aggregate (domain-bounded window input)",
+    "sessions_per_user_histogram": "one lag window PARTITIONED BY USER; user-grain sum; 5-wide bands capped at 100 (domain-bounded)",
+    "word_freq_top50": "explode -> partial-agg counts -> TakeOrderedAndProject(50); no global sort",
+    "avg_word_len_by_lang": "one tokenize pass; exact integer sums per language",
+    "centroid_confusion_matrix": "corpus posexploded once; centroid table |labels|*d rows broadcast BY CONSTRUCTION; fan-out linear at (vec,label) grain",
     "order_weekday_priority_mix": "one partial-agg groupBy to <=35 cells; weekday totals join the cell table broadcast-sized",
     "customer_interpurchase_gaps": "telescoped gaps: per-customer mean from (max-min)/(n-1), NO window; one custkey aggregate + dim join",
     "acctbal_decile_profile": "ntile PARTITIONED BY SEGMENT over customer-dim rows (enum partitions, input already one row/customer)",
