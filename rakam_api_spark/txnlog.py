@@ -359,7 +359,13 @@ def _bloom_partial_batches(batches, cols: list[str]):
                 acc = state.setdefault((fname, c), [set(), None])
                 col = sub[c]
                 try:
-                    vals = set(col.tolist())
+                    # dedupe per batch to save md5 calls — TYPE-AWARE,
+                    # because Python sets conflate 0/False/0.0 while
+                    # their canonical keys differ ('0' vs 'false'):
+                    # a plain set() would silently drop one key and
+                    # open a false-negative (caught by the round-11
+                    # hypothesis property test)
+                    vals = [v for _t, v in {(type(v), v) for v in col.tolist()}]
                 except TypeError:
                     vals = col.tolist()
                 for v in vals:

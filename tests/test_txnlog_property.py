@@ -248,3 +248,66 @@ def test_bloom_never_false_negative(values, probes):
     # probes are allowed to false-positive, never to raise
     for p in probes:
         _bloom_might_contain(bloom, p)
+
+
+# --- executor-side bloom partials (round 11) ---------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.integers(min_value=-(10**9), max_value=10**9),
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+            st.text(min_size=0, max_size=12),
+            st.booleans(),
+        ),
+        min_size=0,
+        max_size=120,
+    ),
+    n_batches=st.integers(min_value=1, max_value=5),
+)
+def test_bloom_partials_merge_equals_direct_build(vals, n_batches):
+    """The executor partial protocol (digest sets → OR-able bitsets)
+    must reconstruct EXACTLY the bloom a direct single-pass build
+    produces while values stay under the digest cap — any batch
+    split, any interleaving.  (Equality, not just no-false-negative:
+    the adaptive sizing depends only on the distinct digest set,
+    which the partials preserve.)"""
+    import pandas as pd
+
+    from rakam_api_spark.txnlog import (
+        _bloom_build,
+        _bloom_might_contain,
+        _bloom_partial_batches,
+    )
+
+    # one synthetic file, values split across arbitrary arrow batches
+    chunks = [vals[i::n_batches] for i in range(n_batches)]
+    batches = (
+        pd.DataFrame({"__file": ["f1"] * len(c), "c1": pd.Series(c, dtype=object)})
+        for c in chunks
+        if True
+    )
+    (out,) = list(_bloom_partial_batches(batches, ["c1"]))
+    direct = _bloom_build(vals)
+    if direct is None:
+        assert out.empty or all(out["payload"].map(len) == 0)
+        return
+    # driver-side merge (the _blooms_via_spark tail) on the partials
+    digs = set()
+    for _, row in out.iterrows():
+        assert row["kind"] == "d"  # under the cap: digest partials
+        p = row["payload"]
+        digs.update(p[i : i + 16] for i in range(0, len(p), 16))
+    from rakam_api_spark.txnlog import _bloom_from_digests
+
+    merged = _bloom_from_digests(digs)
+    assert merged == direct
+    for v in vals:
+        if v is None or v != v:
+            continue
+        assert _bloom_might_contain(merged, v)
