@@ -763,3 +763,50 @@ def test_in_list_and_range_predicates_prune_files(spark, warehouse):
         "SELECT x FROM ev WHERE uid IN ('user-50', concat('user-', '99')) ORDER BY x",
     )
     assert [r[0] for r in res.result] == [50, 99]
+
+
+def test_time_travel_combines_with_point_lookup_pruning(spark, warehouse):
+    """as_of + equality pruning compose: the view is the bloom-pruned
+    file list OF THE REQUESTED VERSION — historical rows come back
+    exactly, and values appended after that version are invisible
+    even though their files would pass the bloom probe today."""
+    ms = Metastore(warehouse)
+    collector = EventCollector(
+        spark, ms, pipeline=EnrichmentPipeline([TimestampMapper()])
+    )
+    store = collector.store
+    collector.collect(
+        "proj", "ev", {"uid": "user-1", "x": 1, "_time": "2024-01-05 09:00:00"}
+    )
+    store.enable_txn("proj", "ev", bloom_cols=["uid"])
+    collector.collect(
+        "proj", "ev", {"uid": "user-2", "x": 2, "_time": "2024-01-06 09:00:00"}
+    )
+    v_before = store.txn_table("proj", "ev").version()
+    collector.collect(
+        "proj", "ev", {"uid": "user-3", "x": 3, "_time": "2024-01-07 09:00:00"}
+    )
+    svc = QueryService(spark, store)
+    # current snapshot sees user-3; the old version must not
+    now = svc.execute("proj", "SELECT x FROM ev WHERE uid = 'user-3'")
+    assert [r[0] for r in now.result] == [3]
+    old = svc.execute(
+        "proj",
+        "SELECT x FROM ev WHERE uid = 'user-3'",
+        as_of={"ev": v_before},
+    )
+    assert old.error is None and old.result == []
+    # and a value that DID exist at v_before still prunes + returns
+    old2 = svc.execute(
+        "proj",
+        "SELECT x FROM ev WHERE uid = 'user-2'",
+        as_of={"ev": v_before},
+    )
+    assert [r[0] for r in old2.result] == [2]
+    files_old = set(
+        svc._analyze(
+            "proj", "SELECT x FROM ev WHERE uid = 'user-2'", {"ev": v_before}
+        ).inputFiles()
+    )
+    all_old = store.txn_table("proj", "ev").live_files(version=v_before)
+    assert len(files_old) <= len(all_old)
