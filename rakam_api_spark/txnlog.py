@@ -1356,38 +1356,84 @@ class TxnTable:
                 continue  # a rewrite retired a stale file; re-snapshot
         raise CommitConflict(f"rebloom lost {max_retries} races; giving up")
 
-    def _zorder_column(self, df: DataFrame, cols: list[str], bits_total: int = 16):
+    def _zorder_column(
+        self,
+        df: DataFrame,
+        cols: list[str],
+        bits_total: int = 16,
+        quantize: str = "rank",
+    ):
         """Morton (Z-order) key over ``cols``: each column is
-        quantized to ``bits_total // len(cols)`` bits between its
-        min and max (ONE tiny min/max aggregate — 2·|cols| scalars to
-        the driver), then the bucket bits are interleaved with pure
-        shift/mask column arithmetic (whole-stage codegen, no UDF).
-        Uniform-width quantization; rank (quantile) quantization is
-        the skew-robust upgrade and slots into the same interleave.
-        Null or constant columns contribute bucket 0 and simply stop
-        discriminating — never an error."""
+        quantized to ``bits_total // len(cols)`` bits, then the bucket
+        bits are interleaved with pure shift/mask column arithmetic
+        (whole-stage codegen, no UDF).
+
+        ``quantize="rank"`` (default) buckets by APPROXIMATE QUANTILE
+        boundaries (one ``approxQuantile`` pass, ~2^bits scalars to
+        the driver) — skew-robust: a heavy-hitter value can hog at
+        most its own bucket, so the other buckets keep discriminating
+        and range reads still skip.  ``"uniform"`` buckets by equal
+        widths between min and max (one tiny min/max aggregate) — the
+        round-7 behavior, where one outlier stretches the span and a
+        skewed column collapses into a single bucket.  The bucket
+        assignment for rank mode counts boundaries ≤ value with ONE
+        higher-order ``aggregate`` over a literal boundary array
+        (codegen, no UDF, no join).
+
+        Null columns contribute bucket 0; a constant (or
+        quantile-degenerate) column stops discriminating — never an
+        error."""
         from pyspark.sql import functions as F
 
+        if quantize not in ("rank", "uniform"):
+            raise ValueError(f"unknown zorder quantization: {quantize!r}")
         bits = max(1, bits_total // len(cols))
-        aggs = []
-        for c in cols:
-            aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
-        row = df.agg(*aggs).collect()[0]
         buckets = []
-        for c in cols:
-            lo, hi = row[f"_lo_{c}"], row[f"_hi_{c}"]
-            if lo is None or hi is None or lo == hi:
-                buckets.append(F.lit(0).cast("long"))
-                continue
-            span = float(hi) - float(lo)
-            b = F.floor(
-                (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(span) * (2**bits)
-            ).cast("long")
-            buckets.append(
-                F.when(F.col(c).isNull(), F.lit(0)).otherwise(
-                    F.least(F.greatest(b, F.lit(0)), F.lit(2**bits - 1))
+        if quantize == "rank":
+            probs = [i / (2**bits) for i in range(1, 2**bits)]
+            for c in cols:
+                try:
+                    bnds = sorted(set(df.stat.approxQuantile(c, probs, 0.001)))
+                except Exception:
+                    bnds = []  # non-numeric / all-null: no discrimination
+                if not bnds:
+                    buckets.append(F.lit(0).cast("long"))
+                    continue
+                arr = F.array(*[F.lit(float(x)) for x in bnds])
+                b = F.aggregate(
+                    arr,
+                    F.lit(0).cast("long"),
+                    lambda acc, bd: acc
+                    + F.when(F.col(c).cast("double") >= bd, 1)
+                    .otherwise(0)
+                    .cast("long"),
                 )
-            )
+                buckets.append(
+                    F.when(F.col(c).isNull(), F.lit(0)).otherwise(
+                        F.least(b, F.lit(2**bits - 1))
+                    )
+                )
+        else:
+            aggs = []
+            for c in cols:
+                aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+            row = df.agg(*aggs).collect()[0]
+            for c in cols:
+                lo, hi = row[f"_lo_{c}"], row[f"_hi_{c}"]
+                if lo is None or hi is None or lo == hi:
+                    buckets.append(F.lit(0).cast("long"))
+                    continue
+                span = float(hi) - float(lo)
+                b = F.floor(
+                    (F.col(c).cast("double") - F.lit(float(lo)))
+                    / F.lit(span)
+                    * (2**bits)
+                ).cast("long")
+                buckets.append(
+                    F.when(F.col(c).isNull(), F.lit(0)).otherwise(
+                        F.least(F.greatest(b, F.lit(0)), F.lit(2**bits - 1))
+                    )
+                )
         z = F.lit(0).cast("long")
         for bit in range(bits):
             for i, bcol in enumerate(buckets):
@@ -1403,6 +1449,7 @@ class TxnTable:
         max_retries: int = 5,
         sort_by: str | None = None,
         zorder_by: list[str] | None = None,
+        zorder_quantize: str = "rank",
         max_records_per_file: int | None = None,
     ) -> int:
         """Rewrite the current snapshot at one file per partition and
@@ -1423,7 +1470,11 @@ class TxnTable:
         rows sort by a Morton-interleaved key over the listed
         columns, so EVERY listed column's per-file ranges tighten and
         range reads skip on any of them (OPTIMIZE ZORDER BY
-        semantics; mutually exclusive with ``sort_by``)."""
+        semantics; mutually exclusive with ``sort_by``).
+        ``zorder_quantize`` picks the bucket scheme — "rank"
+        (quantile boundaries, skew-robust, default) or "uniform"
+        (min/max widths; one outlier collapses a skewed column into
+        a single bucket — see :meth:`_zorder_column`)."""
         if sort_by and zorder_by:
             raise ValueError("sort_by and zorder_by are mutually exclusive")
         for _ in range(max_retries):
@@ -1440,7 +1491,12 @@ class TxnTable:
                 out = df.coalesce(1)
             if zorder_by:
                 out = (
-                    out.withColumn("_z", self._zorder_column(df, zorder_by))
+                    out.withColumn(
+                        "_z",
+                        self._zorder_column(
+                            df, zorder_by, quantize=zorder_quantize
+                        ),
+                    )
                     .sortWithinPartitions("_z")
                     .drop("_z")
                 )

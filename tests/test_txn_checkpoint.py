@@ -375,3 +375,52 @@ def test_erasure_vacuum_prompt_retire_but_orphan_guard(tmp_path):
     deleted = t.vacuum(retain_versions=0, orphan_min_age_seconds=3600)
     assert deleted == ["pre.parquet"], deleted  # prompt erasure
     assert os.path.exists(os.path.join(root, "inflight.parquet"))  # guarded
+
+
+def test_rank_zorder_survives_skew_where_uniform_collapses(spark, tmp_path):
+    """The round-11 rank-quantization upgrade: on a column where 97%
+    of rows share one value and a single huge outlier stretches the
+    range, uniform min/max bucketing collapses every real value into
+    ONE bucket (the z-key stops discriminating on that column
+    entirely), while rank (quantile) bucketing still spreads the
+    minority values over several buckets — the same interleave,
+    skew-robust boundaries.  Plus an end-to-end check that a rank
+    z-ordered rewrite stays lossless under skew."""
+    import pyspark.sql.functions as F
+
+    from rakam_api_spark.txnlog import TxnTable as _T
+
+    n = 4096
+    rows = spark.range(n).select(
+        F.when(F.col("id") % 32 == 0, (F.col("id") / 32) % 127 + 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("a"),
+        (F.col("id") % 64).alias("b"),
+    ).union(
+        spark.createDataFrame([(10**9, 0)], "a long, b long")
+    )
+    t = _T(spark, str(tmp_path / "t"))
+    t.append(rows)
+
+    def n_buckets(quantize):
+        z = t._zorder_column(rows, ["a"], quantize=quantize)
+        return (
+            rows.where("a > 0 and a < 1000000")  # the minority values
+            .select(z.alias("z"))
+            .distinct()
+            .count()
+        )
+
+    # uniform: the 10**9 outlier maps every real value to bucket 0
+    assert n_buckets("uniform") == 1
+    # rank: quantile boundaries keep the minority values apart
+    assert n_buckets("rank") >= 4
+    # end-to-end: a rank z-ordered rewrite loses nothing and range
+    # reads on the skewed column stay exact
+    t.compact(zorder_by=["a", "b"], max_records_per_file=256)
+    hit = t.live_files(ranges={"a": (100, 127)})
+    assert t.read(files=hit).where("a between 100 and 127").count() == (
+        rows.where("a between 100 and 127").count()
+    )
+    assert t.read().count() == n + 1
