@@ -364,7 +364,10 @@ def doc_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     A real deployment plugs a trained LM's perplexity in here; this
     unigram formulation keeps the identical plan shape (corpus
-    frequency table ← one aggregation, vocabulary-sized → broadcast;
+    frequency table ← one aggregation, VOCABULARY-sized — no
+    broadcast hint, because Heaps-law vocabularies reach 10⁸+ terms
+    at 100 TB; AQE broadcasts while small and shuffle-joins on tok
+    at scale, matching ``lm_bigram_quality``'s no-broadcast contract;
     per-doc rescore ← one join + one aggregation) while every
     arithmetic step is a double division of exact integer sums — no
     ``ln`` whose last-ulp behavior differs between libm and the JVM.
@@ -379,7 +382,7 @@ def doc_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.col("total_tokens").cast("double")
     )
     return (
-        toks.join(broadcast(tf), "tok")
+        toks.join(tf, "tok")
         .groupBy("doc_id")
         .agg(F.sum("ctot").alias("freq_sum"), F.count(F.lit(1)).alias("n_tokens"))
         .crossJoin(broadcast(totals))

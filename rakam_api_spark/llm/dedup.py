@@ -313,20 +313,23 @@ def minhash_lsh_pairs(
     )
     candidates.count()
     # verify candidates with exact jaccard.  Prune FIRST: shingles
-    # are exploded ONLY for candidate docs (broadcast semi-join on
-    # the small candidate id sets BEFORE word_shingles) — the
-    # round-2 plan shingled the whole corpus up front and pruned
-    # after; now non-candidate docs never produce a shingle row.
-    from pyspark.sql.functions import broadcast
-
+    # are exploded ONLY for candidate docs (semi-join on the
+    # candidate id sets BEFORE word_shingles) — the round-2 plan
+    # shingled the whole corpus up front and pruned after; now
+    # non-candidate docs never produce a shingle row.  NO broadcast
+    # hint on the id sets: they are one row per COLLIDING document,
+    # a corpus-fraction-sized frame at web-corpus dup rates — AQE
+    # broadcasts while they are small and shuffle-joins at scale
+    # (round 11; the r10 identity-stitch / r8 cluster_safe_splits
+    # precedent).
     ids1 = candidates.select(F.col("d1").alias("doc_id")).distinct()
     ids2 = candidates.select(F.col("d2").alias("doc_id")).distinct()
     cand_ids = ids1.unionByName(ids2).distinct()
-    sh = word_shingles(docs.join(broadcast(cand_ids), "doc_id", "left_semi")).cache()
-    sh1 = sh.join(broadcast(ids1), "doc_id", "left_semi").select(
+    sh = word_shingles(docs.join(cand_ids, "doc_id", "left_semi")).cache()
+    sh1 = sh.join(ids1, "doc_id", "left_semi").select(
         F.col("doc_id").alias("d1"), "shingle"
     )
-    sh2 = sh.join(broadcast(ids2), "doc_id", "left_semi").select(
+    sh2 = sh.join(ids2, "doc_id", "left_semi").select(
         F.col("doc_id").alias("d2"), "shingle"
     )
     inter = (
