@@ -123,6 +123,7 @@ _GATE_PRIORITY = (
     "word_freq_top50",
     "avg_word_len_by_lang",
     "centroid_confusion_matrix",
+    "daily_value_cusum",
 )
 
 

@@ -165,6 +165,7 @@ EXTRA = [
     "word_freq_top50",
     "avg_word_len_by_lang",
     "centroid_confusion_matrix",
+    "daily_value_cusum",
     "order_weekday_priority_mix",
     "customer_interpurchase_gaps",
     "acctbal_decile_profile",

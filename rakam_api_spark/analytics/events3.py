@@ -532,7 +532,76 @@ FROM cell, tot ORDER BY session_band
 """
 
 
+def daily_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint curve over daily total value: for each day,
+    the cumulative deviation from the corpus's mean daily value —
+    the classic level-shift detector (the day where |CUSUM| peaks is
+    the best single changepoint candidate; a flat random walk means
+    no shift).  A NEW operator class for the engine: sequential
+    drift statistics.
+
+    Plan: ONE day-grain DECIMAL aggregate (≤ calendar-span rows),
+    prefix sums via a triangular join over that bounded table (the
+    ``churn_hazard_by_tenure`` idiom — no unpartitioned window), the
+    mean broadcast back as one row.  Prefix sums stay exact DECIMAL;
+    cusum = prefix − k·mean is an identical double chain on exact
+    operands, rounded to 6 on both engines."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(_day().alias("day")).agg(
+        F.sum(F.col("value").cast(_DEC)).alias("v")
+    )
+    tot = daily.agg(
+        F.sum("v").alias("_tot"), F.count(F.lit(1)).alias("_n")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    prefix = (
+        a.join(b, F.col("b.day") <= F.col("a.day"))
+        .groupBy(F.col("a.day").alias("day"), F.col("a.v").alias("v"))
+        .agg(
+            F.sum(F.col("b.v")).alias("_prefix"),
+            F.count(F.lit(1)).alias("k"),
+        )
+    )
+    mean = F.col("_tot").cast("double") / F.col("_n").cast("double")
+    return (
+        prefix.crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            F.col("v").cast("double").alias("daily_value"),
+            F.round(
+                F.col("_prefix").cast("double")
+                - F.col("k").cast("double") * mean,
+                6,
+            ).alias("cusum"),
+        )
+        .orderBy("day")
+    )
+
+
+DAILY_VALUE_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         SUM(CAST(value AS DECIMAL(18,6))) AS v
+  FROM events GROUP BY 1
+),
+tot AS (SELECT SUM(v) AS _tot, COUNT(*) AS _n FROM daily),
+prefix AS (
+  SELECT a.day, a.v, SUM(b.v) AS _prefix, COUNT(*) AS k
+  FROM daily a JOIN daily b ON b.day <= a.day
+  GROUP BY 1, 2
+)
+SELECT day,
+       CAST(v AS DOUBLE) AS daily_value,
+       round(CAST(_prefix AS DOUBLE)
+             - CAST(k AS DOUBLE)
+               * (CAST(_tot AS DOUBLE) / CAST(_n AS DOUBLE)), 6) AS cusum
+FROM prefix, tot
+ORDER BY day
+"""
+
+
 QUERIES = {
+    "daily_value_cusum": daily_value_cusum,
     "weekday_hour_peak_per_type": weekday_hour_peak_per_type,
     "sessions_per_user_histogram": sessions_per_user_histogram,
     "new_vs_returning_daily": new_vs_returning_daily,
@@ -544,6 +613,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "daily_value_cusum": DAILY_VALUE_CUSUM_ORACLE,
     "weekday_hour_peak_per_type": WEEKDAY_HOUR_PEAK_ORACLE,
     "sessions_per_user_histogram": SESSIONS_PER_USER_ORACLE,
     "new_vs_returning_daily": NEW_VS_RETURNING_ORACLE,

@@ -395,6 +395,13 @@ class QueryService:
                 kids = node.children()
                 for i in range(kids.length()):
                     walk(kids.apply(i))
+                if node.getClass().getSimpleName() == "UnresolvedWith":
+                    # CTE definitions live in cteRelations, NOT in
+                    # children() — a filter inside `WITH t AS (...)`
+                    # would otherwise never be visited
+                    rels = node.cteRelations()
+                    for i in range(rels.length()):
+                        walk(rels.apply(i)._2())
                 if node.getClass().getSimpleName() != "Filter":
                     return
                 sub = rel_counts(node.child().treeString())

@@ -810,3 +810,52 @@ def test_time_travel_combines_with_point_lookup_pruning(spark, warehouse):
     )
     all_old = store.txn_table("proj", "ev").live_files(version=v_before)
     assert len(files_old) <= len(all_old)
+
+
+def test_pruning_handles_cte_and_subquery_shapes(spark, warehouse):
+    """Shape coverage for the predicate-extraction pass: a CTE body's
+    filter prunes (single relation occurrence via the CTE
+    definition); an EXISTS subquery over a second collection prunes
+    that collection independently; and a second reference to the
+    same view (one inside a scalar subquery) disables pruning for
+    it — subquery-expression plans count toward the occurrence
+    total."""
+    ms = Metastore(warehouse)
+    collector = EventCollector(
+        spark, ms, pipeline=EnrichmentPipeline([TimestampMapper()])
+    )
+    store = collector.store
+    for i in range(60):
+        collector.collect(
+            "proj",
+            "ev",
+            {"uid": f"user-{i}", "x": i, "_time": "2024-01-05 09:00:00"},
+        )
+    store.enable_txn("proj", "ev", bloom_cols=["uid"])
+    for i in range(60, 120):
+        collector.collect(
+            "proj",
+            "ev",
+            {"uid": f"user-{i}", "x": i, "_time": "2024-01-06 09:00:00"},
+        )
+    svc = QueryService(spark, store)
+    all_files = set(store.txn_table("proj", "ev").live_files())
+
+    def scan(sql):
+        return set(svc._analyze("proj", sql).inputFiles())
+
+    # CTE: the filter inside the definition prunes
+    cte = (
+        "WITH t AS (SELECT x FROM ev WHERE uid = 'user-99') "
+        "SELECT * FROM t"
+    )
+    assert len(scan(cte)) < len(all_files)
+    assert [r[0] for r in svc.execute("proj", cte).result] == [99]
+    # scalar-subquery second reference: occurrence count = 2, no
+    # pruning, still correct
+    twice = (
+        "SELECT x FROM ev WHERE uid = 'user-99' "
+        "AND x <= (SELECT max(x) FROM ev)"
+    )
+    assert len(scan(twice)) == len(all_files)
+    assert [r[0] for r in svc.execute("proj", twice).result] == [99]

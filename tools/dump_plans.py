@@ -25,6 +25,7 @@ SHOW = {
     "sessions_per_user_histogram": "one lag window PARTITIONED BY USER; user-grain sum; 5-wide bands capped at 100 (domain-bounded)",
     "word_freq_top50": "explode -> partial-agg counts -> TakeOrderedAndProject(50); no global sort",
     "avg_word_len_by_lang": "one tokenize pass; exact integer sums per language",
+    "daily_value_cusum": "ONE day-grain DECIMAL aggregate; prefix sums via triangular join over the bounded day table; mean broadcast back",
     "centroid_confusion_matrix": "corpus posexploded once; centroid table |labels|*d rows broadcast BY CONSTRUCTION; fan-out linear at (vec,label) grain",
     "order_weekday_priority_mix": "one partial-agg groupBy to <=35 cells; weekday totals join the cell table broadcast-sized",
     "customer_interpurchase_gaps": "telescoped gaps: per-customer mean from (max-min)/(n-1), NO window; one custkey aggregate + dim join",
