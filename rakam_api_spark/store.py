@@ -1036,10 +1036,16 @@ class EventStore:
                 # compact so freshly rewritten files (which bloom at
                 # write time) don't get double work; the executor's
                 # rebloom re-snapshots anyway.
+                from .txnlog import _BLOOM_FMT
+
                 n_stale = sum(
                     1
                     for e in self.txn_table(project, coll).state().values()
-                    if any(c not in (e.get("blooms") or {}) for c in bcols)
+                    if any(
+                        (b := (e.get("blooms") or {}).get(c)) is None
+                        or b.get("v") != _BLOOM_FMT
+                        for c in bcols
+                    )
                 )
                 if n_stale:
                     plan.append(
@@ -1047,7 +1053,10 @@ class EventStore:
                             "collection": coll,
                             "action": "rebloom",
                             "months": None,
-                            "reason": f"{n_stale} live files lack blooms for {bcols}",
+                            "reason": (
+                                f"{n_stale} live files lack current-format "
+                                f"blooms for {bcols}"
+                            ),
                         }
                     )
             rmeta = self.rollup_meta(project, coll)
