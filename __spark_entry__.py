@@ -49,73 +49,18 @@ _MODULES = (
 )
 
 # The driver's correctness gate checks at most 50 queries per round, in
-# enumeration order.  With 224+ declared queries, plain module order
+# enumeration order.  With 250+ declared queries, plain module order
 # would starve the tail modules of a driver-verified CORRECTNESS row
-# forever.  Round-11 rotation (VERDICT r10 Next #4 verbatim): (a)
-# queries added this round lead (new code always verifies first); (b)
-# the r7-stale cohort the verdict names — q2, the q8–q22 family,
-# attribution linear/last-touch, props_json_extract,
-# asof_view_before_purchase, rolling_uniques_7d, latest_event_per_user,
-# the sketch family, media audio/video dedup, bm25_search,
-# dup_ngram_spans.  Everything listed passes
-# tools/check_correctness.py locally at sf0.01 and sf0.001.
+# forever.  Round-12 rotation (VERDICT r11 Next #3 verbatim): (a) the
+# 8 round-11 batch-2 rows that sat just past round 11's 50-slot
+# boundary lead; (b) the r8-stale cohort the verdict names; (c) the
+# round-12 additions (two-pass decile proof, specialization/size-band/
+# acctbal relational trio, concurrency/p90/dormancy event trio, Heaps
+# curve, token entropy, intra/inter label affinity).  Everything
+# listed passes tools/check_correctness.py locally at sf0.01 and
+# sf0.001.
 _GATE_PRIORITY = (
-    # (a) the 19 queries added in round 11 (QUERIES.md round-11 section)
-    "order_weekday_priority_mix",
-    "customer_interpurchase_gaps",
-    "acctbal_decile_profile",
-    "brand_return_rate_quarterly",
-    "retail_markup_by_type",
-    "customer_decile_revenue_share",
-    "region_trade_matrix",
-    "new_vs_returning_daily",
-    "resurrections_monthly",
-    "user_entropy_tiers",
-    "weekend_lift_by_type",
-    "first_week_activation_retention",
-    "value_share_by_user_band",
-    "sentence_stats_by_source",
-    "doc_length_gini_by_source",
-    "shouting_docs_top20",
-    "token_length_histogram",
-    "embedding_dimension_profile",
-    "label_centroid_distances",
-    # (b) the r7-stale cohort (VERDICT r10 Next #4, verbatim)
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_late_priority",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q20_dominant_supplier",
-    "q21_suppliers_kept_waiting",
-    "q22_idle_balances",
-    "attribution_linear",
-    "attribution_last_touch",
-    "props_json_extract",
-    "asof_view_before_purchase",
-    "rolling_uniques_7d",
-    "latest_event_per_user",
-    "dau_approx_sketch",
-    "value_quantile_sketch",
-    "heavy_hitters_sketch",
-    "mau_rollup_sketch",
-    "inter_event_cadence_sketch",
-    "media_audio_dedup",
-    "media_video_dedup",
-    "bm25_search",
-    "dup_ngram_spans",
-    # (a2) the round-11 SECOND batch sits right after the 50-slot
-    # boundary: the gate budget is exactly consumed by batch 1 (19) +
-    # the 31 cohort rows the verdict's done-criterion names — batch 2
-    # is verified locally at sf0.001/0.01/0.1 and leads the r12 gate
+    # (a) round-11 batch 2 (never driver-checked; VERDICT r11 names them)
     "lineitem_field_correlations",
     "order_size_histogram",
     "weekday_hour_peak_per_type",
@@ -124,6 +69,34 @@ _GATE_PRIORITY = (
     "avg_word_len_by_lang",
     "centroid_confusion_matrix",
     "daily_value_cusum",
+    # (b) the r8-stale cohort (VERDICT r11 Next #3, verbatim)
+    "bpe_merge_candidates",
+    "cluster_safe_splits",
+    "lm_bigram_quality",
+    "event_transition_probs",
+    "rfm_quartiles",
+    "part_copurchase_pairs",
+    "knn_label_propagation",
+    "dedup_threshold_curve",
+    "supplier_reliability_wilson",
+    "doc_ngram_novelty",
+    "embedding_drift_by_label",
+    "customer_migration_matrix",
+    "session_gap_curve",
+    "unordered_funnel_completion",
+    "crosslingual_mining",
+    # (c) round-12 additions
+    "customer_decile_share_twopass",
+    "customer_decile_revenue_share",  # re-check: gained the auto gate
+    "part_size_value_bands",
+    "nation_type_specialization",
+    "supplier_acctbal_by_nation",
+    "peak_concurrent_sessions_daily",
+    "value_p90_concentration_by_type",
+    "max_dormancy_histogram",
+    "heaps_vocab_growth",
+    "token_entropy_by_source",
+    "intra_inter_label_affinity",
 )
 
 

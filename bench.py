@@ -185,6 +185,17 @@ EXTRA = [
     "token_length_histogram",
     "embedding_dimension_profile",
     "label_centroid_distances",
+    # round-12 additions
+    "customer_decile_share_twopass",
+    "part_size_value_bands",
+    "nation_type_specialization",
+    "supplier_acctbal_by_nation",
+    "peak_concurrent_sessions_daily",
+    "value_p90_concentration_by_type",
+    "max_dormancy_histogram",
+    "heaps_vocab_growth",
+    "token_entropy_by_source",
+    "intra_inter_label_affinity",
 ]
 
 

@@ -600,6 +600,267 @@ ORDER BY day
 """
 
 
+def peak_concurrent_sessions_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day: sessions (30-min-gap
+    convention, as in ``sessionization_stats``) swept as +1/-1
+    interval boundaries; the daily maximum of the running count is
+    the capacity-planning number ("how many users at once?").  A
+    session belongs to the day it STARTS (sessions crossing midnight
+    count toward their start day — the stated convention).
+
+    Plan: one user-partitioned window builds session ids; sessions
+    reduce to (start, end) rows; boundaries GROUP BY (day, instant)
+    first, so the per-day running-sum window runs over DISTINCT
+    TIMESTAMPS (already heavily reduced), and the instant's peak is
+    ``running + minus`` — with starts counted before ends at an
+    equal instant, the within-instant maximum sits after the +1s and
+    before the -1s, which is exactly running_net + minus.  All
+    counts exact integers."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    gap = F.col("ts_ns") - F.lag("ts_ns").over(w)
+    new_sess = (gap.isNull() | (gap > 30 * 60 * 1_000_000_000)).cast("long")
+    sess = (
+        ev.select(
+            "user_id",
+            "ts_ns",
+            "ts",
+            "event_id",
+            F.sum(new_sess)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("session_no"),
+        )
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts_ns").alias("start_ns"),
+            F.max("ts_ns").alias("end_ns"),
+            F.min(_day()).alias("day"),
+        )
+    )
+    starts = sess.select("day", F.col("start_ns").alias("at"), F.lit(1).alias("plus"), F.lit(0).alias("minus"))
+    ends = sess.select("day", F.col("end_ns").alias("at"), F.lit(0).alias("plus"), F.lit(1).alias("minus"))
+    inst = (
+        starts.unionByName(ends)
+        .groupBy("day", "at")
+        .agg(F.sum("plus").alias("p"), F.sum("minus").alias("m"))
+    )
+    ws = Window.partitionBy("day").orderBy("at")
+    run = inst.withColumn(
+        "running",
+        F.sum(F.col("p") - F.col("m")).over(
+            ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).withColumn("instant_peak", F.col("running") + F.col("m"))
+    daily = run.groupBy("day").agg(F.max("instant_peak").alias("peak_concurrent"))
+    nsess = sess.groupBy("day").agg(F.count(F.lit(1)).alias("n_sessions"))
+    return (
+        nsess.join(daily, "day")
+        .select("day", "n_sessions", "peak_concurrent")
+        .orderBy("day")
+    )
+
+
+PEAK_CONCURRENT_ORACLE = """
+WITH seq AS (
+  SELECT user_id, epoch_us(ts) AS us, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+              IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+              > 30 * 60 * 1000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+sess0 AS (
+  SELECT user_id, us, ts,
+         SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_no
+  FROM seq
+),
+sess AS (
+  SELECT user_id, session_no,
+         MIN(us) AS start_us, MAX(us) AS end_us,
+         MIN(CAST(ts AS DATE)) AS day
+  FROM sess0 GROUP BY 1, 2
+),
+bound AS (
+  SELECT day, start_us AS at, 1 AS plus, 0 AS minus FROM sess
+  UNION ALL
+  SELECT day, end_us AS at, 0 AS plus, 1 AS minus FROM sess
+),
+inst AS (
+  SELECT day, at, SUM(plus) AS p, SUM(minus) AS m
+  FROM bound GROUP BY 1, 2
+),
+run AS (
+  SELECT day,
+         SUM(p - m) OVER (
+           PARTITION BY day ORDER BY at
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) + m AS instant_peak
+  FROM inst
+),
+daily AS (SELECT day, MAX(instant_peak) AS peak_concurrent FROM run GROUP BY 1),
+nsess AS (SELECT day, COUNT(*) AS n_sessions FROM sess GROUP BY 1)
+SELECT n.day, CAST(n.n_sessions AS BIGINT) AS n_sessions,
+       CAST(d.peak_concurrent AS BIGINT) AS peak_concurrent
+FROM nsess n JOIN daily d USING (day)
+ORDER BY n.day
+"""
+
+
+def value_p90_concentration_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value concentration above the per-type p90: for each event
+    type, the DISCRETE 90th-percentile value cutoff (the value at
+    rank ceil(0.9·n) — rank arithmetic on exact cent integers, never
+    float interpolation) and the share of total value carried by
+    events at or above it — "do 10% of the events carry half the
+    money?".
+
+    Plan: values quantize to cents and reduce to (type, cents)
+    HISTOGRAM cells; the cumulative-count window runs over those
+    distinct-value cells (already reduced from events grain), and the
+    cutoff is the smallest value whose cumulative count reaches the
+    rank — identical integer logic on both engines, no interpolation
+    to diverge by an ulp."""
+    ev = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    hist = ev.groupBy(
+        F.col("event_type"), cents.alias("vc")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = hist.groupBy("event_type").agg(
+        F.sum("cnt").alias("n_events"),
+        F.sum(F.col("vc") * F.col("cnt")).alias("_tot_cents"),
+    )
+    wv = Window.partitionBy("event_type").orderBy("vc")
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    j = cum.join(F.broadcast(tot), "event_type")
+    # ceil(0.9 n) in EXACT integer arithmetic — float 0.9 products
+    # round differently from DuckDB's decimal literal typing
+    rank = F.expr("CAST((n_events * 9 + 9) DIV 10 AS BIGINT)")
+    cut = (
+        j.where(F.col("cum") >= rank)
+        .groupBy("event_type", "n_events", "_tot_cents")
+        .agg(F.min("vc").alias("_cut"))
+    )
+    above = (
+        hist.join(F.broadcast(cut.select("event_type", "_cut")), "event_type")
+        .where(F.col("vc") >= F.col("_cut"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt").alias("n_above"),
+            F.sum(F.col("vc") * F.col("cnt")).alias("_above_cents"),
+        )
+    )
+    return (
+        cut.join(above, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            (F.col("_cut").cast("double") / 100).alias("p90_value"),
+            F.col("n_above").alias("n_events_above"),
+            F.round(
+                F.col("_above_cents").cast("double")
+                / F.col("_tot_cents").cast("double"),
+                9,
+            ).alias("value_share_above_p90"),
+        )
+        .orderBy("event_type")
+    )
+
+
+VALUE_P90_CONCENTRATION_ORACLE = """
+WITH hist AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS vc,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, SUM(cnt) AS n_events, SUM(vc * cnt) AS _tot_cents
+  FROM hist GROUP BY 1
+),
+cum AS (
+  SELECT event_type, vc, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY vc
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM hist
+),
+cut AS (
+  SELECT c.event_type, t.n_events, t._tot_cents, MIN(c.vc) AS _cut
+  FROM cum c JOIN tot t USING (event_type)
+  WHERE c.cum >= (t.n_events * 9 + 9) // 10
+  GROUP BY 1, 2, 3
+),
+above AS (
+  SELECT h.event_type, SUM(h.cnt) AS n_above, SUM(h.vc * h.cnt) AS _above_cents
+  FROM hist h JOIN cut c USING (event_type)
+  WHERE h.vc >= c._cut GROUP BY 1
+)
+SELECT c.event_type, CAST(c.n_events AS BIGINT) AS n_events,
+       CAST(c._cut AS DOUBLE) / 100 AS p90_value,
+       CAST(a.n_above AS BIGINT) AS n_events_above,
+       round(CAST(a._above_cents AS DOUBLE) / CAST(c._tot_cents AS DOUBLE), 9)
+         AS value_share_above_p90
+FROM cut c JOIN above a USING (event_type)
+ORDER BY c.event_type
+"""
+
+
+def max_dormancy_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of each user's LONGEST dormancy: the max gap (in
+    whole days) between consecutive events per user, histogrammed
+    over users — the churn-threshold calibration curve ("after how
+    many silent days is a user really gone?").  Single-event users
+    have no gap and are excluded (reported by
+    ``sessions_per_user_histogram``'s population instead).
+
+    Plan: one user-partitioned lag window over the user-keyed
+    exchange, a per-user max, then a tiny day-grain histogram.  Gap
+    days are exact integer floor division of ns deltas."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    gap_days = F.floor(
+        (F.col("ts_ns") - F.lag("ts_ns").over(w)) / (86400 * 1_000_000_000)
+    )
+    per_user = (
+        ev.select("user_id", gap_days.alias("gd"))
+        .where(F.col("gd").isNotNull())
+        .groupBy("user_id")
+        .agg(F.max("gd").alias("max_gap_days"))
+    )
+    return (
+        per_user.groupBy("max_gap_days")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("max_gap_days")
+    )
+
+
+MAX_DORMANCY_ORACLE = """
+WITH gaps AS (
+  SELECT user_id,
+         CAST(floor((epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+              / 86400000000.0) AS BIGINT) AS gd
+  FROM events
+),
+per_user AS (
+  SELECT user_id, MAX(gd) AS max_gap_days
+  FROM gaps WHERE gd IS NOT NULL GROUP BY 1
+)
+SELECT max_gap_days, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM per_user GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "daily_value_cusum": daily_value_cusum,
     "weekday_hour_peak_per_type": weekday_hour_peak_per_type,
@@ -610,9 +871,15 @@ QUERIES = {
     "weekend_lift_by_type": weekend_lift_by_type,
     "first_week_activation_retention": first_week_activation_retention,
     "value_share_by_user_band": value_share_by_user_band,
+    "peak_concurrent_sessions_daily": peak_concurrent_sessions_daily,
+    "value_p90_concentration_by_type": value_p90_concentration_by_type,
+    "max_dormancy_histogram": max_dormancy_histogram,
 }
 
 ORACLES = {
+    "peak_concurrent_sessions_daily": PEAK_CONCURRENT_ORACLE,
+    "value_p90_concentration_by_type": VALUE_P90_CONCENTRATION_ORACLE,
+    "max_dormancy_histogram": MAX_DORMANCY_ORACLE,
     "daily_value_cusum": DAILY_VALUE_CUSUM_ORACLE,
     "weekday_hour_peak_per_type": WEEKDAY_HOUR_PEAK_ORACLE,
     "sessions_per_user_histogram": SESSIONS_PER_USER_ORACLE,

@@ -682,6 +682,196 @@ FROM cell, tot ORDER BY n_lines
 """
 
 
+def part_size_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog pricing by physical size band: parts bucketed into
+    10-unit ``p_size`` bands with count, retail-price stats and each
+    band's share of total catalog value — the assortment-structure
+    report ("is the value in the small parts or the big ones?").
+
+    Plan: one partial-aggregatable groupBy of the part dim to ≤ 5
+    band cells; the value total aggregates THOSE cells and attaches
+    broadcast-sized.  Price sums are DECIMAL; min/max/share are
+    exact-operand doubles."""
+    part = load_table(spark, sf_dir, "part")
+    band = (F.floor((F.col("p_size") - 1) / 10)).cast("int")
+    cell = part.groupBy(band.alias("size_band")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(_dec("p_retailprice")).alias("_val"),
+        F.min(_dec("p_retailprice")).alias("_min"),
+        F.max(_dec("p_retailprice")).alias("_max"),
+    )
+    tot = cell.agg(F.sum("_val").alias("_tot"))
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .select(
+            "size_band",
+            (F.col("size_band") * 10 + 1).alias("size_from"),
+            (F.col("size_band") * 10 + 10).alias("size_to"),
+            "n_parts",
+            F.round(
+                F.col("_val").cast("double") / F.col("n_parts").cast("double"), 9
+            ).alias("avg_retail"),
+            F.col("_min").cast("double").alias("min_retail"),
+            F.col("_max").cast("double").alias("max_retail"),
+            F.round(
+                F.col("_val").cast("double") / F.col("_tot").cast("double"), 9
+            ).alias("value_share"),
+        )
+        .orderBy("size_band")
+    )
+
+
+PART_SIZE_BANDS_ORACLE = """
+WITH cell AS (
+  SELECT CAST(floor((p_size - 1) / 10) AS INT) AS size_band,
+         COUNT(*) AS n_parts,
+         SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS _val,
+         MIN(CAST(p_retailprice AS DECIMAL(18,6))) AS _min,
+         MAX(CAST(p_retailprice AS DECIMAL(18,6))) AS _max
+  FROM part GROUP BY 1
+),
+tot AS (SELECT SUM(_val) AS _tot FROM cell)
+SELECT size_band,
+       CAST(size_band * 10 + 1 AS BIGINT) AS size_from,
+       CAST(size_band * 10 + 10 AS BIGINT) AS size_to,
+       CAST(n_parts AS BIGINT) AS n_parts,
+       round(CAST(_val AS DOUBLE) / CAST(n_parts AS DOUBLE), 9) AS avg_retail,
+       CAST(_min AS DOUBLE) AS min_retail,
+       CAST(_max AS DOUBLE) AS max_retail,
+       round(CAST(_val AS DOUBLE) / CAST(_tot AS DOUBLE), 9) AS value_share
+FROM cell, tot ORDER BY size_band
+"""
+
+
+def nation_type_specialization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply specialization per supplier nation: the part TYPE each
+    nation earns the most revenue supplying, with that type's share
+    of the nation's supply revenue and the nation's type diversity —
+    the comparative-advantage table behind sourcing strategy.
+
+    Plan: the fact scan joins two broadcast-sized dim chains
+    (supplier→nation, part), reduces ONCE to (nation, type) cells;
+    the argmax ranks within nations over those ≤ |nations|×|types|
+    cells (never fact rows), ties broken by type name for a total
+    order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    cell = (
+        li.join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .join(F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"])
+        .join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.col("p_type").alias("ptype"))
+        .agg(F.sum(_vol()).alias("_rev"))
+    )
+    nat = cell.groupBy("nation").agg(
+        F.sum("_rev").alias("_nat_rev"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    w = Window.partitionBy("nation").orderBy(F.desc("_rev"), "ptype")
+    top = cell.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") == 1)
+    return (
+        top.join(F.broadcast(nat), "nation")
+        .select(
+            "nation",
+            F.col("ptype").alias("top_type"),
+            F.col("_rev").cast("double").alias("top_type_revenue"),
+            F.round(
+                F.col("_rev").cast("double") / F.col("_nat_rev").cast("double"), 9
+            ).alias("share_of_nation"),
+            "n_types",
+        )
+        .orderBy("nation")
+    )
+
+
+NATION_TYPE_SPECIALIZATION_ORACLE = f"""
+WITH cell AS (
+  SELECT n_name AS nation, p_type AS ptype, SUM({_VOL_SQL}) AS _rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+),
+nat AS (
+  SELECT nation, SUM(_rev) AS _nat_rev, COUNT(*) AS n_types
+  FROM cell GROUP BY 1
+),
+top AS (
+  SELECT nation, ptype, _rev,
+         row_number() OVER (PARTITION BY nation
+                            ORDER BY _rev DESC, ptype) AS _rk
+  FROM cell
+)
+SELECT t.nation, t.ptype AS top_type,
+       CAST(t._rev AS DOUBLE) AS top_type_revenue,
+       round(CAST(t._rev AS DOUBLE) / CAST(n._nat_rev AS DOUBLE), 9)
+         AS share_of_nation,
+       CAST(n.n_types AS BIGINT) AS n_types
+FROM top t JOIN nat n USING (nation)
+WHERE t._rk = 1 ORDER BY t.nation
+"""
+
+
+def supplier_acctbal_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier account-balance health per nation: count, balance
+    totals/extremes and the share of suppliers in the red — the
+    supplier-risk screen next to ``q22_idle_balances``' customer
+    version.
+
+    Plan: one broadcast dim join + one partial-aggregatable groupBy
+    to |nations| cells.  Balance sums are DECIMAL; the negative share
+    is one double division of exact counts."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supplier.join(
+            F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"]
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(_dec("s_acctbal")).alias("_bal"),
+            F.min(_dec("s_acctbal")).alias("_min"),
+            F.max(_dec("s_acctbal")).alias("_max"),
+            F.sum((F.col("s_acctbal") < 0).cast("long")).alias("n_negative"),
+        )
+        .select(
+            "nation",
+            "n_suppliers",
+            F.col("_bal").cast("double").alias("total_balance"),
+            F.round(
+                F.col("_bal").cast("double") / F.col("n_suppliers").cast("double"),
+                9,
+            ).alias("avg_balance"),
+            F.col("_min").cast("double").alias("min_balance"),
+            F.col("_max").cast("double").alias("max_balance"),
+            (
+                F.col("n_negative").cast("double")
+                / F.col("n_suppliers").cast("double")
+            ).alias("negative_share"),
+        )
+        .orderBy("nation")
+    )
+
+
+SUPPLIER_ACCTBAL_NATION_ORACLE = """
+SELECT n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_balance,
+       round(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS avg_balance,
+       CAST(MIN(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS min_balance,
+       CAST(MAX(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS max_balance,
+       CAST(SUM(CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS negative_share
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def customer_decile_share_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FORCED two-pass plan of
     :func:`customer_decile_revenue_share`, gated against the SAME
@@ -701,10 +891,16 @@ QUERIES = {
     "customer_decile_revenue_share": customer_decile_revenue_share,
     "customer_decile_share_twopass": customer_decile_share_twopass,
     "region_trade_matrix": region_trade_matrix,
+    "part_size_value_bands": part_size_value_bands,
+    "nation_type_specialization": nation_type_specialization,
+    "supplier_acctbal_by_nation": supplier_acctbal_by_nation,
 }
 
 ORACLES = {
     "customer_decile_share_twopass": CUSTOMER_DECILE_SHARE_ORACLE,
+    "part_size_value_bands": PART_SIZE_BANDS_ORACLE,
+    "nation_type_specialization": NATION_TYPE_SPECIALIZATION_ORACLE,
+    "supplier_acctbal_by_nation": SUPPLIER_ACCTBAL_NATION_ORACLE,
     "lineitem_field_correlations": LINEITEM_CORR_ORACLE,
     "order_size_histogram": ORDER_SIZE_HIST_ORACLE,
     "order_weekday_priority_mix": ORDER_WEEKDAY_MIX_ORACLE,

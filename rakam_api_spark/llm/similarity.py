@@ -2745,7 +2745,114 @@ ORDER BY c.true_label, c.pred_label
 """
 
 
+def intra_inter_label_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean pairwise dot product WITHIN each label vs AGAINST the
+    rest of the corpus — the contrastive-margin table that says
+    whether labels are embedding-coherent (intra ≫ inter) before any
+    kNN/propagation is trusted.  Uses the sum-vector identities
+    Σᵢⱼ vᵢ·vⱼ = ‖S‖² (so mean intra dot = (‖S_l‖² − Σ‖vᵢ‖²) /
+    (n_l(n_l−1))) and S_l·(S_tot − S_l) for the inter side — the
+    corpus is touched ONCE; no pair is ever materialized.
+
+    Exactness: quantized components make every sum/product integer-
+    valued; ‖S‖²-scale products accumulate in DECIMAL(38,0); the
+    only float steps are two divisions and a subtraction, written
+    identically on both engines and rounded to 9 dp."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = _quantized_components(emb).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    q2 = comp.groupBy("label").agg(
+        F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).alias("q2")
+    )
+    cent = comp.groupBy("label", "pos").agg(
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    dimtot = cent.groupBy("pos").agg(F.sum("s").alias("tall"))
+    per_label = (
+        cent.join(dimtot, "pos")
+        .groupBy("label")
+        .agg(
+            F.sum((F.col("s") * F.col("s")).cast("decimal(38,0)")).alias("ss"),
+            F.sum((F.col("s") * F.col("tall")).cast("decimal(38,0)")).alias("st"),
+            F.max("cnt").alias("n"),
+        )
+    )
+    ntot = per_label.agg(F.sum("n").alias("n_corpus"))
+    scale = float(QUANT) * float(QUANT)
+    intra = (
+        (F.col("ss") - F.col("q2")).cast("double")
+        / (F.col("n").cast("double") * (F.col("n") - 1).cast("double"))
+        / scale
+    )
+    inter = (
+        (F.col("st") - F.col("ss")).cast("double")
+        / (
+            F.col("n").cast("double")
+            * (F.col("n_corpus") - F.col("n")).cast("double")
+        )
+        / scale
+    )
+    return (
+        per_label.join(q2, "label")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "label",
+            F.col("n").alias("n_vecs"),
+            F.round(intra, 9).alias("mean_intra_dot"),
+            F.round(inter, 9).alias("mean_inter_dot"),
+            F.round(intra - inter, 9).alias("affinity_margin"),
+        )
+        .orderBy("label")
+    )
+
+
+INTRA_INTER_AFFINITY_ORACLE = """
+WITH comp AS (
+  SELECT e.vec_id, e.label, CAST(i AS INT) AS pos,
+         CAST(round(CAST(embedding[CAST(i AS INT)+1] AS DOUBLE) * 10000, 0)
+              AS BIGINT) AS q
+  FROM embeddings e, LATERAL unnest(range(0, len(embedding))) t(i)
+),
+q2 AS (
+  SELECT label, SUM(CAST(q * q AS DECIMAL(38,0))) AS q2
+  FROM comp GROUP BY 1
+),
+cent AS (
+  SELECT label, pos, SUM(CAST(q AS DECIMAL(38,0))) AS s, COUNT(*) AS cnt
+  FROM comp GROUP BY 1, 2
+),
+dimtot AS (SELECT pos, SUM(s) AS tall FROM cent GROUP BY 1),
+per_label AS (
+  SELECT c.label,
+         SUM(CAST(c.s * c.s AS DECIMAL(38,0))) AS ss,
+         SUM(CAST(c.s * d.tall AS DECIMAL(38,0))) AS st,
+         MAX(c.cnt) AS n
+  FROM cent c JOIN dimtot d USING (pos)
+  GROUP BY 1
+),
+ntot AS (SELECT SUM(n) AS n_corpus FROM per_label)
+SELECT p.label, CAST(p.n AS BIGINT) AS n_vecs,
+       round(CAST(p.ss - q.q2 AS DOUBLE)
+             / (CAST(p.n AS DOUBLE) * CAST(p.n - 1 AS DOUBLE))
+             / 100000000.0, 9) AS mean_intra_dot,
+       round(CAST(p.st - p.ss AS DOUBLE)
+             / (CAST(p.n AS DOUBLE) * CAST(t.n_corpus - p.n AS DOUBLE))
+             / 100000000.0, 9) AS mean_inter_dot,
+       round(CAST(p.ss - q.q2 AS DOUBLE)
+             / (CAST(p.n AS DOUBLE) * CAST(p.n - 1 AS DOUBLE))
+             / 100000000.0
+             - CAST(p.st - p.ss AS DOUBLE)
+             / (CAST(p.n AS DOUBLE) * CAST(t.n_corpus - p.n AS DOUBLE))
+             / 100000000.0, 9) AS affinity_margin
+FROM per_label p JOIN q2 q USING (label), ntot t
+ORDER BY p.label
+"""
+
+
 QUERIES = {
+    "intra_inter_label_affinity": intra_inter_label_affinity,
     "centroid_confusion_matrix": centroid_confusion_matrix,
     "embedding_dimension_profile": embedding_dimension_profile,
     "label_centroid_distances": label_centroid_distances,
@@ -2773,6 +2880,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "intra_inter_label_affinity": INTRA_INTER_AFFINITY_ORACLE,
     "centroid_confusion_matrix": CENTROID_CONFUSION_ORACLE,
     "embedding_dimension_profile": EMBEDDING_DIM_PROFILE_ORACLE,
     "label_centroid_distances": LABEL_CENTROID_DIST_ORACLE,

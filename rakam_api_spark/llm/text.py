@@ -1453,8 +1453,149 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law curve: distinct vocabulary after ingesting the
+    first 10/25/50/75/100% of the corpus (by doc_id order) — the
+    vocab-saturation check behind tokenizer sizing ("does another
+    25% of data still buy new words?").  Reference: Heaps (1978)
+    V(n) ≈ K·n^β; the curve's flattening is the β estimate's raw
+    material.
+
+    Plan: ONE tokenize pass reduces to each token's FIRST doc
+    (min doc_id) — vocab at any cutoff is then a count over that
+    token-grain table, so the five checkpoints cost five counts of
+    one aggregate, never five corpus scans.  Cutoffs are exact
+    integer arithmetic over the doc_id domain (no rank window — the
+    curve is a domain grid, not a row-rank grid)."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("t"),
+    ).where(F.length("t") > 0)
+    first = tok.groupBy("t").agg(F.min("doc_id").alias("first_doc"))
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    grid = spark.createDataFrame([(10,), (25,), (50,), (75,), (100,)], "pct int")
+    cuts = grid.crossJoin(F.broadcast(bounds)).select(
+        "pct",
+        F.expr("CAST(lo + ((hi - lo) * pct) DIV 100 AS BIGINT)").alias("cutoff"),
+    )
+    vocab = (
+        first.crossJoin(F.broadcast(cuts))
+        .where(F.col("first_doc") <= F.col("cutoff"))
+        .groupBy("pct", "cutoff")
+        .agg(F.count(F.lit(1)).alias("vocab_tokens"))
+    )
+    ndocs = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(cuts))
+        .where(F.col("doc_id") <= F.col("cutoff"))
+        .groupBy("pct")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        vocab.join(ndocs, "pct")
+        .select("pct", "cutoff", "n_docs", "vocab_tokens")
+        .orderBy("pct")
+    )
+
+
+HEAPS_VOCAB_GROWTH_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+),
+first AS (
+  SELECT t, MIN(doc_id) AS first_doc FROM tok WHERE length(t) > 0 GROUP BY 1
+),
+b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+grid AS (SELECT unnest([10, 25, 50, 75, 100]) AS pct),
+cuts AS (
+  SELECT pct, CAST(lo + ((hi - lo) * pct) // 100 AS BIGINT) AS cutoff
+  FROM grid, b
+),
+vocab AS (
+  SELECT c.pct, c.cutoff, COUNT(*) AS vocab_tokens
+  FROM first f JOIN cuts c ON f.first_doc <= c.cutoff
+  GROUP BY 1, 2
+),
+ndocs AS (
+  SELECT c.pct, COUNT(*) AS n_docs
+  FROM documents d JOIN cuts c ON d.doc_id <= c.cutoff
+  GROUP BY 1
+)
+SELECT CAST(v.pct AS INT) AS pct, v.cutoff,
+       CAST(n.n_docs AS BIGINT) AS n_docs,
+       CAST(v.vocab_tokens AS BIGINT) AS vocab_tokens
+FROM vocab v JOIN ndocs n USING (pct)
+ORDER BY pct
+"""
+
+
+def token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram token entropy per source: H = −Σ p·ln(p) over each
+    source's token distribution, with vocab and volume — the
+    diversity number that separates boilerplate-heavy sources (low
+    H) from rich prose (high H); the 0-gram companion to
+    ``lm_bigram_quality``'s conditional bigram score.
+
+    Plan: one tokenize pass to (source, token) counts; entropy terms
+    are per-row libm products rounded to 9 dp into DECIMAL(18,9) and
+    SUMMED AS DECIMAL on both engines (the documented contract that
+    kills both the 1-ulp ln divergence and accumulation-order
+    drift)."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("t")
+    ).where(F.length("t") > 0)
+    counts = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.groupBy("source").agg(
+        F.sum("n").alias("n_tokens"), F.count(F.lit(1)).alias("vocab")
+    )
+    p = F.col("n").cast("double") / F.col("n_tokens").cast("double")
+    term = F.round(-(p * F.log(p)), 9).cast("decimal(18,9)")
+    ent = (
+        counts.join(F.broadcast(tot), "source")
+        .groupBy("source", "n_tokens", "vocab")
+        .agg(F.sum(term).alias("_h"))
+    )
+    return ent.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        F.col("_h").cast("double").alias("token_entropy_nats"),
+    ).orderBy("source")
+
+
+TOKEN_ENTROPY_ORACLE = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+),
+counts AS (
+  SELECT source, t, COUNT(*) AS n FROM tok WHERE length(t) > 0 GROUP BY 1, 2
+),
+tot AS (
+  SELECT source, SUM(n) AS n_tokens, COUNT(*) AS vocab FROM counts GROUP BY 1
+),
+ent AS (
+  SELECT c.source, t.n_tokens, t.vocab,
+         SUM(CAST(round(-(CAST(c.n AS DOUBLE) / CAST(t.n_tokens AS DOUBLE))
+                        * ln(CAST(c.n AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)),
+                        9) AS DECIMAL(18,9))) AS _h
+  FROM counts c JOIN tot t USING (source)
+  GROUP BY 1, 2, 3
+)
+SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(vocab AS BIGINT) AS vocab,
+       CAST(_h AS DOUBLE) AS token_entropy_nats
+FROM ent ORDER BY source
+"""
+
+
 QUERIES = {
     "word_freq_top50": word_freq_top50,
+    "heaps_vocab_growth": heaps_vocab_growth,
+    "token_entropy_by_source": token_entropy_by_source,
     "avg_word_len_by_lang": avg_word_len_by_lang,
     "sentence_stats_by_source": sentence_stats_by_source,
     "doc_length_gini_by_source": doc_length_gini_by_source,
@@ -1482,6 +1623,8 @@ QUERIES = {
 
 ORACLES = {
     "word_freq_top50": WORD_FREQ_TOP50_ORACLE,
+    "heaps_vocab_growth": HEAPS_VOCAB_GROWTH_ORACLE,
+    "token_entropy_by_source": TOKEN_ENTROPY_ORACLE,
     "avg_word_len_by_lang": AVG_WORD_LEN_ORACLE,
     "sentence_stats_by_source": SENTENCE_STATS_ORACLE,
     "doc_length_gini_by_source": DOC_LENGTH_GINI_ORACLE,

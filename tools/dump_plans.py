@@ -18,6 +18,17 @@ import __spark_entry__ as entrymod
 from rakam_api_spark.session import get_spark
 
 SHOW = {
+    # round-12 additions
+    "customer_decile_share_twopass": "rank-offset two-pass decile: range-repartition on the full sort tuple, partition x segment counts to the driver (metadata-scale), rank = offset + partition-local row_number — NO single-task per-segment sort; ntile arithmetic exact",
+    "part_size_value_bands": "one partial-agg groupBy of the part dim to <=5 band cells; total aggregates those cells broadcast-back",
+    "nation_type_specialization": "fact scan joins two broadcast dim chains; reduce ONCE to (nation,type) cells; argmax row_number windows over the cell table only",
+    "supplier_acctbal_by_nation": "one broadcast dim join + one partial-agg groupBy to |nations| cells; DECIMAL balance sums",
+    "peak_concurrent_sessions_daily": "sessions via ONE user-partitioned window; +1/-1 boundaries GROUPED to distinct instants before the per-day running-sum window (watch: one day's distinct instants is the window input — two-pass offsets like the decile cut if a day ever exceeds a partition)",
+    "value_p90_concentration_by_type": "events reduce to (type,cents) HISTOGRAM cells; cumulative window runs over distinct values only; rank cutoff in exact integer arithmetic (no interpolation)",
+    "max_dormancy_histogram": "one lag window PARTITIONED BY USER; per-user max; day-grain histogram (tiny)",
+    "heaps_vocab_growth": "ONE tokenize pass to token-grain first_doc; 5 checkpoints = 5 counts over that aggregate via a broadcast 5-row grid (bounded fan-out), never 5 corpus scans",
+    "token_entropy_by_source": "one tokenize pass to (source,token) counts; entropy terms rounded into DECIMAL(18,9) then summed (order-free)",
+    "intra_inter_label_affinity": "corpus posexploded ONCE; sum-vector identities give all pairwise-dot means from (label,dim) aggregates — no pair ever materialized",
     # round-11 additions
     "lineitem_field_correlations": "ONE partial-agg pass computes all ten exact decimal moments; Pearson is a final 1-row projection",
     "order_size_histogram": "two partial-agg groupBys (order grain -> size grain) + broadcast-back total; all integers",

@@ -31,6 +31,17 @@ BASE = "/root/testdata/sf0.1"
 OFF = 10_000_000
 
 OPERATORS = [
+    # round-12 additions
+    "customer_decile_share_twopass",
+    "part_size_value_bands",
+    "nation_type_specialization",
+    "supplier_acctbal_by_nation",
+    "peak_concurrent_sessions_daily",
+    "value_p90_concentration_by_type",
+    "max_dormancy_histogram",
+    "heaps_vocab_growth",
+    "token_entropy_by_source",
+    "intra_inter_label_affinity",
     # round-11 additions
     "lineitem_field_correlations",
     "order_size_histogram",
