@@ -97,6 +97,10 @@ _GATE_PRIORITY = (
     "heaps_vocab_growth",
     "token_entropy_by_source",
     "intra_inter_label_affinity",
+    "supply_degree_histogram",
+    "order_value_boxplot_monthly",
+    "event_type_user_jaccard",
+    "centroid_nearest_rival",
 )
 
 

@@ -861,8 +861,80 @@ FROM per_user GROUP BY 1 ORDER BY 1
 """
 
 
+def event_type_user_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types: Jaccard similarity of
+    the USER SETS of every type pair — the feature-adjacency matrix
+    ("do the people who purchase also search?") behind bundling and
+    funnel design.
+
+    Plan: events reduce ONCE to distinct (user, type); the pair
+    expansion self-joins that reduced frame on user_id with t1 < t2 —
+    per-user fan-out is bounded by |types|², a domain constant, so
+    the join output stays O(users).  Counts exact; Jaccard is one
+    double division."""
+    ev = _events(spark, sf_dir)
+    ut = ev.select("user_id", "event_type").distinct()
+    cnt = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ut.alias("a"), ut.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ca = cnt.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("na").alias("n_users_a"),
+            F.col("nb").alias("n_users_b"),
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_both")).cast("double"),
+                9,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+EVENT_TYPE_JACCARD_ORACLE = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+cnt AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b,
+       CAST(ca.n AS BIGINT) AS n_users_a,
+       CAST(cb.n AS BIGINT) AS n_users_b,
+       CAST(i.n_both AS BIGINT) AS n_both,
+       round(CAST(i.n_both AS DOUBLE)
+             / CAST(ca.n + cb.n - i.n_both AS DOUBLE), 9) AS jaccard
+FROM inter i
+JOIN cnt ca ON ca.event_type = i.type_a
+JOIN cnt cb ON cb.event_type = i.type_b
+ORDER BY i.type_a, i.type_b
+"""
+
+
 QUERIES = {
     "daily_value_cusum": daily_value_cusum,
+    "event_type_user_jaccard": event_type_user_jaccard,
     "weekday_hour_peak_per_type": weekday_hour_peak_per_type,
     "sessions_per_user_histogram": sessions_per_user_histogram,
     "new_vs_returning_daily": new_vs_returning_daily,
@@ -877,6 +949,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "event_type_user_jaccard": EVENT_TYPE_JACCARD_ORACLE,
     "peak_concurrent_sessions_daily": PEAK_CONCURRENT_ORACLE,
     "value_p90_concentration_by_type": VALUE_P90_CONCENTRATION_ORACLE,
     "max_dormancy_histogram": MAX_DORMANCY_ORACLE,

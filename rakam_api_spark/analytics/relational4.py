@@ -872,6 +872,133 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def supply_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part↔supplier bipartite graph: how
+    many distinct suppliers serve each part, how many distinct parts
+    each supplier ships, histogrammed per side — the sourcing-
+    redundancy profile (degree-1 parts are single-sourced risk).
+
+    Plan: ONE distinct over (part, supplier) pairs feeds both sides'
+    degree aggregates; histograms are degree-grain (tiny).  All
+    counts exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    ph = (
+        pairs.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_entities"))
+        .select(F.lit("part").alias("side"), "degree", "n_entities")
+    )
+    sh = (
+        pairs.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_entities"))
+        .select(F.lit("supplier").alias("side"), "degree", "n_entities")
+    )
+    return ph.unionByName(sh).orderBy("side", "degree")
+
+
+SUPPLY_DEGREE_ORACLE = """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+pdeg AS (SELECT l_partkey, COUNT(*) AS degree FROM pairs GROUP BY 1),
+sdeg AS (SELECT l_suppkey, COUNT(*) AS degree FROM pairs GROUP BY 1)
+SELECT 'part' AS side, degree, CAST(COUNT(*) AS BIGINT) AS n_entities
+FROM pdeg GROUP BY 2
+UNION ALL
+SELECT 'supplier' AS side, degree, CAST(COUNT(*) AS BIGINT) AS n_entities
+FROM sdeg GROUP BY 2
+ORDER BY side, degree
+"""
+
+
+def order_value_boxplot_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order-value box plot: min / q1 / median / q3 / max of
+    ``o_totalprice`` per order month — the distribution-shift monitor
+    behind "did order sizes move this month?".  Quartiles are
+    DISCRETE (the value at rank ⌈q·n⌉ — exact integer rank
+    arithmetic on cent-quantized prices, never float interpolation,
+    the ``value_p90_concentration_by_type`` contract).
+
+    Plan: orders reduce to (month, cents) HISTOGRAM cells; ONE
+    cumulative window over those distinct-value cells; all three
+    quartile cutoffs come from one conditional-min aggregate of the
+    same pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_format(F.col("o_orderdate"), "yyyy-MM")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    hist = orders.groupBy(month.alias("month"), cents.alias("vc")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = hist.groupBy("month").agg(
+        F.sum("cnt").alias("n_orders"),
+        F.min("vc").alias("_min"),
+        F.max("vc").alias("_max"),
+    )
+    wv = Window.partitionBy("month").orderBy("vc")
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    j = cum.join(F.broadcast(tot), "month")
+    r25 = F.expr("CAST((n_orders + 3) DIV 4 AS BIGINT)")
+    r50 = F.expr("CAST((n_orders + 1) DIV 2 AS BIGINT)")
+    r75 = F.expr("CAST((3 * n_orders + 3) DIV 4 AS BIGINT)")
+    q = j.groupBy("month", "n_orders", "_min", "_max").agg(
+        F.min(F.when(F.col("cum") >= r25, F.col("vc"))).alias("_q1"),
+        F.min(F.when(F.col("cum") >= r50, F.col("vc"))).alias("_q2"),
+        F.min(F.when(F.col("cum") >= r75, F.col("vc"))).alias("_q3"),
+    )
+    return q.select(
+        "month",
+        "n_orders",
+        (F.col("_min").cast("double") / 100).alias("min_value"),
+        (F.col("_q1").cast("double") / 100).alias("q1_value"),
+        (F.col("_q2").cast("double") / 100).alias("median_value"),
+        (F.col("_q3").cast("double") / 100).alias("q3_value"),
+        (F.col("_max").cast("double") / 100).alias("max_value"),
+    ).orderBy("month")
+
+
+ORDER_VALUE_BOXPLOT_ORACLE = """
+WITH hist AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS vc,
+         COUNT(*) AS cnt
+  FROM orders GROUP BY 1, 2
+),
+tot AS (
+  SELECT month, SUM(cnt) AS n_orders, MIN(vc) AS _min, MAX(vc) AS _max
+  FROM hist GROUP BY 1
+),
+cum AS (
+  SELECT month, vc,
+         SUM(cnt) OVER (PARTITION BY month ORDER BY vc
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM hist
+),
+q AS (
+  SELECT c.month, t.n_orders, t._min, t._max,
+         MIN(CASE WHEN c.cum >= (t.n_orders + 3) // 4 THEN c.vc END) AS _q1,
+         MIN(CASE WHEN c.cum >= (t.n_orders + 1) // 2 THEN c.vc END) AS _q2,
+         MIN(CASE WHEN c.cum >= (3 * t.n_orders + 3) // 4 THEN c.vc END) AS _q3
+  FROM cum c JOIN tot t USING (month)
+  GROUP BY 1, 2, 3, 4
+)
+SELECT month, CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(_min AS DOUBLE) / 100 AS min_value,
+       CAST(_q1 AS DOUBLE) / 100 AS q1_value,
+       CAST(_q2 AS DOUBLE) / 100 AS median_value,
+       CAST(_q3 AS DOUBLE) / 100 AS q3_value,
+       CAST(_max AS DOUBLE) / 100 AS max_value
+FROM q ORDER BY month
+"""
+
+
 def customer_decile_share_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FORCED two-pass plan of
     :func:`customer_decile_revenue_share`, gated against the SAME
@@ -894,6 +1021,8 @@ QUERIES = {
     "part_size_value_bands": part_size_value_bands,
     "nation_type_specialization": nation_type_specialization,
     "supplier_acctbal_by_nation": supplier_acctbal_by_nation,
+    "supply_degree_histogram": supply_degree_histogram,
+    "order_value_boxplot_monthly": order_value_boxplot_monthly,
 }
 
 ORACLES = {
@@ -901,6 +1030,8 @@ ORACLES = {
     "part_size_value_bands": PART_SIZE_BANDS_ORACLE,
     "nation_type_specialization": NATION_TYPE_SPECIALIZATION_ORACLE,
     "supplier_acctbal_by_nation": SUPPLIER_ACCTBAL_NATION_ORACLE,
+    "supply_degree_histogram": SUPPLY_DEGREE_ORACLE,
+    "order_value_boxplot_monthly": ORDER_VALUE_BOXPLOT_ORACLE,
     "lineitem_field_correlations": LINEITEM_CORR_ORACLE,
     "order_size_histogram": ORDER_SIZE_HIST_ORACLE,
     "order_weekday_priority_mix": ORDER_WEEKDAY_MIX_ORACLE,

@@ -2851,8 +2851,100 @@ ORDER BY p.label
 """
 
 
+def centroid_nearest_rival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each label's NEAREST rival centroid: the single most
+    confusable class and its distance — the headline row of
+    ``label_centroid_distances``' full matrix, plus the margin
+    audits read first.  Same exact common-denominator distance
+    machinery; the argmin ranks within the |labels|²-cell table
+    (ties → lexicographic rival), never vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = _quantized_components(emb).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    cent = comp.groupBy("label", "pos").agg(
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    pair = a.join(
+        b,
+        (F.col("a.pos") == F.col("b.pos"))
+        & (F.col("a.label") != F.col("b.label")),
+    ).select(
+        F.col("a.label").alias("label"),
+        F.col("b.label").alias("rival"),
+        F.col("a.n").alias("na"),
+        F.col("b.n").alias("nb"),
+        (
+            F.col("a.s") * F.col("b.n").cast("decimal(38,0)")
+            - F.col("b.s") * F.col("a.n").cast("decimal(38,0)")
+        ).alias("d"),
+    )
+    g = pair.groupBy("label", "rival", "na", "nb").agg(
+        F.sum((F.col("d") * F.col("d")).cast("decimal(38,0)")).alias("_num")
+    )
+    dist = F.round(
+        F.sqrt(F.col("_num").cast("double"))
+        / (
+            F.col("na").cast("double")
+            * F.col("nb").cast("double")
+            * F.lit(float(QUANT))
+        ),
+        9,
+    )
+    scored = g.select("label", "rival", dist.alias("centroid_distance"))
+    w = Window.partitionBy("label").orderBy("centroid_distance", "rival")
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("label", "rival", "centroid_distance")
+        .orderBy("label")
+    )
+
+
+CENTROID_NEAREST_RIVAL_ORACLE = """
+WITH comp AS (
+  SELECT e.label, CAST(i AS INT) AS pos,
+         CAST(round(CAST(embedding[CAST(i AS INT)+1] AS DOUBLE) * 10000, 0)
+              AS BIGINT) AS q
+  FROM embeddings e, LATERAL unnest(range(0, len(embedding))) t(i)
+),
+cent AS (
+  SELECT label, pos, SUM(CAST(q AS DECIMAL(38,0))) AS s, COUNT(*) AS n
+  FROM comp GROUP BY 1, 2
+),
+pair AS (
+  SELECT a.label AS label, b.label AS rival, a.n AS na, b.n AS nb,
+         (a.s * CAST(b.n AS DECIMAL(38,0))
+          - b.s * CAST(a.n AS DECIMAL(38,0))) AS d
+  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label <> b.label
+),
+g AS (
+  SELECT label, rival, na, nb, SUM(CAST(d*d AS DECIMAL(38,0))) AS _num
+  FROM pair GROUP BY 1, 2, 3, 4
+),
+scored AS (
+  SELECT label, rival,
+         round(sqrt(CAST(_num AS DOUBLE))
+               / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * 10000.0), 9)
+           AS centroid_distance
+  FROM g
+),
+ranked AS (
+  SELECT label, rival, centroid_distance,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY centroid_distance, rival) AS _rk
+  FROM scored
+)
+SELECT label, rival, centroid_distance
+FROM ranked WHERE _rk = 1 ORDER BY label
+"""
+
+
 QUERIES = {
     "intra_inter_label_affinity": intra_inter_label_affinity,
+    "centroid_nearest_rival": centroid_nearest_rival,
     "centroid_confusion_matrix": centroid_confusion_matrix,
     "embedding_dimension_profile": embedding_dimension_profile,
     "label_centroid_distances": label_centroid_distances,
@@ -2881,6 +2973,7 @@ QUERIES = {
 
 ORACLES = {
     "intra_inter_label_affinity": INTRA_INTER_AFFINITY_ORACLE,
+    "centroid_nearest_rival": CENTROID_NEAREST_RIVAL_ORACLE,
     "centroid_confusion_matrix": CENTROID_CONFUSION_ORACLE,
     "embedding_dimension_profile": EMBEDDING_DIM_PROFILE_ORACLE,
     "label_centroid_distances": LABEL_CENTROID_DIST_ORACLE,

@@ -29,6 +29,10 @@ SHOW = {
     "heaps_vocab_growth": "ONE tokenize pass to token-grain first_doc; 5 checkpoints = 5 counts over that aggregate via a broadcast 5-row grid (bounded fan-out), never 5 corpus scans",
     "token_entropy_by_source": "one tokenize pass to (source,token) counts; entropy terms rounded into DECIMAL(18,9) then summed (order-free)",
     "intra_inter_label_affinity": "corpus posexploded ONCE; sum-vector identities give all pairwise-dot means from (label,dim) aggregates — no pair ever materialized",
+    "supply_degree_histogram": "ONE distinct over (part,supplier) pairs feeds both degree aggregates; histograms are degree-grain",
+    "order_value_boxplot_monthly": "orders reduce to (month,cents) histogram cells; one cumulative window over distinct values; all three quartile cutoffs from ONE conditional-min aggregate (exact integer ranks)",
+    "event_type_user_jaccard": "events reduce ONCE to distinct (user,type); self-join fan-out bounded by |types|^2 per user; counts exact",
+    "centroid_nearest_rival": "same (label,dim) centroid aggregate as label_centroid_distances; argmin row_number over the |labels|^2 cell table only",
     # round-11 additions
     "lineitem_field_correlations": "ONE partial-agg pass computes all ten exact decimal moments; Pearson is a final 1-row projection",
     "order_size_histogram": "two partial-agg groupBys (order grain -> size grain) + broadcast-back total; all integers",
@@ -388,6 +392,15 @@ def main() -> None:
         "- **Merge key targeting** (`txnlog.merge`): the distinct-key probe is"
         " bounded at 100k keys by contract; past it the coarse [lo, hi] range"
         " applies (correct, rewrites more).",
+        "- **Exact decile cut** (`customer_decile_revenue_share`): below"
+        " 5M customers the segment-partitioned `ntile` window applies (5 enum"
+        " partitions over per-customer AGGREGATE rows — a bounded single-task"
+        " sort); at or above it the plan switches to the rank-offset two-pass"
+        " (`_twopass_deciles`): range-repartition on the sort tuple, a"
+        " partitions×segments count collect (metadata-scale), rank = offset +"
+        " partition-local row_number — bit-identical ntile arithmetic with"
+        " every sort bounded by one range partition (round-12; proven against"
+        " the same oracle by `customer_decile_share_twopass`).",
         "",
     ]
     for name, note in SHOW.items():

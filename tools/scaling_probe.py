@@ -42,6 +42,10 @@ OPERATORS = [
     "heaps_vocab_growth",
     "token_entropy_by_source",
     "intra_inter_label_affinity",
+    "supply_degree_histogram",
+    "order_value_boxplot_monthly",
+    "event_type_user_jaccard",
+    "centroid_nearest_rival",
     # round-11 additions
     "lineitem_field_correlations",
     "order_size_histogram",
