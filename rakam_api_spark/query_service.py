@@ -402,11 +402,12 @@ class QueryService:
                 if tn == "boolean":
                     return str(v).lower() == "true", "bool", True
                 if tn == "date":
-                    return (
-                        _dt.date(1970, 1, 1) + _dt.timedelta(days=int(str(v))),
-                        "date",
-                        True,
-                    )
+                    d = _dt.date(1970, 1, 1) + _dt.timedelta(days=int(str(v)))
+                    # canonical ISO text: identical _bloom_key bytes to
+                    # the stored date values, and lexicographically
+                    # comparable to the ISO min/max the manifest stats
+                    # record — so BOTH bloom and range pruning engage
+                    return str(d), "date", True
                 if tn in ("timestamp", "timestamp_ntz"):
                     ts = _dt.datetime(
                         1970, 1, 1, tzinfo=_dt.timezone.utc
@@ -416,7 +417,7 @@ class QueryService:
                         if tz is None:
                             return None, None, False
                         ts = ts.astimezone(tz)
-                    return ts.replace(tzinfo=None), "timestamp", True
+                    return str(ts.replace(tzinfo=None)), "timestamp", True
             except (TypeError, ValueError, OverflowError):
                 pass
             return None, None, False
@@ -430,7 +431,8 @@ class QueryService:
                 return v
             if lit_cat == "string" and col_cat == "date":
                 try:
-                    return _dt.date.fromisoformat(str(v).strip())
+                    # re-canonicalize ('2024-1-5' → '2024-01-05')
+                    return str(_dt.date.fromisoformat(str(v).strip()))
                 except ValueError:
                     return None
             if lit_cat == "string" and col_cat == "timestamp":
@@ -442,7 +444,7 @@ class QueryService:
                     return None
                 # an explicit offset means Spark applies ITS tz math —
                 # don't second-guess it, just skip pruning
-                return None if ts.tzinfo is not None else ts
+                return None if ts.tzinfo is not None else str(ts)
             return None
 
         def attr_col(expr):

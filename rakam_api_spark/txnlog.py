@@ -133,6 +133,8 @@ def _file_rows(path: str) -> int | None:
 
 
 def _stat_safe(v):
+    import datetime as _dt
+
     if isinstance(v, bytes):
         try:
             return v.decode("utf-8")
@@ -140,6 +142,13 @@ def _stat_safe(v):
             return None
     if isinstance(v, (bool, int, float, str)):
         return v
+    if isinstance(v, (_dt.date, _dt.datetime)):
+        # ISO text (the manifest is JSON): lexicographic order over
+        # 'YYYY-MM-DD[ HH:MM:SS[.ffffff]]' is chronological, and the
+        # form matches _bloom_key's str() canonicalization — date/ts
+        # probes canonicalized to the same text compare and prune
+        # correctly (round 12)
+        return str(v)
     return None
 
 

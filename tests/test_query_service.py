@@ -972,6 +972,29 @@ def test_date_and_timestamp_literals_prune(spark, warehouse):
         assert res.error is None
         assert [r[0] for r in res.result] == [2, 8, 14, 20], lit
 
+    # RANGE predicates on the date column prune via the ISO min/max
+    # stats the manifest now records for date columns (round 12)
+    rng_sql = "SELECT x FROM ev WHERE day >= DATE'2024-01-05' ORDER BY x"
+    scanned = set(svc._analyze("proj", rng_sql).inputFiles())
+    assert len(scanned) < len(all_files)
+    res = svc.execute("proj", rng_sql)
+    assert res.error is None
+    assert [r[0] for r in res.result] == [4, 5, 10, 11, 16, 17, 22, 23]
+
+    # timestamp literals compare correctly against the ISO ts stats
+    res = svc.execute(
+        "proj",
+        "SELECT count(*) c FROM ev "
+        "WHERE _time = TIMESTAMP'2024-01-05 09:00:00'",
+    )
+    assert res.error is None and res.result[0][0] == 24
+    res = svc.execute(
+        "proj",
+        "SELECT count(*) c FROM ev "
+        "WHERE _time > TIMESTAMP'2024-01-05 09:00:00'",
+    )
+    assert res.error is None and res.result[0][0] == 0
+
     # a non-ISO string: coerce() refuses it, so NO pruning fires and
     # the statement surfaces Spark's own ANSI cast error — pruning
     # must never turn an erroring statement into a silent empty result
