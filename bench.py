@@ -200,6 +200,9 @@ EXTRA = [
     "order_value_boxplot_monthly",
     "event_type_user_jaccard",
     "centroid_nearest_rival",
+    "basket_size_by_segment",
+    "user_journey_endpoints",
+    "doc_length_quartiles_by_source",
 ]
 
 

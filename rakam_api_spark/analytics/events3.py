@@ -932,9 +932,74 @@ ORDER BY i.type_a, i.type_b
 """
 
 
+def user_journey_endpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifetime journey endpoints: each user's FIRST-ever event type
+    crossed with their LATEST event type, as a |types|² matrix with
+    row shares — where acquisitions start vs where users currently
+    sit (the lifetime-scale companion to ``session_entry_exit``'s
+    per-session matrix).
+
+    Plan: ONE user-grain min/max-struct aggregate (tie-break
+    (ts_ns, event_id) — a total order), then a tiny matrix rollup;
+    shares via the cell-table-total idiom."""
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.struct("ts_ns", "event_id", "event_type")).alias("first"),
+        F.max(F.struct("ts_ns", "event_id", "event_type")).alias("last"),
+    )
+    cell = per_user.groupBy(
+        F.col("first.event_type").alias("first_type"),
+        F.col("last.event_type").alias("last_type"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+    rowtot = cell.groupBy("first_type").agg(F.sum("n_users").alias("_row_n"))
+    return (
+        cell.join(F.broadcast(rowtot), "first_type")
+        .select(
+            "first_type",
+            "last_type",
+            "n_users",
+            F.round(
+                F.col("n_users").cast("double") / F.col("_row_n").cast("double"),
+                9,
+            ).alias("share_of_first_type"),
+        )
+        .orderBy("first_type", "last_type")
+    )
+
+
+USER_JOURNEY_ENDPOINTS_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn_first,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) DESC, event_id DESC)
+           AS rn_last
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN rn_first = 1 THEN event_type END) AS first_type,
+         MAX(CASE WHEN rn_last = 1 THEN event_type END) AS last_type
+  FROM ranked GROUP BY 1
+),
+cell AS (
+  SELECT first_type, last_type, COUNT(*) AS n_users
+  FROM per_user GROUP BY 1, 2
+),
+rowtot AS (SELECT first_type, SUM(n_users) AS _row_n FROM cell GROUP BY 1)
+SELECT c.first_type, c.last_type, CAST(c.n_users AS BIGINT) AS n_users,
+       round(CAST(c.n_users AS DOUBLE) / CAST(r._row_n AS DOUBLE), 9)
+         AS share_of_first_type
+FROM cell c JOIN rowtot r USING (first_type)
+ORDER BY c.first_type, c.last_type
+"""
+
+
 QUERIES = {
     "daily_value_cusum": daily_value_cusum,
     "event_type_user_jaccard": event_type_user_jaccard,
+    "user_journey_endpoints": user_journey_endpoints,
     "weekday_hour_peak_per_type": weekday_hour_peak_per_type,
     "sessions_per_user_histogram": sessions_per_user_histogram,
     "new_vs_returning_daily": new_vs_returning_daily,
@@ -950,6 +1015,7 @@ QUERIES = {
 
 ORACLES = {
     "event_type_user_jaccard": EVENT_TYPE_JACCARD_ORACLE,
+    "user_journey_endpoints": USER_JOURNEY_ENDPOINTS_ORACLE,
     "peak_concurrent_sessions_daily": PEAK_CONCURRENT_ORACLE,
     "value_p90_concentration_by_type": VALUE_P90_CONCENTRATION_ORACLE,
     "max_dormancy_histogram": MAX_DORMANCY_ORACLE,

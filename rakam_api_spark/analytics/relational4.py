@@ -999,6 +999,62 @@ FROM q ORDER BY month
 """
 
 
+def basket_size_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket composition per market segment: average line count and
+    order value of each segment's orders — the "do BUILDING customers
+    place bigger baskets?" merchandising cut.
+
+    Plan: lineitem reduces to order-grain line counts FIRST (one
+    partial-aggregatable groupBy), then joins orders + the customer
+    dim and rolls up to |segments| cells.  Value sums DECIMAL; means
+    are single double divisions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    per_order = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    j = per_order.join(
+        orders, per_order["l_orderkey"] == orders["o_orderkey"]
+    ).join(customer, orders["o_custkey"] == customer["c_custkey"])
+    return (
+        j.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("n_lines").alias("_lines"),
+            F.sum(_dec("o_totalprice")).alias("_val"),
+        )
+        .select(
+            "segment",
+            "n_orders",
+            F.round(
+                F.col("_lines").cast("double") / F.col("n_orders").cast("double"),
+                9,
+            ).alias("avg_lines_per_order"),
+            F.round(
+                F.col("_val").cast("double") / F.col("n_orders").cast("double"),
+                9,
+            ).alias("avg_order_value"),
+        )
+        .orderBy("segment")
+    )
+
+
+BASKET_SIZE_SEGMENT_ORACLE = """
+WITH per_order AS (
+  SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY 1
+)
+SELECT c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       round(CAST(SUM(n_lines) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+         AS avg_lines_per_order,
+       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS avg_order_value
+FROM per_order
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def customer_decile_share_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FORCED two-pass plan of
     :func:`customer_decile_revenue_share`, gated against the SAME
@@ -1023,6 +1079,7 @@ QUERIES = {
     "supplier_acctbal_by_nation": supplier_acctbal_by_nation,
     "supply_degree_histogram": supply_degree_histogram,
     "order_value_boxplot_monthly": order_value_boxplot_monthly,
+    "basket_size_by_segment": basket_size_by_segment,
 }
 
 ORACLES = {
@@ -1032,6 +1089,7 @@ ORACLES = {
     "supplier_acctbal_by_nation": SUPPLIER_ACCTBAL_NATION_ORACLE,
     "supply_degree_histogram": SUPPLY_DEGREE_ORACLE,
     "order_value_boxplot_monthly": ORDER_VALUE_BOXPLOT_ORACLE,
+    "basket_size_by_segment": BASKET_SIZE_SEGMENT_ORACLE,
     "lineitem_field_correlations": LINEITEM_CORR_ORACLE,
     "order_size_histogram": ORDER_SIZE_HIST_ORACLE,
     "order_weekday_priority_mix": ORDER_WEEKDAY_MIX_ORACLE,

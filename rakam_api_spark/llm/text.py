@@ -8,7 +8,7 @@ Each is row-local, so they scale embarrassingly at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -1592,10 +1592,88 @@ FROM ent ORDER BY source
 """
 
 
+def doc_length_quartiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-length box plot per source: min / q1 / median / q3 / max
+    of ``n_chars`` — the truncation/chunking calibration table next
+    to ``doc_length_histogram``'s global buckets and
+    ``doc_length_gini_by_source``'s single index.  Quartiles are
+    DISCRETE (value at rank ⌈q·n⌉, exact integer rank arithmetic —
+    no interpolation to diverge between engines).
+
+    Plan: docs reduce to (source, n_chars) HISTOGRAM cells; one
+    cumulative window over those distinct lengths; all three cutoffs
+    from one conditional-min aggregate."""
+    docs = _docs(spark, sf_dir)
+    hist = docs.groupBy("source", F.col("n_chars").alias("len")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = hist.groupBy("source").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.min("len").alias("min_chars"),
+        F.max("len").alias("max_chars"),
+    )
+    wv = Window.partitionBy("source").orderBy("len")
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    j = cum.join(F.broadcast(tot), "source")
+    r25 = F.expr("CAST((n_docs + 3) DIV 4 AS BIGINT)")
+    r50 = F.expr("CAST((n_docs + 1) DIV 2 AS BIGINT)")
+    r75 = F.expr("CAST((3 * n_docs + 3) DIV 4 AS BIGINT)")
+    return (
+        j.groupBy("source", "n_docs", "min_chars", "max_chars")
+        .agg(
+            F.min(F.when(F.col("cum") >= r25, F.col("len"))).alias("q1_chars"),
+            F.min(F.when(F.col("cum") >= r50, F.col("len"))).alias("median_chars"),
+            F.min(F.when(F.col("cum") >= r75, F.col("len"))).alias("q3_chars"),
+        )
+        .select(
+            "source", "n_docs", "min_chars", "q1_chars",
+            "median_chars", "q3_chars", "max_chars",
+        )
+        .orderBy("source")
+    )
+
+
+DOC_LENGTH_QUARTILES_ORACLE = """
+WITH hist AS (
+  SELECT source, n_chars AS len, COUNT(*) AS cnt
+  FROM documents GROUP BY 1, 2
+),
+tot AS (
+  SELECT source, SUM(cnt) AS n_docs, MIN(len) AS min_chars,
+         MAX(len) AS max_chars
+  FROM hist GROUP BY 1
+),
+cum AS (
+  SELECT source, len,
+         SUM(cnt) OVER (PARTITION BY source ORDER BY len
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM hist
+)
+SELECT c.source, CAST(t.n_docs AS BIGINT) AS n_docs,
+       CAST(t.min_chars AS BIGINT) AS min_chars,
+       CAST(MIN(CASE WHEN c.cum >= (t.n_docs + 3) // 4 THEN c.len END)
+            AS BIGINT) AS q1_chars,
+       CAST(MIN(CASE WHEN c.cum >= (t.n_docs + 1) // 2 THEN c.len END)
+            AS BIGINT) AS median_chars,
+       CAST(MIN(CASE WHEN c.cum >= (3 * t.n_docs + 3) // 4 THEN c.len END)
+            AS BIGINT) AS q3_chars,
+       CAST(t.max_chars AS BIGINT) AS max_chars
+FROM cum c JOIN tot t USING (source)
+GROUP BY 1, 2, 3, 7 ORDER BY 1
+"""
+
+
 QUERIES = {
     "word_freq_top50": word_freq_top50,
     "heaps_vocab_growth": heaps_vocab_growth,
     "token_entropy_by_source": token_entropy_by_source,
+    "doc_length_quartiles_by_source": doc_length_quartiles_by_source,
     "avg_word_len_by_lang": avg_word_len_by_lang,
     "sentence_stats_by_source": sentence_stats_by_source,
     "doc_length_gini_by_source": doc_length_gini_by_source,
@@ -1625,6 +1703,7 @@ ORACLES = {
     "word_freq_top50": WORD_FREQ_TOP50_ORACLE,
     "heaps_vocab_growth": HEAPS_VOCAB_GROWTH_ORACLE,
     "token_entropy_by_source": TOKEN_ENTROPY_ORACLE,
+    "doc_length_quartiles_by_source": DOC_LENGTH_QUARTILES_ORACLE,
     "avg_word_len_by_lang": AVG_WORD_LEN_ORACLE,
     "sentence_stats_by_source": SENTENCE_STATS_ORACLE,
     "doc_length_gini_by_source": DOC_LENGTH_GINI_ORACLE,

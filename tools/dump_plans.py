@@ -33,6 +33,9 @@ SHOW = {
     "order_value_boxplot_monthly": "orders reduce to (month,cents) histogram cells; one cumulative window over distinct values; all three quartile cutoffs from ONE conditional-min aggregate (exact integer ranks)",
     "event_type_user_jaccard": "events reduce ONCE to distinct (user,type); self-join fan-out bounded by |types|^2 per user; counts exact",
     "centroid_nearest_rival": "same (label,dim) centroid aggregate as label_centroid_distances; argmin row_number over the |labels|^2 cell table only",
+    "basket_size_by_segment": "lineitem reduces to order-grain line counts BEFORE joining orders + customer dim; |segments| cells",
+    "user_journey_endpoints": "ONE user-grain min/max-struct aggregate; |types|^2 matrix rollup; no window",
+    "doc_length_quartiles_by_source": "docs reduce to (source,n_chars) histogram cells; one cumulative window over distinct lengths; three cutoffs from ONE conditional-min aggregate (exact integer ranks)",
     # round-11 additions
     "lineitem_field_correlations": "ONE partial-agg pass computes all ten exact decimal moments; Pearson is a final 1-row projection",
     "order_size_histogram": "two partial-agg groupBys (order grain -> size grain) + broadcast-back total; all integers",

@@ -46,6 +46,9 @@ OPERATORS = [
     "order_value_boxplot_monthly",
     "event_type_user_jaccard",
     "centroid_nearest_rival",
+    "basket_size_by_segment",
+    "user_journey_endpoints",
+    "doc_length_quartiles_by_source",
     # round-11 additions
     "lineitem_field_correlations",
     "order_size_histogram",
