@@ -188,6 +188,7 @@ class QueryService:
         project: str,
         as_of: dict[str, int] | None = None,
         prune: dict[str, dict] | None = None,
+        prune_stats: dict | None = None,
     ) -> dict[str, DataFrame]:
         views: dict[str, DataFrame] = {}
         ms = self.store.metastore
@@ -229,6 +230,11 @@ class QueryService:
                             txn.live_files(version=ver, equals={col: v})
                         )
                     files = [f for f in files if f in allowed]
+                if eq and prune_stats is not None:
+                    prune_stats[coll] = {
+                        "files_scanned": len(files),
+                        "files_live": len(txn.live_files(version=ver)),
+                    }
                 views[coll] = (
                     txn.read(files=files)
                     if files
@@ -704,7 +710,11 @@ class QueryService:
     # -- execution --------------------------------------------------------
 
     def _analyze(
-        self, project: str, sql: str, as_of: dict[str, int] | None = None
+        self,
+        project: str,
+        sql: str,
+        as_of: dict[str, int] | None = None,
+        prune_stats: dict | None = None,
     ) -> DataFrame:
         """Register the project's views, let ``spark.sql`` parse AND
         analyze the statement (Spark analyzes eagerly — view
@@ -718,7 +728,7 @@ class QueryService:
         views mid-analysis."""
         prune = self._equality_pruning(project, sql)
         with self._lock:
-            views = self._project_views(project, as_of, prune)
+            views = self._project_views(project, as_of, prune, prune_stats)
             try:
                 for name, df in views.items():
                     df.createOrReplaceTempView(name)
@@ -865,8 +875,9 @@ class QueryService:
             self._dep_signature(project) if self.cache_ttl_seconds > 0 else ()
         )
         start = time.monotonic()
+        prune_stats: dict = {}
         try:
-            out = self._analyze(project, sql, as_of)
+            out = self._analyze(project, sql, as_of, prune_stats)
         except Exception as exc:  # Parse/Analysis
             return QueryResult.error_result(self._to_error(exc))
         try:
@@ -887,6 +898,11 @@ class QueryService:
                 "query": sql,
                 "totalResult": len(rows),
                 "truncated": truncated,
+                # manifest-pruning effectiveness, per point-looked-up
+                # collection: how many live files the predicate
+                # actually opened (observability for bloom/stats
+                # skipping — absent when no equality pruning fired)
+                **({"pruning": prune_stats} if prune_stats else {}),
             },
         )
         self._cache_put(key, project, result, sig)

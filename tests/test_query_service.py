@@ -670,6 +670,10 @@ def test_point_lookup_sql_prunes_files_from_blooms(spark, warehouse):
     assert len(pruned) < len(all_files), (len(pruned), len(all_files))
     res = svc.execute("proj", point)
     assert res.error is None and [r[0] for r in res.result] == [99]
+    # pruning effectiveness is surfaced in the result properties
+    pstats = res.properties["pruning"]["ev"]
+    assert pstats["files_live"] == len(all_files)
+    assert 0 < pstats["files_scanned"] < pstats["files_live"]
     # absent value: usually prunes everything; always returns 0 rows
     res0 = svc.execute("proj", "SELECT x FROM ev WHERE uid = 'nope-1'")
     assert res0.error is None and res0.result == []
