@@ -203,6 +203,16 @@ EXTRA = [
     "basket_size_by_segment",
     "user_journey_endpoints",
     "doc_length_quartiles_by_source",
+    "user_active_streak_histogram",
+    "session_first_purchase_position",
+    "event_type_run_lengths",
+    "customer_onetime_vs_repeat_revenue",
+    "order_lines_value_matrix",
+    "nation_revenue_rank_shift",
+    "char_bigram_entropy_by_lang",
+    "word_pmi_top_pairs",
+    "centroid_distance_histogram",
+    "dimension_discriminability",
 ]
 
 

@@ -996,6 +996,241 @@ ORDER BY c.first_type, c.last_type
 """
 
 
+def user_active_streak_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of each user's LONGEST consecutive-active-day
+    streak — the habit-formation curve product teams track next to
+    ``max_dormancy_histogram``'s churn side (reference's event-explorer
+    retention family).
+
+    Plan: dedup to (user, day) grain FIRST (one exchange), then the
+    classic gaps-and-islands key ``day_id − row_number`` inside a
+    user-partitioned window; two tiny groupBys follow.  Everything is
+    exact integer arithmetic."""
+    ev = _events(spark, sf_dir)
+    day_id = F.datediff(_day(), F.lit("1970-01-01"))
+    dd = ev.select("user_id", day_id.alias("day_id")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_id")
+    island = F.col("day_id") - F.row_number().over(w)
+    runs = (
+        dd.select("user_id", island.alias("_isl"))
+        .groupBy("user_id", "_isl")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    per_user = runs.groupBy("user_id").agg(F.max("run_len").alias("max_streak"))
+    cell = per_user.groupBy("max_streak").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    tot = cell.agg(F.sum("n_users").alias("_tot"))
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("max_streak").cast("int").alias("max_streak_days"),
+            "n_users",
+            F.round(
+                F.col("n_users").cast("double") / F.col("_tot").cast("double"),
+                9,
+            ).alias("share_of_users"),
+        )
+        .orderBy("max_streak_days")
+    )
+
+
+USER_ACTIVE_STREAK_ORACLE = """
+WITH dd AS (
+  SELECT DISTINCT user_id, date_diff('day', DATE '1970-01-01',
+                                     CAST(ts AS DATE)) AS day_id
+  FROM events
+),
+runs AS (
+  SELECT user_id,
+         day_id - row_number() OVER (PARTITION BY user_id ORDER BY day_id)
+           AS _isl
+  FROM dd
+),
+run_len AS (
+  SELECT user_id, _isl, COUNT(*) AS run_len FROM runs GROUP BY 1, 2
+),
+per_user AS (
+  SELECT user_id, MAX(run_len) AS max_streak FROM run_len GROUP BY 1
+),
+cell AS (
+  SELECT max_streak, COUNT(*) AS n_users FROM per_user GROUP BY 1
+),
+tot AS (SELECT SUM(n_users) AS _tot FROM cell)
+SELECT CAST(c.max_streak AS INT) AS max_streak_days,
+       CAST(c.n_users AS BIGINT) AS n_users,
+       round(CAST(c.n_users AS DOUBLE) / CAST(t._tot AS DOUBLE), 9)
+         AS share_of_users
+FROM cell c CROSS JOIN tot t
+ORDER BY max_streak_days
+"""
+
+
+def session_first_purchase_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within purchase-containing sessions (30-minute gap rule), the
+    ordinal position of the FIRST purchase event — how deep into a
+    visit conversion happens, the page-depth companion to
+    ``funnel_step_latency``'s time axis.
+
+    Plan: the module's standard two windows over ONE user-keyed
+    exchange (lag marks session starts; a running sum numbers the
+    sessions; row_number gives within-session positions), then a
+    session-grain min and a bounded histogram.  Positions are capped
+    at 20 so the output stays enum-sized."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    gap = F.col("ts_ns") - F.lag("ts_ns").over(w)
+    marked = ev.select(
+        "user_id",
+        "ts_ns",
+        "event_id",
+        "event_type",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000_000), 1)
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sess = marked.withColumn(
+        "session_no", F.sum("is_start").over(w)
+    ).withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("user_id", "session_no").orderBy(
+                "ts_ns", "event_id"
+            )
+        ),
+    )
+    first_buy = (
+        sess.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "session_no")
+        .agg(F.min("pos").alias("first_pos"))
+    )
+    capped = F.least(F.col("first_pos"), F.lit(20))
+    cell = first_buy.groupBy(capped.cast("int").alias("first_purchase_pos")).agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    tot = cell.agg(F.sum("n_sessions").alias("_tot"))
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .select(
+            "first_purchase_pos",
+            "n_sessions",
+            F.round(
+                F.col("n_sessions").cast("double") / F.col("_tot").cast("double"),
+                9,
+            ).alias("share_of_sessions"),
+        )
+        .orderBy("first_purchase_pos")
+    )
+
+
+SESSION_FIRST_PURCHASE_ORACLE = """
+WITH marked AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+numbered AS (
+  SELECT user_id, event_type, ts_us, event_id,
+         SUM(is_start) OVER (PARTITION BY user_id
+                             ORDER BY ts_us, event_id) AS session_no
+  FROM marked
+),
+sess AS (
+  SELECT user_id, event_type, session_no,
+         row_number() OVER (PARTITION BY user_id, session_no
+                            ORDER BY ts_us, event_id) AS pos
+  FROM numbered
+),
+first_buy AS (
+  SELECT user_id, session_no, MIN(pos) AS first_pos
+  FROM sess WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+cell AS (
+  SELECT CAST(least(first_pos, 20) AS INT) AS first_purchase_pos,
+         COUNT(*) AS n_sessions
+  FROM first_buy GROUP BY 1
+),
+tot AS (SELECT SUM(n_sessions) AS _tot FROM cell)
+SELECT c.first_purchase_pos, CAST(c.n_sessions AS BIGINT) AS n_sessions,
+       round(CAST(c.n_sessions AS DOUBLE) / CAST(t._tot AS DOUBLE), 9)
+         AS share_of_sessions
+FROM cell c CROSS JOIN tot t
+ORDER BY c.first_purchase_pos
+"""
+
+
+def event_type_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length distribution of REPEATED event types per user
+    stream: how long do same-type bursts run before the user switches
+    (error storms, click trains, view binges) — the repetition shape
+    ``event_burstiness`` summarizes in time, restated in sequence
+    space.
+
+    Plan: the rn − rn_by_type gaps-and-islands key over ONE
+    user-keyed exchange (two window functions, same partitioning),
+    then an island-grain count and a (type, length) histogram.
+    Everything exact integers; one double division for the share."""
+    ev = _events(spark, sf_dir)
+    w_all = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts_ns", "event_id"
+    )
+    isl = (F.row_number().over(w_all) - F.row_number().over(w_type)).alias(
+        "_isl"
+    )
+    runs = (
+        ev.select("user_id", "event_type", isl)
+        .groupBy("user_id", "event_type", "_isl")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    cell = runs.groupBy("event_type", "run_len").agg(
+        F.count(F.lit(1)).alias("n_runs")
+    )
+    tot = cell.groupBy("event_type").agg(F.sum("n_runs").alias("_tot"))
+    return (
+        cell.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            F.col("run_len").cast("int").alias("run_len"),
+            "n_runs",
+            F.round(
+                F.col("n_runs").cast("double") / F.col("_tot").cast("double"),
+                9,
+            ).alias("share_of_runs"),
+        )
+        .orderBy("event_type", "run_len")
+    )
+
+
+EVENT_TYPE_RUN_LENGTHS_ORACLE = """
+WITH keyed AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id)
+         - row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY epoch_us(ts), event_id) AS _isl
+  FROM events
+),
+runs AS (
+  SELECT user_id, event_type, _isl, COUNT(*) AS run_len
+  FROM keyed GROUP BY 1, 2, 3
+),
+cell AS (
+  SELECT event_type, run_len, COUNT(*) AS n_runs FROM runs GROUP BY 1, 2
+),
+tot AS (SELECT event_type, SUM(n_runs) AS _tot FROM cell GROUP BY 1)
+SELECT c.event_type, CAST(c.run_len AS INT) AS run_len,
+       CAST(c.n_runs AS BIGINT) AS n_runs,
+       round(CAST(c.n_runs AS DOUBLE) / CAST(t._tot AS DOUBLE), 9)
+         AS share_of_runs
+FROM cell c JOIN tot t USING (event_type)
+ORDER BY c.event_type, c.run_len
+"""
+
+
 QUERIES = {
     "daily_value_cusum": daily_value_cusum,
     "event_type_user_jaccard": event_type_user_jaccard,
@@ -1011,9 +1246,15 @@ QUERIES = {
     "peak_concurrent_sessions_daily": peak_concurrent_sessions_daily,
     "value_p90_concentration_by_type": value_p90_concentration_by_type,
     "max_dormancy_histogram": max_dormancy_histogram,
+    "user_active_streak_histogram": user_active_streak_histogram,
+    "session_first_purchase_position": session_first_purchase_position,
+    "event_type_run_lengths": event_type_run_lengths,
 }
 
 ORACLES = {
+    "user_active_streak_histogram": USER_ACTIVE_STREAK_ORACLE,
+    "session_first_purchase_position": SESSION_FIRST_PURCHASE_ORACLE,
+    "event_type_run_lengths": EVENT_TYPE_RUN_LENGTHS_ORACLE,
     "event_type_user_jaccard": EVENT_TYPE_JACCARD_ORACLE,
     "user_journey_endpoints": USER_JOURNEY_ENDPOINTS_ORACLE,
     "peak_concurrent_sessions_daily": PEAK_CONCURRENT_ORACLE,

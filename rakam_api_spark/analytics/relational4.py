@@ -1063,6 +1063,218 @@ def customer_decile_share_twopass(spark: SparkSession, sf_dir: str) -> DataFrame
     return customer_decile_revenue_share(spark, sf_dir, two_pass=True)
 
 
+def customer_onetime_vs_repeat_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Yearly revenue split between ONE-TIME customers (exactly one
+    lifetime order) and REPEAT customers — the acquisition-quality
+    trend every retention deck opens with (reference README.md:17's
+    warehouse-SQL reporting surface).
+
+    Plan: one customer-grain aggregate classifies customers (orders
+    is touched once for the lifetime counts), then the order stream
+    joins that enum-width label and reduces to (year, class) cells.
+    Revenue through DECIMAL; shares are one double division of exact
+    decimals."""
+    orders = load_table(spark, sf_dir, "orders")
+    life = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("_n_orders")
+    )
+    label = F.when(F.col("_n_orders") == 1, "one_time").otherwise("repeat")
+    yr = F.year("o_orderdate")
+    cell = (
+        orders.join(life.select("o_custkey", label.alias("cust_class")), "o_custkey")
+        .groupBy(yr.alias("order_year"), "cust_class")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).alias("_rev"),
+        )
+    )
+    ytot = cell.groupBy("order_year").agg(F.sum("_rev").alias("_ytot"))
+    return (
+        cell.join(F.broadcast(ytot), "order_year")
+        .select(
+            "order_year",
+            "cust_class",
+            "n_customers",
+            "n_orders",
+            F.col("_rev").cast("double").alias("revenue"),
+            F.round(
+                F.col("_rev").cast("double") / F.col("_ytot").cast("double"), 9
+            ).alias("share_of_year"),
+        )
+        .orderBy("order_year", "cust_class")
+    )
+
+
+ONETIME_REPEAT_ORACLE = """
+WITH life AS (
+  SELECT o_custkey, COUNT(*) AS _n FROM orders GROUP BY 1
+),
+cell AS (
+  SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
+         CASE WHEN l._n = 1 THEN 'one_time' ELSE 'repeat' END AS cust_class,
+         COUNT(DISTINCT o.o_custkey) AS n_customers,
+         COUNT(*) AS n_orders,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS _rev
+  FROM orders o JOIN life l USING (o_custkey)
+  GROUP BY 1, 2
+),
+ytot AS (SELECT order_year, SUM(_rev) AS _ytot FROM cell GROUP BY 1)
+SELECT c.order_year, c.cust_class, CAST(c.n_customers AS BIGINT) AS n_customers,
+       CAST(c.n_orders AS BIGINT) AS n_orders,
+       CAST(c._rev AS DOUBLE) AS revenue,
+       round(CAST(c._rev AS DOUBLE) / CAST(y._ytot AS DOUBLE), 9)
+         AS share_of_year
+FROM cell c JOIN ytot y USING (order_year)
+ORDER BY c.order_year, c.cust_class
+"""
+
+
+def order_lines_value_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-size × order-value cross-tab: line-count bucket (capped
+    at 7+) against 50k-wide total-price bands (capped at 300k+), with
+    counts and average price per cell — the 2-D composition view
+    behind ``order_size_histogram``'s 1-D margin.
+
+    Plan: lineitem reduces to order grain FIRST (one exchange on the
+    fact table), joins orders on the order key, and collapses to an
+    enum-sized cell table.  Averages are exact-decimal sums over
+    exact counts, divided once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    j = orders.join(
+        per_order, orders["o_orderkey"] == per_order["l_orderkey"]
+    )
+    line_bucket = F.least(F.col("n_lines"), F.lit(7))
+    band = F.least(
+        F.floor(F.col("o_totalprice") / 50000) * 50000, F.lit(300000)
+    )
+    cell = j.groupBy(
+        line_bucket.cast("int").alias("line_bucket"),
+        band.cast("int").alias("price_band"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).alias("_sum"),
+    )
+    return cell.select(
+        "line_bucket",
+        "price_band",
+        "n_orders",
+        F.round(
+            F.col("_sum").cast("double") / F.col("n_orders").cast("double"), 6
+        ).alias("avg_price"),
+    ).orderBy("line_bucket", "price_band")
+
+
+ORDER_LINES_VALUE_ORACLE = """
+WITH per_order AS (
+  SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY 1
+),
+cell AS (
+  SELECT CAST(least(p.n_lines, 7) AS INT) AS line_bucket,
+         CAST(least(floor(o.o_totalprice / 50000) * 50000, 300000) AS INT)
+           AS price_band,
+         COUNT(*) AS n_orders,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS _sum
+  FROM orders o JOIN per_order p ON o.o_orderkey = p.l_orderkey
+  GROUP BY 1, 2
+)
+SELECT line_bucket, price_band, CAST(n_orders AS BIGINT) AS n_orders,
+       round(CAST(_sum AS DOUBLE) / CAST(n_orders AS DOUBLE), 6) AS avg_price
+FROM cell ORDER BY line_bucket, price_band
+"""
+
+
+def nation_revenue_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation revenue league table, first half vs second half of the
+    corpus date range (fixed cutoff 1995-01-01): rank in each half
+    and the rank shift — the market-movement report behind
+    ``region_trade_matrix``'s flow view.
+
+    Plan: customer→nation is an enum-width broadcast join; the fact
+    table reduces to (nation, half) cells in one pass; ranks are
+    windows over the 25-row nation table (the module's
+    enum-partition window precedent).  Revenue exact DECIMAL; rank
+    ties broken by nation name."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    half = F.when(
+        F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"), "h1"
+    ).otherwise("h2")
+    cell = (
+        orders.join(
+            F.broadcast(
+                customer.select("c_custkey", "c_nationkey")
+            ),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", half.alias("_half"))
+        .agg(F.sum(_dec("o_totalprice")).alias("_rev"))
+    )
+    zero = F.lit(0).cast(DEC)
+    pivoted = cell.groupBy("n_name").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("_half") == "h1", F.col("_rev"))), zero
+        ).alias("_r1"),
+        F.coalesce(
+            F.sum(F.when(F.col("_half") == "h2", F.col("_rev"))), zero
+        ).alias("_r2"),
+    )
+    w1 = Window.orderBy(F.col("_r1").desc(), "n_name")
+    w2 = Window.orderBy(F.col("_r2").desc(), "n_name")
+    return (
+        pivoted.select(
+            "n_name",
+            F.col("_r1").cast("double").alias("rev_h1"),
+            F.col("_r2").cast("double").alias("rev_h2"),
+            F.rank().over(w1).cast("long").alias("rank_h1"),
+            F.rank().over(w2).cast("long").alias("rank_h2"),
+        )
+        .withColumn("rank_shift", F.col("rank_h1") - F.col("rank_h2"))
+        .orderBy("n_name")
+    )
+
+
+NATION_RANK_SHIFT_ORACLE = """
+WITH cell AS (
+  SELECT n.n_name,
+         CASE WHEN o.o_orderdate < TIMESTAMP '1995-01-01' THEN 'h1'
+              ELSE 'h2' END AS _half,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS _rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+pivoted AS (
+  SELECT n_name,
+         COALESCE(SUM(CASE WHEN _half = 'h1' THEN _rev END),
+                  CAST(0 AS DECIMAL(18,6))) AS _r1,
+         COALESCE(SUM(CASE WHEN _half = 'h2' THEN _rev END),
+                  CAST(0 AS DECIMAL(18,6))) AS _r2
+  FROM cell GROUP BY 1
+)
+SELECT n_name,
+       CAST(_r1 AS DOUBLE) AS rev_h1,
+       CAST(_r2 AS DOUBLE) AS rev_h2,
+       CAST(rank() OVER (ORDER BY _r1 DESC, n_name) AS BIGINT) AS rank_h1,
+       CAST(rank() OVER (ORDER BY _r2 DESC, n_name) AS BIGINT) AS rank_h2,
+       CAST(rank() OVER (ORDER BY _r1 DESC, n_name)
+            - rank() OVER (ORDER BY _r2 DESC, n_name) AS BIGINT) AS rank_shift
+FROM pivoted ORDER BY n_name
+"""
+
+
 QUERIES = {
     "lineitem_field_correlations": lineitem_field_correlations,
     "order_size_histogram": order_size_histogram,
@@ -1080,9 +1292,15 @@ QUERIES = {
     "supply_degree_histogram": supply_degree_histogram,
     "order_value_boxplot_monthly": order_value_boxplot_monthly,
     "basket_size_by_segment": basket_size_by_segment,
+    "customer_onetime_vs_repeat_revenue": customer_onetime_vs_repeat_revenue,
+    "order_lines_value_matrix": order_lines_value_matrix,
+    "nation_revenue_rank_shift": nation_revenue_rank_shift,
 }
 
 ORACLES = {
+    "customer_onetime_vs_repeat_revenue": ONETIME_REPEAT_ORACLE,
+    "order_lines_value_matrix": ORDER_LINES_VALUE_ORACLE,
+    "nation_revenue_rank_shift": NATION_RANK_SHIFT_ORACLE,
     "customer_decile_share_twopass": CUSTOMER_DECILE_SHARE_ORACLE,
     "part_size_value_bands": PART_SIZE_BANDS_ORACLE,
     "nation_type_specialization": NATION_TYPE_SPECIALIZATION_ORACLE,

@@ -540,17 +540,7 @@ def build_ivf_index(
     emb = load_table(spark, sf_dir, "embeddings")
     comp = _quantized_components(emb).cache()
     comp.count()
-    cents = comp.where(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("label"), "pos", F.col("q").alias("cq")
-    )
-    for _ in range(iters):
-        assign = _assign_cells(comp, cents)
-        cents = (
-            comp.join(assign, "vec_id")
-            .groupBy("label", "pos")
-            .agg(F.floor(F.avg("q")).cast("long").alias("cq"))
-        )
-    assign = _assign_cells(comp, cents)
+    cents, assign = _lloyd_fit(comp, k, iters)
     import os
 
     (
@@ -683,6 +673,48 @@ def _assign_cells(comp: DataFrame, cents: DataFrame) -> DataFrame:
     return costs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).select("vec_id", "label")
 
 
+def _lloyd_fit(
+    comp: DataFrame,
+    k: int = K_CELLS,
+    iters: int = KM_ITERS,
+    materialize_assign: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared deterministic Lloyd fit, MATERIALIZED: each iteration's
+    centroid table is eagerly localCheckpoint-ed (k·d rows — tiny by
+    construction), and the final assignment (corpus-sized but two
+    columns) once.  Consumers reference ``cents`` two-to-three times
+    (probe ranking, centroid norms) and ``assign`` once per probe
+    budget; without lineage truncation EVERY reference re-evaluates
+    the whole unrolled assign→recompute chain, which is where the
+    multi-second wall went (same defect class as the label-propagation
+    checkpoint fix, VERDICT r10 Next #3).  Values are exact integers
+    throughout, so materialization cannot change results.  At 100 TB
+    the checkpoint would be a persisted centroid/assignment table —
+    same operators, same cut.
+
+    ``materialize_assign``: the final assignment is corpus-sized, so
+    eagerly checkpointing it only pays when a consumer references it
+    more than once (the nprobe curve probes it per budget); single-
+    reference consumers (one probe/score tail) keep it lazy — measured
+    A/B at sf0.1: eager assign cost kmeans_ivf_topk ~0.5 s while
+    saving the curve ~2 s."""
+    cents = comp.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("label"), "pos", F.col("q").alias("cq")
+    )
+    for _ in range(iters):
+        assign = _assign_cells(comp, cents)
+        cents = (
+            comp.join(assign, "vec_id")
+            .groupBy("label", "pos")
+            .agg(F.floor(F.avg("q")).cast("long").alias("cq"))
+            .localCheckpoint(eager=True)
+        )
+    assign = _assign_cells(comp, cents)
+    if materialize_assign:
+        assign = assign.localCheckpoint(eager=True)
+    return cents, assign
+
+
 def kmeans_ivf_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -710,17 +742,7 @@ def kmeans_ivf_topk(
     emb = load_table(spark, sf_dir, "embeddings")
     comp = _quantized_components(emb).cache()
     comp.count()  # single deterministic materialization
-    cents = comp.where(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("label"), "pos", F.col("q").alias("cq")
-    )
-    for _ in range(iters):
-        assign = _assign_cells(comp, cents)
-        cents = (
-            comp.join(assign, "vec_id")
-            .groupBy("label", "pos")
-            .agg(F.floor(F.avg("q")).cast("long").alias("cq"))
-        )
-    assign = _assign_cells(comp, cents)
+    cents, assign = _lloyd_fit(comp, k, iters)
 
     return _ivf_probe_score(comp, cents, assign, n_queries, nprobe, topk)
 
@@ -833,17 +855,7 @@ def filtered_kmeans_ivf_topk(
     emb = load_table(spark, sf_dir, "embeddings")
     comp = _quantized_components(emb).cache()
     comp.count()  # single deterministic materialization
-    cents = comp.where(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("label"), "pos", F.col("q").alias("cq")
-    )
-    for _ in range(iters):
-        assign = _assign_cells(comp, cents)
-        cents = (
-            comp.join(assign, "vec_id")
-            .groupBy("label", "pos")
-            .agg(F.floor(F.avg("q")).cast("long").alias("cq"))
-        )
-    assign = _assign_cells(comp, cents)
+    cents, assign = _lloyd_fit(comp, k, iters)
     qualifying = emb.where(F.col("label") >= min_label).select("vec_id")
     return _ivf_probe_score(
         comp, cents, assign, n_queries, nprobe, topk, member_ids=qualifying
@@ -864,7 +876,11 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     20-query brute-force scan — request-sized by construction (the
     query batch IS the bound; the corpus side stays the production
     one-pass kernel), so no extra cap parameter is needed."""
-    truth = brute_force_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    truth = (
+        brute_force_topk(spark, sf_dir)
+        .select("q_id", "neighbor_id")
+        .localCheckpoint(eager=True)  # referenced by the hit join AND the totals agg
+    )
     approx = kmeans_ivf_topk(spark, sf_dir).select("q_id", "neighbor_id")
     hit = approx.join(truth, ["q_id", "neighbor_id"], "left_semi")
     row = (
@@ -910,19 +926,13 @@ def ivf_nprobe_recall_curve(
     emb = load_table(spark, sf_dir, "embeddings")
     comp = _quantized_components(emb).cache()
     comp.count()  # single deterministic materialization
-    cents = comp.where(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("label"), "pos", F.col("q").alias("cq")
-    )
-    for _ in range(iters):
-        assign = _assign_cells(comp, cents)
-        cents = (
-            comp.join(assign, "vec_id")
-            .groupBy("label", "pos")
-            .agg(F.floor(F.avg("q")).cast("long").alias("cq"))
-        )
-    assign = _assign_cells(comp, cents)
-    truth = brute_force_topk(spark, sf_dir, k=topk, n_queries=n_queries).select(
-        "q_id", "neighbor_id"
+    cents, assign = _lloyd_fit(comp, k, iters, materialize_assign=True)
+    # truth is request-sized (n_queries·topk rows) but referenced by
+    # every probe budget's recall join — materialize it once.
+    truth = (
+        brute_force_topk(spark, sf_dir, k=topk, n_queries=n_queries)
+        .select("q_id", "neighbor_id")
+        .localCheckpoint(eager=True)
     )
     rows = []
     for n in nprobes:
@@ -1317,17 +1327,7 @@ def embedding_cluster_profile(
     emb = load_table(spark, sf_dir, "embeddings")
     comp = _quantized_components(emb).cache()
     comp.count()  # single deterministic materialization
-    cents = comp.where(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("label"), "pos", F.col("q").alias("cq")
-    )
-    for _ in range(iters):
-        assign = _assign_cells(comp, cents)
-        cents = (
-            comp.join(assign, "vec_id")
-            .groupBy("label", "pos")
-            .agg(F.floor(F.avg("q")).cast("long").alias("cq"))
-        )
-    assign = _assign_cells(comp, cents)
+    cents, assign = _lloyd_fit(comp, k, iters)
     truth = emb.select("vec_id", F.col("label").alias("true_label"))
     cell_counts = (
         assign.select("vec_id", F.col("label").alias("cluster"))
@@ -1396,6 +1396,61 @@ PQ_K = 16  # centroids per subspace codebook
 PQ_ITERS = 2
 
 
+def _pq_comp(emb: DataFrame, m: int) -> DataFrame:
+    """(vec_id, m, spos, q): quantized components re-keyed to
+    (subspace, within-subspace position) — the shared input of the
+    PQ fit, encode, and audit paths."""
+    dsub = F.expr(f"pos div {64 // m}")
+    return _quantized_components(emb).select(
+        "vec_id", dsub.alias("m"), F.expr(f"pos % {64 // m}").alias("spos"), "q"
+    )
+
+
+def _pq_assign(comp: DataFrame, cs: DataFrame) -> DataFrame:
+    """Per-subspace nearest-codebook-entry assignment (argmin of
+    cn2 − 2·dot per (vector, subspace); exact ints, label tiebreak)."""
+    costs = (
+        comp.join(broadcast(cs), ["m", "spos"])
+        .groupBy("vec_id", "m", "label")
+        .agg(
+            (F.sum(F.col("cq") * F.col("cq")) - 2 * F.sum(F.col("q") * F.col("cq"))).alias(
+                "cost"
+            )
+        )
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("cost"), F.asc("label"))
+    return (
+        costs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", "label")
+    )
+
+
+def _pq_fit(
+    comp: DataFrame, kc: int = PQ_K, iters: int = PQ_ITERS
+) -> tuple[DataFrame, DataFrame]:
+    """Per-subspace Lloyd codebook fit, MATERIALIZED — the
+    :func:`_lloyd_fit` treatment applied to the PQ chain: each
+    iteration's codebook (m·kc·d/m rows, tiny) is eagerly
+    localCheckpoint-ed, and the final code table once, so the
+    consuming ADC/reconstruction plans scan flat tables instead of
+    re-evaluating the unrolled fit per reference.  Integer-exact
+    throughout; results unchanged."""
+    cents = comp.where(F.col("vec_id") < kc).select(
+        "m", F.col("vec_id").alias("label"), "spos", F.col("q").alias("cq")
+    )
+    for _ in range(iters):
+        a = _pq_assign(comp, cents)
+        cents = (
+            comp.join(a, ["vec_id", "m"])
+            .groupBy("m", "label", "spos")
+            .agg(F.floor(F.avg("q")).cast("long").alias("cq"))
+            .localCheckpoint(eager=True)
+        )
+    codes = _pq_assign(comp, cents).localCheckpoint(eager=True)
+    return cents, codes
+
+
 def pq_ann_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -1424,42 +1479,9 @@ def pq_ann_topk(
     one m-code row per corpus vector — the memory shape that makes
     billion-vector ANN fit a cluster."""
     emb = load_table(spark, sf_dir, "embeddings")
-    dsub = F.expr(f"pos div {64 // m}")
-    comp = (
-        _quantized_components(emb)
-        .select("vec_id", dsub.alias("m"), F.expr(f"pos % {64 // m}").alias("spos"), "q")
-        .cache()
-    )
-    comp.count()
-    cents = comp.where(F.col("vec_id") < kc).select(
-        "m", F.col("vec_id").alias("label"), "spos", F.col("q").alias("cq")
-    )
-
-    def assign(cs):
-        costs = (
-            comp.join(broadcast(cs), ["m", "spos"])
-            .groupBy("vec_id", "m", "label")
-            .agg(
-                (F.sum(F.col("cq") * F.col("cq")) - 2 * F.sum(F.col("q") * F.col("cq"))).alias(
-                    "cost"
-                )
-            )
-        )
-        w = Window.partitionBy("vec_id", "m").orderBy(F.asc("cost"), F.asc("label"))
-        return (
-            costs.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "m", "label")
-        )
-
-    for _ in range(iters):
-        a = assign(cents)
-        cents = (
-            comp.join(a, ["vec_id", "m"])
-            .groupBy("m", "label", "spos")
-            .agg(F.floor(F.avg("q")).cast("long").alias("cq"))
-        )
-    codes = assign(cents)
+    comp = _pq_comp(emb, m).cache()
+    comp.count()  # single deterministic materialization
+    cents, codes = _pq_fit(comp, kc, iters)
 
     qcomp = comp.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), "m", "spos", F.col("q").alias("qq")
@@ -1585,42 +1607,9 @@ def pq_reconstruction_error(
     divisions.  The oracle unrolls the identical iterations via the
     shared CTE chain."""
     emb = load_table(spark, sf_dir, "embeddings")
-    dsub = F.expr(f"pos div {64 // m}")
-    comp = (
-        _quantized_components(emb)
-        .select("vec_id", dsub.alias("m"), F.expr(f"pos % {64 // m}").alias("spos"), "q")
-        .cache()
-    )
-    comp.count()
-    cents = comp.where(F.col("vec_id") < kc).select(
-        "m", F.col("vec_id").alias("label"), "spos", F.col("q").alias("cq")
-    )
-
-    def assign(cs):
-        costs = (
-            comp.join(broadcast(cs), ["m", "spos"])
-            .groupBy("vec_id", "m", "label")
-            .agg(
-                (F.sum(F.col("cq") * F.col("cq")) - 2 * F.sum(F.col("q") * F.col("cq"))).alias(
-                    "cost"
-                )
-            )
-        )
-        w = Window.partitionBy("vec_id", "m").orderBy(F.asc("cost"), F.asc("label"))
-        return (
-            costs.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "m", "label")
-        )
-
-    for _ in range(iters):
-        a = assign(cents)
-        cents = (
-            comp.join(a, ["vec_id", "m"])
-            .groupBy("m", "label", "spos")
-            .agg(F.floor(F.avg("q")).cast("long").alias("cq"))
-        )
-    codes = assign(cents)
+    comp = _pq_comp(emb, m).cache()
+    comp.count()  # single deterministic materialization
+    cents, codes = _pq_fit(comp, kc, iters)
     err = (
         comp.join(codes, ["vec_id", "m"])
         .join(
@@ -2372,17 +2361,7 @@ def ivf_cell_balance(
     emb = load_table(spark, sf_dir, "embeddings")
     comp = _quantized_components(emb).cache()
     comp.count()  # single deterministic materialization
-    cents = comp.where(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("label"), "pos", F.col("q").alias("cq")
-    )
-    for _ in range(iters):
-        assign = _assign_cells(comp, cents)
-        cents = (
-            comp.join(assign, "vec_id")
-            .groupBy("label", "pos")
-            .agg(F.floor(F.avg("q")).cast("long").alias("cq"))
-        )
-    assign = _assign_cells(comp, cents)
+    cents, assign = _lloyd_fit(comp, k, iters)
     sizes = assign.groupBy("label").agg(F.count(F.lit(1)).alias("n")).cache()
     stats = sizes.agg(
         F.count(F.lit(1)).alias("n_cells_used"),
@@ -2942,7 +2921,198 @@ FROM ranked WHERE _rk = 1 ORDER BY label
 """
 
 
+def centroid_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-to-GLOBAL-centroid histogram (0.005-wide bins
+    anchored at 0.9, clamped to [0, 60] — high-dim distances
+    concentrate near 1, so the window brackets the shell): the
+    radial density profile of the embedding cloud —
+    a heavy far tail means outliers/mis-encoded rows, a spike at 0
+    means collapsed (constant) vectors.  The corpus-level margin of
+    ``embedding_label_outliers``' per-label view.
+
+    Exactness: the usual common-denominator form — dist = sqrt(Σ_pos
+    (q·N − S_pos)²) / (N·QUANT) with exact DECIMAL sums, so every
+    distance is sqrt+divide on identical exact integers in both
+    engines; binning is floor on that identical double (no
+    transcendentals anywhere).
+
+    Scale: corpus posexploded ONCE; the centroid table is d rows
+    (broadcast by construction); one vec-grain aggregate and an
+    enum-sized histogram follow — linear, no pairwise anything."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    comp = _quantized_components(emb)
+    cent = comp.groupBy("pos").agg(
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
+        F.count(F.lit(1)).alias("cn"),
+    )
+    pair = comp.join(broadcast(cent), "pos")
+    term = (
+        F.col("q").cast("decimal(38,0)") * F.col("cn").cast("decimal(38,0)")
+        - F.col("s")
+    )
+    num = pair.groupBy("vec_id").agg(
+        F.sum((term * term).cast("decimal(38,0)")).alias("num"),
+        F.max("cn").alias("_n"),
+    )
+    dist = F.sqrt(F.col("num").cast("double")) / (
+        F.col("_n").cast("double") * F.lit(float(QUANT))
+    )
+    bin_ = F.least(
+        F.greatest(F.floor((dist - 0.9) / 0.005), F.lit(0)), F.lit(60)
+    )
+    cell = num.groupBy(bin_.cast("int").alias("dist_bin")).agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    tot = cell.agg(F.sum("n_vectors").alias("_tot"))
+    return (
+        cell.crossJoin(broadcast(tot))
+        .select(
+            "dist_bin",
+            "n_vectors",
+            F.round(
+                F.col("n_vectors").cast("double") / F.col("_tot").cast("double"),
+                9,
+            ).alias("share_of_vectors"),
+        )
+        .orderBy("dist_bin")
+    )
+
+
+CENTROID_DISTANCE_HIST_ORACLE = """
+WITH comp AS (
+  SELECT e.vec_id, CAST(i AS INT) AS pos,
+         CAST(round(CAST(embedding[CAST(i AS INT)+1] AS DOUBLE) * 10000, 0)
+              AS HUGEINT) AS q
+  FROM embeddings e, LATERAL unnest(range(0, len(embedding))) t(i)
+),
+cent AS (
+  SELECT pos, SUM(q) AS s, COUNT(*) AS cn FROM comp GROUP BY 1
+),
+num AS (
+  SELECT c.vec_id,
+         SUM((c.q * ct.cn - ct.s) * (c.q * ct.cn - ct.s)) AS num,
+         MAX(ct.cn) AS _n
+  FROM comp c JOIN cent ct USING (pos) GROUP BY 1
+),
+cell AS (
+  SELECT CAST(least(greatest(floor((sqrt(CAST(num AS DOUBLE))
+                                    / (CAST(_n AS DOUBLE) * 10000.0) - 0.9)
+                                   / 0.005), 0), 60)
+              AS INT) AS dist_bin,
+         COUNT(*) AS n_vectors
+  FROM num GROUP BY 1
+),
+tot AS (SELECT SUM(n_vectors) AS _tot FROM cell)
+SELECT c.dist_bin, CAST(c.n_vectors AS BIGINT) AS n_vectors,
+       round(CAST(c.n_vectors AS DOUBLE) / CAST(t._tot AS DOUBLE), 9)
+         AS share_of_vectors
+FROM cell c CROSS JOIN tot t
+ORDER BY c.dist_bin
+"""
+
+
+def dimension_discriminability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension one-way ANOVA F-ratio of the label split:
+    between-label variance over within-label variance, dimension by
+    dimension — which embedding coordinates actually carry the label
+    signal (feature selection / projection audits before IVF or
+    propagation trusts the geometry).
+
+    Determinism: per-(pos,label) sums/counts/sum-of-squares are exact
+    integers (DECIMAL); every non-exact step is a ROW-LEVEL double
+    expression on those exact aggregates written identically in both
+    engines, with the per-label s²/n term rounded to 6 dp into
+    DECIMAL(18,6) and summed AS DECIMAL (the module's entropy-ln
+    contract, applied to divisions) — never a raw double aggregate.
+
+    Scale: corpus touched once (posexplode → (pos,label) cells =
+    d·|labels| rows); everything after is enum-sized."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    comp = _quantized_components(emb).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    qd = F.col("q").cast("decimal(38,0)")
+    lab = comp.groupBy("pos", "label").agg(
+        F.count(F.lit(1)).alias("n_l"),
+        F.sum(qd).alias("s_l"),
+        F.sum((qd * qd).cast("decimal(38,0)")).alias("ss_l"),
+    )
+    t_l = F.round(
+        (F.col("s_l").cast("double") * F.col("s_l").cast("double"))
+        / F.col("n_l").cast("double"),
+        6,
+    ).cast("decimal(38,6)")
+    pos_agg = lab.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n_labels"),
+        F.sum("n_l").alias("n_total"),
+        F.sum("s_l").alias("_s"),
+        F.sum("ss_l").alias("_q"),
+        F.sum(t_l).alias("_t"),
+    )
+    g = F.round(
+        (F.col("_s").cast("double") * F.col("_s").cast("double"))
+        / F.col("n_total").cast("double"),
+        6,
+    )
+    ssb = F.col("_t").cast("double") - g
+    ssw = F.col("_q").cast("double") - F.col("_t").cast("double")
+    f_ratio = F.round(
+        (ssb / (F.col("n_labels").cast("double") - 1.0))
+        / (ssw / (F.col("n_total").cast("double") - F.col("n_labels").cast("double"))),
+        6,
+    )
+    return (
+        pos_agg.where((F.col("n_labels") > 1) & (F.col("_q") > F.col("_t")))
+        .select(
+            "pos",
+            "n_labels",
+            F.round(ssb, 6).alias("ss_between"),
+            F.round(ssw, 6).alias("ss_within"),
+            f_ratio.alias("f_ratio"),
+        )
+        .orderBy("pos")
+    )
+
+
+DIMENSION_DISCRIMINABILITY_ORACLE = """
+WITH comp AS (
+  SELECT e.vec_id, e.label, CAST(i AS INT) AS pos,
+         CAST(round(CAST(embedding[CAST(i AS INT)+1] AS DOUBLE) * 10000, 0)
+              AS HUGEINT) AS q
+  FROM embeddings e, LATERAL unnest(range(0, len(embedding))) t(i)
+),
+lab AS (
+  SELECT pos, label, COUNT(*) AS n_l, SUM(q) AS s_l, SUM(q * q) AS ss_l
+  FROM comp GROUP BY 1, 2
+),
+pos_agg AS (
+  SELECT pos, COUNT(*) AS n_labels, SUM(n_l) AS n_total,
+         SUM(s_l) AS _s, SUM(ss_l) AS _q,
+         SUM(CAST(round(CAST(s_l AS DOUBLE) * CAST(s_l AS DOUBLE)
+                        / CAST(n_l AS DOUBLE), 6) AS DECIMAL(38,6))) AS _t
+  FROM lab GROUP BY 1
+)
+SELECT pos, CAST(n_labels AS BIGINT) AS n_labels,
+       round(CAST(_t AS DOUBLE)
+             - round(CAST(_s AS DOUBLE) * CAST(_s AS DOUBLE)
+                     / CAST(n_total AS DOUBLE), 6), 6) AS ss_between,
+       round(CAST(_q AS DOUBLE) - CAST(_t AS DOUBLE), 6) AS ss_within,
+       round((CAST(_t AS DOUBLE)
+              - round(CAST(_s AS DOUBLE) * CAST(_s AS DOUBLE)
+                      / CAST(n_total AS DOUBLE), 6))
+             / (CAST(n_labels AS DOUBLE) - 1.0)
+             / ((CAST(_q AS DOUBLE) - CAST(_t AS DOUBLE))
+                / (CAST(n_total AS DOUBLE) - CAST(n_labels AS DOUBLE))), 6)
+         AS f_ratio
+FROM pos_agg
+WHERE n_labels > 1 AND _q > _t
+ORDER BY pos
+"""
+
+
 QUERIES = {
+    "centroid_distance_histogram": centroid_distance_histogram,
+    "dimension_discriminability": dimension_discriminability,
     "intra_inter_label_affinity": intra_inter_label_affinity,
     "centroid_nearest_rival": centroid_nearest_rival,
     "centroid_confusion_matrix": centroid_confusion_matrix,
@@ -2972,6 +3142,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "centroid_distance_histogram": CENTROID_DISTANCE_HIST_ORACLE,
+    "dimension_discriminability": DIMENSION_DISCRIMINABILITY_ORACLE,
     "intra_inter_label_affinity": INTRA_INTER_AFFINITY_ORACLE,
     "centroid_nearest_rival": CENTROID_NEAREST_RIVAL_ORACLE,
     "centroid_confusion_matrix": CENTROID_CONFUSION_ORACLE,

@@ -1669,6 +1669,168 @@ GROUP BY 1, 2, 3, 7 ORDER BY 1
 """
 
 
+def char_bigram_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram entropy per language: H = −Σ p·ln(p) over
+    each language's overlapping 2-char distribution (spaces
+    included) — the sub-token diversity screen that separates
+    repetitive/templated text from natural prose, and the char-level
+    companion to ``token_entropy_by_source``.
+
+    Plan: one row-local transform materializes the bigrams (no
+    Python; whole-stage codegen), a (lang, bigram) count and a tiny
+    per-lang rollup follow.  Entropy terms follow the module's ln
+    contract: each libm product rounded to 9 dp into DECIMAL(18,9)
+    and summed AS DECIMAL on both engines."""
+    docs = _docs(spark, sf_dir)
+    bg = F.explode(
+        F.expr(
+            "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"
+        )
+    )
+    counts = (
+        docs.where(F.length("text") >= 2)
+        .select("lang", bg.alias("bg"))
+        .groupBy("lang", "bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.groupBy("lang").agg(
+        F.sum("n").alias("n_bigrams"), F.count(F.lit(1)).alias("distinct_bigrams")
+    )
+    p = F.col("n").cast("double") / F.col("n_bigrams").cast("double")
+    term = F.round(-(p * F.log(p)), 9).cast("decimal(18,9)")
+    ent = (
+        counts.join(F.broadcast(tot), "lang")
+        .groupBy("lang", "n_bigrams", "distinct_bigrams")
+        .agg(F.sum(term).alias("_h"))
+    )
+    return ent.select(
+        "lang",
+        "n_bigrams",
+        "distinct_bigrams",
+        F.col("_h").cast("double").alias("bigram_entropy_nats"),
+    ).orderBy("lang")
+
+
+CHAR_BIGRAM_ENTROPY_ORACLE = """
+WITH bg AS (
+  SELECT lang, substr(text, CAST(i AS INT), 2) AS bg
+  FROM documents, LATERAL unnest(range(1, len(text))) t(i)
+  WHERE len(text) >= 2
+),
+counts AS (
+  SELECT lang, bg, COUNT(*) AS n FROM bg GROUP BY 1, 2
+),
+tot AS (
+  SELECT lang, SUM(n) AS n_bigrams, COUNT(*) AS distinct_bigrams
+  FROM counts GROUP BY 1
+),
+ent AS (
+  SELECT c.lang, t.n_bigrams, t.distinct_bigrams,
+         SUM(CAST(round(-(CAST(c.n AS DOUBLE) / CAST(t.n_bigrams AS DOUBLE))
+                        * ln(CAST(c.n AS DOUBLE) / CAST(t.n_bigrams AS DOUBLE)),
+                        9) AS DECIMAL(18,9))) AS _h
+  FROM counts c JOIN tot t USING (lang) GROUP BY 1, 2, 3
+)
+SELECT lang, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(distinct_bigrams AS BIGINT) AS distinct_bigrams,
+       CAST(_h AS DOUBLE) AS bigram_entropy_nats
+FROM ent ORDER BY lang
+"""
+
+
+def word_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top word collocations by document-level PMI: for word pairs
+    co-occurring in ≥5 documents, PMI = ln(n_docs·df_ab / (df_a·df_b))
+    — the collocation miner behind phrase vocabularies and
+    boilerplate detection (``corpus_top_ngrams`` counts adjacent
+    n-grams; this scores UNORDERED co-presence).
+
+    Scale: the pair space is capped BY CONSTRUCTION to the top-100
+    vocabulary by document frequency (ties on the token), so the
+    per-doc fan-out is ≤ C(100,2) regardless of corpus size; the
+    doc-grain distinct and df counts are single exchanges.  PMI's ln
+    follows the module contract (round 9 dp; all inputs exact
+    integers)."""
+    docs = _docs(spark, sf_dir)
+    dt = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+        )
+        .where(F.length("t") > 0)
+        .distinct()
+    )
+    dfreq = dt.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    top = dfreq.orderBy(F.col("df").desc(), "t").limit(100)
+    dtop = dt.join(F.broadcast(top), "t")
+    a, b = dtop.alias("a"), dtop.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.t") < F.col("b.t")),
+    )
+    pc = pairs.groupBy(
+        F.col("a.t").alias("w1"),
+        F.col("b.t").alias("w2"),
+        F.col("a.df").alias("df_a"),
+        F.col("b.df").alias("df_b"),
+    ).agg(F.count(F.lit(1)).alias("df_ab"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_nd"))
+    pmi = F.round(
+        F.log(
+            (F.col("df_ab") * F.col("_nd")).cast("double")
+            / (F.col("df_a") * F.col("df_b")).cast("double")
+        ),
+        9,
+    )
+    return (
+        pc.where(F.col("df_ab") >= 5)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "w1",
+            "w2",
+            "df_ab",
+            "df_a",
+            "df_b",
+            pmi.alias("pmi_nats"),
+        )
+        .orderBy(F.col("pmi_nats").desc(), "w1", "w2")
+        .limit(30)
+    )
+
+
+WORD_PMI_ORACLE = """
+WITH dt AS (
+  SELECT DISTINCT doc_id, t FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+  ) WHERE length(t) > 0
+),
+dfreq AS (
+  SELECT t, COUNT(*) AS df FROM dt GROUP BY 1
+),
+top AS (
+  SELECT t, df FROM dfreq ORDER BY df DESC, t LIMIT 100
+),
+dtop AS (
+  SELECT d.doc_id, d.t, tp.df FROM dt d JOIN top tp USING (t)
+),
+pc AS (
+  SELECT a.t AS w1, b.t AS w2, a.df AS df_a, b.df AS df_b,
+         COUNT(*) AS df_ab
+  FROM dtop a JOIN dtop b ON a.doc_id = b.doc_id AND a.t < b.t
+  GROUP BY 1, 2, 3, 4
+),
+nd AS (SELECT COUNT(*) AS _nd FROM documents)
+SELECT w1, w2, CAST(df_ab AS BIGINT) AS df_ab,
+       CAST(df_a AS BIGINT) AS df_a, CAST(df_b AS BIGINT) AS df_b,
+       round(ln(CAST(df_ab * _nd AS DOUBLE)
+                / CAST(df_a * df_b AS DOUBLE)), 9) AS pmi_nats
+FROM pc CROSS JOIN nd
+WHERE df_ab >= 5
+ORDER BY pmi_nats DESC, w1, w2
+LIMIT 30
+"""
+
+
 QUERIES = {
     "word_freq_top50": word_freq_top50,
     "heaps_vocab_growth": heaps_vocab_growth,
@@ -1697,9 +1859,13 @@ QUERIES = {
     "corpus_top_ngrams": corpus_top_ngrams,
     "source_dup_matrix": source_dup_matrix,
     "vocab_coverage": vocab_coverage,
+    "char_bigram_entropy_by_lang": char_bigram_entropy_by_lang,
+    "word_pmi_top_pairs": word_pmi_top_pairs,
 }
 
 ORACLES = {
+    "char_bigram_entropy_by_lang": CHAR_BIGRAM_ENTROPY_ORACLE,
+    "word_pmi_top_pairs": WORD_PMI_ORACLE,
     "word_freq_top50": WORD_FREQ_TOP50_ORACLE,
     "heaps_vocab_growth": HEAPS_VOCAB_GROWTH_ORACLE,
     "token_entropy_by_source": TOKEN_ENTROPY_ORACLE,

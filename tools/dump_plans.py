@@ -36,6 +36,16 @@ SHOW = {
     "basket_size_by_segment": "lineitem reduces to order-grain line counts BEFORE joining orders + customer dim; |segments| cells",
     "user_journey_endpoints": "ONE user-grain min/max-struct aggregate; |types|^2 matrix rollup; no window",
     "doc_length_quartiles_by_source": "docs reduce to (source,n_chars) histogram cells; one cumulative window over distinct lengths; three cutoffs from ONE conditional-min aggregate (exact integer ranks)",
+    "user_active_streak_histogram": "dedup to (user,day) FIRST; gaps-and-islands key (day_id - row_number) inside the user partition; two enum-sized groupBys",
+    "session_first_purchase_position": "two windows over ONE user-keyed exchange (lag marks starts, running sum numbers sessions, row_number positions); session-grain min; bounded histogram",
+    "event_type_run_lengths": "rn - rn_by_type islands over ONE user-keyed exchange; island-grain count; (type,len) histogram",
+    "customer_onetime_vs_repeat_revenue": "customer-grain lifetime counts (orders touched once); enum label joined back; (year,class) cells",
+    "order_lines_value_matrix": "lineitem reduces to order grain FIRST; single join to orders; enum-sized 2-D cell table",
+    "nation_revenue_rank_shift": "broadcast customer->nation dims; fact reduces to (nation,half) cells; rank windows over the 25-row nation table only",
+    "char_bigram_entropy_by_lang": "row-local transform materializes bigrams in codegen; (lang,bigram) count; per-lang decimal-summed entropy terms",
+    "word_pmi_top_pairs": "pair space capped BY CONSTRUCTION to top-100 df vocabulary (broadcast); doc-grain distinct once; ln on exact ints",
+    "centroid_distance_histogram": "corpus posexploded ONCE; d-row centroid broadcast; vec-grain exact-decimal aggregate; enum histogram",
+    "dimension_discriminability": "corpus posexploded ONCE to (pos,label) cells; all ANOVA terms on exact decimal sums; enum-sized output",
     # round-11 additions
     "lineitem_field_correlations": "ONE partial-agg pass computes all ten exact decimal moments; Pearson is a final 1-row projection",
     "order_size_histogram": "two partial-agg groupBys (order grain -> size grain) + broadcast-back total; all integers",

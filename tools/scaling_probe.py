@@ -31,6 +31,17 @@ BASE = "/root/testdata/sf0.1"
 OFF = 10_000_000
 
 OPERATORS = [
+    # round-12 batch-2 additions
+    "user_active_streak_histogram",
+    "session_first_purchase_position",
+    "event_type_run_lengths",
+    "customer_onetime_vs_repeat_revenue",
+    "order_lines_value_matrix",
+    "nation_revenue_rank_shift",
+    "char_bigram_entropy_by_lang",
+    "word_pmi_top_pairs",
+    "centroid_distance_histogram",
+    "dimension_discriminability",
     # round-12 additions
     "customer_decile_share_twopass",
     "part_size_value_bands",
