@@ -213,6 +213,12 @@ EXTRA = [
     "word_pmi_top_pairs",
     "centroid_distance_histogram",
     "dimension_discriminability",
+    "event_type_daily_share_volatility",
+    "night_owl_vs_early_bird",
+    "repeat_customer_value_uplift",
+    "discount_tax_margin_grid",
+    "source_lang_mix",
+    "embedding_quantization_sensitivity",
 ]
 
 

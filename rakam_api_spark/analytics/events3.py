@@ -1231,6 +1231,179 @@ ORDER BY c.event_type, c.run_len
 """
 
 
+def event_type_daily_share_volatility(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mix-stability report: per event type, the day-to-day
+    volatility (sample stddev) of its share of daily traffic — a
+    type whose share swings is an instrumentation or rollout signal
+    even when totals look flat (the time-axis companion to
+    ``user_entropy_tiers``' per-user mix).
+
+    Determinism: daily shares are one double division of exact
+    counts ROUNDED TO 9 dp into DECIMAL(18,9); Σx and Σx² are then
+    exact decimal sums (the module's ln-contract applied to
+    divisions), and the variance is a row-level double expression on
+    those exact sums.  Plan: two day-grain aggregates and one
+    type-grain rollup — no windows."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(_day().alias("day"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dtot = daily.groupBy("day").agg(F.sum("n").alias("_dt"))
+    share = F.round(
+        F.col("n").cast("double") / F.col("_dt").cast("double"), 9
+    ).cast("decimal(18,9)")
+    per_type = (
+        daily.join(F.broadcast(dtot), "day")
+        .select("event_type", share.alias("x"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("x").alias("_sx"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,18)")).alias("_sxx"),
+        )
+    )
+    nd = F.col("n_days").cast("double")
+    sx = F.col("_sx").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    var = (sxx - sx * sx / nd) / (nd - 1.0)
+    return (
+        per_type.where(F.col("n_days") > 1)
+        .select(
+            "event_type",
+            "n_days",
+            F.round(sx / nd, 9).alias("mean_share"),
+            F.round(F.sqrt(var), 9).alias("share_volatility"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SHARE_VOLATILITY_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+dtot AS (SELECT day, SUM(n) AS _dt FROM daily GROUP BY 1),
+per_type AS (
+  SELECT d.event_type, COUNT(*) AS n_days,
+         SUM(CAST(round(CAST(d.n AS DOUBLE) / CAST(t._dt AS DOUBLE), 9)
+                  AS DECIMAL(18,9))) AS _sx,
+         SUM(CAST(CAST(round(CAST(d.n AS DOUBLE) / CAST(t._dt AS DOUBLE), 9)
+                       AS DECIMAL(18,9))
+                  * CAST(round(CAST(d.n AS DOUBLE) / CAST(t._dt AS DOUBLE), 9)
+                         AS DECIMAL(18,9)) AS DECIMAL(38,18))) AS _sxx
+  FROM daily d JOIN dtot t USING (day)
+  GROUP BY 1
+)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+       round(CAST(_sx AS DOUBLE) / CAST(n_days AS DOUBLE), 9) AS mean_share,
+       round(sqrt((CAST(_sxx AS DOUBLE)
+                   - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE)
+                     / CAST(n_days AS DOUBLE))
+                  / (CAST(n_days AS DOUBLE) - 1.0)), 9) AS share_volatility
+FROM per_type WHERE n_days > 1
+ORDER BY event_type
+"""
+
+
+def night_owl_vs_early_bird(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users classified by their MAJORITY activity band (night 0-5h,
+    morning 6-11h, afternoon 12-17h, evening 18-23h; ties to the
+    earlier band) — the circadian segmentation behind send-time
+    optimization, with events-per-user intensity per class.
+
+    Plan: one (user, band) aggregate off the raw stream, an argmax
+    window over ≤4 rows per user, and an enum-sized rollup.  Hours
+    come from exact epoch integer arithmetic (the module's hour_id
+    convention — native hour() functions cross engines only with
+    timezone care)."""
+    ev = _events(spark, sf_dir)
+    # integer div throughout: ts_ns exceeds 2^53, so a double `/`
+    # would round before the floor
+    hour = F.expr("ts_ns div 3600000000000") % 24
+    band_idx = (hour.cast("long") / F.lit(6)).cast("int")
+    ub = ev.select("user_id", band_idx.alias("band_idx")).groupBy(
+        "user_id", "band_idx"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("band_idx"))
+    per_user = (
+        ub.withColumn("rn", F.row_number().over(w))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("band_idx"))).alias("band_idx"),
+            F.sum("n").alias("n_events"),
+        )
+    )
+    band_name = (
+        F.when(F.col("band_idx") == 0, "night")
+        .when(F.col("band_idx") == 1, "morning")
+        .when(F.col("band_idx") == 2, "afternoon")
+        .otherwise("evening")
+    )
+    cell = per_user.groupBy(band_name.alias("majority_band")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_events").alias("n_events"),
+    )
+    tot = cell.agg(F.sum("n_users").alias("_tot"))
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .select(
+            "majority_band",
+            "n_users",
+            "n_events",
+            F.round(
+                F.col("n_users").cast("double") / F.col("_tot").cast("double"),
+                9,
+            ).alias("share_of_users"),
+            F.round(
+                F.col("n_events").cast("double") / F.col("n_users").cast("double"),
+                9,
+            ).alias("events_per_user"),
+        )
+        .orderBy("majority_band")
+    )
+
+
+NIGHT_OWL_ORACLE = """
+WITH ub AS (
+  SELECT user_id,
+         CAST(((epoch_us(ts) // 3600000000) % 24) // 6 AS INT) AS band_idx,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT user_id, band_idx, n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, band_idx ASC) AS rn
+  FROM ub
+),
+per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN rn = 1 THEN band_idx END) AS band_idx,
+         SUM(n) AS n_events
+  FROM ranked GROUP BY 1
+),
+cell AS (
+  SELECT CASE band_idx WHEN 0 THEN 'night' WHEN 1 THEN 'morning'
+                       WHEN 2 THEN 'afternoon' ELSE 'evening' END
+           AS majority_band,
+         COUNT(*) AS n_users, SUM(n_events) AS n_events
+  FROM per_user GROUP BY 1
+),
+tot AS (SELECT SUM(n_users) AS _tot FROM cell)
+SELECT c.majority_band, CAST(c.n_users AS BIGINT) AS n_users,
+       CAST(c.n_events AS BIGINT) AS n_events,
+       round(CAST(c.n_users AS DOUBLE) / CAST(t._tot AS DOUBLE), 9)
+         AS share_of_users,
+       round(CAST(c.n_events AS DOUBLE) / CAST(c.n_users AS DOUBLE), 9)
+         AS events_per_user
+FROM cell c CROSS JOIN tot t
+ORDER BY c.majority_band
+"""
+
+
 QUERIES = {
     "daily_value_cusum": daily_value_cusum,
     "event_type_user_jaccard": event_type_user_jaccard,
@@ -1249,9 +1422,13 @@ QUERIES = {
     "user_active_streak_histogram": user_active_streak_histogram,
     "session_first_purchase_position": session_first_purchase_position,
     "event_type_run_lengths": event_type_run_lengths,
+    "event_type_daily_share_volatility": event_type_daily_share_volatility,
+    "night_owl_vs_early_bird": night_owl_vs_early_bird,
 }
 
 ORACLES = {
+    "event_type_daily_share_volatility": SHARE_VOLATILITY_ORACLE,
+    "night_owl_vs_early_bird": NIGHT_OWL_ORACLE,
     "user_active_streak_histogram": USER_ACTIVE_STREAK_ORACLE,
     "session_first_purchase_position": SESSION_FIRST_PURCHASE_ORACLE,
     "event_type_run_lengths": EVENT_TYPE_RUN_LENGTHS_ORACLE,

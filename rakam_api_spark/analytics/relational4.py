@@ -1275,6 +1275,160 @@ FROM pivoted ORDER BY n_name
 """
 
 
+def repeat_customer_value_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do repeat customers spend MORE over their lifetime?  Per
+    market segment: mean relative uplift from a repeat customer's
+    FIRST to LAST order value, and the share whose last order beats
+    the first — the lifetime-value trajectory summary next to
+    ``cohort_ltv``'s absolute curve.
+
+    Plan: one customer-grain min/max-struct aggregate over orders
+    (chronology via the unique (orderdate, orderkey) prefix — no
+    window over fact rows), one broadcast join to the customer dim,
+    and an enum-sized segment rollup.  Per-customer uplift is one
+    double division rounded to 9 dp into DECIMAL and summed AS
+    DECIMAL (the module's division contract)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min(
+            F.struct("o_orderdate", "o_orderkey", "o_totalprice")
+        ).alias("_f"),
+        F.max(
+            F.struct("o_orderdate", "o_orderkey", "o_totalprice")
+        ).alias("_l"),
+    )
+    first_p = F.col("_f.o_totalprice")
+    last_p = F.col("_l.o_totalprice")
+    uplift = F.round((last_p - first_p) / first_p, 9).cast("decimal(18,9)")
+    rep = (
+        per_cust.where(F.col("n_orders") >= 2)
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            per_cust["o_custkey"] == F.col("c_custkey"),
+        )
+        .select(
+            "c_mktsegment",
+            uplift.alias("u"),
+            F.when(last_p > first_p, 1).otherwise(0).alias("gain"),
+        )
+    )
+    cell = rep.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_repeat_customers"),
+        F.sum("u").alias("_su"),
+        F.sum("gain").alias("_g"),
+    )
+    return cell.select(
+        "c_mktsegment",
+        "n_repeat_customers",
+        F.round(
+            F.col("_su").cast("double") / F.col("n_repeat_customers").cast("double"),
+            9,
+        ).alias("mean_uplift"),
+        F.round(
+            F.col("_g").cast("double") / F.col("n_repeat_customers").cast("double"),
+            9,
+        ).alias("share_gainers"),
+    ).orderBy("c_mktsegment")
+
+
+REPEAT_UPLIFT_ORACLE = """
+WITH ranked AS (
+  SELECT o_custkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rf,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rl,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+  FROM orders
+),
+per_cust AS (
+  SELECT o_custkey, MAX(n_orders) AS n_orders,
+         MAX(CASE WHEN rf = 1 THEN o_totalprice END) AS first_p,
+         MAX(CASE WHEN rl = 1 THEN o_totalprice END) AS last_p
+  FROM ranked GROUP BY 1
+),
+rep AS (
+  SELECT c.c_mktsegment,
+         CAST(round((p.last_p - p.first_p) / p.first_p, 9)
+              AS DECIMAL(18,9)) AS u,
+         CASE WHEN p.last_p > p.first_p THEN 1 ELSE 0 END AS gain
+  FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey
+  WHERE p.n_orders >= 2
+)
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_repeat_customers,
+       round(CAST(SUM(u) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+         AS mean_uplift,
+       round(CAST(SUM(gain) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+         AS share_gainers
+FROM rep GROUP BY 1 ORDER BY 1
+"""
+
+
+def discount_tax_margin_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-charge cross-tab: discount percent × tax percent,
+    with line counts and the charged amount (extprice·(1−disc)·
+    (1+tax)) per cell — the pricing-policy grid that shows which
+    discount/tax combinations actually carry revenue
+    (``discount_by_quantity_bucket``'s second axis).
+
+    Plan: one fact-table pass collapsing to an ~11×9 enum grid; the
+    charge follows the q1 decimal-chain idiom (each product cast
+    back to DECIMAL(18,6)) so sums are exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_pct = F.round(F.col("l_discount") * 100, 0).cast("int")
+    tax_pct = F.round(F.col("l_tax") * 100, 0).cast("int")
+    charge = (
+        (_dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))).cast(DEC)
+        * (F.lit(1).cast(DEC) + _dec("l_tax"))
+    ).cast(DEC)
+    cell = li.groupBy(
+        disc_pct.alias("discount_pct"), tax_pct.alias("tax_pct")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(charge).alias("_chg"),
+    )
+    tot = cell.agg(F.sum("_chg").alias("_tot"))
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .select(
+            "discount_pct",
+            "tax_pct",
+            "n_lines",
+            F.col("_chg").cast("double").alias("charged_revenue"),
+            F.round(
+                F.col("_chg").cast("double") / F.col("_tot").cast("double"), 9
+            ).alias("share_of_charge"),
+        )
+        .orderBy("discount_pct", "tax_pct")
+    )
+
+
+DISCOUNT_TAX_GRID_ORACLE = """
+WITH cell AS (
+  SELECT CAST(round(l_discount * 100, 0) AS INT) AS discount_pct,
+         CAST(round(l_tax * 100, 0) AS INT) AS tax_pct,
+         COUNT(*) AS n_lines,
+         SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                       * (CAST(1 AS DECIMAL(18,6))
+                          - CAST(l_discount AS DECIMAL(18,6)))
+                       AS DECIMAL(18,6))
+                  * (CAST(1 AS DECIMAL(18,6))
+                     + CAST(l_tax AS DECIMAL(18,6))) AS DECIMAL(18,6)))
+           AS _chg
+  FROM lineitem GROUP BY 1, 2
+),
+tot AS (SELECT SUM(_chg) AS _tot FROM cell)
+SELECT c.discount_pct, c.tax_pct, CAST(c.n_lines AS BIGINT) AS n_lines,
+       CAST(c._chg AS DOUBLE) AS charged_revenue,
+       round(CAST(c._chg AS DOUBLE) / CAST(t._tot AS DOUBLE), 9)
+         AS share_of_charge
+FROM cell c CROSS JOIN tot t
+ORDER BY c.discount_pct, c.tax_pct
+"""
+
+
 QUERIES = {
     "lineitem_field_correlations": lineitem_field_correlations,
     "order_size_histogram": order_size_histogram,
@@ -1295,9 +1449,13 @@ QUERIES = {
     "customer_onetime_vs_repeat_revenue": customer_onetime_vs_repeat_revenue,
     "order_lines_value_matrix": order_lines_value_matrix,
     "nation_revenue_rank_shift": nation_revenue_rank_shift,
+    "repeat_customer_value_uplift": repeat_customer_value_uplift,
+    "discount_tax_margin_grid": discount_tax_margin_grid,
 }
 
 ORACLES = {
+    "repeat_customer_value_uplift": REPEAT_UPLIFT_ORACLE,
+    "discount_tax_margin_grid": DISCOUNT_TAX_GRID_ORACLE,
     "customer_onetime_vs_repeat_revenue": ONETIME_REPEAT_ORACLE,
     "order_lines_value_matrix": ORDER_LINES_VALUE_ORACLE,
     "nation_revenue_rank_shift": NATION_RANK_SHIFT_ORACLE,

@@ -3110,8 +3110,76 @@ ORDER BY pos
 """
 
 
+def embedding_quantization_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantization-error audit across scales 10/100/1000/10000: mean
+    and max absolute per-component error of round(x·Q)/Q — the
+    evidence behind the module's QUANT=10000 contract (error must sit
+    orders of magnitude under component spread) and the compression
+    dial a PQ/scalar-quantized index reads before dropping precision.
+
+    Determinism: per-component errors are row-local double
+    expressions (mult/round/divide/abs — no transcendentals) rounded
+    to 12 dp into DECIMAL(18,12); mean comes from the exact decimal
+    sum, max over the rounded decimals.  Plan: the corpus is
+    posexploded ONCE and fanned ×4 by a literal scale array — one
+    aggregate, no joins."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    comp = emb.select(F.posexplode("embedding").alias("pos", "v")).select(
+        F.col("v").cast("double").alias("x"),
+        F.explode(F.array(*(F.lit(s) for s in (10, 100, 1000, 10000)))).alias(
+            "quant_scale"
+        ),
+    )
+    q = F.col("quant_scale").cast("double")
+    err = F.round(
+        F.abs(F.round(F.col("x") * q, 0) / q - F.col("x")), 12
+    ).cast("decimal(18,12)")
+    cell = comp.select("quant_scale", err.alias("e")).groupBy("quant_scale").agg(
+        F.count(F.lit(1)).alias("n_components"),
+        F.sum("e").alias("_se"),
+        F.max("e").alias("_me"),
+    )
+    return cell.select(
+        "quant_scale",
+        "n_components",
+        F.round(
+            F.col("_se").cast("double") / F.col("n_components").cast("double"),
+            12,
+        ).alias("mean_abs_err"),
+        F.col("_me").cast("double").alias("max_abs_err"),
+    ).orderBy("quant_scale")
+
+
+QUANTIZATION_SENSITIVITY_ORACLE = """
+WITH comp AS (
+  SELECT CAST(embedding[CAST(i AS INT)+1] AS DOUBLE) AS x, s.quant_scale
+  FROM embeddings, LATERAL unnest(range(0, len(embedding))) t(i),
+       LATERAL (SELECT unnest([10, 100, 1000, 10000]) AS quant_scale) s
+),
+cell AS (
+  SELECT quant_scale, COUNT(*) AS n_components,
+         SUM(CAST(round(abs(round(x * CAST(quant_scale AS DOUBLE), 0)
+                            / CAST(quant_scale AS DOUBLE) - x), 12)
+                  AS DECIMAL(18,12))) AS _se,
+         MAX(CAST(round(abs(round(x * CAST(quant_scale AS DOUBLE), 0)
+                            / CAST(quant_scale AS DOUBLE) - x), 12)
+                  AS DECIMAL(18,12))) AS _me
+  FROM comp GROUP BY 1
+)
+SELECT CAST(quant_scale AS INT) AS quant_scale,
+       CAST(n_components AS BIGINT) AS n_components,
+       round(CAST(_se AS DOUBLE) / CAST(n_components AS DOUBLE), 12)
+         AS mean_abs_err,
+       CAST(_me AS DOUBLE) AS max_abs_err
+FROM cell ORDER BY quant_scale
+"""
+
+
 QUERIES = {
     "centroid_distance_histogram": centroid_distance_histogram,
+    "embedding_quantization_sensitivity": embedding_quantization_sensitivity,
     "dimension_discriminability": dimension_discriminability,
     "intra_inter_label_affinity": intra_inter_label_affinity,
     "centroid_nearest_rival": centroid_nearest_rival,
@@ -3143,6 +3211,7 @@ QUERIES = {
 
 ORACLES = {
     "centroid_distance_histogram": CENTROID_DISTANCE_HIST_ORACLE,
+    "embedding_quantization_sensitivity": QUANTIZATION_SENSITIVITY_ORACLE,
     "dimension_discriminability": DIMENSION_DISCRIMINABILITY_ORACLE,
     "intra_inter_label_affinity": INTRA_INTER_AFFINITY_ORACLE,
     "centroid_nearest_rival": CENTROID_NEAREST_RIVAL_ORACLE,

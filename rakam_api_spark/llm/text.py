@@ -1831,6 +1831,49 @@ LIMIT 30
 """
 
 
+def source_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source × language composition: docs, characters, and the
+    language share WITHIN each source — the contamination/coverage
+    audit a multilingual corpus runs before per-language sampling
+    (``mix_weights``' two-dimensional companion on the documents
+    table).  One enum-sized aggregate; shares via the cell+broadcast
+    idiom."""
+    docs = _docs(spark, sf_dir)
+    cell = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    stot = cell.groupBy("source").agg(F.sum("n_docs").alias("_st"))
+    return (
+        cell.join(F.broadcast(stot), "source")
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_chars",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("_st").cast("double"), 9
+            ).alias("share_of_source"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+SOURCE_LANG_MIX_ORACLE = """
+WITH cell AS (
+  SELECT source, lang, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+  FROM documents GROUP BY 1, 2
+),
+stot AS (SELECT source, SUM(n_docs) AS _st FROM cell GROUP BY 1)
+SELECT c.source, c.lang, CAST(c.n_docs AS BIGINT) AS n_docs,
+       CAST(c.n_chars AS BIGINT) AS n_chars,
+       round(CAST(c.n_docs AS DOUBLE) / CAST(t._st AS DOUBLE), 9)
+         AS share_of_source
+FROM cell c JOIN stot t USING (source)
+ORDER BY c.source, c.lang
+"""
+
+
 QUERIES = {
     "word_freq_top50": word_freq_top50,
     "heaps_vocab_growth": heaps_vocab_growth,
@@ -1861,9 +1904,11 @@ QUERIES = {
     "vocab_coverage": vocab_coverage,
     "char_bigram_entropy_by_lang": char_bigram_entropy_by_lang,
     "word_pmi_top_pairs": word_pmi_top_pairs,
+    "source_lang_mix": source_lang_mix,
 }
 
 ORACLES = {
+    "source_lang_mix": SOURCE_LANG_MIX_ORACLE,
     "char_bigram_entropy_by_lang": CHAR_BIGRAM_ENTROPY_ORACLE,
     "word_pmi_top_pairs": WORD_PMI_ORACLE,
     "word_freq_top50": WORD_FREQ_TOP50_ORACLE,

@@ -46,6 +46,12 @@ SHOW = {
     "word_pmi_top_pairs": "pair space capped BY CONSTRUCTION to top-100 df vocabulary (broadcast); doc-grain distinct once; ln on exact ints",
     "centroid_distance_histogram": "corpus posexploded ONCE; d-row centroid broadcast; vec-grain exact-decimal aggregate; enum histogram",
     "dimension_discriminability": "corpus posexploded ONCE to (pos,label) cells; all ANOVA terms on exact decimal sums; enum-sized output",
+    "event_type_daily_share_volatility": "two day-grain aggregates; shares rounded into DECIMAL and variance from exact sums; no windows",
+    "night_owl_vs_early_bird": "(user,band) aggregate off the raw stream; argmax window over <=4 rows/user; enum rollup",
+    "repeat_customer_value_uplift": "ONE customer-grain min/max-struct aggregate (no fact-row window); broadcast dim join; segment cells",
+    "discount_tax_margin_grid": "single fact pass to an 11x9 enum grid; q1 decimal-chain charge",
+    "source_lang_mix": "one enum-sized (source,lang) aggregate; cell+broadcast shares",
+    "embedding_quantization_sensitivity": "corpus posexploded ONCE, fanned x4 by literal scales; one aggregate, no joins",
     # round-11 additions
     "lineitem_field_correlations": "ONE partial-agg pass computes all ten exact decimal moments; Pearson is a final 1-row projection",
     "order_size_histogram": "two partial-agg groupBys (order grain -> size grain) + broadcast-back total; all integers",

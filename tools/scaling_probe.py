@@ -42,6 +42,12 @@ OPERATORS = [
     "word_pmi_top_pairs",
     "centroid_distance_histogram",
     "dimension_discriminability",
+    "event_type_daily_share_volatility",
+    "night_owl_vs_early_bird",
+    "repeat_customer_value_uplift",
+    "discount_tax_margin_grid",
+    "source_lang_mix",
+    "embedding_quantization_sensitivity",
     # round-12 additions
     "customer_decile_share_twopass",
     "part_size_value_bands",
