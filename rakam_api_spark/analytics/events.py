@@ -3159,7 +3159,14 @@ def event_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc = ev.select(
         "user_id", F.col("ts").cast("date").alias("day"), "event_type"
     ).distinct()
-    n_units = inc.select("user_id", "day").distinct().count()
+    # the unit total stays IN the plan (scalar aggregate broadcast
+    # back) — an eager .count() here would bolt a second driver-side
+    # job onto every execution
+    units = (
+        inc.select("user_id", "day")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("_nu"))
+    )
     marg = inc.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_type"))
     a = inc.alias("a")
     b = inc.alias("b")
@@ -3181,6 +3188,7 @@ def event_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(F.broadcast(ma), "type_a")
         .join(F.broadcast(mb), "type_b")
+        .crossJoin(F.broadcast(units))
         .select(
             "type_a",
             "type_b",
@@ -3189,7 +3197,7 @@ def event_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_b",
             F.round(
                 F.log(
-                    (F.col("n_both").cast("double") * F.lit(float(n_units)))
+                    (F.col("n_both").cast("double") * F.col("_nu").cast("double"))
                     / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
                 ),
                 9,
@@ -3364,8 +3372,12 @@ def session_gap_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (_us() - F.lag(_us(), 1).over(w)).alias("delta_us"),
     )
-    n_events = ev.count()
-    n_users = ev.select("user_id").distinct().count()
+    # totals stay IN the plan (one scalar aggregate broadcast back)
+    # instead of two eager driver-side jobs per execution
+    counts = ev.agg(
+        F.count(F.lit(1)).alias("_ne"),
+        F.countDistinct("user_id").alias("_nu"),
+    )
     gaps = F.array(*[F.lit(g * 60 * 1_000_000) for g in SESSION_GAP_GRID_MIN])
     breaks = (
         deltas.where(F.col("delta_us").isNotNull())
@@ -3383,16 +3395,18 @@ def session_gap_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         grid.join(breaks, "gap_us", "left")
+        .crossJoin(F.broadcast(counts))
         .select(
             "gap_minutes",
-            (F.coalesce(F.col("n_breaks"), F.lit(0)) + F.lit(int(n_users))).alias(
+            (F.coalesce(F.col("n_breaks"), F.lit(0)) + F.col("_nu")).alias(
                 "n_sessions"
             ),
+            F.col("_ne"),
         )
         .select(
             "gap_minutes",
             "n_sessions",
-            (F.lit(float(n_events)) / F.col("n_sessions").cast("double")).alias(
+            (F.col("_ne").cast("double") / F.col("n_sessions").cast("double")).alias(
                 "events_per_session"
             ),
         )
@@ -3449,9 +3463,10 @@ def unordered_funnel_completion(
         F.count(F.lit(1)).alias("n_steps_done"),
         (F.max("first_us") - F.min("first_us")).alias("span_us"),
     )
-    total_users = ev.select("user_id").distinct().count()
+    # user total stays IN the plan (scalar aggregate crossJoined back)
+    # rather than an eager driver-side .count() job
+    tot = ev.agg(F.countDistinct("user_id").alias("n_users"))
     return per_user.agg(
-        F.lit(int(total_users)).alias("n_users"),
         F.count(F.lit(1)).alias("n_any_step"),
         F.sum((F.col("n_steps_done") == len(steps)).cast("long")).alias(
             "n_all_steps"
@@ -3462,7 +3477,7 @@ def unordered_funnel_completion(
                 & (F.col("span_us") <= window_us)
             ).cast("long")
         ).alias("n_completed_7d"),
-    ).select(
+    ).crossJoin(F.broadcast(tot)).select(
         "n_users",
         "n_any_step",
         "n_all_steps",

@@ -1042,7 +1042,10 @@ def part_copurchase_pairs(spark: SparkSession, sf_dir: str, k: int = 20) -> Data
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     ).distinct()
-    n_orders = li.select("l_orderkey").distinct().count()
+    # order total stays IN the plan (scalar aggregate crossJoined
+    # back) — the eager .count() here used to bolt a second
+    # driver-side job onto every execution
+    nord = li.agg(F.countDistinct("l_orderkey").alias("_n"))
     part_orders = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
     a = li.select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("p1"))
     b = li.select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("p2"))
@@ -1060,14 +1063,16 @@ def part_copurchase_pairs(spark: SparkSession, sf_dir: str, k: int = 20) -> Data
     return (
         pairs.join(c1, "p1")
         .join(c2, "p2")
+        .crossJoin(F.broadcast(nord))
         .select(
             "p1",
             "p2",
             "c12",
-            (F.col("c12") * F.lit(int(n_orders))).cast("double").alias("_num"),
+            (F.col("c12") * F.col("_n")).cast("double").alias("_num"),
             (F.col("c1") * F.col("c2")).cast("double").alias("_den"),
             "c1",
             "c2",
+            F.col("_n"),
         )
         .select(
             "p1",
@@ -1075,7 +1080,7 @@ def part_copurchase_pairs(spark: SparkSession, sf_dir: str, k: int = 20) -> Data
             "c12",
             "c1",
             "c2",
-            (F.col("c12").cast("double") / F.lit(float(n_orders))).alias("support"),
+            (F.col("c12").cast("double") / F.col("_n").cast("double")).alias("support"),
             (F.col("_num") / F.col("_den")).alias("lift"),
         )
         .orderBy(F.desc("c12"), "p1", "p2")
