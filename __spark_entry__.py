@@ -122,6 +122,12 @@ _GATE_PRIORITY = (
     "discount_tax_margin_grid",
     "source_lang_mix",
     "embedding_quantization_sensitivity",
+    "value_by_event_ordinal",
+    "top_value_sessions",
+    "customer_balance_vs_spend_quadrant",
+    "lang_id_prf",
+    "tokenizer_fertility_by_lang",
+    "embedding_exact_dup_groups",
 )
 
 

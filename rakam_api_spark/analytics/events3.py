@@ -1404,6 +1404,126 @@ ORDER BY c.majority_band
 """
 
 
+def value_by_event_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average event value as a function of the user's EVENT ORDINAL
+    (1st, 2nd, … capped at 20+): does value grow as users mature —
+    the engagement learning-curve next to
+    ``first_week_activation_retention``'s calendar axis.
+
+    Plan: ONE row_number window over the user-keyed exchange, a
+    bounded histogram aggregate.  Value sums exact DECIMAL; the mean
+    is one double division."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    ordinal = F.least(F.row_number().over(w), F.lit(20))
+    cell = (
+        ev.select(ordinal.alias("event_ordinal"), "value")
+        .groupBy("event_ordinal")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).alias("_sv"),
+        )
+    )
+    return cell.select(
+        F.col("event_ordinal").cast("int").alias("event_ordinal"),
+        "n_events",
+        F.round(
+            F.col("_sv").cast("double") / F.col("n_events").cast("double"), 9
+        ).alias("mean_value"),
+    ).orderBy("event_ordinal")
+
+
+VALUE_BY_ORDINAL_ORACLE = """
+WITH ranked AS (
+  SELECT value,
+         least(row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id), 20)
+           AS event_ordinal
+  FROM events
+),
+cell AS (
+  SELECT event_ordinal, COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,6))) AS _sv
+  FROM ranked GROUP BY 1
+)
+SELECT CAST(event_ordinal AS INT) AS event_ordinal,
+       CAST(n_events AS BIGINT) AS n_events,
+       round(CAST(_sv AS DOUBLE) / CAST(n_events AS DOUBLE), 9) AS mean_value
+FROM cell ORDER BY event_ordinal
+"""
+
+
+def top_value_sessions(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Session leaderboard: the k highest-value sessions (30-minute
+    gap rule) with owner, event count, span and total value — the
+    "whale visit" drill-down every revenue dashboard links from.
+
+    Plan: the module's standard session numbering (lag + running sum
+    over ONE user-keyed exchange), a session-grain aggregate, then a
+    global top-k — rank by exact DECIMAL value with the unique
+    (user, session) tiebreak."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    gap = F.col("ts_ns") - F.lag("ts_ns").over(w)
+    marked = ev.select(
+        "user_id",
+        "ts_ns",
+        "event_id",
+        "value",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000_000), 1)
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sess = marked.withColumn("session_no", F.sum("is_start").over(w))
+    per_sess = sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(_DEC)).alias("_tv"),
+        (F.max("ts_ns") - F.min("ts_ns")).alias("_span_ns"),
+    )
+    return (
+        per_sess.select(
+            "user_id",
+            F.col("session_no").cast("long").alias("session_no"),
+            "n_events",
+            # integer div: a double `/` could round a near-boundary span
+            F.expr("_span_ns div 1000000000").alias("span_sec"),
+            F.col("_tv").cast("double").alias("total_value"),
+        )
+        .orderBy(F.col("_tv").desc(), "user_id", "session_no")
+        .limit(k)
+    )
+
+
+TOP_VALUE_SESSIONS_ORACLE = """
+WITH marked AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sess AS (
+  SELECT user_id, value, ts_us,
+         SUM(is_start) OVER (PARTITION BY user_id
+                             ORDER BY ts_us, event_id) AS session_no
+  FROM marked
+),
+per_sess AS (
+  SELECT user_id, session_no, COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,6))) AS _tv,
+         CAST((MAX(ts_us) - MIN(ts_us)) // 1000000 AS BIGINT) AS span_sec
+  FROM sess GROUP BY 1, 2
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       CAST(n_events AS BIGINT) AS n_events, span_sec,
+       CAST(_tv AS DOUBLE) AS total_value
+FROM per_sess
+ORDER BY _tv DESC, user_id, session_no
+LIMIT 20
+"""
+
+
 QUERIES = {
     "daily_value_cusum": daily_value_cusum,
     "event_type_user_jaccard": event_type_user_jaccard,
@@ -1424,9 +1544,13 @@ QUERIES = {
     "event_type_run_lengths": event_type_run_lengths,
     "event_type_daily_share_volatility": event_type_daily_share_volatility,
     "night_owl_vs_early_bird": night_owl_vs_early_bird,
+    "value_by_event_ordinal": value_by_event_ordinal,
+    "top_value_sessions": top_value_sessions,
 }
 
 ORACLES = {
+    "value_by_event_ordinal": VALUE_BY_ORDINAL_ORACLE,
+    "top_value_sessions": TOP_VALUE_SESSIONS_ORACLE,
     "event_type_daily_share_volatility": SHARE_VOLATILITY_ORACLE,
     "night_owl_vs_early_bird": NIGHT_OWL_ORACLE,
     "user_active_streak_histogram": USER_ACTIVE_STREAK_ORACLE,

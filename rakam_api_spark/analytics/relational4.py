@@ -1429,6 +1429,90 @@ ORDER BY c.discount_pct, c.tax_pct
 """
 
 
+def customer_balance_vs_spend_quadrant(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Account-balance quartile × lifetime-spend quartile cross-tab
+    over customers — the credit-vs-revenue segmentation behind
+    collection and upsell lists (are low-balance customers also the
+    big spenders?).
+
+    Plan: orders reduce to customer grain FIRST; the ntile windows
+    run over CUSTOMER-GRAIN rows only (the ``rfm_quartiles``
+    precedent — the fact table is never windowed), with unique
+    custkey tiebreaks; the output is a 16-cell grid.  Money through
+    DECIMAL."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).alias("_sp")
+    )
+    cust = customer.select("c_custkey", "c_acctbal").join(
+        spend, customer["c_custkey"] == spend["o_custkey"], "left"
+    ).select(
+        "c_custkey",
+        "c_acctbal",
+        F.coalesce(F.col("_sp"), F.lit(0).cast(DEC)).alias("_sp"),
+    )
+    wb = Window.orderBy("c_acctbal", "c_custkey")
+    ws = Window.orderBy("_sp", "c_custkey")
+    q = cust.select(
+        "c_custkey",
+        "c_acctbal",
+        "_sp",
+        F.ntile(4).over(wb).alias("bal_quartile"),
+        F.ntile(4).over(ws).alias("spend_quartile"),
+    )
+    cell = q.groupBy("bal_quartile", "spend_quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(_dec("c_acctbal")).alias("_sb"),
+        F.sum("_sp").alias("_ss"),
+    )
+    return cell.select(
+        "bal_quartile",
+        "spend_quartile",
+        "n_customers",
+        F.round(
+            F.col("_sb").cast("double") / F.col("n_customers").cast("double"), 6
+        ).alias("mean_acctbal"),
+        F.round(
+            F.col("_ss").cast("double") / F.col("n_customers").cast("double"), 6
+        ).alias("mean_spend"),
+    ).orderBy("bal_quartile", "spend_quartile")
+
+
+BALANCE_SPEND_QUADRANT_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS _sp
+  FROM orders GROUP BY 1
+),
+cust AS (
+  SELECT c.c_custkey, c.c_acctbal,
+         COALESCE(s._sp, CAST(0 AS DECIMAL(18,6))) AS _sp
+  FROM customer c LEFT JOIN spend s ON c.c_custkey = s.o_custkey
+),
+q AS (
+  SELECT c_custkey, c_acctbal, _sp,
+         ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS bal_quartile,
+         ntile(4) OVER (ORDER BY _sp, c_custkey) AS spend_quartile
+  FROM cust
+),
+cell AS (
+  SELECT bal_quartile, spend_quartile, COUNT(*) AS n_customers,
+         SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS _sb, SUM(_sp) AS _ss
+  FROM q GROUP BY 1, 2
+)
+SELECT CAST(bal_quartile AS INT) AS bal_quartile,
+       CAST(spend_quartile AS INT) AS spend_quartile,
+       CAST(n_customers AS BIGINT) AS n_customers,
+       round(CAST(_sb AS DOUBLE) / CAST(n_customers AS DOUBLE), 6)
+         AS mean_acctbal,
+       round(CAST(_ss AS DOUBLE) / CAST(n_customers AS DOUBLE), 6)
+         AS mean_spend
+FROM cell ORDER BY bal_quartile, spend_quartile
+"""
+
+
 QUERIES = {
     "lineitem_field_correlations": lineitem_field_correlations,
     "order_size_histogram": order_size_histogram,
@@ -1451,9 +1535,11 @@ QUERIES = {
     "nation_revenue_rank_shift": nation_revenue_rank_shift,
     "repeat_customer_value_uplift": repeat_customer_value_uplift,
     "discount_tax_margin_grid": discount_tax_margin_grid,
+    "customer_balance_vs_spend_quadrant": customer_balance_vs_spend_quadrant,
 }
 
 ORACLES = {
+    "customer_balance_vs_spend_quadrant": BALANCE_SPEND_QUADRANT_ORACLE,
     "repeat_customer_value_uplift": REPEAT_UPLIFT_ORACLE,
     "discount_tax_margin_grid": DISCOUNT_TAX_GRID_ORACLE,
     "customer_onetime_vs_repeat_revenue": ONETIME_REPEAT_ORACLE,

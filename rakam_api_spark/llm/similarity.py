@@ -3177,9 +3177,55 @@ FROM cell ORDER BY quant_scale
 """
 
 
+def embedding_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate vector audit: group vectors by their full
+    quantized component ARRAY (the QUANT contract's canonical form)
+    and histogram the group sizes — re-encoded rows and copy-paste
+    corpora show up as size ≥ 2 groups before any ANN/near-dup work
+    runs (the vector-side mirror of ``dedup_exact`` on documents).
+
+    Plan: one hash aggregate keyed on the quantized array (row-local
+    transform, no explode), then an enum-sized histogram.  Exact
+    integers end to end."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qarr = F.expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 10000, 0) as bigint))"
+    )
+    groups = emb.select(qarr.alias("qa")).groupBy("qa").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    cell = groups.groupBy("group_size").agg(
+        F.count(F.lit(1)).alias("n_groups")
+    )
+    return cell.select(
+        F.col("group_size").cast("int").alias("group_size"),
+        "n_groups",
+        (F.col("group_size") * F.col("n_groups")).alias("n_vectors"),
+    ).orderBy("group_size")
+
+
+EMBEDDING_EXACT_DUP_ORACLE = """
+WITH groups AS (
+  SELECT list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0)
+                                  AS BIGINT)) AS qa,
+         COUNT(*) AS group_size
+  FROM embeddings GROUP BY 1
+),
+cell AS (
+  SELECT group_size, COUNT(*) AS n_groups FROM groups GROUP BY 1
+)
+SELECT CAST(group_size AS INT) AS group_size,
+       CAST(n_groups AS BIGINT) AS n_groups,
+       CAST(group_size * n_groups AS BIGINT) AS n_vectors
+FROM cell ORDER BY group_size
+"""
+
+
 QUERIES = {
     "centroid_distance_histogram": centroid_distance_histogram,
     "embedding_quantization_sensitivity": embedding_quantization_sensitivity,
+    "embedding_exact_dup_groups": embedding_exact_dup_groups,
     "dimension_discriminability": dimension_discriminability,
     "intra_inter_label_affinity": intra_inter_label_affinity,
     "centroid_nearest_rival": centroid_nearest_rival,
@@ -3212,6 +3258,7 @@ QUERIES = {
 ORACLES = {
     "centroid_distance_histogram": CENTROID_DISTANCE_HIST_ORACLE,
     "embedding_quantization_sensitivity": QUANTIZATION_SENSITIVITY_ORACLE,
+    "embedding_exact_dup_groups": EMBEDDING_EXACT_DUP_ORACLE,
     "dimension_discriminability": DIMENSION_DISCRIMINABILITY_ORACLE,
     "intra_inter_label_affinity": INTRA_INTER_AFFINITY_ORACLE,
     "centroid_nearest_rival": CENTROID_NEAREST_RIVAL_ORACLE,

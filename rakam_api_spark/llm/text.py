@@ -1874,6 +1874,170 @@ ORDER BY c.source, c.lang
 """
 
 
+def lang_id_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language precision/recall/F1 of the marker-token language
+    identifier — the evaluation summary a lang-ID deployment reads
+    (the :func:`lang_id` confusion matrix collapsed to the three
+    numbers per class).  Rides the production kernel: this is a pure
+    re-aggregation of ``lang_id``'s output, so the audited path IS
+    the deployed path.
+
+    All counts exact integers; P/R/F1 are row-level double
+    expressions rounded to 9 dp."""
+    conf = lang_id(spark, sf_dir)
+    truth = conf.groupBy("lang").agg(F.sum("n_docs").alias("n_true"))
+    pred = conf.groupBy(F.col("pred_lang").alias("lang")).agg(
+        F.sum("n_docs").alias("n_pred")
+    )
+    diag = conf.where(F.col("lang") == F.col("pred_lang")).select(
+        "lang", F.col("n_docs").alias("n_correct")
+    )
+    j = (
+        truth.join(pred, "lang", "full")
+        .join(diag, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("n_true", F.lit(0)).alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("n_correct", F.lit(0)).alias("n_correct"),
+        )
+    )
+    p = F.col("n_correct").cast("double") / F.col("n_pred").cast("double")
+    r = F.col("n_correct").cast("double") / F.col("n_true").cast("double")
+    return j.select(
+        "lang",
+        "n_true",
+        "n_pred",
+        "n_correct",
+        F.round(p, 9).alias("precision"),
+        F.round(r, 9).alias("recall"),
+        F.round(
+            F.when(
+                (F.col("n_pred") > 0)
+                & (F.col("n_true") > 0)
+                & (F.col("n_correct") > 0),
+                2.0 * p * r / (p + r),
+            ).otherwise(F.lit(0.0)),
+            9,
+        ).alias("f1"),
+    ).orderBy("lang")
+
+
+LANG_ID_PRF_ORACLE = """
+WITH markers(pred_lang, tok, weight) AS (VALUES
+  ('en','the',3),('en','fast',1),('en','table',1),
+  ('es','data',2),('es','part',2),('es','la',3),
+  ('fr','le',3),('fr','merge',2),('fr','row',2),
+  ('de','der',3),('de','window',2),('de','hash',2),
+  ('zh','spark',2),('zh','vector',2),('zh','scan',2)
+),
+toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+scores AS (
+  SELECT doc_id, lang, pred_lang, SUM(weight) AS score
+  FROM toks JOIN markers USING (tok)
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT doc_id, lang, pred_lang
+  FROM (
+    SELECT doc_id, lang, pred_lang,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, pred_lang ASC) AS rn
+    FROM scores
+  ) WHERE rn = 1
+),
+conf AS (
+  SELECT lang, pred_lang, COUNT(*) AS n_docs FROM best GROUP BY 1, 2
+),
+truth AS (SELECT lang, SUM(n_docs) AS n_true FROM conf GROUP BY 1),
+pred AS (SELECT pred_lang AS lang, SUM(n_docs) AS n_pred FROM conf GROUP BY 1),
+diag AS (SELECT lang, n_docs AS n_correct FROM conf WHERE lang = pred_lang)
+SELECT j.lang,
+       CAST(COALESCE(t.n_true, 0) AS BIGINT) AS n_true,
+       CAST(COALESCE(p.n_pred, 0) AS BIGINT) AS n_pred,
+       CAST(COALESCE(d.n_correct, 0) AS BIGINT) AS n_correct,
+       round(CAST(COALESCE(d.n_correct, 0) AS DOUBLE)
+             / CAST(COALESCE(p.n_pred, 0) AS DOUBLE), 9) AS precision,
+       round(CAST(COALESCE(d.n_correct, 0) AS DOUBLE)
+             / CAST(COALESCE(t.n_true, 0) AS DOUBLE), 9) AS recall,
+       round(CASE WHEN COALESCE(p.n_pred, 0) > 0 AND COALESCE(t.n_true, 0) > 0
+                       AND COALESCE(d.n_correct, 0) > 0
+                  THEN 2.0 * (CAST(d.n_correct AS DOUBLE) / CAST(p.n_pred AS DOUBLE))
+                           * (CAST(d.n_correct AS DOUBLE) / CAST(t.n_true AS DOUBLE))
+                       / ((CAST(d.n_correct AS DOUBLE) / CAST(p.n_pred AS DOUBLE))
+                          + (CAST(d.n_correct AS DOUBLE) / CAST(t.n_true AS DOUBLE)))
+                  ELSE 0.0 END, 9) AS f1
+FROM (SELECT lang FROM truth UNION SELECT lang FROM pred) j
+LEFT JOIN truth t USING (lang)
+LEFT JOIN pred p USING (lang)
+LEFT JOIN diag d USING (lang)
+ORDER BY j.lang
+"""
+
+
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: regex tokens per whitespace
+    word and characters per regex token under the module's BPE-ish
+    pre-tokenizer (``TOKEN_REGEX``) — the cost model multilingual
+    tokenizer work reads first (a language with fertility ≫ 1 pays
+    more sequence length per word).
+
+    Plan: two row-local counts per document (split size and
+    regexp_extract_all size — codegen, no explode), one enum-sized
+    per-lang aggregate; ratios are single double divisions of exact
+    integer sums."""
+    docs = _docs(spark, sf_dir)
+    n_words = F.size(F.split(F.col("text"), " "))
+    n_toks = F.size(F.expr(f"regexp_extract_all(text, '{TOKEN_REGEX}', 0)"))
+    cell = docs.select(
+        "lang",
+        n_words.alias("_w"),
+        n_toks.alias("_t"),
+        F.length("text").alias("_c"),
+    ).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_w").alias("n_words"),
+        F.sum("_t").alias("n_tokens"),
+        F.sum("_c").alias("n_chars"),
+    )
+    return cell.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("n_words").cast("double"),
+            9,
+        ).alias("fertility"),
+        F.round(
+            F.col("n_chars").cast("double") / F.col("n_tokens").cast("double"),
+            9,
+        ).alias("chars_per_token"),
+    ).orderBy("lang")
+
+
+TOKENIZER_FERTILITY_ORACLE = """
+WITH cell AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         SUM(len(string_split(text, ' '))) AS n_words,
+         SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)))
+           AS n_tokens,
+         SUM(length(text)) AS n_chars
+  FROM documents GROUP BY 1
+)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE), 9)
+         AS fertility,
+       round(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9)
+         AS chars_per_token
+FROM cell ORDER BY lang
+"""
+
+
 QUERIES = {
     "word_freq_top50": word_freq_top50,
     "heaps_vocab_growth": heaps_vocab_growth,
@@ -1905,10 +2069,14 @@ QUERIES = {
     "char_bigram_entropy_by_lang": char_bigram_entropy_by_lang,
     "word_pmi_top_pairs": word_pmi_top_pairs,
     "source_lang_mix": source_lang_mix,
+    "lang_id_prf": lang_id_prf,
+    "tokenizer_fertility_by_lang": tokenizer_fertility_by_lang,
 }
 
 ORACLES = {
     "source_lang_mix": SOURCE_LANG_MIX_ORACLE,
+    "lang_id_prf": LANG_ID_PRF_ORACLE,
+    "tokenizer_fertility_by_lang": TOKENIZER_FERTILITY_ORACLE,
     "char_bigram_entropy_by_lang": CHAR_BIGRAM_ENTROPY_ORACLE,
     "word_pmi_top_pairs": WORD_PMI_ORACLE,
     "word_freq_top50": WORD_FREQ_TOP50_ORACLE,

@@ -52,6 +52,12 @@ SHOW = {
     "discount_tax_margin_grid": "single fact pass to an 11x9 enum grid; q1 decimal-chain charge",
     "source_lang_mix": "one enum-sized (source,lang) aggregate; cell+broadcast shares",
     "embedding_quantization_sensitivity": "corpus posexploded ONCE, fanned x4 by literal scales; one aggregate, no joins",
+    "value_by_event_ordinal": "ONE row_number window over the user-keyed exchange; bounded histogram",
+    "top_value_sessions": "standard session numbering (two windows, one exchange); session-grain aggregate; global top-k on exact decimal",
+    "customer_balance_vs_spend_quadrant": "orders reduce to customer grain FIRST; ntile windows over customer-grain rows only; 16-cell grid",
+    "lang_id_prf": "pure re-aggregation of the lang_id confusion kernel — the audited path IS the deployed path",
+    "tokenizer_fertility_by_lang": "two row-local counts per doc (codegen, no explode); enum-sized per-lang aggregate",
+    "embedding_exact_dup_groups": "one hash aggregate keyed on the quantized array (row-local transform); enum histogram",
     # round-11 additions
     "lineitem_field_correlations": "ONE partial-agg pass computes all ten exact decimal moments; Pearson is a final 1-row projection",
     "order_size_histogram": "two partial-agg groupBys (order grain -> size grain) + broadcast-back total; all integers",
