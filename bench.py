@@ -225,6 +225,9 @@ EXTRA = [
     "lang_id_prf",
     "tokenizer_fertility_by_lang",
     "embedding_exact_dup_groups",
+    "session_conversion_by_depth",
+    "order_value_zscore_outliers",
+    "part_brand_price_dispersion",
 ]
 
 

@@ -1524,6 +1524,91 @@ LIMIT 20
 """
 
 
+def session_conversion_by_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion rate by session DEPTH band (1, 2, 3-5, 6-10, 11-20,
+    21+ events): do longer visits convert more — the engagement-depth
+    funnel that complements ``session_first_purchase_position``'s
+    within-session view with the across-sessions rate (non-converting
+    sessions included).
+
+    Plan: the module's standard session numbering (two windows over
+    ONE user-keyed exchange), a session-grain aggregate carrying the
+    purchase flag, then an enum-sized band rollup."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    gap = F.col("ts_ns") - F.lag("ts_ns").over(w)
+    marked = ev.select(
+        "user_id",
+        "ts_ns",
+        "event_id",
+        "event_type",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000_000), 1)
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sess = marked.withColumn("session_no", F.sum("is_start").over(w))
+    per_sess = sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("depth"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted"),
+    )
+    band = (
+        F.when(F.col("depth") == 1, "1")
+        .when(F.col("depth") == 2, "2")
+        .when(F.col("depth") <= 5, "3-5")
+        .when(F.col("depth") <= 10, "6-10")
+        .when(F.col("depth") <= 20, "11-20")
+        .otherwise("21+")
+    )
+    cell = per_sess.groupBy(band.alias("depth_band")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("converted").alias("n_converted"),
+    )
+    return cell.select(
+        "depth_band",
+        "n_sessions",
+        F.col("n_converted").cast("long").alias("n_converted"),
+        F.round(
+            F.col("n_converted").cast("double") / F.col("n_sessions").cast("double"),
+            9,
+        ).alias("conversion_rate"),
+    ).orderBy("depth_band")
+
+
+SESSION_CONVERSION_DEPTH_ORACLE = """
+WITH marked AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sess AS (
+  SELECT user_id, event_type,
+         SUM(is_start) OVER (PARTITION BY user_id
+                             ORDER BY ts_us, event_id) AS session_no
+  FROM marked
+),
+per_sess AS (
+  SELECT user_id, session_no, COUNT(*) AS depth,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM sess GROUP BY 1, 2
+),
+cell AS (
+  SELECT CASE WHEN depth = 1 THEN '1' WHEN depth = 2 THEN '2'
+              WHEN depth <= 5 THEN '3-5' WHEN depth <= 10 THEN '6-10'
+              WHEN depth <= 20 THEN '11-20' ELSE '21+' END AS depth_band,
+         COUNT(*) AS n_sessions, SUM(converted) AS n_converted
+  FROM per_sess GROUP BY 1
+)
+SELECT depth_band, CAST(n_sessions AS BIGINT) AS n_sessions,
+       CAST(n_converted AS BIGINT) AS n_converted,
+       round(CAST(n_converted AS DOUBLE) / CAST(n_sessions AS DOUBLE), 9)
+         AS conversion_rate
+FROM cell ORDER BY depth_band
+"""
+
+
 QUERIES = {
     "daily_value_cusum": daily_value_cusum,
     "event_type_user_jaccard": event_type_user_jaccard,
@@ -1546,11 +1631,13 @@ QUERIES = {
     "night_owl_vs_early_bird": night_owl_vs_early_bird,
     "value_by_event_ordinal": value_by_event_ordinal,
     "top_value_sessions": top_value_sessions,
+    "session_conversion_by_depth": session_conversion_by_depth,
 }
 
 ORACLES = {
     "value_by_event_ordinal": VALUE_BY_ORDINAL_ORACLE,
     "top_value_sessions": TOP_VALUE_SESSIONS_ORACLE,
+    "session_conversion_by_depth": SESSION_CONVERSION_DEPTH_ORACLE,
     "event_type_daily_share_volatility": SHARE_VOLATILITY_ORACLE,
     "night_owl_vs_early_bird": NIGHT_OWL_ORACLE,
     "user_active_streak_histogram": USER_ACTIVE_STREAK_ORACLE,

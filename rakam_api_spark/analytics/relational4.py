@@ -1513,6 +1513,147 @@ FROM cell ORDER BY bal_quartile, spend_quartile
 """
 
 
+def order_value_zscore_outliers(
+    spark: SparkSession, sf_dir: str, k: int = 20
+) -> DataFrame:
+    """Top-k order-value anomalies: orders ranked by |z-score| within
+    their ORDER MONTH — the point-anomaly report (fat-finger prices,
+    bulk mistakes) that month-relative normalization surfaces where a
+    global threshold would miss seasonal drift.
+
+    Determinism: month moments from exact DECIMAL sums (Σx, Σx² via
+    the exact-moment idiom); each order's z is a row-level double
+    expression on those sums rounded to 6 dp; ranking ends in the
+    unique order key.  Plan: one month-grain aggregate broadcast back
+    over the fact scan — no window over order rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    mon = F.date_trunc("month", F.col("o_orderdate")).cast("date")
+    x = _dec("o_totalprice")
+    moments = orders.groupBy(mon.alias("month")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(x).alias("_sx"),
+        F.sum((x * x).cast("decimal(38,12)")).alias("_sxx"),
+    )
+    nd = F.col("n_orders").cast("double")
+    sx = F.col("_sx").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    mean = sx / nd
+    var = (sxx - sx * sx / nd) / (nd - 1.0)
+    stats = moments.where(F.col("n_orders") > 1).select(
+        "month",
+        mean.alias("_mean"),
+        F.sqrt(var).alias("_std"),
+    )
+    z = F.round(
+        (F.col("o_totalprice") - F.col("_mean")) / F.col("_std"), 6
+    )
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice", mon.alias("month"))
+        .join(F.broadcast(stats), "month")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "month",
+            "o_totalprice",
+            z.alias("zscore"),
+        )
+        .orderBy(F.abs(F.col("zscore")).desc(), "o_orderkey")
+        .limit(k)
+    )
+
+
+ORDER_ZSCORE_ORACLE = """
+WITH moments AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         COUNT(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS _sx,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(28,6))
+                  * CAST(o_totalprice AS DECIMAL(28,6))
+                  AS DECIMAL(38,12))) AS _sxx
+  FROM orders GROUP BY 1
+),
+stats AS (
+  SELECT month,
+         CAST(_sx AS DOUBLE) / CAST(n_orders AS DOUBLE) AS _mean,
+         sqrt((CAST(_sxx AS DOUBLE)
+               - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE)
+                 / CAST(n_orders AS DOUBLE))
+              / (CAST(n_orders AS DOUBLE) - 1.0)) AS _std
+  FROM moments WHERE n_orders > 1
+)
+SELECT o.o_orderkey, o.o_custkey,
+       CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+       o.o_totalprice,
+       round((o.o_totalprice - s._mean) / s._std, 6) AS zscore
+FROM orders o
+JOIN stats s ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = s.month
+ORDER BY abs(round((o.o_totalprice - s._mean) / s._std, 6)) DESC, o.o_orderkey
+LIMIT 20
+"""
+
+
+def part_brand_price_dispersion(
+    spark: SparkSession, sf_dir: str, k: int = 15
+) -> DataFrame:
+    """Retail-price dispersion per brand — coefficient of variation
+    (std/mean) from exact decimal moments, top-k most dispersed —
+    the assortment-consistency audit behind ``retail_markup_by_type``
+    (a brand whose prices swing 50% is a mixed bag, not a brand).
+
+    One enum-sized brand aggregate; all non-exact math is row-level
+    doubles on exact sums; ranking ends in the unique brand key."""
+    part = load_table(spark, sf_dir, "part")
+    x = _dec("p_retailprice")
+    cell = part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(x).alias("_sx"),
+        F.sum((x * x).cast("decimal(38,12)")).alias("_sxx"),
+    )
+    nd = F.col("n_parts").cast("double")
+    sx = F.col("_sx").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    mean = sx / nd
+    std = F.sqrt((sxx - sx * sx / nd) / (nd - 1.0))
+    return (
+        cell.where(F.col("n_parts") > 1)
+        .select(
+            "p_brand",
+            "n_parts",
+            F.round(mean, 6).alias("mean_price"),
+            F.round(std, 6).alias("std_price"),
+            F.round(std / mean, 9).alias("cv"),
+        )
+        .orderBy(F.col("cv").desc(), "p_brand")
+        .limit(k)
+    )
+
+
+BRAND_PRICE_DISPERSION_ORACLE = """
+WITH cell AS (
+  SELECT p_brand, COUNT(*) AS n_parts,
+         SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS _sx,
+         SUM(CAST(CAST(p_retailprice AS DECIMAL(18,6))
+                  * CAST(p_retailprice AS DECIMAL(18,6))
+                  AS DECIMAL(38,12))) AS _sxx
+  FROM part GROUP BY 1
+)
+SELECT p_brand, CAST(n_parts AS BIGINT) AS n_parts,
+       round(CAST(_sx AS DOUBLE) / CAST(n_parts AS DOUBLE), 6) AS mean_price,
+       round(sqrt((CAST(_sxx AS DOUBLE)
+                   - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE)
+                     / CAST(n_parts AS DOUBLE))
+                  / (CAST(n_parts AS DOUBLE) - 1.0)), 6) AS std_price,
+       round(sqrt((CAST(_sxx AS DOUBLE)
+                   - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE)
+                     / CAST(n_parts AS DOUBLE))
+                  / (CAST(n_parts AS DOUBLE) - 1.0))
+             / (CAST(_sx AS DOUBLE) / CAST(n_parts AS DOUBLE)), 9) AS cv
+FROM cell WHERE n_parts > 1
+ORDER BY cv DESC, p_brand
+LIMIT 15
+"""
+
+
 QUERIES = {
     "lineitem_field_correlations": lineitem_field_correlations,
     "order_size_histogram": order_size_histogram,
@@ -1536,10 +1677,14 @@ QUERIES = {
     "repeat_customer_value_uplift": repeat_customer_value_uplift,
     "discount_tax_margin_grid": discount_tax_margin_grid,
     "customer_balance_vs_spend_quadrant": customer_balance_vs_spend_quadrant,
+    "order_value_zscore_outliers": order_value_zscore_outliers,
+    "part_brand_price_dispersion": part_brand_price_dispersion,
 }
 
 ORACLES = {
     "customer_balance_vs_spend_quadrant": BALANCE_SPEND_QUADRANT_ORACLE,
+    "order_value_zscore_outliers": ORDER_ZSCORE_ORACLE,
+    "part_brand_price_dispersion": BRAND_PRICE_DISPERSION_ORACLE,
     "repeat_customer_value_uplift": REPEAT_UPLIFT_ORACLE,
     "discount_tax_margin_grid": DISCOUNT_TAX_GRID_ORACLE,
     "customer_onetime_vs_repeat_revenue": ONETIME_REPEAT_ORACLE,

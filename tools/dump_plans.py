@@ -58,6 +58,9 @@ SHOW = {
     "lang_id_prf": "pure re-aggregation of the lang_id confusion kernel — the audited path IS the deployed path",
     "tokenizer_fertility_by_lang": "two row-local counts per doc (codegen, no explode); enum-sized per-lang aggregate",
     "embedding_exact_dup_groups": "one hash aggregate keyed on the quantized array (row-local transform); enum histogram",
+    "session_conversion_by_depth": "standard session numbering (two windows, one exchange); session-grain flag aggregate; enum band rollup",
+    "order_value_zscore_outliers": "month-grain exact moments broadcast back over the fact scan; no window over order rows; top-k on rounded z",
+    "part_brand_price_dispersion": "one enum-sized brand aggregate; CV from exact decimal moments",
     # round-11 additions
     "lineitem_field_correlations": "ONE partial-agg pass computes all ten exact decimal moments; Pearson is a final 1-row projection",
     "order_size_histogram": "two partial-agg groupBys (order grain -> size grain) + broadcast-back total; all integers",

@@ -54,6 +54,9 @@ OPERATORS = [
     "lang_id_prf",
     "tokenizer_fertility_by_lang",
     "embedding_exact_dup_groups",
+    "session_conversion_by_depth",
+    "order_value_zscore_outliers",
+    "part_brand_price_dispersion",
     # round-12 additions
     "customer_decile_share_twopass",
     "part_size_value_bands",
