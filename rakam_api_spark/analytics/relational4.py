@@ -1437,31 +1437,46 @@ def customer_balance_vs_spend_quadrant(
     collection and upsell lists (are low-balance customers also the
     big spenders?).
 
-    Plan: orders reduce to customer grain FIRST; the ntile windows
-    run over CUSTOMER-GRAIN rows only (the ``rfm_quartiles``
-    precedent — the fact table is never windowed), with unique
-    custkey tiebreaks; the output is a 16-cell grid.  Money through
-    DECIMAL."""
+    Plan: orders reduce to customer grain FIRST; quartile CUTOFFS
+    come from one tiny percentile aggregation and bucket assignment
+    is ROW-LOCAL comparison against the broadcast cutoffs — the
+    ``rfm_quartiles`` pattern, deliberately NOT an ntile over a
+    global window (which would funnel every customer through one
+    partition).  Output is a 16-cell grid; money through DECIMAL;
+    ``percentile`` ≡ DuckDB ``quantile_cont`` bit-for-bit."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
-        F.sum(_dec("o_totalprice")).alias("_sp")
+        F.sum(_dec("o_totalprice")).alias("_spd")
     )
     cust = customer.select("c_custkey", "c_acctbal").join(
         spend, customer["c_custkey"] == spend["o_custkey"], "left"
     ).select(
         "c_custkey",
         "c_acctbal",
-        F.coalesce(F.col("_sp"), F.lit(0).cast(DEC)).alias("_sp"),
+        F.coalesce(F.col("_spd"), F.lit(0).cast(DEC)).alias("_sp"),
     )
-    wb = Window.orderBy("c_acctbal", "c_custkey")
-    ws = Window.orderBy("_sp", "c_custkey")
-    q = cust.select(
+    cuts = cust.agg(
+        F.expr("percentile(c_acctbal, array(0.25, 0.5, 0.75))").alias("bc"),
+        F.expr(
+            "percentile(cast(_sp as double), array(0.25, 0.5, 0.75))"
+        ).alias("sc"),
+    )
+
+    def _q(v, cut):
+        return (
+            F.lit(1)
+            + (v > F.element_at(cut, 1)).cast("int")
+            + (v > F.element_at(cut, 2)).cast("int")
+            + (v > F.element_at(cut, 3)).cast("int")
+        )
+
+    q = cust.crossJoin(F.broadcast(cuts)).select(
         "c_custkey",
         "c_acctbal",
         "_sp",
-        F.ntile(4).over(wb).alias("bal_quartile"),
-        F.ntile(4).over(ws).alias("spend_quartile"),
+        _q(F.col("c_acctbal").cast("double"), F.col("bc")).alias("bal_quartile"),
+        _q(F.col("_sp").cast("double"), F.col("sc")).alias("spend_quartile"),
     )
     cell = q.groupBy("bal_quartile", "spend_quartile").agg(
         F.count(F.lit(1)).alias("n_customers"),
@@ -1491,11 +1506,20 @@ cust AS (
          COALESCE(s._sp, CAST(0 AS DECIMAL(18,6))) AS _sp
   FROM customer c LEFT JOIN spend s ON c.c_custkey = s.o_custkey
 ),
+cuts AS (
+  SELECT quantile_cont(c_acctbal, [0.25, 0.5, 0.75]) AS bc,
+         quantile_cont(CAST(_sp AS DOUBLE), [0.25, 0.5, 0.75]) AS sc
+  FROM cust
+),
 q AS (
   SELECT c_custkey, c_acctbal, _sp,
-         ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS bal_quartile,
-         ntile(4) OVER (ORDER BY _sp, c_custkey) AS spend_quartile
-  FROM cust
+         1 + CAST(CAST(c_acctbal AS DOUBLE) > bc[1] AS INT)
+           + CAST(CAST(c_acctbal AS DOUBLE) > bc[2] AS INT)
+           + CAST(CAST(c_acctbal AS DOUBLE) > bc[3] AS INT) AS bal_quartile,
+         1 + CAST(CAST(_sp AS DOUBLE) > sc[1] AS INT)
+           + CAST(CAST(_sp AS DOUBLE) > sc[2] AS INT)
+           + CAST(CAST(_sp AS DOUBLE) > sc[3] AS INT) AS spend_quartile
+  FROM cust CROSS JOIN cuts
 ),
 cell AS (
   SELECT bal_quartile, spend_quartile, COUNT(*) AS n_customers,

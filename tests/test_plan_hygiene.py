@@ -28,6 +28,10 @@ EXEMPT_BOUNDED_WINDOW = {
     # WEEK-grain bucket aggregate: rows <= calendar span / 7 at ANY
     # corpus size (asserted numerically below)
     "order_survival_curve",
+    # rank windows over the NATION-grain pivoted aggregate: the
+    # nation dimension is a fixed 25-row enum at ANY corpus size
+    # (asserted numerically below)
+    "nation_revenue_rank_shift",
 }
 
 
@@ -112,6 +116,9 @@ def test_exempt_windows_have_numeric_input_bounds(spark):
     assert len(weeks) == len(set(weeks))
     assert max(weeks) - min(weeks) + 1 < 3000  # ~7y span / 7 days
     assert len(weeks) <= max(weeks) - min(weeks) + 1
+
+    # nation-grain rank windows: input == output == the 25-row enum
+    assert qs["nation_revenue_rank_shift"](spark, SF).count() <= 25
 
     # day-grain window: rows == distinct days <= calendar span + 1
     rows = qs["order_backlog_daily"](spark, SF).collect()

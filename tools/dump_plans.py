@@ -54,7 +54,7 @@ SHOW = {
     "embedding_quantization_sensitivity": "corpus posexploded ONCE, fanned x4 by literal scales; one aggregate, no joins",
     "value_by_event_ordinal": "ONE row_number window over the user-keyed exchange; bounded histogram",
     "top_value_sessions": "standard session numbering (two windows, one exchange); session-grain aggregate; global top-k on exact decimal",
-    "customer_balance_vs_spend_quadrant": "orders reduce to customer grain FIRST; ntile windows over customer-grain rows only; 16-cell grid",
+    "customer_balance_vs_spend_quadrant": "orders reduce to customer grain FIRST; percentile cutoffs broadcast back, row-local bucket comparisons (no global window); 16-cell grid",
     "lang_id_prf": "pure re-aggregation of the lang_id confusion kernel — the audited path IS the deployed path",
     "tokenizer_fertility_by_lang": "two row-local counts per doc (codegen, no explode); enum-sized per-lang aggregate",
     "embedding_exact_dup_groups": "one hash aggregate keyed on the quantized array (row-local transform); enum histogram",
