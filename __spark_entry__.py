@@ -131,6 +131,8 @@ _GATE_PRIORITY = (
     "session_conversion_by_depth",
     "order_value_zscore_outliers",
     "part_brand_price_dispersion",
+    "monthly_revenue_seasonality_strength",
+    "quantity_uniformity_chi2",
 )
 
 

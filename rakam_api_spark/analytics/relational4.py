@@ -1678,6 +1678,192 @@ LIMIT 15
 """
 
 
+def monthly_revenue_seasonality_strength(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonality-strength decomposition of monthly revenue: the
+    share of month-to-month revenue variance explained by the
+    MONTH-OF-YEAR means (an STL-lite R² — ~1 means a strongly
+    seasonal calendar, ~0 means noise/trend dominates) plus the
+    peak/trough months.  The summary number behind
+    ``orders_seasonality_index``'s per-month detail.
+
+    Determinism: monthly revenue is exact DECIMAL; the grand/seasonal
+    means and the two sums of squares go through the module's
+    rounded-term contract (each squared deviation rounded to 6 dp
+    into DECIMAL(38,6) and summed AS DECIMAL), so the R² is one
+    double division of exact decimals.  Plan: month-grain aggregate →
+    month-of-year aggregate → two tiny rollups; nothing fact-grain
+    past the first groupBy."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(F.sum(_dec("o_totalprice")).alias("_rev"))
+    moy = monthly.select(
+        F.month("month").alias("moy"),
+        F.col("_rev").alias("rev_dec"),
+        F.col("_rev").cast("double").alias("rev"),
+    )
+    # means divide EXACT decimal sums once — never a raw double sum
+    grand = moy.agg(
+        F.count(F.lit(1)).alias("n_months"),
+        (
+            F.sum("rev_dec").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("_gm"),
+    )
+    seasonal = moy.groupBy("moy").agg(
+        F.count(F.lit(1)).alias("n_years"),
+        (
+            F.sum("rev_dec").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("_sm"),
+    )
+    dev = (
+        moy.join(F.broadcast(seasonal), "moy")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "moy",
+            "_sm",
+            "_gm",
+            F.round((F.col("rev") - F.col("_gm")) * (F.col("rev") - F.col("_gm")), 6)
+            .cast("decimal(38,6)")
+            .alias("_tot2"),
+            F.round((F.col("rev") - F.col("_sm")) * (F.col("rev") - F.col("_sm")), 6)
+            .cast("decimal(38,6)")
+            .alias("_res2"),
+        )
+    )
+    agg = dev.agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum("_tot2").alias("_sst"),
+        F.sum("_res2").alias("_ssr"),
+    )
+    # deterministic argmax/argmin: tie-break to the SMALLEST month id
+    # on both sides (negated month inside the max struct)
+    peaks = seasonal.agg(
+        F.max(
+            F.struct(F.col("_sm").alias("v"), (-F.col("moy")).alias("nm"))
+        ).alias("_pk"),
+        F.min(
+            F.struct(F.col("_sm").alias("v"), F.col("moy").alias("m"))
+        ).alias("_tr"),
+    )
+    return agg.crossJoin(F.broadcast(peaks)).select(
+        "n_months",
+        F.round(
+            (F.col("_sst").cast("double") - F.col("_ssr").cast("double"))
+            / F.col("_sst").cast("double"),
+            9,
+        ).alias("seasonality_r2"),
+        (-F.col("_pk.nm")).cast("int").alias("peak_month"),
+        F.col("_tr.m").cast("int").alias("trough_month"),
+    )
+
+
+SEASONALITY_STRENGTH_ORACLE = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS _rev
+  FROM orders GROUP BY 1
+),
+moy AS (
+  SELECT CAST(month(month) AS INT) AS moy, _rev AS rev_dec,
+         CAST(_rev AS DOUBLE) AS rev
+  FROM monthly
+),
+grand AS (
+  SELECT COUNT(*) AS n_months,
+         CAST(SUM(rev_dec) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS _gm
+  FROM moy
+),
+seasonal AS (
+  SELECT moy, COUNT(*) AS n_years,
+         CAST(SUM(rev_dec) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS _sm
+  FROM moy GROUP BY 1
+),
+dev AS (
+  SELECT m.moy,
+         CAST(round((m.rev - g._gm) * (m.rev - g._gm), 6)
+              AS DECIMAL(38,6)) AS _tot2,
+         CAST(round((m.rev - s._sm) * (m.rev - s._sm), 6)
+              AS DECIMAL(38,6)) AS _res2
+  FROM moy m JOIN seasonal s USING (moy) CROSS JOIN grand g
+),
+agg AS (
+  SELECT COUNT(*) AS n_months, SUM(_tot2) AS _sst, SUM(_res2) AS _ssr
+  FROM dev
+),
+peaks AS (
+  SELECT (SELECT moy FROM seasonal ORDER BY _sm DESC, moy ASC LIMIT 1)
+           AS peak_month,
+         (SELECT moy FROM seasonal ORDER BY _sm ASC, moy ASC LIMIT 1)
+           AS trough_month
+)
+SELECT CAST(a.n_months AS BIGINT) AS n_months,
+       round((CAST(a._sst AS DOUBLE) - CAST(a._ssr AS DOUBLE))
+             / CAST(a._sst AS DOUBLE), 9) AS seasonality_r2,
+       CAST(p.peak_month AS INT) AS peak_month,
+       CAST(p.trough_month AS INT) AS trough_month
+FROM agg a CROSS JOIN peaks p
+"""
+
+
+def quantity_uniformity_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square uniformity audit of the line-item quantity column
+    over its 1..50 integer domain — the data-quality screen that
+    catches a generator or ingest bug skewing a supposedly-uniform
+    discrete field (the distributional sibling of
+    ``benford_price_audit``).
+
+    Exactness: with e = N/50, χ² = Σ(o−e)²/e = Σ(50·o − N)² /
+    (50·N) — the numerator is an EXACT integer sum (DECIMAL), so the
+    statistic is one double division.  Plan: one fact-grain groupBy
+    to ≤50 cells, then a scalar rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.round(F.col("l_quantity"), 0).cast("long")
+    cell = li.groupBy(q.alias("qty")).agg(F.count(F.lit(1)).alias("o"))
+    tot = cell.agg(
+        F.sum("o").alias("_n"), F.count(F.lit(1)).alias("n_levels")
+    )
+    term = (
+        F.lit(50).cast("decimal(38,0)") * F.col("o").cast("decimal(38,0)")
+        - F.col("_n").cast("decimal(38,0)")
+    )
+    agg = cell.crossJoin(F.broadcast(tot)).agg(
+        F.max("_n").alias("n_lines"),
+        F.max("n_levels").alias("n_levels"),
+        F.sum((term * term).cast("decimal(38,0)")).alias("_num"),
+    )
+    return agg.select(
+        "n_lines",
+        F.col("n_levels").cast("long").alias("n_levels"),
+        F.round(
+            F.col("_num").cast("double")
+            / (50.0 * F.col("n_lines").cast("double")),
+            6,
+        ).alias("chi2_vs_uniform"),
+    )
+
+
+QUANTITY_CHI2_ORACLE = """
+WITH cell AS (
+  SELECT CAST(round(l_quantity, 0) AS BIGINT) AS qty, COUNT(*) AS o
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT SUM(o) AS _n, COUNT(*) AS n_levels FROM cell),
+agg AS (
+  SELECT MAX(t._n) AS n_lines, MAX(t.n_levels) AS n_levels,
+         SUM((CAST(50 AS HUGEINT) * c.o - t._n)
+             * (CAST(50 AS HUGEINT) * c.o - t._n)) AS _num
+  FROM cell c CROSS JOIN tot t
+)
+SELECT CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_levels AS BIGINT) AS n_levels,
+       round(CAST(_num AS DOUBLE) / (50.0 * CAST(n_lines AS DOUBLE)), 6)
+         AS chi2_vs_uniform
+FROM agg
+"""
+
+
 QUERIES = {
     "lineitem_field_correlations": lineitem_field_correlations,
     "order_size_histogram": order_size_histogram,
@@ -1703,9 +1889,13 @@ QUERIES = {
     "customer_balance_vs_spend_quadrant": customer_balance_vs_spend_quadrant,
     "order_value_zscore_outliers": order_value_zscore_outliers,
     "part_brand_price_dispersion": part_brand_price_dispersion,
+    "monthly_revenue_seasonality_strength": monthly_revenue_seasonality_strength,
+    "quantity_uniformity_chi2": quantity_uniformity_chi2,
 }
 
 ORACLES = {
+    "monthly_revenue_seasonality_strength": SEASONALITY_STRENGTH_ORACLE,
+    "quantity_uniformity_chi2": QUANTITY_CHI2_ORACLE,
     "customer_balance_vs_spend_quadrant": BALANCE_SPEND_QUADRANT_ORACLE,
     "order_value_zscore_outliers": ORDER_ZSCORE_ORACLE,
     "part_brand_price_dispersion": BRAND_PRICE_DISPERSION_ORACLE,

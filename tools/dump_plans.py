@@ -61,6 +61,8 @@ SHOW = {
     "session_conversion_by_depth": "standard session numbering (two windows, one exchange); session-grain flag aggregate; enum band rollup",
     "order_value_zscore_outliers": "month-grain exact moments broadcast back over the fact scan; no window over order rows; top-k on rounded z",
     "part_brand_price_dispersion": "one enum-sized brand aggregate; CV from exact decimal moments",
+    "monthly_revenue_seasonality_strength": "month-grain aggregate -> month-of-year cells -> two tiny rollups; rounded-term decimal sums of squares",
+    "quantity_uniformity_chi2": "one fact groupBy to <=50 cells; exact-integer chi-square numerator; scalar rollup",
     # round-11 additions
     "lineitem_field_correlations": "ONE partial-agg pass computes all ten exact decimal moments; Pearson is a final 1-row projection",
     "order_size_histogram": "two partial-agg groupBys (order grain -> size grain) + broadcast-back total; all integers",

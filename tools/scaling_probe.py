@@ -57,6 +57,8 @@ OPERATORS = [
     "session_conversion_by_depth",
     "order_value_zscore_outliers",
     "part_brand_price_dispersion",
+    "monthly_revenue_seasonality_strength",
+    "quantity_uniformity_chi2",
     # round-12 additions
     "customer_decile_share_twopass",
     "part_size_value_bands",
