@@ -1609,6 +1609,89 @@ FROM cell ORDER BY depth_band
 """
 
 
+def error_recovery_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How fast do users recover after an error event — the delta
+    from each ``error`` event to the user's NEXT non-error event,
+    histogrammed into ops-review bands (<10 s, <1 min, <10 min,
+    <1 h, ≥1 h, never) — the reliability-UX metric next to
+    ``event_type_run_lengths``' error-storm view.
+
+    Plan: ONE forward-frame window (min of following non-error
+    timestamps) over the user-keyed exchange, then an enum-sized
+    histogram.  Deltas are exact integer microseconds."""
+    ev = _events(spark, sf_dir)
+    us = F.expr("ts_ns div 1000")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_ok = F.min(
+        F.when(F.col("event_type") != "error", us)
+    ).over(w)
+    errs = (
+        ev.select(
+            "user_id",
+            "event_type",
+            us.alias("_us"),
+            next_ok.alias("_next_ok"),
+        )
+        .where(F.col("event_type") == "error")
+    )
+    band = (
+        F.when(F.col("_next_ok").isNull(), "never")
+        .when(F.col("_next_ok") - F.col("_us") < 10_000_000, "lt_10s")
+        .when(F.col("_next_ok") - F.col("_us") < 60_000_000, "lt_1m")
+        .when(F.col("_next_ok") - F.col("_us") < 600_000_000, "lt_10m")
+        .when(F.col("_next_ok") - F.col("_us") < 3_600_000_000, "lt_1h")
+        .otherwise("ge_1h")
+    )
+    cell = errs.groupBy(band.alias("recovery_band")).agg(
+        F.count(F.lit(1)).alias("n_errors")
+    )
+    tot = cell.agg(F.sum("n_errors").alias("_tot"))
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .select(
+            "recovery_band",
+            "n_errors",
+            F.round(
+                F.col("n_errors").cast("double") / F.col("_tot").cast("double"),
+                9,
+            ).alias("share_of_errors"),
+        )
+        .orderBy("recovery_band")
+    )
+
+
+ERROR_RECOVERY_ORACLE = """
+WITH marked AS (
+  SELECT user_id, event_type, epoch_us(ts) AS _us,
+         MIN(CASE WHEN event_type <> 'error' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS _next_ok
+  FROM events
+),
+cell AS (
+  SELECT CASE WHEN _next_ok IS NULL THEN 'never'
+              WHEN _next_ok - _us < 10000000 THEN 'lt_10s'
+              WHEN _next_ok - _us < 60000000 THEN 'lt_1m'
+              WHEN _next_ok - _us < 600000000 THEN 'lt_10m'
+              WHEN _next_ok - _us < 3600000000 THEN 'lt_1h'
+              ELSE 'ge_1h' END AS recovery_band,
+         COUNT(*) AS n_errors
+  FROM marked WHERE event_type = 'error' GROUP BY 1
+),
+tot AS (SELECT SUM(n_errors) AS _tot FROM cell)
+SELECT c.recovery_band, CAST(c.n_errors AS BIGINT) AS n_errors,
+       round(CAST(c.n_errors AS DOUBLE) / CAST(t._tot AS DOUBLE), 9)
+         AS share_of_errors
+FROM cell c CROSS JOIN tot t
+ORDER BY c.recovery_band
+"""
+
+
 QUERIES = {
     "daily_value_cusum": daily_value_cusum,
     "event_type_user_jaccard": event_type_user_jaccard,
@@ -1632,9 +1715,11 @@ QUERIES = {
     "value_by_event_ordinal": value_by_event_ordinal,
     "top_value_sessions": top_value_sessions,
     "session_conversion_by_depth": session_conversion_by_depth,
+    "error_recovery_time": error_recovery_time,
 }
 
 ORACLES = {
+    "error_recovery_time": ERROR_RECOVERY_ORACLE,
     "value_by_event_ordinal": VALUE_BY_ORDINAL_ORACLE,
     "top_value_sessions": TOP_VALUE_SESSIONS_ORACLE,
     "session_conversion_by_depth": SESSION_CONVERSION_DEPTH_ORACLE,

@@ -1864,6 +1864,223 @@ FROM agg
 """
 
 
+def order_value_percentiles_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-value p10/p50/p90 per market segment — the spread table
+    behind segment pricing reviews (medians resist the whale skew
+    that means hide).  One segment-partitioned percentile AGGREGATE
+    (the ``rfm_quartiles`` cutoff machinery — never a global window);
+    revenue through DECIMAL; ``percentile`` ≡ DuckDB
+    ``quantile_cont``."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders["o_custkey"] == F.col("c_custkey"),
+    )
+    cell = j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).alias("_rev"),
+        F.expr("percentile(o_totalprice, array(0.1, 0.5, 0.9))").alias("_p"),
+    )
+    return cell.select(
+        "c_mktsegment",
+        "n_orders",
+        F.col("_rev").cast("double").alias("revenue"),
+        F.round(F.element_at("_p", 1), 6).alias("p10"),
+        F.round(F.element_at("_p", 2), 6).alias("p50"),
+        F.round(F.element_at("_p", 3), 6).alias("p90"),
+    ).orderBy("c_mktsegment")
+
+
+SEGMENT_VALUE_PERCENTILES_ORACLE = """
+SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       round(quantile_cont(o.o_totalprice, 0.1), 6) AS p10,
+       round(quantile_cont(o.o_totalprice, 0.5), 6) AS p50,
+       round(quantile_cont(o.o_totalprice, 0.9), 6) AS p90
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def supplier_dependency_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain concentration screen: per part TYPE, the average
+    share of a part's shipped quantity carried by its TOP supplier,
+    and the fraction of parts where one supplier carries >50% — the
+    single-source-risk table procurement reads before a
+    diversification push.
+
+    Plan: lineitem reduces to (part, supplier) grain FIRST, then to
+    part grain (max share), then joins the part dim and rolls up to
+    the type enum.  Per-part shares are one double division of exact
+    decimals, rounded to 9 dp into DECIMAL and averaged AS DECIMAL
+    (the module's division contract — never a raw double sum)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_dec("l_quantity")).alias("_q")
+    )
+    per_part = ps.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.max("_q").alias("_top"),
+        F.sum("_q").alias("_tot"),
+    )
+    share = F.round(
+        F.col("_top").cast("double") / F.col("_tot").cast("double"), 9
+    ).cast("decimal(18,9)")
+    tagged = per_part.select(
+        "l_partkey",
+        "n_suppliers",
+        share.alias("_sh"),
+        (F.col("_top").cast("double") / F.col("_tot").cast("double") > 0.5)
+        .cast("int")
+        .alias("_risk"),
+    ).join(
+        part.select("p_partkey", "p_type"),
+        per_part["l_partkey"] == F.col("p_partkey"),
+    )
+    cell = tagged.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(
+            F.sum("_sh").cast("double") / F.count(F.lit(1)).cast("double"), 9
+        ).alias("avg_top_supplier_share"),
+        F.round(
+            F.sum("_risk").cast("double") / F.count(F.lit(1)).cast("double"), 9
+        ).alias("single_source_risk_rate"),
+    )
+    return cell.orderBy("p_type")
+
+
+SUPPLIER_DEPENDENCY_ORACLE = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,6))) AS _q
+  FROM lineitem GROUP BY 1, 2
+),
+per_part AS (
+  SELECT l_partkey, COUNT(*) AS n_suppliers,
+         MAX(_q) AS _top, SUM(_q) AS _tot
+  FROM ps GROUP BY 1
+),
+tagged AS (
+  SELECT p.p_type,
+         CAST(round(CAST(pp._top AS DOUBLE) / CAST(pp._tot AS DOUBLE), 9)
+              AS DECIMAL(18,9)) AS _sh,
+         CASE WHEN CAST(pp._top AS DOUBLE) / CAST(pp._tot AS DOUBLE) > 0.5
+              THEN 1 ELSE 0 END AS _risk
+  FROM per_part pp JOIN part p ON pp.l_partkey = p.p_partkey
+)
+SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       round(CAST(SUM(_sh) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+         AS avg_top_supplier_share,
+       round(CAST(SUM(_risk) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+         AS single_source_risk_rate
+FROM tagged GROUP BY 1 ORDER BY 1
+"""
+
+
+def brand_cross_region_price_gap(
+    spark: SparkSession, sf_dir: str, k: int = 15
+) -> DataFrame:
+    """Cross-region price dispersion per brand: revenue-weighted unit
+    price (Σ extprice / Σ qty) of each brand in each supplier REGION,
+    and the max−min gap across regions — the arbitrage/pricing-policy
+    screen (a brand 20% pricier in one region is a policy or data
+    problem).  Only brands shipped in ALL regions rank.
+
+    Plan: the fact table reduces to (brand, region) cells through
+    broadcast dim joins (supplier→nation→region are enum-width;
+    part joins by key under AQE); the gap is a ≤5-row max−min per
+    brand.  Unit prices are one double division of exact decimals,
+    rounded identically before the gap subtraction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dims = (
+        supplier.select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "r_name")
+    )
+    cell = (
+        li.join(F.broadcast(dims), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(
+            part.select("p_partkey", "p_brand"),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "r_name")
+        .agg(
+            F.sum(_dec("l_extendedprice")).alias("_sp"),
+            F.sum(_dec("l_quantity")).alias("_sq"),
+        )
+    )
+    unit = F.round(
+        F.col("_sp").cast("double") / F.col("_sq").cast("double"), 6
+    )
+    per_brand = cell.select("p_brand", "r_name", unit.alias("unit_price")).groupBy(
+        "p_brand"
+    ).agg(
+        F.count(F.lit(1)).alias("n_regions"),
+        F.max("unit_price").alias("max_unit_price"),
+        F.min("unit_price").alias("min_unit_price"),
+    )
+    return (
+        per_brand.where(F.col("n_regions") == 5)
+        .select(
+            "p_brand",
+            "n_regions",
+            "max_unit_price",
+            "min_unit_price",
+            F.round(
+                F.col("max_unit_price") - F.col("min_unit_price"), 6
+            ).alias("price_gap"),
+        )
+        .orderBy(F.col("price_gap").desc(), "p_brand")
+        .limit(k)
+    )
+
+
+BRAND_REGION_PRICE_GAP_ORACLE = """
+WITH cell AS (
+  SELECT p.p_brand, r.r_name,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS _sp,
+         SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS _sq
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+unitp AS (
+  SELECT p_brand, r_name,
+         round(CAST(_sp AS DOUBLE) / CAST(_sq AS DOUBLE), 6) AS unit_price
+  FROM cell
+),
+per_brand AS (
+  SELECT p_brand, COUNT(*) AS n_regions,
+         MAX(unit_price) AS max_unit_price,
+         MIN(unit_price) AS min_unit_price
+  FROM unitp GROUP BY 1
+)
+SELECT p_brand, CAST(n_regions AS BIGINT) AS n_regions,
+       max_unit_price, min_unit_price,
+       round(max_unit_price - min_unit_price, 6) AS price_gap
+FROM per_brand WHERE n_regions = 5
+ORDER BY price_gap DESC, p_brand
+LIMIT 15
+"""
+
+
 QUERIES = {
     "lineitem_field_correlations": lineitem_field_correlations,
     "order_size_histogram": order_size_histogram,
@@ -1891,9 +2108,15 @@ QUERIES = {
     "part_brand_price_dispersion": part_brand_price_dispersion,
     "monthly_revenue_seasonality_strength": monthly_revenue_seasonality_strength,
     "quantity_uniformity_chi2": quantity_uniformity_chi2,
+    "order_value_percentiles_by_segment": order_value_percentiles_by_segment,
+    "supplier_dependency_risk": supplier_dependency_risk,
+    "brand_cross_region_price_gap": brand_cross_region_price_gap,
 }
 
 ORACLES = {
+    "order_value_percentiles_by_segment": SEGMENT_VALUE_PERCENTILES_ORACLE,
+    "supplier_dependency_risk": SUPPLIER_DEPENDENCY_ORACLE,
+    "brand_cross_region_price_gap": BRAND_REGION_PRICE_GAP_ORACLE,
     "monthly_revenue_seasonality_strength": SEASONALITY_STRENGTH_ORACLE,
     "quantity_uniformity_chi2": QUANTITY_CHI2_ORACLE,
     "customer_balance_vs_spend_quadrant": BALANCE_SPEND_QUADRANT_ORACLE,

@@ -63,6 +63,10 @@ SHOW = {
     "part_brand_price_dispersion": "one enum-sized brand aggregate; CV from exact decimal moments",
     "monthly_revenue_seasonality_strength": "month-grain aggregate -> month-of-year cells -> two tiny rollups; rounded-term decimal sums of squares",
     "quantity_uniformity_chi2": "one fact groupBy to <=50 cells; exact-integer chi-square numerator; scalar rollup",
+    "order_value_percentiles_by_segment": "broadcast dim join; segment-partitioned percentile AGGREGATE (no global window)",
+    "supplier_dependency_risk": "(part,supplier) grain FIRST, then part grain, then type enum; rounded-term decimal share averages",
+    "brand_cross_region_price_gap": "enum-width supplier->region broadcast chain; (brand,region) cells; <=5-row max-min per brand",
+    "error_recovery_time": "ONE forward-frame window (min of following non-error ts) over the user exchange; enum histogram",
     # round-11 additions
     "lineitem_field_correlations": "ONE partial-agg pass computes all ten exact decimal moments; Pearson is a final 1-row projection",
     "order_size_histogram": "two partial-agg groupBys (order grain -> size grain) + broadcast-back total; all integers",

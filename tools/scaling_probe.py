@@ -59,6 +59,10 @@ OPERATORS = [
     "part_brand_price_dispersion",
     "monthly_revenue_seasonality_strength",
     "quantity_uniformity_chi2",
+    "order_value_percentiles_by_segment",
+    "supplier_dependency_risk",
+    "brand_cross_region_price_gap",
+    "error_recovery_time",
     # round-12 additions
     "customer_decile_share_twopass",
     "part_size_value_bands",
