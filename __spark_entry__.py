@@ -137,6 +137,7 @@ _GATE_PRIORITY = (
     "supplier_dependency_risk",
     "brand_cross_region_price_gap",
     "error_recovery_time",
+    "price_trend_slope_by_type",
 )
 
 

@@ -234,6 +234,7 @@ EXTRA = [
     "supplier_dependency_risk",
     "brand_cross_region_price_gap",
     "error_recovery_time",
+    "price_trend_slope_by_type",
 ]
 
 

@@ -2081,6 +2081,111 @@ LIMIT 15
 """
 
 
+def price_trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per part TYPE, the OLS slope of the quarterly revenue-weighted
+    unit price over the quarter index — the one-number inflation
+    trend behind ``part_price_index_quarterly``'s full curve (which
+    types are getting dearer, and how fast per quarter).
+
+    Determinism: quarterly unit prices are one double division of
+    exact decimals rounded to 6 dp; the regression uses the integer-x
+    identity slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with Σxy and
+    Σy accumulated as ROUNDED-TERM DECIMALS (the module contract —
+    never a raw double sum) and Σx/Σx² exact integers.  Plan: fact →
+    (type, quarter) cells via one part-key join, then a type-enum
+    rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    qidx = (
+        (F.year("l_shipdate") - F.lit(1992)) * 4 + F.quarter("l_shipdate") - 1
+    ).cast("long")
+    cell = (
+        li.join(
+            part.select("p_partkey", "p_type"),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .groupBy("p_type", qidx.alias("x"))
+        .agg(
+            F.sum(_dec("l_extendedprice")).alias("_sp"),
+            F.sum(_dec("l_quantity")).alias("_sq"),
+        )
+    )
+    y = F.round(F.col("_sp").cast("double") / F.col("_sq").cast("double"), 6)
+    xy = cell.select(
+        "p_type",
+        "x",
+        y.alias("y"),
+        F.round(F.col("x").cast("double") * y, 6)
+        .cast("decimal(38,6)")
+        .alias("_xy"),
+        F.round(y, 6).cast("decimal(38,6)").alias("_y"),
+    )
+    agg = xy.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_quarters"),
+        F.sum("x").alias("_sx"),
+        F.sum(F.col("x") * F.col("x")).alias("_sxx"),
+        F.sum("_xy").alias("_sxy"),
+        F.sum("_y").alias("_sy"),
+    )
+    nd = F.col("n_quarters").cast("double")
+    slope = (
+        nd * F.col("_sxy").cast("double")
+        - F.col("_sx").cast("double") * F.col("_sy").cast("double")
+    ) / (
+        nd * F.col("_sxx").cast("double")
+        - F.col("_sx").cast("double") * F.col("_sx").cast("double")
+    )
+    return (
+        agg.where(F.col("n_quarters") > 1)
+        .select(
+            "p_type",
+            "n_quarters",
+            F.round(
+                F.col("_sy").cast("double") / nd, 6
+            ).alias("mean_unit_price"),
+            F.round(slope, 9).alias("price_slope_per_quarter"),
+        )
+        .orderBy("p_type")
+    )
+
+
+PRICE_TREND_SLOPE_ORACLE = """
+WITH cell AS (
+  SELECT p.p_type,
+         CAST((year(l.l_shipdate) - 1992) * 4 + quarter(l.l_shipdate) - 1
+              AS BIGINT) AS x,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS _sp,
+         SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS _sq
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+xy AS (
+  SELECT p_type, x,
+         CAST(round(CAST(x AS DOUBLE)
+                    * round(CAST(_sp AS DOUBLE) / CAST(_sq AS DOUBLE), 6), 6)
+              AS DECIMAL(38,6)) AS _xy,
+         CAST(round(round(CAST(_sp AS DOUBLE) / CAST(_sq AS DOUBLE), 6), 6)
+              AS DECIMAL(38,6)) AS _y
+  FROM cell
+),
+agg AS (
+  SELECT p_type, COUNT(*) AS n_quarters, SUM(x) AS _sx, SUM(x * x) AS _sxx,
+         SUM(_xy) AS _sxy, SUM(_y) AS _sy
+  FROM xy GROUP BY 1
+)
+SELECT p_type, CAST(n_quarters AS BIGINT) AS n_quarters,
+       round(CAST(_sy AS DOUBLE) / CAST(n_quarters AS DOUBLE), 6)
+         AS mean_unit_price,
+       round((CAST(n_quarters AS DOUBLE) * CAST(_sxy AS DOUBLE)
+              - CAST(_sx AS DOUBLE) * CAST(_sy AS DOUBLE))
+             / (CAST(n_quarters AS DOUBLE) * CAST(_sxx AS DOUBLE)
+                - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE)), 9)
+         AS price_slope_per_quarter
+FROM agg WHERE n_quarters > 1
+ORDER BY p_type
+"""
+
+
 QUERIES = {
     "lineitem_field_correlations": lineitem_field_correlations,
     "order_size_histogram": order_size_histogram,
@@ -2111,9 +2216,11 @@ QUERIES = {
     "order_value_percentiles_by_segment": order_value_percentiles_by_segment,
     "supplier_dependency_risk": supplier_dependency_risk,
     "brand_cross_region_price_gap": brand_cross_region_price_gap,
+    "price_trend_slope_by_type": price_trend_slope_by_type,
 }
 
 ORACLES = {
+    "price_trend_slope_by_type": PRICE_TREND_SLOPE_ORACLE,
     "order_value_percentiles_by_segment": SEGMENT_VALUE_PERCENTILES_ORACLE,
     "supplier_dependency_risk": SUPPLIER_DEPENDENCY_ORACLE,
     "brand_cross_region_price_gap": BRAND_REGION_PRICE_GAP_ORACLE,

@@ -63,6 +63,7 @@ OPERATORS = [
     "supplier_dependency_risk",
     "brand_cross_region_price_gap",
     "error_recovery_time",
+    "price_trend_slope_by_type",
     # round-12 additions
     "customer_decile_share_twopass",
     "part_size_value_bands",
