@@ -138,6 +138,8 @@ _GATE_PRIORITY = (
     "brand_cross_region_price_gap",
     "error_recovery_time",
     "price_trend_slope_by_type",
+    "cohort_value_retention",
+    "length_quality_correlation",
 )
 
 

@@ -1692,6 +1692,81 @@ ORDER BY c.recovery_band
 """
 
 
+def cohort_value_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-weighted retention curve: for each week offset k, the
+    share of all cohorts' week-0 event value that recurs in week k
+    (cohort = the user's first active week) — ``retention_cohorts``
+    counts heads; this weighs them by the money, which is the number
+    revenue forecasting actually discounts by.
+
+    Plan: user-grain first-week aggregate, (user, week) value cells,
+    one join, then an enum-sized offset rollup (offsets capped at 8).
+    Value through DECIMAL end to end; the share is one double
+    division of exact decimal sums."""
+    ev = _events(spark, sf_dir)
+    week = (
+        F.floor(F.datediff(_day(), F.lit(_MONDAY).cast("date")) / 7)
+    ).cast("long")
+    uw = ev.select(
+        "user_id", week.alias("week_id"), F.col("value").cast(_DEC).alias("v")
+    ).groupBy("user_id", "week_id").agg(F.sum("v").alias("_wv"))
+    first = uw.groupBy("user_id").agg(F.min("week_id").alias("_cw"))
+    cell = (
+        uw.join(first, "user_id")
+        .select(
+            (F.col("week_id") - F.col("_cw")).alias("week_offset"), "_wv"
+        )
+        .where(F.col("week_offset") <= 8)
+        .groupBy("week_offset")
+        .agg(
+            F.count(F.lit(1)).alias("n_user_weeks"),
+            F.sum("_wv").alias("_ov"),
+        )
+    )
+    base = cell.where(F.col("week_offset") == 0).select(
+        F.col("_ov").alias("_base")
+    )
+    return (
+        cell.crossJoin(F.broadcast(base))
+        .select(
+            F.col("week_offset").cast("int").alias("week_offset"),
+            "n_user_weeks",
+            F.col("_ov").cast("double").alias("retained_value"),
+            F.round(
+                F.col("_ov").cast("double") / F.col("_base").cast("double"), 9
+            ).alias("value_retention"),
+        )
+        .orderBy("week_offset")
+    )
+
+
+COHORT_VALUE_RETENTION_ORACLE = """
+WITH uw AS (
+  SELECT user_id,
+         CAST(floor(date_diff('day', DATE '1970-01-05',
+                              CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week_id,
+         SUM(CAST(value AS DECIMAL(18,6))) AS _wv
+  FROM events GROUP BY 1, 2
+),
+first AS (SELECT user_id, MIN(week_id) AS _cw FROM uw GROUP BY 1),
+cell AS (
+  SELECT u.week_id - f._cw AS week_offset,
+         COUNT(*) AS n_user_weeks, SUM(u._wv) AS _ov
+  FROM uw u JOIN first f USING (user_id)
+  WHERE u.week_id - f._cw <= 8
+  GROUP BY 1
+),
+base AS (SELECT _ov AS _base FROM cell WHERE week_offset = 0)
+SELECT CAST(c.week_offset AS INT) AS week_offset,
+       CAST(c.n_user_weeks AS BIGINT) AS n_user_weeks,
+       CAST(c._ov AS DOUBLE) AS retained_value,
+       round(CAST(c._ov AS DOUBLE) / CAST(b._base AS DOUBLE), 9)
+         AS value_retention
+FROM cell c CROSS JOIN base b
+ORDER BY c.week_offset
+"""
+
+
 QUERIES = {
     "daily_value_cusum": daily_value_cusum,
     "event_type_user_jaccard": event_type_user_jaccard,
@@ -1716,10 +1791,12 @@ QUERIES = {
     "top_value_sessions": top_value_sessions,
     "session_conversion_by_depth": session_conversion_by_depth,
     "error_recovery_time": error_recovery_time,
+    "cohort_value_retention": cohort_value_retention,
 }
 
 ORACLES = {
     "error_recovery_time": ERROR_RECOVERY_ORACLE,
+    "cohort_value_retention": COHORT_VALUE_RETENTION_ORACLE,
     "value_by_event_ordinal": VALUE_BY_ORDINAL_ORACLE,
     "top_value_sessions": TOP_VALUE_SESSIONS_ORACLE,
     "session_conversion_by_depth": SESSION_CONVERSION_DEPTH_ORACLE,

@@ -2038,6 +2038,97 @@ FROM cell ORDER BY lang
 """
 
 
+def length_quality_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source, the Pearson correlation between document LENGTH
+    (chars) and STOPWORD RATIO — the filter-design sanity check (if
+    long documents are systematically more/less boilerplate, a joint
+    length+quality threshold beats two independent ones).
+
+    Determinism: per-doc ratio rounded to 9 dp into DECIMAL; Σx/Σx²
+    are exact integers, Σy/Σy² exact decimal products of the rounded
+    ratios, Σxy a rounded-term decimal sum (the module contract);
+    the correlation is one row-level double expression per source.
+    One tokenize pass; enum-sized output."""
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    stop_expr = F.filter(w, lambda t: t.isin(*STOPWORDS))
+    per_doc = docs.select(
+        "source",
+        F.length("text").cast("long").alias("x"),
+        F.round(
+            F.size(stop_expr).cast("double") / F.size(w).cast("double"), 9
+        ).cast("decimal(18,9)").alias("y"),
+    ).where(F.size(w) > 0)
+    xy = F.round(F.col("x").cast("double") * F.col("y").cast("double"), 6).cast(
+        "decimal(38,6)"
+    )
+    agg = per_doc.select(
+        "source",
+        "x",
+        "y",
+        xy.alias("_xy"),
+        (F.col("y") * F.col("y")).cast("decimal(38,18)").alias("_yy"),
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("x").alias("_sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("_sxx"),
+        F.sum("y").alias("_sy"),
+        F.sum("_yy").alias("_syy"),
+        F.sum("_xy").alias("_sxy"),
+    )
+    nd = F.col("n_docs").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    corr = (nd * sxy - sx * sy) / F.sqrt(
+        (nd * sxx - sx * sx) * (nd * syy - sy * sy)
+    )
+    return (
+        agg.where(F.col("n_docs") > 1)
+        .select(
+            "source",
+            "n_docs",
+            F.round(sy / nd, 9).alias("mean_stopword_ratio"),
+            F.round(corr, 9).alias("length_quality_corr"),
+        )
+        .orderBy("source")
+    )
+
+
+LENGTH_QUALITY_CORR_ORACLE = """
+WITH per_doc AS (
+  SELECT source, CAST(length(text) AS BIGINT) AS x,
+         CAST(round(CAST(len(list_filter(string_split(text, ' '),
+                                         t -> t IN ('the','a','and','of','to','in','is','it')))
+                         AS DOUBLE)
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE), 9)
+              AS DECIMAL(18,9)) AS y
+  FROM documents WHERE len(string_split(text, ' ')) > 0
+),
+agg AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(x) AS _sx, SUM(CAST(x * x AS HUGEINT)) AS _sxx,
+         SUM(y) AS _sy,
+         SUM(CAST(y * y AS DECIMAL(38,18))) AS _syy,
+         SUM(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 6)
+                  AS DECIMAL(38,6))) AS _sxy
+  FROM per_doc GROUP BY 1
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       round(CAST(_sy AS DOUBLE) / CAST(n_docs AS DOUBLE), 9)
+         AS mean_stopword_ratio,
+       round((CAST(n_docs AS DOUBLE) * CAST(_sxy AS DOUBLE)
+              - CAST(_sx AS DOUBLE) * CAST(_sy AS DOUBLE))
+             / sqrt((CAST(n_docs AS DOUBLE) * CAST(_sxx AS DOUBLE)
+                     - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE))
+                    * (CAST(n_docs AS DOUBLE) * CAST(_syy AS DOUBLE)
+                       - CAST(_sy AS DOUBLE) * CAST(_sy AS DOUBLE))), 9)
+         AS length_quality_corr
+FROM agg WHERE n_docs > 1
+ORDER BY source
+"""
+
+
 QUERIES = {
     "word_freq_top50": word_freq_top50,
     "heaps_vocab_growth": heaps_vocab_growth,
@@ -2071,9 +2162,11 @@ QUERIES = {
     "source_lang_mix": source_lang_mix,
     "lang_id_prf": lang_id_prf,
     "tokenizer_fertility_by_lang": tokenizer_fertility_by_lang,
+    "length_quality_correlation": length_quality_correlation,
 }
 
 ORACLES = {
+    "length_quality_correlation": LENGTH_QUALITY_CORR_ORACLE,
     "source_lang_mix": SOURCE_LANG_MIX_ORACLE,
     "lang_id_prf": LANG_ID_PRF_ORACLE,
     "tokenizer_fertility_by_lang": TOKENIZER_FERTILITY_ORACLE,

@@ -68,6 +68,8 @@ SHOW = {
     "brand_cross_region_price_gap": "enum-width supplier->region broadcast chain; (brand,region) cells; <=5-row max-min per brand",
     "error_recovery_time": "ONE forward-frame window (min of following non-error ts) over the user exchange; enum histogram",
     "price_trend_slope_by_type": "fact -> (type,quarter) cells via one part join; integer-x OLS identity on rounded-term decimal sums",
+    "cohort_value_retention": "(user,week) decimal value cells; user-grain first-week join; enum offset rollup",
+    "length_quality_correlation": "one tokenize pass; per-source Pearson from exact/rounded-term decimal moments",
     # round-11 additions
     "lineitem_field_correlations": "ONE partial-agg pass computes all ten exact decimal moments; Pearson is a final 1-row projection",
     "order_size_histogram": "two partial-agg groupBys (order grain -> size grain) + broadcast-back total; all integers",

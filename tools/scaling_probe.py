@@ -64,6 +64,8 @@ OPERATORS = [
     "brand_cross_region_price_gap",
     "error_recovery_time",
     "price_trend_slope_by_type",
+    "cohort_value_retention",
+    "length_quality_correlation",
     # round-12 additions
     "customer_decile_share_twopass",
     "part_size_value_bands",
