@@ -140,6 +140,7 @@ _GATE_PRIORITY = (
     "price_trend_slope_by_type",
     "cohort_value_retention",
     "length_quality_correlation",
+    "doc_boilerplate_ngram_share",
 )
 
 

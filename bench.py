@@ -237,6 +237,7 @@ EXTRA = [
     "price_trend_slope_by_type",
     "cohort_value_retention",
     "length_quality_correlation",
+    "doc_boilerplate_ngram_share",
 ]
 
 

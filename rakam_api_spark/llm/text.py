@@ -2129,6 +2129,89 @@ ORDER BY source
 """
 
 
+def doc_boilerplate_ngram_share(
+    spark: SparkSession, sf_dir: str, n: int = 5, top_k: int = 50
+) -> DataFrame:
+    """Boilerplate coverage per source: the share of each document's
+    token 5-gram positions that hit the corpus's TOP-50 most frequent
+    5-grams — the template-contamination number curation reads before
+    setting a dedup/quality threshold (high coverage = the corpus is
+    repeating itself; ``corpus_top_ngrams`` lists the offenders, this
+    measures their reach).
+
+    Plan: one positional-gram pass (the ``dup_span_extents``
+    tokenize kernel), a corpus count, a deterministic top-k
+    (count desc, gram), then a broadcast semi-join back over the
+    SAME gram frame — the corpus is tokenized ONCE and reused.
+    Shares are rounded-term decimals averaged AS DECIMAL."""
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        ),
+    ).otherwise(F.array())
+    g = docs.select(
+        "doc_id", "source", F.explode(grams).alias("gram")
+    )
+    top = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.col("_c").desc(), "gram")
+        .limit(top_k)
+        .select("gram")
+    )
+    per_doc = (
+        g.join(F.broadcast(top).withColumn("_hit", F.lit(1)), "gram", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_boiler"),
+        )
+    )
+    share = F.round(
+        F.col("n_boiler").cast("double") / F.col("n_grams").cast("double"), 9
+    ).cast("decimal(18,9)")
+    cell = per_doc.select("source", share.alias("_sh")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum("_sh").cast("double") / F.count(F.lit(1)).cast("double"), 9
+        ).alias("mean_boilerplate_share"),
+    )
+    return cell.orderBy("source")
+
+
+DOC_BOILERPLATE_ORACLE = """
+WITH g AS (
+  SELECT doc_id, source,
+         array_to_string(words[CAST(i AS INT):CAST(i AS INT)+4], ' ') AS gram
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS words
+        FROM documents) d,
+       LATERAL unnest(range(1, len(words) - 3)) t(i)
+  WHERE len(words) >= 5
+),
+top AS (
+  SELECT gram FROM (
+    SELECT gram, COUNT(*) AS _c FROM g GROUP BY 1
+  ) ORDER BY _c DESC, gram LIMIT 50
+),
+per_doc AS (
+  SELECT g.doc_id, g.source, COUNT(*) AS n_grams,
+         SUM(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+  FROM g LEFT JOIN top t ON g.gram = t.gram
+  GROUP BY 1, 2
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(CAST(SUM(CAST(round(CAST(n_boiler AS DOUBLE)
+                                 / CAST(n_grams AS DOUBLE), 9)
+                           AS DECIMAL(18,9))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS mean_boilerplate_share
+FROM per_doc GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "word_freq_top50": word_freq_top50,
     "heaps_vocab_growth": heaps_vocab_growth,
@@ -2163,9 +2246,11 @@ QUERIES = {
     "lang_id_prf": lang_id_prf,
     "tokenizer_fertility_by_lang": tokenizer_fertility_by_lang,
     "length_quality_correlation": length_quality_correlation,
+    "doc_boilerplate_ngram_share": doc_boilerplate_ngram_share,
 }
 
 ORACLES = {
+    "doc_boilerplate_ngram_share": DOC_BOILERPLATE_ORACLE,
     "length_quality_correlation": LENGTH_QUALITY_CORR_ORACLE,
     "source_lang_mix": SOURCE_LANG_MIX_ORACLE,
     "lang_id_prf": LANG_ID_PRF_ORACLE,

@@ -70,6 +70,7 @@ SHOW = {
     "price_trend_slope_by_type": "fact -> (type,quarter) cells via one part join; integer-x OLS identity on rounded-term decimal sums",
     "cohort_value_retention": "(user,week) decimal value cells; user-grain first-week join; enum offset rollup",
     "length_quality_correlation": "one tokenize pass; per-source Pearson from exact/rounded-term decimal moments",
+    "doc_boilerplate_ngram_share": "corpus tokenized ONCE to positional 5-grams; deterministic top-50; broadcast semi-join back; rounded-term share averages",
     # round-11 additions
     "lineitem_field_correlations": "ONE partial-agg pass computes all ten exact decimal moments; Pearson is a final 1-row projection",
     "order_size_histogram": "two partial-agg groupBys (order grain -> size grain) + broadcast-back total; all integers",

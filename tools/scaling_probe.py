@@ -66,6 +66,7 @@ OPERATORS = [
     "price_trend_slope_by_type",
     "cohort_value_retention",
     "length_quality_correlation",
+    "doc_boilerplate_ngram_share",
     # round-12 additions
     "customer_decile_share_twopass",
     "part_size_value_bands",
