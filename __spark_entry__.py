@@ -49,72 +49,17 @@ _MODULES = (
 )
 
 # The driver's correctness gate checks at most 50 queries per round, in
-# enumeration order.  With 250+ declared queries, plain module order
+# enumeration order.  With 300+ declared queries, plain module order
 # would starve the tail modules of a driver-verified CORRECTNESS row
-# forever.  Round-12 rotation (VERDICT r11 Next #3 verbatim): (a) the
-# 8 round-11 batch-2 rows that sat just past round 11's 50-slot
-# boundary lead; (b) the r8-stale cohort the verdict names; (c) the
-# round-12 additions (two-pass decile proof, specialization/size-band/
-# acctbal relational trio, concurrency/p90/dormancy event trio, Heaps
-# curve, token entropy, intra/inter label affinity).  Everything
-# listed passes tools/check_correctness.py locally at sf0.01 and
-# sf0.001.
+# forever.  Round-13 rotation (VERDICT r12 Next #1): (a) the 26
+# round-12 additions past round 12's 50-slot boundary lead; (b) the
+# cohort last driver-checked in round 8 (staler than the r9 cohort
+# the verdict names — 26 queries whose last CORRECTNESS row is r8);
+# slots 51+ queue for round 14: the r8 remainder, then the r9-stale
+# cohort.  Everything listed passes tools/check_correctness.py
+# locally at sf0.01 and sf0.001.
 _GATE_PRIORITY = (
-    # (a) round-11 batch 2 (never driver-checked; VERDICT r11 names them)
-    "lineitem_field_correlations",
-    "order_size_histogram",
-    "weekday_hour_peak_per_type",
-    "sessions_per_user_histogram",
-    "word_freq_top50",
-    "avg_word_len_by_lang",
-    "centroid_confusion_matrix",
-    "daily_value_cusum",
-    # (b) the r8-stale cohort (VERDICT r11 Next #3, verbatim)
-    "bpe_merge_candidates",
-    "cluster_safe_splits",
-    "lm_bigram_quality",
-    "event_transition_probs",
-    "rfm_quartiles",
-    "part_copurchase_pairs",
-    "knn_label_propagation",
-    "dedup_threshold_curve",
-    "supplier_reliability_wilson",
-    "doc_ngram_novelty",
-    "embedding_drift_by_label",
-    "customer_migration_matrix",
-    "session_gap_curve",
-    "unordered_funnel_completion",
-    "crosslingual_mining",
-    # (c) round-12 additions
-    "customer_decile_share_twopass",
-    "customer_decile_revenue_share",  # re-check: gained the auto gate
-    "part_size_value_bands",
-    "nation_type_specialization",
-    "supplier_acctbal_by_nation",
-    "peak_concurrent_sessions_daily",
-    "value_p90_concentration_by_type",
-    "max_dormancy_histogram",
-    "heaps_vocab_growth",
-    "token_entropy_by_source",
-    "intra_inter_label_affinity",
-    "supply_degree_histogram",
-    "order_value_boxplot_monthly",
-    "event_type_user_jaccard",
-    "centroid_nearest_rival",
-    "basket_size_by_segment",
-    "user_journey_endpoints",
-    "doc_length_quartiles_by_source",
-    # (d) round-12 batch 2 (the first 50 above are this round's gate;
-    # anything past slot 50 leads next round's rotation)
-    "user_active_streak_histogram",
-    "session_first_purchase_position",
-    "event_type_run_lengths",
-    "customer_onetime_vs_repeat_revenue",
-    "order_lines_value_matrix",
-    "nation_revenue_rank_shift",
-    "char_bigram_entropy_by_lang",
-    "word_pmi_top_pairs",
-    "centroid_distance_histogram",
+    # (a) round-12 batch 2 (never driver-checked; VERDICT r12 Next #1)
     "dimension_discriminability",
     "event_type_daily_share_volatility",
     "night_owl_vs_early_bird",
@@ -141,6 +86,68 @@ _GATE_PRIORITY = (
     "cohort_value_retention",
     "length_quality_correlation",
     "doc_boilerplate_ngram_share",
+    # (b) last driver-checked in round 8 (slots 27-50; the final two
+    #     fall past the boundary and lead round 14)
+    "dedup_precision_audit",
+    "ann_filtered_ivf_indexed",
+    "ann_recall_audit",
+    "session_bounce_rate",
+    "event_cooccurrence_pmi",
+    "user_activity_entropy",
+    "doc_length_histogram",
+    "enrich_pipeline_full",
+    "enrich_referrer",
+    "enrich_timestamp_skew",
+    "session_window_stats",
+    "tumbling_window_counts",
+    "ship_latency_quartiles",
+    "metric_correlation_matrix",
+    "weekly_seasonality_autocorr",
+    "media_phash_dedup",
+    "ann_brute_force_topk",
+    "ann_filtered_topk",
+    "ann_ivf_topk",
+    "ann_kmeans_ivf_topk",
+    "ann_pq_topk",
+    "lexical_rarity",
+    "source_signature_terms",
+    "dedup_incremental_batch",
+    "semantic_contamination",
+    "hybrid_search",
+    # (c) last driver-checked in round 9 (queued for round 14)
+    "nation_trade_balance",
+    "ivf_cell_balance",
+    "order_priority_drift",
+    "supplier_hhi",
+    "dedup_cluster_size_histogram",
+    "order_gap_stats",
+    "running_revenue_share",
+    "attribution_position_based",
+    "event_burstiness",
+    "session_depth_distribution",
+    "label_centroid_similarity",
+    "embedding_label_outliers",
+    "zipf_slope_by_source",
+    "dedup_savings_by_source",
+    "doc_prefix_duplication",
+    "customer_order_streaks",
+    "supplier_late_streaks",
+    "discount_elasticity_by_priority",
+    "benford_price_audit",
+    "order_survival_curve",
+    "part_price_index_quarterly",
+    "embedding_norm_audit",
+    "orders_seasonality_index",
+    "q7_nation_volume",
+    "dedup_clusters",
+    "contamination_check",
+    "corpus_top_ngrams",
+    "curation_funnel",
+    "daily_new_vs_returning",
+    "data_quality_audit",
+    "doc_chunking",
+    "doc_typicality",
+    "embedding_cluster_profile",
 )
 
 

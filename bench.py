@@ -47,198 +47,13 @@ HEADLINE = [
     "token_counts",
 ]
 
-# Round-5/6 families, timed identically but reported under
-# ``queries_extra`` and EXCLUDED from the headline total so the
-# total stays comparable across rounds.
-EXTRA = [
-    "q9_product_profit",
-    "q10_returned_items",
-    "q16_part_supplier_counts",
-    "bm25_search",
-    "dup_ngram_spans",
-    "doc_chunking",
-    "user_lifecycle_grid",
-    "source_dup_matrix",
-    "quantile_rollup_sketch",
-    "theta_segment_setops",
-    "attribution_last_touch",
-    "training_shuffle",
-    "hybrid_search",
-    "sparse_tfidf_pairs",
-    # round-6 additions
-    "q18_large_volume_customers",
-    "q21_suppliers_kept_waiting",
-    "lexical_rarity",
-    "order_backlog_daily",
-    "media_video_dedup",
-    # round-7 additions
-    "ann_filtered_ivf_topk",
-    "dup_span_extents",
-    "span_dedup_savings",
-    "attribution_time_decay",
-    "inter_event_time_quantiles",
-    "source_vocab_overlap",
-    "dedup_precision_audit",
-    "funnel_step_latency",
-    "media_resize_stats",
-    # round-8 additions
-    "ann_filtered_ivf_indexed",
-    "ann_recall_audit",
-    "inter_event_cadence_sketch",
-    "session_bounce_rate",
-    "event_cooccurrence_pmi",
-    "user_activity_entropy",
-    "doc_length_histogram",
-    "bpe_merge_candidates",
-    "crosslingual_mining",
-    "session_gap_curve",
-    "unordered_funnel_completion",
-    "embedding_drift_by_label",
-    "customer_migration_matrix",
-    "dedup_threshold_curve",
-    "supplier_reliability_wilson",
-    "doc_ngram_novelty",
-    "cluster_safe_splits",
-    "lm_bigram_quality",
-    "event_transition_probs",
-    "rfm_quartiles",
-    "part_copurchase_pairs",
-    "knn_label_propagation",
-    # round-9 additions
-    "nation_trade_balance",
-    "order_gap_stats",
-    "running_revenue_share",
-    "attribution_position_based",
-    "event_burstiness",
-    "session_depth_distribution",
-    "label_centroid_similarity",
-    "embedding_label_outliers",
-    "zipf_slope_by_source",
-    "dedup_savings_by_source",
-    "doc_prefix_duplication",
-    "ivf_cell_balance",
-    "order_priority_drift",
-    "supplier_hhi",
-    "dedup_cluster_size_histogram",
-    "customer_order_streaks",
-    "supplier_late_streaks",
-    "discount_elasticity_by_priority",
-    "benford_price_audit",
-    "order_survival_curve",
-    "part_price_index_quarterly",
-    "embedding_norm_audit",
-    "orders_seasonality_index",
-    # round-10 additions
-    "parts_price_size_skyline",
-    "customer_gini_by_segment",
-    "revenue_qoq_growth",
-    "churn_hazard_by_tenure",
-    "first_event_type_by_cohort",
-    "ttr_by_source",
-    "hapax_ratio_by_source",
-    "char_class_composition",
-    "dataset_card_stats",
-    "sampling_temperature_weights",
-    "ivf_nprobe_recall_curve",
-    "dedup_transitivity_audit",
-    "pq_reconstruction_error",
-    "customer_repeat_within_90d",
-    "order_composition_trend",
-    "session_conversion_by_entry",
-    "wau_wow_growth",
-    "embedding_intrinsic_dim",
-    "discount_by_quantity_bucket",
-    "order_value_lognormal_fit",
-    "type_diversity_trend",
-    "lsh_band_efficiency",
-    "brand_repeat_loyalty",
-    "domestic_supply_share",
-    "hour_of_week_profile",
-    "session_duration_by_entry",
-    "value_mix_by_type_monthly",
-    "supplier_latency_consistency",
-    # round-11 additions
-    "lineitem_field_correlations",
-    "order_size_histogram",
-    "weekday_hour_peak_per_type",
-    "sessions_per_user_histogram",
-    "word_freq_top50",
-    "avg_word_len_by_lang",
-    "centroid_confusion_matrix",
-    "daily_value_cusum",
-    "order_weekday_priority_mix",
-    "customer_interpurchase_gaps",
-    "acctbal_decile_profile",
-    "brand_return_rate_quarterly",
-    "retail_markup_by_type",
-    "customer_decile_revenue_share",
-    "region_trade_matrix",
-    "new_vs_returning_daily",
-    "resurrections_monthly",
-    "user_entropy_tiers",
-    "weekend_lift_by_type",
-    "first_week_activation_retention",
-    "value_share_by_user_band",
-    "sentence_stats_by_source",
-    "doc_length_gini_by_source",
-    "shouting_docs_top20",
-    "token_length_histogram",
-    "embedding_dimension_profile",
-    "label_centroid_distances",
-    # round-12 additions
-    "customer_decile_share_twopass",
-    "part_size_value_bands",
-    "nation_type_specialization",
-    "supplier_acctbal_by_nation",
-    "peak_concurrent_sessions_daily",
-    "value_p90_concentration_by_type",
-    "max_dormancy_histogram",
-    "heaps_vocab_growth",
-    "token_entropy_by_source",
-    "intra_inter_label_affinity",
-    "supply_degree_histogram",
-    "order_value_boxplot_monthly",
-    "event_type_user_jaccard",
-    "centroid_nearest_rival",
-    "basket_size_by_segment",
-    "user_journey_endpoints",
-    "doc_length_quartiles_by_source",
-    "user_active_streak_histogram",
-    "session_first_purchase_position",
-    "event_type_run_lengths",
-    "customer_onetime_vs_repeat_revenue",
-    "order_lines_value_matrix",
-    "nation_revenue_rank_shift",
-    "char_bigram_entropy_by_lang",
-    "word_pmi_top_pairs",
-    "centroid_distance_histogram",
-    "dimension_discriminability",
-    "event_type_daily_share_volatility",
-    "night_owl_vs_early_bird",
-    "repeat_customer_value_uplift",
-    "discount_tax_margin_grid",
-    "source_lang_mix",
-    "embedding_quantization_sensitivity",
-    "value_by_event_ordinal",
-    "top_value_sessions",
-    "customer_balance_vs_spend_quadrant",
-    "lang_id_prf",
-    "tokenizer_fertility_by_lang",
-    "embedding_exact_dup_groups",
-    "session_conversion_by_depth",
-    "order_value_zscore_outliers",
-    "part_brand_price_dispersion",
-    "monthly_revenue_seasonality_strength",
-    "quantity_uniformity_chi2",
-    "order_value_percentiles_by_segment",
-    "supplier_dependency_risk",
-    "brand_cross_region_price_gap",
-    "error_recovery_time",
-    "price_trend_slope_by_type",
-    "cohort_value_retention",
-    "length_quality_correlation",
-    "doc_boilerplate_ngram_share",
-]
+# Everything else ``queries()`` declares, timed identically but
+# reported under ``queries_extra`` and EXCLUDED from the headline
+# total so the total stays comparable across rounds.  Auto-enumerated
+# from the driver contract (VERDICT r12 Next #2): every operator gets
+# a longitudinal per-query BENCH row the round it lands — no
+# hand-kept list to fall behind.
+EXTRA = [name for name in entrymod.queries() if name not in set(HEADLINE)]
 
 
 def main() -> None:

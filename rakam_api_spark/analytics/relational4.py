@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..tables import load_table
+from ..tables import load_table, table_rowcount
 from .relational import DEC, _dec
 from .relational2 import _VOL_SQL, _vol
 
@@ -411,7 +411,12 @@ def customer_decile_revenue_share(
         customer, per_cust["o_custkey"] == customer["c_custkey"]
     )
     if two_pass is None:
-        two_pass = customer.count() >= _TWOPASS_DECILE_MIN_ROWS
+        # footer-metadata count, memoized process-wide — the auto
+        # gate must not cost an eager full-scan job per invocation
+        two_pass = (
+            table_rowcount(spark, sf_dir, "customer")
+            >= _TWOPASS_DECILE_MIN_ROWS
+        )
     if two_pass:
         d = _twopass_deciles(j, 10)
     else:

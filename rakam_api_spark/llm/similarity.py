@@ -726,6 +726,40 @@ from weakref import WeakKeyDictionary
 
 _FIT_MEMO: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
 
+#: Per-session cap on memoized fits.  The steady state is one IVF +
+#: one PQ fit per sf_dir (the default-parameter production indexes);
+#: parameter sweeps (recall curves, tests with non-default k/iters)
+#: would otherwise pin a corpus-sized cached frame per distinct key
+#: for the session's lifetime.  dicts preserve insertion order, so
+#: eviction below is plain FIFO-after-refresh == LRU.
+_FIT_MEMO_MAX = 4
+
+
+def _memo_put(per: dict, key: tuple, out: tuple) -> None:
+    """Insert ``key -> out`` into a per-session fit memo, evicting the
+    least-recently-used entry past :data:`_FIT_MEMO_MAX` and
+    best-effort unpersisting the evicted frames (frees the cached
+    component frame; localCheckpoint block cleanup follows the RDD's
+    GC as usual)."""
+    per[key] = out
+    while len(per) > _FIT_MEMO_MAX:
+        old = per.pop(next(iter(per)))
+        for frame in old:
+            try:
+                frame.unpersist()
+            except Exception:
+                pass
+
+
+def _memo_get(per: dict, key: tuple):
+    """LRU-refreshing lookup: a hit is re-inserted so sweeps that
+    revisit a fit keep it resident."""
+    hit = per.get(key)
+    if hit is not None:
+        per.pop(key)
+        per[key] = hit
+    return hit
+
 
 def _ivf_fit_for(
     spark: SparkSession, sf_dir: str, k: int = K_CELLS, iters: int = KM_ITERS
@@ -737,7 +771,7 @@ def _ivf_fit_for(
     try:
         per = _FIT_MEMO.setdefault(spark, {})
         key = ("ivf", sf_dir, k, iters)
-        hit = per.get(key)
+        hit = _memo_get(per, key)
         if hit is not None:
             return hit
     except TypeError:  # unhashable/mock session: fit uncached
@@ -748,7 +782,7 @@ def _ivf_fit_for(
     cents, assign = _lloyd_fit(comp, k, iters, materialize_assign=True)
     out = (comp, cents, assign)
     if per is not None:
-        per[key] = out
+        _memo_put(per, key, out)
     return out
 
 
@@ -1487,7 +1521,7 @@ def _pq_fit_for(
     try:
         per = _FIT_MEMO.setdefault(spark, {})
         key = ("pq", sf_dir, m, kc, iters)
-        hit = per.get(key)
+        hit = _memo_get(per, key)
         if hit is not None:
             return hit
     except TypeError:
@@ -1498,7 +1532,7 @@ def _pq_fit_for(
     cents, codes = _pq_fit(comp, kc, iters)
     out = (comp, cents, codes)
     if per is not None:
-        per[key] = out
+        _memo_put(per, key, out)
     return out
 
 
@@ -2478,7 +2512,7 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     components (the module's round(x·10⁴) convention), so count/
     min/max/zero are exact and the mean is one integer-over-integer
     division rounded to 6."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_table(spark, sf_dir, "embeddings")
     norms = _norms(_quantized_components(emb), "vec_id")
     labeled = norms.join(emb.select("vec_id", "label"), "vec_id")
     return (
@@ -2531,7 +2565,7 @@ def embedding_dimension_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     variance = (n·Σq² − (Σq)²) / n² divides two exact values once —
     bit-identical across engines, deterministic top-10 with the dim
     index as tiebreak."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_table(spark, sf_dir, "embeddings")
     comp = _quantized_components(emb)
     g = comp.groupBy(F.col("pos").alias("dim")).agg(
         F.count(F.lit(1)).alias("n"),
@@ -2597,7 +2631,7 @@ def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the corpus is touched once (one (label, dim) aggregate =
     |labels|·d rows); the pair join runs over that TINY aggregate,
     never over vectors."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_table(spark, sf_dir, "embeddings")
     comp = _quantized_components(emb).join(
         emb.select("vec_id", "label"), "vec_id"
     )
@@ -2689,7 +2723,7 @@ def centroid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction, unlike user-scale frames); the candidate fan-out is
     |vectors|·|labels| at (vec, label) grain, linear in the corpus
     for an enum label set."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_table(spark, sf_dir, "embeddings")
     comp = _quantized_components(emb).join(
         emb.select("vec_id", "label"), "vec_id"
     )
@@ -2985,7 +3019,7 @@ def centroid_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: corpus posexploded ONCE; the centroid table is d rows
     (broadcast by construction); one vec-grain aggregate and an
     enum-sized histogram follow — linear, no pairwise anything."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_table(spark, sf_dir, "embeddings")
     comp = _quantized_components(emb)
     cent = comp.groupBy("pos").agg(
         F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
@@ -3073,7 +3107,7 @@ def dimension_discriminability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: corpus touched once (posexplode → (pos,label) cells =
     d·|labels| rows); everything after is enum-sized."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_table(spark, sf_dir, "embeddings")
     comp = _quantized_components(emb).join(
         emb.select("vec_id", "label"), "vec_id"
     )
@@ -3171,7 +3205,7 @@ def embedding_quantization_sensitivity(
     sum, max over the rounded decimals.  Plan: the corpus is
     posexploded ONCE and fanned ×4 by a literal scale array — one
     aggregate, no joins."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_table(spark, sf_dir, "embeddings")
     comp = emb.select(F.posexplode("embedding").alias("pos", "v")).select(
         F.col("v").cast("double").alias("x"),
         F.explode(F.array(*(F.lit(s) for s in (10, 100, 1000, 10000)))).alias(
@@ -3233,7 +3267,7 @@ def embedding_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one hash aggregate keyed on the quantized array (row-local
     transform, no explode), then an enum-sized histogram.  Exact
     integers end to end."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_table(spark, sf_dir, "embeddings")
     qarr = F.expr(
         "transform(embedding, x -> cast(round(cast(x as double) * 10000, 0) as bigint))"
     )

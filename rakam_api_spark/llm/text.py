@@ -1904,13 +1904,19 @@ def lang_id_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = F.col("n_correct").cast("double") / F.col("n_pred").cast("double")
     r = F.col("n_correct").cast("double") / F.col("n_true").cast("double")
+    # Guard the raw divisions too, not just f1: on a never-predicted
+    # language (n_pred = 0) Spark's non-ANSI division yields NULL
+    # while DuckDB yields NaN — neither is the 0.0-by-convention the
+    # report should carry, and they hash-diverge in the oracle gate.
+    p_safe = F.when(F.col("n_pred") > 0, p).otherwise(F.lit(0.0))
+    r_safe = F.when(F.col("n_true") > 0, r).otherwise(F.lit(0.0))
     return j.select(
         "lang",
         "n_true",
         "n_pred",
         "n_correct",
-        F.round(p, 9).alias("precision"),
-        F.round(r, 9).alias("recall"),
+        F.round(p_safe, 9).alias("precision"),
+        F.round(r_safe, 9).alias("recall"),
         F.round(
             F.when(
                 (F.col("n_pred") > 0)
@@ -1958,10 +1964,14 @@ SELECT j.lang,
        CAST(COALESCE(t.n_true, 0) AS BIGINT) AS n_true,
        CAST(COALESCE(p.n_pred, 0) AS BIGINT) AS n_pred,
        CAST(COALESCE(d.n_correct, 0) AS BIGINT) AS n_correct,
-       round(CAST(COALESCE(d.n_correct, 0) AS DOUBLE)
-             / CAST(COALESCE(p.n_pred, 0) AS DOUBLE), 9) AS precision,
-       round(CAST(COALESCE(d.n_correct, 0) AS DOUBLE)
-             / CAST(COALESCE(t.n_true, 0) AS DOUBLE), 9) AS recall,
+       round(CASE WHEN COALESCE(p.n_pred, 0) > 0
+                  THEN CAST(COALESCE(d.n_correct, 0) AS DOUBLE)
+                       / CAST(p.n_pred AS DOUBLE)
+                  ELSE 0.0 END, 9) AS precision,
+       round(CASE WHEN COALESCE(t.n_true, 0) > 0
+                  THEN CAST(COALESCE(d.n_correct, 0) AS DOUBLE)
+                       / CAST(t.n_true AS DOUBLE)
+                  ELSE 0.0 END, 9) AS recall,
        round(CASE WHEN COALESCE(p.n_pred, 0) > 0 AND COALESCE(t.n_true, 0) > 0
                        AND COALESCE(d.n_correct, 0) > 0
                   THEN 2.0 * (CAST(d.n_correct AS DOUBLE) / CAST(p.n_pred AS DOUBLE))
@@ -2153,9 +2163,13 @@ def doc_boilerplate_ngram_share(
             lambda i: F.concat_ws(" ", F.slice(w, i, n)),
         ),
     ).otherwise(F.array())
+    # Materialize the positional-gram frame once: both the corpus
+    # top-k and the per-doc coverage consume it, and without the
+    # checkpoint Catalyst re-derives the tokenize+explode for each —
+    # the single most expensive part of the plan, paid twice.
     g = docs.select(
         "doc_id", "source", F.explode(grams).alias("gram")
-    )
+    ).localCheckpoint(eager=True)
     top = (
         g.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("_c"))

@@ -114,6 +114,47 @@ def load_tables(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> dict[str
     return {n: load_table(spark, sf_dir, n) for n in names}
 
 
+#: (sf_dir, name) -> row count.  Process-wide (not per-session): the
+#: testdata is immutable by contract, so the count can never change
+#: within a build.  Populated from the parquet footer when the table
+#: is a plain local file/directory — zero Spark jobs — else from one
+#: memoized ``count()``.
+_ROWCOUNT_MEMO: dict[tuple, int] = {}
+
+
+def table_rowcount(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Row count of a test table for plan-selection gates (e.g. the
+    two-pass decile cut's auto mode).  Reads parquet footer metadata
+    driver-side when possible so auto-gated queries don't pay an
+    eager full-scan ``count()`` job per invocation."""
+    key = (sf_dir, name)
+    hit = _ROWCOUNT_MEMO.get(key)
+    if hit is not None:
+        return hit
+    n = None
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        import os
+
+        import pyarrow.parquet as pq
+
+        if os.path.isfile(path):
+            n = pq.ParquetFile(path).metadata.num_rows
+        elif os.path.isdir(path):
+            n = sum(
+                pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                for root, _, files in os.walk(path)
+                for f in files
+                if f.endswith(".parquet")
+            )
+    except Exception:
+        n = None
+    if n is None:  # remote FS / mock: one Spark count, memoized
+        n = load_table(spark, sf_dir, name).count()
+    _ROWCOUNT_MEMO[key] = int(n)
+    return _ROWCOUNT_MEMO[key]
+
+
 def register_views(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> None:
     for n in names:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
