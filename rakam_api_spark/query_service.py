@@ -388,6 +388,37 @@ class QueryService:
             except Exception:
                 return None
 
+        def session_is_utc():
+            """True only when the session timezone provably IS UTC.
+            Timestamp pruning is refused otherwise: bloom keys and
+            manifest stats carry UTC-canonical text (the engine pins
+            the session tz to UTC, session.py), so a probe rendered
+            under any other session tz can diverge from the stored
+            text and wrongly skip a file.  A zero-offset-today zone
+            like Europe/London does NOT qualify (DST).  Refusing is
+            always safe — the scan just stays unpruned."""
+            try:
+                tz = self.spark.conf.get("spark.sql.session.timeZone")
+            except Exception:
+                return False
+            return tz in (
+                "UTC",
+                "Etc/UTC",
+                "GMT",
+                "GMT0",
+                "Etc/GMT",
+                "Etc/GMT0",
+                "Etc/GMT+0",
+                "Etc/GMT-0",
+                "Etc/Greenwich",
+                "Universal",
+                "Etc/Universal",
+                "Zulu",
+                "Etc/Zulu",
+                "Z",
+                "+00:00",
+            )
+
         def lit_value(lit):
             """(python value, type category, ok) for a parsed Literal.
             Date literals arrive as days-since-epoch, timestamps as
@@ -415,6 +446,13 @@ class QueryService:
                     # record — so BOTH bloom and range pruning engage
                     return str(d), "date", True
                 if tn in ("timestamp", "timestamp_ntz"):
+                    # Under a non-UTC session the probe text (local
+                    # wall-clock for tz-aware literals; and Spark's
+                    # NTZ-vs-TZ comparison semantics for NTZ ones)
+                    # can diverge from the UTC-canonical stored text
+                    # — refuse, the scan stays unpruned.
+                    if not session_is_utc():
+                        return None, None, False
                     ts = _dt.datetime(
                         1970, 1, 1, tzinfo=_dt.timezone.utc
                     ) + _dt.timedelta(microseconds=int(str(v)))
@@ -442,6 +480,8 @@ class QueryService:
                 except ValueError:
                     return None
             if lit_cat == "string" and col_cat == "timestamp":
+                if not session_is_utc():
+                    return None
                 try:
                     ts = _dt.datetime.fromisoformat(
                         str(v).strip().replace("T", " ")

@@ -147,7 +147,14 @@ def _stat_safe(v):
         # 'YYYY-MM-DD[ HH:MM:SS[.ffffff]]' is chronological, and the
         # form matches _bloom_key's str() canonicalization — date/ts
         # probes canonicalized to the same text compare and prune
-        # correctly (round 12)
+        # correctly (round 12).  tz-AWARE stats (external parquet
+        # written with isAdjustedToUTC=true) are normalized to
+        # UTC-naive text first: str() would append '+00:00', which
+        # breaks lexicographic comparison against offset-free probe
+        # text ('...09:00:00' < '...09:00:00+00:00' reads as
+        # below-min and wrongly skips the file) — round 13.
+        if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return str(v)
     return None
 

@@ -1006,12 +1006,19 @@ def test_date_and_timestamp_literals_prune(spark, warehouse):
     assert res.error is not None
 
 
-def test_pruned_vs_unpruned_equivalence_property(spark, warehouse):
+@pytest.mark.parametrize("session_tz", ["UTC", "Europe/Berlin"])
+def test_pruned_vs_unpruned_equivalence_property(spark, warehouse, session_tz):
     """Randomized conjunctive predicates executed twice — once with
     the pruning pass live, once with it monkeypatched off — must
     return identical rows (VERDICT r11 Next #1 done-criterion c).
     The value pool deliberately mixes numeric-looking strings,
-    integers sharing text forms, and dates."""
+    integers sharing text forms, dates, and timestamps.
+
+    Parametrized over the session timezone (VERDICT r12 Next #5):
+    under ``Europe/Berlin`` the probe text a timestamp literal would
+    render to diverges from the UTC-canonical stored text, so the
+    pass must REFUSE timestamp pruning (scan unpruned, rows
+    identical) rather than probe with the wrong wall-clock."""
     import random
 
     rng = random.Random(1206)
@@ -1021,11 +1028,12 @@ def test_pruned_vs_unpruned_equivalence_property(spark, warehouse):
             "uid": uids[i % len(uids)],
             "x": i % 7,
             "day": f"2024-01-{(i % 5) + 1:02d}",
-            "_time": "2024-01-05 09:00:00",
+            "_time": f"2024-01-05 {9 + (i % 4):02d}:00:00",
         }
         for i in range(32)
     ]
-    store = _pruning_store(spark, warehouse, rows, ["uid", "x", "day"])
+    # store built (and bloomed) under the engine's pinned UTC session
+    store = _pruning_store(spark, warehouse, rows, ["uid", "x", "day", "_time"])
     svc = QueryService(spark, store)
 
     def lit_pool():
@@ -1043,11 +1051,13 @@ def test_pruned_vs_unpruned_equivalence_property(spark, warehouse):
                 "'2024-01-03'",
                 "3.0",
                 "true",
+                "TIMESTAMP'2024-01-05 10:00:00'",
+                "'2024-01-05 10:00:00'",
             ]
         )
 
     def predicate():
-        col = rng.choice(["uid", "x", "day"])
+        col = rng.choice(["uid", "x", "day", "_time"])
         form = rng.randrange(3)
         if form == 0:
             return f"{col} = {lit_pool()}"
@@ -1056,21 +1066,103 @@ def test_pruned_vs_unpruned_equivalence_property(spark, warehouse):
         op = rng.choice(["<", "<=", ">", ">="])
         return f"{col} {op} {lit_pool()}"
 
-    for _ in range(18):
-        conj = " AND ".join(predicate() for _ in range(rng.randrange(1, 4)))
-        sql = f"SELECT uid, x, day FROM ev WHERE {conj} ORDER BY uid, x, day"
-        pruned = svc.execute("proj", sql)
-        orig = QueryService._equality_pruning
-        QueryService._equality_pruning = lambda self, project, q: {}
-        try:
-            plain = svc.execute("proj", sql)
-        finally:
-            QueryService._equality_pruning = orig
-        # The sound direction: whenever the full scan SUCCEEDS, the
-        # pruned scan (a row subset — ANSI cast errors can only
-        # disappear with rows, exactly as Spark's own min/max file
-        # skipping behaves) must succeed with IDENTICAL rows.
-        if plain.error is not None:
-            continue
-        assert pruned.error is None, (sql, pruned.error)
-        assert pruned.result == plain.result, (sql, pruned.result, plain.result)
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", session_tz)
+    try:
+        for _ in range(24):
+            conj = " AND ".join(
+                predicate() for _ in range(rng.randrange(1, 4))
+            )
+            sql = (
+                f"SELECT uid, x, day FROM ev WHERE {conj} "
+                "ORDER BY uid, x, day"
+            )
+            pruned = svc.execute("proj", sql)
+            orig = QueryService._equality_pruning
+            QueryService._equality_pruning = lambda self, project, q: {}
+            try:
+                plain = svc.execute("proj", sql)
+            finally:
+                QueryService._equality_pruning = orig
+            # The sound direction: whenever the full scan SUCCEEDS,
+            # the pruned scan (a row subset — ANSI cast errors can
+            # only disappear with rows, exactly as Spark's own
+            # min/max file skipping behaves) must succeed with
+            # IDENTICAL rows.
+            if plain.error is not None:
+                continue
+            assert pruned.error is None, (sql, session_tz, pruned.error)
+            assert pruned.result == plain.result, (
+                sql,
+                session_tz,
+                pruned.result,
+                plain.result,
+            )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_timestamp_pruning_refused_under_non_utc_session(spark, warehouse):
+    """Under a non-UTC session timezone timestamp predicates must not
+    prune at all (the probe's wall-clock text is session-local while
+    blooms/stats store UTC-canonical text), while string predicates —
+    tz-independent — keep pruning."""
+    rows = [
+        {
+            "uid": f"u-{i}",
+            "x": i,
+            "_time": f"2024-01-05 {9 + (i % 4):02d}:00:00",
+        }
+        for i in range(16)
+    ]
+    store = _pruning_store(spark, warehouse, rows, ["uid", "_time"])
+    svc = QueryService(spark, store)
+    all_files = set(store.txn_table("proj", "ev").live_files())
+
+    ts_sql = (
+        "SELECT x FROM ev "
+        "WHERE _time = TIMESTAMP'2024-01-05 10:00:00' ORDER BY x"
+    )
+    uid_sql = "SELECT x FROM ev WHERE uid = 'u-7'"
+    # sanity under UTC: the timestamp predicate prunes
+    assert len(set(svc._analyze("proj", ts_sql).inputFiles())) < len(all_files)
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Europe/Berlin")
+    try:
+        # timestamp pruning refused: full scan
+        assert len(set(svc._analyze("proj", ts_sql).inputFiles())) == len(
+            all_files
+        )
+        # Spark evaluates the (tz-aware) literal under Berlin: the
+        # NTZ-stored 10:00 wall-clock rows still match themselves —
+        # rows come back correct either way, just unpruned
+        res = svc.execute("proj", ts_sql)
+        assert res.error is None
+        # string pruning is tz-independent and still fires
+        assert len(set(svc._analyze("proj", uid_sql).inputFiles())) < len(
+            all_files
+        )
+        res = svc.execute("proj", uid_sql)
+        assert res.error is None and [r[0] for r in res.result] == [7]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_stat_safe_normalizes_tz_aware_datetimes():
+    """_stat_safe must render tz-aware stats (external parquet with
+    isAdjustedToUTC=true) as UTC-naive ISO text: str() would append
+    '+00:00', which sorts ABOVE the offset-free probe text for the
+    same instant and would wrongly skip the file."""
+    import datetime as dt
+
+    from rakam_api_spark.txnlog import _stat_safe
+
+    naive = dt.datetime(2024, 1, 5, 9, 0, 0)
+    assert _stat_safe(naive) == "2024-01-05 09:00:00"
+    utc = dt.datetime(2024, 1, 5, 9, 0, 0, tzinfo=dt.timezone.utc)
+    assert _stat_safe(utc) == "2024-01-05 09:00:00"
+    plus1 = dt.datetime(
+        2024, 1, 5, 10, 0, 0, tzinfo=dt.timezone(dt.timedelta(hours=1))
+    )
+    assert _stat_safe(plus1) == "2024-01-05 09:00:00"
