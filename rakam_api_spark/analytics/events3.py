@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..tables import load_table
+from ..tables import load_table, table_rowcount
 
 _MONDAY = "1970-01-05"
 _DEC = "decimal(18,6)"
@@ -600,7 +600,21 @@ ORDER BY day
 """
 
 
-def peak_concurrent_sessions_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: auto-gate for the bucketed sweep-line: below this event count the
+#: plain per-day running-sum window is faster (one small sort); above
+#: it a hot day's distinct instants no longer fit one task's sort and
+#: the exact two-level bucket sweep keeps every sort bucket-local.
+_PEAK_BUCKETED_MIN_EVENTS = 2_000_000
+
+#: bucket width for the two-level sweep (1 minute): ≤ 1440 buckets
+#: per day for the tiny carry window, with intra-bucket sorts of
+#: instants/1440 each.
+_PEAK_BUCKET_NS = 60 * 1_000_000_000
+
+
+def peak_concurrent_sessions_daily(
+    spark: SparkSession, sf_dir: str, bucketed: bool | None = None
+) -> DataFrame:
     """Peak concurrent sessions per day: sessions (30-min-gap
     convention, as in ``sessionization_stats``) swept as +1/-1
     interval boundaries; the daily maximum of the running count is
@@ -610,12 +624,21 @@ def peak_concurrent_sessions_daily(spark: SparkSession, sf_dir: str) -> DataFram
 
     Plan: one user-partitioned window builds session ids; sessions
     reduce to (start, end) rows; boundaries GROUP BY (day, instant)
-    first, so the per-day running-sum window runs over DISTINCT
-    TIMESTAMPS (already heavily reduced), and the instant's peak is
+    first, so the running-sum sweep runs over DISTINCT TIMESTAMPS
+    (already heavily reduced), and the instant's peak is
     ``running + minus`` — with starts counted before ends at an
     equal instant, the within-instant maximum sits after the +1s and
     before the -1s, which is exactly running_net + minus.  All
-    counts exact integers."""
+    counts exact integers.
+
+    ``bucketed=None`` picks the sweep strategy by event count
+    (footer-metadata, no job): the single per-day running-sum window
+    below :data:`_PEAK_BUCKETED_MIN_EVENTS` (small sort, one task per
+    day), else an EXACT two-level sweep (VERDICT r12 Next #6): per
+    (day, minute-bucket) boundary nets first, a ≤1440-row-per-day
+    carry window over buckets, then the intra-bucket instant sweep
+    with the carry added — bit-identical peaks, but every sort is
+    bucket-local so no single hot day bounds the stage."""
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
     gap = F.col("ts_ns") - F.lag("ts_ns").over(w)
@@ -644,13 +667,55 @@ def peak_concurrent_sessions_daily(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("day", "at")
         .agg(F.sum("plus").alias("p"), F.sum("minus").alias("m"))
     )
-    ws = Window.partitionBy("day").orderBy("at")
-    run = inst.withColumn(
-        "running",
-        F.sum(F.col("p") - F.col("m")).over(
-            ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    ).withColumn("instant_peak", F.col("running") + F.col("m"))
+    if bucketed is None:
+        bucketed = (
+            table_rowcount(spark, sf_dir, "events")
+            >= _PEAK_BUCKETED_MIN_EVENTS
+        )
+    if bucketed:
+        binst = inst.withColumn(
+            "bucket", (F.col("at") / F.lit(_PEAK_BUCKET_NS)).cast("long")
+        )
+        # carry entering each bucket = running net over PRIOR buckets
+        # of the same day (≤ 1440 rows per day — a tiny sort)
+        wb = Window.partitionBy("day").orderBy("bucket")
+        carry = (
+            binst.groupBy("day", "bucket")
+            .agg(F.sum(F.col("p") - F.col("m")).alias("net"))
+            .withColumn(
+                "carry_in",
+                F.coalesce(
+                    F.sum("net").over(
+                        wb.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .drop("net")
+        )
+        # exact intra-bucket sweep, parallel across (day, bucket)
+        wi = Window.partitionBy("day", "bucket").orderBy("at")
+        run = (
+            binst.join(carry, ["day", "bucket"])
+            .withColumn(
+                "running",
+                F.sum(F.col("p") - F.col("m")).over(
+                    wi.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+            .withColumn(
+                "instant_peak",
+                F.col("carry_in") + F.col("running") + F.col("m"),
+            )
+        )
+    else:
+        ws = Window.partitionBy("day").orderBy("at")
+        run = inst.withColumn(
+            "running",
+            F.sum(F.col("p") - F.col("m")).over(
+                ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        ).withColumn("instant_peak", F.col("running") + F.col("m"))
     daily = run.groupBy("day").agg(F.max("instant_peak").alias("peak_concurrent"))
     nsess = sess.groupBy("day").agg(F.count(F.lit(1)).alias("n_sessions"))
     return (

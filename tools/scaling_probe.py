@@ -293,6 +293,23 @@ VARIANTS = [
 ]
 
 
+def _peak_bucketed(spark, d):
+    from rakam_api_spark.analytics.events3 import (
+        peak_concurrent_sessions_daily,
+    )
+
+    return peak_concurrent_sessions_daily(spark, d, bucketed=True)
+
+
+# Custom-callable rows: (label, fn(spark, sf_dir) -> DataFrame), run
+# on the standard scaled dirs — for strategy variants the queries()
+# surface auto-gates away at probe sizes (the bucketed sweep's gate
+# is 2M events; 16× sf0.1 is 1.6M).
+CUSTOM = [
+    ("peak_concurrent_bucketed", _peak_bucketed),
+]
+
+
 def build_scaled(spark, factor: int, out: str) -> None:
     os.makedirs(out, exist_ok=True)
     # region/nation stay fixed (genuinely constant-size dims); the
@@ -426,14 +443,19 @@ def main() -> None:
     spark.range(1).count()
     qs = entrymod.queries()
     work = tempfile.mkdtemp(prefix="scaling_")
-    all_rows = OPERATORS + [label for label, _, _ in VARIANTS]
+    all_rows = (
+        OPERATORS
+        + [label for label, _, _ in VARIANTS]
+        + [label for label, _ in CUSTOM]
+    )
     results: dict[str, dict[int, float]] = {op: {} for op in all_rows}
 
-    def probe(label: str, op: str, d: str, f: int) -> None:
+    def probe(label: str, op, d: str, f: int) -> None:
+        fn = op if callable(op) else qs[op]
         runs = []
         for _ in range(2):
             t0 = time.time()
-            qs[op](spark, d).write.format("noop").mode("overwrite").save()
+            fn(spark, d).write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
         results[label][f] = round(min(runs), 2)
         print(f"x{f} {label}: {results[label][f]}s", flush=True)
@@ -445,6 +467,9 @@ def main() -> None:
             for op in OPERATORS:
                 if only is None or op in only:
                     probe(op, op, d, f)
+            for label, fn in CUSTOM:
+                if only is None or label in only:
+                    probe(label, fn, d, f)
             variants = [v for v in VARIANTS if only is None or v[0] in only]
             if variants:
                 vd = os.path.join(work, f"x{f}_boiler")
