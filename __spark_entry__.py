@@ -16,6 +16,7 @@ from rakam_api_spark.analytics import enrichment_queries as _enrich
 from rakam_api_spark.analytics import events as _events
 from rakam_api_spark.analytics import events2 as _events2
 from rakam_api_spark.analytics import events3 as _events3
+from rakam_api_spark.analytics import events4 as _events4
 from rakam_api_spark.analytics import relational as _relational
 from rakam_api_spark.analytics import relational2 as _relational2
 from rakam_api_spark.analytics import relational3 as _relational3
@@ -37,6 +38,7 @@ _MODULES = (
     _events,
     _events2,
     _events3,
+    _events4,
     _enrich,
     _windows,
     _dedup,

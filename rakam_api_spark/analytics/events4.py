@@ -1,0 +1,336 @@
+"""Round-13 event-analytics additions: cross-session behavioral
+structure — the hand-off between consecutive sessions, session value
+by duration band, and per-user type loyalty — the event-explorer
+reports the reference's funnel/retention modules frame at the
+SESSION grain rather than the event grain
+(rakam-spi/.../UserPluginConfig.java:18-19; reference README.md:17).
+
+Determinism: sessionization is the repo-wide 30-min-gap convention
+over ``(ts_ns, event_id)`` ordering (``sessionization_stats``);
+session endpoints are picked by ``row_number`` with the same
+two-key ordering in BOTH engines; duration bands cut on exact
+nanosecond thresholds; value sums go through DECIMAL(18,6); every
+rate/share is one double division of exact integers, rounded to 9dp.
+
+Scale: each operator pays ONE user-keyed exchange for the
+sessionizing window, then works on session-grain rows (~events/5);
+hand-off pairing is a lag over per-user session rows (tiny); all
+shares use cell-aggregate + broadcast-back totals, never a global
+window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+_DEC = "decimal(18,6)"
+_GAP_NS = 30 * 60 * 1_000_000_000
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _sessions(ev: DataFrame) -> DataFrame:
+    """Session-grain frame under the repo-wide 30-min-gap
+    convention: (user_id, session_no, start_ns, end_ns, n_events,
+    total_value, first_type, last_type, n_purchases).  One
+    user-partitioned window, one session-keyed aggregate."""
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    gap = F.col("ts_ns") - F.lag("ts_ns").over(w)
+    new_sess = (gap.isNull() | (gap > _GAP_NS)).cast("long")
+    seq = ev.select(
+        "user_id",
+        "ts_ns",
+        "event_id",
+        "event_type",
+        "value",
+        F.sum(new_sess)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_no"),
+    )
+    ws = Window.partitionBy("user_id", "session_no").orderBy(
+        "ts_ns", "event_id"
+    )
+    wse = Window.partitionBy("user_id", "session_no").orderBy(
+        F.desc("ts_ns"), F.desc("event_id")
+    )
+    return (
+        seq.withColumn("rn_a", F.row_number().over(ws))
+        .withColumn("rn_d", F.row_number().over(wse))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts_ns").alias("start_ns"),
+            F.max("ts_ns").alias("end_ns"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).alias("total_value"),
+            F.max(F.when(F.col("rn_a") == 1, F.col("event_type"))).alias(
+                "first_type"
+            ),
+            F.max(F.when(F.col("rn_d") == 1, F.col("event_type"))).alias(
+                "last_type"
+            ),
+            F.sum(
+                (F.col("event_type") == "purchase").cast("long")
+            ).alias("n_purchases"),
+        )
+    )
+
+
+#: shared DuckDB CTE text for the session frame — identical
+#: convention to the Spark side: 30-min gap over (epoch_us, event_id),
+#: endpoints by two-key row_number.
+_SESSIONS_SQL = """
+seq AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, event_type, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+              IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+              > 30 * 60 * 1000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+seq2 AS (
+  SELECT *, SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_no
+  FROM seq
+),
+seq3 AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, session_no
+                            ORDER BY us ASC, event_id ASC) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, session_no
+                            ORDER BY us DESC, event_id DESC) AS rn_d
+  FROM seq2
+),
+sess AS (
+  SELECT user_id, session_no,
+         MIN(us) AS start_us, MAX(us) AS end_us,
+         COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,6))) AS total_value,
+         MAX(CASE WHEN rn_a = 1 THEN event_type END) AS first_type,
+         MAX(CASE WHEN rn_d = 1 THEN event_type END) AS last_type,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS n_purchases
+  FROM seq3 GROUP BY 1, 2
+)
+"""
+
+
+def session_handoff_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-session hand-off matrix: how the LAST event type of one
+    session transitions to the FIRST event type of the user's NEXT
+    session — "where do users pick back up?".  The between-sessions
+    companion of ``event_transition_matrix`` (which is
+    within-session, adjacent-event); an error→error hot cell here
+    means users return to retry failures, purchase→view means
+    post-purchase browsing, etc.
+
+    Plan: the shared session frame, then one lag over per-user
+    session rows (session-grain — tiny) and an enum²-sized
+    aggregate; shares broadcast the from-type totals back."""
+    sess = _sessions(_events(spark, sf_dir))
+    w = Window.partitionBy("user_id").orderBy("session_no")
+    pair = (
+        sess.select(
+            "user_id",
+            "session_no",
+            "first_type",
+            F.lag("last_type").over(w).alias("from_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+        .select("from_type", F.col("first_type").alias("to_type"))
+    )
+    cell = pair.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_handoffs")
+    )
+    tot = cell.groupBy("from_type").agg(F.sum("n_handoffs").alias("_ft"))
+    return (
+        cell.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_handoffs",
+            F.round(
+                F.col("n_handoffs").cast("double") / F.col("_ft").cast("double"),
+                9,
+            ).alias("share_of_from"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+SESSION_HANDOFF_ORACLE = f"""
+WITH {_SESSIONS_SQL},
+pair AS (
+  SELECT lag(last_type) OVER (PARTITION BY user_id ORDER BY session_no)
+           AS from_type,
+         first_type AS to_type
+  FROM sess
+),
+cell AS (
+  SELECT from_type, to_type, COUNT(*) AS n_handoffs
+  FROM pair WHERE from_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT from_type, SUM(n_handoffs) AS _ft FROM cell GROUP BY 1)
+SELECT c.from_type, c.to_type, CAST(c.n_handoffs AS BIGINT) AS n_handoffs,
+       round(CAST(c.n_handoffs AS DOUBLE) / CAST(t._ft AS DOUBLE), 9)
+         AS share_of_from
+FROM cell c JOIN tot t USING (from_type)
+ORDER BY c.from_type, c.to_type
+"""
+
+
+def session_value_by_duration_band(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Session economics by duration band: single-event sessions and
+    <5m / 5-15m / 15-30m / 30m+ bands × session count, mean events,
+    total value and purchase-conversion rate — "do longer sessions
+    actually convert?", the engagement-vs-value cut session reports
+    lead with.
+
+    Plan: the shared session frame, banding on exact nanosecond
+    thresholds (no float boundaries), one enum-sized aggregate.
+    Rates are double divisions of exact counts; value through
+    DECIMAL."""
+    sess = _sessions(_events(spark, sf_dir))
+    dur = F.col("end_ns") - F.col("start_ns")
+    band = (
+        F.when(F.col("n_events") == 1, "0-single")
+        .when(dur < 5 * 60 * 1_000_000_000, "1-under5m")
+        .when(dur < 15 * 60 * 1_000_000_000, "2-5to15m")
+        .when(dur < 30 * 60 * 1_000_000_000, "3-15to30m")
+        .otherwise("4-over30m")
+    )
+    return (
+        sess.groupBy(band.alias("duration_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(
+                F.sum("n_events").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("avg_events"),
+            F.sum("total_value").cast("double").alias("total_value"),
+            F.round(
+                F.sum((F.col("n_purchases") > 0).cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("purchase_rate"),
+        )
+        .orderBy("duration_band")
+    )
+
+
+SESSION_DURATION_BAND_ORACLE = f"""
+WITH {_SESSIONS_SQL}
+SELECT CASE WHEN n_events = 1 THEN '0-single'
+            WHEN end_us - start_us < 5 * 60 * 1000000 THEN '1-under5m'
+            WHEN end_us - start_us < 15 * 60 * 1000000 THEN '2-5to15m'
+            WHEN end_us - start_us < 30 * 60 * 1000000 THEN '3-15to30m'
+            ELSE '4-over30m' END AS duration_band,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       round(CAST(SUM(n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+         AS avg_events,
+       CAST(SUM(total_value) AS DOUBLE) AS total_value,
+       round(CAST(SUM(CASE WHEN n_purchases > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS purchase_rate
+FROM sess GROUP BY 1 ORDER BY 1
+"""
+
+
+def user_dominant_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type loyalty: each user's DOMINANT event type (most events,
+    type-asc tiebreak) and how concentrated they are on it, as a
+    (dominant type × share decile) histogram — separates "pure
+    clickers" from balanced users per type, the segmentation cut
+    behind ``user_activity_entropy``'s single number.
+
+    Plan: one (user, type) aggregate, a per-user row_number over the
+    enum-sized type counts, then integer-exact decile binning
+    (``n*10 div total`` — no float boundaries) and an enum-sized
+    histogram."""
+    ev = _events(spark, sf_dir)
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    tot = ut.groupBy("user_id").agg(F.sum("n").alias("n_total"))
+    dom = (
+        ut.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .join(tot, "user_id")
+        # integer-exact decile of the dominant share: 10n div total
+        # (10 == share of exactly 1.0 keeps its own bin)
+        .select(
+            F.col("event_type").alias("dominant_type"),
+            F.expr("(n * 10) div n_total").alias("share_decile"),
+        )
+    )
+    cell = dom.groupBy("dominant_type", "share_decile").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    all_tot = cell.agg(F.sum("n_users").alias("_t"))
+    return (
+        cell.crossJoin(F.broadcast(all_tot))
+        .select(
+            "dominant_type",
+            "share_decile",
+            "n_users",
+            F.round(
+                F.col("n_users").cast("double") / F.col("_t").cast("double"), 9
+            ).alias("share_of_users"),
+        )
+        .orderBy("dominant_type", "share_decile")
+    )
+
+
+USER_DOMINANT_TYPE_ORACLE = """
+WITH ut AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT user_id, SUM(n) AS n_total FROM ut GROUP BY 1),
+dom AS (
+  SELECT u.user_id, u.event_type, u.n, t.n_total
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY n DESC, event_type ASC) AS rn
+    FROM ut
+  ) u JOIN tot t USING (user_id)
+  WHERE u.rn = 1
+),
+cell AS (
+  SELECT event_type AS dominant_type,
+         (n * 10) // n_total AS share_decile,
+         COUNT(*) AS n_users
+  FROM dom GROUP BY 1, 2
+)
+SELECT dominant_type, CAST(share_decile AS BIGINT) AS share_decile,
+       CAST(n_users AS BIGINT) AS n_users,
+       round(CAST(n_users AS DOUBLE)
+             / CAST((SELECT SUM(n_users) FROM cell) AS DOUBLE), 9)
+         AS share_of_users
+FROM cell ORDER BY dominant_type, share_decile
+"""
+
+
+QUERIES = {
+    "session_handoff_matrix": session_handoff_matrix,
+    "session_value_by_duration_band": session_value_by_duration_band,
+    "user_dominant_type_share": user_dominant_type_share,
+}
+
+ORACLES = {
+    "session_handoff_matrix": SESSION_HANDOFF_ORACLE,
+    "session_value_by_duration_band": SESSION_DURATION_BAND_ORACLE,
+    "user_dominant_type_share": USER_DOMINANT_TYPE_ORACLE,
+}
