@@ -1,0 +1,232 @@
+"""Round-13 relational additions: order-line position effects, part
+naming-term price premiums, and fiscal-quarter-end revenue loading —
+warehouse-SQL report shapes the reference serves through its ad-hoc
+query service (reference README.md:17,27-31; SURVEY.md §2.7),
+expressed as declarative DataFrame plans.
+
+Determinism conventions match relational.py: money through
+DECIMAL(18,6); every ratio one double division of exact operands,
+rounded to 9dp; every ordering ends in a unique key; date math is
+exact integer day arithmetic.
+
+Scale notes: all three reduce the fact table with ONE aggregate to
+an enum-or-small-keyed cell table (line position ≤ 7 rows, name
+terms ≈ vocabulary of p_name, quarters ≈ dates/90); shares use the
+``mix_weights`` idiom (cell aggregate + broadcast-back total), never
+a global window over fact rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .relational import DEC, _dec
+from .relational2 import _VOL_SQL, _vol
+
+
+def value_by_line_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-line position effects: per ``l_linenumber`` (the 1st,
+    2nd, … line of an order), line count, average quantity and
+    revenue share — "do later lines in an order carry less value?",
+    the relational analog of ``value_by_event_ordinal``.
+
+    Plan: one lineitem aggregate to ≤7 position rows; shares
+    broadcast the total back.  Quantity/revenue through DECIMAL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cell = li.groupBy("l_linenumber").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(_dec("l_quantity")).alias("_qty"),
+        F.sum(_vol()).alias("_rev"),
+    )
+    tot = cell.agg(F.sum("_rev").alias("_t"))
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("l_linenumber").cast("int").alias("line_position"),
+            "n_lines",
+            F.round(
+                F.col("_qty").cast("double") / F.col("n_lines").cast("double"),
+                9,
+            ).alias("avg_quantity"),
+            F.col("_rev").cast("double").alias("revenue"),
+            F.round(
+                F.col("_rev").cast("double") / F.col("_t").cast("double"), 9
+            ).alias("share_of_revenue"),
+        )
+        .orderBy("line_position")
+    )
+
+
+VALUE_BY_LINE_POSITION_ORACLE = f"""
+WITH cell AS (
+  SELECT l_linenumber, COUNT(*) AS n_lines,
+         SUM(CAST(l_quantity AS DECIMAL(18,6))) AS _qty,
+         SUM({_VOL_SQL}) AS _rev
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(l_linenumber AS INT) AS line_position,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       round(CAST(_qty AS DOUBLE) / CAST(n_lines AS DOUBLE), 9)
+         AS avg_quantity,
+       CAST(_rev AS DOUBLE) AS revenue,
+       round(CAST(_rev AS DOUBLE)
+             / CAST((SELECT SUM(_rev) FROM cell) AS DOUBLE), 9)
+         AS share_of_revenue
+FROM cell ORDER BY line_position
+"""
+
+
+def part_name_term_premium(
+    spark: SparkSession, sf_dir: str, top_k: int = 30
+) -> DataFrame:
+    """Naming-term price premium: tokenize ``p_name``, and for the
+    ``top_k`` most common terms report part count, average retail
+    price, and the premium over the catalog-wide average — "which
+    descriptive words travel with expensive parts?" (merchandising's
+    first text-meets-price cut).
+
+    Plan: one explode+aggregate over part (dimension-sized), a
+    deterministic top-k (count desc, term asc), the global average
+    broadcast back as a 1-row cross join.  Price sums DECIMAL; the
+    premium is one double division rounded 9dp."""
+    part = load_table(spark, sf_dir, "part")
+    terms = part.select(
+        F.explode(F.split(F.col("p_name"), " ")).alias("term"),
+        "p_retailprice",
+    )
+    cell = terms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(_dec("p_retailprice")).alias("_price"),
+    )
+    glob = part.agg(
+        (
+            F.sum(_dec("p_retailprice")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_gavg")
+    )
+    avg_price = F.col("_price").cast("double") / F.col("n_parts").cast("double")
+    return (
+        cell.orderBy(F.col("n_parts").desc(), "term")
+        .limit(top_k)
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "term",
+            "n_parts",
+            F.round(avg_price, 9).alias("avg_price"),
+            F.round(avg_price / F.col("_gavg"), 9).alias("premium"),
+        )
+        .orderBy(F.col("n_parts").desc(), "term")
+    )
+
+
+PART_NAME_TERM_PREMIUM_ORACLE = """
+WITH terms AS (
+  SELECT unnest(string_split(p_name, ' ')) AS term, p_retailprice
+  FROM part
+),
+cell AS (
+  SELECT term, COUNT(*) AS n_parts,
+         SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS _price
+  FROM terms GROUP BY 1
+  ORDER BY n_parts DESC, term LIMIT 30
+),
+g AS (
+  SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS _gavg
+  FROM part
+)
+SELECT term, CAST(n_parts AS BIGINT) AS n_parts,
+       round(CAST(_price AS DOUBLE) / CAST(n_parts AS DOUBLE), 9)
+         AS avg_price,
+       round((CAST(_price AS DOUBLE) / CAST(n_parts AS DOUBLE)) / _gavg, 9)
+         AS premium
+FROM cell, g
+ORDER BY n_parts DESC, term
+"""
+
+
+def quarter_end_loading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fiscal-quarter-end loading audit: per quarter, the share of
+    order value booked in the LAST 7 days of the quarter vs the
+    uniform-booking expectation (7 / days-in-quarter) — a loading
+    index ≫ 1 is the classic end-of-quarter sales-push signature
+    auditors screen for.
+
+    Plan: orders aggregate to (quarter, is-last-7-days) cells via
+    exact integer date arithmetic (last day of quarter = next
+    quarter start − 1), then an enum-sized pivot; the index is one
+    double division chain rounded 9dp."""
+    o = load_table(spark, sf_dir, "orders")
+    q = F.date_trunc("quarter", F.col("o_orderdate")).cast("date")
+    qend = F.date_sub(F.add_months(q, 3), 1)
+    in_tail = F.datediff(qend, F.col("o_orderdate")) < 7
+    qdays = F.datediff(F.add_months(q, 3), q)
+    cell = (
+        o.select(
+            q.alias("quarter"),
+            qdays.alias("q_days"),
+            in_tail.cast("int").alias("tail"),
+            _dec("o_totalprice").alias("_v"),
+        )
+        .groupBy("quarter", "q_days")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("_v").alias("_tot"),
+            F.sum(F.when(F.col("tail") == 1, F.col("_v")).otherwise(
+                F.lit(0).cast(DEC)
+            )).alias("_tail"),
+        )
+    )
+    tail_share = F.col("_tail").cast("double") / F.col("_tot").cast("double")
+    expected = F.lit(7.0) / F.col("q_days").cast("double")
+    return cell.select(
+        "quarter",
+        "n_orders",
+        F.round(tail_share, 9).alias("last7d_value_share"),
+        F.round(tail_share / expected, 9).alias("loading_index"),
+    ).orderBy("quarter")
+
+
+QUARTER_END_LOADING_ORACLE = """
+WITH base AS (
+  SELECT date_trunc('quarter', o_orderdate) AS quarter,
+         datediff('day', date_trunc('quarter', o_orderdate),
+                  date_trunc('quarter', o_orderdate) + INTERVAL 3 MONTH)
+           AS q_days,
+         CASE WHEN datediff('day', o_orderdate,
+                            date_trunc('quarter', o_orderdate)
+                            + INTERVAL 3 MONTH - INTERVAL 1 DAY) < 7
+              THEN 1 ELSE 0 END AS tail,
+         CAST(o_totalprice AS DECIMAL(18,6)) AS _v
+  FROM orders
+),
+cell AS (
+  SELECT quarter, q_days, COUNT(*) AS n_orders,
+         SUM(_v) AS _tot,
+         SUM(CASE WHEN tail = 1 THEN _v
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS _tail
+  FROM base GROUP BY 1, 2
+)
+SELECT CAST(quarter AS DATE) AS quarter,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       round(CAST(_tail AS DOUBLE) / CAST(_tot AS DOUBLE), 9)
+         AS last7d_value_share,
+       round((CAST(_tail AS DOUBLE) / CAST(_tot AS DOUBLE))
+             / (7.0 / CAST(q_days AS DOUBLE)), 9) AS loading_index
+FROM cell ORDER BY quarter
+"""
+
+
+QUERIES = {
+    "value_by_line_position": value_by_line_position,
+    "part_name_term_premium": part_name_term_premium,
+    "quarter_end_loading": quarter_end_loading,
+}
+
+ORACLES = {
+    "value_by_line_position": VALUE_BY_LINE_POSITION_ORACLE,
+    "part_name_term_premium": PART_NAME_TERM_PREMIUM_ORACLE,
+    "quarter_end_loading": QUARTER_END_LOADING_ORACLE,
+}
