@@ -2226,7 +2226,134 @@ FROM per_doc GROUP BY 1 ORDER BY 1
 """
 
 
+def source_unigram_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence (nats) between the sources'
+    unigram distributions — the symmetric, bounded distance behind
+    "which sources write alike?", sharper than
+    ``source_vocab_overlap``'s set Jaccard because it weighs words by
+    probability mass.
+
+    Decomposition keeps it one equi-join: for a pair (A, B) with
+    shared-vocabulary terms S,
+    ``JSD = ½[Σ_S p·ln(2p/(p+q)) + ln2·(1−P_S)] +
+    ½[Σ_S q·ln(2q/(p+q)) + ln2·(1−Q_S)]`` — words private to one
+    source contribute exactly ``½·ln2`` per unit mass, and the
+    private masses ``1−P_S``/``1−Q_S`` come from EXACT integer count
+    sums (one division each), so only the shared Σ needs the
+    rounded-term DECIMAL contract (``token_entropy_by_source``'s):
+    each libm term rounds to 9 dp and sums as DECIMAL(18,9) — no
+    accumulation-order drift.
+
+    Scale: counts reduce to (source, token) grain first; the
+    pairwise structure is ONE token-keyed equi-join with partial
+    aggregation (never |sources|² scans of the corpus); output is
+    the C(sources,2) matrix."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("t")
+    ).where(F.length("t") > 0)
+    counts = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.groupBy("source").agg(F.sum("n").alias("ntot"))
+    dist = counts.join(F.broadcast(tot), "source")
+    a = dist.select(
+        F.col("source").alias("source_a"),
+        "t",
+        F.col("n").alias("na"),
+        F.col("ntot").alias("na_tot"),
+    )
+    b = dist.select(
+        F.col("source").alias("source_b"),
+        "t",
+        F.col("n").alias("nb"),
+        F.col("ntot").alias("nb_tot"),
+    )
+    pair = a.join(b, "t").where(F.col("source_a") < F.col("source_b"))
+    p = F.col("na").cast("double") / F.col("na_tot").cast("double")
+    q = F.col("nb").cast("double") / F.col("nb_tot").cast("double")
+    term_p = F.round(p * F.log(F.lit(2.0) * p / (p + q)), 9).cast(
+        "decimal(18,9)"
+    )
+    term_q = F.round(q * F.log(F.lit(2.0) * q / (p + q)), 9).cast(
+        "decimal(18,9)"
+    )
+    sh = pair.groupBy("source_a", "source_b", "na_tot", "nb_tot").agg(
+        F.count(F.lit(1)).alias("n_shared_terms"),
+        F.sum(term_p).alias("_tp"),
+        F.sum(term_q).alias("_tq"),
+        F.sum("na").alias("_sna"),
+        F.sum("nb").alias("_snb"),
+    )
+    ln2 = F.log(F.lit(2.0))
+    priv_p = F.lit(1.0) - F.col("_sna").cast("double") / F.col(
+        "na_tot"
+    ).cast("double")
+    priv_q = F.lit(1.0) - F.col("_snb").cast("double") / F.col(
+        "nb_tot"
+    ).cast("double")
+    # final combination stays DECIMAL (each piece rounded to 9 dp
+    # first), then ONE exact *0.5 in double (a power-of-two multiply
+    # never rounds) — a final round(…, 9) here would sit exactly on
+    # half-ulp boundaries and Spark/DuckDB disagree on ties
+    total = (
+        F.col("_tp")
+        + F.col("_tq")
+        + F.round(ln2 * priv_p, 9).cast("decimal(18,9)")
+        + F.round(ln2 * priv_q, 9).cast("decimal(18,9)")
+    )
+    return sh.select(
+        "source_a",
+        "source_b",
+        "n_shared_terms",
+        (total.cast("double") * F.lit(0.5)).alias("jsd_nats"),
+    ).orderBy("source_a", "source_b")
+
+
+SOURCE_UNIGRAM_JSD_ORACLE = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+),
+counts AS (
+  SELECT source, t, COUNT(*) AS n FROM tok WHERE length(t) > 0 GROUP BY 1, 2
+),
+tot AS (SELECT source, SUM(n) AS n_tot FROM counts GROUP BY 1),
+dist AS (SELECT c.source, c.t, c.n, t.n_tot
+         FROM counts c JOIN tot t USING (source)),
+pair AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         a.n AS na, a.n_tot AS na_tot, b.n AS nb, b.n_tot AS nb_tot
+  FROM dist a JOIN dist b ON a.t = b.t AND a.source < b.source
+),
+sh AS (
+  SELECT source_a, source_b, na_tot, nb_tot,
+         COUNT(*) AS n_shared_terms,
+         SUM(CAST(round((CAST(na AS DOUBLE) / CAST(na_tot AS DOUBLE))
+                        * ln(2.0 * (CAST(na AS DOUBLE) / CAST(na_tot AS DOUBLE))
+                             / ((CAST(na AS DOUBLE) / CAST(na_tot AS DOUBLE))
+                                + (CAST(nb AS DOUBLE) / CAST(nb_tot AS DOUBLE)))),
+                        9) AS DECIMAL(18,9))) AS _tp,
+         SUM(CAST(round((CAST(nb AS DOUBLE) / CAST(nb_tot AS DOUBLE))
+                        * ln(2.0 * (CAST(nb AS DOUBLE) / CAST(nb_tot AS DOUBLE))
+                             / ((CAST(na AS DOUBLE) / CAST(na_tot AS DOUBLE))
+                                + (CAST(nb AS DOUBLE) / CAST(nb_tot AS DOUBLE)))),
+                        9) AS DECIMAL(18,9))) AS _tq,
+         SUM(na) AS _sna, SUM(nb) AS _snb
+  FROM pair GROUP BY 1, 2, 3, 4
+)
+SELECT source_a, source_b, CAST(n_shared_terms AS BIGINT) AS n_shared_terms,
+       CAST(_tp + _tq
+            + CAST(round(ln(2.0) * (1.0 - CAST(_sna AS DOUBLE)
+                                          / CAST(na_tot AS DOUBLE)), 9)
+                   AS DECIMAL(18,9))
+            + CAST(round(ln(2.0) * (1.0 - CAST(_snb AS DOUBLE)
+                                          / CAST(nb_tot AS DOUBLE)), 9)
+                   AS DECIMAL(18,9))
+            AS DOUBLE) * 0.5 AS jsd_nats
+FROM sh ORDER BY source_a, source_b
+"""
+
+
 QUERIES = {
+    "source_unigram_jsd": source_unigram_jsd,
     "word_freq_top50": word_freq_top50,
     "heaps_vocab_growth": heaps_vocab_growth,
     "token_entropy_by_source": token_entropy_by_source,
@@ -2264,6 +2391,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "source_unigram_jsd": SOURCE_UNIGRAM_JSD_ORACLE,
     "doc_boilerplate_ngram_share": DOC_BOILERPLATE_ORACLE,
     "length_quality_correlation": LENGTH_QUALITY_CORR_ORACLE,
     "source_lang_mix": SOURCE_LANG_MIX_ORACLE,
