@@ -3302,7 +3302,183 @@ FROM cell ORDER BY group_size
 """
 
 
+def knn_purity_at_k(
+    spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 20
+) -> DataFrame:
+    """kNN label purity@k: for each query vector, the share of its
+    exact top-``k`` cosine neighbors that carry the query's own
+    label — the zero-training classification-accuracy proxy that
+    tells you whether the embedding space respects the labels at
+    all (the per-query view behind ``intra_inter_label_affinity``'s
+    corpus means and ``knn_label_propagation``'s vote).
+
+    Plan: rides :func:`brute_force_topk` (the exact integer-quantized
+    cosine kernel) and adds two broadcast label joins + one
+    query-grain aggregate; purity is one double division of exact
+    counts."""
+    top = brute_force_topk(spark, sf_dir, k=k, n_queries=n_queries)
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    qlab = labels.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")
+    )
+    nlab = labels.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+    )
+    j = top.join(broadcast(qlab), "q_id").join(broadcast(nlab), "neighbor_id")
+    return (
+        j.groupBy("q_id", "q_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.sum(
+                (F.col("n_label") == F.col("q_label")).cast("long")
+            ).alias("n_same_label"),
+        )
+        .select(
+            "q_id",
+            "q_label",
+            "n_neighbors",
+            "n_same_label",
+            F.round(
+                F.col("n_same_label").cast("double")
+                / F.col("n_neighbors").cast("double"),
+                9,
+            ).alias("purity"),
+        )
+        .orderBy("q_id")
+    )
+
+
+KNN_PURITY_ORACLE = f"""
+WITH topk AS (
+{BRUTE_FORCE_ORACLE}
+)
+SELECT t.q_id, ql.label AS q_label,
+       CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+       CAST(SUM(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_same_label,
+       round(CAST(SUM(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS purity
+FROM topk t
+JOIN embeddings ql ON t.q_id = ql.vec_id
+JOIN embeddings nl ON t.neighbor_id = nl.vec_id
+GROUP BY 1, 2
+ORDER BY t.q_id
+"""
+
+
+def vector_margin_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-VECTOR centroid margin histogram: for every vector, the
+    gap between its distance to the 2nd-nearest and nearest label
+    centroid (0.005-wide bins, clamped to [0, 80]) — the pointwise
+    confidence profile of the label geometry (``
+    centroid_nearest_rival`` reports the same margin at centroid
+    grain; a mass near bin 0 here means many individually ambiguous
+    vectors even when centroids are well separated).
+
+    Exactness: centroid components are ``floor(avg(q))`` integers
+    (the IVF convention), so every squared distance is an exact
+    integer; margin = (sqrt(d2²)−sqrt(d1²))/QUANT runs identical
+    IEEE ops in both engines; binning is floor on that identical
+    double.
+
+    Scale: corpus posexploded once, centroids broadcast (|labels|×d
+    rows), one (vec,label)-grain aggregate → corpus×|labels| rows →
+    a two-row-per-vector rank filter → enum-sized histogram."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = _quantized_components(emb)
+    labels = emb.select("vec_id", "label")
+    cents = (
+        comp.join(broadcast(labels), "vec_id")
+        .groupBy("label", "pos")
+        .agg(F.floor(F.avg("q")).cast("long").alias("cq"))
+    )
+    diff = F.col("q") - F.col("cq")
+    d2 = (
+        comp.join(broadcast(cents.withColumnRenamed("label", "clabel")), "pos")
+        .groupBy("vec_id", "clabel")
+        .agg(F.sum(diff * diff).alias("dist2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist2", "clabel")
+    two = d2.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 2)
+    margin = (
+        two.groupBy("vec_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 2, F.sqrt(F.col("dist2").cast("double")))).alias("_d2"),
+            F.max(F.when(F.col("rn") == 1, F.sqrt(F.col("dist2").cast("double")))).alias("_d1"),
+        )
+        .select(
+            ((F.col("_d2") - F.col("_d1")) / F.lit(float(QUANT))).alias("m")
+        )
+    )
+    bin_ = F.least(F.greatest(F.floor(F.col("m") / 0.005), F.lit(0)), F.lit(80))
+    cell = margin.groupBy(bin_.cast("int").alias("margin_bin")).agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    tot = cell.agg(F.sum("n_vectors").alias("_t"))
+    return (
+        cell.crossJoin(broadcast(tot))
+        .select(
+            "margin_bin",
+            "n_vectors",
+            F.round(
+                F.col("n_vectors").cast("double") / F.col("_t").cast("double"),
+                9,
+            ).alias("share_of_vectors"),
+        )
+        .orderBy("margin_bin")
+    )
+
+
+VECTOR_MARGIN_HIST_ORACLE = """
+WITH comp AS (
+  SELECT e.vec_id, CAST(i AS INT) AS pos,
+         CAST(round(CAST(embedding[CAST(i AS INT)+1] AS DOUBLE) * 10000, 0)
+              AS BIGINT) AS q
+  FROM embeddings e, LATERAL unnest(range(0, len(embedding))) t(i)
+),
+cents AS (
+  SELECT e.label AS clabel, c.pos,
+         CAST(floor(avg(c.q)) AS BIGINT) AS cq
+  FROM comp c JOIN embeddings e USING (vec_id)
+  GROUP BY 1, 2
+),
+d2 AS (
+  SELECT c.vec_id, ct.clabel, SUM((c.q - ct.cq) * (c.q - ct.cq)) AS dist2
+  FROM comp c JOIN cents ct USING (pos)
+  GROUP BY 1, 2
+),
+two AS (
+  SELECT vec_id, dist2,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist2 ASC, clabel ASC) AS rn
+  FROM d2
+),
+m AS (
+  SELECT vec_id,
+         (MAX(CASE WHEN rn = 2 THEN sqrt(CAST(dist2 AS DOUBLE)) END)
+          - MAX(CASE WHEN rn = 1 THEN sqrt(CAST(dist2 AS DOUBLE)) END))
+           / 10000.0 AS mg
+  FROM two WHERE rn <= 2 GROUP BY 1
+),
+cell AS (
+  SELECT CAST(least(greatest(floor(mg / 0.005), 0), 80) AS INT)
+           AS margin_bin,
+         COUNT(*) AS n_vectors
+  FROM m GROUP BY 1
+)
+SELECT margin_bin, CAST(n_vectors AS BIGINT) AS n_vectors,
+       round(CAST(n_vectors AS DOUBLE)
+             / CAST((SELECT SUM(n_vectors) FROM cell) AS DOUBLE), 9)
+         AS share_of_vectors
+FROM cell ORDER BY margin_bin
+"""
+
+
 QUERIES = {
+    "knn_purity_at_k": knn_purity_at_k,
+    "vector_margin_histogram": vector_margin_histogram,
     "centroid_distance_histogram": centroid_distance_histogram,
     "embedding_quantization_sensitivity": embedding_quantization_sensitivity,
     "embedding_exact_dup_groups": embedding_exact_dup_groups,
@@ -3336,6 +3512,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "knn_purity_at_k": KNN_PURITY_ORACLE,
+    "vector_margin_histogram": VECTOR_MARGIN_HIST_ORACLE,
     "centroid_distance_histogram": CENTROID_DISTANCE_HIST_ORACLE,
     "embedding_quantization_sensitivity": QUANTIZATION_SENSITIVITY_ORACLE,
     "embedding_exact_dup_groups": EMBEDDING_EXACT_DUP_ORACLE,
