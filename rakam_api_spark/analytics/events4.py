@@ -323,13 +323,97 @@ FROM cell ORDER BY dominant_type, share_decile
 """
 
 
+def hourly_error_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p-chart over the hourly error share: per hour-of-day, the
+    error-event share with 3σ binomial control limits around the
+    global error rate — the SPC (statistical process control) view
+    an on-call dashboard draws; hours flagged out-of-control are
+    where error generation is NOT homogeneous-random.
+
+    Determinism: shares are double divisions of exact counts; the
+    limit arithmetic (sqrt of p̄(1−p̄)/n) runs identical IEEE ops in
+    both engines; the flag compares those identical doubles.
+
+    Plan: one 24-row aggregate, the global rate broadcast back."""
+    ev = _events(spark, sf_dir)
+    cell = ev.groupBy(F.hour("ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias(
+            "n_errors"
+        ),
+    )
+    tot = cell.agg(
+        (
+            F.sum("n_errors").cast("double")
+            / F.sum("n_events").cast("double")
+        ).alias("_pbar")
+    )
+    sigma = F.sqrt(
+        F.col("_pbar")
+        * (F.lit(1.0) - F.col("_pbar"))
+        / F.col("n_events").cast("double")
+    )
+    share = F.col("n_errors").cast("double") / F.col("n_events").cast("double")
+    ucl = F.col("_pbar") + F.lit(3.0) * sigma
+    lcl = F.greatest(F.col("_pbar") - F.lit(3.0) * sigma, F.lit(0.0))
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .select(
+            "hour",
+            "n_events",
+            "n_errors",
+            F.round(share, 9).alias("error_share"),
+            F.round(ucl, 9).alias("ucl"),
+            F.round(lcl, 9).alias("lcl"),
+            ((share > ucl) | (share < lcl)).cast("int").alias(
+                "out_of_control"
+            ),
+        )
+        .orderBy("hour")
+    )
+
+
+HOURLY_ERROR_PCHART_ORACLE = """
+WITH cell AS (
+  SELECT CAST(hour(ts) AS INT) AS hour, COUNT(*) AS n_events,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_errors) AS DOUBLE) / CAST(SUM(n_events) AS DOUBLE)
+           AS _pbar
+  FROM cell
+)
+SELECT hour, CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_errors AS BIGINT) AS n_errors,
+       round(CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE), 9)
+         AS error_share,
+       round(_pbar + 3.0 * sqrt(_pbar * (1.0 - _pbar)
+                                / CAST(n_events AS DOUBLE)), 9) AS ucl,
+       round(greatest(_pbar - 3.0 * sqrt(_pbar * (1.0 - _pbar)
+                                         / CAST(n_events AS DOUBLE)), 0.0), 9)
+         AS lcl,
+       CAST(CASE WHEN CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE)
+                      > _pbar + 3.0 * sqrt(_pbar * (1.0 - _pbar)
+                                           / CAST(n_events AS DOUBLE))
+                 OR CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE)
+                      < greatest(_pbar - 3.0 * sqrt(_pbar * (1.0 - _pbar)
+                                                    / CAST(n_events AS DOUBLE)),
+                                 0.0)
+                 THEN 1 ELSE 0 END AS INT) AS out_of_control
+FROM cell, tot ORDER BY hour
+"""
+
+
 QUERIES = {
+    "hourly_error_pchart": hourly_error_pchart,
     "session_handoff_matrix": session_handoff_matrix,
     "session_value_by_duration_band": session_value_by_duration_band,
     "user_dominant_type_share": user_dominant_type_share,
 }
 
 ORACLES = {
+    "hourly_error_pchart": HOURLY_ERROR_PCHART_ORACLE,
     "session_handoff_matrix": SESSION_HANDOFF_ORACLE,
     "session_value_by_duration_band": SESSION_DURATION_BAND_ORACLE,
     "user_dominant_type_share": USER_DOMINANT_TYPE_ORACLE,

@@ -18,7 +18,7 @@ a global window over fact rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load_table
@@ -219,13 +219,88 @@ FROM cell ORDER BY quarter
 """
 
 
+def reactivated_order_value_gap(
+    spark: SparkSession, sf_dir: str, dormancy_days: int = 180
+) -> DataFrame:
+    """Reactivation economics: per market segment, orders placed
+    after a >``dormancy_days`` silence compared with regular repeat
+    orders on count and average value — "is a won-back customer a
+    bigger basket?", the direct value read on win-back campaigns
+    (first orders are excluded: they have no preceding gap).
+
+    Plan: one customer-partitioned lag over ORDER-grain rows (not
+    lineitem), integer day gaps, then an enum-sized (segment × class)
+    aggregate; value through DECIMAL, the gap ratio one double
+    division rounded 9dp."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        _dec("o_totalprice").alias("_v"),
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    ).where(F.col("gap_days").isNotNull())
+    j = seq.join(
+        c.select("c_custkey", "c_mktsegment"),
+        seq["o_custkey"] == c["c_custkey"],
+    )
+    cls = (F.col("gap_days") > dormancy_days).cast("int")
+    cell = j.groupBy(
+        F.col("c_mktsegment").alias("segment"),
+        cls.alias("is_reactivation"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("_v").alias("_tot"),
+    )
+    return cell.select(
+        "segment",
+        "is_reactivation",
+        "n_orders",
+        F.round(
+            F.col("_tot").cast("double") / F.col("n_orders").cast("double"),
+            9,
+        ).alias("avg_order_value"),
+    ).orderBy("segment", "is_reactivation")
+
+
+REACTIVATED_ORDER_VALUE_ORACLE = """
+WITH seq AS (
+  SELECT o_custkey, o_orderdate, o_orderkey,
+         CAST(o_totalprice AS DECIMAL(18,6)) AS _v,
+         datediff('day',
+                  lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey),
+                  o_orderdate) AS gap_days
+  FROM orders
+),
+j AS (
+  SELECT c.c_mktsegment AS segment,
+         CASE WHEN s.gap_days > 180 THEN 1 ELSE 0 END AS is_reactivation,
+         s._v
+  FROM seq s JOIN customer c ON s.o_custkey = c.c_custkey
+  WHERE s.gap_days IS NOT NULL
+)
+SELECT segment, CAST(is_reactivation AS INT) AS is_reactivation,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       round(CAST(SUM(_v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+         AS avg_order_value
+FROM j GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
+    "reactivated_order_value_gap": reactivated_order_value_gap,
     "value_by_line_position": value_by_line_position,
     "part_name_term_premium": part_name_term_premium,
     "quarter_end_loading": quarter_end_loading,
 }
 
 ORACLES = {
+    "reactivated_order_value_gap": REACTIVATED_ORDER_VALUE_ORACLE,
     "value_by_line_position": VALUE_BY_LINE_POSITION_ORACLE,
     "part_name_term_premium": PART_NAME_TERM_PREMIUM_ORACLE,
     "quarter_end_loading": QUARTER_END_LOADING_ORACLE,

@@ -2352,7 +2352,207 @@ FROM sh ORDER BY source_a, source_b
 """
 
 
+def lang_profile_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit via a char-bigram naive-Bayes classifier:
+    each document is scored against every language's add-one-smoothed
+    bigram profile (score = Σ c_bg·ln((n_bg|lang + 1)/(N_lang + V)))
+    and assigned to the argmax; the (true lang × predicted lang)
+    confusion matrix localizes suspected mislabels.  The
+    distribution-profile companion to ``lang_id``'s marker-token
+    identifier — two independent systems agreeing is the standard
+    label-QA setup.
+
+    Determinism: smoothed probabilities are ratios of exact integer
+    counts; each c·ln term follows the module's rounded-term DECIMAL
+    contract, so per-(doc, lang) scores are exact DECIMALs and the
+    argmax (score desc, lang asc) is unambiguous in both engines.
+
+    Scale: bigram profiles are |langs|·|charset²| rows (broadcast);
+    docs reduce to (doc, bigram) counts once; the score join fans
+    out by |langs| (an enum), then one doc-grain argmax — linear in
+    corpus bigrams, nothing pairwise."""
+    docs = _docs(spark, sf_dir)
+    bg = F.explode(
+        F.expr(
+            "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"
+        )
+    )
+    dc = (
+        docs.where(F.length("text") >= 2)
+        .select("doc_id", "lang", bg.alias("bg"))
+        .groupBy("doc_id", "lang", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    prof = dc.groupBy(F.col("lang").alias("plang"), "bg").agg(
+        F.sum("c").alias("n_bl")
+    )
+    ptot = prof.groupBy("plang").agg(F.sum("n_bl").alias("n_l"))
+    vocab = prof.select("bg").distinct().agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    langs = ptot.select("plang")
+    # every doc bigram × every candidate language (enum fan-out),
+    # profile counts left-joined (absent bigram -> 0 + smoothing)
+    fan = dc.crossJoin(F.broadcast(langs)).join(
+        F.broadcast(prof), ["plang", "bg"], "left"
+    )
+    fan = (
+        fan.join(F.broadcast(ptot), "plang")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("_nbl", F.coalesce("n_bl", F.lit(0)))
+    )
+    lp = F.log(
+        (F.col("_nbl") + F.lit(1)).cast("double")
+        / (F.col("n_l") + F.col("v")).cast("double")
+    )
+    term = F.round(F.col("c").cast("double") * lp, 9).cast("decimal(28,9)")
+    score = fan.groupBy("doc_id", "lang", "plang").agg(
+        F.sum(term).alias("_s")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_s"), F.asc("plang"))
+    pred = (
+        score.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("lang", F.col("plang").alias("pred_lang"))
+    )
+    cell = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = cell.groupBy("lang").agg(F.sum("n_docs").alias("_lt"))
+    return (
+        cell.join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "pred_lang",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("_lt").cast("double"),
+                9,
+            ).alias("share_of_lang"),
+        )
+        .orderBy("lang", "pred_lang")
+    )
+
+
+LANG_PROFILE_CONFUSION_ORACLE = """
+WITH dc AS (
+  SELECT doc_id, lang, substr(text, CAST(i AS INT), 2) AS bg, COUNT(*) AS c
+  FROM documents, LATERAL unnest(range(1, len(text))) t(i)
+  WHERE len(text) >= 2
+  GROUP BY 1, 2, 3
+),
+prof AS (
+  SELECT lang AS plang, bg, SUM(c) AS n_bl FROM dc GROUP BY 1, 2
+),
+ptot AS (SELECT plang, SUM(n_bl) AS n_l FROM prof GROUP BY 1),
+vocab AS (SELECT COUNT(DISTINCT bg) AS v FROM prof),
+fan AS (
+  SELECT d.doc_id, d.lang, l.plang, d.c,
+         COALESCE(p.n_bl, 0) AS _nbl, t.n_l, vb.v
+  FROM dc d
+  CROSS JOIN (SELECT plang FROM ptot) l
+  LEFT JOIN prof p ON p.plang = l.plang AND p.bg = d.bg
+  JOIN ptot t ON t.plang = l.plang
+  CROSS JOIN vocab vb
+),
+score AS (
+  SELECT doc_id, lang, plang,
+         SUM(CAST(round(CAST(c AS DOUBLE)
+                        * ln(CAST(_nbl + 1 AS DOUBLE)
+                             / CAST(n_l + v AS DOUBLE)), 9)
+                  AS DECIMAL(28,9))) AS _s
+  FROM fan GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT lang, plang AS pred_lang
+  FROM (
+    SELECT lang, plang,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY _s DESC, plang ASC) AS rn
+    FROM score
+  ) WHERE rn = 1
+),
+cell AS (
+  SELECT lang, pred_lang, COUNT(*) AS n_docs FROM pred GROUP BY 1, 2
+),
+tot AS (SELECT lang, SUM(n_docs) AS _lt FROM cell GROUP BY 1)
+SELECT c.lang, c.pred_lang, CAST(c.n_docs AS BIGINT) AS n_docs,
+       round(CAST(c.n_docs AS DOUBLE) / CAST(t._lt AS DOUBLE), 9)
+         AS share_of_lang
+FROM cell c JOIN tot t USING (lang)
+ORDER BY c.lang, c.pred_lang
+"""
+
+
+def dup_quality_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are duplicated documents lower quality?  Per source, exact
+    duplicates (same full text appearing ≥2 times corpus-wide) vs
+    unique docs compared on mean length and mean type-token ratio —
+    the curation cross-check that motivates dedup-before-quality
+    ordering in a data pipeline (boilerplate is both duplicated AND
+    low-TTR; this measures how much).
+
+    Determinism: dup flag is exact text equality (no hashing); mean
+    chars divides exact integer sums; per-doc TTR follows the
+    rounded-term DECIMAL contract before averaging.
+
+    Scale: one text-keyed aggregate for the dup flag (the
+    ``dedup_exact`` kernel shape), one row-local token count pass,
+    one enum-sized aggregate."""
+    docs = _docs(spark, sf_dir)
+    dup = docs.groupBy("text").agg(F.count(F.lit(1)).alias("_n"))
+    toks = F.split(F.col("text"), " ")
+    ttr = (
+        F.size(F.array_distinct(toks)).cast("double")
+        / F.size(toks).cast("double")
+    )
+    j = docs.join(dup, "text").select(
+        "source",
+        (F.col("_n") > 1).cast("int").alias("is_dup"),
+        "n_chars",
+        F.round(ttr, 9).cast("decimal(18,9)").alias("_ttr"),
+    )
+    cell = j.groupBy("source", "is_dup").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.count(F.lit(1)).cast("double"),
+            9,
+        ).alias("mean_chars"),
+        F.round(
+            F.sum("_ttr").cast("double") / F.count(F.lit(1)).cast("double"),
+            9,
+        ).alias("mean_ttr"),
+    )
+    return cell.orderBy("source", "is_dup")
+
+
+DUP_QUALITY_GAP_ORACLE = """
+WITH dup AS (
+  SELECT text, COUNT(*) AS _n FROM documents GROUP BY 1
+),
+j AS (
+  SELECT d.source,
+         CASE WHEN u._n > 1 THEN 1 ELSE 0 END AS is_dup,
+         d.n_chars,
+         CAST(round(CAST(len(list_distinct(string_split(d.text, ' ')))
+                         AS DOUBLE)
+                    / CAST(len(string_split(d.text, ' ')) AS DOUBLE), 9)
+              AS DECIMAL(18,9)) AS _ttr
+  FROM documents d JOIN dup u USING (text)
+)
+SELECT source, CAST(is_dup AS INT) AS is_dup,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+         AS mean_chars,
+       round(CAST(SUM(_ttr) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+         AS mean_ttr
+FROM j GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
+    "lang_profile_confusion": lang_profile_confusion,
+    "dup_quality_gap": dup_quality_gap,
     "source_unigram_jsd": source_unigram_jsd,
     "word_freq_top50": word_freq_top50,
     "heaps_vocab_growth": heaps_vocab_growth,
@@ -2391,6 +2591,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "lang_profile_confusion": LANG_PROFILE_CONFUSION_ORACLE,
+    "dup_quality_gap": DUP_QUALITY_GAP_ORACLE,
     "source_unigram_jsd": SOURCE_UNIGRAM_JSD_ORACLE,
     "doc_boilerplate_ngram_share": DOC_BOILERPLATE_ORACLE,
     "length_quality_correlation": LENGTH_QUALITY_CORR_ORACLE,
