@@ -35,7 +35,7 @@ replay and the live stream shard identically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load_table
@@ -369,14 +369,80 @@ GROUP BY 1, 2, 3
 """
 
 
+def window_topk_types(
+    spark: SparkSession, sf_dir: str, k: int = 3
+) -> DataFrame:
+    """Top-``k`` event types per 6-hour tumbling window with counts
+    and in-window share — the "trending now" panel a streaming
+    dashboard refreshes per window close (batch-run here with the
+    same epoch-aligned ``F.window`` assignment the streaming plans
+    use, so the plan ports to ``readStream`` unchanged).
+
+    Determinism: rank = row_number over (count desc, type asc);
+    shares are double divisions of exact counts.
+
+    Scale: one (window, type) aggregate (map-side combinable); the
+    rank window partitions BY WINDOW over ≤|types| rows each."""
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        F.window("ts", "6 hours").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    wtot = cell.groupBy("w").agg(F.sum("n_events").alias("_wt"))
+    rnk = Window.partitionBy("w").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        cell.withColumn("rank", F.row_number().over(rnk))
+        .where(F.col("rank") <= k)
+        .join(wtot, "w")
+        .select(
+            F.col("w.start").alias("window_start"),
+            "rank",
+            "event_type",
+            "n_events",
+            F.round(
+                F.col("n_events").cast("double") / F.col("_wt").cast("double"),
+                9,
+            ).alias("share_of_window"),
+        )
+        .orderBy("window_start", "rank")
+    )
+
+
+WINDOW_TOPK_ORACLE = """
+WITH cell AS (
+  SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start,
+         event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+wtot AS (SELECT window_start, SUM(n_events) AS _wt FROM cell GROUP BY 1),
+rnk AS (
+  SELECT window_start, event_type, n_events,
+         CAST(row_number() OVER (PARTITION BY window_start
+                                 ORDER BY n_events DESC, event_type ASC)
+              AS INT) AS rank
+  FROM cell
+)
+SELECT r.window_start, r.rank, r.event_type,
+       CAST(r.n_events AS BIGINT) AS n_events,
+       round(CAST(r.n_events AS DOUBLE) / CAST(t._wt AS DOUBLE), 9)
+         AS share_of_window
+FROM rnk r JOIN wtot t USING (window_start)
+WHERE r.rank <= 3
+ORDER BY r.window_start, r.rank
+"""
+
+
 QUERIES = {
     "tumbling_window_counts": tumbling_window_counts,
     "session_window_stats": session_window_stats,
     "sliding_window_counts": sliding_window_counts,
+    "window_topk_types": window_topk_types,
 }
 
 ORACLES = {
     "tumbling_window_counts": TUMBLING_WINDOW_ORACLE,
     "session_window_stats": SESSION_WINDOW_ORACLE,
     "sliding_window_counts": SLIDING_WINDOW_ORACLE,
+    "window_topk_types": WINDOW_TOPK_ORACLE,
 }
