@@ -126,6 +126,33 @@ FROM documents
 # --- exact n-gram jaccard ------------------------------------------------
 
 
+#: per-session memo of the FULL-CORPUS shingle frame — the shared
+#: kernel of every exact-Jaccard query (clusters, threshold curve,
+#: size histogram, transitivity audit, safe splits): each used to
+#: build, cache, and count an identical copy per call.  Same safety
+#: argument as tables._TABLE_MEMO (immutable inputs, deterministic
+#: derivation); keyed weakly by session so a stopped session's cached
+#: RDD doesn't pin memory.
+from weakref import WeakKeyDictionary
+
+_SHINGLE_MEMO: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
+
+
+def _corpus_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    try:
+        per = _SHINGLE_MEMO.setdefault(spark, {})
+        hit = per.get(sf_dir)
+        if hit is not None:
+            return hit
+    except TypeError:  # unhashable/mock session
+        per = None
+    sh = word_shingles(_docs(spark, sf_dir)).cache()
+    sh.count()  # deterministic single materialization (minhash note)
+    if per is not None:
+        per[sf_dir] = sh
+    return sh
+
+
 def ngram_jaccard_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -141,8 +168,11 @@ def ngram_jaccard_pairs(
     ``docs`` overrides the corpus (the audit passes its enforced
     sample); the default is the full documents table.
     """
-    sh = word_shingles(_docs(spark, sf_dir) if docs is None else docs).cache()
-    sh.count()  # deterministic single materialization (see minhash note)
+    if docs is None:
+        sh = _corpus_shingles(spark, sf_dir)
+    else:
+        sh = word_shingles(docs).cache()
+        sh.count()  # deterministic single materialization (minhash note)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -1022,11 +1052,18 @@ def dedup_precision_audit(
     if max_docs <= 0:
         raise ValueError("dedup_precision_audit requires max_docs >= 1")
     sample = audit_sample(spark, sf_dir, max_docs).cache()
-    truth = ngram_jaccard_pairs(
-        spark, sf_dir, threshold=threshold, docs=sample
-    ).select("d1", "d2")
-    lsh = minhash_lsh_pairs(spark, sf_dir, threshold=threshold, docs=sample).select(
-        "d1", "d2"
+    # both pair sets are consumed THREE times each (their count agg
+    # plus the two anti-joins) — materialize once; they are bounded
+    # by max_docs²/2 rows, a trivial checkpoint
+    truth = (
+        ngram_jaccard_pairs(spark, sf_dir, threshold=threshold, docs=sample)
+        .select("d1", "d2")
+        .localCheckpoint(eager=True)
+    )
+    lsh = (
+        minhash_lsh_pairs(spark, sf_dir, threshold=threshold, docs=sample)
+        .select("d1", "d2")
+        .localCheckpoint(eager=True)
     )
     missed = truth.join(lsh, ["d1", "d2"], "left_anti")
     extra = lsh.join(truth, ["d1", "d2"], "left_anti")
