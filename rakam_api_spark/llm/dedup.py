@@ -1568,7 +1568,80 @@ FROM per_cluster GROUP BY cluster_size ORDER BY cluster_size
 """
 
 
+def dedup_survivor_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-survivor selection: within every near-dup cluster
+    (Jaccard ≥ 0.6 components) KEEP exactly one document — the
+    longest, min-doc_id tiebreak — and report per source how many
+    docs survive and what share of characters the kept set retains.
+    This is the step a production pipeline runs right after
+    clustering: dedup is not "find pairs", it is "pick survivors and
+    drop the rest".
+
+    Determinism: survivor = row_number over (n_chars desc, doc_id
+    asc) within the cluster key; singletons are their own cluster
+    (key = own doc_id).  Shares divide exact integer char sums.
+
+    Scale: the pair graph is the bounded dedup output; the survivor
+    window partitions BY CLUSTER KEY (small groups — never a global
+    sort); one source-grain aggregate follows."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+    labels = connected_components(pairs).select("doc_id", "cluster_id")
+    j = docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.coalesce("cluster_id", "doc_id").alias("ckey"),
+    )
+    w = Window.partitionBy("ckey").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    flagged = j.withColumn(
+        "kept", (F.row_number().over(w) == 1).cast("int")
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+            F.round(
+                F.sum(F.col("kept") * F.col("n_chars")).cast("double")
+                / F.sum("n_chars").cast("double"),
+                9,
+            ).alias("kept_char_share"),
+        )
+        .orderBy("source")
+    )
+
+
+DEDUP_SURVIVOR_ORACLE = f"""
+WITH labeled AS (
+{DEDUP_CLUSTERS_ORACLE.strip()}
+),
+j AS (
+  SELECT d.doc_id, d.source, d.n_chars,
+         COALESCE(l.cluster_id, d.doc_id) AS ckey
+  FROM documents d LEFT JOIN labeled l ON d.doc_id = l.doc_id
+),
+flagged AS (
+  SELECT source, n_chars,
+         CASE WHEN row_number() OVER (PARTITION BY ckey
+                                      ORDER BY n_chars DESC, doc_id ASC) = 1
+              THEN 1 ELSE 0 END AS kept
+  FROM j
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       round(CAST(SUM(kept * n_chars) AS DOUBLE)
+             / CAST(SUM(n_chars) AS DOUBLE), 9) AS kept_char_share
+FROM flagged GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
+    "dedup_survivor_selection": dedup_survivor_selection,
     "lsh_band_efficiency": lsh_band_efficiency,
     "dedup_transitivity_audit": dedup_transitivity_audit,
     "dedup_cluster_size_histogram": dedup_cluster_size_histogram,
@@ -1584,6 +1657,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_survivor_selection": DEDUP_SURVIVOR_ORACLE,
     "lsh_band_efficiency": LSH_BAND_EFFICIENCY_ORACLE,
     "dedup_transitivity_audit": DEDUP_TRANSITIVITY_ORACLE,
     "dedup_cluster_size_histogram": DEDUP_CLUSTER_HISTOGRAM_ORACLE,
