@@ -405,7 +405,141 @@ FROM cell, tot ORDER BY hour
 """
 
 
+def conversion_latency_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-velocity trend: per first-signup WEEK, how many
+    users signed up, how many ever converted, and the DISCRETE
+    median / p90 days from first signup to first at-or-after
+    purchase — "is time-to-convert improving?", the time axis
+    ``time_to_convert``'s single histogram flattens away.
+
+    Determinism: gaps are integer epoch-microsecond day divs;
+    quantiles are discrete (value at rank ⌈q·n⌉ via exact integer
+    rank arithmetic over a cumulative histogram — no interpolation);
+    rates are double divisions of exact counts.
+
+    Plan: two conditional user-grain aggregates, a (month, gap)
+    histogram, one cumulative window over those DISTINCT gaps per
+    month (bounded by distinct day-gaps, never user rows), and a
+    conditional-min rollup."""
+    ev = _events(spark, sf_dir)
+    us = (F.col("ts_ns") / F.lit(1000)).cast("long")
+    first_signup = (
+        ev.where(F.col("event_type") == "signup")
+        .select("user_id", us.alias("_us"))
+        .groupBy("user_id")
+        .agg(F.min("_us").alias("t0"))
+    )
+    first_purchase = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("_us"))
+        .join(first_signup, "user_id")
+        .where(F.col("_us") >= F.col("t0"))
+        .groupBy("user_id", "t0")
+        .agg(F.min("_us").alias("t1"))
+    )
+    week = F.date_trunc(
+        "week", F.timestamp_micros(F.col("t0")).cast("timestamp_ntz")
+    ).cast("date")
+    signups = first_signup.groupBy(week.alias("signup_week")).agg(
+        F.count(F.lit(1)).alias("n_signup_users")
+    )
+    gaps = first_purchase.select(
+        week.alias("signup_week"),
+        F.expr("(t1 - t0) div 86400000000").alias("gap_days"),
+    )
+    hist = gaps.groupBy("signup_week", "gap_days").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = hist.groupBy("signup_week").agg(F.sum("cnt").alias("n_conv"))
+    wc = Window.partitionBy("signup_week").orderBy("gap_days")
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).join(tot, "signup_week")
+    med_rank = F.expr("(n_conv + 1) div 2")
+    p90_rank = F.expr("(9 * n_conv + 9) div 10")
+    q = cum.groupBy("signup_week", "n_conv").agg(
+        F.min(
+            F.when(F.col("cum") >= med_rank, F.col("gap_days"))
+        ).alias("median_days"),
+        F.min(
+            F.when(F.col("cum") >= p90_rank, F.col("gap_days"))
+        ).alias("p90_days"),
+    )
+    return (
+        signups.join(q, "signup_week", "left")
+        .select(
+            "signup_week",
+            "n_signup_users",
+            F.coalesce("n_conv", F.lit(0)).alias("n_converted"),
+            F.round(
+                F.coalesce("n_conv", F.lit(0)).cast("double")
+                / F.col("n_signup_users").cast("double"),
+                9,
+            ).alias("conversion_rate"),
+            "median_days",
+            "p90_days",
+        )
+        .orderBy("signup_week")
+    )
+
+
+CONVERSION_LATENCY_WEEKLY_ORACLE = """
+WITH fs AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+),
+fp AS (
+  SELECT e.user_id, f.t0, MIN(epoch_us(e.ts)) AS t1
+  FROM events e JOIN fs f USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= f.t0
+  GROUP BY 1, 2
+),
+signups AS (
+  SELECT CAST(date_trunc('week', make_timestamp(t0)) AS DATE)
+           AS signup_week,
+         COUNT(*) AS n_signup_users
+  FROM fs GROUP BY 1
+),
+gaps AS (
+  SELECT CAST(date_trunc('week', make_timestamp(t0)) AS DATE)
+           AS signup_week,
+         (t1 - t0) // 86400000000 AS gap_days
+  FROM fp
+),
+hist AS (
+  SELECT signup_week, gap_days, COUNT(*) AS cnt FROM gaps GROUP BY 1, 2
+),
+tot AS (SELECT signup_week, SUM(cnt) AS n_conv FROM hist GROUP BY 1),
+cum AS (
+  SELECT h.signup_week, h.gap_days, t.n_conv,
+         SUM(h.cnt) OVER (PARTITION BY h.signup_week ORDER BY h.gap_days
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM hist h JOIN tot t USING (signup_week)
+),
+q AS (
+  SELECT signup_week, n_conv,
+         MIN(CASE WHEN cum >= (n_conv + 1) // 2 THEN gap_days END)
+           AS median_days,
+         MIN(CASE WHEN cum >= (9 * n_conv + 9) // 10 THEN gap_days END)
+           AS p90_days
+  FROM cum GROUP BY 1, 2
+)
+SELECT s.signup_week, CAST(s.n_signup_users AS BIGINT) AS n_signup_users,
+       CAST(COALESCE(q.n_conv, 0) AS BIGINT) AS n_converted,
+       round(CAST(COALESCE(q.n_conv, 0) AS DOUBLE)
+             / CAST(s.n_signup_users AS DOUBLE), 9) AS conversion_rate,
+       q.median_days, q.p90_days
+FROM signups s LEFT JOIN q USING (signup_week)
+ORDER BY s.signup_week
+"""
+
+
 QUERIES = {
+    "conversion_latency_weekly": conversion_latency_weekly,
     "hourly_error_pchart": hourly_error_pchart,
     "session_handoff_matrix": session_handoff_matrix,
     "session_value_by_duration_band": session_value_by_duration_band,
@@ -413,6 +547,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "conversion_latency_weekly": CONVERSION_LATENCY_WEEKLY_ORACLE,
     "hourly_error_pchart": HOURLY_ERROR_PCHART_ORACLE,
     "session_handoff_matrix": SESSION_HANDOFF_ORACLE,
     "session_value_by_duration_band": SESSION_DURATION_BAND_ORACLE,

@@ -3476,7 +3476,83 @@ FROM cell ORDER BY margin_bin
 """
 
 
+def pq_code_balance(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = PQ_M,
+    kc: int = PQ_K,
+    iters: int = PQ_ITERS,
+) -> DataFrame:
+    """PQ codebook utilization audit: per subspace, how many of the
+    ``kc`` codes are actually used, the code-assignment entropy
+    (nats), and the hottest code's share — the index-health numbers
+    that catch a collapsed codebook (few live codes ⇒ coarse
+    quantization ⇒ recall loss) before it ships.  Companion to
+    ``pq_reconstruction_error``'s distortion view.
+
+    Plan: rides the memoized deterministic PQ fit; the audit itself
+    is one (m, code) aggregate over the materialized assignment and
+    an |subspaces|-row rollup.  Entropy follows the rounded-term
+    DECIMAL contract; shares are double divisions of exact counts."""
+    _comp, _cents, codes = _pq_fit_for(spark, sf_dir, m, kc, iters)
+    cell = codes.groupBy("m", "label").agg(F.count(F.lit(1)).alias("n"))
+    tot = cell.groupBy("m").agg(
+        F.sum("n").alias("nt"), F.count(F.lit(1)).alias("codes_used")
+    )
+    p = F.col("n").cast("double") / F.col("nt").cast("double")
+    term = F.round(-(p * F.log(p)), 9).cast("decimal(18,9)")
+    j = cell.join(broadcast(tot), "m")
+    return (
+        j.groupBy("m", "nt", "codes_used")
+        .agg(
+            F.sum(term).alias("_h"),
+            F.max("n").alias("_top"),
+        )
+        .select(
+            F.col("m").cast("int").alias("subspace"),
+            F.col("codes_used").cast("long").alias("codes_used"),
+            F.col("_h").cast("double").alias("code_entropy_nats"),
+            F.round(
+                F.col("_top").cast("double") / F.col("nt").cast("double"), 9
+            ).alias("top_code_share"),
+        )
+        .orderBy("subspace")
+    )
+
+
+def _pq_code_balance_oracle(
+    m: int = PQ_M, kc: int = PQ_K, iters: int = PQ_ITERS
+) -> str:
+    ctes, final_assign, _prev = _pq_cte_chain(m, kc, iters)
+    ctes = list(ctes)
+    ctes += [
+        f"cell AS (SELECT m, label, COUNT(*) AS n FROM {final_assign} GROUP BY 1, 2)",
+        "tot AS (SELECT m, SUM(n) AS nt, COUNT(*) AS codes_used FROM cell GROUP BY 1)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT CAST(c.m AS INT) AS subspace,
+       CAST(t.codes_used AS BIGINT) AS codes_used,
+       CAST(SUM(CAST(round(-(CAST(c.n AS DOUBLE) / CAST(t.nt AS DOUBLE))
+                           * ln(CAST(c.n AS DOUBLE) / CAST(t.nt AS DOUBLE)),
+                           9) AS DECIMAL(18,9))) AS DOUBLE)
+         AS code_entropy_nats,
+       round(CAST(MAX(c.n) AS DOUBLE) / CAST(MAX(t.nt) AS DOUBLE), 9)
+         AS top_code_share
+FROM cell c JOIN tot t USING (m)
+GROUP BY 1, 2
+ORDER BY subspace
+"""
+    )
+
+
+PQ_CODE_BALANCE_ORACLE = _pq_code_balance_oracle()
+
+
 QUERIES = {
+    "pq_code_balance": pq_code_balance,
     "knn_purity_at_k": knn_purity_at_k,
     "vector_margin_histogram": vector_margin_histogram,
     "centroid_distance_histogram": centroid_distance_histogram,
@@ -3512,6 +3588,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pq_code_balance": PQ_CODE_BALANCE_ORACLE,
     "knn_purity_at_k": KNN_PURITY_ORACLE,
     "vector_margin_histogram": VECTOR_MARGIN_HIST_ORACLE,
     "centroid_distance_histogram": CENTROID_DISTANCE_HIST_ORACLE,
