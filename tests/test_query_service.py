@@ -1166,3 +1166,89 @@ def test_stat_safe_normalizes_tz_aware_datetimes():
         2024, 1, 5, 10, 0, 0, tzinfo=dt.timezone(dt.timedelta(hours=1))
     )
     assert _stat_safe(plus1) == "2024-01-05 09:00:00"
+
+
+def test_external_tz_adjusted_parquet_prunes_safely(spark, warehouse, tmp_path):
+    """VERDICT r12 Next #5 second half: a tz-ADJUSTED external parquet
+    (isAdjustedToUTC=true TIMESTAMP column, written by pyarrow) bulked
+    into a txn collection must (a) prune timestamp predicates under
+    the engine's pinned UTC session with rows identical to the
+    unpruned scan, and (b) refuse timestamp pruning under a non-UTC
+    session — never a wrong row set either way."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    # 16 rows over 4 distinct UTC instants, tz-aware micros
+    ts = [
+        dt.datetime(2024, 1, 5, 9 + (i % 4), 0, 0, tzinfo=dt.timezone.utc)
+        for i in range(16)
+    ]
+    tab = pa.table(
+        {
+            "t": pa.array(ts, type=pa.timestamp("us", tz="UTC")),
+            "x": pa.array(list(range(16)), type=pa.int64()),
+        }
+    )
+    path = str(tmp_path / "ext_tz.parquet")
+    pq.write_table(tab, path)
+    assert "isAdjustedToUTC=true" in str(
+        pq.ParquetFile(path).schema.column(0)
+    ).replace(" ", "")
+
+    ms = Metastore(warehouse)
+    collector = EventCollector(
+        spark, ms, pipeline=EnrichmentPipeline([TimestampMapper()])
+    )
+    store = collector.store
+    ext = spark.read.parquet(path)
+    # ingest in four slices -> four files, blooms enabled after two
+    for lo, hi in ((0, 4), (4, 8)):
+        collector.bulk(
+            "proj", "ext", ext.where((F.col("x") >= lo) & (F.col("x") < hi))
+        )
+    store.enable_txn("proj", "ext", bloom_cols=["t"])
+    for lo, hi in ((8, 12), (12, 16)):
+        collector.bulk(
+            "proj", "ext", ext.where((F.col("x") >= lo) & (F.col("x") < hi))
+        )
+    svc = QueryService(spark, store)
+    all_files = set(store.txn_table("proj", "ext").live_files())
+    assert len(all_files) >= 4
+
+    sql = (
+        "SELECT x FROM ext WHERE t = TIMESTAMP'2024-01-05 10:00:00' "
+        "ORDER BY x"
+    )
+    want = [(i,) for i in range(16) if i % 4 == 1]
+
+    # (a) UTC session: pruning fires, rows identical to unpruned
+    res = svc.execute("proj", sql)
+    assert res.error is None and [tuple(r) for r in res.result] == want
+    orig = QueryService._equality_pruning
+    QueryService._equality_pruning = lambda self, project, q: {}
+    try:
+        plain = svc.execute("proj", sql)
+    finally:
+        QueryService._equality_pruning = orig
+    assert [tuple(r) for r in plain.result] == want
+
+    # (b) Berlin session: timestamp pruning refused (full scan), rows
+    # still correct for the tz-adjusted semantics Spark applies
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Europe/Berlin")
+    try:
+        scanned = set(svc._analyze("proj", sql).inputFiles())
+        assert len(scanned) == len(all_files)
+        res_b = svc.execute("proj", sql)
+        QueryService._equality_pruning = lambda self, project, q: {}
+        try:
+            plain_b = svc.execute("proj", sql)
+        finally:
+            QueryService._equality_pruning = orig
+        assert res_b.error is None
+        assert res_b.result == plain_b.result
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
