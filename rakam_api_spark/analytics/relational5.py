@@ -292,7 +292,104 @@ FROM j GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def supplier_portfolio_diversity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Supplier portfolio diversity per nation: how many distinct
+    part types each supplier ships and how evenly its revenue
+    spreads across them (revenue entropy in nats), rolled up to
+    nation means — the supply-base-resilience view next to
+    ``supplier_hhi``'s market-concentration index (a nation whose
+    suppliers are all single-type is fragile even at low HHI).
+
+    Determinism: entropy terms follow the rounded-term DECIMAL
+    contract per (supplier, type) revenue share; nation means divide
+    exact DECIMAL sums by exact counts.
+
+    Plan: one lineitem aggregate to (supplier, type) cells (part dim
+    broadcast), supplier-grain entropy over those cells, nation
+    rollup with the supplier dim broadcast — never a window over
+    fact rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cell = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            li["l_partkey"] == part["p_partkey"],
+        )
+        .groupBy("l_suppkey", "p_type")
+        .agg(F.sum(_vol()).alias("_rev"))
+    )
+    stot = cell.groupBy("l_suppkey").agg(
+        F.sum("_rev").alias("_st"), F.count(F.lit(1)).alias("n_types")
+    )
+    p = F.col("_rev").cast("double") / F.col("_st").cast("double")
+    term = F.round(-(p * F.log(p)), 9).cast("decimal(18,9)")
+    per_supp = (
+        cell.join(stot, "l_suppkey")
+        .groupBy("l_suppkey", "n_types")
+        .agg(F.sum(term).alias("_h"))
+    )
+    j = per_supp.join(
+        F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+        per_supp["l_suppkey"] == supp["s_suppkey"],
+    ).join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(
+                F.sum("n_types").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("mean_types_supplied"),
+            F.round(
+                F.sum("_h").cast("double") / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("mean_type_entropy_nats"),
+        )
+        .orderBy("nation")
+    )
+
+
+SUPPLIER_PORTFOLIO_ORACLE = f"""
+WITH cell AS (
+  SELECT l_suppkey, p_type, SUM({_VOL_SQL}) AS _rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+),
+stot AS (
+  SELECT l_suppkey, SUM(_rev) AS _st, COUNT(*) AS n_types
+  FROM cell GROUP BY 1
+),
+per_supp AS (
+  SELECT c.l_suppkey, t.n_types,
+         SUM(CAST(round(-(CAST(c._rev AS DOUBLE) / CAST(t._st AS DOUBLE))
+                        * ln(CAST(c._rev AS DOUBLE) / CAST(t._st AS DOUBLE)),
+                        9) AS DECIMAL(18,9))) AS _h
+  FROM cell c JOIN stot t USING (l_suppkey)
+  GROUP BY 1, 2
+)
+SELECT n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       round(CAST(SUM(p.n_types) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+         AS mean_types_supplied,
+       round(CAST(SUM(p._h) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+         AS mean_type_entropy_nats
+FROM per_supp p
+JOIN supplier s ON p.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
+    "supplier_portfolio_diversity": supplier_portfolio_diversity,
     "reactivated_order_value_gap": reactivated_order_value_gap,
     "value_by_line_position": value_by_line_position,
     "part_name_term_premium": part_name_term_premium,
@@ -300,6 +397,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "supplier_portfolio_diversity": SUPPLIER_PORTFOLIO_ORACLE,
     "reactivated_order_value_gap": REACTIVATED_ORDER_VALUE_ORACLE,
     "value_by_line_position": VALUE_BY_LINE_POSITION_ORACLE,
     "part_name_term_premium": PART_NAME_TERM_PREMIUM_ORACLE,

@@ -3551,7 +3551,125 @@ ORDER BY subspace
 PQ_CODE_BALANCE_ORACLE = _pq_code_balance_oracle()
 
 
+def embedding_dim_correlation_pairs(
+    spark: SparkSession, sf_dir: str, top_k: int = 20
+) -> DataFrame:
+    """Dimension-redundancy audit: the ``top_k`` most correlated
+    embedding-coordinate pairs by |Pearson| over the quantized
+    components — heavily correlated dimensions are wasted capacity
+    (the pairwise view behind ``embedding_intrinsic_dim``'s single
+    number, and the pre-PQ check that subspace splits don't straddle
+    redundant coordinates).
+
+    Exactness: all moments (n, Σx, Σy, Σx², Σy², Σxy) are exact —
+    the kernel accumulates integer-valued float64 (|q| ≤ 10⁴, so
+    every product and partial sum sits far below 2⁵³), then the
+    Pearson chain runs identical IEEE double ops in both engines,
+    rounded to 9.
+
+    Scale: ``mapInPandas`` computes each Arrow batch's Gram matrix
+    XᵀX (BLAS, d² outputs per batch — never a row-pair join), and
+    the d²-sized partials reduce by key; d is a constant (64), so
+    shuffle volume is partitions × d² rows regardless of corpus
+    size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    import numpy as np
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * QUANT
+            X = np.sign(X) * np.floor(np.abs(X) + 0.5)  # SQL half-away round
+            n = X.shape[0]
+            d = X.shape[1]
+            g = X.T @ X  # exact integer-valued f64
+            s = X.sum(axis=0)
+            s2 = (X * X).sum(axis=0)
+            ia, ib = np.triu_indices(d, k=1)
+            yield pd.DataFrame(
+                {
+                    "pos_a": ia.astype(np.int64),
+                    "pos_b": ib.astype(np.int64),
+                    "n": np.full(len(ia), n, dtype=np.int64),
+                    "sx": s[ia],
+                    "sy": s[ib],
+                    "sxx": s2[ia],
+                    "syy": s2[ib],
+                    "sxy": g[ia, ib],
+                }
+            )
+
+    partial = emb.select("embedding").mapInPandas(
+        kernel,
+        "pos_a long, pos_b long, n long, sx double, sy double,"
+        " sxx double, syy double, sxy double",
+    )
+    mom = partial.groupBy("pos_a", "pos_b").agg(
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxx").alias("sxx"),
+        F.sum("syy").alias("syy"),
+        F.sum("sxy").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    corr = F.round(num / den, 9)
+    return (
+        mom.select(
+            F.col("pos_a").cast("int").alias("pos_a"),
+            F.col("pos_b").cast("int").alias("pos_b"),
+            corr.alias("corr"),
+        )
+        .orderBy(F.abs(F.col("corr")).desc(), "pos_a", "pos_b")
+        .limit(top_k)
+    )
+
+
+EMBEDDING_DIM_CORR_ORACLE = """
+WITH comp AS (
+  SELECT vec_id, CAST(i AS INT) AS pos,
+         CAST(round(CAST(embedding[CAST(i AS INT)+1] AS DOUBLE) * 10000, 0)
+              AS BIGINT) AS q
+  FROM embeddings, LATERAL unnest(range(0, len(embedding))) t(i)
+),
+mom AS (
+  SELECT a.pos AS pos_a, b.pos AS pos_b,
+         COUNT(*) AS n,
+         SUM(a.q) AS sx, SUM(b.q) AS sy,
+         SUM(a.q * a.q) AS sxx, SUM(b.q * b.q) AS syy,
+         SUM(a.q * b.q) AS sxy
+  FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.pos < b.pos
+  GROUP BY 1, 2
+)
+SELECT CAST(pos_a AS INT) AS pos_a, CAST(pos_b AS INT) AS pos_b,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+         AS corr
+FROM mom
+ORDER BY abs(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)) DESC,
+         pos_a, pos_b
+LIMIT 20
+"""
+
+
 QUERIES = {
+    "embedding_dim_correlation_pairs": embedding_dim_correlation_pairs,
     "pq_code_balance": pq_code_balance,
     "knn_purity_at_k": knn_purity_at_k,
     "vector_margin_histogram": vector_margin_histogram,
@@ -3588,6 +3706,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_dim_correlation_pairs": EMBEDDING_DIM_CORR_ORACLE,
     "pq_code_balance": PQ_CODE_BALANCE_ORACLE,
     "knn_purity_at_k": KNN_PURITY_ORACLE,
     "vector_margin_histogram": VECTOR_MARGIN_HIST_ORACLE,
