@@ -18,6 +18,26 @@ import __spark_entry__ as entrymod
 from rakam_api_spark.session import get_spark
 
 SHOW = {
+    # round-13 additions
+    "session_handoff_matrix": "shared session kernel (ONE user-keyed exchange, two endpoint row_numbers); hand-off lag runs over session-grain rows; enum^2 cells + broadcast-back from-totals",
+    "session_value_by_duration_band": "same session kernel; banding on exact ns thresholds is row-local; one enum-sized aggregate",
+    "user_dominant_type_share": "(user,type) counts -> per-user argmax over <=|types| rows; integer-exact decile (n*10 div total); enum histogram",
+    "hourly_error_pchart": "one 24-row aggregate; global rate broadcast back; limits are identical IEEE chains both engines",
+    "conversion_latency_weekly": "two conditional user-grain aggregates; (week,gap) histogram; cumulative window over DISTINCT gaps; conditional-min rollup (exact integer ranks)",
+    "value_by_line_position": "one lineitem aggregate to <=7 position cells; broadcast-back total",
+    "part_name_term_premium": "explode over the part DIM only; deterministic top-30; 1-row global average cross-joined broadcast",
+    "quarter_end_loading": "orders -> (quarter, tail-flag) cells by exact date arithmetic; enum-sized output",
+    "reactivated_order_value_gap": "one customer-partitioned lag over ORDER-grain rows; enum (segment x class) cells; DECIMAL value",
+    "supplier_portfolio_diversity": "(supplier,type) revenue cells off a broadcast part join; supplier-grain entropy (rounded-term DECIMAL); nation rollup via broadcast dims",
+    "source_unigram_jsd": "ONE token-keyed equi-join between per-source distributions (never |sources|^2 corpus scans); shared terms sum as DECIMAL; private mass from exact integer count sums; final combine stays DECIMAL + one exact *0.5",
+    "lang_profile_confusion": "(doc,bigram) counts once; profiles broadcast; fan-out bounded by |langs| enum; per-(doc,lang) scores are exact DECIMAL sums; argmax row_number over |langs| rows per doc",
+    "dup_quality_gap": "one text-keyed aggregate for the dup flag (exact equality, no hash); row-local TTR; enum cells",
+    "knn_purity_at_k": "rides the brute-force Arrow kernel (per-partition top-k, corpus never pair-joined); two broadcast label joins; query-grain aggregate",
+    "vector_margin_histogram": "corpus posexploded once; |labels|xd centroid table broadcast; (vec,label) aggregate -> 2-rows-per-vec rank filter -> enum histogram",
+    "pq_code_balance": "memoized PQ fit (build-once probe-many); audit is one (m,code) aggregate + |subspaces| rollup",
+    "embedding_dim_correlation_pairs": "mapInPandas Gram-matrix kernel: d^2 partial rows PER PARTITION regardless of corpus size (BLAS, exact integer-valued f64); keyed reduce; top-k",
+    "window_topk_types": "(window,type) partial-agg cells; rank window partitions BY WINDOW over <=|types| rows; same F.window assignment as the streaming plans",
+    "dedup_survivor_selection": "bounded pair graph -> components; survivor row_number partitions BY CLUSTER KEY (small groups); source rollup",
     # round-12 additions
     "customer_decile_share_twopass": "rank-offset two-pass decile: range-repartition on the full sort tuple, partition x segment counts to the driver (metadata-scale), rank = offset + partition-local row_number — NO single-task per-segment sort; ntile arithmetic exact",
     "part_size_value_bands": "one partial-agg groupBy of the part dim to <=5 band cells; total aggregates those cells broadcast-back",
