@@ -538,7 +538,82 @@ ORDER BY s.signup_week
 """
 
 
+def error_budget_burn_daily(
+    spark: SparkSession, sf_dir: str, slo: float = 0.01
+) -> DataFrame:
+    """SLO error-budget burn: per day, the error share, the
+    cumulative error rate since start, and the burn ratio
+    (cumulative errors ÷ the ``slo``-sized budget over cumulative
+    traffic) — burn > 1 means the error budget is spent, the
+    page-the-owner number in SRE practice (the budget view on top of
+    ``hourly_error_pchart``'s control limits).
+
+    Determinism: all counts exact; the cumulative window runs over
+    DAY-grain rows (calendar-bounded — the documented bounded-window
+    exemption class); burn is one double division chain of exact
+    integers, rounded 9dp.
+
+    Plan: one 30-ish-row day aggregate, one bounded cumulative
+    window."""
+    ev = _events(spark, sf_dir)
+    day = F.col("ts").cast("date")
+    cell = ev.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias(
+            "n_errors"
+        ),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cell.withColumn("cum_events", F.sum("n_events").over(w)).withColumn(
+        "cum_errors", F.sum("n_errors").over(w)
+    )
+    burn = F.col("cum_errors").cast("double") / (
+        F.lit(slo) * F.col("cum_events").cast("double")
+    )
+    return cum.select(
+        "day",
+        "n_events",
+        "n_errors",
+        F.round(
+            F.col("n_errors").cast("double") / F.col("n_events").cast("double"),
+            9,
+        ).alias("error_share"),
+        F.round(burn, 9).alias("budget_burn"),
+        (burn > 1.0).cast("int").alias("budget_exhausted"),
+    ).orderBy("day")
+
+
+ERROR_BUDGET_BURN_ORACLE = """
+WITH cell AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+  FROM events GROUP BY 1
+),
+cum AS (
+  SELECT day, n_events, n_errors,
+         SUM(n_events) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_events,
+         SUM(n_errors) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_errors
+  FROM cell
+)
+SELECT day, CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_errors AS BIGINT) AS n_errors,
+       round(CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE), 9)
+         AS error_share,
+       round(CAST(cum_errors AS DOUBLE)
+             / (0.01 * CAST(cum_events AS DOUBLE)), 9) AS budget_burn,
+       CAST(CASE WHEN CAST(cum_errors AS DOUBLE)
+                      / (0.01 * CAST(cum_events AS DOUBLE)) > 1.0
+                 THEN 1 ELSE 0 END AS INT) AS budget_exhausted
+FROM cum ORDER BY day
+"""
+
+
 QUERIES = {
+    "error_budget_burn_daily": error_budget_burn_daily,
     "conversion_latency_weekly": conversion_latency_weekly,
     "hourly_error_pchart": hourly_error_pchart,
     "session_handoff_matrix": session_handoff_matrix,
@@ -547,6 +622,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "error_budget_burn_daily": ERROR_BUDGET_BURN_ORACLE,
     "conversion_latency_weekly": CONVERSION_LATENCY_WEEKLY_ORACLE,
     "hourly_error_pchart": HOURLY_ERROR_PCHART_ORACLE,
     "session_handoff_matrix": SESSION_HANDOFF_ORACLE,

@@ -1199,7 +1199,83 @@ FROM scored, z ORDER BY lang
 
 
 
+def packing_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing efficiency across context lengths (128 / 256 /
+    512 / 1024): for each max length L, the pad-token share under
+    per-document CHUNKING (each doc split into ⌈n/L⌉ sequences, tail
+    padded) vs the CONCAT-STREAM lower bound (⌈total/L⌉ sequences,
+    < L pad total) — the table that prices a context-length choice
+    before training (the multi-L companion to ``padding_efficiency``'s
+    per-source pad-to-64 report; ``pack_sequences`` implements the
+    packer itself).
+
+    Determinism: pure integer arithmetic (ceil division via
+    ``(n + L - 1) div L``); shares are single double divisions of
+    exact integer sums.
+
+    Scale: one tokenize-count pass to doc-grain rows, a 4-row literal
+    grid broadcast-fanned over the doc-grain aggregate — never 4
+    corpus scans."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.size(F.split(F.col("text"), " ")).alias("n"))
+    grid = spark.createDataFrame([(128,), (256,), (512,), (1024,)], "L int")
+    fan = toks.crossJoin(broadcast(grid))
+    cell = fan.groupBy("L").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("total_tokens"),
+        F.sum(F.expr("(n + L - 1) div L")).alias("chunked_seqs"),
+    )
+    chunk_pad = F.col("chunked_seqs") * F.col("L") - F.col("total_tokens")
+    stream_seqs = F.expr("(total_tokens + L - 1) div L")
+    stream_pad = stream_seqs * F.col("L") - F.col("total_tokens")
+    return (
+        cell.select(
+            F.col("L").alias("max_seq_len"),
+            "n_docs",
+            "total_tokens",
+            "chunked_seqs",
+            F.round(
+                chunk_pad.cast("double")
+                / (F.col("chunked_seqs") * F.col("L")).cast("double"),
+                9,
+            ).alias("chunked_pad_share"),
+            stream_seqs.alias("streamed_seqs"),
+            F.round(
+                stream_pad.cast("double")
+                / (stream_seqs * F.col("L")).cast("double"),
+                9,
+            ).alias("streamed_pad_share"),
+        )
+        .orderBy("max_seq_len")
+    )
+
+
+PACKING_EFFICIENCY_ORACLE = """
+WITH toks AS (
+  SELECT len(string_split(text, ' ')) AS n FROM documents
+),
+grid AS (SELECT unnest([128, 256, 512, 1024]) AS L),
+cell AS (
+  SELECT L, COUNT(*) AS n_docs, SUM(n) AS total_tokens,
+         SUM((n + L - 1) // L) AS chunked_seqs
+  FROM toks CROSS JOIN grid GROUP BY 1
+)
+SELECT CAST(L AS INT) AS max_seq_len,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       CAST(chunked_seqs AS BIGINT) AS chunked_seqs,
+       round(CAST(chunked_seqs * L - total_tokens AS DOUBLE)
+             / CAST(chunked_seqs * L AS DOUBLE), 9) AS chunked_pad_share,
+       CAST((total_tokens + L - 1) // L AS BIGINT) AS streamed_seqs,
+       round(CAST(((total_tokens + L - 1) // L) * L - total_tokens AS DOUBLE)
+             / CAST(((total_tokens + L - 1) // L) * L AS DOUBLE), 9)
+         AS streamed_pad_share
+FROM cell ORDER BY max_seq_len
+"""
+
+
 QUERIES = {
+    "packing_efficiency_curve": packing_efficiency_curve,
     "dataset_card_stats": dataset_card_stats,
     "sampling_temperature_weights": sampling_temperature_weights,
     "quality_repetition_rules": quality_repetition_rules,
@@ -1220,6 +1296,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "packing_efficiency_curve": PACKING_EFFICIENCY_ORACLE,
     "dataset_card_stats": DATASET_CARD_ORACLE,
     "sampling_temperature_weights": SAMPLING_TEMPERATURE_ORACLE,
     "quality_repetition_rules": QUALITY_REPETITION_ORACLE,

@@ -32,6 +32,10 @@ EXEMPT_BOUNDED_WINDOW = {
     # nation dimension is a fixed 25-row enum at ANY corpus size
     # (asserted numerically below)
     "nation_revenue_rank_shift",
+    # cumulative window over the DAY-grain aggregate: rows bounded by
+    # the calendar span at ANY corpus size (the order_backlog_daily
+    # class)
+    "error_budget_burn_daily",
 }
 
 
