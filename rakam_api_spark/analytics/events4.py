@@ -612,7 +612,63 @@ FROM cum ORDER BY day
 """
 
 
+def first_vs_later_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-session quality gap: the user's FIRST session compared
+    with all later sessions on count, mean events, mean duration and
+    purchase-conversion rate — onboarding-quality evidence ("do
+    first sessions convert worse, and by how much?"), the class cut
+    on top of the shared session kernel.
+
+    Determinism: class is an exact session_no == 1 comparison;
+    durations sum exact nanoseconds and divide once; rates divide
+    exact counts, rounded 9dp."""
+    sess = _sessions(_events(spark, sf_dir))
+    cls = F.when(F.col("session_no") == 1, "first").otherwise("later")
+    return (
+        sess.groupBy(cls.alias("session_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(
+                F.sum("n_events").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("avg_events"),
+            F.round(
+                (F.sum(F.col("end_ns") - F.col("start_ns")).cast("double")
+                 / F.count(F.lit(1)).cast("double"))
+                / F.lit(60_000_000_000.0),
+                9,
+            ).alias("avg_duration_min"),
+            F.round(
+                F.sum((F.col("n_purchases") > 0).cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("purchase_rate"),
+            F.sum("total_value").cast("double").alias("total_value"),
+        )
+        .orderBy("session_class")
+    )
+
+
+FIRST_VS_LATER_ORACLE = f"""
+WITH {_SESSIONS_SQL}
+SELECT CASE WHEN session_no = 1 THEN 'first' ELSE 'later' END
+         AS session_class,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       round(CAST(SUM(n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+         AS avg_events,
+       round((CAST(SUM((end_us - start_us) * 1000) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE)) / 60000000000.0, 9)
+         AS avg_duration_min,
+       round(CAST(SUM(CASE WHEN n_purchases > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS purchase_rate,
+       CAST(SUM(total_value) AS DOUBLE) AS total_value
+FROM sess GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
+    "first_vs_later_sessions": first_vs_later_sessions,
     "error_budget_burn_daily": error_budget_burn_daily,
     "conversion_latency_weekly": conversion_latency_weekly,
     "hourly_error_pchart": hourly_error_pchart,
@@ -622,6 +678,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "first_vs_later_sessions": FIRST_VS_LATER_ORACLE,
     "error_budget_burn_daily": ERROR_BUDGET_BURN_ORACLE,
     "conversion_latency_weekly": CONVERSION_LATENCY_WEEKLY_ORACLE,
     "hourly_error_pchart": HOURLY_ERROR_PCHART_ORACLE,
