@@ -573,6 +573,29 @@ class EventStore:
             bloom_cols=self.bloom_cols(project, collection),
         )
 
+    def changes(
+        self,
+        project: str,
+        collection: str,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Change feed for a txn-logged collection — the store-level
+        surface of :meth:`TxnTable.changes` (Delta's
+        ``table_changes``): rows touched in ``(from_version,
+        to_version]`` tagged ``_change_type``/``_commit_version``.
+        Raises for collections not in transaction mode (legacy
+        directories have no commit history to diff)."""
+        if not self.txn_mode(project, collection):
+            raise ValueError(
+                f"{project}.{collection} is not transaction-logged; "
+                "enable_txn first — the change feed is derived from "
+                "commit history"
+            )
+        return self.txn_table(project, collection).changes(
+            from_version, to_version
+        )
+
     def bloom_cols(self, project: str, collection: str) -> list[str]:
         """Columns opted into per-file bloom filters for this
         collection (metastore-persisted, so EVERY writer — ingest

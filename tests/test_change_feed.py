@@ -84,3 +84,22 @@ def test_changes_empty_range_and_validation(spark, table):
         table.changes(v + 5)
     with pytest.raises(ValueError):
         table.changes(-1)
+
+
+def test_store_level_change_feed(spark, warehouse):
+    from rakam_api_spark.api import EventCollector
+    from rakam_api_spark.catalog import Metastore
+    from rakam_api_spark.enrich import EnrichmentPipeline, TimestampMapper
+
+    collector = EventCollector(
+        spark, Metastore(warehouse), pipeline=EnrichmentPipeline([TimestampMapper()])
+    )
+    store = collector.store
+    collector.collect("proj", "ev", {"x": 1, "_time": "2024-01-05 09:00:00"})
+    with pytest.raises(ValueError):
+        store.changes("proj", "ev", 0)  # legacy mode: no commit history
+    store.enable_txn("proj", "ev")
+    v0 = store.txn_table("proj", "ev").version()
+    collector.collect("proj", "ev", {"x": 2, "_time": "2024-01-06 09:00:00"})
+    feed = store.changes("proj", "ev", v0).collect()
+    assert [(r["x"], r["_change_type"]) for r in feed] == [(2, "insert")]
