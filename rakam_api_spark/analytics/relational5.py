@@ -388,7 +388,102 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def price_interaction_type_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way interaction audit on catalog pricing: mean retail
+    price per (type class × size band) cell, with the ADDITIVE
+    residual ``cell − row_mean − col_mean + grand_mean`` — a large
+    |residual| means type and size interact (a PROMO premium that
+    only exists at small sizes), which single-factor views like
+    ``part_size_value_bands`` and ``retail_markup_by_type`` cannot
+    see.
+
+    Determinism: every mean is an exact DECIMAL sum over exact
+    counts divided once in double; the residual is a four-term
+    double chain rounded 9dp (identical IEEE ops both engines).
+
+    Plan: ONE part-dim aggregate to ≤ |classes|×|bands| cells; row /
+    column / grand means aggregate those cells and join back
+    broadcast-sized."""
+    part = load_table(spark, sf_dir, "part")
+    cls = F.split(F.col("p_type"), " ").getItem(0)
+    band = F.expr("p_size div 10")
+    cell = part.groupBy(
+        cls.alias("type_class"), band.alias("size_band")
+    ).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(_dec("p_retailprice")).alias("_s"),
+    )
+    rowm = cell.groupBy("type_class").agg(
+        (F.sum("_s").cast("double") / F.sum("n_parts").cast("double")).alias(
+            "_rm"
+        )
+    )
+    colm = cell.groupBy("size_band").agg(
+        (F.sum("_s").cast("double") / F.sum("n_parts").cast("double")).alias(
+            "_cm"
+        )
+    )
+    grand = cell.agg(
+        (F.sum("_s").cast("double") / F.sum("n_parts").cast("double")).alias(
+            "_gm"
+        )
+    )
+    cavg = F.col("_s").cast("double") / F.col("n_parts").cast("double")
+    return (
+        cell.join(F.broadcast(rowm), "type_class")
+        .join(F.broadcast(colm), "size_band")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "type_class",
+            F.col("size_band").cast("int").alias("size_band"),
+            "n_parts",
+            F.round(cavg, 9).alias("cell_avg_price"),
+            F.round(
+                cavg - F.col("_rm") - F.col("_cm") + F.col("_gm"), 9
+            ).alias("interaction_lift"),
+        )
+        .orderBy("type_class", "size_band")
+    )
+
+
+PRICE_INTERACTION_ORACLE = """
+WITH cell AS (
+  SELECT string_split(p_type, ' ')[1] AS type_class,
+         p_size // 10 AS size_band,
+         COUNT(*) AS n_parts,
+         SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS _s
+  FROM part GROUP BY 1, 2
+),
+rowm AS (
+  SELECT type_class,
+         CAST(SUM(_s) AS DOUBLE) / CAST(SUM(n_parts) AS DOUBLE) AS _rm
+  FROM cell GROUP BY 1
+),
+colm AS (
+  SELECT size_band,
+         CAST(SUM(_s) AS DOUBLE) / CAST(SUM(n_parts) AS DOUBLE) AS _cm
+  FROM cell GROUP BY 1
+),
+grand AS (
+  SELECT CAST(SUM(_s) AS DOUBLE) / CAST(SUM(n_parts) AS DOUBLE) AS _gm
+  FROM cell
+)
+SELECT c.type_class, CAST(c.size_band AS INT) AS size_band,
+       CAST(c.n_parts AS BIGINT) AS n_parts,
+       round(CAST(c._s AS DOUBLE) / CAST(c.n_parts AS DOUBLE), 9)
+         AS cell_avg_price,
+       round(CAST(c._s AS DOUBLE) / CAST(c.n_parts AS DOUBLE)
+             - r._rm - m._cm + g._gm, 9) AS interaction_lift
+FROM cell c
+JOIN rowm r USING (type_class)
+JOIN colm m USING (size_band)
+CROSS JOIN grand g
+ORDER BY c.type_class, c.size_band
+"""
+
+
 QUERIES = {
+    "price_interaction_type_size": price_interaction_type_size,
     "supplier_portfolio_diversity": supplier_portfolio_diversity,
     "reactivated_order_value_gap": reactivated_order_value_gap,
     "value_by_line_position": value_by_line_position,
@@ -397,6 +492,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "price_interaction_type_size": PRICE_INTERACTION_ORACLE,
     "supplier_portfolio_diversity": SUPPLIER_PORTFOLIO_ORACLE,
     "reactivated_order_value_gap": REACTIVATED_ORDER_VALUE_ORACLE,
     "value_by_line_position": VALUE_BY_LINE_POSITION_ORACLE,

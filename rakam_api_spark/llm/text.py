@@ -2550,7 +2550,100 @@ FROM j GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def doc_length_anova_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of document length across languages: does the
+    declared language explain length variance?  A large F-ratio
+    means per-language length norms differ enough that curation
+    thresholds (truncation, min-length filters) should be set PER
+    LANGUAGE, not globally — the corpus-level analog of
+    ``dimension_discriminability``'s per-coordinate F.
+
+    Determinism: per-language count/sum/sum-of-squares of ``n_chars``
+    are exact DECIMAL sums; the s²/n terms round to 6 dp into
+    DECIMAL(38,6) and sum AS DECIMAL (the established ANOVA
+    contract); the final F is one double chain rounded 6.
+
+    Scale: one |langs|-sized aggregate; everything after is
+    enum-sized."""
+    docs = _docs(spark, sf_dir)
+    nd = F.col("n_chars").cast("decimal(38,0)")
+    lab = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_l"),
+        F.sum(nd).alias("s_l"),
+        F.sum((nd * nd).cast("decimal(38,0)")).alias("ss_l"),
+    )
+    t_l = F.round(
+        (F.col("s_l").cast("double") * F.col("s_l").cast("double"))
+        / F.col("n_l").cast("double"),
+        6,
+    ).cast("decimal(38,6)")
+    agg = lab.agg(
+        F.count(F.lit(1)).alias("n_langs"),
+        F.sum("n_l").alias("n_total"),
+        F.sum("s_l").alias("_s"),
+        F.sum("ss_l").alias("_q"),
+        F.sum(t_l).alias("_t"),
+    )
+    g = F.round(
+        (F.col("_s").cast("double") * F.col("_s").cast("double"))
+        / F.col("n_total").cast("double"),
+        6,
+    )
+    ssb = F.col("_t").cast("double") - g
+    ssw = F.col("_q").cast("double") - F.col("_t").cast("double")
+    f_ratio = F.round(
+        (ssb / (F.col("n_langs").cast("double") - 1.0))
+        / (
+            ssw
+            / (
+                F.col("n_total").cast("double")
+                - F.col("n_langs").cast("double")
+            )
+        ),
+        6,
+    )
+    return agg.select(
+        "n_langs",
+        "n_total",
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        f_ratio.alias("f_ratio"),
+    )
+
+
+DOC_LENGTH_ANOVA_ORACLE = """
+WITH lab AS (
+  SELECT lang, COUNT(*) AS n_l,
+         SUM(CAST(n_chars AS HUGEINT)) AS s_l,
+         SUM(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS ss_l
+  FROM documents GROUP BY 1
+),
+agg AS (
+  SELECT COUNT(*) AS n_langs, SUM(n_l) AS n_total,
+         SUM(s_l) AS _s, SUM(ss_l) AS _q,
+         SUM(CAST(round(CAST(s_l AS DOUBLE) * CAST(s_l AS DOUBLE)
+                        / CAST(n_l AS DOUBLE), 6) AS DECIMAL(38,6))) AS _t
+  FROM lab
+)
+SELECT CAST(n_langs AS BIGINT) AS n_langs,
+       CAST(n_total AS BIGINT) AS n_total,
+       round(CAST(_t AS DOUBLE)
+             - round(CAST(_s AS DOUBLE) * CAST(_s AS DOUBLE)
+                     / CAST(n_total AS DOUBLE), 6), 6) AS ss_between,
+       round(CAST(_q AS DOUBLE) - CAST(_t AS DOUBLE), 6) AS ss_within,
+       round(((CAST(_t AS DOUBLE)
+               - round(CAST(_s AS DOUBLE) * CAST(_s AS DOUBLE)
+                       / CAST(n_total AS DOUBLE), 6))
+              / (CAST(n_langs AS DOUBLE) - 1.0))
+             / ((CAST(_q AS DOUBLE) - CAST(_t AS DOUBLE))
+                / (CAST(n_total AS DOUBLE) - CAST(n_langs AS DOUBLE))), 6)
+         AS f_ratio
+FROM agg
+"""
+
+
 QUERIES = {
+    "doc_length_anova_by_lang": doc_length_anova_by_lang,
     "lang_profile_confusion": lang_profile_confusion,
     "dup_quality_gap": dup_quality_gap,
     "source_unigram_jsd": source_unigram_jsd,
@@ -2591,6 +2684,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_length_anova_by_lang": DOC_LENGTH_ANOVA_ORACLE,
     "lang_profile_confusion": LANG_PROFILE_CONFUSION_ORACLE,
     "dup_quality_gap": DUP_QUALITY_GAP_ORACLE,
     "source_unigram_jsd": SOURCE_UNIGRAM_JSD_ORACLE,
