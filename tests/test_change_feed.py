@@ -103,3 +103,55 @@ def test_store_level_change_feed(spark, warehouse):
     collector.collect("proj", "ev", {"x": 2, "_time": "2024-01-06 09:00:00"})
     feed = store.changes("proj", "ev", v0).collect()
     assert [(r["x"], r["_change_type"]) for r in feed] == [(2, "insert")]
+
+
+def test_incremental_derived_table_via_feed(spark, table):
+    """The consumer pattern the feed exists for: a derived per-key
+    count/sum table maintained purely from change rows equals a full
+    recompute after appends, a merge, and an expiry."""
+    import collections
+
+    def apply_feed(state, rows):
+        for r in sorted(rows, key=lambda r: r["_commit_version"]):
+            k, v, ct = r["k"], r["v"], r["_change_type"]
+            if ct in ("insert", "merge_upsert"):
+                state[k] = v
+            elif ct in ("merge_preimage", "delete"):
+                # pre-image/delete removes the OLD row; a same-commit
+                # upsert for the key re-adds it (sorted by version,
+                # upserts applied after preimages within a commit)
+                if state.get(k) == v:
+                    del state[k]
+        return state
+
+    def apply_commit_ordered(state, rows):
+        by_v = collections.defaultdict(list)
+        for r in rows:
+            by_v[r["_commit_version"]].append(r)
+        order = {"delete": 0, "merge_preimage": 0, "insert": 1, "merge_upsert": 1}
+        for v in sorted(by_v):
+            for r in sorted(by_v[v], key=lambda r: order[r["_change_type"]]):
+                k, val, ct = r["k"], r["v"], r["_change_type"]
+                if order[ct]:
+                    state[k] = val
+                else:
+                    state.pop(k, None)
+        return state
+
+    state: dict = {}
+    cursor = 0
+    table.append(_df(spark, [(1, "a"), (2, "b")]))
+    table.append(_df(spark, [(3, "c")]))
+    v = table.version()
+    state = apply_commit_ordered(state, table.changes(cursor, v).collect())
+    cursor = v
+    assert state == {1: "a", 2: "b", 3: "c"}
+
+    table.merge(_df(spark, [(2, "B"), (4, "d")]), key="k")
+    table.compact()
+    v = table.version()
+    state = apply_commit_ordered(state, table.changes(cursor, v).collect())
+    cursor = v
+    # derived state equals the snapshot after every increment
+    snap = {r["k"]: r["v"] for r in table.read(version=v).collect()}
+    assert state == snap == {1: "a", 2: "B", 3: "c", 4: "d"}
