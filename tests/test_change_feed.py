@@ -111,20 +111,9 @@ def test_incremental_derived_table_via_feed(spark, table):
     recompute after appends, a merge, and an expiry."""
     import collections
 
-    def apply_feed(state, rows):
-        for r in sorted(rows, key=lambda r: r["_commit_version"]):
-            k, v, ct = r["k"], r["v"], r["_change_type"]
-            if ct in ("insert", "merge_upsert"):
-                state[k] = v
-            elif ct in ("merge_preimage", "delete"):
-                # pre-image/delete removes the OLD row; a same-commit
-                # upsert for the key re-adds it (sorted by version,
-                # upserts applied after preimages within a commit)
-                if state.get(k) == v:
-                    del state[k]
-        return state
-
     def apply_commit_ordered(state, rows):
+        # within a commit: pre-images/deletes first, then upserts —
+        # so a key rewritten by a merge ends at its post-image value
         by_v = collections.defaultdict(list)
         for r in rows:
             by_v[r["_commit_version"]].append(r)
