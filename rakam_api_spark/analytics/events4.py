@@ -667,7 +667,127 @@ FROM sess GROUP BY 1 ORDER BY 1
 """
 
 
+def purchase_regularity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-cadence regularity: per repeat purchaser, the
+    coefficient of variation of inter-purchase gaps, banded into
+    regular (< 0.5), moderate (< 1.0) and bursty (≥ 1.0) cohorts —
+    the gap-based companion to ``event_burstiness``'s daily-count
+    Fano (CV of gaps is the standard regularity statistic for
+    replenishment/subscription behavior detection).
+
+    Determinism: gaps are exact integer microseconds from ONE
+    user-partitioned lag; per-user Σg/Σg² are exact integer sums, so
+    the CV is an identical IEEE double chain in both engines; band
+    cuts compare those identical doubles; the per-band mean CV uses
+    the rounded-term DECIMAL contract.
+
+    Plan: purchases filter pushes to the scan; one user-keyed window
+    exchange; user-grain moments; enum-sized band rollup."""
+    ev = _events(spark, sf_dir)
+    us = (F.col("ts_ns") / F.lit(1000)).cast("long")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    gaps = purch.select(
+        "user_id", (F.col("_us") - F.lag("_us").over(w)).alias("g")
+    ).where(F.col("g").isNotNull())
+    mom = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("g").alias("s"),
+        F.sum(
+            (F.col("g").cast("decimal(38,0)") * F.col("g").cast("decimal(38,0)")).cast("decimal(38,0)")
+        ).alias("q"),
+    ).where(F.col("n") >= 2)
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("n").cast("double") * F.col("q").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+    ) / (F.col("n").cast("double") * F.col("n").cast("double"))
+    cv = F.sqrt(var) / mean
+    band = (
+        F.when(cv < 0.5, "0-regular")
+        .when(cv < 1.0, "1-moderate")
+        .otherwise("2-bursty")
+    )
+    per_user = mom.select(
+        band.alias("regularity_band"),
+        F.round(cv, 9).cast("decimal(18,9)").alias("_cv"),
+    )
+    cell = per_user.groupBy("regularity_band").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(
+            F.sum("_cv").cast("double") / F.count(F.lit(1)).cast("double"), 9
+        ).alias("mean_cv"),
+    )
+    tot = cell.agg(F.sum("n_users").alias("_t"))
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .select(
+            "regularity_band",
+            "n_users",
+            "mean_cv",
+            F.round(
+                F.col("n_users").cast("double") / F.col("_t").cast("double"),
+                9,
+            ).alias("share_of_users"),
+        )
+        .orderBy("regularity_band")
+    )
+
+
+PURCHASE_REGULARITY_ORACLE = """
+WITH purch AS (
+  SELECT user_id, epoch_us(ts) AS _us, event_id FROM events
+  WHERE event_type = 'purchase'
+),
+gaps AS (
+  SELECT user_id,
+         _us - lag(_us) OVER (PARTITION BY user_id
+                              ORDER BY _us, event_id) AS g
+  FROM purch
+),
+mom AS (
+  SELECT user_id, COUNT(*) AS n, SUM(g) AS s,
+         SUM(CAST(g AS HUGEINT) * CAST(g AS HUGEINT)) AS q
+  FROM gaps WHERE g IS NOT NULL GROUP BY 1 HAVING COUNT(*) >= 2
+),
+per_user AS (
+  SELECT CASE
+           WHEN sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) < 0.5
+             THEN '0-regular'
+           WHEN sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) < 1.0
+             THEN '1-moderate'
+           ELSE '2-bursty' END AS regularity_band,
+         CAST(round(sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                    / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+              AS DECIMAL(18,9)) AS _cv
+  FROM mom
+),
+cell AS (
+  SELECT regularity_band, COUNT(*) AS n_users,
+         round(CAST(SUM(_cv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+           AS mean_cv
+  FROM per_user GROUP BY 1
+)
+SELECT regularity_band, CAST(n_users AS BIGINT) AS n_users, mean_cv,
+       round(CAST(n_users AS DOUBLE)
+             / CAST((SELECT SUM(n_users) FROM cell) AS DOUBLE), 9)
+         AS share_of_users
+FROM cell ORDER BY regularity_band
+"""
+
+
 QUERIES = {
+    "purchase_regularity_bands": purchase_regularity_bands,
     "first_vs_later_sessions": first_vs_later_sessions,
     "error_budget_burn_daily": error_budget_burn_daily,
     "conversion_latency_weekly": conversion_latency_weekly,
@@ -678,6 +798,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "purchase_regularity_bands": PURCHASE_REGULARITY_ORACLE,
     "first_vs_later_sessions": FIRST_VS_LATER_ORACLE,
     "error_budget_burn_daily": ERROR_BUDGET_BURN_ORACLE,
     "conversion_latency_weekly": CONVERSION_LATENCY_WEEKLY_ORACLE,
