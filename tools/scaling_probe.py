@@ -31,6 +31,32 @@ BASE = "/root/testdata/sf0.1"
 OFF = 10_000_000
 
 OPERATORS = [
+    # round-13 additions
+    "session_handoff_matrix",
+    "session_value_by_duration_band",
+    "user_dominant_type_share",
+    "hourly_error_pchart",
+    "conversion_latency_weekly",
+    "error_budget_burn_daily",
+    "first_vs_later_sessions",
+    "purchase_regularity_bands",
+    "value_by_line_position",
+    "part_name_term_premium",
+    "quarter_end_loading",
+    "reactivated_order_value_gap",
+    "supplier_portfolio_diversity",
+    "price_interaction_type_size",
+    "source_unigram_jsd",
+    "lang_profile_confusion",
+    "dup_quality_gap",
+    "doc_length_anova_by_lang",
+    "knn_purity_at_k",
+    "vector_margin_histogram",
+    "pq_code_balance",
+    "embedding_dim_correlation_pairs",
+    "window_topk_types",
+    "dedup_survivor_selection",
+    "packing_efficiency_curve",
     # round-12 batch-2 additions
     "user_active_streak_histogram",
     "session_first_purchase_position",
