@@ -277,7 +277,56 @@ GROUP BY 1, 2
 """
 
 
+def enrich_channel_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by acquisition channel: the ReferrerMapper's medium
+    classification composed with value/user economics — events,
+    unique users, total value, and value-per-user for each channel
+    (search / social / internal / unknown — the mapper classifies a
+    missing referrer as unknown, the reference's behavior) — the marketing
+    attribution table the reference's referrer enrichment exists to
+    feed (rakam-mapper-url/.../ReferrerEventMapper semantics).
+
+    Plan: the mapper's parse is row-local (codegen); one enum-sized
+    channel aggregate; value through DECIMAL, rate one double
+    division rounded 9dp."""
+    ev = _with_referrer(
+        _events(spark, sf_dir).select("event_id", "user_id", "value")
+    )
+    out = ReferrerMapper().apply(ev, {})
+    return (
+        out.groupBy(F.col("_referrer_medium").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias(
+                "total_value"
+            ),
+            F.round(
+                F.sum(F.col("value").cast(DEC)).cast("double")
+                / F.countDistinct("user_id").cast("double"),
+                9,
+            ).alias("value_per_user"),
+        )
+        .orderBy("channel")
+    )
+
+
+ENRICH_CHANNEL_VALUE_ORACLE = """
+SELECT CASE CAST(event_id % 5 AS INT)
+         WHEN 0 THEN 'search' WHEN 1 THEN 'social' WHEN 2 THEN 'unknown'
+         WHEN 3 THEN 'internal' ELSE 'unknown' END AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(COUNT(DISTINCT user_id) AS DOUBLE), 9) AS value_per_user
+FROM events
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
+    "enrich_channel_value": enrich_channel_value,
     "enrich_geoip": enrich_geoip,
     "enrich_useragent": enrich_useragent,
     "enrich_referrer": enrich_referrer,
@@ -286,6 +335,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "enrich_channel_value": ENRICH_CHANNEL_VALUE_ORACLE,
     "enrich_geoip": ENRICH_GEOIP_ORACLE,
     "enrich_useragent": ENRICH_UA_ORACLE,
     "enrich_referrer": ENRICH_REFERRER_ORACLE,
