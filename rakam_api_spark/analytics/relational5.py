@@ -482,7 +482,131 @@ ORDER BY c.type_class, c.size_band
 """
 
 
+def supplier_share_trend_movers(
+    spark: SparkSession, sf_dir: str, top_k: int = 10, min_quarters: int = 4
+) -> DataFrame:
+    """Share-shift movers: the ``top_k`` suppliers whose share of
+    quarterly revenue is trending hardest (|OLS slope| of share over
+    the quarter index) — the market-share early-warning list behind
+    ``supplier_hhi``'s static concentration number.
+
+    Determinism: quarterly shares are one double division of exact
+    DECIMAL revenue sums rounded to 9; the regression uses the
+    integer-x identity with Σxy/Σy as rounded-term DECIMALS and
+    Σx/Σx² exact integers (the ``price_trend_slope_by_type``
+    contract); top-k orders by (|slope| desc, suppkey asc).
+
+    Plan: fact → (supplier, quarter) cells in one aggregate; quarter
+    totals broadcast back; supplier-grain OLS rollup; a global top-k
+    (TakeOrderedAndProject) — no window over fact rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    qidx = (
+        (F.year("l_shipdate") - F.lit(1992)) * 4 + F.quarter("l_shipdate") - 1
+    ).cast("long")
+    cell = li.groupBy("l_suppkey", qidx.alias("x")).agg(
+        F.sum(_vol()).alias("_rev")
+    )
+    qt = cell.groupBy("x").agg(F.sum("_rev").alias("_qt"))
+    y = F.round(
+        F.col("_rev").cast("double") / F.col("_qt").cast("double"), 9
+    )
+    xy = cell.join(F.broadcast(qt), "x").select(
+        "l_suppkey",
+        "x",
+        F.round(F.col("x").cast("double") * y, 9)
+        .cast("decimal(38,9)")
+        .alias("_xy"),
+        F.round(y, 9).cast("decimal(38,9)").alias("_y"),
+    )
+    agg = xy.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_quarters"),
+        F.sum("x").alias("_sx"),
+        F.sum(F.col("x") * F.col("x")).alias("_sxx"),
+        F.sum("_xy").alias("_sxy"),
+        F.sum("_y").alias("_sy"),
+    )
+    nd = F.col("n_quarters").cast("double")
+    slope = (
+        nd * F.col("_sxy").cast("double")
+        - F.col("_sx").cast("double") * F.col("_sy").cast("double")
+    ) / (
+        nd * F.col("_sxx").cast("double")
+        - F.col("_sx").cast("double") * F.col("_sx").cast("double")
+    )
+    ranked = (
+        agg.where(F.col("n_quarters") >= min_quarters)
+        .select(
+            "l_suppkey",
+            "n_quarters",
+            F.round(slope, 9).alias("share_slope"),
+        )
+        .orderBy(F.abs(F.col("share_slope")).desc(), "l_suppkey")
+        .limit(top_k)
+    )
+    return (
+        ranked.join(
+            F.broadcast(supp.select("s_suppkey", "s_name")),
+            ranked["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .select(
+            F.col("l_suppkey").cast("long").alias("suppkey"),
+            "s_name",
+            "n_quarters",
+            "share_slope",
+        )
+        .orderBy(F.abs(F.col("share_slope")).desc(), "suppkey")
+    )
+
+
+SUPPLIER_SHARE_TREND_ORACLE = f"""
+WITH cell AS (
+  SELECT l_suppkey,
+         CAST((year(l_shipdate) - 1992) * 4 + quarter(l_shipdate) - 1
+              AS BIGINT) AS x,
+         SUM({_VOL_SQL}) AS _rev
+  FROM lineitem GROUP BY 1, 2
+),
+qt AS (SELECT x, SUM(_rev) AS _qt FROM cell GROUP BY 1),
+xy AS (
+  SELECT c.l_suppkey, c.x,
+         CAST(round(CAST(c.x AS DOUBLE)
+                    * round(CAST(c._rev AS DOUBLE) / CAST(q._qt AS DOUBLE), 9),
+                    9) AS DECIMAL(38,9)) AS _xy,
+         CAST(round(CAST(c._rev AS DOUBLE) / CAST(q._qt AS DOUBLE), 9)
+              AS DECIMAL(38,9)) AS _y
+  FROM cell c JOIN qt q USING (x)
+),
+agg AS (
+  SELECT l_suppkey, COUNT(*) AS n_quarters,
+         SUM(x) AS _sx, SUM(x * x) AS _sxx,
+         SUM(_xy) AS _sxy, SUM(_y) AS _sy
+  FROM xy GROUP BY 1
+),
+ranked AS (
+  SELECT l_suppkey, n_quarters,
+         round((CAST(n_quarters AS DOUBLE) * CAST(_sxy AS DOUBLE)
+                - CAST(_sx AS DOUBLE) * CAST(_sy AS DOUBLE))
+               / (CAST(n_quarters AS DOUBLE) * CAST(_sxx AS DOUBLE)
+                  - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE)), 9)
+           AS share_slope
+  FROM agg WHERE n_quarters >= 4
+  ORDER BY abs(round((CAST(n_quarters AS DOUBLE) * CAST(_sxy AS DOUBLE)
+                - CAST(_sx AS DOUBLE) * CAST(_sy AS DOUBLE))
+               / (CAST(n_quarters AS DOUBLE) * CAST(_sxx AS DOUBLE)
+                  - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE)), 9)) DESC,
+           l_suppkey
+  LIMIT 10
+)
+SELECT CAST(r.l_suppkey AS BIGINT) AS suppkey, s.s_name,
+       CAST(r.n_quarters AS BIGINT) AS n_quarters, r.share_slope
+FROM ranked r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+ORDER BY abs(r.share_slope) DESC, suppkey
+"""
+
+
 QUERIES = {
+    "supplier_share_trend_movers": supplier_share_trend_movers,
     "price_interaction_type_size": price_interaction_type_size,
     "supplier_portfolio_diversity": supplier_portfolio_diversity,
     "reactivated_order_value_gap": reactivated_order_value_gap,
@@ -492,6 +616,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "supplier_share_trend_movers": SUPPLIER_SHARE_TREND_ORACLE,
     "price_interaction_type_size": PRICE_INTERACTION_ORACLE,
     "supplier_portfolio_diversity": SUPPLIER_PORTFOLIO_ORACLE,
     "reactivated_order_value_gap": REACTIVATED_ORDER_VALUE_ORACLE,
