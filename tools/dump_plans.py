@@ -18,6 +18,15 @@ import __spark_entry__ as entrymod
 from rakam_api_spark.session import get_spark
 
 SHOW = {
+    # round-13 additions (batch 2)
+    "purchase_regularity_bands": "purchase filter pushes to the scan; ONE user-keyed lag exchange; user-grain exact integer moments (g^2 through DECIMAL to dodge int64 overflow); enum band rollup",
+    "enrich_channel_value": "ReferrerMapper parse is row-local codegen; one enum-sized channel aggregate; DECIMAL value",
+    "supplier_share_trend_movers": "fact -> (supplier, quarter) cells in one aggregate; quarter totals broadcast back; supplier-grain OLS rollup; global top-k via TakeOrderedAndProject",
+    "price_interaction_type_size": "one part-dim aggregate to enum cells; row/col/grand means aggregate those cells and join back broadcast-sized",
+    "doc_length_anova_by_lang": "one |langs|-sized DECIMAL moment aggregate; F-ratio is a final 1-row double chain",
+    "packing_efficiency_curve": "one tokenize-count pass to doc grain; broadcast 4-row length grid fan-out; pure integer ceil-div arithmetic",
+    "error_budget_burn_daily": "day-grain aggregate; cumulative window over calendar-bounded rows (documented exemption class)",
+    "first_vs_later_sessions": "shared session kernel (one user-keyed exchange); exact session_no==1 class; 2-row aggregate",
     # round-13 additions
     "session_handoff_matrix": "shared session kernel (ONE user-keyed exchange, two endpoint row_numbers); hand-off lag runs over session-grain rows; enum^2 cells + broadcast-back from-totals",
     "session_value_by_duration_band": "same session kernel; banding on exact ns thresholds is row-local; one enum-sized aggregate",

@@ -32,6 +32,9 @@ OFF = 10_000_000
 
 OPERATORS = [
     # round-13 additions
+    "purchase_regularity_bands",
+    "enrich_channel_value",
+    "supplier_share_trend_movers",
     "session_handoff_matrix",
     "session_value_by_duration_band",
     "user_dominant_type_share",
@@ -39,7 +42,6 @@ OPERATORS = [
     "conversion_latency_weekly",
     "error_budget_burn_daily",
     "first_vs_later_sessions",
-    "purchase_regularity_bands",
     "value_by_line_position",
     "part_name_term_premium",
     "quarter_end_loading",
