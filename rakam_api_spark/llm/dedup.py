@@ -153,6 +153,26 @@ def _corpus_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh
 
 
+#: per-session memo of the VERIFIED full-corpus pair set at a given
+#: threshold — clusters, survivor selection, safe splits, the size
+#: histogram and the transitivity audit all consume the same 0.6-pair
+#: graph and each paid the shingle self-join again.  The pair set is
+#: deterministic (exact integer Jaccard, ordered output) and BOUNDED
+#: (the dedup output, not the corpus), so an eager localCheckpoint is
+#: a small pin.  Keyed weakly by session like the other memos.
+_PAIRS_MEMO: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
+
+
+def _corpus_pairs_memo(spark: SparkSession, sf_dir: str, threshold: float):
+    """Memoized materialized result frame for the docs=None pair
+    sweep, or None when the session can't key a memo."""
+    try:
+        per = _PAIRS_MEMO.setdefault(spark, {})
+    except TypeError:
+        return None, None
+    return per, (sf_dir, float(threshold))
+
+
 def ngram_jaccard_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -169,8 +189,12 @@ def ngram_jaccard_pairs(
     sample); the default is the full documents table.
     """
     if docs is None:
+        per, key = _corpus_pairs_memo(spark, sf_dir, threshold)
+        if per is not None and key in per:
+            return per[key]
         sh = _corpus_shingles(spark, sf_dir)
     else:
+        per, key = None, None
         sh = word_shingles(docs).cache()
         sh.count()  # deterministic single materialization (minhash note)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -183,7 +207,7 @@ def ngram_jaccard_pairs(
     )
     s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
     s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
-    return (
+    out = (
         inter.join(s1, "d1")
         .join(s2, "d2")
         .withColumn(
@@ -194,6 +218,13 @@ def ngram_jaccard_pairs(
         .select("d1", "d2", "inter", "jaccard")
         .orderBy("d1", "d2")
     )
+    if per is not None:
+        # materialize the (bounded) verified pair set once; every
+        # 0.6-threshold consumer reuses it instead of re-running the
+        # shingle self-join
+        out = out.localCheckpoint(eager=True)
+        per[key] = out
+    return out
 
 
 NGRAM_JACCARD_ORACLE = """
