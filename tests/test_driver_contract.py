@@ -21,7 +21,11 @@ def test_queries_and_oracles_align():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     assert set(qs) == set(oracles)
-    assert list(qs) == list(oracles)  # same enumeration order
+    # the GATE prefix must enumerate identically in both dicts (the
+    # driver checks the first 50 in order); past it, per-name lookup
+    # makes order irrelevant
+    n = len(entrymod._GATE_PRIORITY)
+    assert list(qs)[:n] == list(oracles)[:n]
     # every oracle is non-trivial SQL text
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in oracles.values())
 
