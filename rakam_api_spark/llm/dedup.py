@@ -1671,7 +1671,76 @@ FROM flagged GROUP BY 1 ORDER BY 1
 """
 
 
+def dup_cluster_lang_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language purity of near-dup clusters: for every Jaccard ≥ 0.6
+    component, how many distinct declared languages its members
+    carry — multi-language clusters are either translations
+    (crosslingual leakage the EMBEDDING side hunts via
+    ``crosslingual_mining``) or language-label noise; a lexical
+    near-dup across languages is almost always the latter, so this
+    is the cheap label-QA screen that runs before any embedding job.
+
+    Plan: the memoized verified pair graph → components; ONE join to
+    the doc lang column; cluster-grain distinct-lang counts; a
+    histogram over them.  Everything after the (cached) pair sweep
+    is dedup-output-sized."""
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+    labels = connected_components(pairs).select("doc_id", "cluster_id")
+    cl = (
+        labels.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+    cell = cl.groupBy("n_langs").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("n_docs").alias("n_docs"),
+    )
+    tot = cell.agg(F.sum("n_clusters").alias("_t"))
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n_langs").cast("long").alias("langs_in_cluster"),
+            "n_clusters",
+            "n_docs",
+            F.round(
+                F.col("n_clusters").cast("double") / F.col("_t").cast("double"),
+                9,
+            ).alias("share_of_clusters"),
+        )
+        .orderBy("langs_in_cluster")
+    )
+
+
+DUP_CLUSTER_LANG_PURITY_ORACLE = f"""
+WITH labeled AS (
+{DEDUP_CLUSTERS_ORACLE.strip()}
+),
+cl AS (
+  SELECT l.cluster_id, COUNT(*) AS n_docs,
+         COUNT(DISTINCT d.lang) AS n_langs
+  FROM labeled l JOIN documents d ON l.doc_id = d.doc_id
+  GROUP BY 1
+),
+cell AS (
+  SELECT n_langs, COUNT(*) AS n_clusters, SUM(n_docs) AS n_docs
+  FROM cl GROUP BY 1
+)
+SELECT CAST(n_langs AS BIGINT) AS langs_in_cluster,
+       CAST(n_clusters AS BIGINT) AS n_clusters,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       round(CAST(n_clusters AS DOUBLE)
+             / CAST((SELECT SUM(n_clusters) FROM cell) AS DOUBLE), 9)
+         AS share_of_clusters
+FROM cell ORDER BY langs_in_cluster
+"""
+
+
 QUERIES = {
+    "dup_cluster_lang_purity": dup_cluster_lang_purity,
     "dedup_survivor_selection": dedup_survivor_selection,
     "lsh_band_efficiency": lsh_band_efficiency,
     "dedup_transitivity_audit": dedup_transitivity_audit,
@@ -1688,6 +1757,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dup_cluster_lang_purity": DUP_CLUSTER_LANG_PURITY_ORACLE,
     "dedup_survivor_selection": DEDUP_SURVIVOR_ORACLE,
     "lsh_band_efficiency": LSH_BAND_EFFICIENCY_ORACLE,
     "dedup_transitivity_audit": DEDUP_TRANSITIVITY_ORACLE,
