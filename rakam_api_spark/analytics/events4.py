@@ -786,7 +786,136 @@ FROM cell ORDER BY regularity_band
 """
 
 
+def user_lifetime_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier estimate of USER LIFETIME (days from first to
+    last event) with right-censoring: a user still active within 7
+    days of the corpus horizon is "still alive", not "churned at
+    their last event" — the survival chart behind every retention/LTV
+    model, at the user grain (``order_survival_curve`` is the same
+    estimator on time-to-next-order).
+
+    Plan: ONE user-grain min/max aggregate builds the spans (no
+    window over event rows); everything after runs at DAY grain —
+    the two unpartitioned cumulative windows see at most
+    calendar-span rows at ANY corpus size (the documented bounded
+    exemption class).
+
+    Determinism: mirrors the ``order_survival_curve`` contract —
+    exact integer n/d/c, hazard one division rounded 9, survival
+    exp∘Σln rounded 6 with the terminal d==n bucket pinned to 0."""
+    ev = _events(spark, sf_dir)
+    horizon = ev.groupBy().agg(F.max("ts_ns").alias("_end"))
+    spans = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts_ns").alias("_first"), F.max("ts_ns").alias("_last"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.expr("(_last - _first) div 86400000000000").alias("day"),
+            (
+                F.expr("(_end - _last) div 86400000000000") >= 7
+            ).cast("long").alias("ev"),
+        )
+    )
+    buckets = spans.groupBy("day").agg(
+        F.sum("ev").alias("d_churned"),
+        F.sum(F.lit(1) - F.col("ev")).alias("c_censored"),
+    )
+    total = spans.groupBy().agg(F.count(F.lit(1)).alias("total"))
+    w_prior = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    at_risk = (
+        buckets.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_at_risk",
+            F.col("total")
+            - F.coalesce(
+                F.sum(F.col("d_churned") + F.col("c_censored")).over(w_prior),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "factor",
+            F.lit(1.0)
+            - F.col("d_churned").cast("double")
+            / F.col("n_at_risk").cast("double"),
+        )
+        .withColumn(
+            "hit_zero",
+            F.max((F.col("factor") <= 0).cast("int")).over(w_cum),
+        )
+        .withColumn(
+            "survival",
+            F.when(F.col("hit_zero") == 1, F.lit(0.0)).otherwise(
+                F.exp(
+                    F.sum(
+                        F.when(F.col("factor") > 0, F.log(F.col("factor")))
+                    ).over(w_cum)
+                )
+            ),
+        )
+    )
+    return at_risk.select(
+        "day",
+        "n_at_risk",
+        "d_churned",
+        "c_censored",
+        F.round(
+            F.col("d_churned").cast("double") / F.col("n_at_risk").cast("double"),
+            9,
+        ).alias("hazard"),
+        F.round(F.col("survival"), 6).alias("km_survival"),
+    ).orderBy("day")
+
+
+USER_LIFETIME_KM_ORACLE = """
+WITH horizon AS (SELECT MAX(epoch_us(ts)) AS _end FROM events),
+spans AS (
+  SELECT (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 86400000000 AS day,
+         CASE WHEN (h._end - MAX(epoch_us(ts))) // 86400000000 >= 7
+              THEN 1 ELSE 0 END AS ev
+  FROM events, horizon h
+  GROUP BY user_id, h._end
+),
+buckets AS (
+  SELECT day, SUM(ev) AS d_churned, SUM(1 - ev) AS c_censored
+  FROM spans GROUP BY 1
+),
+total AS (SELECT COUNT(*) AS total FROM spans),
+at_risk AS (
+  SELECT b.day, b.d_churned, b.c_censored,
+         t.total - COALESCE(SUM(b.d_churned + b.c_censored) OVER (
+           ORDER BY b.day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS n_at_risk
+  FROM buckets b, total t
+),
+f AS (
+  SELECT *,
+         1.0 - CAST(d_churned AS DOUBLE) / CAST(n_at_risk AS DOUBLE)
+           AS factor,
+         MAX(CASE WHEN 1.0 - CAST(d_churned AS DOUBLE)
+                       / CAST(n_at_risk AS DOUBLE) <= 0
+                  THEN 1 ELSE 0 END) OVER (
+           ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS hit_zero
+  FROM at_risk
+)
+SELECT day, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(d_churned AS BIGINT) AS d_churned,
+       CAST(c_censored AS BIGINT) AS c_censored,
+       round(CAST(d_churned AS DOUBLE) / CAST(n_at_risk AS DOUBLE), 9)
+         AS hazard,
+       round(CASE WHEN hit_zero = 1 THEN 0.0
+                  ELSE exp(SUM(CASE WHEN factor > 0 THEN ln(factor) END)
+                           OVER (ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW))
+                  END, 6) AS km_survival
+FROM f ORDER BY day
+"""
+
+
 QUERIES = {
+    "user_lifetime_km_curve": user_lifetime_km_curve,
     "purchase_regularity_bands": purchase_regularity_bands,
     "first_vs_later_sessions": first_vs_later_sessions,
     "error_budget_burn_daily": error_budget_burn_daily,
@@ -798,6 +927,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "user_lifetime_km_curve": USER_LIFETIME_KM_ORACLE,
     "purchase_regularity_bands": PURCHASE_REGULARITY_ORACLE,
     "first_vs_later_sessions": FIRST_VS_LATER_ORACLE,
     "error_budget_burn_daily": ERROR_BUDGET_BURN_ORACLE,

@@ -36,6 +36,10 @@ EXEMPT_BOUNDED_WINDOW = {
     # the calendar span at ANY corpus size (the order_backlog_daily
     # class)
     "error_budget_burn_daily",
+    # KM risk-set/survival cumsum over the DAY-grain bucket
+    # aggregate: rows <= calendar span at ANY corpus size (the
+    # order_survival_curve class)
+    "user_lifetime_km_curve",
 }
 
 
