@@ -19,6 +19,8 @@ from rakam_api_spark.session import get_spark
 
 SHOW = {
     # round-13 additions (batch 2)
+    "dup_cluster_lang_purity": "memoized pair graph -> components; ONE lang join; cluster-grain distinct-lang counts; tiny histogram",
+    "user_lifetime_km_curve": "ONE user-grain min/max aggregate builds spans (no event-row window); KM windows over calendar-bounded day buckets (exempt class)",
     "purchase_regularity_bands": "purchase filter pushes to the scan; ONE user-keyed lag exchange; user-grain exact integer moments (g^2 through DECIMAL to dodge int64 overflow); enum band rollup",
     "enrich_channel_value": "ReferrerMapper parse is row-local codegen; one enum-sized channel aggregate; DECIMAL value",
     "supplier_share_trend_movers": "fact -> (supplier, quarter) cells in one aggregate; quarter totals broadcast back; supplier-grain OLS rollup; global top-k via TakeOrderedAndProject",

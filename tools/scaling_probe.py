@@ -35,6 +35,8 @@ OPERATORS = [
     "purchase_regularity_bands",
     "enrich_channel_value",
     "supplier_share_trend_movers",
+    "dup_cluster_lang_purity",
+    "user_lifetime_km_curve",
     "session_handoff_matrix",
     "session_value_by_duration_band",
     "user_dominant_type_share",
