@@ -53,105 +53,118 @@ _MODULES = (
 )
 
 # The driver's correctness gate checks at most 50 queries per round, in
-# enumeration order.  With 300+ declared queries, plain module order
+# enumeration order.  With 330+ declared queries, plain module order
 # would starve the tail modules of a driver-verified CORRECTNESS row
-# forever.  Round-13 rotation (VERDICT r12 Next #1): (a) the 26
-# round-12 additions past round 12's 50-slot boundary lead; (b) the
-# cohort last driver-checked in round 8 (staler than the r9 cohort
-# the verdict names — 26 queries whose last CORRECTNESS row is r8);
-# slots 51+ queue for round 14: the r8 remainder, then the r9-stale
-# cohort.  Everything listed passes tools/check_correctness.py
-# locally at sf0.01 and sf0.001.
+# forever.  Round-14 rotation (VERDICT r13 Next #1, histogram recomputed
+# from CORRECTNESS_r01..r13 keys: r6=28, r7=41, r8=2, r9=33 stale):
+# (a) the 29 round-13 additions the driver has NEVER checked lead;
+# (b) slots 30-50 take 21 of the 28 queries last driver-checked in
+# ROUND 6 (the stalest cohort).  Slots 51+ queue for round 15: the r6
+# remainder (7), then the r7 cohort (41).  Everything listed passes
+# tools/check_correctness.py locally at sf0.01 and sf0.001.
 _GATE_PRIORITY = (
-    # (a) round-12 batch 2 (never driver-checked; VERDICT r12 Next #1)
-    "dimension_discriminability",
-    "event_type_daily_share_volatility",
-    "night_owl_vs_early_bird",
-    "repeat_customer_value_uplift",
-    "discount_tax_margin_grid",
-    "source_lang_mix",
-    "embedding_quantization_sensitivity",
-    "value_by_event_ordinal",
-    "top_value_sessions",
-    "customer_balance_vs_spend_quadrant",
-    "lang_id_prf",
-    "tokenizer_fertility_by_lang",
-    "embedding_exact_dup_groups",
-    "session_conversion_by_depth",
-    "order_value_zscore_outliers",
-    "part_brand_price_dispersion",
-    "monthly_revenue_seasonality_strength",
-    "quantity_uniformity_chi2",
-    "order_value_percentiles_by_segment",
-    "supplier_dependency_risk",
-    "brand_cross_region_price_gap",
-    "error_recovery_time",
-    "price_trend_slope_by_type",
-    "cohort_value_retention",
-    "length_quality_correlation",
-    "doc_boilerplate_ngram_share",
-    # (b) last driver-checked in round 8 (slots 27-50; the final two
-    #     fall past the boundary and lead round 14)
-    "dedup_precision_audit",
-    "ann_filtered_ivf_indexed",
-    "ann_recall_audit",
-    "session_bounce_rate",
-    "event_cooccurrence_pmi",
-    "user_activity_entropy",
-    "doc_length_histogram",
-    "enrich_pipeline_full",
-    "enrich_referrer",
-    "enrich_timestamp_skew",
-    "session_window_stats",
-    "tumbling_window_counts",
-    "ship_latency_quartiles",
-    "metric_correlation_matrix",
-    "weekly_seasonality_autocorr",
-    "media_phash_dedup",
-    "ann_brute_force_topk",
-    "ann_filtered_topk",
-    "ann_ivf_topk",
-    "ann_kmeans_ivf_topk",
-    "ann_pq_topk",
-    "lexical_rarity",
-    "source_signature_terms",
-    "dedup_incremental_batch",
-    "semantic_contamination",
-    "hybrid_search",
-    # (c) last driver-checked in round 9 (queued for round 14)
-    "nation_trade_balance",
-    "ivf_cell_balance",
-    "order_priority_drift",
-    "supplier_hhi",
-    "dedup_cluster_size_histogram",
-    "order_gap_stats",
-    "running_revenue_share",
-    "attribution_position_based",
-    "event_burstiness",
-    "session_depth_distribution",
-    "label_centroid_similarity",
-    "embedding_label_outliers",
-    "zipf_slope_by_source",
-    "dedup_savings_by_source",
-    "doc_prefix_duplication",
-    "customer_order_streaks",
-    "supplier_late_streaks",
-    "discount_elasticity_by_priority",
-    "benford_price_audit",
-    "order_survival_curve",
-    "part_price_index_quarterly",
-    "embedding_norm_audit",
-    "orders_seasonality_index",
-    "q7_nation_volume",
-    "dedup_clusters",
-    "contamination_check",
-    "corpus_top_ngrams",
-    "curation_funnel",
-    "daily_new_vs_returning",
-    "data_quality_audit",
-    "doc_chunking",
-    "doc_typicality",
-    "embedding_cluster_profile",
+    # (a) round-13 additions, never driver-checked (29)
+    "conversion_latency_weekly",
+    "dedup_survivor_selection",
+    "doc_length_anova_by_lang",
+    "dup_cluster_lang_purity",
+    "dup_quality_gap",
+    "embedding_dim_correlation_pairs",
+    "enrich_channel_value",
+    "error_budget_burn_daily",
+    "first_vs_later_sessions",
+    "hourly_error_pchart",
+    "knn_purity_at_k",
+    "lang_profile_confusion",
+    "packing_efficiency_curve",
+    "part_name_term_premium",
+    "pq_code_balance",
+    "price_interaction_type_size",
+    "purchase_regularity_bands",
+    "quarter_end_loading",
+    "reactivated_order_value_gap",
+    "session_handoff_matrix",
+    "session_value_by_duration_band",
+    "source_unigram_jsd",
+    "supplier_portfolio_diversity",
+    "supplier_share_trend_movers",
+    "user_dominant_type_share",
+    "user_lifetime_km_curve",
+    "value_by_line_position",
+    "vector_margin_histogram",
+    "window_topk_types",
+    # (b) last driver-checked in ROUND 6 (slots 30-50; 21 of 28)
+    "dataset_splits",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprints",
+    "embedding_cosine_dedup",
+    "funnel_unordered",
+    "key_skew_report",
+    "lang_id",
+    "market_basket_part_types",
+    "multimodal_byte_stats",
+    "order_backlog_daily",
+    "part_type_margin",
+    "priority_sample",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "quantile_rollup_sketch",
+    "revenue_pareto_top100",
+    "rollup_reuse_monthly",
+    # (c) queued for round 15: the r6 remainder (7) ...
+    "session_entry_exit",
+    "sparse_tfidf_pairs",
+    "text_quality",
+    "theta_segment_setops",
+    "token_counts",
+    "top_customers",
+    "training_shuffle",
+    # ... then the r7-stale cohort (41)
+    "ab_test_lift",
+    "ann_filtered_ivf_topk",
+    "attribution_time_decay",
+    "big_ticket_orders",
+    "cheapest_order_per_customer_sql",
+    "cohort_ltv",
+    "customer_order_stats",
+    "customers_no_recent_orders",
+    "daily_anomaly_zscore",
+    "daily_value_moving_avg",
+    "dau",
+    "dup_span_extents",
+    "engaged_user_days_setops",
+    "enrich_geoip",
+    "enrich_useragent",
+    "event_type_hourly_share",
+    "funnel_signup_click_purchase",
+    "funnel_step_latency",
+    "funnel_windowed_24h",
+    "inter_event_time_quantiles",
+    "late_sole_supplier",
+    "media_resize_stats",
+    "order_rank_in_customer",
+    "orders_cube",
+    "orders_rollup",
+    "part_value_concentration",
+    "props_variant_stats",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "retention_cohorts",
+    "revenue_grouping_sets_sql",
+    "seg_daily_event_counts",
+    "sessionization_stats",
+    "source_vocab_overlap",
+    "span_dedup_savings",
+    "time_to_convert",
+    "top_event_paths",
+    "top_event_values",
+    "user_metric_correlation",
+    "user_profile_snapshot",
+    "value_percentiles",
 )
 
 
