@@ -674,7 +674,7 @@ def peak_concurrent_sessions_daily(
         )
     if bucketed:
         binst = inst.withColumn(
-            "bucket", (F.col("at") / F.lit(_PEAK_BUCKET_NS)).cast("long")
+            "bucket", F.expr(f"at div {_PEAK_BUCKET_NS}")
         )
         # carry entering each bucket = running net over PRIOR buckets
         # of the same day (≤ 1440 rows per day — a tiny sort)

@@ -422,7 +422,7 @@ def conversion_latency_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     month (bounded by distinct day-gaps, never user rows), and a
     conditional-min rollup."""
     ev = _events(spark, sf_dir)
-    us = (F.col("ts_ns") / F.lit(1000)).cast("long")
+    us = F.expr("ts_ns div 1000")
     first_signup = (
         ev.where(F.col("event_type") == "signup")
         .select("user_id", us.alias("_us"))
@@ -684,7 +684,7 @@ def purchase_regularity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: purchases filter pushes to the scan; one user-keyed window
     exchange; user-grain moments; enum-sized band rollup."""
     ev = _events(spark, sf_dir)
-    us = (F.col("ts_ns") / F.lit(1000)).cast("long")
+    us = F.expr("ts_ns div 1000")
     purch = ev.where(F.col("event_type") == "purchase").select(
         "user_id", us.alias("_us"), "event_id"
     )

@@ -155,8 +155,15 @@ class TxnTableStreamReader(DataSourceStreamReader):
                 if self.cdf:
                     _slices(rec.get("remove"), "delete")
                 # non-CDF: retention-only, transparent
+            elif op in ("compact", "rebloom", "set_constraint", "drop_constraint"):
+                continue  # content-preserving: no rows change either mode
             else:
-                continue  # compact/rebloom/metadata: content-preserving
+                # fail-fast: an unrecognized op may change data — silently
+                # skipping it would drop rows from the stream
+                raise ValueError(
+                    f"txn version {v} has unrecognized op {op!r}; refusing "
+                    "to skip a potentially data-changing commit"
+                )
         return out or [
             _TxnFileSlice(path="", data_cols=tuple(self._data_cols), partition=())
         ]

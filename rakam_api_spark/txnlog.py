@@ -1293,7 +1293,18 @@ class TxnTable:
             [(p, v, c) for p, v, c in tagged],
             "_cdf_file string, _commit_version long, _change_type string",
         )
-        fname = F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
+        # input_file_name() is a percent-encoded URI (space -> %20,
+        # %% -> %25; literal '+' stays '+').  Protect '+' (URLDecoder
+        # would turn it into a space), then percent-decode, so paths
+        # with spaces / non-ASCII partition values still match the
+        # driver-side tagged filesystem paths.
+        fname = F.url_decode(
+            F.regexp_replace(
+                F.regexp_replace(F.input_file_name(), r"\+", "%2B"),
+                "^file:(//)?",
+                "",
+            )
+        )
         return (
             data.withColumn("_cdf_file", fname)
             .join(F.broadcast(fmap), "_cdf_file")

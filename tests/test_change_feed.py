@@ -144,3 +144,21 @@ def test_incremental_derived_table_via_feed(spark, table):
     # derived state equals the snapshot after every increment
     snap = {r["k"]: r["v"] for r in table.read(version=v).collect()}
     assert state == snap == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+
+def test_changes_survives_uri_encoded_paths(spark, tmp_path):
+    """input_file_name() returns a percent-encoded URI; partition
+    values with spaces / '%' / '+' must still match the driver-side
+    tagged paths (the attribution join would silently drop the rows
+    otherwise)."""
+    table = TxnTable(spark, str(tmp_path / "cdf enc"))  # space in table dir
+    df = spark.createDataFrame(
+        [(1, "north west"), (2, "a%b"), (3, "c+d")], "k long, region string"
+    )
+    table.append(df, partition_col="region")
+    feed = table.changes(0).collect()
+    assert sorted((r["k"], r["region"], r["_change_type"]) for r in feed) == [
+        (1, "north west", "insert"),
+        (2, "a%b", "insert"),
+        (3, "c+d", "insert"),
+    ]

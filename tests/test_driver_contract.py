@@ -2,9 +2,10 @@
 every query has an oracle (or is knowingly oracle-less), and the two
 dicts enumerate identically."""
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
 
