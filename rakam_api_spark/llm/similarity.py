@@ -43,6 +43,24 @@ def _quantized_components(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
     )
 
 
+def _quantized_components_labeled(df: DataFrame) -> DataFrame:
+    """(vec_id, label, pos, q) — :func:`_quantized_components` with the
+    label carried through the posexplode.  Deriving the label in the
+    same projection avoids a corpus-grain join entirely: a
+    ``broadcast(emb.select('vec_id','label'))`` is one row per corpus
+    vector, a guaranteed broadcast-OOM at 100 TB."""
+    return df.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.round(F.col("v").cast("double") * QUANT, 0).cast("long").alias("q"),
+    )
+
+
 def _norms(comp: DataFrame, id_col: str) -> DataFrame:
     return comp.groupBy(id_col).agg(F.sum(F.col("q") * F.col("q")).alias("norm2"))
 
@@ -205,13 +223,13 @@ def ivf_topk(
     recall is governed by nprobe.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    comp = _quantized_components(emb)
-    labels = emb.select("vec_id", "label")
-    # centroid components per cell: mean of quantized comps, re-quantized
-    cents = (
-        comp.join(broadcast(labels), "vec_id")
-        .groupBy("label", "pos")
-        .agg(F.floor(F.avg("q")).cast("long").alias("cq"))
+    compl = _quantized_components_labeled(emb)
+    comp = compl.drop("label")
+    # centroid components per cell: mean of quantized comps, re-quantized.
+    # label rides the posexplode — no corpus-grain label join (a
+    # broadcast of a one-row-per-vector frame cannot scale).
+    cents = compl.groupBy("label", "pos").agg(
+        F.floor(F.avg("q")).cast("long").alias("cq")
     )
     qcomp = comp.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), "pos", F.col("q").alias("qq")
@@ -234,7 +252,7 @@ def ivf_topk(
     wq = Window.partitionBy("q_id").orderBy(F.desc("csim"), F.asc("label"))
     probes = qsim.withColumn("rn", F.row_number().over(wq)).where(F.col("rn") <= nprobe).select("q_id", "label")
     # score only members of probed cells
-    m = comp.join(labels, "vec_id").alias("m")
+    m = compl.alias("m")
     p = probes.alias("p")
     q = qcomp.alias("q")
     dots = (
@@ -3313,7 +3331,8 @@ def knn_purity_at_k(
     corpus means and ``knn_label_propagation``'s vote).
 
     Plan: rides :func:`brute_force_topk` (the exact integer-quantized
-    cosine kernel) and adds two broadcast label joins + one
+    cosine kernel); the bounded top-k frame (n_queries*k rows) is
+    broadcast against the streaming corpus label scan, then one
     query-grain aggregate; purity is one double division of exact
     counts."""
     top = brute_force_topk(spark, sf_dir, k=k, n_queries=n_queries)
@@ -3326,7 +3345,14 @@ def knn_purity_at_k(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("n_label"),
     )
-    j = top.join(broadcast(qlab), "q_id").join(broadcast(nlab), "neighbor_id")
+    # top is bounded (n_queries * k rows) — broadcast THAT side and let
+    # the corpus-grain label frames stream past it; broadcasting qlab /
+    # nlab (one row per corpus vector) would OOM at scale.  The second
+    # join carries no hint: its small side is derived, so AQE's runtime
+    # size check picks the build side (the intra_inter_label_affinity
+    # convention).
+    step1 = qlab.join(broadcast(top), "q_id")
+    j = step1.join(nlab, "neighbor_id")
     return (
         j.groupBy("q_id", "q_label")
         .agg(
@@ -3387,12 +3413,10 @@ def vector_margin_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows), one (vec,label)-grain aggregate → corpus×|labels| rows →
     a two-row-per-vector rank filter → enum-sized histogram."""
     emb = load_table(spark, sf_dir, "embeddings")
-    comp = _quantized_components(emb)
-    labels = emb.select("vec_id", "label")
-    cents = (
-        comp.join(broadcast(labels), "vec_id")
-        .groupBy("label", "pos")
-        .agg(F.floor(F.avg("q")).cast("long").alias("cq"))
+    compl = _quantized_components_labeled(emb)
+    comp = compl.drop("label")
+    cents = compl.groupBy("label", "pos").agg(
+        F.floor(F.avg("q")).cast("long").alias("cq")
     )
     diff = F.col("q") - F.col("cq")
     d2 = (
