@@ -12,6 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from rakam_api_spark.analytics import cdf_queries as _cdf
 from rakam_api_spark.analytics import enrichment_queries as _enrich
 from rakam_api_spark.analytics import events as _events
 from rakam_api_spark.analytics import events2 as _events2
@@ -42,6 +43,7 @@ _MODULES = (
     _events3,
     _events4,
     _enrich,
+    _cdf,
     _windows,
     _dedup,
     _dedup_index,

@@ -88,6 +88,17 @@ _WRITE_NODES = frozenset(
     }
 )
 
+# Delta-style change-feed TVF: ``table_changes('collection', start
+# [, end])`` — rewritten BEFORE analysis into a registered view over
+# ``TxnTable.changes``.  Both version arguments are INCLUSIVE commit
+# numbers (the Delta convention real users know); the underlying
+# ``changes()`` API is (from, to]-exclusive, so ``start`` maps to
+# ``start - 1``.
+_TABLE_CHANGES_RE = re.compile(
+    r"table_changes\(\s*'([A-Za-z0-9_]+)'\s*,\s*(\d+)\s*(?:,\s*(\d+))?\s*\)",
+    re.IGNORECASE,
+)
+
 # First identifier on a treeString line, after the tree-drawing
 # margin ("  :  +- '") — node NAMES sit there; literal values that
 # merely CONTAIN a node name render later on the line, inside the
@@ -749,6 +760,50 @@ class QueryService:
 
     # -- execution --------------------------------------------------------
 
+    def _rewrite_table_changes(
+        self, project: str, sql: str
+    ) -> tuple[str, dict[str, DataFrame]]:
+        """Resolve ``table_changes('coll', start[, end])`` calls into
+        temp-view references over :meth:`EventStore.changes` — the SQL
+        surface of the change-data feed (Delta's ``table_changes``
+        TVF; the engine-side feed is ``TxnTable.changes``,
+        txnlog.py).  Version arguments are INCLUSIVE commit numbers.
+        Returns the rewritten statement plus the views to register;
+        raises ``ValueError`` for non-txn collections or an
+        inverted/zero version range (surfaced as a QueryError by
+        ``execute``).  Matches inside string literals / quoted
+        identifiers are left untouched."""
+        matches = [
+            m
+            for m in _TABLE_CHANGES_RE.finditer(sql)
+            if not any(
+                a <= m.start() < b
+                for a, b in (q.span() for q in _QUOTED_RE.finditer(sql))
+            )
+        ]
+        if not matches:
+            return sql, {}
+        extra: dict[str, DataFrame] = {}
+        out, cursor = [], 0
+        for m in matches:
+            coll, v1 = m.group(1), int(m.group(2))
+            v2 = int(m.group(3)) if m.group(3) is not None else None
+            if v1 < 1 or (v2 is not None and v2 < v1):
+                raise ValueError(
+                    f"table_changes('{coll}', {v1}"
+                    + (f", {v2}" if v2 is not None else "")
+                    + "): need 1 <= start <= end (inclusive commit versions)"
+                )
+            name = f"__changes_{coll}_{v1}_{'head' if v2 is None else v2}"
+            if name not in extra:
+                # store.changes validates txn mode and version bounds
+                extra[name] = self.store.changes(project, coll, v1 - 1, v2)
+            out.append(sql[cursor : m.start()])
+            out.append(name)
+            cursor = m.end()
+        out.append(sql[cursor:])
+        return "".join(out), extra
+
     def _analyze(
         self,
         project: str,
@@ -766,9 +821,11 @@ class QueryService:
         concurrency-1 defect).  The lock still guarantees two
         projects sharing a collection name never see each other's
         views mid-analysis."""
+        sql, cdf_views = self._rewrite_table_changes(project, sql)
         prune = self._equality_pruning(project, sql)
         with self._lock:
             views = self._project_views(project, as_of, prune, prune_stats)
+            views.update(cdf_views)
             try:
                 for name, df in views.items():
                     df.createOrReplaceTempView(name)
@@ -776,6 +833,23 @@ class QueryService:
             finally:
                 for name in views:
                     self.spark.catalog.dropTempView(name)
+
+    def dataframe(
+        self,
+        project: str,
+        sql: str,
+        as_of: dict[str, int] | None = None,
+    ) -> DataFrame:
+        """Gate + analyze a read statement and return the UNCOLLECTED
+        DataFrame — the embedding API for callers that want Spark's
+        distributed execution (joins against other frames, writes via
+        the export paths) instead of the driver-materialized
+        :class:`QueryResult` envelope.  Raises ``ValueError`` on gate
+        or validation failure (the envelope form is :meth:`execute`)."""
+        err = self._gate(sql) or self._validate_as_of(project, as_of)
+        if err is not None:
+            raise ValueError(err.message)
+        return self._analyze(project, sql, as_of)
 
     def _dep_signature(self, project: str) -> tuple:
         """Freshness signature of everything the project's views can

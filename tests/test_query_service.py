@@ -1252,3 +1252,65 @@ def test_external_tz_adjusted_parquet_prunes_safely(spark, warehouse, tmp_path):
         assert res_b.result == plain_b.result
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+# --- table_changes TVF: the change feed in the SQL surface --------------
+
+
+def _cdf_service(spark, warehouse):
+    ms = Metastore(warehouse)
+    collector = EventCollector(
+        spark, ms, pipeline=EnrichmentPipeline([TimestampMapper()])
+    )
+    store = collector.store
+    for i in range(6):
+        collector.collect(
+            "proj", "ev", {"uid": f"u{i}", "x": i, "_time": "2024-01-05 09:00:00"}
+        )
+    store.enable_txn("proj", "ev")          # v1: migration commit
+    for i in range(6, 9):
+        collector.collect(                  # v2, v3, v4: one append each
+            "proj", "ev", {"uid": f"u{i}", "x": i, "_time": "2024-02-05 09:00:00"}
+        )
+    return QueryService(spark, store)
+
+
+def test_table_changes_tvf_reads_feed(spark, warehouse):
+    svc = _cdf_service(spark, warehouse)
+    res = svc.execute(
+        "proj",
+        "SELECT _commit_version, _change_type, COUNT(*) AS n, SUM(x) AS sx "
+        "FROM table_changes('ev', 2, 3) "
+        "GROUP BY 1, 2 ORDER BY 1",
+    )
+    assert res.error is None, res.error
+    assert res.result == [[2, "insert", 1, 6], [3, "insert", 1, 7]]
+    # open end: everything since (inclusive) v4
+    res2 = svc.execute(
+        "proj", "SELECT x FROM table_changes('ev', 4) ORDER BY x"
+    )
+    assert res2.error is None and [r[0] for r in res2.result] == [8]
+    # joins against regular views work in the same statement
+    res3 = svc.execute(
+        "proj",
+        "SELECT COUNT(*) AS n FROM table_changes('ev', 1, 4) c "
+        "JOIN ev e ON c.uid = e.uid",
+    )
+    assert res3.error is None and res3.result == [[9]]
+
+
+def test_table_changes_tvf_validation(spark, warehouse):
+    svc = _cdf_service(spark, warehouse)
+    # inverted range -> QueryError envelope, not an exception
+    res = svc.execute("proj", "SELECT * FROM table_changes('ev', 3, 2)")
+    assert res.error is not None and "start <= end" in res.error.message
+    # start must be >= 1 (inclusive commit numbers)
+    res = svc.execute("proj", "SELECT * FROM table_changes('ev', 0, 2)")
+    assert res.error is not None
+    # non-txn collections have no commit history to diff
+    svcp = svc  # same project also has no such collection at all
+    res = svcp.execute("proj", "SELECT * FROM table_changes('nope', 1)")
+    assert res.error is not None
+    # a literal mentioning the TVF is NOT rewritten
+    res = svc.execute("proj", "SELECT 'table_changes(''ev'', 1)' AS s")
+    assert res.error is None and res.result == [["table_changes('ev', 1)"]]
