@@ -173,11 +173,24 @@ def _corpus_pairs_memo(spark: SparkSession, sf_dir: str, threshold: float):
     return per, (sf_dir, float(threshold))
 
 
+#: exact-baseline skew guard: a shingle shared by k documents emits
+#: k(k-1)/2 intersection rows in the equality self-join, so one
+#: degenerate shingle (boilerplate, empty-ish text) can go quadratic.
+#: Past this per-shingle document frequency the exact path REFUSES
+#: loudly and points at the LSH+verify route (banded buckets with a
+#: star fallback, the production path) instead of silently running a
+#: k² join.  10k docs sharing a shingle = 50M pair rows for that one
+#: shingle — the order where the exact baseline stops being the
+#: right tool at any cluster size.
+_HOT_SHINGLE_DF_CAP = 10_000
+
+
 def ngram_jaccard_pairs(
     spark: SparkSession,
     sf_dir: str,
     threshold: float = 0.6,
     docs: DataFrame | None = None,
+    df_cap: int | None = _HOT_SHINGLE_DF_CAP,
 ) -> DataFrame:
     """All doc pairs with word-3-gram Jaccard ≥ threshold.
 
@@ -186,7 +199,9 @@ def ngram_jaccard_pairs(
     bit-identical across engines).
 
     ``docs`` overrides the corpus (the audit passes its enforced
-    sample); the default is the full documents table.
+    sample); the default is the full documents table.  ``df_cap``
+    bounds the hottest shingle's document frequency (see
+    ``_HOT_SHINGLE_DF_CAP``); ``None`` disables the guard.
     """
     if docs is None:
         per, key = _corpus_pairs_memo(spark, sf_dir, threshold)
@@ -197,6 +212,24 @@ def ngram_jaccard_pairs(
         per, key = None, None
         sh = word_shingles(docs).cache()
         sh.count()  # deterministic single materialization (minhash note)
+    if df_cap is not None:
+        # one aggregate over the (cached) shingle frame; on the memoized
+        # corpus path this runs once per session.  Fail loudly BEFORE
+        # the join, never quadratically inside it.
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(F.max("df").alias("max_df"))
+            .first()
+        )
+        if hot is not None and (hot["max_df"] or 0) > df_cap:
+            raise ValueError(
+                f"ngram_jaccard_pairs: hottest shingle appears in "
+                f"{hot['max_df']} documents (> df_cap={df_cap}); the exact "
+                "self-join would emit ~df^2/2 rows for it — use "
+                "minhash_lsh_pairs (banded LSH + verify) for this corpus, "
+                "or raise df_cap explicitly"
+            )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -124,3 +124,24 @@ def test_threshold_curve_sample_cap_enforced(spark, skew_dir):
     assert all(r["n_docs_in_pairs"] <= 500 for r in full)
     with pytest.raises(ValueError):
         dedup_threshold_curve(spark, skew_dir, max_docs=0)
+
+
+def test_exact_baseline_hot_shingle_guard(spark):
+    """The exact n-gram Jaccard baseline refuses LOUDLY (before the
+    self-join) when one shingle's document frequency exceeds df_cap —
+    a degenerate boilerplate shingle shared by k docs would otherwise
+    emit k(k-1)/2 join rows."""
+    from rakam_api_spark.llm.dedup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved worldwide"
+    docs = spark.createDataFrame(
+        [(i, f"{boiler} unique tail {i} content {i * 7}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="df_cap"):
+        ngram_jaccard_pairs(spark, sf_dir="", docs=docs, df_cap=16)
+    # same corpus, cap not breached: runs and stays exact
+    out = ngram_jaccard_pairs(spark, sf_dir="", docs=docs, df_cap=64)
+    assert out.count() >= 0
+    # disabling the guard also runs (the escape hatch is explicit)
+    assert ngram_jaccard_pairs(spark, sf_dir="", docs=docs, df_cap=None) is not None
