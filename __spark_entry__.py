@@ -32,6 +32,8 @@ from rakam_api_spark.llm import multimodal as _multimodal
 from rakam_api_spark.llm import search as _search
 from rakam_api_spark.llm import similarity as _similarity
 from rakam_api_spark.llm import text as _text
+from rakam_api_spark.llm import text2 as _text2
+from rakam_api_spark.llm import vectors as _vectors
 from rakam_api_spark.streaming import windows as _windows
 
 _MODULES = (
@@ -53,6 +55,8 @@ _MODULES = (
     _dedup_index,
     _similarity,
     _text,
+    _text2,
+    _vectors,
     _curation,
     _multimodal,
     _search,
