@@ -265,6 +265,17 @@ class QueryService:
                 views["users"] = self.users.table(project)
             except FileNotFoundError:
                 pass
+        # materialized views (matview.py): queryable as
+        # materialized_<name> — precomputed tables, metadata-only to
+        # register like every other view
+        from .matview import MaterializedViewService
+
+        mv = MaterializedViewService(self.spark, self.store)
+        for name in mv.list(project):
+            try:
+                views[f"materialized_{name}"] = mv.table(project, name)
+            except ValueError:
+                continue  # created-but-not-yet-materialized
         return views
 
     _REL_RE = re.compile(r"'UnresolvedRelation \[([^\]]+)\]")
@@ -875,6 +886,15 @@ class QueryService:
                 sig.append((coll, "dir", path, st.st_mtime_ns))
             except OSError:
                 sig.append((coll, "missing"))
+        # materialized views refresh out-of-band: their txn versions
+        # join the signature so a refresh invalidates cached queries
+        from .matview import MaterializedViewService
+
+        mv = MaterializedViewService(self.spark, self.store)
+        for name in mv.list(project):
+            sig.append(
+                (f"materialized_{name}", "txn", mv._table(project, name).version())
+            )
         return tuple(sig)
 
     def _cache_get(self, key: tuple, project: str) -> QueryResult | None:

@@ -1626,6 +1626,60 @@ class TxnTable:
                 ).cast("long")
         return z
 
+    def replace(
+        self,
+        df: DataFrame,
+        partition_col: str | None = None,
+        max_retries: int = 5,
+    ) -> int:
+        """Atomic full overwrite (CREATE OR REPLACE the content):
+        stage the new frame, then ONE ``merge`` commit whose remove
+        set is the entire current snapshot — readers flip from old to
+        new content at a single version, and the change feed reports
+        the swap as ``merge_preimage``/``merge_upsert`` rows (exactly
+        how Delta's CDF renders an overwrite).  The materialized-view
+        full refresh rides this; optimistic like :meth:`merge` — a
+        concurrent rewrite invalidating the remove set retries from
+        the fresh snapshot."""
+        incoming = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+        self._merge_incoming(incoming)
+        # same layout guard as merge(): a partitioned table's pre- and
+        # post-image files must share one layout or the change feed's
+        # single mixed scan cannot attribute the swap
+        live_parts = {
+            c
+            for e in self.state().values()
+            for c in (e.get("partition") or {})
+        }
+        if live_parts and partition_col is None:
+            raise ValueError(
+                f"replace: table is partitioned by {sorted(live_parts)}; "
+                "pass partition_col so the new content keeps the layout"
+            )
+        validated = self.constraints()
+        self._check_constraints(df)
+        tag = _uuid.uuid4().hex[:12]
+        staging = os.path.join(self.path, _STAGING_DIR, tag)
+        writer = df.write.mode("overwrite")
+        if partition_col:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(staging)
+        add = self._publish_staging(tag)
+        for attempt in range(max_retries + 1):
+            snapshot = sorted(self.state().keys())
+            try:
+                return self.commit(
+                    add=add,
+                    remove=snapshot,
+                    op="merge",
+                    schema_incoming=incoming,
+                    expect_constraints=validated,
+                )
+            except CommitConflict:
+                if attempt == max_retries:
+                    raise
+        raise AssertionError("unreachable")
+
     def compact(
         self,
         partition_col: str | None = None,
@@ -1733,6 +1787,20 @@ class TxnTable:
         from pyspark.sql import functions as F
 
         self._merged_schema(updates)  # same write-time type gate as append
+        # fail closed on a layout mismatch: rewriting a PARTITIONED
+        # table without partition_col would publish the rewritten rows
+        # into the unpartitioned root while removing their old files —
+        # silent row loss, not an error, without this guard
+        live_parts = {
+            c
+            for e in self.state().values()
+            for c in (e.get("partition") or {})
+        }
+        if live_parts and partition_col is None:
+            raise ValueError(
+                f"merge: table is partitioned by {sorted(live_parts)}; "
+                "pass partition_col so rewritten files keep the layout"
+            )
         validated_constraints = self.constraints()
         self._check_constraints(updates)
         updates = updates.cache()

@@ -37,7 +37,7 @@ def test_check_constraints_gate_appends_and_merges(spark, tmp_path):
         [(0, -5.0, "2024-01")], "x long, amount double, _month string"
     )
     with pytest.raises(ConstraintViolation):
-        t.merge(bad, key="x")
+        t.merge(bad, key="x", partition_col="_month")
     # registration validates EXISTING data: can't add a constraint the
     # table already violates
     with pytest.raises(ConstraintViolation, match="existing rows"):
