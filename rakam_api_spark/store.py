@@ -1178,6 +1178,29 @@ class EventStore:
                         item["verified_to"] = verified_to
                     plan.append(item)
         plan.extend(self._index_plan(project, max_index_fragments))
+        # materialized views behind their bases refresh like rollups:
+        # staleness is a commit-log metadata read (matview.py), so the
+        # planner never touches view or base data
+        from .matview import MaterializedViewService
+
+        mv = MaterializedViewService(self.spark, self)
+        for name in mv.list(project):
+            behind = {
+                c: d for c, d in mv.staleness(project, name).items() if d > 0
+            }
+            if behind:
+                plan.append(
+                    {
+                        "collection": f"materialized_{name}",
+                        "action": "matview_refresh",
+                        "view": name,
+                        "months": [],
+                        "reason": "base advanced: "
+                        + ", ".join(
+                            f"{c} +{d} commits" for c, d in sorted(behind.items())
+                        ),
+                    }
+                )
         return plan
 
     # --- derived-index maintenance (auto-indexer over the LLM indexes) --
@@ -1347,6 +1370,13 @@ class EventStore:
                     else:
                         frags = im.compact(self.spark, imeta["kind"], imeta["path"])
                         item["outcome"] = f"{frags} fragments after compaction"
+            elif item["action"] == "matview_refresh":
+                from .matview import MaterializedViewService
+
+                res = MaterializedViewService(self.spark, self).refresh(
+                    project, item["view"]
+                )
+                item["outcome"] = f"refreshed ({res['mode']})"
         return plan
 
     def expire_months(self, project: str, collection: str, before_month: str) -> list[str]:

@@ -156,3 +156,27 @@ def test_replace_is_atomic_and_cdf_visible(spark, env):
         r["_change_type"] for r in txn.changes(v0, v0 + 1).collect()
     }
     assert types == {"merge_upsert", "merge_preimage"}
+
+
+def test_maintenance_planner_schedules_matview_refresh(spark, env):
+    collector, store, mv = env
+    mv.create("proj", "evens", VIEW_SQL)
+    # fresh view: nothing planned for it
+    plan0 = [
+        p for p in store.maintenance_plan("proj")
+        if p["action"] == "matview_refresh"
+    ]
+    assert plan0 == []
+    collector.collect(
+        "proj", "ev", {"uid": "u50", "x": 50, "_time": "2024-03-05 09:00:00"}
+    )
+    plan = [
+        p for p in store.maintenance_plan("proj")
+        if p["action"] == "matview_refresh"
+    ]
+    assert len(plan) == 1 and plan[0]["view"] == "evens"
+    assert "ev +1" in plan[0]["reason"]
+    done = store.run_maintenance("proj", plan=plan)
+    assert done[0]["outcome"] == "refreshed (incremental)"
+    assert mv.staleness("proj", "evens") == {"ev": 0}
+    assert ("u50", 50.0, 100.0) in _rows(mv.table("proj", "evens"))
