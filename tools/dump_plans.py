@@ -18,6 +18,27 @@ import __spark_entry__ as entrymod
 from rakam_api_spark.session import get_spark
 
 SHOW = {
+    # round-14 additions
+    "table_changes_rollup": "change-feed TVF through the SQL service: parquet scan of ONLY the commits' files; (file->version/type) attribution broadcast; enum-sized per-commit rollup",
+    "priority_escalation_matrix": "ONE customer-keyed lag window over orders; 5x5 enum cells; broadcast-back row totals",
+    "part_substitution_candidates": "DIMENSION-grain self-join co-partitioned on (type,size); per-cell rank window over surviving pairs only",
+    "order_value_theil_by_segment": "un-hinted orders-customer equi-join (AQE build side); 5-row segment means broadcast back; map-side ln-term collapse",
+    "weekday_revenue_share_drift": "one fact aggregate to (year x dow) cells; year totals aggregate THOSE cells; arithmetic on enum frame",
+    "brand_supplier_concentration": "un-hinted lineitem-part join; ONE (brand,supplier) fact aggregate; brand-grain HHI rollup of cells",
+    "ship_gap_bands_by_priority": "fact-fact natural-key join; exact integer day bands clamped to [-1,8]; <=5x10 enum grid",
+    "type_affinity_lift": "distinct to (user,type); self-join fan-out bounded by C(|types|,2) per user; enum pair cells + broadcast marginals",
+    "retention_powerlaw_fit": "user-grain min + (user,day) distinct; day-offset aggregate <=30 rows; closed-form OLS",
+    "value_winsorized_means_by_type": "per-type exact percentile broadcast back; ONE clamped DECIMAL aggregate",
+    "first_last_type_agreement": "ONE user-grain min/max-of-struct aggregate (no window); enum^2 matrix",
+    "user_weekly_cv_bands": "(user,week) counts by integer epoch division; user-grain EXACT integer moments; enum band histogram",
+    "daily_count_dispersion_by_type": "(type,day) counts; type-grain exact integer moments; |types| rows",
+    "stopword_density_bands": "row-local integer token counts (codegen); enum band aggregate",
+    "sentence_length_percentiles_by_lang": "one regex-split explode to sentence grain; |langs| percentile aggregate",
+    "readability_composite_by_source": "three row-local integer totals in ONE source aggregate; float chain over |sources| rows",
+    "char_trigram_oov_by_source": "ONE trigram explode (corpus-linear); profile is TakeOrdered top-500 broadcast (no rank window); cell aggregate",
+    "label_silhouette_proxy": "corpus posexploded once (label carried, no corpus join); broadcast centroid frame; |labels|^2 rival matrix",
+    "embedding_norm_percentiles_by_label": "vector-grain exact integer norm reduce; |labels| percentile aggregate",
+    "dimension_variance_topk": "ONE d-row exact integer moment aggregate; TakeOrdered on the integer variance numerator (no window)",
     # round-13 additions (batch 2)
     "dup_cluster_lang_purity": "memoized pair graph -> components; ONE lang join; cluster-grain distinct-lang counts; tiny histogram",
     "user_lifetime_km_curve": "ONE user-grain min/max aggregate builds spans (no event-row window); KM windows over calendar-bounded day buckets (exempt class)",
@@ -43,8 +64,8 @@ SHOW = {
     "source_unigram_jsd": "ONE token-keyed equi-join between per-source distributions (never |sources|^2 corpus scans); shared terms sum as DECIMAL; private mass from exact integer count sums; final combine stays DECIMAL + one exact *0.5",
     "lang_profile_confusion": "(doc,bigram) counts once; profiles broadcast; fan-out bounded by |langs| enum; per-(doc,lang) scores are exact DECIMAL sums; argmax row_number over |langs| rows per doc",
     "dup_quality_gap": "one text-keyed aggregate for the dup flag (exact equality, no hash); row-local TTR; enum cells",
-    "knn_purity_at_k": "rides the brute-force Arrow kernel (per-partition top-k, corpus never pair-joined); two broadcast label joins; query-grain aggregate",
-    "vector_margin_histogram": "corpus posexploded once; |labels|xd centroid table broadcast; (vec,label) aggregate -> 2-rows-per-vec rank filter -> enum histogram",
+    "knn_purity_at_k": "rides the brute-force Arrow kernel (per-partition top-k, corpus never pair-joined); the BOUNDED top-k frame broadcasts, corpus label scans stream (no corpus-grain broadcast, r13 fix); query-grain aggregate",
+    "vector_margin_histogram": "corpus posexploded once with the label carried through (no corpus-grain label join, r13 fix); |labels|xd centroid table broadcast; (vec,label) aggregate -> 2-rows-per-vec rank filter -> enum histogram",
     "pq_code_balance": "memoized PQ fit (build-once probe-many); audit is one (m,code) aggregate + |subspaces| rollup",
     "embedding_dim_correlation_pairs": "mapInPandas Gram-matrix kernel: d^2 partial rows PER PARTITION regardless of corpus size (BLAS, exact integer-valued f64); keyed reduce; top-k",
     "window_topk_types": "(window,type) partial-agg cells; rank window partitions BY WINDOW over <=|types| rows; same F.window assignment as the streaming plans",

@@ -31,6 +31,27 @@ BASE = "/root/testdata/sf0.1"
 OFF = 10_000_000
 
 OPERATORS = [
+    # round-14 additions
+    "priority_escalation_matrix",
+    "part_substitution_candidates",
+    "order_value_theil_by_segment",
+    "weekday_revenue_share_drift",
+    "brand_supplier_concentration",
+    "ship_gap_bands_by_priority",
+    "type_affinity_lift",
+    "retention_powerlaw_fit",
+    "value_winsorized_means_by_type",
+    "first_last_type_agreement",
+    "user_weekly_cv_bands",
+    "daily_count_dispersion_by_type",
+    "stopword_density_bands",
+    "sentence_length_percentiles_by_lang",
+    "readability_composite_by_source",
+    "char_trigram_oov_by_source",
+    "label_silhouette_proxy",
+    "embedding_norm_percentiles_by_label",
+    "dimension_variance_topk",
+    "table_changes_rollup",
     # round-13 additions
     "purchase_regularity_bands",
     "enrich_channel_value",
