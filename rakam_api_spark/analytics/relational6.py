@@ -101,12 +101,25 @@ def part_substitution_candidates(
     compete with themselves").  At most ``per_cell`` pairs per cell,
     closest-priced first.
 
-    Plan: a DIMENSION-grain self-join co-partitioned on the (type,
-    size) equality keys (never touches a fact table); the per-cell
-    rank window sorts only each cell's surviving pairs."""
+    Plan: a DIMENSION-grain BANDED self-join (never touches a fact
+    table): prices bucket at δ = max_gap·max(price), so a qualifying
+    pair's buckets differ by at most 1 — the left side probes
+    {b−1, b, b+1} and the join is a plain equi-join on (type, size,
+    bucket).  Candidates are adjacent-bucket only (the quadratic
+    within-cell blowup of a bare (type, size) self-join never
+    materializes as the catalog grows); the exact gap filter then
+    makes the output identical to the naive pairing.  The per-cell
+    rank window sorts only surviving pairs."""
     part = load_table(spark, sf_dir, "part")
-    a = part.alias("a")
-    b = part.alias("b")
+    mx = part.agg(F.max("p_retailprice").alias("_mx"))
+    pb = part.crossJoin(F.broadcast(mx)).withColumn(
+        "_bkt", F.floor(F.col("p_retailprice") / (F.col("_mx") * max_gap))
+    )
+    probe = pb.withColumn(
+        "_bkt", F.explode(F.array(F.col("_bkt") - 1, F.col("_bkt"), F.col("_bkt") + 1))
+    )
+    a = probe.alias("a")
+    b = pb.alias("b")
     lo = F.least(F.col("a.p_retailprice"), F.col("b.p_retailprice"))
     hi = F.greatest(F.col("a.p_retailprice"), F.col("b.p_retailprice"))
     gap = (hi - lo) / lo
@@ -115,6 +128,7 @@ def part_substitution_candidates(
             b,
             (F.col("a.p_type") == F.col("b.p_type"))
             & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a._bkt") == F.col("b._bkt"))
             & (F.col("a.p_partkey") < F.col("b.p_partkey")),
         )
         .select(
