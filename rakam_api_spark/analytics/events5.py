@@ -454,3 +454,181 @@ ORACLES = {
     "user_weekly_cv_bands": USER_WEEKLY_CV_ORACLE,
     "daily_count_dispersion_by_type": DAILY_DISPERSION_ORACLE,
 }
+
+
+def session_entry_hour_conversion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Session conversion by ENTRY HOUR: sessions (the standard
+    30-minute-gap convention) bucketed by the local hour of their
+    first event, with the share containing a ``purchase`` — the
+    time-of-day landing report completing the entry-grain pair
+    (``session_conversion_by_entry`` slices by entry ACTION, this by
+    entry TIME).
+
+    Plan: ONE user-partitioned window pass builds session ids; the
+    entry instant is a min-of-struct per session (no second window);
+    a 24-cell aggregate finishes.  Counts exact; the rate is one
+    double division (round 9)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    gap = F.col("ts_ns") - F.lag("ts_ns").over(w)
+    new_sess = (gap.isNull() | (gap > 30 * 60 * 1_000_000_000)).cast("long")
+    sess = ev.select(
+        "user_id",
+        "ts_ns",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum(new_sess)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_no"),
+    )
+    per_session = sess.groupBy("user_id", "session_no").agg(
+        F.min(F.struct("ts_ns", "event_id", "ts")).alias("entry"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias(
+            "converted"
+        ),
+    )
+    cell = per_session.groupBy(
+        F.hour("entry.ts").cast("int").alias("entry_hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("converted").alias("n_converted"),
+    )
+    return cell.select(
+        "entry_hour",
+        "n_sessions",
+        "n_converted",
+        F.round(
+            F.col("n_converted").cast("double")
+            / F.col("n_sessions").cast("double"),
+            9,
+        ).alias("conversion_rate"),
+    ).orderBy("entry_hour")
+
+
+SESSION_ENTRY_HOUR_ORACLE = """
+WITH seq AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+              IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+              > 30 * 60 * 1000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+sess AS (
+  SELECT user_id, us, event_id, ts, event_type,
+         SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_no
+  FROM seq
+),
+ranked AS (
+  SELECT user_id, session_no, ts,
+         row_number() OVER (
+           PARTITION BY user_id, session_no ORDER BY us, event_id
+         ) AS rn
+  FROM sess
+),
+conv AS (
+  SELECT user_id, session_no,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM sess GROUP BY 1, 2
+),
+per_session AS (
+  SELECT r.user_id, r.session_no, r.ts AS entry_ts, c.converted
+  FROM ranked r JOIN conv c USING (user_id, session_no)
+  WHERE r.rn = 1
+),
+cell AS (
+  SELECT CAST(hour(entry_ts) AS INT) AS entry_hour,
+         COUNT(*) AS n_sessions, SUM(converted) AS n_converted
+  FROM per_session GROUP BY 1
+)
+SELECT entry_hour, CAST(n_sessions AS BIGINT) AS n_sessions,
+       CAST(n_converted AS BIGINT) AS n_converted,
+       round(CAST(n_converted AS DOUBLE) / CAST(n_sessions AS DOUBLE), 9)
+         AS conversion_rate
+FROM cell ORDER BY entry_hour
+"""
+
+
+def event_value_pareto_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Value concentration per event type: the share of total value
+    carried by events ABOVE the type's p90 value — "is 10% of the
+    events 50% of the value?", the whale-dependence number next to
+    ``value_winsorized_means_by_type``'s robustness view.
+
+    Plan: per-type exact percentile broadcast back (approx_percentile
+    at 100 TB, same shape), ONE conditional DECIMAL aggregate; shares
+    are single double divisions (round 9)."""
+    ev = _events(spark, sf_dir)
+    caps = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.9)").alias("_p90")
+    )
+    j = ev.join(F.broadcast(caps), "event_type")
+    top = F.col("value") > F.col("_p90")
+    agg = j.groupBy("event_type", "_p90").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(top.cast("long")).alias("n_top"),
+        F.sum(F.col("value").cast(DEC)).alias("_total"),
+        F.sum(F.when(top, F.col("value")).otherwise(0.0).cast(DEC)).alias(
+            "_topval"
+        ),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        "n_top",
+        F.col("_p90").alias("p90_value"),
+        F.round(
+            F.col("_topval").cast("double") / F.col("_total").cast("double"),
+            9,
+        ).alias("top_value_share"),
+    ).orderBy("event_type")
+
+
+EVENT_VALUE_PARETO_ORACLE = """
+WITH caps AS (
+  SELECT event_type, quantile_cont(value, 0.9) AS _p90
+  FROM events GROUP BY 1
+),
+agg AS (
+  SELECT e.event_type, c._p90,
+         COUNT(*) AS n_events,
+         SUM(CASE WHEN e.value > c._p90 THEN 1 ELSE 0 END) AS n_top,
+         SUM(CAST(e.value AS DECIMAL(18,6))) AS _total,
+         SUM(CAST(CASE WHEN e.value > c._p90 THEN e.value ELSE 0.0 END
+                  AS DECIMAL(18,6))) AS _topval
+  FROM events e JOIN caps c USING (event_type)
+  GROUP BY 1, 2
+)
+SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_top AS BIGINT) AS n_top, _p90 AS p90_value,
+       round(CAST(_topval AS DOUBLE) / CAST(_total AS DOUBLE), 9)
+         AS top_value_share
+FROM agg ORDER BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "session_entry_hour_conversion": session_entry_hour_conversion,
+        "event_value_pareto_by_type": event_value_pareto_by_type,
+    }
+)
+
+ORACLES.update(
+    {
+        "session_entry_hour_conversion": SESSION_ENTRY_HOUR_ORACLE,
+        "event_value_pareto_by_type": EVENT_VALUE_PARETO_ORACLE,
+    }
+)

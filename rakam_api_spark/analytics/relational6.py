@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load_table
-from .relational import _dec
+from .relational import DEC, _dec
 from .relational2 import _VOL_SQL, _vol
 from .relational4 import _MONDAY, _dow
 
@@ -455,3 +455,223 @@ ORACLES = {
     "brand_supplier_concentration": BRAND_SUPPLIER_CONC_ORACLE,
     "ship_gap_bands_by_priority": SHIP_GAP_BANDS_ORACLE,
 }
+
+
+def realized_vs_retail_by_discount(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Realized-to-retail price ratio per discount band: how much of
+    catalog (retail) value each discount tier actually collects —
+    the pricing-leakage waterfall behind ``discount_elasticity``'s
+    volume view (value realization here, quantity response there).
+
+    Plan: un-hinted lineitem⋈part equi-join (AQE build side), ONE
+    aggregate to ≤ 11 discount-percent cells (integer band =
+    round(discount·100)); value sums DECIMAL; the ratio is one double
+    division rounded to 9dp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    band = F.round(F.col("l_discount") * 100, 0).cast("int")
+    cell = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy(band.alias("discount_pct"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+            ).alias("_realized"),
+            F.sum(
+                (F.col("p_retailprice") * F.col("l_quantity")).cast(DEC)
+            ).alias("_retail"),
+        )
+    )
+    return cell.select(
+        "discount_pct",
+        "n_lines",
+        F.col("_realized").cast("double").alias("realized_value"),
+        F.col("_retail").cast("double").alias("retail_value"),
+        F.round(
+            F.col("_realized").cast("double") / F.col("_retail").cast("double"),
+            9,
+        ).alias("realization_ratio"),
+    ).orderBy("discount_pct")
+
+
+REALIZED_VS_RETAIL_ORACLE = """
+WITH cell AS (
+  SELECT CAST(round(l.l_discount * 100, 0) AS INT) AS discount_pct,
+         COUNT(*) AS n_lines,
+         SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+           AS _realized,
+         SUM(CAST(p.p_retailprice * l.l_quantity AS DECIMAL(18,6)))
+           AS _retail
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1
+)
+SELECT discount_pct, CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(_realized AS DOUBLE) AS realized_value,
+       CAST(_retail AS DOUBLE) AS retail_value,
+       round(CAST(_realized AS DOUBLE) / CAST(_retail AS DOUBLE), 9)
+         AS realization_ratio
+FROM cell ORDER BY discount_pct
+"""
+
+
+def supplier_nation_price_advantage(
+    spark: SparkSession, sf_dir: str, min_lines: int = 20
+) -> DataFrame:
+    """Unit-price advantage by supplier nation and part type: each
+    (nation, type) cell's average unit price against the type's
+    global average — "which nations undercut the market for this
+    type?", the sourcing-arbitrage screen.  Cells under ``min_lines``
+    are dropped (unstable averages).
+
+    Plan: un-hinted lineitem⋈supplier join, broadcast-sized nation
+    dim; ONE fact aggregate to (nation, type) cells after the part
+    join; type globals aggregate THOSE cells.  Unit prices are double
+    divisions of exact DECIMAL sums (round 9)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    cell = (
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.col("p_type").alias("p_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(_dec("l_extendedprice")).alias("_val"),
+            F.sum(_dec("l_quantity")).alias("_qty"),
+        )
+    )
+    ttot = cell.groupBy("p_type").agg(
+        F.sum("_val").alias("_tval"), F.sum("_qty").alias("_tqty")
+    )
+    unit = F.col("_val").cast("double") / F.col("_qty").cast("double")
+    gunit = F.col("_tval").cast("double") / F.col("_tqty").cast("double")
+    return (
+        cell.where(F.col("n_lines") >= min_lines)
+        .join(F.broadcast(ttot), "p_type")
+        .select(
+            "nation",
+            "p_type",
+            "n_lines",
+            F.round(unit, 9).alias("unit_price"),
+            F.round(gunit, 9).alias("type_unit_price"),
+            F.round(unit / gunit, 9).alias("price_advantage"),
+        )
+        .orderBy("nation", "p_type")
+    )
+
+
+NATION_PRICE_ADVANTAGE_ORACLE = """
+WITH cell AS (
+  SELECT n.n_name AS nation, p.p_type,
+         COUNT(*) AS n_lines,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS _val,
+         SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS _qty
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+ttot AS (
+  SELECT p_type, SUM(_val) AS _tval, SUM(_qty) AS _tqty
+  FROM cell GROUP BY 1
+)
+SELECT c.nation, c.p_type, CAST(c.n_lines AS BIGINT) AS n_lines,
+       round(CAST(c._val AS DOUBLE) / CAST(c._qty AS DOUBLE), 9)
+         AS unit_price,
+       round(CAST(t._tval AS DOUBLE) / CAST(t._tqty AS DOUBLE), 9)
+         AS type_unit_price,
+       round((CAST(c._val AS DOUBLE) / CAST(c._qty AS DOUBLE))
+             / (CAST(t._tval AS DOUBLE) / CAST(t._tqty AS DOUBLE)), 9)
+         AS price_advantage
+FROM cell c JOIN ttot t USING (p_type)
+WHERE c.n_lines >= 20
+ORDER BY c.nation, c.p_type
+"""
+
+
+def brand_quarter_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand revenue-mix stability across quarters: each brand's
+    share of its quarter's lineitem revenue, summarized per brand as
+    min/max share and the shift (max − min) — the brand-level
+    companion to ``weekday_revenue_share_drift`` (assortment mix
+    moving vs calendar mix moving).
+
+    Plan: un-hinted lineitem⋈part join; ONE aggregate to (quarter ×
+    brand) cells (enum × calendar-bounded); quarter totals aggregate
+    those cells; shares are single double divisions of DECIMAL sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ship = F.col("l_shipdate").cast("date")
+    quarter = (F.year(ship) * 4 + F.quarter(ship) - 1).alias("qtr")
+    cell = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"), quarter)
+        .agg(F.sum(_vol()).alias("_rev"))
+    )
+    qtot = cell.groupBy("qtr").agg(F.sum("_rev").alias("_qt"))
+    share = (
+        cell.join(F.broadcast(qtot), "qtr")
+        .select(
+            "brand",
+            "qtr",
+            (F.col("_rev").cast("double") / F.col("_qt").cast("double")).alias(
+                "_share"
+            ),
+        )
+    )
+    return (
+        share.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_quarters"),
+            F.round(F.min("_share"), 9).alias("min_share"),
+            F.round(F.max("_share"), 9).alias("max_share"),
+            F.round(F.max("_share") - F.min("_share"), 9).alias("shift"),
+        )
+        .orderBy("brand")
+    )
+
+
+BRAND_QUARTER_SHIFT_ORACLE = f"""
+WITH cell AS (
+  SELECT p.p_brand AS brand,
+         year(CAST(l.l_shipdate AS DATE)) * 4
+           + quarter(CAST(l.l_shipdate AS DATE)) - 1 AS qtr,
+         SUM({_VOL_SQL}) AS _rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+qtot AS (SELECT qtr, SUM(_rev) AS _qt FROM cell GROUP BY 1),
+share AS (
+  SELECT c.brand, c.qtr,
+         CAST(c._rev AS DOUBLE) / CAST(q._qt AS DOUBLE) AS _share
+  FROM cell c JOIN qtot q USING (qtr)
+)
+SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_quarters,
+       round(MIN(_share), 9) AS min_share,
+       round(MAX(_share), 9) AS max_share,
+       round(MAX(_share) - MIN(_share), 9) AS shift
+FROM share GROUP BY brand ORDER BY brand
+"""
+
+
+QUERIES.update(
+    {
+        "realized_vs_retail_by_discount": realized_vs_retail_by_discount,
+        "supplier_nation_price_advantage": supplier_nation_price_advantage,
+        "brand_quarter_share_shift": brand_quarter_share_shift,
+    }
+)
+
+ORACLES.update(
+    {
+        "realized_vs_retail_by_discount": REALIZED_VS_RETAIL_ORACLE,
+        "supplier_nation_price_advantage": NATION_PRICE_ADVANTAGE_ORACLE,
+        "brand_quarter_share_shift": BRAND_QUARTER_SHIFT_ORACLE,
+    }
+)
