@@ -19,6 +19,11 @@ from rakam_api_spark.session import get_spark
 
 SHOW = {
     # round-14 additions
+    "realized_vs_retail_by_discount": "un-hinted lineitem-part join; ONE aggregate to <=11 discount-pct cells; DECIMAL value pair",
+    "supplier_nation_price_advantage": "un-hinted supplier/part joins + broadcast nation dim; ONE (nation,type) fact aggregate; type globals aggregate the cells",
+    "brand_quarter_share_shift": "un-hinted lineitem-part join; ONE (brand,quarter) aggregate; quarter totals aggregate the cells",
+    "session_entry_hour_conversion": "shared 30-min session kernel (ONE user-keyed exchange); min-of-struct entry; 24-cell aggregate",
+    "event_value_pareto_by_type": "per-type exact percentile broadcast back; ONE conditional DECIMAL aggregate",
     "table_changes_rollup": "change-feed TVF through the SQL service: parquet scan of ONLY the commits' files; (file->version/type) attribution broadcast; enum-sized per-commit rollup",
     "priority_escalation_matrix": "ONE customer-keyed lag window over orders; 5x5 enum cells; broadcast-back row totals",
     "part_substitution_candidates": "DIMENSION-grain self-join co-partitioned on (type,size); per-cell rank window over surviving pairs only",

@@ -32,6 +32,11 @@ OFF = 10_000_000
 
 OPERATORS = [
     # round-14 additions
+    "realized_vs_retail_by_discount",
+    "supplier_nation_price_advantage",
+    "brand_quarter_share_shift",
+    "session_entry_hour_conversion",
+    "event_value_pareto_by_type",
     "priority_escalation_matrix",
     "part_substitution_candidates",
     "order_value_theil_by_segment",
