@@ -126,3 +126,107 @@ QUERIES = {
 ORACLES = {
     "table_changes_rollup": TABLE_CHANGES_ORACLE,
 }
+
+
+_MV_FIXTURE: dict[str, str] = {}
+
+_MV_SQL = (
+    "SELECT o_orderpriority AS priority, COUNT(*) AS n, "
+    "SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS val "
+    "FROM orders GROUP BY o_orderpriority"
+)
+
+
+def _mv_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) a warehouse where a materialized view over a
+    txn-logged ``orders`` collection is created on the FIRST modulo
+    slice and then incrementally refreshed (change-feed path) after
+    two more insert-only appends — the refresh mode is asserted, so
+    a silent fallback to full recompute fails the query instead of
+    hiding the path under test."""
+    cached = _MV_FIXTURE.get(sf_dir)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    from ..catalog import Metastore
+    from ..matview import MaterializedViewService
+    from ..store import EventStore
+
+    from ..types import from_spark_type
+
+    warehouse = tempfile.mkdtemp(prefix="rakam_mv_wh_")
+    ms = Metastore(warehouse)
+    ms.create_project("mvp")
+    store = EventStore(spark, ms)
+    os.makedirs(os.path.join(warehouse, "mvp"), exist_ok=True)
+    store.enable_txn("mvp", "orders")
+    txn = store.txn_table("mvp", "orders")
+    # keep the fixture to registerable column types (the metastore's
+    # ingest type system has no NTZ timestamp; the view needs none)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+    )
+    # register the collection schema (matview.create validates against
+    # the metastore, exactly as the ingest path would have)
+    ms.get_or_create_collection_fields(
+        "mvp",
+        "orders",
+        {f.name: from_spark_type(f.dataType) for f in orders.schema.fields},
+    )
+    txn.append(orders.where((F.col("o_orderkey") % 4) < 2))
+    mv = MaterializedViewService(spark, store)
+    mv.create("mvp", "ordstats", _MV_SQL)
+    txn.append(orders.where((F.col("o_orderkey") % 4) == 2))
+    txn.append(orders.where((F.col("o_orderkey") % 4) == 3))
+    res = mv.refresh("mvp", "ordstats")
+    if res["mode"] != "incremental":  # the path under test
+        raise RuntimeError(f"expected incremental refresh, got {res['mode']}")
+    _MV_FIXTURE[sf_dir] = warehouse
+    return warehouse
+
+
+def matview_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view incremental-consistency proof at the SQL
+    surface: a priority rollup view materialized on one third of
+    ``orders`` and INCREMENTALLY refreshed (through the change feed)
+    after two more appends must re-aggregate to exactly the rollup of
+    the full table — the cell-per-refresh contract (partial cells
+    append per refresh; consumers re-aggregate), checked row-for-row
+    against DuckDB computing the rollup from the raw parquet.
+
+    Plan: the view read is a plain txn-table scan (a handful of
+    partial cells per priority); the re-aggregation is enum-sized.
+    Refresh cost was O(increment): the change feed read only the two
+    appends' files."""
+    from ..catalog import Metastore
+    from ..matview import MaterializedViewService
+    from ..store import EventStore
+
+    warehouse = _mv_warehouse(spark, sf_dir)
+    mv = MaterializedViewService(
+        spark, EventStore(spark, Metastore(warehouse))
+    )
+    view = mv.table("mvp", "ordstats")
+    return (
+        view.groupBy("priority")
+        .agg(
+            F.sum("n").alias("n_orders"),
+            F.sum("val").cast("double").alias("total_value"),
+        )
+        .orderBy("priority")
+    )
+
+
+MATVIEW_ROLLUP_ORACLE = """
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+         AS total_value
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY priority
+"""
+
+
+QUERIES["matview_incremental_rollup"] = matview_incremental_rollup
+ORACLES["matview_incremental_rollup"] = MATVIEW_ROLLUP_ORACLE

@@ -19,6 +19,7 @@ from rakam_api_spark.session import get_spark
 
 SHOW = {
     # round-14 additions
+    "matview_incremental_rollup": "materialized-view read is a plain txn-table scan of partial cells; enum-sized re-aggregate (refresh itself was O(increment) via the change feed)",
     "realized_vs_retail_by_discount": "un-hinted lineitem-part join; ONE aggregate to <=11 discount-pct cells; DECIMAL value pair",
     "supplier_nation_price_advantage": "un-hinted supplier/part joins + broadcast nation dim; ONE (nation,type) fact aggregate; type globals aggregate the cells",
     "brand_quarter_share_shift": "un-hinted lineitem-part join; ONE (brand,quarter) aggregate; quarter totals aggregate the cells",

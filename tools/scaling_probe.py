@@ -33,6 +33,7 @@ OFF = 10_000_000
 OPERATORS = [
     # round-14 additions
     "realized_vs_retail_by_discount",
+    "matview_incremental_rollup",
     "supplier_nation_price_advantage",
     "brand_quarter_share_shift",
     "session_entry_hour_conversion",
