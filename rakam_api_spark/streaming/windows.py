@@ -446,3 +446,120 @@ ORACLES = {
     "sliding_window_counts": SLIDING_WINDOW_ORACLE,
     "window_topk_types": WINDOW_TOPK_ORACLE,
 }
+
+
+def window_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gated batch run of the per-window value-quantile plan
+    (12-hour tumbling windows, p50/p95 of event value per window) —
+    the batch twin of a streaming SLO-latency dashboard; the
+    streaming variant swaps ``percentile`` for the mergeable KLL
+    sketch (sketch.py), same window assignment.
+
+    Plan: ONE window-keyed aggregate (F.window is row-local bucket
+    arithmetic); quantile interpolation is bit-identical between
+    engines; counts exact."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "12 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("percentile(value, 0.5)").alias("p50_value"),
+            F.expr("percentile(value, 0.95)").alias("p95_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "p50_value",
+            "p95_value",
+        )
+    )
+
+
+WINDOW_VALUE_QUANTILES_ORACLE = """
+SELECT time_bucket(INTERVAL 12 HOUR, ts) AS window_start,
+       time_bucket(INTERVAL 12 HOUR, ts) + INTERVAL 12 HOUR AS window_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       quantile_cont(value, 0.5) AS p50_value,
+       quantile_cont(value, 0.95) AS p95_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def window_type_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-over-window composition churn: for consecutive 12-hour
+    tumbling windows, the L1 distance between their event-type share
+    vectors (the "did the traffic mix shift?" alarm a streaming
+    deployment would watch) — window grain, so the lag runs over a
+    calendar-bounded series, never event rows.
+
+    Plan: one (window, type) aggregate; shares from window totals
+    (aggregate of cells); the churn lag partitions by NOTHING but
+    runs over <= calendar/12h rows (the documented bounded-window
+    exemption class, asserted in tests/test_plan_hygiene.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        F.window("ts", "12 hours").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wtot = cell.groupBy("w").agg(F.sum("n").alias("_wt"))
+    share = cell.join(F.broadcast(wtot), "w").select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        (F.col("n").cast("double") / F.col("_wt").cast("double")).alias("_s"),
+    )
+    lagw = Window.partitionBy("event_type").orderBy("window_start")
+    d = share.withColumn("_prev", F.lag("_s").over(lagw)).where(
+        F.col("_prev").isNotNull()
+    )
+    return (
+        d.groupBy("window_start")
+        .agg(
+            F.round(F.sum(F.abs(F.col("_s") - F.col("_prev"))), 9).alias(
+                "l1_churn"
+            ),
+            F.count(F.lit(1)).alias("n_types_compared"),
+        )
+        .orderBy("window_start")
+    )
+
+
+WINDOW_TYPE_CHURN_ORACLE = """
+WITH cell AS (
+  SELECT time_bucket(INTERVAL 12 HOUR, ts) AS window_start, event_type,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+wtot AS (SELECT window_start, SUM(n) AS _wt FROM cell GROUP BY 1),
+share AS (
+  SELECT c.window_start, c.event_type,
+         CAST(c.n AS DOUBLE) / CAST(t._wt AS DOUBLE) AS _s
+  FROM cell c JOIN wtot t USING (window_start)
+),
+d AS (
+  SELECT window_start, _s,
+         lag(_s) OVER (PARTITION BY event_type ORDER BY window_start)
+           AS _prev
+  FROM share
+)
+SELECT window_start,
+       round(SUM(abs(_s - _prev)), 9) AS l1_churn,
+       CAST(COUNT(*) AS BIGINT) AS n_types_compared
+FROM d WHERE _prev IS NOT NULL
+GROUP BY window_start ORDER BY window_start
+"""
+
+
+QUERIES.update(
+    {
+        "window_value_quantiles": window_value_quantiles,
+        "window_type_churn": window_type_churn,
+    }
+)
+
+ORACLES.update(
+    {
+        "window_value_quantiles": WINDOW_VALUE_QUANTILES_ORACLE,
+        "window_type_churn": WINDOW_TYPE_CHURN_ORACLE,
+    }
+)

@@ -19,6 +19,8 @@ from rakam_api_spark.session import get_spark
 
 SHOW = {
     # round-14 additions
+    "window_value_quantiles": "ONE F.window-keyed aggregate (row-local bucket arithmetic); exact percentiles per calendar-bounded window",
+    "window_type_churn": "(window,type) cells; shares from cell-aggregate totals; type-partitioned lag over the calendar-bounded window series",
     "matview_incremental_rollup": "materialized-view read is a plain txn-table scan of partial cells; enum-sized re-aggregate (refresh itself was O(increment) via the change feed)",
     "realized_vs_retail_by_discount": "un-hinted lineitem-part join; ONE aggregate to <=11 discount-pct cells; DECIMAL value pair",
     "supplier_nation_price_advantage": "un-hinted supplier/part joins + broadcast nation dim; ONE (nation,type) fact aggregate; type globals aggregate the cells",

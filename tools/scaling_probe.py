@@ -34,6 +34,8 @@ OPERATORS = [
     # round-14 additions
     "realized_vs_retail_by_discount",
     "matview_incremental_rollup",
+    "window_value_quantiles",
+    "window_type_churn",
     "supplier_nation_price_advantage",
     "brand_quarter_share_shift",
     "session_entry_hour_conversion",
