@@ -147,6 +147,14 @@ class MaterializedViewService:
         err = svc._gate(sql)
         if err is not None:
             raise ValueError(err.message)
+        from .query_service import _TABLE_CHANGES_RE
+
+        if _TABLE_CHANGES_RE.search(sql):
+            raise ValueError(
+                "materialized views over table_changes() are not supported: "
+                "reference the collection directly — refresh() already "
+                "consumes the change feed for you"
+            )
         bases = self._relations(sql)
         if not bases:
             raise ValueError("view statement references no collection")

@@ -128,6 +128,8 @@ def test_create_validation(spark, env):
         mv.create("proj", "bad", "SELECT 1 FROM nope")
     with pytest.raises(ValueError, match="invalid view name"):
         mv.create("proj", "1bad", VIEW_SQL)
+    with pytest.raises(ValueError, match="table_changes"):
+        mv.create("proj", "bad", "SELECT * FROM table_changes('ev', 1)")
     mv.create("proj", "ok", "SELECT uid FROM ev")
     with pytest.raises(ValueError, match="exists"):
         mv.create("proj", "ok", "SELECT uid FROM ev")
