@@ -63,69 +63,47 @@ _MODULES = (
 )
 
 # The driver's correctness gate checks at most 50 queries per round, in
-# enumeration order.  With 330+ declared queries, plain module order
+# enumeration order.  With 360 declared queries, plain module order
 # would starve the tail modules of a driver-verified CORRECTNESS row
-# forever.  Round-14 rotation (VERDICT r13 Next #1, histogram recomputed
-# from CORRECTNESS_r01..r13 keys: r6=28, r7=41, r8=2, r9=33 stale):
-# (a) the 29 round-13 additions the driver has NEVER checked lead;
-# (b) slots 30-50 take 21 of the 28 queries last driver-checked in
-# ROUND 6 (the stalest cohort).  Slots 51+ queue for round 15: the r6
-# remainder (7), then the r7 cohort (41).  Everything listed passes
+# forever.  Round-15 rotation (VERDICT r14 Next #1, histogram recomputed
+# from CORRECTNESS_r01..r14 keys: r6=7, r7=41, r8=2, r9=33 stale):
+# (a) the 28 round-14 additions the driver has NEVER checked lead;
+# (b) slots 29-35 take the 7-query round-6 remainder (stalest cohort);
+# (c) slots 36-50 take the alphabetically-first 15 of the 41-query
+# round-7 cohort.  Slots 51+ queue for round 16: the r7 remainder (26),
+# then r8 (2), then r9 (33).  Everything listed passes
 # tools/check_correctness.py locally at sf0.01 and sf0.001.
 _GATE_PRIORITY = (
-    # (a) round-13 additions, never driver-checked (29)
-    "conversion_latency_weekly",
-    "dedup_survivor_selection",
-    "doc_length_anova_by_lang",
-    "dup_cluster_lang_purity",
-    "dup_quality_gap",
-    "embedding_dim_correlation_pairs",
-    "enrich_channel_value",
-    "error_budget_burn_daily",
-    "first_vs_later_sessions",
-    "hourly_error_pchart",
-    "knn_purity_at_k",
-    "lang_profile_confusion",
-    "packing_efficiency_curve",
-    "part_name_term_premium",
-    "pq_code_balance",
-    "price_interaction_type_size",
-    "purchase_regularity_bands",
-    "quarter_end_loading",
-    "reactivated_order_value_gap",
-    "session_handoff_matrix",
-    "session_value_by_duration_band",
-    "source_unigram_jsd",
-    "supplier_portfolio_diversity",
-    "supplier_share_trend_movers",
-    "user_dominant_type_share",
-    "user_lifetime_km_curve",
-    "value_by_line_position",
-    "vector_margin_histogram",
-    "window_topk_types",
-    # (b) last driver-checked in ROUND 6 (slots 30-50; 21 of 28)
-    "dataset_splits",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "doc_fingerprints",
-    "embedding_cosine_dedup",
-    "funnel_unordered",
-    "key_skew_report",
-    "lang_id",
-    "market_basket_part_types",
-    "multimodal_byte_stats",
-    "order_backlog_daily",
-    "part_type_margin",
-    "priority_sample",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "quantile_rollup_sketch",
-    "revenue_pareto_top100",
-    "rollup_reuse_monthly",
-    # (c) queued for round 15: the r6 remainder (7) ...
+    # (a) round-14 additions, never driver-checked (28)
+    "table_changes_rollup",
+    "matview_incremental_rollup",
+    "priority_escalation_matrix",
+    "part_substitution_candidates",
+    "order_value_theil_by_segment",
+    "weekday_revenue_share_drift",
+    "brand_supplier_concentration",
+    "ship_gap_bands_by_priority",
+    "realized_vs_retail_by_discount",
+    "supplier_nation_price_advantage",
+    "brand_quarter_share_shift",
+    "type_affinity_lift",
+    "retention_powerlaw_fit",
+    "value_winsorized_means_by_type",
+    "first_last_type_agreement",
+    "user_weekly_cv_bands",
+    "daily_count_dispersion_by_type",
+    "session_entry_hour_conversion",
+    "event_value_pareto_by_type",
+    "stopword_density_bands",
+    "sentence_length_percentiles_by_lang",
+    "readability_composite_by_source",
+    "char_trigram_oov_by_source",
+    "label_silhouette_proxy",
+    "embedding_norm_percentiles_by_label",
+    "dimension_variance_topk",
+    "window_value_quantiles",
+    "window_type_churn",
+    # (b) round-6 remainder (7; slots 29-35)
     "session_entry_exit",
     "sparse_tfidf_pairs",
     "text_quality",
@@ -133,7 +111,7 @@ _GATE_PRIORITY = (
     "token_counts",
     "top_customers",
     "training_shuffle",
-    # ... then the r7-stale cohort (41)
+    # (c) alphabetically-first 15 of the round-7 cohort (slots 36-50)
     "ab_test_lift",
     "ann_filtered_ivf_topk",
     "attribution_time_decay",
@@ -149,6 +127,7 @@ _GATE_PRIORITY = (
     "engaged_user_days_setops",
     "enrich_geoip",
     "enrich_useragent",
+    # queued for round 16: the r7 remainder (26) ...
     "event_type_hourly_share",
     "funnel_signup_click_purchase",
     "funnel_step_latency",
@@ -175,6 +154,43 @@ _GATE_PRIORITY = (
     "user_metric_correlation",
     "user_profile_snapshot",
     "value_percentiles",
+    # ... then the r8-stale cohort (2)
+    "hybrid_search",
+    "semantic_contamination",
+    # ... then the r9-stale cohort (33)
+    "attribution_position_based",
+    "benford_price_audit",
+    "contamination_check",
+    "corpus_top_ngrams",
+    "curation_funnel",
+    "customer_order_streaks",
+    "daily_new_vs_returning",
+    "data_quality_audit",
+    "dedup_cluster_size_histogram",
+    "dedup_clusters",
+    "dedup_savings_by_source",
+    "discount_elasticity_by_priority",
+    "doc_chunking",
+    "doc_prefix_duplication",
+    "doc_typicality",
+    "embedding_cluster_profile",
+    "embedding_label_outliers",
+    "embedding_norm_audit",
+    "event_burstiness",
+    "ivf_cell_balance",
+    "label_centroid_similarity",
+    "nation_trade_balance",
+    "order_gap_stats",
+    "order_priority_drift",
+    "order_survival_curve",
+    "orders_seasonality_index",
+    "part_price_index_quarterly",
+    "q7_nation_volume",
+    "running_revenue_share",
+    "session_depth_distribution",
+    "supplier_hhi",
+    "supplier_late_streaks",
+    "zipf_slope_by_source",
 )
 
 
