@@ -189,31 +189,29 @@ def matview_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized-view incremental-consistency proof at the SQL
     surface: a priority rollup view materialized on one third of
     ``orders`` and INCREMENTALLY refreshed (through the change feed)
-    after two more appends must re-aggregate to exactly the rollup of
-    the full table — the cell-per-refresh contract (partial cells
-    append per refresh; consumers re-aggregate), checked row-for-row
-    against DuckDB computing the rollup from the raw parquet.
+    after two more appends must equal the rollup of the full table —
+    read DIRECTLY as ``materialized_ordstats`` through the query
+    service, with NO hand re-aggregation: the view's sum/count GROUP
+    BY is classified ``cells`` grain at create time, so the SQL alias
+    serves the re-aggregated merge of the per-refresh partial cells
+    (a direct reader between refreshes can never see partials) —
+    checked row-for-row against DuckDB computing the rollup from the
+    raw parquet.
 
     Plan: the view read is a plain txn-table scan (a handful of
-    partial cells per priority); the re-aggregation is enum-sized.
+    partial cells per priority) + one enum-sized merge aggregate.
     Refresh cost was O(increment): the change feed read only the two
     appends' files."""
     from ..catalog import Metastore
-    from ..matview import MaterializedViewService
+    from ..query_service import QueryService
     from ..store import EventStore
 
     warehouse = _mv_warehouse(spark, sf_dir)
-    mv = MaterializedViewService(
-        spark, EventStore(spark, Metastore(warehouse))
-    )
-    view = mv.table("mvp", "ordstats")
-    return (
-        view.groupBy("priority")
-        .agg(
-            F.sum("n").alias("n_orders"),
-            F.sum("val").cast("double").alias("total_value"),
-        )
-        .orderBy("priority")
+    svc = QueryService(spark, EventStore(spark, Metastore(warehouse)))
+    return svc.dataframe(
+        "mvp",
+        "SELECT priority, n AS n_orders, CAST(val AS DOUBLE) AS total_value "
+        "FROM materialized_ordstats ORDER BY priority",
     )
 
 

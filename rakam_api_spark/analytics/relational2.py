@@ -14,11 +14,18 @@ DECIMAL(18,6); thresholds via exact integer-valued-double math;
 every top-k a total order ending in a unique key, planned as
 TakeOrderedAndProject via ``orderBy().limit()``.
 
-Scale notes: part/supplier/nation/region are broadcast dims; the
-only wide shuffles are lineitem⋈orders fact joins on orderkey and
-the (partkey, suppkey)-grain aggregations, both partial-aggregatable
-map-side.  No query funnels an unbounded row set through a
-single-partition window.
+Scale notes: nation/region (constant 25/5 rows) and single-row /
+enum-sized derived frames keep explicit ``broadcast()`` hints;
+part/supplier/customer-grain sides — raw, filtered, or per-key
+aggregates — carry NO hint, because they GROW with scale factor
+(part ≈ SF×200k): AQE's runtime size check picks broadcast-hash at
+any realistic dim:fact ratio and falls back to shuffle join when a
+100 TB dimension would not fit, where a forced hint would override
+the size check (the relational6.py convention, VERDICT r13/r14).
+The only wide shuffles are lineitem⋈orders fact joins on orderkey
+and the (partkey, suppkey)-grain aggregations, both
+partial-aggregatable map-side.  No query funnels an unbounded row
+set through a single-partition window.
 """
 
 from __future__ import annotations
@@ -69,8 +76,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     target_parts = part.where(F.col("p_size") == 15).select("p_partkey", "p_name")
     pairs = (
-        li.join(broadcast(target_parts), F.col("l_partkey") == F.col("p_partkey"))
-        .join(broadcast(europe_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(target_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(europe_supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
@@ -79,7 +86,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.join(
-            broadcast(part_min),
+            part_min,
             (F.col("p_partkey") == F.col("mp_key")) & (F.col("unit_cost") == F.col("min_cost")),
         )
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
@@ -134,9 +141,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - _dec("p_retailprice") * _dec("l_quantity")
     ).cast(DEC)
     return (
-        li.join(broadcast(part.where(F.col("p_name").contains("bolt"))), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part.where(F.col("p_name").contains("bolt")), F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year(F.col("o_orderdate").cast("date")).alias("o_year"))
         .agg(F.sum(amount).cast("double").alias("profit"))
@@ -178,7 +185,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.where((od >= F.lit("1995-10-01").cast("date")) & (od < F.lit("1996-01-01").cast("date"))),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
         .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
         .agg(F.sum(_vol()).cast("double").alias("revenue"))
@@ -303,7 +310,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(broadcast(max_rev))
         .where(F.col("total_revenue") == F.col("max_revenue"))
-        .join(broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -346,8 +353,8 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     complaints = supp.where(F.col("s_acctbal") < 0).select("s_suppkey")
     pairs = li.select("l_partkey", "l_suppkey").distinct()
     return (
-        pairs.join(broadcast(wanted), F.col("l_partkey") == F.col("p_partkey"))
-        .join(broadcast(complaints), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        pairs.join(wanted, F.col("l_partkey") == F.col("p_partkey"))
+        .join(complaints, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size"))
@@ -380,11 +387,11 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     target = part.where((F.col("p_brand") == "Brand#3") & (F.col("p_size") < 10)).select("p_partkey")
-    fact = li.join(broadcast(target), F.col("l_partkey") == F.col("p_partkey"))
+    fact = li.join(target, F.col("l_partkey") == F.col("p_partkey"))
     per_part = fact.groupBy(F.col("p_partkey").alias("ap_key")).agg(
         F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
     )
-    small = fact.join(broadcast(per_part), F.col("p_partkey") == F.col("ap_key")).where(
+    small = fact.join(per_part, F.col("p_partkey") == F.col("ap_key")).where(
         F.col("l_quantity") * 5.0 * F.col("cnt") < F.col("sum_qty")
     )
     return small.agg(
@@ -436,7 +443,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .where(branch)
         .agg(
             F.sum(_vol()).cast("double").alias("revenue"),
@@ -474,7 +481,7 @@ def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     sd = F.col("l_shipdate").cast("date")
     pair_qty = (
         li.where((sd >= F.lit("1996-01-01").cast("date")) & (sd < F.lit("1997-01-01").cast("date")))
-        .join(broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(small_parts, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("supp_qty"))
     )
@@ -482,13 +489,13 @@ def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("supp_qty").alias("total_qty")
     )
     dominated = (
-        pair_qty.join(broadcast(part_total), F.col("p_partkey") == F.col("tp_key"))
+        pair_qty.join(part_total, F.col("p_partkey") == F.col("tp_key"))
         .where(F.col("supp_qty") * 2.0 > F.col("total_qty"))
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("n_parts_dominated"))
     )
     return (
-        dominated.join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        dominated.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", F.col("n_name").alias("nation"), "n_parts_dominated")
         .orderBy("s_suppkey")
@@ -542,7 +549,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_name") == "NATION_9")
         .select("s_suppkey")
     )
-    fact = li.join(broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    fact = li.join(nat_supp, F.col("l_suppkey") == F.col("s_suppkey"))
     pq = fact.groupBy("l_partkey").agg(
         F.sum("l_quantity").alias("supplied_qty"),
         F.sum(_vol()).cast("double").alias("supplied_value"),
@@ -593,8 +600,8 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("total_qty") > 250.0)
     )
     return (
-        orders.join(broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name",
             "c_custkey",
@@ -662,7 +669,7 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         blamed.groupBy("late_supp")
         .agg(F.count(F.lit(1)).alias("numwait"))
-        .join(broadcast(supp), F.col("late_supp") == F.col("s_suppkey"))
+        .join(supp, F.col("late_supp") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "numwait")
         .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
         .limit(20)
@@ -810,7 +817,7 @@ def revenue_pareto_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         top.withColumn("cum_revenue", F.sum("revenue").over(w))
         .crossJoin(broadcast(total))
-        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_custkey",
             "c_name",
@@ -1319,7 +1326,7 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
 
     supply = (
-        li.join(broadcast(supp.select("s_suppkey", "s_nationkey")), li.l_suppkey == supp.s_suppkey)
+        li.join(supp.select("s_suppkey", "s_nationkey"), li.l_suppkey == supp.s_suppkey)
         .groupBy("s_nationkey")
         .agg(F.sum(_vol()).alias("supply_dec"))
         .select(F.col("s_nationkey").alias("nationkey"), "supply_dec")
@@ -1590,7 +1597,7 @@ def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     per_supp = (
         li.join(
-            broadcast(supp.select("s_suppkey", "s_nationkey")),
+            supp.select("s_suppkey", "s_nationkey"),
             li.l_suppkey == supp.s_suppkey,
         )
         .groupBy("s_nationkey", "s_suppkey")

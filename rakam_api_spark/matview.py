@@ -16,27 +16,51 @@ Here that contract is implemented exactly, on the transaction log:
 - ``create(project, name, sql)`` gates the statement through the
   query service's read-only validation, pins every base collection's
   commit version, materializes the result into a txn-logged view
-  table, and records the base versions.
+  table, and records the base versions.  The statement is classified
+  into a CONSUMPTION GRAIN at create time (from its analyzed plan):
+
+  * ``rows`` — no aggregation: every stored row is a final row, the
+    table is directly readable, and incremental refresh appends
+    complete rows.
+  * ``cells`` — a single sum/count/min/max GROUP BY: incremental
+    refresh appends PARTIAL cells, and :meth:`table` (and the SQL
+    alias ``materialized_<name>``) serve the RE-AGGREGATED merge of
+    those cells, so a direct reader never sees partials.
+  * ``opaque`` — any other aggregation (avg, distinct, nested
+    aggregates, window over groups): no sound cell-merge exists, so
+    the view is FULL-REFRESH-ONLY — the stored table is always a
+    complete snapshot and direct reads stay safe.
+
 - ``refresh(project, name)`` is a metadata-only no-op when no base
   advanced.  When the (single) base advanced by INSERT-ONLY commits,
   the increment is served by the change feed (``TxnTable.changes``,
   the same primitive behind ``table_changes(...)``), the view SQL
   runs over just that increment, and the result APPENDS — with the
   append made idempotent through the commit log's (app, app_version)
-  transaction identifiers, so a crash between the data commit and
-  the metadata write can never double-apply an increment.
-- Any rewrite in a base (merge/expire), a multi-collection view, or
-  ``full=True`` falls back to a FULL recompute published as ONE
-  atomic ``TxnTable.replace`` commit (readers flip at a single
-  version; the change feed renders the swap as pre/post images).
+  transaction identifiers AND the feed start clamped to the view
+  table's applied high-water mark, so a crash between the data
+  commit and the metadata write can never double-apply an increment
+  even after the base advances further (ADVICE r14).
+- Any rewrite in a base (merge/expire), an UNRECOGNIZED commit op
+  (fail-safe: it may have changed data — mirrors
+  streaming/txnsource.py's fail-fast whitelist, except a refresh CAN
+  fall back where a stream cannot: the full recompute reads the
+  current snapshot and is correct regardless of what the op did), a
+  multi-collection view, an ``opaque`` grain, or ``full=True`` falls
+  back to a FULL recompute published as ONE atomic
+  ``TxnTable.replace`` commit (readers flip at a single version; the
+  change feed renders the swap as pre/post images).
 - Views are queryable from SQL as ``materialized_<name>`` (the
-  query service registers them beside the collection views).
+  query service registers them beside the collection views, at the
+  consumption grain).
 
 Scale: refresh cost is O(increment) for the incremental path — the
 change feed reads only the files the new commits added, never a
 snapshot diff; the full path is one distributed recompute + one
 atomic swap.  Staleness checks are commit-log metadata reads (no
-data I/O).
+data I/O).  The ``cells`` consumption re-aggregation is one
+enum-sized merge over the handful of partial cells per key — never
+a base-table scan.
 """
 
 from __future__ import annotations
@@ -44,14 +68,177 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _NAME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9_]*$")
 
-#: ops that change a table's logical content; anything else
-#: (compact/rebloom/constraint metadata) is invisible to a view
+#: commit ops that change a table's logical content
 _DATA_OPS = {"append", "merge", "expire"}
+#: commit ops KNOWN to preserve content (file rewrites / metadata) —
+#: anything outside both sets is treated as potentially data-changing
+#: (never silently skipped; see :meth:`_insert_only`)
+_CONTENT_PRESERVING_OPS = {
+    "compact",
+    "rebloom",
+    "set_constraint",
+    "drop_constraint",
+}
+
+#: cell-merge functions for the decomposable aggregates: COUNT cells
+#: re-aggregate by SUM; everything else by itself
+_MERGE_FN = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+_ATTR_RE = re.compile(r"^([^()#\s]+)#\d+[A-Za-z]*$")
+_ALIAS_RE = re.compile(r"^([^()#\s]+)#\d+[A-Za-z]*$")
+_AGG_RE = re.compile(r"^(sum|count|min|max)\((.*)\)$")
+
+
+def _split_top(s: str) -> list[str]:
+    """Split a plan expression list on top-level ``, `` (bracket- and
+    paren-aware)."""
+    out, depth, cur = [], 0, []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        if depth == 0 and s.startswith(", ", i):
+            out.append("".join(cur))
+            cur = []
+            i += 2
+            continue
+        cur.append(c)
+        i += 1
+    if cur:
+        out.append("".join(cur))
+    return [x for x in out if x]
+
+
+def _node_lines(plan: str) -> list[str]:
+    """Tree lines with the ``+- `` / ``:  `` prefixes stripped."""
+    out = []
+    for line in plan.splitlines():
+        out.append(line.lstrip(" :+-"))
+    return out
+
+
+def _whole_call(expr: str) -> bool:
+    """True when ``expr`` is ONE function call (its first '(' closes
+    at the very end) — rejects e.g. ``sum(a) + sum(b)``."""
+    start = expr.find("(")
+    if start < 0 or not expr.endswith(")"):
+        return False
+    depth = 0
+    for i in range(start, len(expr)):
+        if expr[i] == "(":
+            depth += 1
+        elif expr[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i == len(expr) - 1
+    return False
+
+
+def consumption_spec(df: DataFrame) -> dict:
+    """Classify an analyzed view DataFrame into a consumption grain
+    (module docstring).  Returns ``{"grain": "rows"}``,
+    ``{"grain": "opaque"}``, or ``{"grain": "cells", "keys": [...],
+    "aggs": {col: fn}, "order": [...], "schema": [[col, type],...]}``.
+
+    Pure string analysis of the ANALYZED logical plan (attribute
+    references print as ``name#exprId``, so string equality between a
+    grouping expression and an output child is exact expression
+    identity).  Every unparseable shape degrades to ``opaque`` — the
+    fail-safe grain (full-refresh-only, direct reads always see a
+    complete snapshot)."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    lines = _node_lines(plan)
+    n_aggs = sum(1 for ln in lines if ln.startswith("Aggregate ["))
+    if any(
+        ln.startswith(("Distinct", "Deduplicate")) for ln in lines
+    ):
+        return {"grain": "opaque"}
+    if n_aggs == 0:
+        return {"grain": "rows"}
+    if n_aggs > 1:
+        return {"grain": "opaque"}
+    # allow ORDER BY on top (re-aggregation loses it; a view's order
+    # is cosmetic, like any table's); anything else above → opaque
+    root = 0
+    while root < len(lines) and lines[root].startswith("Sort ["):
+        root += 1
+    if root >= len(lines) or not lines[root].startswith("Aggregate ["):
+        return {"grain": "opaque"}
+    body = lines[root][len("Aggregate ") :]
+    # 'Aggregate [keys], [outputs]' with GROUP BY, 'Aggregate [outputs]'
+    # without — split the two top-level bracket groups
+    groups: list[str] = []
+    depth, start = 0, None
+    for i, c in enumerate(body):
+        if c == "[":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif c == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(body[start:i])
+    if len(groups) == 1:
+        keys_s, outs_s = [], _split_top(groups[0])
+    elif len(groups) == 2:
+        keys_s, outs_s = _split_top(groups[0]), _split_top(groups[1])
+    else:
+        return {"grain": "opaque"}
+
+    keys: list[str] = []
+    aggs: dict[str, str] = {}
+    order: list[str] = []
+    matched_keys: set[str] = set()
+    for item in outs_s:
+        # top-level alias: the analyzed plan prints it as the LAST
+        # ' AS name#id' (nested casts print lowercase ' as ')
+        expr, alias = item, None
+        if " AS " in item:
+            left, right = item.rsplit(" AS ", 1)
+            if _ALIAS_RE.match(right):
+                expr, alias = left, _ALIAS_RE.match(right).group(1)
+        if expr in keys_s:
+            m = _ATTR_RE.match(expr)
+            name = alias or (m.group(1) if m else None)
+            if name is None:
+                return {"grain": "opaque"}
+            keys.append(name)
+            order.append(name)
+            matched_keys.add(expr)
+            continue
+        m = _AGG_RE.match(expr)
+        if m and _whole_call(expr) and alias is not None:
+            if m.group(2).startswith("distinct "):
+                return {"grain": "opaque"}
+            aggs[alias] = m.group(1)
+            order.append(alias)
+            continue
+        return {"grain": "opaque"}
+    if matched_keys != set(keys_s):
+        # a grouping expression absent from the output: stored cells
+        # from different refreshes are indistinguishable — no merge
+        return {"grain": "opaque"}
+    if len(set(order)) != len(order) or not aggs:
+        return {"grain": "opaque"}
+    return {
+        "grain": "cells",
+        "keys": keys,
+        "aggs": aggs,
+        "order": order,
+        "schema": [
+            [f.name, f.dataType.simpleString()] for f in df.schema.fields
+        ],
+    }
 
 
 class MaterializedViewService:
@@ -124,14 +311,23 @@ class MaterializedViewService:
     def _run_over(self, sql: str, frames: dict[str, DataFrame]) -> DataFrame:
         """Analyze ``sql`` with each collection name bound to the
         given frame (pinned snapshot or increment); views drop after
-        the eager analysis, so execution is registration-free."""
-        try:
-            for coll, df in frames.items():
-                df.createOrReplaceTempView(coll)
-            return self.spark.sql(sql)
-        finally:
-            for coll in frames:
-                self.spark.catalog.dropTempView(coll)
+        the eager analysis, so execution is registration-free.
+
+        Registration holds the PROCESS-WIDE view-registry lock shared
+        with :class:`QueryService` (temp views are session-global):
+        without it a concurrent query's analysis window could see its
+        collection view silently replaced by the pinned/increment
+        frame here — wrong results, not an error (ADVICE r14)."""
+        from .query_service import REGISTRY_LOCK
+
+        with REGISTRY_LOCK:
+            try:
+                for coll, df in frames.items():
+                    df.createOrReplaceTempView(coll)
+                return self.spark.sql(sql)
+            finally:
+                for coll in frames:
+                    self.spark.catalog.dropTempView(coll)
 
     # --- surface ---------------------------------------------------------
 
@@ -167,6 +363,13 @@ class MaterializedViewService:
                     f"{coll} is not transaction-logged; enable_txn first — "
                     "view staleness/increments are commit-log facts"
                 )
+        # crash idempotency: a <name>.txn directory with NO meta file
+        # is an orphan from a create (or drop) that died between the
+        # data write and the meta write — re-running create must not
+        # append a second full copy beside it (ADVICE r14)
+        orphan = os.path.join(self._dir(project), f"{name}.txn")
+        if os.path.isdir(orphan):
+            shutil.rmtree(orphan, ignore_errors=True)
         pinned = {
             coll: self.store.txn_table(project, coll).version()
             for coll in bases
@@ -176,17 +379,30 @@ class MaterializedViewService:
             for coll, v in pinned.items()
         }
         out = self._run_over(sql, frames)
+        spec = consumption_spec(out)
         view = self._table(project, name)
-        view.append(out)
+        if len(bases) == 1:
+            # app-tag the initial materialization too: the applied
+            # high-water mark then exists from birth, so refresh's
+            # feed-start clamp has a baseline even before the first
+            # incremental refresh
+            ((_, v0),) = pinned.items()
+            view.append(out, app=f"matview:{name}", app_version=v0)
+        else:
+            view.append(out)
         meta = {
             "name": name,
             "sql": sql,
             "bases": pinned,
-            # incremental append is only sound for a single base: a
+            # incremental append is only sound for a single base (a
             # multi-collection view's increment is not expressible as
-            # one slice (rakam's per-collection model has the same
-            # boundary)
-            "incremental_capable": len(bases) == 1,
+            # one slice — rakam's per-collection model has the same
+            # boundary) at a mergeable grain: an 'opaque' aggregate
+            # (avg/distinct/nested) has no sound cell-merge, so its
+            # stored table must always be a complete snapshot
+            "incremental_capable": len(bases) == 1
+            and spec["grain"] != "opaque",
+            "consumption": spec,
         }
         self._write_meta(project, name, meta)
         return dict(meta, rows=None, mode="initial")
@@ -199,13 +415,41 @@ class MaterializedViewService:
             for coll, v in meta["bases"].items()
         }
 
-    def table(self, project: str, name: str) -> DataFrame:
+    def raw_table(self, project: str, name: str) -> DataFrame:
+        """The stored table as-is: final rows for ``rows`` grain,
+        PARTIAL per-refresh cells for ``cells`` grain (consumers must
+        re-aggregate — :meth:`table` does)."""
         self._meta(project, name)  # existence gate
         return self._table(project, name).read()
 
-    def drop(self, project: str, name: str) -> None:
-        import shutil
+    def table(self, project: str, name: str) -> DataFrame:
+        """The view at CONSUMPTION grain — what ``materialized_<name>``
+        serves from SQL.  ``cells`` views re-aggregate their partial
+        cells here (one enum-sized merge, never a base scan) and cast
+        back to the definition's output schema, so a direct reader
+        between refreshes never sees partial cells; ``rows`` and
+        ``opaque`` views read as stored (complete by construction)."""
+        meta = self._meta(project, name)
+        df = self._table(project, name).read()
+        spec = meta.get("consumption") or {"grain": "rows"}
+        if spec["grain"] != "cells":
+            return df
+        merged = [
+            _MERGE_FN[fn](c).alias(c) for c, fn in spec["aggs"].items()
+        ]
+        out = (
+            df.groupBy(*spec["keys"]).agg(*merged)
+            if spec["keys"]
+            else df.agg(*merged)
+        )
+        types = dict(map(tuple, spec["schema"]))
+        # SUM widens (decimal precision, count→sum stays bigint): cast
+        # back so the consumption schema equals the definition's
+        return out.select(
+            *[F.col(c).cast(types[c]).alias(c) for c in spec["order"]]
+        )
 
+    def drop(self, project: str, name: str) -> None:
         self._meta(project, name)
         os.remove(self._meta_path(project, name))
         shutil.rmtree(
@@ -214,15 +458,20 @@ class MaterializedViewService:
         )
 
     def _insert_only(self, project: str, coll: str, frm: int, to: int) -> bool:
-        """True when every data-changing commit in (frm, to] is an
-        append — a metadata scan of the commit records, no data I/O."""
+        """True when every commit in (frm, to] is an append or a KNOWN
+        content-preserving op — a metadata scan of the commit records,
+        no data I/O.  An UNRECOGNIZED op returns False (fail-safe: it
+        may have changed data, so the caller full-recomputes —
+        txnsource raises here because a stream cannot fall back; a
+        refresh can, and the full path is correct regardless)."""
         t = self.store.txn_table(project, coll)
         for rec in t.history(since=frm + 1):
             if rec["version"] > to:
                 break
             op = rec.get("op")
-            if op in _DATA_OPS and op != "append":
-                return False
+            if op == "append" or op in _CONTENT_PRESERVING_OPS:
+                continue
+            return False
         return True
 
     def refresh(self, project: str, name: str, full: bool = False) -> dict:
@@ -247,12 +496,24 @@ class MaterializedViewService:
         if incremental:
             ((coll, last),) = meta["bases"].items()
             cur = current[coll]
-            feed = self.store.changes(project, coll, last, cur)
-            increment = feed.drop("_change_type", "_commit_version")
-            out = self._run_over(meta["sql"], {coll: increment})
-            # idempotent through the commit log: a crash after this
-            # append but before the meta write replays harmlessly
-            view.append(out, app=f"matview:{name}", app_version=cur)
+            # clamp the feed start to the APPLIED high-water mark: a
+            # crash between the data append and the meta write leaves
+            # meta stale; if the base then advances, re-reading the
+            # feed from stale meta would replay the already-applied
+            # slice under a NEWER app_version and double-apply it —
+            # the commit log itself records how far we really got
+            # (ADVICE r14)
+            applied = view.app_versions().get(f"matview:{name}", -1)
+            last = max(last, applied)
+            if last < cur:
+                feed = self.store.changes(project, coll, last, cur)
+                increment = feed.drop("_change_type", "_commit_version")
+                out = self._run_over(meta["sql"], {coll: increment})
+                # idempotent through the commit log: a replay of this
+                # exact append is a no-op
+                view.append(out, app=f"matview:{name}", app_version=cur)
+            # else: the increment already landed (crash before the
+            # meta write); repairing the metadata is all that is left
             mode = "incremental"
         else:
             frames = {

