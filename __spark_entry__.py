@@ -25,6 +25,7 @@ from rakam_api_spark.analytics import relational3 as _relational3
 from rakam_api_spark.analytics import relational4 as _relational4
 from rakam_api_spark.analytics import relational5 as _relational5
 from rakam_api_spark.analytics import relational6 as _relational6
+from rakam_api_spark.analytics import relational7 as _relational7
 from rakam_api_spark.llm import curation as _curation
 from rakam_api_spark.llm import dedup as _dedup
 from rakam_api_spark.llm import dedup_index as _dedup_index
@@ -43,6 +44,7 @@ _MODULES = (
     _relational4,
     _relational5,
     _relational6,
+    _relational7,
     _events,
     _events2,
     _events3,
