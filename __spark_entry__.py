@@ -19,6 +19,7 @@ from rakam_api_spark.analytics import events2 as _events2
 from rakam_api_spark.analytics import events3 as _events3
 from rakam_api_spark.analytics import events4 as _events4
 from rakam_api_spark.analytics import events5 as _events5
+from rakam_api_spark.analytics import events6 as _events6
 from rakam_api_spark.analytics import relational as _relational
 from rakam_api_spark.analytics import relational2 as _relational2
 from rakam_api_spark.analytics import relational3 as _relational3
@@ -50,6 +51,7 @@ _MODULES = (
     _events3,
     _events4,
     _events5,
+    _events6,
     _enrich,
     _cdf,
     _windows,
