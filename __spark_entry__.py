@@ -35,6 +35,7 @@ from rakam_api_spark.llm import search as _search
 from rakam_api_spark.llm import similarity as _similarity
 from rakam_api_spark.llm import text as _text
 from rakam_api_spark.llm import text2 as _text2
+from rakam_api_spark.llm import text3 as _text3
 from rakam_api_spark.llm import vectors as _vectors
 from rakam_api_spark.streaming import windows as _windows
 
@@ -60,6 +61,7 @@ _MODULES = (
     _similarity,
     _text,
     _text2,
+    _text3,
     _vectors,
     _curation,
     _multimodal,

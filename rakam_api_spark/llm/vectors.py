@@ -243,3 +243,96 @@ ORACLES = {
     "embedding_norm_percentiles_by_label": NORM_PERCENTILES_ORACLE,
     "dimension_variance_topk": DIMENSION_VARIANCE_ORACLE,
 }
+
+
+def adjacent_vector_angle_bands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus-order geometry drift: the cosine between every vector
+    and its successor (vec_id, vec_id+1), banded over [-1, 1] in
+    eighths — adjacent-id vectors sharing ingestion context should
+    skew similar, so a flat histogram flags shuffled/mismatched
+    embedding batches (the ordering-sensitive sibling of
+    ``label_centroid_similarity``).
+
+    Plan: the corpus is posexploded ONCE; the successor pairing is a
+    component-grain EQUI-join on (vec_id+1, pos) — hash-partitioned,
+    never a broadcast of a corpus frame (the ANN-family rule); dot
+    and norms accumulate as exact integers over the quantized
+    components, so only the final cosine is float (round 6, and the
+    BAND is cut on the rounded value so the boundary decision is
+    identical cross-engine)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = _quantized_components_labeled(emb)
+    a = comp.select("vec_id", "pos", F.col("q").alias("qa"))
+    b = comp.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        "pos",
+        F.col("q").alias("qb"),
+    )
+    pair = (
+        a.join(b, ["vec_id", "pos"])
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("qa") * F.col("qb")).alias("_dot"),
+            F.sum(F.col("qa") * F.col("qa")).alias("_na2"),
+            F.sum(F.col("qb") * F.col("qb")).alias("_nb2"),
+        )
+    )
+    cos = F.round(
+        F.col("_dot").cast("double")
+        / (
+            F.sqrt(F.col("_na2").cast("double"))
+            * F.sqrt(F.col("_nb2").cast("double"))
+        ),
+        6,
+    )
+    band = F.least(F.floor((cos + 1.0) * 4.0).cast("int"), F.lit(7))
+    scored = pair.select(
+        band.alias("_band"), cos.cast("decimal(18,6)").alias("_c")
+    )
+    return (
+        scored.groupBy(F.col("_band").alias("cos_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum("_c").cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_cos"),
+        )
+        .orderBy("cos_band")
+    )
+
+
+ADJACENT_ANGLE_ORACLE = f"""
+WITH {_COMP_SQL},
+pair AS (
+  SELECT a.vec_id,
+         SUM(a.q * b.q) AS _dot,
+         SUM(a.q * a.q) AS _na2,
+         SUM(b.q * b.q) AS _nb2
+  FROM comp a JOIN comp b
+    ON b.vec_id = a.vec_id + 1 AND b.pos = a.pos
+  GROUP BY 1
+),
+scored AS (
+  SELECT least(CAST(floor((round(CAST(_dot AS DOUBLE)
+                   / (sqrt(CAST(_na2 AS DOUBLE)) * sqrt(CAST(_nb2 AS DOUBLE))),
+                   6) + 1.0) * 4.0) AS INT), 7) AS cos_band,
+         CAST(round(CAST(_dot AS DOUBLE)
+              / (sqrt(CAST(_na2 AS DOUBLE)) * sqrt(CAST(_nb2 AS DOUBLE))), 6)
+              AS DECIMAL(18,6)) AS _c
+  FROM pair
+)
+SELECT cos_band,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round(CAST(SUM(_c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS avg_cos
+FROM scored
+GROUP BY cos_band
+ORDER BY cos_band
+"""
+
+
+QUERIES["adjacent_vector_angle_bands"] = adjacent_vector_angle_bands
+ORACLES["adjacent_vector_angle_bands"] = ADJACENT_ANGLE_ORACLE
