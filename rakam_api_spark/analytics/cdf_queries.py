@@ -137,6 +137,12 @@ _MV_SQL = (
 )
 
 
+_MV_ROWS_SQL = (
+    "SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice "
+    "FROM orders WHERE o_totalprice > 150000"
+)
+
+
 def _mv_warehouse(spark: SparkSession, sf_dir: str) -> str:
     """Build (once) a warehouse where a materialized view over a
     txn-logged ``orders`` collection is created on the FIRST modulo
@@ -176,11 +182,15 @@ def _mv_warehouse(spark: SparkSession, sf_dir: str) -> str:
     txn.append(orders.where((F.col("o_orderkey") % 4) < 2))
     mv = MaterializedViewService(spark, store)
     mv.create("mvp", "ordstats", _MV_SQL)
+    mv.create("mvp", "bigorders", _MV_ROWS_SQL)
     txn.append(orders.where((F.col("o_orderkey") % 4) == 2))
     txn.append(orders.where((F.col("o_orderkey") % 4) == 3))
-    res = mv.refresh("mvp", "ordstats")
-    if res["mode"] != "incremental":  # the path under test
-        raise RuntimeError(f"expected incremental refresh, got {res['mode']}")
+    for name in ("ordstats", "bigorders"):
+        res = mv.refresh("mvp", name)
+        if res["mode"] != "incremental":  # the path under test
+            raise RuntimeError(
+                f"expected incremental refresh of {name}, got {res['mode']}"
+            )
     _MV_FIXTURE[sf_dir] = warehouse
     return warehouse
 
@@ -228,3 +238,39 @@ ORDER BY priority
 
 QUERIES["matview_incremental_rollup"] = matview_incremental_rollup
 ORACLES["matview_incremental_rollup"] = MATVIEW_ROLLUP_ORACLE
+
+
+def matview_rows_grain_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-grain materialized-view consistency at the SQL surface: a
+    filtered projection view ('rows' consumption grain — every stored
+    row is final) created on the first modulo slice and incrementally
+    refreshed (change feed, mode ASSERTED in the fixture) across two
+    more appends must read back through ``materialized_bigorders``
+    as exactly the filter over the full table — checked row-for-row
+    against DuckDB filtering the raw parquet.
+
+    Plan: the view read is a plain txn-table scan (no re-aggregation:
+    the create-time grain classifier marked it 'rows'); refresh cost
+    was O(increment)."""
+    from ..catalog import Metastore
+    from ..query_service import QueryService
+    from ..store import EventStore
+
+    warehouse = _mv_warehouse(spark, sf_dir)
+    svc = QueryService(spark, EventStore(spark, Metastore(warehouse)))
+    return svc.dataframe(
+        "mvp",
+        "SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice "
+        "FROM materialized_bigorders ORDER BY o_orderkey",
+    )
+
+
+MATVIEW_ROWS_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+FROM orders WHERE o_totalprice > 150000
+ORDER BY o_orderkey
+"""
+
+
+QUERIES["matview_rows_grain_read"] = matview_rows_grain_read
+ORACLES["matview_rows_grain_read"] = MATVIEW_ROWS_ORACLE

@@ -563,3 +563,138 @@ ORACLES.update(
         "window_type_churn": WINDOW_TYPE_CHURN_ORACLE,
     }
 )
+
+
+def window_new_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per 12-hour tumbling window: events from users FIRST SEEN in
+    that window vs returning users — the acquisition-vs-retention
+    split a streaming dashboard renders per window (the windowed
+    sibling of ``daily_new_vs_returning``; streaming-side this is the
+    first-seen state of ``applyInPandasWithState``).
+
+    Plan: one user-grain min (first event µs, exact integer), joined
+    back on user_id (user-keyed exchange, no corpus broadcast), then
+    ONE window aggregate; the share is one 9dp double division."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.expr("ts_ns div 1000")).alias("_first_us"))
+    flagged = ev.join(first, "user_id").withColumn(
+        "_is_new",
+        (
+            F.expr("ts_ns div 1000 div 43200000000")
+            == F.expr("_first_us div 43200000000")
+        ).cast("long"),
+    )
+    return (
+        flagged.groupBy(F.window("ts", "12 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_is_new").alias("n_new_user_events"),
+            F.round(
+                F.sum("_is_new").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("new_share"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "n_new_user_events",
+            "new_share",
+        )
+        .orderBy("window_start")
+    )
+
+
+WINDOW_NEW_USER_ORACLE = """
+WITH first AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS _first_us FROM events GROUP BY 1
+),
+flagged AS (
+  SELECT time_bucket(INTERVAL 12 HOUR, e.ts) AS window_start,
+         CASE WHEN epoch_us(e.ts) // 43200000000
+                   = f._first_us // 43200000000
+              THEN 1 ELSE 0 END AS _is_new
+  FROM events e JOIN first f ON e.user_id = f.user_id
+)
+SELECT window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(_is_new) AS BIGINT) AS n_new_user_events,
+       round(CAST(SUM(_is_new) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+         AS new_share
+FROM flagged
+GROUP BY 1
+ORDER BY window_start
+"""
+
+
+def window_value_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per 12-hour tumbling window: moment-based value skewness
+    (g1 = m3 / m2^1.5) — the tail-shape alarm beside
+    ``window_value_quantiles``' fixed percentiles (a sudden
+    positive-skew spike means a few huge values, not a level shift).
+
+    Plan: ONE window-keyed aggregate of exact DECIMAL power sums
+    (value through DECIMAL(12,4) operands, cubes within DECIMAL(38)
+    headroom, so the sums are order-free); the skewness assembly is
+    row-local double arithmetic over the window cells, round 6."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(12,4)")
+    cell = ev.groupBy(F.window("ts", "12 hours").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("_s1"),
+        F.sum(v * v).alias("_s2"),
+        F.sum((v * v) * v).alias("_s3"),
+    )
+    n = F.col("n_events").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    s3 = F.col("_s3").cast("double")
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m3 = s3 / n - 3 * mean * (s2 / n) + 2 * mean * mean * mean
+    return cell.select(
+        F.col("w.start").alias("window_start"),
+        "n_events",
+        F.round(m3 / F.pow(m2, 1.5), 6).alias("value_skewness"),
+    ).orderBy("window_start")
+
+
+WINDOW_SKEW_ORACLE = """
+WITH cell AS (
+  SELECT time_bucket(INTERVAL 12 HOUR, ts) AS window_start,
+         COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,6))) AS _s1,
+         SUM(CAST(value AS DECIMAL(12,4)) * CAST(value AS DECIMAL(12,4)))
+           AS _s2,
+         SUM(CAST(CAST(value AS DECIMAL(12,4))
+                  * CAST(value AS DECIMAL(12,4)) AS DECIMAL(25,8))
+             * CAST(value AS DECIMAL(12,4))) AS _s3
+  FROM events GROUP BY 1
+)
+SELECT window_start,
+       CAST(n_events AS BIGINT) AS n_events,
+       round((CAST(_s3 AS DOUBLE) / CAST(n_events AS DOUBLE)
+              - 3 * (CAST(_s1 AS DOUBLE) / CAST(n_events AS DOUBLE))
+                  * (CAST(_s2 AS DOUBLE) / CAST(n_events AS DOUBLE))
+              + 2 * pow(CAST(_s1 AS DOUBLE) / CAST(n_events AS DOUBLE), 3))
+             / pow(CAST(_s2 AS DOUBLE) / CAST(n_events AS DOUBLE)
+                   - pow(CAST(_s1 AS DOUBLE) / CAST(n_events AS DOUBLE), 2),
+                   1.5), 6) AS value_skewness
+FROM cell
+ORDER BY window_start
+"""
+
+
+QUERIES.update(
+    {
+        "window_new_user_share": window_new_user_share,
+        "window_value_skew": window_value_skew,
+    }
+)
+
+ORACLES.update(
+    {
+        "window_new_user_share": WINDOW_NEW_USER_ORACLE,
+        "window_value_skew": WINDOW_SKEW_ORACLE,
+    }
+)
