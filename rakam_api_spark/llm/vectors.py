@@ -255,9 +255,12 @@ def adjacent_vector_angle_bands(
     embedding batches (the ordering-sensitive sibling of
     ``label_centroid_similarity``).
 
-    Plan: the corpus is posexploded ONCE; the successor pairing is a
-    component-grain EQUI-join on (vec_id+1, pos) — hash-partitioned,
-    never a broadcast of a corpus frame (the ANN-family rule); dot
+    Plan: the successor pairing is declared as a component-grain
+    equi-join on (vec_id+1, pos), and Catalyst pushes it BELOW the
+    posexplode — the executed join pairs whole vectors on vec_id
+    (d× fewer join rows) and explodes after; no broadcast HINT
+    anywhere (AQE's size check picks the build side at test scale
+    and shuffle-joins a 100 TB corpus — the ANN-family rule).  Dot
     and norms accumulate as exact integers over the quantized
     components, so only the final cosine is float (round 6, and the
     BAND is cut on the rounded value so the boundary decision is

@@ -18,10 +18,35 @@ import __spark_entry__ as entrymod
 from rakam_api_spark.session import get_spark
 
 SHOW = {
+    # round-15 additions
+    "returns_impact_by_nation": "two fact shuffles (orderkey, custkey); un-hinted customer/nation joins (AQE build side); ONE 25-row conditional DECIMAL aggregate",
+    "order_line_count_value_curve": "lineitem reduces to order grain FIRST (map-side partial); same-key join to orders; enum line-count cells",
+    "customer_yoy_retention_by_segment": "distinct (cust,year); Y->Y+1 self-join reuses the custkey hash partitioning; (segment x years) cells",
+    "nation_order_value_median_gap": "un-hinted dim joins; ONE 25-group aggregate with exact percentile (approx_percentile at 100 TB, same shape)",
+    "priority_settlement_lift": "one fact join + aggregate to <=5x2 cells; marginals aggregate THE CELLS (no second fact scan), broadcast back",
+    "brand_size_price_slope": "part-only |brands| aggregate of exact integer/DECIMAL sums; closed-form OLS row-local",
+    "supplier_balance_late_bands": "fact join reduces to supplier grain FIRST; un-hinted supplier-dim join of the aggregate; enum band cells",
+    "unit_price_consistency_by_type": "partkey aggregate of exact DECIMAL min/max/sum (no wide-decimal squares); per-part spread DECIMAL-cast before the type average (order-free)",
+    "high_value_repeat_by_segment": "exact-percentile scalar broadcast back; filtered orders -> (segment,cust) counts; segment cells",
+    "inter_session_gap_bands": "shared session kernel (ONE user-keyed exchange); session-grain lag bounded per user; enum band aggregate",
+    "value_by_session_position": "session kernel + row_number bounded by session length; enum position bands; raw double mean of exact DECIMAL sum",
+    "rapid_fire_share_by_type": "ONE user-keyed lag (integer-us delta); enum per-type aggregate",
+    "session_count_duration_quadrants": "session kernel -> user grain; TWO medians in one scalar percentile aggregate broadcast back; 4 cells",
+    "type_value_cv_by_hour": "ONE (type,hour) aggregate of exact DECIMAL moments (12,4-operand squares dodge decimal-multiply overflow); row-local CV",
+    "consecutive_hour_user_overlap": "distinct (user,abs-hour) by integer div; h->h+1 self-join reuses the hash partitioning; 24 cells",
+    "intra_session_type_diversity": "session kernel + ONE session-grain aggregate (count + distinct types); enum band cells",
+    "user_daypart_preference": "(user,daypart) aggregate <=4 rows/user; argmax row_number over that bounded partition; 4 cells",
+    "word_length_profile_by_lang": "ONE token explode + |langs| aggregate; all sums exact integers",
+    "intra_doc_repetition_by_source": "row-local sequence+slice 5-gram transform; ONE explode + doc-grain distinct aggregate; per-doc rate DECIMAL-cast before source average",
+    "doc_half_jaccard_by_lang": "purely ROW-LOCAL array math (slice/distinct/intersect) — no explode, no join; |langs| aggregate of DECIMAL-cast scores",
+    "adjacent_vector_angle_bands": "corpus posexploded once; successor pairing is a component-grain EQUI-join (hash-partitioned, never a corpus broadcast); exact integer dot/norms; banded on the rounded cosine",
+    "window_new_user_share": "user-grain first-seen min joined back on user_id; ONE window aggregate; 9dp share",
+    "window_value_skew": "ONE window-keyed aggregate of exact DECIMAL power sums (widened cube); row-local skewness assembly",
+    "matview_rows_grain_read": "rows-grain materialized view: plain txn-table scan through the SQL alias (grain classifier skips re-aggregation); refresh was O(increment)",
     # round-14 additions
     "window_value_quantiles": "ONE F.window-keyed aggregate (row-local bucket arithmetic); exact percentiles per calendar-bounded window",
     "window_type_churn": "(window,type) cells; shares from cell-aggregate totals; type-partitioned lag over the calendar-bounded window series",
-    "matview_incremental_rollup": "materialized-view read is a plain txn-table scan of partial cells; enum-sized re-aggregate (refresh itself was O(increment) via the change feed)",
+    "matview_incremental_rollup": "cells-grain materialized view read through the SQL alias: txn-table scan of partial cells + the service's enum-sized consumption re-aggregate (refresh itself was O(increment) via the change feed)",
     "realized_vs_retail_by_discount": "un-hinted lineitem-part join; ONE aggregate to <=11 discount-pct cells; DECIMAL value pair",
     "supplier_nation_price_advantage": "un-hinted supplier/part joins + broadcast nation dim; ONE (nation,type) fact aggregate; type globals aggregate the cells",
     "brand_quarter_share_shift": "un-hinted lineitem-part join; ONE (brand,quarter) aggregate; quarter totals aggregate the cells",

@@ -31,6 +31,31 @@ BASE = "/root/testdata/sf0.1"
 OFF = 10_000_000
 
 OPERATORS = [
+    # round-15 additions
+    "returns_impact_by_nation",
+    "order_line_count_value_curve",
+    "customer_yoy_retention_by_segment",
+    "nation_order_value_median_gap",
+    "priority_settlement_lift",
+    "brand_size_price_slope",
+    "supplier_balance_late_bands",
+    "unit_price_consistency_by_type",
+    "high_value_repeat_by_segment",
+    "inter_session_gap_bands",
+    "value_by_session_position",
+    "rapid_fire_share_by_type",
+    "session_count_duration_quadrants",
+    "type_value_cv_by_hour",
+    "consecutive_hour_user_overlap",
+    "intra_session_type_diversity",
+    "user_daypart_preference",
+    "word_length_profile_by_lang",
+    "intra_doc_repetition_by_source",
+    "doc_half_jaccard_by_lang",
+    "adjacent_vector_angle_bands",
+    "window_new_user_share",
+    "window_value_skew",
+    "matview_rows_grain_read",
     # round-14 additions
     "realized_vs_retail_by_discount",
     "matview_incremental_rollup",
