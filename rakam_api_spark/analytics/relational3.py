@@ -91,7 +91,7 @@ def parts_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        part.join(broadcast(lvl), part["p_retailprice"] == lvl["price"])
+        part.join(lvl, part["p_retailprice"] == lvl["price"])
         .where(
             (F.col("p_size") == F.col("lvl_max"))
             & (F.col("p_size") > F.col("cheaper_max"))
@@ -231,7 +231,7 @@ def revenue_qoq_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.select("o_orderkey", "o_custkey", "o_orderdate"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(broadcast(cust.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
         .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), quarter.alias("quarter"))
         .agg(F.sum(_vol()).alias("_rev"))
@@ -481,7 +481,7 @@ def order_value_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_seg = (
         orders.join(
-            broadcast(cust.select("c_custkey", "c_mktsegment")),
+            cust.select("c_custkey", "c_mktsegment"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .select("c_mktsegment", lnx.alias("lnx"))
@@ -540,7 +540,7 @@ def brand_repeat_loyalty(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     per = (
-        li.join(broadcast(part.select("p_partkey", "p_brand")), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part.select("p_partkey", "p_brand"), F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("p_brand", "o_custkey")
         .agg(F.countDistinct("l_orderkey").alias("n_orders"))
@@ -598,8 +598,8 @@ def domestic_supply_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = _vol()
     agg = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("c_nationkey")
         .agg(
             F.sum(vol).alias("_total"),
@@ -675,7 +675,7 @@ def supplier_latency_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean = F.col("_s1").cast("double") / F.col("n_shipments").cast("double")
     var = F.col("_s2").cast("double") / F.col("n_shipments").cast("double") - mean * mean
     return (
-        agg.join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        agg.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",

@@ -764,7 +764,7 @@ def nation_type_specialization(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     part = load_table(spark, sf_dir, "part")
     cell = (
-        li.join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        li.join(supplier, li["l_suppkey"] == supplier["s_suppkey"])
         .join(F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"])
         .join(part, li["l_partkey"] == part["p_partkey"])
         .groupBy(F.col("n_name").alias("nation"), F.col("p_type").alias("ptype"))
@@ -1214,9 +1214,7 @@ def nation_revenue_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise("h2")
     cell = (
         orders.join(
-            F.broadcast(
-                customer.select("c_custkey", "c_nationkey")
-            ),
+            customer.select("c_custkey", "c_nationkey"),
             orders["o_custkey"] == F.col("c_custkey"),
         )
         .join(
@@ -1310,7 +1308,7 @@ def repeat_customer_value_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = (
         per_cust.where(F.col("n_orders") >= 2)
         .join(
-            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            customer.select("c_custkey", "c_mktsegment"),
             per_cust["o_custkey"] == F.col("c_custkey"),
         )
         .select(
@@ -1881,7 +1879,7 @@ def order_value_percentiles_by_segment(
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     j = orders.join(
-        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        customer.select("c_custkey", "c_mktsegment"),
         orders["o_custkey"] == F.col("c_custkey"),
     )
     cell = j.groupBy("c_mktsegment").agg(
@@ -2017,7 +2015,7 @@ def brand_cross_region_price_gap(
         .select("s_suppkey", "r_name")
     )
     cell = (
-        li.join(F.broadcast(dims), li["l_suppkey"] == F.col("s_suppkey"))
+        li.join(dims, li["l_suppkey"] == F.col("s_suppkey"))
         .join(
             part.select("p_partkey", "p_brand"),
             li["l_partkey"] == F.col("p_partkey"),

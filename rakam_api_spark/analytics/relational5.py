@@ -316,7 +316,7 @@ def supplier_portfolio_diversity(
     nation = load_table(spark, sf_dir, "nation")
     cell = (
         li.join(
-            F.broadcast(part.select("p_partkey", "p_type")),
+            part.select("p_partkey", "p_type"),
             li["l_partkey"] == part["p_partkey"],
         )
         .groupBy("l_suppkey", "p_type")
@@ -333,7 +333,7 @@ def supplier_portfolio_diversity(
         .agg(F.sum(term).alias("_h"))
     )
     j = per_supp.join(
-        F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+        supp.select("s_suppkey", "s_nationkey"),
         per_supp["l_suppkey"] == supp["s_suppkey"],
     ).join(
         F.broadcast(nation.select("n_nationkey", "n_name")),
@@ -546,7 +546,7 @@ def supplier_share_trend_movers(
     )
     return (
         ranked.join(
-            F.broadcast(supp.select("s_suppkey", "s_name")),
+            supp.select("s_suppkey", "s_name"),
             ranked["l_suppkey"] == F.col("s_suppkey"),
         )
         .select(
