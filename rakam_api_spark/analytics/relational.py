@@ -14,11 +14,15 @@ Determinism conventions (so results hash-match the DuckDB oracle):
   unique key;
 - ratios are double divisions of exactly-equal operands.
 
-Scale notes: region/nation/customer/supplier/part are dimension
-tables — small relative to fact tables at any SF — so joins against
-them are explicitly marked ``broadcast()``.  lineitem⋈orders is a
-fact-fact join on the natural key; at 100 TB both sides would be
-bucketed by orderkey, and AQE handles skew.
+Scale notes: nation/region (constant 25/5 rows) and scalar derived
+frames keep explicit ``broadcast()`` hints; customer/supplier/part-
+grain join sides carry NO hint, because they GROW with scale factor
+— AQE's runtime size check picks broadcast-hash at any realistic
+dim:fact ratio and falls back to shuffle join when a 100 TB
+dimension would not fit, where a forced hint would override the size
+check (the relational6 convention, adopted fleet-wide in round 15).
+lineitem⋈orders is a fact-fact join on the natural key; at 100 TB
+both sides would be bucketed by orderkey, and AQE handles skew.
 """
 
 from __future__ import annotations
@@ -85,8 +89,9 @@ GROUP BY l_returnflag, l_linestatus
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 adapted: top-10 unshipped orders by revenue.
 
-    customer is a broadcast dim; orders⋈lineitem shuffles on
-    orderkey.  The final top-10 uses ``orderBy().limit()`` which
+    The customer join is un-hinted (AQE broadcasts it at any
+    realistic size); orders⋈lineitem shuffles on orderkey.  The
+    final top-10 uses ``orderBy().limit()`` which
     Spark plans as TakeOrderedAndProject: each partition keeps its
     local top-10 and the driver merges 10·numPartitions rows — no
     single-partition WindowExec even when the l_orderkey-grain
@@ -99,7 +104,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         li.where(F.col("l_shipdate").cast("date") > cut)
         .join(orders.where(F.col("o_orderdate").cast("date") < cut), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast(cu.where(F.col("c_mktsegment") == "BUILDING")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cu.where(F.col("c_mktsegment") == "BUILDING"), F.col("o_custkey") == F.col("c_custkey"))
     )
     agg = joined.groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate")).agg(
         F.sum((_dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))).cast(DEC))
@@ -129,16 +134,17 @@ WHERE rn <= 10
 
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 adapted: revenue per nation where the supplying and
-    ordering nations match.  Four broadcast dims around the
-    lineitem⋈orders fact join."""
+    ordering nations match.  nation/region broadcast (constant);
+    customer/supplier joins un-hinted around the lineitem⋈orders
+    fact join."""
     for n in ("region", "nation", "customer", "supplier"):
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     nation = broadcast(spark.table("nation"))
     region = broadcast(spark.table("region"))
-    cust = broadcast(spark.table("customer"))
-    supp = broadcast(spark.table("supplier"))
+    cust = spark.table("customer")
+    supp = spark.table("supplier")
     df = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
@@ -189,7 +195,7 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("o_totalprice")).cast("double").alias("total_spend"),
             F.count(F.lit(1)).alias("n_orders"),
         )
-        .join(broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
     )
     return (
         agg.select("c_custkey", "c_name", "c_mktsegment", "total_spend", "n_orders")
@@ -220,7 +226,7 @@ def part_type_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_type")
         .agg(
             F.sum((_dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))).cast(DEC))
@@ -623,7 +629,7 @@ def big_ticket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(qualifying, orders.o_orderkey == qualifying.l_orderkey)
-        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",
             "o_orderkey",
@@ -684,7 +690,7 @@ def late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
     return (
-        sole_late.join(broadcast(supp), sole_late.l_suppkey == supp.s_suppkey)
+        sole_late.join(supp, sole_late.l_suppkey == supp.s_suppkey)
         .select("s_name", "numwait")
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(10)
@@ -740,8 +746,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = (
         li.where(F.col("l_shipdate").cast("date").between("1995-01-01", "1996-12-31"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
         .join(n_supp, F.col("s_nationkey") == F.col("sn_key"))
         .join(n_cust, F.col("c_nationkey") == F.col("cn_key"))
         .where(pair)
@@ -803,9 +809,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = (_dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))).cast(DEC)
     df = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast(part.where(F.col("p_type").startswith("ECONOMY"))), F.col("l_partkey") == F.col("p_partkey"))
-        .join(broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
-        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(part.where(F.col("p_type").startswith("ECONOMY")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(n_cust, F.col("c_nationkey") == F.col("cn_key"))
         .join(broadcast(region.where(F.col("r_name") == "AMERICA")), F.col("cr_key") == F.col("r_regionkey"))
         .join(n_supp, F.col("s_nationkey") == F.col("sn_key"))
@@ -862,7 +868,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate").cast("date") >= F.lit("1995-09-01").cast("date"))
             & (F.col("l_shipdate").cast("date") < F.lit("1995-10-01").cast("date"))
         )
-        .join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
     )
     return df.agg(
         F.sum(F.when(F.col("p_type").startswith("PROMO"), vol).otherwise(F.lit(0).cast(DEC)))
