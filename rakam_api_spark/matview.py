@@ -449,6 +449,48 @@ class MaterializedViewService:
             *[F.col(c).cast(types[c]).alias(c) for c in spec["order"]]
         )
 
+    def fragmentation(self, project: str, name: str) -> int:
+        """How many incremental-refresh appends have stacked since the
+        view last held one cell per key: the count of ``append``
+        commits after the most recent full-materialization commit
+        (the initial append or the last ``merge`` from a full refresh
+        / compaction).  Pure commit-log metadata — no data I/O — so
+        the maintenance planner can poll it for free."""
+        self._meta(project, name)
+        frag, seen_initial = 0, False
+        for rec in self._table(project, name).history():  # oldest-first
+            op = rec.get("op")
+            if op == "merge":  # full refresh / compaction: one cell per key
+                frag = 0
+            elif op == "append":
+                if seen_initial:
+                    frag += 1
+                seen_initial = True  # the initial materialization is full
+        return frag
+
+    def compact(self, project: str, name: str) -> dict:
+        """Merge a ``cells``-grain view's accumulated partial cells
+        into ONE cell per key, published as a single atomic
+        ``TxnTable.replace`` — reads flip at one version and the
+        consumption re-aggregation goes back to touching one row per
+        key.  Refresh-safe: a later incremental append just starts a
+        new partial generation (``table()`` always re-aggregates),
+        and the commit log keeps the applied app-version high-water
+        mark across the replace, so the refresh clamp still holds.
+        Only ``cells`` views compact — ``rows``/``opaque`` tables are
+        already one-row-per-fact / full snapshots."""
+        meta = self._meta(project, name)
+        spec = meta.get("consumption") or {"grain": "rows"}
+        if spec["grain"] != "cells":
+            raise ValueError(
+                f"materialized view {project}.{name} is "
+                f"{spec['grain']}-grain; only cells-grain views have "
+                "partial cells to compact"
+            )
+        merged = self.table(project, name)  # consumption frame, schema-cast
+        self._table(project, name).replace(merged)
+        return {"mode": "compacted", "view": name}
+
     def drop(self, project: str, name: str) -> None:
         self._meta(project, name)
         os.remove(self._meta_path(project, name))

@@ -518,6 +518,12 @@ def salted_repartition(df: DataFrame, key_col: str, n_partitions: int, salt_buck
 
 
 class EventStore:
+    #: schedule a cells-grain materialized-view compaction once this
+    #: many incremental-refresh generations have stacked since the
+    #: last full materialization (each adds one partial cell per
+    #: touched key; the consumption merge re-reads all of them)
+    MATVIEW_COMPACT_FRAGMENTS = 8
+
     def __init__(
         self,
         spark: SparkSession,
@@ -1201,6 +1207,26 @@ class EventStore:
                         ),
                     }
                 )
+            # cells-grain views accumulate one partial generation per
+            # incremental refresh; past the threshold, compaction
+            # merges them back to one cell per key (one atomic
+            # replace).  fragmentation() is commit-log metadata only.
+            grain = (
+                mv._meta(project, name).get("consumption") or {}
+            ).get("grain", "rows")
+            if grain == "cells":
+                frag = mv.fragmentation(project, name)
+                if frag >= self.MATVIEW_COMPACT_FRAGMENTS:
+                    plan.append(
+                        {
+                            "collection": f"materialized_{name}",
+                            "action": "matview_compact",
+                            "view": name,
+                            "months": [],
+                            "reason": f"{frag} partial-cell generations "
+                            "since the last full materialization",
+                        }
+                    )
         return plan
 
     # --- derived-index maintenance (auto-indexer over the LLM indexes) --
@@ -1377,6 +1403,13 @@ class EventStore:
                     project, item["view"]
                 )
                 item["outcome"] = f"refreshed ({res['mode']})"
+            elif item["action"] == "matview_compact":
+                from .matview import MaterializedViewService
+
+                MaterializedViewService(self.spark, self).compact(
+                    project, item["view"]
+                )
+                item["outcome"] = "partial cells compacted (atomic replace)"
         return plan
 
     def expire_months(self, project: str, collection: str, before_month: str) -> list[str]:

@@ -374,3 +374,65 @@ def test_consumption_spec_classification(spark, env):
         )["grain"] == "cells"
     finally:
         spark.catalog.dropTempView("ev_t")
+
+
+def test_cells_compaction(spark, env):
+    """Cell compaction: after several incremental refreshes a cells-
+    grain view holds one partial generation per refresh; compact()
+    merges them to ONE cell per key in a single atomic replace, the
+    consumption view is unchanged, and a later incremental refresh
+    keeps working (the commit log preserves the applied high-water
+    mark across the replace)."""
+    collector, store, mv = env
+    mv.create("proj", "stats", AGG_SQL)
+    for i in range(30, 34):
+        collector.collect(
+            "proj", "ev", {"uid": f"u{i % 2}", "x": i, "_time": "2024-02-05 09:00:00"}
+        )
+        assert mv.refresh("proj", "stats")["mode"] == "incremental"
+    assert mv.fragmentation("proj", "stats") == 4
+    before = sorted(map(tuple, mv.table("proj", "stats").collect()))
+    n_keys = len(before)
+    assert mv.raw_table("proj", "stats").count() > n_keys  # partials
+    res = mv.compact("proj", "stats")
+    assert res["mode"] == "compacted"
+    assert mv.fragmentation("proj", "stats") == 0
+    assert mv.raw_table("proj", "stats").count() == n_keys  # one cell/key
+    assert sorted(map(tuple, mv.table("proj", "stats").collect())) == before
+    # refresh still incremental after the replace
+    collector.collect(
+        "proj", "ev", {"uid": "u0", "x": 40, "_time": "2024-02-05 09:00:00"}
+    )
+    assert mv.refresh("proj", "stats")["mode"] == "incremental"
+    assert mv.fragmentation("proj", "stats") == 1
+    rows = {r["uid"]: (r["n"], r["sx"]) for r in mv.table("proj", "stats").collect()}
+    assert rows["u0"] == (4, 102.0)  # x = 0, 30, 32, 40
+    # only cells views compact
+    mv.create("proj", "rowsview", VIEW_SQL)
+    with pytest.raises(ValueError, match="cells-grain"):
+        mv.compact("proj", "rowsview")
+
+
+def test_maintenance_planner_schedules_matview_compaction(spark, env):
+    collector, store, mv = env
+    mv.create("proj", "stats", AGG_SQL)
+    for i in range(50, 50 + store.MATVIEW_COMPACT_FRAGMENTS):
+        collector.collect(
+            "proj", "ev", {"uid": "u0", "x": i, "_time": "2024-03-05 09:00:00"}
+        )
+        assert mv.refresh("proj", "stats")["mode"] == "incremental"
+    plan = [
+        p for p in store.maintenance_plan("proj")
+        if p["action"] == "matview_compact"
+    ]
+    assert len(plan) == 1 and plan[0]["view"] == "stats"
+    assert "partial-cell generations" in plan[0]["reason"]
+    done = store.run_maintenance("proj", plan=plan)
+    assert done[0]["outcome"] == "partial cells compacted (atomic replace)"
+    assert mv.fragmentation("proj", "stats") == 0
+    # below threshold: nothing planned
+    plan2 = [
+        p for p in store.maintenance_plan("proj")
+        if p["action"] == "matview_compact"
+    ]
+    assert plan2 == []
