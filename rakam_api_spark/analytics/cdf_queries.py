@@ -274,3 +274,57 @@ ORDER BY o_orderkey
 
 QUERIES["matview_rows_grain_read"] = matview_rows_grain_read
 ORACLES["matview_rows_grain_read"] = MATVIEW_ROWS_ORACLE
+
+
+_TS_FEED_SQL = """
+SELECT _commit_version,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM table_changes('orders', '2000-01-01')
+GROUP BY _commit_version
+"""
+
+
+def table_changes_since_timestamp(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The TIMESTAMP form of the change-feed TVF end-to-end:
+    ``table_changes('orders', '2000-01-01')`` resolves the start
+    through the commit log's time index (``TxnTable.version_at``,
+    O(log commits)) to the pre-history snapshot, so the feed is the
+    COMPLETE deterministic commit history (versions 1-3 of the
+    fixture) — the "everything since my checkpoint time" poll a
+    time-based incremental consumer issues, per-commit rollup checked
+    against DuckDB recomputing the same modulo slices.
+
+    Plan: identical to the version form after resolution — a parquet
+    scan of only the commits' files, broadcast (file → version)
+    attribution, one enum-sized aggregate."""
+    from ..catalog import Metastore
+    from ..query_service import QueryService
+    from ..store import EventStore
+
+    warehouse = _cdf_warehouse(spark, sf_dir)
+    svc = QueryService(spark, EventStore(spark, Metastore(warehouse)))
+    return svc.dataframe("cdfp", _TS_FEED_SQL)
+
+
+TS_FEED_ORACLE = """
+WITH feed AS (
+  SELECT CAST(1 AS BIGINT) AS _commit_version, * FROM orders
+  WHERE o_orderkey % 4 < 2
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), * FROM orders WHERE o_orderkey % 4 = 2
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), * FROM orders WHERE o_orderkey % 4 = 3
+)
+SELECT _commit_version,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM feed
+GROUP BY _commit_version
+"""
+
+
+QUERIES["table_changes_since_timestamp"] = table_changes_since_timestamp
+ORACLES["table_changes_since_timestamp"] = TS_FEED_ORACLE

@@ -100,14 +100,39 @@ _WRITE_NODES = frozenset(
 
 # Delta-style change-feed TVF: ``table_changes('collection', start
 # [, end])`` — rewritten BEFORE analysis into a registered view over
-# ``TxnTable.changes``.  Both version arguments are INCLUSIVE commit
-# numbers (the Delta convention real users know); the underlying
-# ``changes()`` API is (from, to]-exclusive, so ``start`` maps to
-# ``start - 1``.
+# ``TxnTable.changes``.  Version arguments (bare integers) are
+# INCLUSIVE commit numbers (the Delta convention real users know);
+# the underlying ``changes()`` API is (from, to]-exclusive, so
+# ``start`` maps to ``start - 1``.  TIMESTAMP arguments (quoted ISO
+# strings, e.g. ``'2024-01-05 09:00:00'``, UTC) resolve through
+# ``TxnTable.version_at``: the feed covers the changes AFTER the
+# snapshot as of the start timestamp, up to the snapshot as of the
+# end timestamp (or HEAD) — the "everything since my last checkpoint
+# time" poll, composing exactly with TIMESTAMP-AS-OF reads.  An
+# empty resolved window yields an EMPTY feed, not an error.
 _TABLE_CHANGES_RE = re.compile(
-    r"table_changes\(\s*'([A-Za-z0-9_]+)'\s*,\s*(\d+)\s*(?:,\s*(\d+))?\s*\)",
+    r"table_changes\(\s*'([A-Za-z0-9_]+)'\s*,\s*(\d+|'[^']+')\s*"
+    r"(?:,\s*(\d+|'[^']+'))?\s*\)",
     re.IGNORECASE,
 )
+
+
+def _tvf_timestamp(arg: str) -> float:
+    """Epoch seconds for a quoted TVF timestamp argument (ISO date or
+    datetime, naive = UTC — the engine's session timezone)."""
+    import datetime as _dt
+
+    s = arg.strip("'")
+    try:
+        d = _dt.datetime.fromisoformat(s)
+    except ValueError:
+        raise ValueError(
+            f"table_changes: cannot parse timestamp {arg}: use ISO "
+            "'YYYY-MM-DD[ HH:MM:SS]'"
+        )
+    if d.tzinfo is None:
+        d = d.replace(tzinfo=_dt.timezone.utc)
+    return d.timestamp()
 
 # First identifier on a treeString line, after the tree-drawing
 # margin ("  :  +- '") — node NAMES sit there; literal values that
@@ -822,18 +847,62 @@ class QueryService:
         extra: dict[str, DataFrame] = {}
         out, cursor = [], 0
         for m in matches:
-            coll, v1 = m.group(1), int(m.group(2))
-            v2 = int(m.group(3)) if m.group(3) is not None else None
-            if v1 < 1 or (v2 is not None and v2 < v1):
-                raise ValueError(
-                    f"table_changes('{coll}', {v1}"
-                    + (f", {v2}" if v2 is not None else "")
-                    + "): need 1 <= start <= end (inclusive commit versions)"
+            coll, a1, a2 = m.group(1), m.group(2), m.group(3)
+            if a1.isdigit() and (a2 is None or a2.isdigit()):
+                # version form: inclusive commit numbers
+                v1 = int(a1)
+                v2 = int(a2) if a2 is not None else None
+                if v1 < 1 or (v2 is not None and v2 < v1):
+                    raise ValueError(
+                        f"table_changes('{coll}', {v1}"
+                        + (f", {v2}" if v2 is not None else "")
+                        + "): need 1 <= start <= end (inclusive commit "
+                        "versions)"
+                    )
+                frm = v1 - 1
+            else:
+                # timestamp form: (as-of start, as-of end] via the
+                # commit-time binary search (O(log commits) metadata)
+                if not self.store.txn_mode(project, coll):
+                    raise ValueError(
+                        f"{project}.{coll} is not transaction-logged; "
+                        "enable_txn first — the change feed is derived "
+                        "from commit history"
+                    )
+                txn = self.store.txn_table(project, coll)
+                frm = (
+                    txn.version_at(_tvf_timestamp(a1))
+                    if not a1.isdigit()
+                    else int(a1) - 1
                 )
-            name = f"__changes_{coll}_{v1}_{'head' if v2 is None else v2}"
+                v2 = (
+                    None
+                    if a2 is None
+                    else (
+                        txn.version_at(_tvf_timestamp(a2))
+                        if not a2.isdigit()
+                        else int(a2)
+                    )
+                )
+                if v2 is not None and v2 < frm:
+                    raise ValueError(
+                        f"table_changes('{coll}', {a1}, {a2}): the end "
+                        f"timestamp resolves to version {v2}, before the "
+                        f"start snapshot (version {frm})"
+                    )
+                # empty window (no commits since the start snapshot):
+                # clamp so changes() yields an EMPTY feed, not an error
+                if v2 is not None and v2 == frm:
+                    v2 = frm
+            def _tag(a: str | None) -> str:
+                if a is None:
+                    return "head"
+                return re.sub(r"\W", "_", a.strip("'"))
+
+            name = f"__changes_{coll}_{_tag(a1)}_{_tag(a2)}"
             if name not in extra:
                 # store.changes validates txn mode and version bounds
-                extra[name] = self.store.changes(project, coll, v1 - 1, v2)
+                extra[name] = self.store.changes(project, coll, frm, v2)
             out.append(sql[cursor : m.start()])
             out.append(name)
             cursor = m.end()

@@ -1314,3 +1314,55 @@ def test_table_changes_tvf_validation(spark, warehouse):
     # a literal mentioning the TVF is NOT rewritten
     res = svc.execute("proj", "SELECT 'table_changes(''ev'', 1)' AS s")
     assert res.error is None and res.result == [["table_changes('ev', 1)"]]
+
+
+def test_table_changes_tvf_timestamp_form(spark, warehouse):
+    """Timestamp arguments resolve through version_at: the feed is
+    (as-of start, as-of end] — 'everything since my last checkpoint
+    time'.  An empty resolved window is an EMPTY result, not an
+    error (a time-based poller must be able to find nothing new)."""
+    svc = _cdf_service(spark, warehouse)
+    # start before all commits -> the whole history (v1 migration of
+    # 6 rows + three appends)
+    res = svc.execute(
+        "proj",
+        "SELECT COUNT(*) AS n FROM table_changes('ev', '2000-01-01')",
+    )
+    assert res.error is None, res.error
+    assert res.result == [[9]]
+    # start in the future -> empty feed, NOT an error
+    res2 = svc.execute(
+        "proj",
+        "SELECT COUNT(*) AS n FROM table_changes('ev', '2100-01-01')",
+    )
+    assert res2.error is None and res2.result == [[0]]
+    # exact boundary from the commit log: start at v2's recorded
+    # commit time -> as-of snapshot includes v2, feed starts at v3
+    txn = svc.store.txn_table("proj", "ev")
+    import datetime as dt
+
+    ts2 = [r for r in txn.history() if r["version"] == 2][0]["ts"]
+    # formatting truncates to microseconds, which would land the
+    # parsed boundary just BEFORE the recorded float — nudge half a
+    # millisecond past v2 (appends are seconds apart, so still well
+    # before v3)
+    iso = dt.datetime.fromtimestamp(ts2 + 0.0005, dt.timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S.%f"
+    )
+    res3 = svc.execute(
+        "proj",
+        f"SELECT MIN(_commit_version) AS v FROM table_changes('ev', '{iso}')",
+    )
+    assert res3.error is None
+    assert res3.result[0][0] >= 3  # v2 is inside the as-of snapshot
+    # mixed form: timestamp start, version end
+    res4 = svc.execute(
+        "proj",
+        "SELECT COUNT(*) AS n FROM table_changes('ev', '2000-01-01', 2)",
+    )
+    assert res4.error is None and res4.result == [[7]]  # v1(6) + v2(1)
+    # unparseable timestamp -> structured QueryError
+    res5 = svc.execute(
+        "proj", "SELECT * FROM table_changes('ev', 'not a time')"
+    )
+    assert res5.error is not None and "cannot parse" in res5.error.message
