@@ -328,3 +328,49 @@ GROUP BY _commit_version
 
 QUERIES["table_changes_since_timestamp"] = table_changes_since_timestamp
 ORACLES["table_changes_since_timestamp"] = TS_FEED_ORACLE
+
+
+_HISTORY_SQL = """
+SELECT version, operation, added_rows
+FROM table_history('orders')
+ORDER BY version
+"""
+
+
+def table_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DESCRIBE HISTORY analog at the SQL surface:
+    ``table_history('orders')`` lists the fixture's three append
+    commits with their exact row deltas — the audit a warehouse
+    operator runs before trusting a table's lineage, checked against
+    DuckDB recomputing the slice sizes from the raw parquet.
+
+    Plan: commit metadata is driver-side JSON (O(commits) file opens,
+    bounded by the optional last_n arg); no table data is read at
+    all."""
+    from ..catalog import Metastore
+    from ..query_service import QueryService
+    from ..store import EventStore
+
+    warehouse = _cdf_warehouse(spark, sf_dir)
+    svc = QueryService(spark, EventStore(spark, Metastore(warehouse)))
+    return svc.dataframe("cdfp", _HISTORY_SQL)
+
+
+TABLE_HISTORY_ORACLE = """
+WITH counts AS (
+  SELECT CAST(1 AS BIGINT) AS version, 'append' AS operation,
+         CAST(COUNT(*) AS BIGINT) AS added_rows
+  FROM orders WHERE o_orderkey % 4 < 2
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), 'append', CAST(COUNT(*) AS BIGINT)
+  FROM orders WHERE o_orderkey % 4 = 2
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), 'append', CAST(COUNT(*) AS BIGINT)
+  FROM orders WHERE o_orderkey % 4 = 3
+)
+SELECT version, operation, added_rows FROM counts ORDER BY version
+"""
+
+
+QUERIES["table_history_audit"] = table_history_audit
+ORACLES["table_history_audit"] = TABLE_HISTORY_ORACLE

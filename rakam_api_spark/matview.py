@@ -343,13 +343,19 @@ class MaterializedViewService:
         err = svc._gate(sql)
         if err is not None:
             raise ValueError(err.message)
-        from .query_service import _TABLE_CHANGES_RE
+        from .query_service import _TABLE_CHANGES_RE, _TABLE_HISTORY_RE
 
         if _TABLE_CHANGES_RE.search(sql):
             raise ValueError(
                 "materialized views over table_changes() are not supported: "
                 "reference the collection directly — refresh() already "
                 "consumes the change feed for you"
+            )
+        if _TABLE_HISTORY_RE.search(sql):
+            raise ValueError(
+                "materialized views over table_history() are not supported: "
+                "commit metadata changes with every commit — query it "
+                "directly through the SQL service"
             )
         bases = self._relations(sql)
         if not bases:

@@ -117,6 +117,25 @@ _TABLE_CHANGES_RE = re.compile(
 )
 
 
+# Delta-style DESCRIBE HISTORY as a TVF: ``table_history('coll'
+# [, last_n])`` — one row per commit (version, operation, commit_ts,
+# added_files/rows, removed_files, app transaction id).  Commit
+# metadata is driver-side JSON, so the frame is built on the driver
+# exactly like Delta's DESCRIBE HISTORY; pass ``last_n`` to bound
+# the read to the recent tail (O(last_n) commit-file opens — the
+# audit-UI pattern for month-long one-commit-per-epoch logs).
+_TABLE_HISTORY_RE = re.compile(
+    r"table_history\(\s*'([A-Za-z0-9_]+)'\s*(?:,\s*(\d+))?\s*\)",
+    re.IGNORECASE,
+)
+
+_HISTORY_SCHEMA = (
+    "version BIGINT, operation STRING, commit_ts TIMESTAMP, "
+    "added_files BIGINT, added_rows BIGINT, removed_files BIGINT, "
+    "app STRING, app_version BIGINT"
+)
+
+
 def _tvf_timestamp(arg: str) -> float:
     """Epoch seconds for a quoted TVF timestamp argument (ISO date or
     datetime, naive = UTC — the engine's session timezone)."""
@@ -909,6 +928,75 @@ class QueryService:
         out.append(sql[cursor:])
         return "".join(out), extra
 
+    def _rewrite_table_history(
+        self, project: str, sql: str
+    ) -> tuple[str, dict[str, DataFrame]]:
+        """Resolve ``table_history('coll'[, last_n])`` calls into
+        temp-view references over the commit log (the DESCRIBE
+        HISTORY analog — one row per commit with operation, commit
+        time, file/row deltas, and the idempotent-writer transaction
+        id).  Commit records are driver-side JSON, so the frame is
+        built on the driver; ``last_n`` bounds the metadata read to
+        the recent tail.  Raises ``ValueError`` for non-txn
+        collections (surfaced as a QueryError by ``execute``)."""
+        import datetime as _dt
+
+        matches = [
+            m
+            for m in _TABLE_HISTORY_RE.finditer(sql)
+            if not any(
+                a <= m.start() < b
+                for a, b in (q.span() for q in _QUOTED_RE.finditer(sql))
+            )
+        ]
+        if not matches:
+            return sql, {}
+        extra: dict[str, DataFrame] = {}
+        out, cursor = [], 0
+        for m in matches:
+            coll = m.group(1)
+            last_n = int(m.group(2)) if m.group(2) is not None else None
+            if not self.store.txn_mode(project, coll):
+                raise ValueError(
+                    f"{project}.{coll} is not transaction-logged; "
+                    "enable_txn first — table_history reads the commit log"
+                )
+            name = f"__history_{coll}_{last_n or 'all'}"
+            if name not in extra:
+                recs = self.store.txn_table(project, coll).history(
+                    limit=last_n
+                )
+                rows = []
+                for rec in recs:
+                    ts = rec.get("ts")
+                    rows.append(
+                        (
+                            rec["version"],
+                            rec.get("op"),
+                            _dt.datetime.fromtimestamp(
+                                ts, _dt.timezone.utc
+                            ).replace(tzinfo=None)
+                            if ts
+                            else None,
+                            len(rec.get("add") or []),
+                            sum(
+                                int(e.get("rows") or 0)
+                                for e in (rec.get("add") or [])
+                            ),
+                            len(rec.get("remove") or []),
+                            rec.get("app"),
+                            rec.get("appv"),
+                        )
+                    )
+                extra[name] = self.spark.createDataFrame(
+                    rows, _HISTORY_SCHEMA
+                )
+            out.append(sql[cursor : m.start()])
+            out.append(name)
+            cursor = m.end()
+        out.append(sql[cursor:])
+        return "".join(out), extra
+
     def _parse_relations(self, sql: str) -> frozenset[str] | None:
         """Lowercased relation names the statement references (a
         parse-only pre-scan — drives lazy materialized-view
@@ -944,6 +1032,7 @@ class QueryService:
         projects sharing a collection name never see each other's
         views mid-analysis."""
         sql, cdf_views = self._rewrite_table_changes(project, sql)
+        sql, hist_views = self._rewrite_table_history(project, sql)
         prune = self._equality_pruning(project, sql)
         rels = self._parse_relations(sql)
         with self._lock:
@@ -951,6 +1040,7 @@ class QueryService:
                 project, as_of, prune, prune_stats, rels=rels
             )
             views.update(cdf_views)
+            views.update(hist_views)
             try:
                 for name, df in views.items():
                     df.createOrReplaceTempView(name)

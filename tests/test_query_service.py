@@ -1366,3 +1366,38 @@ def test_table_changes_tvf_timestamp_form(spark, warehouse):
         "proj", "SELECT * FROM table_changes('ev', 'not a time')"
     )
     assert res5.error is not None and "cannot parse" in res5.error.message
+
+
+def test_table_history_tvf(spark, warehouse):
+    """table_history('coll'[, last_n]) — DESCRIBE HISTORY at the SQL
+    surface: one row per commit with operation, commit time, and
+    file/row deltas; last_n bounds the metadata read to the tail."""
+    svc = _cdf_service(spark, warehouse)
+    res = svc.execute(
+        "proj",
+        "SELECT version, operation, added_rows FROM table_history('ev') "
+        "ORDER BY version",
+    )
+    assert res.error is None, res.error
+    assert [r[0] for r in res.result] == [1, 2, 3, 4]
+    assert {r[1] for r in res.result} == {"append"}
+    assert [r[2] for r in res.result] == [6, 1, 1, 1]
+    # tail bound: only the last 2 commits are read
+    res2 = svc.execute(
+        "proj",
+        "SELECT COUNT(*) AS n, MIN(version) AS v FROM table_history('ev', 2)",
+    )
+    assert res2.error is None and res2.result == [[2, 3]]
+    # commit_ts is a real timestamp (joins/filters work)
+    res3 = svc.execute(
+        "proj",
+        "SELECT COUNT(*) AS n FROM table_history('ev') "
+        "WHERE commit_ts > TIMESTAMP '2000-01-01 00:00:00'",
+    )
+    assert res3.error is None and res3.result == [[4]]
+    # non-txn collection -> structured error
+    res4 = svc.execute("proj", "SELECT * FROM table_history('nope')")
+    assert res4.error is not None and "transaction-logged" in res4.error.message
+    # literal mention untouched
+    res5 = svc.execute("proj", "SELECT 'table_history(''ev'')' AS s")
+    assert res5.error is None and res5.result == [["table_history('ev')"]]
