@@ -43,6 +43,8 @@ SHOW = {
     "window_new_user_share": "user-grain first-seen min joined back on user_id; ONE window aggregate; 9dp share",
     "window_value_skew": "ONE window-keyed aggregate of exact DECIMAL power sums (widened cube); row-local skewness assembly",
     "matview_rows_grain_read": "rows-grain materialized view: plain txn-table scan through the SQL alias (grain classifier skips re-aggregation); refresh was O(increment)",
+    "table_changes_since_timestamp": "timestamp-form change-feed TVF: O(log commits) version_at resolution, then the same files-only scan + broadcast attribution as the version form",
+    "table_history_audit": "DESCRIBE HISTORY analog: driver-side commit-metadata frame (no table data read); last_n bounds the metadata opens",
     # round-14 additions
     "window_value_quantiles": "ONE F.window-keyed aggregate (row-local bucket arithmetic); exact percentiles per calendar-bounded window",
     "window_type_churn": "(window,type) cells; shares from cell-aggregate totals; type-partitioned lag over the calendar-bounded window series",
