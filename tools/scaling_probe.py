@@ -56,6 +56,8 @@ OPERATORS = [
     "window_new_user_share",
     "window_value_skew",
     "matview_rows_grain_read",
+    "table_changes_since_timestamp",
+    "table_history_audit",
     # round-14 additions
     "realized_vs_retail_by_discount",
     "matview_incremental_rollup",
