@@ -565,6 +565,86 @@ ORDER BY daypart
 """
 
 
+def type_adoption_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-adoption latency per event type: among users who emit
+    the type at all, how many first reached it LATER than their very
+    first event, and how long that lag runs (median/mean hours) — the
+    "time to second feature" table a product-analytics surface draws
+    from the same first-touch state ``first_event_type_by_cohort``
+    reads (reference README.md:27-31; SURVEY.md §2.7).
+
+    Plan: two user-grain min aggregates (exact integer µs) joined on
+    user_id — co-keyed exchange, no corpus broadcast — then ONE
+    |types|-cell aggregate.  Lag hours are per-row doubles from exact
+    integer µs (one division each, identical in both engines); the
+    median is ``percentile`` ≡ ``quantile_cont`` over those doubles
+    with lag-0 rows masked to NULL (both engines' percentile skips
+    NULLs); the mean divides exact integer sums, round 6."""
+    ev = _events(spark, sf_dir)
+    first_any = ev.groupBy("user_id").agg(F.min(_us()).alias("_first_us"))
+    first_type = ev.groupBy("user_id", "event_type").agg(
+        F.min(_us()).alias("_type_us")
+    )
+    lag = first_type.join(first_any, "user_id").select(
+        "event_type",
+        (F.col("_type_us") - F.col("_first_us")).alias("_lag_us"),
+    )
+    lag_h = F.when(
+        F.col("_lag_us") > 0,
+        F.col("_lag_us").cast("double") / F.lit(3600000000.0),
+    )
+    cell = lag.withColumn("_lag_h", lag_h).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("_lag_us") > 0, 1).otherwise(0)).alias(
+            "n_late_adopters"
+        ),
+        F.expr("percentile(_lag_h, 0.5)").alias("_med"),
+        F.sum(F.when(F.col("_lag_us") > 0, F.col("_lag_us"))).alias(
+            "_late_sum_us"
+        ),
+    )
+    return cell.select(
+        "event_type",
+        "n_users",
+        "n_late_adopters",
+        F.round(F.col("_med"), 6).alias("median_lag_hours"),
+        F.round(
+            F.col("_late_sum_us").cast("double")
+            / F.col("n_late_adopters").cast("double")
+            / F.lit(3600000000.0),
+            6,
+        ).alias("avg_lag_hours"),
+    ).orderBy("event_type")
+
+
+ADOPTION_LAG_ORACLE = """
+WITH fa AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS first_us FROM events GROUP BY 1
+),
+ft AS (
+  SELECT user_id, event_type, MIN(epoch_us(ts)) AS type_us
+  FROM events GROUP BY 1, 2
+),
+lag AS (
+  SELECT f.event_type, f.type_us - a.first_us AS lag_us
+  FROM ft f JOIN fa a ON f.user_id = a.user_id
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN lag_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late_adopters,
+       round(quantile_cont(CASE WHEN lag_us > 0
+                                THEN CAST(lag_us AS DOUBLE) / 3600000000.0
+                           END, 0.5), 6) AS median_lag_hours,
+       round(CAST(SUM(CASE WHEN lag_us > 0 THEN lag_us END) AS DOUBLE)
+             / CAST(SUM(CASE WHEN lag_us > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / 3600000000.0, 6) AS avg_lag_hours
+FROM lag
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "inter_session_gap_bands": inter_session_gap_bands,
     "value_by_session_position": value_by_session_position,
@@ -574,6 +654,7 @@ QUERIES = {
     "consecutive_hour_user_overlap": consecutive_hour_user_overlap,
     "intra_session_type_diversity": intra_session_type_diversity,
     "user_daypart_preference": user_daypart_preference,
+    "type_adoption_lag": type_adoption_lag,
 }
 
 ORACLES = {
@@ -585,4 +666,5 @@ ORACLES = {
     "consecutive_hour_user_overlap": HOUR_OVERLAP_ORACLE,
     "intra_session_type_diversity": TYPE_DIVERSITY_ORACLE,
     "user_daypart_preference": DAYPART_ORACLE,
+    "type_adoption_lag": ADOPTION_LAG_ORACLE,
 }

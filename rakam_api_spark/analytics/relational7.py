@@ -596,6 +596,82 @@ ORDER BY segment
 """
 
 
+def order_value_band_status_mix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-status composition across value quartiles: do high-value
+    orders settle (F), stay open (O), or sit partially filled (P) at
+    different rates than small ones — the credit-exposure contingency
+    table behind ``priority_settlement_lift`` (which slices by
+    priority; this slices by order size).
+
+    Plan: the two-pass cutoff idiom (``customer_decile_share_twopass``)
+    — ONE global percentile aggregate (single row, broadcast
+    crossJoin), one (band, status) aggregate (≤ 4·|status| cells),
+    band totals re-aggregated from the cells; shares are one 9dp
+    double division; ``percentile`` ≡ ``quantile_cont``."""
+    orders = load_table(spark, sf_dir, "orders")
+    cuts = orders.agg(
+        F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").alias("_c")
+    )
+    banded = orders.crossJoin(F.broadcast(cuts)).withColumn(
+        "value_band",
+        F.when(F.col("o_totalprice") <= F.element_at("_c", 1), "Q1")
+        .when(F.col("o_totalprice") <= F.element_at("_c", 2), "Q2")
+        .when(F.col("o_totalprice") <= F.element_at("_c", 3), "Q3")
+        .otherwise("Q4"),
+    )
+    cell = banded.groupBy("value_band", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).alias("_rev"),
+    )
+    btot = cell.groupBy("value_band").agg(F.sum("n_orders").alias("_bt"))
+    return (
+        cell.join(F.broadcast(btot), "value_band")
+        .select(
+            "value_band",
+            "o_orderstatus",
+            "n_orders",
+            F.col("_rev").cast("double").alias("revenue"),
+            F.round(
+                F.col("n_orders").cast("double") / F.col("_bt").cast("double"),
+                9,
+            ).alias("band_share"),
+        )
+        .orderBy("value_band", "o_orderstatus")
+    )
+
+
+BAND_STATUS_MIX_ORACLE = """
+WITH cuts AS (
+  SELECT quantile_cont(o_totalprice, 0.25) AS c1,
+         quantile_cont(o_totalprice, 0.5)  AS c2,
+         quantile_cont(o_totalprice, 0.75) AS c3
+  FROM orders
+),
+banded AS (
+  SELECT CASE WHEN o_totalprice <= c1 THEN 'Q1'
+              WHEN o_totalprice <= c2 THEN 'Q2'
+              WHEN o_totalprice <= c3 THEN 'Q3'
+              ELSE 'Q4' END AS value_band,
+         o_orderstatus, o_totalprice
+  FROM orders, cuts
+),
+cell AS (
+  SELECT value_band, o_orderstatus, COUNT(*) AS n,
+         SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+  FROM banded GROUP BY 1, 2
+),
+bt AS (SELECT value_band, SUM(n) AS _bt FROM cell GROUP BY 1)
+SELECT c.value_band, c.o_orderstatus,
+       CAST(c.n AS BIGINT) AS n_orders,
+       CAST(c.rev AS DOUBLE) AS revenue,
+       round(CAST(c.n AS DOUBLE) / CAST(b._bt AS DOUBLE), 9) AS band_share
+FROM cell c JOIN bt b USING (value_band)
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "returns_impact_by_nation": returns_impact_by_nation,
     "order_line_count_value_curve": order_line_count_value_curve,
@@ -606,6 +682,7 @@ QUERIES = {
     "supplier_balance_late_bands": supplier_balance_late_bands,
     "unit_price_consistency_by_type": unit_price_consistency_by_type,
     "high_value_repeat_by_segment": high_value_repeat_by_segment,
+    "order_value_band_status_mix": order_value_band_status_mix,
 }
 
 ORACLES = {
@@ -618,4 +695,5 @@ ORACLES = {
     "supplier_balance_late_bands": BALANCE_LATE_ORACLE,
     "unit_price_consistency_by_type": UNIT_PRICE_CV_ORACLE,
     "high_value_repeat_by_segment": HIGH_VALUE_REPEAT_ORACLE,
+    "order_value_band_status_mix": BAND_STATUS_MIX_ORACLE,
 }

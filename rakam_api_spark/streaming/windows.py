@@ -685,10 +685,63 @@ ORDER BY window_start
 """
 
 
+def window_user_value_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per 12-hour tumbling window: how much of the window's value
+    the single heaviest user contributes — the whale-concentration
+    alarm beside ``window_value_skew``'s shape test (one user
+    dominating a window is a fraud/bot telltale the moment it spikes;
+    ``window_topk_types`` ranks types, this ranks nobody — it needs
+    only the max).
+
+    Plan: one (window, user) DECIMAL aggregate — user-keyed exchange,
+    the same shard key as the live sessionizer — then ONE window-grain
+    aggregate (count/sum/max of exact decimals, all order-free); NO
+    rank window and no per-user state: the share is max/sum, one 9dp
+    double division.  Streaming-side the same plan runs under a
+    watermark (the (window,user) cell is the bounded state)."""
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        F.window("ts", "12 hours").alias("w"), "user_id"
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("_uv"))
+    out = cell.groupBy("w").agg(
+        F.count(F.lit(1)).alias("n_active_users"),
+        F.sum("_uv").alias("_wv"),
+        F.max("_uv").alias("_mx"),
+    )
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        "n_active_users",
+        F.col("_wv").cast("double").alias("window_value"),
+        F.round(
+            F.col("_mx").cast("double") / F.col("_wv").cast("double"), 9
+        ).alias("top_user_share"),
+    ).orderBy("window_start")
+
+
+WINDOW_CONCENTRATION_ORACLE = """
+WITH cell AS (
+  SELECT time_bucket(INTERVAL 12 HOUR, ts) AS window_start, user_id,
+         SUM(CAST(value AS DECIMAL(18,6))) AS uv
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_active_users,
+       CAST(SUM(uv) AS DOUBLE) AS window_value,
+       round(CAST(MAX(uv) AS DOUBLE) / CAST(SUM(uv) AS DOUBLE), 9)
+         AS top_user_share
+FROM cell
+GROUP BY 1
+ORDER BY window_start
+"""
+
+
 QUERIES.update(
     {
         "window_new_user_share": window_new_user_share,
         "window_value_skew": window_value_skew,
+        "window_user_value_concentration": window_user_value_concentration,
     }
 )
 
@@ -696,5 +749,6 @@ ORACLES.update(
     {
         "window_new_user_share": WINDOW_NEW_USER_ORACLE,
         "window_value_skew": WINDOW_SKEW_ORACLE,
+        "window_user_value_concentration": WINDOW_CONCENTRATION_ORACLE,
     }
 )
