@@ -45,6 +45,9 @@ SHOW = {
     "matview_rows_grain_read": "rows-grain materialized view: plain txn-table scan through the SQL alias (grain classifier skips re-aggregation); refresh was O(increment)",
     "table_changes_since_timestamp": "timestamp-form change-feed TVF: O(log commits) version_at resolution, then the same files-only scan + broadcast attribution as the version form",
     "table_history_audit": "DESCRIBE HISTORY analog: driver-side commit-metadata frame (no table data read); last_n bounds the metadata opens",
+    "type_adoption_lag": "two co-keyed user-grain min aggregates joined on user_id; ONE |types| aggregate with NULL-masked percentile; exact integer us lags",
+    "order_value_band_status_mix": "two-pass global quartile cutoffs (single-row broadcast crossJoin); (band,status) cells; band totals re-aggregate THE CELLS",
+    "window_user_value_concentration": "(window,user) DECIMAL aggregate then ONE window-grain count/sum/max — no rank window; share is max/sum row-local",
     # round-14 additions
     "window_value_quantiles": "ONE F.window-keyed aggregate (row-local bucket arithmetic); exact percentiles per calendar-bounded window",
     "window_type_churn": "(window,type) cells; shares from cell-aggregate totals; type-partitioned lag over the calendar-bounded window series",
