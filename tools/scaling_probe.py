@@ -58,6 +58,9 @@ OPERATORS = [
     "matview_rows_grain_read",
     "table_changes_since_timestamp",
     "table_history_audit",
+    "type_adoption_lag",
+    "order_value_band_status_mix",
+    "window_user_value_concentration",
     # round-14 additions
     "realized_vs_retail_by_discount",
     "matview_incremental_rollup",
