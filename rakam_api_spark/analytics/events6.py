@@ -645,6 +645,94 @@ ORDER BY 1
 """
 
 
+def type_value_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day persistence of each event type's VALUE series:
+    lag-1 Pearson autocorrelation of daily value totals per type —
+    near-zero means independent days (transactional noise), high
+    positive means momentum/level shifts (``weekly_seasonality_autocorr``
+    tests the GLOBAL COUNT series for weekly cycles; this tests each
+    type's value series for short memory).
+
+    Plan: ONE (type, day) DECIMAL aggregate reduces the fact table,
+    then a calendar-bounded self-join on (type, day+1) — cell-grain,
+    never event rows — and ONE |types| aggregate of exact decimal
+    cross-moments (operands DECIMAL(14,4): products land in
+    DECIMAL(29,8)/(28,8), inside both engines' exact range); Pearson
+    r assembles row-local, round 9."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.col("value").cast(DEC)).alias("_dv"))
+    x = F.col("_x").cast("decimal(14,4)")
+    y = F.col("_y").cast("decimal(14,4)")
+    a = daily.select(
+        "event_type", F.col("day").alias("_d"), F.col("_dv").alias("_x")
+    )
+    b = daily.select(
+        "event_type",
+        F.date_add(F.col("day"), 1).alias("_d"),
+        F.col("_dv").alias("_y"),
+    )
+    m = (
+        a.join(b, ["event_type", "_d"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_day_pairs"),
+            F.sum(x).alias("_sx"),
+            F.sum(y).alias("_sy"),
+            F.sum(x * y).alias("_sxy"),
+            F.sum(x * x).alias("_sxx"),
+            F.sum(y * y).alias("_syy"),
+        )
+    )
+    n = F.col("n_day_pairs").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    r = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return m.select(
+        "event_type",
+        "n_day_pairs",
+        F.round(r, 9).alias("value_autocorr_lag1"),
+    ).orderBy("event_type")
+
+
+VALUE_AUTOCORR_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(value AS DECIMAL(18,6))) AS dv
+  FROM events GROUP BY 1, 2
+),
+paired AS (
+  SELECT a.event_type,
+         CAST(a.dv AS DECIMAL(14,4)) AS x,
+         CAST(b.dv AS DECIMAL(14,4)) AS y
+  FROM daily a
+  JOIN daily b ON a.event_type = b.event_type
+             AND b.day = a.day + INTERVAL 1 DAY
+),
+m AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM paired GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_day_pairs,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+         AS value_autocorr_lag1
+FROM m
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "inter_session_gap_bands": inter_session_gap_bands,
     "value_by_session_position": value_by_session_position,
@@ -655,6 +743,7 @@ QUERIES = {
     "intra_session_type_diversity": intra_session_type_diversity,
     "user_daypart_preference": user_daypart_preference,
     "type_adoption_lag": type_adoption_lag,
+    "type_value_autocorr_lag1": type_value_autocorr_lag1,
 }
 
 ORACLES = {
@@ -667,4 +756,5 @@ ORACLES = {
     "intra_session_type_diversity": TYPE_DIVERSITY_ORACLE,
     "user_daypart_preference": DAYPART_ORACLE,
     "type_adoption_lag": ADOPTION_LAG_ORACLE,
+    "type_value_autocorr_lag1": VALUE_AUTOCORR_ORACLE,
 }

@@ -61,6 +61,7 @@ OPERATORS = [
     "type_adoption_lag",
     "order_value_band_status_mix",
     "window_user_value_concentration",
+    "type_value_autocorr_lag1",
     # round-14 additions
     "realized_vs_retail_by_discount",
     "matview_incremental_rollup",
