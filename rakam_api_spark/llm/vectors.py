@@ -339,3 +339,95 @@ ORDER BY cos_band
 
 QUERIES["adjacent_vector_angle_bands"] = adjacent_vector_angle_bands
 ORACLES["adjacent_vector_angle_bands"] = ADJACENT_ANGLE_ORACLE
+
+
+def doc_length_norm_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-modal embedding QA: Pearson correlation between document
+    length (``n_chars``) and embedding norm², per language — a
+    normalized encoder should show near-zero correlation; a strong
+    positive one means raw pooled sums leaked through and cosine
+    thresholds will be length-biased (the cross-table sibling of
+    ``embedding_norm_audit``; first query to join the documents and
+    embeddings tables at row grain outside hybrid retrieval,
+    reference README.md:27-31 — corpus QA the warehouse would run).
+
+    Plan: the corpus posexplodes ONCE into the shared quantized-norm
+    kernel (vec_id-grain exact integer norm²), one id-grain equi-join
+    to documents (vec_id = doc_id, both id-partitioned — never a
+    corpus broadcast), then ONE |langs| aggregate of exact DECIMAL
+    cross-moments (norm² ~1e9 would overflow BIGINT squares; operands
+    DECIMAL(18,0) keep every product exact in both engines); Pearson
+    r assembles row-local, round 9."""
+    from .similarity import _norms, _quantized_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    norms = _norms(_quantized_components(emb), "vec_id")
+    j = norms.join(
+        docs.select(
+            F.col("doc_id").alias("vec_id"), "lang", "n_chars"
+        ),
+        "vec_id",
+    )
+    x = F.col("n_chars").cast("decimal(18,0)")
+    y = F.col("norm2").cast("decimal(18,0)")
+    m = j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+    )
+    n = F.col("n_docs").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    r = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return m.select(
+        "lang",
+        "n_docs",
+        F.round(r, 9).alias("length_norm_corr"),
+    ).orderBy("lang")
+
+
+LENGTH_NORM_CORR_ORACLE = """
+WITH comp AS (
+  SELECT vec_id,
+         CAST(round(CAST(embedding[CAST(i AS INT)+1] AS DOUBLE) * 10000, 0)
+              AS BIGINT) AS q
+  FROM embeddings, LATERAL unnest(range(0, len(embedding))) t(i)
+),
+norms AS (SELECT vec_id, SUM(q*q) AS norm2 FROM comp GROUP BY 1),
+j AS (
+  SELECT d.lang,
+         CAST(d.n_chars AS DECIMAL(18,0)) AS x,
+         CAST(n.norm2 AS DECIMAL(18,0)) AS y
+  FROM norms n JOIN documents d ON n.vec_id = d.doc_id
+),
+m AS (
+  SELECT lang, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM j GROUP BY 1
+)
+SELECT lang,
+       CAST(n AS BIGINT) AS n_docs,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+         AS length_norm_corr
+FROM m
+ORDER BY lang
+"""
+
+
+QUERIES["doc_length_norm_correlation"] = doc_length_norm_correlation
+ORACLES["doc_length_norm_correlation"] = LENGTH_NORM_CORR_ORACLE

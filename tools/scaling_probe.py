@@ -62,6 +62,7 @@ OPERATORS = [
     "order_value_band_status_mix",
     "window_user_value_concentration",
     "type_value_autocorr_lag1",
+    "doc_length_norm_correlation",
     # round-14 additions
     "realized_vs_retail_by_discount",
     "matview_incremental_rollup",
