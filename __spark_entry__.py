@@ -69,7 +69,7 @@ _MODULES = (
 )
 
 # The driver's correctness gate checks at most 50 queries per round, in
-# enumeration order.  With 391 declared queries, plain module order
+# enumeration order.  With 392 declared queries, plain module order
 # would starve the tail modules of a driver-verified CORRECTNESS row
 # forever.  Round-15 rotation (VERDICT r14 Next #1, histogram recomputed
 # from CORRECTNESS_r01..r14 keys: r6=7, r7=41, r8=2, r9=33 stale):

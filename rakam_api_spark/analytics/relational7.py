@@ -672,6 +672,71 @@ ORDER BY 1, 2
 """
 
 
+def discount_return_association(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Return rate by discount depth: are heavily-discounted lines
+    returned MORE (clearance-quality signal) or LESS (price-motivated
+    keepers) — the merchandising cross nobody else computes
+    (``realized_vs_retail_by_discount`` prices discounts,
+    ``returns_impact_by_nation`` maps returns geographically; this
+    crosses the two axes).
+
+    Plan: ONE lineitem aggregate keyed on the integer percent band
+    (round(l_discount·100) — exact, ≤ 11 cells), conditional counts
+    and DECIMAL revenue; the return shares are 9dp divisions over the
+    cell's own exact counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = _vol()
+    is_r = (F.col("l_returnflag") == "R").cast("long")
+    cell = li.groupBy(
+        F.round(F.col("l_discount") * 100, 0)
+        .cast("int")
+        .alias("discount_pct")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(is_r).alias("n_returned"),
+        F.sum(vol).alias("_rev"),
+        F.sum(F.when(F.col("l_returnflag") == "R", vol)).alias("_rrev"),
+    )
+    return cell.select(
+        "discount_pct",
+        "n_lines",
+        "n_returned",
+        F.round(
+            F.col("n_returned").cast("double")
+            / F.col("n_lines").cast("double"),
+            9,
+        ).alias("return_line_share"),
+        F.col("_rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("_rrev").cast("double") / F.col("_rev").cast("double"), 9
+        ).alias("returned_revenue_share"),
+    ).orderBy("discount_pct")
+
+
+DISCOUNT_RETURN_ORACLE = f"""
+WITH cell AS (
+  SELECT CAST(round(l_discount * 100, 0) AS INT) AS discount_pct,
+         COUNT(*) AS n_lines,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+         SUM({_VOL_SQL}) AS rev,
+         SUM(CASE WHEN l_returnflag = 'R' THEN {_VOL_SQL} END) AS rrev
+  FROM lineitem GROUP BY 1
+)
+SELECT discount_pct,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_returned AS BIGINT) AS n_returned,
+       round(CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE), 9)
+         AS return_line_share,
+       CAST(rev AS DOUBLE) AS revenue,
+       round(CAST(rrev AS DOUBLE) / CAST(rev AS DOUBLE), 9)
+         AS returned_revenue_share
+FROM cell
+ORDER BY discount_pct
+"""
+
+
 QUERIES = {
     "returns_impact_by_nation": returns_impact_by_nation,
     "order_line_count_value_curve": order_line_count_value_curve,
@@ -683,6 +748,7 @@ QUERIES = {
     "unit_price_consistency_by_type": unit_price_consistency_by_type,
     "high_value_repeat_by_segment": high_value_repeat_by_segment,
     "order_value_band_status_mix": order_value_band_status_mix,
+    "discount_return_association": discount_return_association,
 }
 
 ORACLES = {
@@ -696,4 +762,5 @@ ORACLES = {
     "unit_price_consistency_by_type": UNIT_PRICE_CV_ORACLE,
     "high_value_repeat_by_segment": HIGH_VALUE_REPEAT_ORACLE,
     "order_value_band_status_mix": BAND_STATUS_MIX_ORACLE,
+    "discount_return_association": DISCOUNT_RETURN_ORACLE,
 }

@@ -50,6 +50,7 @@ SHOW = {
     "window_user_value_concentration": "(window,user) DECIMAL aggregate then ONE window-grain count/sum/max — no rank window; share is max/sum row-local",
     "type_value_autocorr_lag1": "ONE (type,day) DECIMAL aggregate; calendar-bounded self-join on (type, day+1) — cell grain, never event rows; |types| exact cross-moment aggregate, row-local Pearson",
     "doc_length_norm_correlation": "shared quantized-norm kernel (ONE posexplode); id-grain equi-join docs<->norms (no corpus broadcast); |langs| exact DECIMAL cross-moments, row-local Pearson",
+    "discount_return_association": "ONE lineitem aggregate on the exact integer discount-percent band (<=11 cells); conditional counts + DECIMAL revenue; shares row-local",
     # round-14 additions
     "window_value_quantiles": "ONE F.window-keyed aggregate (row-local bucket arithmetic); exact percentiles per calendar-bounded window",
     "window_type_churn": "(window,type) cells; shares from cell-aggregate totals; type-partitioned lag over the calendar-bounded window series",

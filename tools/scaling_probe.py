@@ -63,6 +63,7 @@ OPERATORS = [
     "window_user_value_concentration",
     "type_value_autocorr_lag1",
     "doc_length_norm_correlation",
+    "discount_return_association",
     # round-14 additions
     "realized_vs_retail_by_discount",
     "matview_incremental_rollup",
