@@ -417,33 +417,45 @@ def conversion_latency_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank arithmetic over a cumulative histogram — no interpolation);
     rates are double divisions of exact counts.
 
-    Plan: two conditional user-grain aggregates, a (month, gap)
-    histogram, one cumulative window over those DISTINCT gaps per
-    month (bounded by distinct day-gaps, never user rows), and a
-    conditional-min rollup."""
+    Plan (r16, same values over the unchanged oracle): ONE
+    user-partitioned window pass over signup|purchase events
+    computes each user's first-signup time t0, then a user-grain
+    aggregate IN THE SAME PARTITIONING (hash(user_id) satisfies the
+    groupBy clustering — no second exchange) takes the conditional
+    min purchase-at-or-after-t0; the weekly histogram, cumulative
+    window over DISTINCT gaps, and conditional-min rollup are
+    unchanged.  Replaces the former signup aggregate + purchase
+    join + (user, t0) re-aggregate — two event-grain exchanges and
+    a double-computed signup branch — with one exchange
+    (guide §2.4)."""
     ev = _events(spark, sf_dir)
     us = F.expr("ts_ns div 1000")
-    first_signup = (
-        ev.where(F.col("event_type") == "signup")
-        .select("user_id", us.alias("_us"))
-        .groupBy("user_id")
-        .agg(F.min("_us").alias("t0"))
+    w = Window.partitionBy("user_id")
+    base = (
+        ev.where(F.col("event_type").isin("signup", "purchase"))
+        .select("user_id", "event_type", us.alias("_us"))
+        .withColumn(
+            "t0",
+            F.min(F.when(F.col("event_type") == "signup", F.col("_us"))).over(w),
+        )
+        .where(F.col("t0").isNotNull())
     )
-    first_purchase = (
-        ev.where(F.col("event_type") == "purchase")
-        .select("user_id", us.alias("_us"))
-        .join(first_signup, "user_id")
-        .where(F.col("_us") >= F.col("t0"))
-        .groupBy("user_id", "t0")
-        .agg(F.min("_us").alias("t1"))
+    per_user = base.groupBy("user_id").agg(
+        F.min("t0").alias("t0"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("_us") >= F.col("t0")),
+                F.col("_us"),
+            )
+        ).alias("t1"),
     )
     week = F.date_trunc(
         "week", F.timestamp_micros(F.col("t0")).cast("timestamp_ntz")
     ).cast("date")
-    signups = first_signup.groupBy(week.alias("signup_week")).agg(
+    signups = per_user.groupBy(week.alias("signup_week")).agg(
         F.count(F.lit(1)).alias("n_signup_users")
     )
-    gaps = first_purchase.select(
+    gaps = per_user.where(F.col("t1").isNotNull()).select(
         week.alias("signup_week"),
         F.expr("(t1 - t0) div 86400000000").alias("gap_days"),
     )

@@ -660,32 +660,37 @@ def late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     a multi-supplier order (lateness ≡ l_shipdate more than 60 days
     after o_orderdate — this schema carries no receipt/commit dates).
 
-    The EXISTS / NOT EXISTS pair is expressed as one conditional
-    aggregation over (order, supplier) — a single pass over the
-    fact-fact join instead of two correlated re-scans; Catalyst
-    cannot decorrelate the textbook form into anything this flat.
+    The EXISTS / NOT EXISTS pair is expressed as ONE order-grain
+    aggregation: per order, the distinct-supplier set and the
+    distinct set of suppliers with a late line (both bounded by the
+    handful of suppliers an order touches), filtered to multi-
+    supplier orders whose late set is a singleton.  r16: replaces
+    the former (order, supplier)-grain aggregate + order-grain
+    re-aggregate + self-join — the per-(order,supplier) max(late)
+    is subsumed by the late-supplier SET, collapsing two exchanges
+    and a double-computed aggregate branch into one exchange
+    (guide §2.4); collect_set partially aggregates map-side, so the
+    shuffle carries per-order supplier sets, never line rows.
     Top-10 by a total order ending in the unique supplier name.
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     supp = load_table(spark, sf_dir, "supplier")
-    late = (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).cast(
-        "int"
+    late_supp = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        F.col("l_suppkey"),
     )
-    per_supp = (
+    per_order = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max(late).alias("late"))
-    )
-    per_order = per_supp.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+        .groupBy("l_orderkey")
+        .agg(
+            F.collect_set("l_suppkey").alias("_all_s"),
+            F.collect_set(late_supp).alias("_late_s"),
+        )
+        .where((F.size("_all_s") >= 2) & (F.size("_late_s") == 1))
     )
     sole_late = (
-        per_supp.where(F.col("late") == 1)
-        .join(
-            per_order.where((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
-            "l_orderkey",
-        )
+        per_order.select(F.element_at("_late_s", 1).alias("l_suppkey"))
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

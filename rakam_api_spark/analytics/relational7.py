@@ -41,10 +41,15 @@ def returns_impact_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Q10's question (Q10 ranks customers; this sizes the problem per
     market).
 
-    Plan: lineitem⋈orders is the one fact-fact shuffle (orderkey);
-    orders⋈customer shuffles on custkey; customer⋈nation is un-hinted
-    (AQE broadcasts the 25-row dim); ONE (nation) aggregate with a
-    conditional DECIMAL sum — 25 output rows."""
+    Plan (r16 join reorder, same values): customer⋈nation and
+    orders⋈customer attach the dims to ORDERS first (custkey-grain
+    shuffle of the order header, or an AQE broadcast where customer
+    fits), so the one fact-fact shuffle (orderkey) carries lineitem
+    against orders+n_name and the 600k-row joined fact is never
+    re-shuffled by custkey — inner joins commute, the old plan
+    shuffled the post-join fact a second time (guide §2.3/§3.3);
+    ONE (nation) aggregate with a conditional DECIMAL sum — 25
+    output rows."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -53,10 +58,13 @@ def returns_impact_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     returned = F.when(F.col("l_returnflag") == "R", vol).otherwise(
         F.lit(0).cast(DEC)
     )
-    return (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    orders_n = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("o_orderkey", "n_name")
+    )
+    return (
+        li.join(orders_n, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.count(F.lit(1)).alias("n_lines"),

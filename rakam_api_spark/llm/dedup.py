@@ -1067,6 +1067,98 @@ FROM labels l JOIN csize c USING (cluster_id)
 AUDIT_MAX_DOCS = 400
 
 
+#: per-session memo of UNTHRESHOLDED exact-Jaccard pair graphs over
+#: the deterministic hash-rank samples, keyed (sf_dir, max_docs).
+#: The three sampled audits (precision 400, transitivity 2000,
+#: threshold-curve 2000) each used to re-run the shingle self-join on
+#: their own sample even though only the FINAL threshold filter
+#: differs — and exact Jaccard is a pairwise function, so the graph
+#: over a hash-rank-prefix sample is exactly the larger graph
+#: restricted to pairs with both endpoints in the prefix.  One build
+#: per (sf, sample size) now serves every threshold, and a smaller
+#: sample derives from a memoized superset by two semi-joins instead
+#: of a fresh self-join (guide §2.4: remove the shuffle outright).
+#: Same memo-safety argument as _PAIRS_MEMO (immutable inputs,
+#: deterministic derivation, bounded output, weak session key).
+_SAMPLE_GRAPH_MEMO: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
+
+
+def _sample_pair_graph(spark: SparkSession, sf_dir: str, max_docs: int) -> DataFrame:
+    """Memoized (d1, d2, inter, jaccard) pair frame — NO threshold
+    filter — over the ``max_docs`` hash-rank sample.  Bounded by
+    max_docs·(max_docs−1)/2 rows BY CONSTRUCTION, so the eager
+    localCheckpoint is a small pin.  Falls back to an uncached build
+    for mock/unhashable sessions."""
+    try:
+        per = _SAMPLE_GRAPH_MEMO.setdefault(spark, {})
+    except TypeError:
+        per = None
+    key = (sf_dir, max_docs)
+    if per is not None:
+        hit = per.get(key)
+        if hit is not None:
+            return hit
+        # pairwise restriction of a memoized SUPERSET sample: the
+        # hash-rank sample of size m is a prefix of the sample of
+        # size M ≥ m, and every (inter, jaccard) value depends only
+        # on the two docs — so filtering the big graph to pairs with
+        # both endpoints in the small sample IS the small graph.
+        sup = [k for k in per if k[0] == sf_dir and k[1] >= max_docs]
+        if sup:
+            big = per[min(sup, key=lambda k: k[1])]
+            chosen = (
+                _docs(spark, sf_dir)
+                .select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("_h"))
+                .orderBy("_h", "doc_id")
+                .limit(max_docs)
+                .select("doc_id")
+            )
+            out = big.join(
+                F.broadcast(chosen.withColumnRenamed("doc_id", "d1")), "d1", "left_semi"
+            ).join(
+                F.broadcast(chosen.withColumnRenamed("doc_id", "d2")), "d2", "left_semi"
+            ).select("d1", "d2", "inter", "jaccard")
+            per[key] = out
+            return out
+    sample = audit_sample(spark, sf_dir, max_docs)
+    sh = word_shingles(sample).cache()
+    sh.count()  # deterministic single materialization (minhash note)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.max("df").alias("max_df"))
+        .first()
+    )
+    if hot is not None and (hot["max_df"] or 0) > _HOT_SHINGLE_DF_CAP:
+        raise ValueError(
+            f"_sample_pair_graph: hottest shingle appears in {hot['max_df']} "
+            f"documents (> df_cap={_HOT_SHINGLE_DF_CAP}); use the LSH path"
+        )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    out = (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter")).cast("double"),
+        )
+        .select("d1", "d2", "inter", "jaccard")
+    )
+    if per is not None:
+        out = out.localCheckpoint(eager=True)
+        per[key] = out
+        sh.unpersist()
+    return out
+
+
 def audit_sample(spark: SparkSession, sf_dir: str, max_docs: int) -> DataFrame:
     """The audit's ENFORCED corpus sample: the ``max_docs`` documents
     ranked first by ``md5(doc_id)`` — a deterministic hash order both
@@ -1115,27 +1207,32 @@ def dedup_precision_audit(
     """
     if max_docs <= 0:
         raise ValueError("dedup_precision_audit requires max_docs >= 1")
-    sample = audit_sample(spark, sf_dir, max_docs).cache()
-    # both pair sets are consumed THREE times each (their count agg
-    # plus the two anti-joins) — materialize once; they are bounded
-    # by max_docs²/2 rows, a trivial checkpoint
+    sample = audit_sample(spark, sf_dir, max_docs)
+    # truth comes from the shared memoized sample pair graph (same
+    # values as the per-query self-join it replaces: exact Jaccard is
+    # pairwise, see _sample_pair_graph); the LSH side still runs the
+    # real banding chain on the sample — that is the system under
+    # audit.
     truth = (
-        ngram_jaccard_pairs(spark, sf_dir, threshold=threshold, docs=sample)
+        _sample_pair_graph(spark, sf_dir, max_docs)
+        .where(F.col("jaccard") >= threshold)
         .select("d1", "d2")
-        .localCheckpoint(eager=True)
     )
-    lsh = (
-        minhash_lsh_pairs(spark, sf_dir, threshold=threshold, docs=sample)
-        .select("d1", "d2")
-        .localCheckpoint(eager=True)
+    lsh = minhash_lsh_pairs(spark, sf_dir, threshold=threshold, docs=sample).select(
+        "d1", "d2"
     )
-    missed = truth.join(lsh, ["d1", "d2"], "left_anti")
-    extra = lsh.join(truth, ["d1", "d2"], "left_anti")
-    row = (
-        truth.agg(F.count(F.lit(1)).alias("n_true"))
-        .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_lsh")))
-        .crossJoin(missed.agg(F.count(F.lit(1)).alias("n_missed")))
-        .crossJoin(extra.agg(F.count(F.lit(1)).alias("n_extra")))
+    # ONE full-outer join + ONE aggregate replaces the old two
+    # anti-joins + four cross-joined count aggregates (6 jobs' worth
+    # of stages → 1): every pair lands in exactly one of
+    # truth∩lsh / truth-only / lsh-only, so all four counts are
+    # conditional sums over the outer join (guide §2.4).
+    t = truth.withColumn("_t", F.lit(1))
+    l = lsh.withColumn("_l", F.lit(1))
+    row = t.join(l, ["d1", "d2"], "full_outer").agg(
+        F.count("_t").alias("n_true"),
+        F.count("_l").alias("n_lsh"),
+        F.count(F.when(F.col("_l").isNull(), 1)).alias("n_missed"),
+        F.count(F.when(F.col("_t").isNull(), 1)).alias("n_extra"),
     )
     recall = F.when(F.col("n_true") == 0, F.lit(1.0)).otherwise(
         (F.col("n_true") - F.col("n_missed")).cast("double")
@@ -1247,10 +1344,12 @@ def dedup_transitivity_audit(
     recomputes both counts from the sampled exact-Jaccard chain."""
     if max_docs <= 0:
         raise ValueError("dedup_transitivity_audit requires max_docs >= 1")
-    sample = audit_sample(spark, sf_dir, max_docs).cache()
-    edges = ngram_jaccard_pairs(
-        spark, sf_dir, threshold=threshold, docs=sample
-    ).select("d1", "d2").cache()
+    edges = (
+        _sample_pair_graph(spark, sf_dir, max_docs)
+        .where(F.col("jaccard") >= threshold)
+        .select("d1", "d2")
+        .cache()
+    )
     deg = (
         edges.select(F.col("d1").alias("node"))
         .unionAll(edges.select(F.col("d2").alias("node")))
@@ -1372,10 +1471,11 @@ def dedup_threshold_curve(
     """
     if max_docs <= 0:
         raise ValueError("dedup_threshold_curve requires max_docs >= 1")
-    sample = audit_sample(spark, sf_dir, max_docs)
-    pairs = ngram_jaccard_pairs(
-        spark, sf_dir, threshold=min(DEDUP_CURVE_THRESHOLDS), docs=sample
-    ).select("d1", "d2", "jaccard")
+    pairs = (
+        _sample_pair_graph(spark, sf_dir, max_docs)
+        .where(F.col("jaccard") >= min(DEDUP_CURVE_THRESHOLDS))
+        .select("d1", "d2", "jaccard")
+    )
     thresholds = F.array(*[F.lit(t) for t in DEDUP_CURVE_THRESHOLDS])
     fanned = pairs.select(
         "d1",

@@ -2368,9 +2368,27 @@ def lang_profile_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax (score desc, lang asc) is unambiguous in both engines.
 
     Scale: bigram profiles are |langs|·|charset²| rows (broadcast);
-    docs reduce to (doc, bigram) counts once; the score join fans
-    out by |langs| (an enum), then one doc-grain argmax — linear in
-    corpus bigrams, nothing pairwise."""
+    docs reduce to (doc, bigram) counts once; scores for all |langs|
+    candidates are CONDITIONAL COLUMNS over that frame — linear in
+    corpus bigrams, nothing pairwise.
+
+    r16 plan rewrite (same values, proven over the unchanged oracle):
+    the former |dc|×|langs| crossJoin row fan-out + DECIMAL(28,9)
+    hash aggregate + doc-grain row_number window is now (a) one
+    vocab-grain profile aggregate with a per-language conditional-sum
+    column each, broadcast-joined back to the (doc, bigram) counts,
+    (b) per-language score columns summed as EXACT SCALED LONGS
+    (round(c·lp, 9) has ≤9 decimal places; ×10⁹ is an integer that a
+    double reconstructs exactly within ±0.004, so half-up rint
+    recovers it — the long sum equals the old decimal sum ×10⁹
+    term-for-term, preserving the argmax order bit-exactly), and
+    (c) a row-local array argmax (array_position of array_max over
+    asc-ordered langs == the old score-desc, plang-asc row_number
+    tiebreak).  Removes the |langs|-fold row expansion, the fan
+    shuffle, the decimal aggregation and the window exchange
+    (guide §2.3 narrower types / §2.4 remove shuffles); adds two
+    tiny scalar jobs (|langs| list + smoothing constants) over the
+    cached (doc, bigram) frame."""
     docs = _docs(spark, sf_dir)
     bg = F.explode(
         F.expr(
@@ -2382,39 +2400,42 @@ def lang_profile_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", bg.alias("bg"))
         .groupBy("doc_id", "lang", "bg")
         .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
     )
-    prof = dc.groupBy(F.col("lang").alias("plang"), "bg").agg(
-        F.sum("c").alias("n_bl")
+    langs = sorted(r[0] for r in dc.select("lang").distinct().collect())
+    stats = dc.agg(
+        F.countDistinct("bg").alias("v"),
+        *[
+            F.sum(F.when(F.col("lang") == l, F.col("c"))).alias(f"nl{i}")
+            for i, l in enumerate(langs)
+        ],
+    ).first()
+    v = int(stats["v"])
+    denom = [int(stats[f"nl{i}"]) + v for i in range(len(langs))]
+    profp = dc.groupBy("bg").agg(
+        *[
+            F.sum(F.when(F.col("lang") == l, F.col("c"))).alias(f"nbl{i}")
+            for i, l in enumerate(langs)
+        ]
     )
-    ptot = prof.groupBy("plang").agg(F.sum("n_bl").alias("n_l"))
-    vocab = prof.select("bg").distinct().agg(
-        F.count(F.lit(1)).alias("v")
+    dcj = dc.join(F.broadcast(profp), "bg")
+    terms = []
+    for i in range(len(langs)):
+        lp = F.log(
+            (F.coalesce(F.col(f"nbl{i}"), F.lit(0)) + F.lit(1)).cast("double")
+            / F.lit(denom[i]).cast("double")
+        )
+        term_d = F.round(F.col("c").cast("double") * lp, 9)
+        terms.append(F.round(term_d * F.lit(1e9)).cast("long"))
+    score = dcj.groupBy("doc_id", "lang").agg(
+        *[F.sum(t).alias(f"s{i}") for i, t in enumerate(terms)]
     )
-    langs = ptot.select("plang")
-    # every doc bigram × every candidate language (enum fan-out),
-    # profile counts left-joined (absent bigram -> 0 + smoothing)
-    fan = dc.crossJoin(F.broadcast(langs)).join(
-        F.broadcast(prof), ["plang", "bg"], "left"
+    sarr = F.array(*[F.col(f"s{i}") for i in range(len(langs))])
+    pred_lang = F.element_at(
+        F.array(*[F.lit(l) for l in langs]),
+        F.array_position(sarr, F.array_max(sarr)).cast("int"),
     )
-    fan = (
-        fan.join(F.broadcast(ptot), "plang")
-        .crossJoin(F.broadcast(vocab))
-        .withColumn("_nbl", F.coalesce("n_bl", F.lit(0)))
-    )
-    lp = F.log(
-        (F.col("_nbl") + F.lit(1)).cast("double")
-        / (F.col("n_l") + F.col("v")).cast("double")
-    )
-    term = F.round(F.col("c").cast("double") * lp, 9).cast("decimal(28,9)")
-    score = fan.groupBy("doc_id", "lang", "plang").agg(
-        F.sum(term).alias("_s")
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("_s"), F.asc("plang"))
-    pred = (
-        score.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("lang", F.col("plang").alias("pred_lang"))
-    )
+    pred = score.select("lang", pred_lang.alias("pred_lang"))
     cell = pred.groupBy("lang", "pred_lang").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
