@@ -858,35 +858,51 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders whose stored total diverges >1% from the decimal-exact
     lineitem rollup.
 
-    Every check is an anti-join or one aggregate — no row-by-row
-    validation pass; the mismatch threshold is decimal-exact on both
-    sides so the selected set is order-insensitive.
+    r16 plan (same values): the orphan / childless / mismatch checks
+    all key on the SAME order⋈lineitem relationship, so lineitem
+    reduces ONCE to an orderkey-grain (line count, decimal charge
+    rollup) aggregate, full-outer-joins the order header, and one
+    conditional aggregate reads off all three counts — replacing two
+    anti-joins + an inner-join rollup that scanned lineitem twice and
+    orders three times (guide §2.4); the idle-customer anti-join keys
+    on custkey and stays its own branch.  The mismatch threshold is
+    decimal-exact on both sides so the selected set is
+    order-insensitive, as before.
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cu = load_table(spark, sf_dir, "customer")
-    orphan_li = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
-    childless = orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left_anti")
     idle_cust = cu.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
     charge = (
         _dec("l_extendedprice")
         * (F.lit(1).cast(DEC) - _dec("l_discount"))
         * (F.lit(1).cast(DEC) + _dec("l_tax"))
     ).cast(DEC)
-    rollup = (
-        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("o_orderkey", "o_totalprice")
-        .agg(F.sum(charge).alias("s"))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_n_lines"), F.sum(charge).alias("s")
     )
-    mismatched = rollup.where(
-        F.abs(_dec("o_totalprice") - F.col("s"))
-        > (_dec("o_totalprice") * F.lit(0.01).cast(DEC)).cast(DEC)
+    rel = orders.select("o_orderkey", "o_totalprice").join(
+        per_order, F.col("o_orderkey") == F.col("l_orderkey"), "full_outer"
     )
-    a1 = orphan_li.agg(F.count(F.lit(1)).alias("n_orphan_lineitems"))
-    a2 = childless.agg(F.count(F.lit(1)).alias("n_childless_orders"))
+    mismatch = (
+        F.col("o_orderkey").isNotNull()
+        & F.col("l_orderkey").isNotNull()
+        & (
+            F.abs(_dec("o_totalprice") - F.col("s"))
+            > (_dec("o_totalprice") * F.lit(0.01).cast(DEC)).cast(DEC)
+        )
+    )
+    a134 = rel.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("o_orderkey").isNull(), F.col("_n_lines"))), F.lit(0)
+        ).alias("n_orphan_lineitems"),
+        F.count(F.when(F.col("l_orderkey").isNull(), 1)).alias("n_childless_orders"),
+        F.count(F.when(mismatch, 1)).alias("n_total_mismatch"),
+    )
     a3 = idle_cust.agg(F.count(F.lit(1)).alias("n_idle_customers"))
-    a4 = mismatched.agg(F.count(F.lit(1)).alias("n_total_mismatch"))
-    return a1.crossJoin(a2).crossJoin(a3).crossJoin(a4)
+    return a134.crossJoin(a3).select(
+        "n_orphan_lineitems", "n_childless_orders", "n_idle_customers", "n_total_mismatch"
+    )
 
 
 DATA_QUALITY_ORACLE = """

@@ -246,7 +246,37 @@ def dup_span_extents(
     ).limit(k)
 
 
+#: per-session memo of the maximal-span frame keyed
+#: (sf_dir, n, occ_cap, min_tokens): dup_span_extents and
+#: span_dedup_savings consume the IDENTICAL frame and each paid the
+#: positional-gram explode + gram aggregate + pair self-join + island
+#: windows again (guide §2.4).  The frame is bounded (hot grams are
+#: occ_cap-excluded, spans ≥ min_tokens only), deterministic, and the
+#: inputs immutable — same safety argument as dedup._PAIRS_MEMO.
+from weakref import WeakKeyDictionary
+
+_SPAN_MEMO: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
+
+
 def _span_frame(
+    spark: SparkSession, sf_dir: str, n: int, occ_cap: int, min_tokens: int
+) -> DataFrame:
+    try:
+        per = _SPAN_MEMO.setdefault(spark, {})
+        key = (sf_dir, n, occ_cap, min_tokens)
+        hit = per.get(key)
+        if hit is not None:
+            return hit
+    except TypeError:  # unhashable/mock session
+        per, key = None, None
+    out = _span_frame_build(spark, sf_dir, n, occ_cap, min_tokens)
+    if per is not None:
+        out = out.localCheckpoint(eager=True)
+        per[key] = out
+    return out
+
+
+def _span_frame_build(
     spark: SparkSession, sf_dir: str, n: int, occ_cap: int, min_tokens: int
 ) -> DataFrame:
     """The unlimited maximal-span frame shared by

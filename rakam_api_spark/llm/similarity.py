@@ -847,6 +847,30 @@ def _ivf_probe_score(
     semi-joined to ``member_ids`` (the metadata predicate's
     qualifying set) BEFORE the scoring join, so a selective filter
     shrinks the candidate volume instead of post-filtering top-k."""
+    scored = _ivf_scored(comp, cents, assign, n_queries, nprobe, member_ids)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= topk)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rnk")
+        .orderBy("q_id", "rnk")
+    )
+
+
+def _ivf_scored(
+    comp: DataFrame,
+    cents: DataFrame,
+    assign: DataFrame,
+    n_queries: int,
+    nprobe: int,
+    member_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate scoring shared by :func:`_ivf_probe_score` and the
+    nprobe curve: (q_id, vec_id, cosine, crank) where ``crank`` is
+    the rank of the probed cell that produced the candidate — the
+    candidate set at any budget n ≤ nprobe is exactly the crank ≤ n
+    restriction (each vector lives in ONE cell, so crank is
+    well-defined per candidate)."""
     qcomp = comp.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), "pos", F.col("q").alias("qq")
     )
@@ -868,7 +892,7 @@ def _ivf_probe_score(
         .join(broadcast(qnorm), "q_id")
         .withColumn("rn", F.row_number().over(wq))
         .where(F.col("rn") <= nprobe)
-        .select("q_id", "label")
+        .select("q_id", "label", F.col("rn").alias("crank"))
     )
     members = comp.join(assign, "vec_id")
     if member_ids is not None:
@@ -882,13 +906,13 @@ def _ivf_probe_score(
         )
         .where(F.col("m.vec_id") != F.col("p.q_id"))
         .groupBy(F.col("p.q_id").alias("q_id"), F.col("m.vec_id").alias("vec_id"))
-        .agg(F.sum(F.col("m.q") * F.col("q.qq")).alias("dot"))
+        .agg(F.sum(F.col("m.q") * F.col("q.qq")).alias("dot"), F.min("crank").alias("crank"))
     )
     norms = _norms(comp, "vec_id")
     qnorms = norms.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("norm2").alias("qnorm2")
     )
-    scored = (
+    return (
         dots.join(broadcast(qnorms), "q_id")
         .join(norms, "vec_id")
         .withColumn(
@@ -896,13 +920,6 @@ def _ivf_probe_score(
             F.col("dot").cast("double")
             / F.sqrt(F.col("norm2").cast("double") * F.col("qnorm2").cast("double")),
         )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= topk)
-        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rnk")
-        .orderBy("q_id", "rnk")
     )
 
 
@@ -999,13 +1016,18 @@ def ivf_nprobe_recall_curve(
     operating point; the curve shows what one more probe buys).
 
     The Lloyd fit and cell assignment are computed ONCE and shared by
-    every probe budget (the index is probe-agnostic); each budget
-    adds only the probe/score tail, and the truth side is the one
-    request-sized brute-force pass.  All counts are exact integers;
-    recall is one double division per row.  The oracle re-derives
-    each operating point from the shared unrolled-CTE k-means chain."""
-    from functools import reduce as _reduce
-
+    every probe budget (the index is probe-agnostic), and — r16 —
+    so is the SCORING: candidates are scored once at the WIDEST
+    budget with their probed cell's rank attached, and each budget's
+    approx top-k is the crank ≤ n restriction re-ranked (identical
+    by construction: budget n's candidate set is exactly the top-n
+    cells' members).  One budget-exploded window pass + ONE truth
+    semi-join + one aggregate replace the former per-budget copy of
+    the whole probe/score tail (3× members join, 3× score aggregate,
+    union — guide §2.4).  Truth stays the one request-sized
+    brute-force pass.  All counts are exact integers; recall is one
+    double division per row.  The oracle re-derives each operating
+    point from the shared unrolled-CTE k-means chain."""
     comp, cents, assign = _ivf_fit_for(spark, sf_dir, k, iters)
     # truth is request-sized (n_queries·topk rows) but referenced by
     # every probe budget's recall join — materialize it once.
@@ -1014,25 +1036,44 @@ def ivf_nprobe_recall_curve(
         .select("q_id", "neighbor_id")
         .localCheckpoint(eager=True)
     )
-    rows = []
-    for n in nprobes:
-        approx = _ivf_probe_score(comp, cents, assign, n_queries, n, topk).select(
-            "q_id", "neighbor_id"
-        )
-        hit = approx.join(truth, ["q_id", "neighbor_id"], "left_semi")
-        rows.append(
-            truth.agg(F.count(F.lit(1)).alias("n_truth"))
-            .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
-            .select(
-                F.lit(n).cast("int").alias("nprobe"),
-                "n_truth",
-                "n_hit",
-                (
-                    F.col("n_hit").cast("double") / F.col("n_truth").cast("double")
-                ).alias("recall"),
+    scored = _ivf_scored(comp, cents, assign, n_queries, max(nprobes))
+    fanned = scored.select(
+        "q_id",
+        "vec_id",
+        "cosine",
+        F.explode(
+            F.filter(
+                F.array(*[F.lit(int(n)) for n in sorted(nprobes)]),
+                lambda b: F.col("crank") <= b,
             )
+        ).alias("b"),
+    )
+    wb = Window.partitionBy("b", "q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    hits = (
+        fanned.withColumn("rnk", F.row_number().over(wb))
+        .where(F.col("rnk") <= topk)
+        .select("b", "q_id", F.col("vec_id").alias("neighbor_id"))
+        .join(truth, ["q_id", "neighbor_id"], "left_semi")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("_n_hit"))
+    )
+    base = truth.agg(F.count(F.lit(1)).alias("n_truth")).select(
+        "n_truth",
+        F.explode(F.array(*[F.lit(int(n)) for n in sorted(nprobes)])).alias("nprobe"),
+    )
+    return (
+        base.join(hits, base.nprobe == hits.b, "left")
+        .select(
+            F.col("nprobe").cast("int").alias("nprobe"),
+            "n_truth",
+            F.coalesce("_n_hit", F.lit(0)).alias("n_hit"),
+            (
+                F.coalesce("_n_hit", F.lit(0)).cast("double")
+                / F.col("n_truth").cast("double")
+            ).alias("recall"),
         )
-    return _reduce(lambda a, b: a.unionByName(b), rows).orderBy("nprobe")
+        .orderBy("nprobe")
+    )
 
 
 def _nprobe_curve_oracle(nprobes: tuple = (1, 2, 4)) -> str:
