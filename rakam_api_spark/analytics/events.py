@@ -2380,37 +2380,36 @@ def market_basket_part_types(spark: SparkSession, sf_dir: str, k: int = 20) -> D
     P(a,b) / (P(a)·P(b))) — the retail affinity report, on the TPC-H
     star schema.
 
-    Baskets collapse to DISTINCT (order, type) first, so the
-    within-order pair expansion is bounded by |types present in the
-    order|² (≤ 6² here, never line-item²); singles and the basket
-    count are two tiny aggregates broadcast back.  The basket count
+    Baskets collapse to per-order DISTINCT type SETS in ONE orderkey
+    collect_set aggregate (r16: replaces the former (order, type)
+    distinct + basket self-join — the set dedups, and the in-array
+    i<j expansion is row-local, bounded by |types|² ≤ 6², so the
+    fact shuffles once instead of a distinct exchange plus a
+    two-sided join re-shuffle, guide §2.4); singles and the basket
+    count re-derive from the same per-order frame.  The basket count
     is a single-row aggregate joined in via crossJoin(broadcast(...))
     — NOT an eager driver-side .count() — so the whole query is one
-    plan with no driver barrier, and Spark's ReuseExchange collapses
-    the repeated baskets-distinct subtree into a single lineitem⋈part
-    scan.  Lift is computed from exact integer counts with IEEE
-    divisions in a fixed order."""
+    plan with no driver barrier.  Lift is computed from exact
+    integer counts with IEEE divisions in a fixed order."""
     part = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = (
+    per_order = (
         li.join(broadcast(part.select("p_partkey", "p_type")), F.col("l_partkey") == F.col("p_partkey"))
-        .select(F.col("l_orderkey").alias("okey"), "p_type")
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(F.sort_array(F.collect_set("p_type")).alias("ts"))
     )
-    nb_row = baskets.agg(
-        F.countDistinct("okey").cast("double").alias("n_baskets")
+    nb_row = per_order.agg(F.count(F.lit(1)).cast("double").alias("n_baskets"))
+    singles = per_order.select(F.explode("ts").alias("p_type")).groupBy(
+        "p_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    pair_expr = F.expr(
+        "flatten(transform(ts, (x, i) -> "
+        "transform(slice(ts, i + 2, size(ts)), y -> struct(x AS type_a, y AS type_b))))"
     )
-    singles = baskets.groupBy("p_type").agg(F.count(F.lit(1)).alias("n"))
     pairs = (
-        baskets.alias("a")
-        .join(
-            baskets.alias("b"),
-            (F.col("a.okey") == F.col("b.okey")) & (F.col("a.p_type") < F.col("b.p_type")),
-        )
-        .groupBy(
-            F.col("a.p_type").alias("type_a"),
-            F.col("b.p_type").alias("type_b"),
-        )
+        per_order.select(F.explode(pair_expr).alias("tp"))
+        .select("tp.type_a", "tp.type_b")
+        .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).alias("n_both"))
     )
     na = singles.select(F.col("p_type").alias("type_a"), F.col("n").alias("n_a"))

@@ -1053,28 +1053,33 @@ def part_copurchase_pairs(spark: SparkSession, sf_dir: str, k: int = 20) -> Data
     the same order, with co-occurrence count, support, and lift
     (N·c12 / (c1·c2)) — the product-recommendation staple.
 
-    The pair expansion is a lineitem self-join co-partitioned on
-    ``l_orderkey``: fan-out per order is bounded by the order's line
-    count (≤ lines²/2, single digits squared), so the join output
-    stays O(orders) no matter the corpus — the same
-    bounded-by-construction discipline as the dedup pair joins.
-    Lift's numerator/denominator are exact BIGINT products; one
-    final division is bit-exact on both engines.  Top-k via a
-    total order ending in the unique (p1, p2) key.
+    r16 plan (same values): ONE orderkey-grain collect_set aggregate
+    replaces the former distinct + lineitem self-join — the per-order
+    distinct part set IS the dedup, and the in-array i<j expansion is
+    row-local (bounded by the order's line count, single digits
+    squared), so the fact shuffles once on l_orderkey instead of a
+    distinct exchange plus a two-sided join re-shuffle (guide §2.4);
+    the same bounded-by-construction discipline as the dedup LSH
+    bucket expansion.  Lift's numerator/denominator are exact BIGINT
+    products; one final division is bit-exact on both engines.
+    Top-k via a total order ending in the unique (p1, p2) key.
     """
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    # order total stays IN the plan (scalar aggregate crossJoined
-    # back) — the eager .count() here used to bolt a second
-    # driver-side job onto every execution
-    nord = li.agg(F.countDistinct("l_orderkey").alias("_n"))
-    part_orders = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-    a = li.select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("p1"))
-    b = li.select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("p2"))
+    per_order = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    )
+    nord = per_order.agg(F.count(F.lit(1)).alias("_n"))
+    part_orders = per_order.select(
+        F.explode("ps").alias("l_partkey")
+    ).groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    pair_expr = F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))"
+    )
     pairs = (
-        a.join(b, "okey")
-        .where(F.col("p1") < F.col("p2"))
+        per_order.select(F.explode(pair_expr).alias("pp"))
+        .select("pp.p1", "pp.p2")
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("c12"))
     )

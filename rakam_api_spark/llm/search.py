@@ -539,7 +539,14 @@ def sparse_tfidf_pairs(spark: SparkSession, sf_dir: str, n: int = 3, k: int = 20
     exactly — no float accumulation order to disagree on; ranking
     ties break on the doc-id pair."""
     docs = _docs(spark, sf_dir)
-    sh = word_shingles(docs, n=n)
+    if n == 3:
+        # identical derivation to the dedup family's memoized cached
+        # corpus shingle frame — reuse it instead of re-exploding
+        from .dedup import _corpus_shingles
+
+        sh = _corpus_shingles(spark, sf_dir)
+    else:
+        sh = word_shingles(docs, n=n)
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     df_tbl = (
         sh.groupBy("shingle")

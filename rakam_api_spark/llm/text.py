@@ -749,12 +749,15 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one shingle aggregation to (shingle → min doc_id), one
     join back, one doc-grain rollup — never a self-join, never a
     window over the corpus; both shuffles key on the shingle/doc_id
-    the dedup family already uses.  ``novelty_frac`` is a single
+    the dedup family already uses — r16: literally the dedup
+    family's memoized cached shingle frame now (identical
+    derivation), so the corpus explode+distinct runs once per
+    session across both families.  ``novelty_frac`` is a single
     exact-integer division.
     """
-    from .dedup import word_shingles
+    from .dedup import _corpus_shingles
 
-    sh = word_shingles(_docs(spark, sf_dir))
+    sh = _corpus_shingles(spark, sf_dir)
     first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     return (
         sh.join(first_seen, "shingle")

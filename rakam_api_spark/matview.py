@@ -298,15 +298,26 @@ class MaterializedViewService:
 
     def _relations(self, sql: str) -> list[str]:
         """Collection names the statement references (parse-only)."""
+        return sorted(self._relation_counts(sql))
+
+    def _relation_counts(self, sql: str) -> dict:
+        """Collection name -> number of SCANS of it in the parsed
+        plan.  A single-base view whose SQL references the base
+        twice (self-join, non-aggregating EXISTS/IN subquery) is NOT
+        incrementally refreshable: binding the increment to every
+        occurrence yields only new×new pairs and silently drops
+        new×old results (ADVICE r15) — the count gates
+        ``incremental_capable``."""
         from .query_service import QueryService
 
         parsed = (
             self.spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
         )
-        rels = set()
+        counts: dict = {}
         for m in QueryService._REL_RE.finditer(parsed.treeString()):
-            rels.add(m.group(1).split(", ")[0].strip("`"))
-        return sorted(rels)
+            name = m.group(1).split(", ")[0].strip("`")
+            counts[name] = counts.get(name, 0) + 1
+        return counts
 
     def _run_over(self, sql: str, frames: dict[str, DataFrame]) -> DataFrame:
         """Analyze ``sql`` with each collection name bound to the
@@ -357,7 +368,8 @@ class MaterializedViewService:
                 "commit metadata changes with every commit — query it "
                 "directly through the SQL service"
             )
-        bases = self._relations(sql)
+        rel_counts = self._relation_counts(sql)
+        bases = sorted(rel_counts)
         if not bases:
             raise ValueError("view statement references no collection")
         known = set(self.store.metastore.collections(project))
@@ -403,10 +415,14 @@ class MaterializedViewService:
             # incremental append is only sound for a single base (a
             # multi-collection view's increment is not expressible as
             # one slice — rakam's per-collection model has the same
-            # boundary) at a mergeable grain: an 'opaque' aggregate
-            # (avg/distinct/nested) has no sound cell-merge, so its
-            # stored table must always be a complete snapshot
+            # boundary) scanned exactly ONCE (a self-join or subquery
+            # re-scan bound to the increment would see only new×new
+            # and drop new×old — ADVICE r15) at a mergeable grain: an
+            # 'opaque' aggregate (avg/distinct/nested) has no sound
+            # cell-merge, so its stored table must always be a
+            # complete snapshot
             "incremental_capable": len(bases) == 1
+            and rel_counts[bases[0]] == 1
             and spec["grain"] != "opaque",
             "consumption": spec,
         }
@@ -437,6 +453,11 @@ class MaterializedViewService:
         ``opaque`` views read as stored (complete by construction)."""
         meta = self._meta(project, name)
         df = self._table(project, name).read()
+        return self._consume(meta, df)
+
+    def _consume(self, meta: dict, df: DataFrame) -> DataFrame:
+        """Apply the consumption-grain merge to a stored frame (the
+        view's current read, or a version-pinned one — compact)."""
         spec = meta.get("consumption") or {"grain": "rows"}
         if spec["grain"] != "cells":
             return df
@@ -493,9 +514,28 @@ class MaterializedViewService:
                 f"{spec['grain']}-grain; only cells-grain views have "
                 "partial cells to compact"
             )
-        merged = self.table(project, name)  # consumption frame, schema-cast
-        self._table(project, name).replace(merged)
-        return {"mode": "compacted", "view": name}
+        # pin the snapshot BEFORE reading: the merged frame and the
+        # replace's remove set must describe the SAME version, or an
+        # incremental append landing between the staged read and the
+        # commit would have its files retired without its rows in the
+        # merged frame — a silently lost increment (ADVICE r15).
+        # With remove_files pinned, such an append simply stays live
+        # beside the compacted cells (consumption re-aggregates), and
+        # a competing REWRITE surfaces as CommitConflict → recompute.
+        from .txnlog import CommitConflict
+
+        t = self._table(project, name)
+        last_err: Exception | None = None
+        for _ in range(3):
+            v0 = t.version()
+            files0 = t.live_files(version=v0)
+            merged = self._consume(meta, t.read(version=v0, files=files0))
+            try:
+                t.replace(merged, remove_files=files0)
+                return {"mode": "compacted", "view": name}
+            except CommitConflict as e:  # concurrent rewrite: restage
+                last_err = e
+        raise last_err
 
     def drop(self, project: str, name: str) -> None:
         self._meta(project, name)
@@ -569,7 +609,19 @@ class MaterializedViewService:
                 for coll, v in current.items()
             }
             out = self._run_over(meta["sql"], frames)
-            view.replace(out)
+            # app-tag the replace so the applied high-water mark
+            # covers full refreshes too: a crash between this commit
+            # and the meta write below must not let a later
+            # incremental refresh clamp to the PRE-replace mark and
+            # re-append rows the replaced snapshot already contains
+            # (ADVICE r15).  max(bases) is the single base's version
+            # for incremental-capable views — the only ones that ever
+            # read the mark.
+            view.replace(
+                out,
+                app=f"matview:{name}",
+                app_version=max(current.values()),
+            )
             mode = "full"
         meta["bases"] = current
         self._write_meta(project, name, meta)

@@ -961,7 +961,10 @@ class QueryService:
                     f"{project}.{coll} is not transaction-logged; "
                     "enable_txn first — table_history reads the commit log"
                 )
-            name = f"__history_{coll}_{last_n or 'all'}"
+            # 'all' ONLY for the omitted form: `last_n or 'all'` would
+            # alias table_history('c', 0) onto the unbounded view name
+            # (ADVICE r15) — 0 is a real, distinct (empty) history.
+            name = f"__history_{coll}_{'all' if last_n is None else last_n}"
             if name not in extra:
                 recs = self.store.txn_table(project, coll).history(
                     limit=last_n

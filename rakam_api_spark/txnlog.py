@@ -1631,7 +1631,10 @@ class TxnTable:
         df: DataFrame,
         partition_col: str | None = None,
         max_retries: int = 5,
-    ) -> int:
+        app: str | None = None,
+        app_version: int | None = None,
+        remove_files: list[str] | None = None,
+    ) -> int | None:
         """Atomic full overwrite (CREATE OR REPLACE the content):
         stage the new frame, then ONE ``merge`` commit whose remove
         set is the entire current snapshot — readers flip from old to
@@ -1640,7 +1643,25 @@ class TxnTable:
         how Delta's CDF renders an overwrite).  The materialized-view
         full refresh rides this; optimistic like :meth:`merge` — a
         concurrent rewrite invalidating the remove set retries from
-        the fresh snapshot."""
+        the fresh snapshot.
+
+        ``app``/``app_version`` tag the merge commit with the
+        idempotent-writer transaction id (ADVICE r15: without it, a
+        crash between a full-refresh replace and its meta write left
+        the applied high-water mark at the pre-replace version, and
+        the next incremental refresh re-appended rows the snapshot
+        already contains); an already-applied (app, version) returns
+        None without committing, like :meth:`append`.
+
+        ``remove_files`` pins the remove set to the EXACT snapshot
+        the caller staged from instead of re-reading state() at each
+        commit attempt (ADVICE r15: the re-snapshot silently retired
+        a concurrent increment's files whose rows were not in the
+        staged frame).  With a pinned remove set a conflicting
+        rewrite surfaces as CommitConflict to the CALLER (who must
+        restage), never an internal retry; concurrent appends stay
+        live beside the new content — correct for cells-grain
+        compaction, whose consumption re-aggregates."""
         incoming = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
         self._merge_incoming(incoming)
         # same layout guard as merge(): a partitioned table's pre- and
@@ -1666,17 +1687,23 @@ class TxnTable:
         writer.parquet(staging)
         add = self._publish_staging(tag)
         for attempt in range(max_retries + 1):
-            snapshot = sorted(self.state().keys())
+            snapshot = (
+                list(remove_files)
+                if remove_files is not None
+                else sorted(self.state().keys())
+            )
             try:
                 return self.commit(
                     add=add,
                     remove=snapshot,
                     op="merge",
+                    app=app,
+                    app_version=app_version,
                     schema_incoming=incoming,
                     expect_constraints=validated,
                 )
             except CommitConflict:
-                if attempt == max_retries:
+                if remove_files is not None or attempt == max_retries:
                     raise
         raise AssertionError("unreachable")
 

@@ -436,3 +436,86 @@ def test_maintenance_planner_schedules_matview_compaction(spark, env):
         if p["action"] == "matview_compact"
     ]
     assert plan2 == []
+
+
+def test_full_refresh_crash_cannot_double_apply(spark, env):
+    """ADVICE r15 medium: the FULL-refresh replace must record the
+    matview app transaction.  Crash between the replace commit and
+    the meta write, then the base advances: the next incremental
+    refresh clamps to the replace's high-water mark — without the
+    tag it clamps to the stale pre-replace mark and re-appends rows
+    the replaced snapshot already contains."""
+    collector, store, mv = env
+    mv.create("proj", "evens", VIEW_SQL)
+    txn = store.txn_table("proj", "ev")
+    collector.collect(
+        "proj", "ev", {"uid": "u12", "x": 12, "_time": "2024-02-05 09:00:00"}
+    )
+    cur = txn.version()
+    # simulate a full refresh crashing between replace and meta write
+    out = mv._run_over(VIEW_SQL, {"ev": txn.read(version=cur)})
+    mv._table("proj", "evens").replace(
+        out, app="matview:evens", app_version=cur
+    )
+    # the base advances again before the next refresh
+    collector.collect(
+        "proj", "ev", {"uid": "u14", "x": 14, "_time": "2024-02-05 09:00:00"}
+    )
+    res = mv.refresh("proj", "evens")
+    assert res["mode"] == "incremental"
+    rows = _rows(mv.table("proj", "evens"))
+    assert rows.count(("u12", 12.0, 24.0)) == 1  # never doubled
+    assert rows.count(("u14", 14.0, 28.0)) == 1
+
+
+def test_self_join_view_not_incremental(spark, env):
+    """ADVICE r15 medium: a single-base view whose SQL scans the base
+    MORE THAN ONCE (self-join) must not be incremental_capable —
+    binding the increment to every occurrence yields only new×new
+    pairs and silently drops new×old results."""
+    collector, store, mv = env
+    info = mv.create(
+        "proj",
+        "selfjoin",
+        "SELECT a.uid, COUNT(*) AS n FROM ev a JOIN ev b ON a.uid = b.uid "
+        "GROUP BY a.uid",
+    )
+    assert info["incremental_capable"] is False
+    collector.collect(
+        "proj", "ev", {"uid": "u0", "x": 99, "_time": "2024-02-05 09:00:00"}
+    )
+    res = mv.refresh("proj", "selfjoin")
+    assert res["mode"] == "full"
+    # full refresh stays correct: u0 now appears twice -> 2x2 pairs
+    rows = {r["uid"]: r["n"] for r in mv.table("proj", "selfjoin").collect()}
+    assert rows["u0"] == 4
+
+
+def test_compact_pinned_snapshot_keeps_concurrent_append(spark, env):
+    """ADVICE r15 low: compact stages the merged frame from a PINNED
+    snapshot and removes exactly that snapshot's files — an
+    incremental append landing in the window stays live beside the
+    compacted cells instead of being silently retired."""
+    collector, store, mv = env
+    mv.create("proj", "stats", AGG_SQL)
+    txn = store.txn_table("proj", "ev")
+    for i in (60, 61):
+        collector.collect(
+            "proj", "ev", {"uid": "u0", "x": i, "_time": "2024-03-05 09:00:00"}
+        )
+        assert mv.refresh("proj", "stats")["mode"] == "incremental"
+    meta = mv._meta("proj", "stats")
+    t = mv._table("proj", "stats")
+    # replay compact's body with an increment injected into the window
+    v0 = t.version()
+    files0 = t.live_files(version=v0)
+    merged = mv._consume(meta, t.read(version=v0, files=files0))
+    collector.collect(
+        "proj", "ev", {"uid": "u1", "x": 70, "_time": "2024-03-05 09:00:00"}
+    )
+    assert mv.refresh("proj", "stats")["mode"] == "incremental"  # the window append
+    expect = sorted(map(tuple, mv.table("proj", "stats").collect()))
+    t.replace(merged, remove_files=files0)
+    assert sorted(map(tuple, mv.table("proj", "stats").collect())) == expect
+    rows = {r["uid"]: (r["n"], r["sx"]) for r in mv.table("proj", "stats").collect()}
+    assert rows["u1"][0] >= 2  # the concurrent increment survived

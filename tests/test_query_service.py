@@ -1401,3 +1401,18 @@ def test_table_history_tvf(spark, warehouse):
     # literal mention untouched
     res5 = svc.execute("proj", "SELECT 'table_history(''ev'')' AS s")
     assert res5.error is None and res5.result == [["table_history('ev')"]]
+
+
+def test_table_history_zero_not_aliased_to_unbounded(spark, warehouse):
+    """ADVICE r15 low: table_history('c', 0) must not share a temp
+    view with table_history('c') in the same statement — `last_n or
+    'all'` treated 0 as falsy and whichever match was processed
+    first won."""
+    svc = _cdf_service(spark, warehouse)
+    res = svc.execute(
+        "proj",
+        "SELECT (SELECT COUNT(*) FROM table_history('ev')) AS all_n, "
+        "(SELECT COUNT(*) FROM table_history('ev', 0)) AS zero_n",
+    )
+    assert res.error is None, res.error
+    assert res.result == [[4, 0]]
