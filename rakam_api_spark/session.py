@@ -31,6 +31,20 @@ _RUNTIME_CONFS = {
     # tz-proof comparisons against external engines.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # AQE coalescing's parallelism-first target is floored at
+    # minPartitionSize (default 1m).  On small inputs that floor
+    # coalesces every post-shuffle stage back to 1-2 tasks, so the
+    # whole query serializes on one core no matter the cluster size
+    # (measured 2.4x on TPC-H Q1 / the lang-confusion aggregate at
+    # sf0.1).  Lowering the floor is SCALE-NEUTRAL: the target is
+    # max(bytes/defaultParallelism, floor), so at any real data size
+    # bytes/parallelism dominates and the floor never binds
+    # (guide §2.2 "fewer, larger partitions" stays in force there) —
+    # it binds exactly when partitions are tiny and parallelism is
+    # the only thing worth optimizing.  Env-overridable.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": os.environ.get(
+        "SPARK_GRAFT_AQE_MIN_PARTITION", "16k"
+    ),
 }
 
 

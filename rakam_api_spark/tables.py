@@ -25,6 +25,8 @@ Either way callers get both ``ts`` (TimestampNTZ) and ``ts_ns``
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -74,8 +76,100 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: Tables below this on-disk size never gain from a post-scan
+#: repartition (the exchange costs more than single-task work on a
+#: dim-sized table); above it, a parallelism-deficient scan is
+#: re-spread across the cluster.
+_REPART_MIN_BYTES = 256 << 10
+
+
+def _scan_split_estimate(path: str) -> tuple[int, int] | None:
+    """(estimated scan tasks, total bytes) from parquet FOOTER
+    metadata — no Spark job.  A parquet file contributes at most
+    min(row groups, byte-range splits) working tasks: extra byte
+    splits of a single-row-group file read zero rows.  Returns None
+    for non-local/unreadable layouts (caller skips the check)."""
+    try:
+        import pyarrow.parquet as pq
+
+        files: list[str] = []
+        if os.path.isfile(path):
+            files = [path]
+        elif os.path.isdir(path):
+            files = [
+                os.path.join(root, f)
+                for root, _, fs in os.walk(path)
+                for f in fs
+                if f.endswith(".parquet")
+            ]
+        if not files:
+            return None
+        splits, total = 0, 0
+        for f in files:
+            size = os.path.getsize(f)
+            total += size
+            groups = pq.ParquetFile(f).metadata.num_row_groups
+            byte_splits = max(1, size // (128 << 20))
+            splits += max(1, min(groups, byte_splits))
+        return splits, total
+    except Exception:
+        return None
+
+
+#: per-table spread key for the deficient-scan repartition: the
+#: column most downstream plans join/group/window on, so the forced
+#: exchange is one those plans can REUSE (guide §2.4 "two operations
+#: keyed the same way share one exchange").  Hash repartitioning on a
+#: deterministic column also skips round-robin's local
+#: sort-before-repartition AND is retry-safe by construction
+#: (guide §2.5 on rand-derived keys).
+_SPREAD_KEYS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "customer": "c_custkey",
+    "events": "user_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "part": "p_partkey",
+    "supplier": "s_suppkey",
+}
+
+
+def _maybe_respread(
+    spark: SparkSession, df: DataFrame, path: str, name: str
+) -> DataFrame:
+    """Guide §2.5 ("one huge unsplittable file … repartition
+    immediately after the read"), scale-adaptively: the driver-
+    generated test tables are SINGLE-ROW-GROUP parquet files, so
+    every scan — and every narrow stage above it (corpus explodes,
+    regex mappers, decimal partial aggregates) — ran on ONE core
+    regardless of ``local[N]``.  When footer metadata says the scan
+    yields fewer working splits than half the cluster's parallelism
+    AND the table is big enough for the (tiny) exchange to pay for
+    itself, hash-repartition on the table's dominant key to the
+    default parallelism.  On a real deployment (many files / many
+    row groups) the condition is false and NO exchange is added; the
+    override env pins the behavior either way (off/on)."""
+    mode = os.environ.get("SPARK_GRAFT_SCAN_REPARTITION", "auto")
+    if mode == "off":
+        return df
+    para = spark.sparkContext.defaultParallelism
+    if mode != "on":
+        est = _scan_split_estimate(path)
+        if est is None:
+            return df
+        splits, total = est
+        if total < _REPART_MIN_BYTES or splits >= max(1, para // 2):
+            return df
+    key = _SPREAD_KEYS.get(name)
+    if key is None or key not in df.columns:
+        return df
+    return df.repartition(para, F.col(key))
+
+
 def _load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = _maybe_respread(spark, df, f"{sf_dir}/{name}.parquet", name)
     if name == "events" and dict(df.dtypes).get("ts") == "timestamp_ntz":
         df = df.withColumn("ts_ns", F.expr("unix_micros(cast(ts as timestamp)) * 1000"))
     elif name == "events" and dict(df.dtypes).get("ts") == "timestamp":
