@@ -2167,9 +2167,7 @@ def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     # truncates while DuckDB's CAST rounds, so an even max(vec_id)
     # would shift the window boundary by one vector between them
     mid = emb.agg(F.floor((F.max("vec_id") + 1) / 2).cast("long").alias("mid"))
-    comp = _quantized_components(emb).join(
-        emb.select("vec_id", "label"), "vec_id"
-    )
+    comp = _quantized_components_labeled(emb)
     sums = (
         comp.crossJoin(broadcast(mid))
         .withColumn(
@@ -2317,9 +2315,7 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: quantized integer sums are exact; the final cosine
     is a short double chain → ``round(.., 9)`` both engines."""
     emb = load_table(spark, sf_dir, "embeddings")
-    comp = _quantized_components(emb).join(
-        emb.select("vec_id", "label"), "vec_id"
-    )
+    comp = _quantized_components_labeled(emb)
     sums = comp.groupBy("label", "pos").agg(
         F.sum("q").alias("s"), F.countDistinct("vec_id").alias("n")
     )
@@ -2399,9 +2395,7 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines agree on ties; the mean is a multi-term float reduction
     → ``round(.., 6)``."""
     emb = load_table(spark, sf_dir, "embeddings")
-    comp = _quantized_components(emb).join(
-        emb.select("vec_id", "label"), "vec_id"
-    )
+    comp = _quantized_components_labeled(emb)
     cents = comp.groupBy("label", "pos").agg(F.sum("q").alias("s"))
     cent_norm = cents.groupBy("label").agg(
         F.sum(F.col("s") * F.col("s")).alias("c2")
@@ -2691,9 +2685,7 @@ def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     |labels|·d rows); the pair join runs over that TINY aggregate,
     never over vectors."""
     emb = load_table(spark, sf_dir, "embeddings")
-    comp = _quantized_components(emb).join(
-        emb.select("vec_id", "label"), "vec_id"
-    )
+    comp = _quantized_components_labeled(emb)
     cent = comp.groupBy("label", "pos").agg(
         F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
         F.count(F.lit(1)).alias("n"),
@@ -2783,9 +2775,7 @@ def centroid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     |vectors|·|labels| at (vec, label) grain, linear in the corpus
     for an enum label set."""
     emb = load_table(spark, sf_dir, "embeddings")
-    comp = _quantized_components(emb).join(
-        emb.select("vec_id", "label"), "vec_id"
-    )
+    comp = _quantized_components_labeled(emb)
     cent = comp.groupBy(F.col("label").alias("clabel"), "pos").agg(
         F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
         F.count(F.lit(1)).alias("cn"),
@@ -2877,9 +2867,7 @@ def intra_inter_label_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     only float steps are two divisions and a subtraction, written
     identically on both engines and rounded to 9 dp."""
     emb = load_table(spark, sf_dir, "embeddings")
-    comp = _quantized_components(emb).join(
-        emb.select("vec_id", "label"), "vec_id"
-    )
+    comp = _quantized_components_labeled(emb)
     q2 = comp.groupBy("label").agg(
         F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).alias("q2")
     )
@@ -2977,9 +2965,7 @@ def centroid_nearest_rival(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery; the argmin ranks within the |labels|²-cell table
     (ties → lexicographic rival), never vectors."""
     emb = load_table(spark, sf_dir, "embeddings")
-    comp = _quantized_components(emb).join(
-        emb.select("vec_id", "label"), "vec_id"
-    )
+    comp = _quantized_components_labeled(emb)
     cent = comp.groupBy("label", "pos").agg(
         F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
         F.count(F.lit(1)).alias("n"),
@@ -3167,9 +3153,7 @@ def dimension_discriminability(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: corpus touched once (posexplode → (pos,label) cells =
     d·|labels| rows); everything after is enum-sized."""
     emb = load_table(spark, sf_dir, "embeddings")
-    comp = _quantized_components(emb).join(
-        emb.select("vec_id", "label"), "vec_id"
-    )
+    comp = _quantized_components_labeled(emb)
     qd = F.col("q").cast("decimal(38,0)")
     lab = comp.groupBy("pos", "label").agg(
         F.count(F.lit(1)).alias("n_l"),
