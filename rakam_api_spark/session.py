@@ -32,18 +32,18 @@ _RUNTIME_CONFS = {
     "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # AQE coalescing's parallelism-first target is floored at
-    # minPartitionSize (default 1m).  On small inputs that floor
-    # coalesces every post-shuffle stage back to 1-2 tasks, so the
-    # whole query serializes on one core no matter the cluster size
-    # (measured 2.4x on TPC-H Q1 / the lang-confusion aggregate at
-    # sf0.1).  Lowering the floor is SCALE-NEUTRAL: the target is
-    # max(bytes/defaultParallelism, floor), so at any real data size
-    # bytes/parallelism dominates and the floor never binds
-    # (guide §2.2 "fewer, larger partitions" stays in force there) —
-    # it binds exactly when partitions are tiny and parallelism is
-    # the only thing worth optimizing.  Env-overridable.
+    # minPartitionSize; the floor binds exactly when post-shuffle
+    # partitions are tiny.  A 16k floor was tried as a parallelism
+    # fix for single-core post-shuffle stages, but once the scan
+    # respread (tables._maybe_respread) provides base parallelism the
+    # low floor only multiplies task-scheduling overhead on
+    # shuffle-heavy self-joins: same-session 4-run A/B at sf0.1,
+    # 16k vs 1m (Spark default), media_video_dedup warm 6.5-11.5 s
+    # vs 4.5-4.7 s, dedup_minhash_lsh 5.2-5.7 s vs 2.2-2.8 s, while
+    # the respread winners (q1, lang_profile_confusion) are
+    # indistinguishable.  Kept env-overridable for cluster tuning.
     "spark.sql.adaptive.coalescePartitions.minPartitionSize": os.environ.get(
-        "SPARK_GRAFT_AQE_MIN_PARTITION", "16k"
+        "SPARK_GRAFT_AQE_MIN_PARTITION", "1m"
     ),
 }
 
