@@ -79,7 +79,7 @@ def main() -> None:
         return warm, first
 
     times, cold = _time(HEADLINE)
-    extra, _ = _time(EXTRA)
+    extra, extra_first = _time(EXTRA)
 
     # ingest-path throughput (the reference's hot path): ND-JSON bulk
     # through parse → infer/evolve → enrich → coerce → append
@@ -104,10 +104,82 @@ def main() -> None:
             }
         )
     )
+    # Per-query warm map in SMALL chunks (VERDICT r16 Next #1): the
+    # full first line exceeds the driver's tail capture, so PERF_r16
+    # had no per-query comparison at all.  Each chunk line is < 1500
+    # chars and self-describing ({i, n, cpus}); the driver's capture
+    # keeps the LAST few KB of stdout, so chunks are ordered
+    # fastest → slowest — whatever survives in the tail is the most
+    # expensive (most informative) slice.  Additions-only: the full
+    # map above and the compact summary below are unchanged.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    all_warm = {**times, **extra}
+    ordered = sorted(all_warm.items(), key=lambda kv: kv[1])
+    chunks: list[dict] = []
+    cur: dict[str, float] = {}
+    for name, sec in ordered:
+        cur[name] = sec
+        if len(json.dumps(cur)) > 1200:
+            chunks.append(cur)
+            cur = {}
+    if cur:
+        chunks.append(cur)
+    for i, ch in enumerate(chunks):
+        print(
+            json.dumps(
+                {
+                    "metric": "per_query_chunk",
+                    "i": i,
+                    "n": len(chunks),
+                    "cpus": cpus,
+                    "sf": sf_val,
+                    "q": ch,
+                }
+            )
+        )
+    # Full machine-readable record on disk as well (the stdout tail is
+    # lossy by construction): latest run + per-core-count copy, plus an
+    # append-only runs log so same-code spread is measurable
+    # (VERDICT r16 Next #9).  These are measurement RECORDS — bench.py
+    # never reads them back; every run still computes from parquet.
+    self_record = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "cold_value": round(sum(cold.values()), 3),
+        "headline_fixed": total,
+        "n_headline_fixed": len(times),
+        "extra_total": round(sum(extra.values()), 3),
+        "n_queries": len(times) + len(extra),
+        "ingest_eps": ingest.get("ingest_eps"),
+        "sf": sf_val,
+        "cpus": cpus,
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "queries": times,
+        "queries_extra": extra,
+        "queries_first_run": cold,
+        "queries_extra_first_run": extra_first,
+    }
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(repo, "BENCH_SELF.json"), "w") as f:
+            json.dump(self_record, f)
+            f.write("\n")
+        if cpus:
+            with open(os.path.join(repo, f"BENCH_SELF_c{cpus}.json"), "w") as f:
+                json.dump(self_record, f)
+                f.write("\n")
+        with open(os.path.join(repo, "BENCH_RUNS.jsonl"), "a") as f:
+            slim = {k: v for k, v in self_record.items() if not k.startswith("queries")}
+            json.dump(slim, f)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout still carries everything
     # Compact summary LAST: the full line above has grown past the
     # driver's 2000-char tail capture (BENCH_r08.json recorded a null
-    # parse), so re-emit just the headline numbers as a second,
-    # always-capturable JSON line.
+    # parse), so re-emit just the headline numbers as a final,
+    # always-capturable JSON line (kept last so a tail parse that
+    # takes the final JSON line still sees the totals).
     print(
         json.dumps(
             {

@@ -331,6 +331,102 @@ def _minhash_signature(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", text_col).mapInPandas(kernel, schema)
 
 
+#: per-session memos of the full-corpus LSH kernels, shared by the
+#: declared ``dedup_minhash_lsh`` query and ``lsh_band_efficiency``
+#: (which audits the SAME index): the MinHash signature frame (one
+#: Arrow kernel pass over every document), the banded candidate pair
+#: frame (band, d1, d2), and the verified pair set.  Before r17 the
+#: band audit re-ran the entire signature → banding → candidate →
+#: exact-verify chain that the pair query had just executed
+#: (guide §2.4: compute a shared intermediate once).  Same safety
+#: argument as _SHINGLE_MEMO / _PAIRS_MEMO: immutable inputs,
+#: deterministic derivation (md5-based OPH, ordered collects),
+#: bounded materializations, weak session keys — rebuilt from parquet
+#: in every fresh process.
+_SIG_MEMO: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
+_BAND_PAIRS_MEMO: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
+_LSH_PAIRS_MEMO: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
+
+
+def _corpus_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized cached full-corpus MinHash signature frame (one row
+    per doc — cheap to hold; the kernel is the expensive part)."""
+    try:
+        per = _SIG_MEMO.setdefault(spark, {})
+        hit = per.get(sf_dir)
+        if hit is not None:
+            return hit
+    except TypeError:  # unhashable/mock session
+        per = None
+    sig = _minhash_signature(_docs(spark, sf_dir)).cache()
+    sig.count()
+    if per is not None:
+        per[sf_dir] = sig
+    return sig
+
+
+def _band_keys(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) — one row per doc per band."""
+    n_bands = N_HASHES // BAND_SIZE
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"mh{b * BAND_SIZE + j}") for j in range(BAND_SIZE)])
+            ).alias("key"),
+        )
+        for b in range(n_bands)
+    ]
+    return sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key")
+    )
+
+
+def _bucket_pair_expr(max_bucket: int):
+    """All-pairs within normal buckets; star (min ↔ member) within
+    oversized ones — O(k) instead of O(k²) under degenerate skew."""
+    return F.when(
+        F.size("ds") <= max_bucket,
+        F.expr(
+            "flatten(transform(ds, (x, i) -> "
+            "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"
+        ),
+    ).otherwise(
+        F.expr("transform(slice(ds, 2, size(ds)), y -> struct(ds[0] AS d1, y AS d2))")
+    )
+
+
+def _corpus_band_pairs(spark: SparkSession, sf_dir: str, max_bucket: int) -> DataFrame:
+    """Memoized (band, d1, d2) candidate frame over the full corpus —
+    the banded LSH sweep BEFORE collapsing bands: the pair query
+    needs the distinct (d1, d2) projection, the band audit the per-
+    band counts; both read one materialization.  Bounded by the
+    bucket expansion (max_bucket² per bucket, star beyond)."""
+    try:
+        per = _BAND_PAIRS_MEMO.setdefault(spark, {})
+        key = (sf_dir, max_bucket)
+        hit = per.get(key)
+        if hit is not None:
+            return hit
+    except TypeError:
+        per, key = None, None
+    buckets = (
+        _band_keys(_corpus_sig(spark, sf_dir))
+        .groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .where(F.size("ds") > 1)
+    )
+    out = (
+        buckets.select("band", F.explode(_bucket_pair_expr(max_bucket)).alias("p"))
+        .select("band", "p.d1", "p.d2")
+        .distinct()
+    )
+    if per is not None:
+        out = out.localCheckpoint(eager=True)
+        per[key] = out
+    return out
+
+
 def minhash_lsh_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -361,51 +457,51 @@ def minhash_lsh_pairs(
     verify explodes shingles ONLY for candidate docs — so every
     shuffle is O(docs) or O(candidates), never O(corpus shingles).
     """
-    docs = _docs(spark, sf_dir) if docs is None else docs
-    # sig feeds THREE plan branches (band keys + both size joins);
-    # Spark does not CSE across branches, so an uncached sig would
-    # re-run the signature kernel once per branch.  One row per doc
-    # — cheap to hold.
-    sig = _minhash_signature(docs).cache()
-    sig.count()
-    n_bands = N_HASHES // BAND_SIZE
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws("|", *[F.col(f"mh{b * BAND_SIZE + j}") for j in range(BAND_SIZE)])
-            ).alias("key"),
+    if docs is None:
+        # full-corpus path: memoized output (this function IS the
+        # declared dedup_minhash_lsh query AND lsh_band_efficiency's
+        # verified set), built from the memoized signature/band-pair
+        # kernels so the audit never re-runs them
+        try:
+            per = _LSH_PAIRS_MEMO.setdefault(spark, {})
+            key = (sf_dir, float(threshold), max_bucket)
+            hit = per.get(key)
+            if hit is not None:
+                return hit
+        except TypeError:  # unhashable/mock session
+            per, key = None, None
+        docs = _docs(spark, sf_dir)
+        sig = _corpus_sig(spark, sf_dir)
+        # candidates feed three branches (two id sets + the
+        # intersection join) — cache the (small) pair list
+        candidates = (
+            _corpus_band_pairs(spark, sf_dir, max_bucket)
+            .select("d1", "d2")
+            .distinct()
+            .cache()
         )
-        for b in range(n_bands)
-    ]
-    bands_long = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key")
-    )
-    buckets = (
-        bands_long.groupBy("band", "band_key")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .where(F.size("ds") > 1)
-    )
-    # all-pairs within normal buckets; star (min ↔ member) within
-    # oversized ones — O(k) instead of O(k²) under degenerate skew
-    pair_expr = F.when(
-        F.size("ds") <= max_bucket,
-        F.expr(
-            "flatten(transform(ds, (x, i) -> "
-            "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"
-        ),
-    ).otherwise(
-        F.expr("transform(slice(ds, 2, size(ds)), y -> struct(ds[0] AS d1, y AS d2))")
-    )
-    # candidates feed three branches too (two broadcast id sets +
-    # the intersection join) — cache the (small) pair list
-    candidates = (
-        buckets.select(F.explode(pair_expr).alias("p"))
-        .select("p.d1", "p.d2")
-        .distinct()
-        .cache()
-    )
-    candidates.count()
+        candidates.count()
+    else:
+        per, key = None, None
+        # sig feeds THREE plan branches (band keys + both size joins);
+        # Spark does not CSE across branches, so an uncached sig would
+        # re-run the signature kernel once per branch.  One row per
+        # doc — cheap to hold.
+        sig = _minhash_signature(docs).cache()
+        sig.count()
+        buckets = (
+            _band_keys(sig)
+            .groupBy("band", "band_key")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+            .where(F.size("ds") > 1)
+        )
+        candidates = (
+            buckets.select(F.explode(_bucket_pair_expr(max_bucket)).alias("p"))
+            .select("p.d1", "p.d2")
+            .distinct()
+            .cache()
+        )
+        candidates.count()
     # verify candidates with exact jaccard.  Prune FIRST: shingles
     # are exploded ONLY for candidate docs (semi-join on the
     # candidate id sets BEFORE word_shingles) — the round-2 plan
@@ -434,7 +530,7 @@ def minhash_lsh_pairs(
     )
     s1 = sig.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
     s2 = sig.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
-    return (
+    out = (
         inter.join(s1, "d1")
         .join(s2, "d2")
         .withColumn(
@@ -445,6 +541,14 @@ def minhash_lsh_pairs(
         .select("d1", "d2", "jaccard")
         .orderBy("d1", "d2")
     )
+    if per is not None:
+        # materialize the (bounded, near-dup-sized) verified pair set
+        # once per session — deterministic kernel, rebuilt from
+        # parquet in every fresh process (same discipline as
+        # _PAIRS_MEMO / _SAMPLE_GRAPH_MEMO)
+        out = out.localCheckpoint(eager=True)
+        per[key] = out
+    return out
 
 
 MINHASH_LSH_ORACLE = """
@@ -530,53 +634,29 @@ def lsh_band_efficiency(
     ``pq_reconstruction_error`` — every index here ships with its
     health report.
 
-    Reuses the production kernels: the same signature/banding/star-
-    fallback chain enumerates (band, pair) candidates, and the
-    verified set is :func:`minhash_lsh_pairs`' own output semi-joined
-    per band.  Counts are exact; precision is one double division
-    (NULL for a candidate-less band)."""
-    docs = _docs(spark, sf_dir)
-    sig = _minhash_signature(docs).cache()
-    sig.count()
-    n_bands = N_HASHES // BAND_SIZE
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws("|", *[F.col(f"mh{b * BAND_SIZE + j}") for j in range(BAND_SIZE)])
-            ).alias("key"),
-        )
-        for b in range(n_bands)
-    ]
-    bands_long = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key")
-    )
-    buckets = (
-        bands_long.groupBy("band", "band_key")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .where(F.size("ds") > 1)
-    )
-    pair_expr = F.when(
-        F.size("ds") <= max_bucket,
-        F.expr(
-            "flatten(transform(ds, (x, i) -> "
-            "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"
-        ),
-    ).otherwise(
-        F.expr("transform(slice(ds, 2, size(ds)), y -> struct(ds[0] AS d1, y AS d2))")
-    )
-    band_pairs = (
-        buckets.select("band", F.explode(pair_expr).alias("p"))
-        .select("band", "p.d1", "p.d2")
-        .distinct()
-        .cache()
-    )
-    band_pairs.count()
+    Reuses the production kernels — LITERALLY, since r17: the
+    signature frame, the (band, d1, d2) candidate frame and the
+    verified pair set are the per-session memoized kernels the
+    declared ``dedup_minhash_lsh`` query builds, so the audit adds
+    only the per-band rollups instead of re-running the whole
+    signature → banding → candidate → exact-verify chain
+    (guide §2.4).  The multi-doc bucket count per band is a partial-
+    aggregatable (band, key) count over the band-key frame — never a
+    second collect_list pass.  Counts are exact; precision is one
+    double division (NULL for a candidate-less band)."""
+    band_pairs = _corpus_band_pairs(spark, sf_dir, max_bucket)
     verified = minhash_lsh_pairs(
         spark, sf_dir, threshold=threshold, max_bucket=max_bucket
     ).select("d1", "d2")
     hits = band_pairs.join(verified, ["d1", "d2"], "left_semi")
-    n_buckets = buckets.groupBy("band").agg(F.count(F.lit(1)).alias("n_buckets"))
+    n_buckets = (
+        _band_keys(_corpus_sig(spark, sf_dir))
+        .groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .where(F.col("k") > 1)
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+    )
     n_cand = band_pairs.groupBy("band").agg(
         F.count(F.lit(1)).alias("n_candidates")
     )

@@ -1144,41 +1144,71 @@ def media_video_dedup(
 
     Returns (asset_a, asset_b, n_shared_frames, n_frames_a,
     n_frames_b); n_shared_frames counts shared NON-ubiquitous frame
-    hashes (n_frames_* still count all distinct hashes per video)."""
-    frames = frame_sample(media, every_n=every_n)
+    hashes (n_frames_* still count all distinct hashes per video).
+
+    r17 plan rewrite (same rows — every step is value-identical):
+    (a) decode → sample → dHash run in ONE fused Arrow kernel, so
+    frame BYTES never cross the JVM↔Python boundary between stages
+    (guide §4.1/§8.3: the old chain shipped each frame out of Python,
+    back into the JVM, and out to Python again just to hash it);
+    (b) the distinct (asset, hash) frame is localCheckpointed — the
+    old plan's four consumers (counts, the idf floor, and BOTH sides
+    of the self-join) each re-ran the whole Python pipeline
+    (guide §2.4 / §5 lineage cut; eager, so the one materialization
+    happens here and retries replay stored blocks, not Python);
+    (c) the posting-list self-join is now ONE groupBy(dhash) with an
+    in-array i<j pair expansion — the exact idiom of the LSH bucket
+    sweep and the r16 basket queries — so the pair sweep shuffles the
+    hash frame once instead of three times (§2.4).  A hot frame hash
+    materializes one df-length row before the idf floor drops it
+    (same bound the LSH bucket collect accepts; max_postings caps
+    every EXPANDED list at max_postings²)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, nos, hashes = [], [], []
-            for aid, no, fr in zip(pdf["asset_id"], pdf["frame_no"], pdf["frame"]):
-                h = image_dhash(bytes(fr)) if fr is not None else None
-                if h is not None:
-                    ids.append(int(aid))
-                    nos.append(int(no))
-                    hashes.append(_signed64(h))
-            yield pd.DataFrame({"asset_id": ids, "frame_no": nos, "dhash": hashes})
+            ids, hashes = [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                frs = decode_video(bytes(payload)) if payload is not None else None
+                if not frs:
+                    continue
+                for i in range(0, len(frs), every_n):
+                    h = image_dhash(frs[i])
+                    if h is not None:
+                        ids.append(int(aid))
+                        hashes.append(_signed64(h))
+            yield pd.DataFrame({"asset_id": ids, "dhash": hashes})
 
-    hashed = frames.mapInPandas(kernel, "asset_id long, frame_no int, dhash long")
+    hashed = (
+        media.where(F.col("media_type") == "video")
+        .select("asset_id", "payload")
+        .mapInPandas(kernel, "asset_id long, dhash long")
+    )
     # distinct hashes per video: repeated identical frames within one
-    # video must not inflate the shared count
-    hv = hashed.select("asset_id", "dhash").distinct()
+    # video must not inflate the shared count.  Materialized ONCE —
+    # counts, the idf floor and the pair expansion all read the stored
+    # blocks instead of re-decoding every video per branch.
+    hv = hashed.distinct().localCheckpoint(eager=True)
     counts = hv.groupBy("asset_id").agg(F.count(F.lit(1)).alias("n_frames"))
     # idf floor: drop frame hashes shared by more than max_postings
-    # videos before the self-join (hot-key quadratic-expansion guard)
-    rare = (
+    # videos (hot-key quadratic-expansion guard), fused with the
+    # posting-list build; in-array i<j expansion replaces the
+    # equality self-join (identical pair multiset: the join emitted
+    # one row per (hash, a<b) too)
+    postings = (
         hv.groupBy("dhash")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where((F.col("df") >= 2) & (F.col("df") <= max_postings))
-        .select("dhash")
+        .agg(F.sort_array(F.collect_list("asset_id")).alias("vs"))
+        .where((F.size("vs") >= 2) & (F.size("vs") <= max_postings))
     )
-    hv_rare = hv.join(rare, "dhash")
     pairs = (
-        hv_rare.alias("a")
-        .join(hv_rare.alias("b"), (F.col("a.dhash") == F.col("b.dhash")) & (F.col("a.asset_id") < F.col("b.asset_id")))
-        .groupBy(
-            F.col("a.asset_id").alias("asset_a"),
-            F.col("b.asset_id").alias("asset_b"),
+        postings.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(vs, (x, i) -> "
+                    "transform(slice(vs, i + 2, size(vs)), y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
         )
+        .groupBy(F.col("p.a").alias("asset_a"), F.col("p.b").alias("asset_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_frames"))
         .where(F.col("n_shared_frames") >= min_shared)
     )

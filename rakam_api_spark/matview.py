@@ -614,14 +614,21 @@ class MaterializedViewService:
             # and the meta write below must not let a later
             # incremental refresh clamp to the PRE-replace mark and
             # re-append rows the replaced snapshot already contains
-            # (ADVICE r15).  max(bases) is the single base's version
-            # for incremental-capable views — the only ones that ever
-            # read the mark.
-            view.replace(
-                out,
-                app=f"matview:{name}",
-                app_version=max(current.values()),
-            )
+            # (ADVICE r15).  ONLY single-base views get the tag
+            # (ADVICE r16): they are the only ones that ever read the
+            # mark, and for a multi-base view max(bases) is NOT
+            # monotone in the view's content — a refresh after only a
+            # non-max base advanced would hit commit()'s idempotence
+            # check and silently skip the replace while meta["bases"]
+            # below still records the new versions.
+            if len(current) == 1:
+                view.replace(
+                    out,
+                    app=f"matview:{name}",
+                    app_version=max(current.values()),
+                )
+            else:
+                view.replace(out)
             mode = "full"
         meta["bases"] = current
         self._write_meta(project, name, meta)

@@ -153,7 +153,13 @@ def _maybe_respread(
     mode = os.environ.get("SPARK_GRAFT_SCAN_REPARTITION", "auto")
     if mode == "off":
         return df
-    para = spark.sparkContext.defaultParallelism
+    try:
+        # sessions without a sparkContext (Spark Connect, mocks) skip
+        # the respread instead of failing every load (ADVICE r16) —
+        # same guard discipline as _scan_split_estimate
+        para = spark.sparkContext.defaultParallelism
+    except Exception:
+        return df
     if mode != "on":
         est = _scan_split_estimate(path)
         if est is None:

@@ -1662,6 +1662,15 @@ class TxnTable:
         restage), never an internal retry; concurrent appends stay
         live beside the new content — correct for cells-grain
         compaction, whose consumption re-aggregates."""
+        if app is not None:
+            if app_version is None:
+                raise ValueError("app requires app_version")
+            # mirror append(): an already-applied (app, version) skips
+            # the Spark write too — otherwise an idempotent replay
+            # still pays the full staging write and leaves published
+            # orphan files commit() then never references (ADVICE r16)
+            if self.app_versions().get(app, -1) >= app_version:
+                return None
         incoming = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
         self._merge_incoming(incoming)
         # same layout guard as merge(): a partitioned table's pre- and

@@ -519,3 +519,32 @@ def test_compact_pinned_snapshot_keeps_concurrent_append(spark, env):
     assert sorted(map(tuple, mv.table("proj", "stats").collect())) == expect
     rows = {r["uid"]: (r["n"], r["sx"]) for r in mv.table("proj", "stats").collect()}
     assert rows["u1"][0] >= 2  # the concurrent increment survived
+
+
+def test_multibase_full_refresh_applies_when_non_max_base_advances(spark, env):
+    """ADVICE r16 (high): a multi-base view's full refresh must not be
+    app-tagged with max(base versions) — when only a base whose
+    version is below the max advances, the tag is unchanged and
+    commit()'s idempotence check would silently skip the replace while
+    meta still records the new versions (stale data, then noops)."""
+    collector, store, mv = env
+    # second base with a much LOWER version than ev's
+    collector.collect("proj", "dim", {"uid": "u0", "grp": "a", "_time": "2024-01-05 09:00:00"})
+    collector.collect("proj", "dim", {"uid": "u1", "grp": "a", "_time": "2024-01-05 09:00:00"})
+    store.enable_txn("proj", "dim")
+    mv.create(
+        "proj",
+        "joined",
+        "SELECT e.uid, d.grp FROM ev e JOIN dim d ON e.uid = d.uid",
+    )
+    # refresh #1: only the low-version base advances -> full replace
+    collector.collect("proj", "dim", {"uid": "u2", "grp": "b", "_time": "2024-01-06 09:00:00"})
+    assert mv.refresh("proj", "joined")["mode"] == "full"
+    # refresh #2: the low-version base advances AGAIN; max(versions) is
+    # still ev's untouched version — the replace must still land
+    collector.collect("proj", "dim", {"uid": "u3", "grp": "c", "_time": "2024-01-07 09:00:00"})
+    assert mv.refresh("proj", "joined")["mode"] == "full"
+    rows = sorted((r["uid"], r["grp"]) for r in mv.table("proj", "joined").collect())
+    assert ("u3", "c") in rows and ("u2", "b") in rows
+    # and the metadata agrees with the content (no silent stale serve)
+    assert mv.refresh("proj", "joined")["mode"] == "noop"

@@ -487,3 +487,32 @@ def test_read_incremental_skips_metadata_only_commits(spark, tmp_path):
     t.append(_rows(spark, 2, 3, month="2024-02"), partition_col="_month")
     inc, _ = t.read_incremental(ckpt2)
     assert [r["x"] for r in inc.collect()] == [2]
+
+
+def test_replace_replay_skips_spark_write_and_stages_no_orphans(spark, tmp_path):
+    """An already-applied (app, version) replace must return None
+    BEFORE staging: the replay pays no Spark write and leaves no
+    published-but-unreferenced orphan files (ADVICE r16 — append()
+    already had this early check; replace() now mirrors it)."""
+    path = str(tmp_path / "t")
+    t = TxnTable(spark, path)
+    t.append(_rows(spark, 0, 5), partition_col="_month")
+    v = t.replace(_rows(spark, 10, 15), partition_col="_month", app="mv", app_version=7)
+    assert v is not None and _xs(t.read()) == list(range(10, 15))
+    files_before = {
+        os.path.join(r, f) for r, _, fs in os.walk(path) for f in fs
+    }
+    # replay at the same (and an older) app_version: no-op, no new files
+    assert (
+        t.replace(_rows(spark, 20, 25), partition_col="_month", app="mv", app_version=7)
+        is None
+    )
+    assert (
+        t.replace(_rows(spark, 20, 25), partition_col="_month", app="mv", app_version=3)
+        is None
+    )
+    files_after = {
+        os.path.join(r, f) for r, _, fs in os.walk(path) for f in fs
+    }
+    assert files_after == files_before
+    assert _xs(t.read()) == list(range(10, 15))
