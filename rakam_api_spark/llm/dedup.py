@@ -1186,13 +1186,7 @@ def _sample_pair_graph(spark: SparkSession, sf_dir: str, max_docs: int) -> DataF
         sup = [k for k in per if k[0] == sf_dir and k[1] >= max_docs]
         if sup:
             big = per[min(sup, key=lambda k: k[1])]
-            chosen = (
-                _docs(spark, sf_dir)
-                .select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("_h"))
-                .orderBy("_h", "doc_id")
-                .limit(max_docs)
-                .select("doc_id")
-            )
+            chosen = _audit_chosen(spark, sf_dir, max_docs)
             out = big.join(
                 F.broadcast(chosen.withColumnRenamed("doc_id", "d1")), "d1", "left_semi"
             ).join(
@@ -1239,6 +1233,46 @@ def _sample_pair_graph(spark: SparkSession, sf_dir: str, max_docs: int) -> DataF
     return out
 
 
+#: per-session memo of the hash-ranked audit id frame (doc_id, _h):
+#: the TakeOrdered corpus scan behind EVERY audit_sample call — the
+#: precision audit, the transitivity audit, the threshold curve and
+#: the pair-graph restriction each re-ran it (a ~2 s full-corpus pass
+#: at sf0.1, measured r17).  ≤ max_docs rows, deterministic md5 rank,
+#: eagerly checkpointed; a smaller sample is a RANK PREFIX of a
+#: larger one, derived driver-free by re-limiting the memoized frame
+#: (guide §2.4: compute a shared intermediate once).
+_AUDIT_IDS_MEMO: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
+
+
+def _audit_chosen(spark: SparkSession, sf_dir: str, max_docs: int) -> DataFrame:
+    """(doc_id) frame of the ``max_docs`` hash-rank sample."""
+    try:
+        per = _AUDIT_IDS_MEMO.setdefault(spark, {})
+    except TypeError:  # unhashable/mock session
+        per = None
+    if per is not None:
+        key = (sf_dir, max_docs)
+        hit = per.get(key)
+        if hit is not None:
+            return hit.select("doc_id")
+        sup = [k for k in per if k[0] == sf_dir and k[1] >= max_docs]
+        if sup:
+            big = per[min(sup, key=lambda k: k[1])]
+            out = big.orderBy("_h", "doc_id").limit(max_docs)
+            per[key] = out
+            return out.select("doc_id")
+    chosen = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("_h"))
+        .orderBy("_h", "doc_id")
+        .limit(max_docs)
+    )
+    if per is not None:
+        chosen = chosen.localCheckpoint(eager=True)
+        per[(sf_dir, max_docs)] = chosen
+    return chosen.select("doc_id")
+
+
 def audit_sample(spark: SparkSession, sf_dir: str, max_docs: int) -> DataFrame:
     """The audit's ENFORCED corpus sample: the ``max_docs`` documents
     ranked first by ``md5(doc_id)`` — a deterministic hash order both
@@ -1247,15 +1281,11 @@ def audit_sample(spark: SparkSession, sf_dir: str, max_docs: int) -> DataFrame:
     → TakeOrderedAndProject: per-partition heaps over a 2-column slim
     frame, no global sort, no window) followed by a broadcast
     semi-join back to the full rows — O(corpus) scan, O(max_docs)
-    memory, at any corpus size."""
+    memory, at any corpus size.  The id frame is memoized per session
+    (:data:`_AUDIT_IDS_MEMO`), so repeated audits pay the TakeOrdered
+    scan once."""
     d = _docs(spark, sf_dir)
-    chosen = (
-        d.select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("_h"))
-        .orderBy("_h", "doc_id")
-        .limit(max_docs)
-        .select("doc_id")
-    )
-    return d.join(F.broadcast(chosen), "doc_id")
+    return d.join(F.broadcast(_audit_chosen(spark, sf_dir, max_docs)), "doc_id")
 
 
 def dedup_precision_audit(

@@ -674,11 +674,21 @@ def lm_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n")
     )
     # the LM counts derive from the already-aggregated doc bigrams —
-    # one corpus explode feeds both sides instead of two
+    # one corpus explode feeds both sides instead of two.  Spark does
+    # not CSE across plan branches, and doc_bg feeds THREE (c12, c1's
+    # chain, and the scoring join), so without a materialization the
+    # corpus bigram explode + aggregate ran three times per query
+    # (guide §2.4/§5): persist the AGGREGATED frame (already the
+    # smallest corpus-grain representation) and truncate lineage —
+    # r17, interleaved A/B in OPTIMIZATION_r17.md.
+    doc_bg = doc_bg.localCheckpoint(eager=False)
     c12 = (
         doc_bg.where(F.col("lang") == "en")
         .groupBy("w1", "w2")
         .agg(F.sum("n").alias("c12"))
+        # c12 itself feeds two branches (the scoring join and c1's
+        # chain) — persist the reference-LM counts too
+        .localCheckpoint(eager=False)
     )
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab_size = (
