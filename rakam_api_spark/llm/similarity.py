@@ -2920,13 +2920,23 @@ def intra_inter_label_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically on both engines and rounded to 9 dp."""
     emb = load_table(spark, sf_dir, "embeddings")
     comp = _quantized_components_labeled(emb)
-    q2 = comp.groupBy("label").agg(
-        F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).alias("q2")
+    # ONE corpus-grain pass: Σq² folds into the (label, pos) aggregate
+    # as a partial (q2p) and re-aggregates from the |labels|·dim cent
+    # frame — integer decimal sums are associative, so the two-level
+    # sum is bit-identical to a direct per-label Σq².  Previously q2
+    # was its own corpus aggregate, so the posexplode + a corpus-sized
+    # shuffle ran twice per query (guide §2.4).  cent is checkpointed
+    # (|labels|·dim rows) because three branches consume it.
+    cent = (
+        comp.groupBy("label", "pos")
+        .agg(
+            F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
+            F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).alias("q2p"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .localCheckpoint(eager=False)
     )
-    cent = comp.groupBy("label", "pos").agg(
-        F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
-        F.count(F.lit(1)).alias("cnt"),
-    )
+    q2 = cent.groupBy("label").agg(F.sum("q2p").alias("q2"))
     dimtot = cent.groupBy("pos").agg(F.sum("s").alias("tall"))
     per_label = (
         cent.join(dimtot, "pos")

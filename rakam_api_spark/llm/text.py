@@ -525,6 +525,12 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str, k: int = 50) -> DataF
         per_source.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("source", "token")
+        # top feeds FOUR plan branches (both self-join sides + both
+        # size lookups) and Catalyst does not CSE across branches —
+        # without a materialization the corpus tokenize + (source,
+        # token) aggregate ran four times per query (guide §2.4/§5).
+        # The frame is |sources|·k rows — dashboard-sized at any SF.
+        .localCheckpoint(eager=False)
     )
     sizes = top.groupBy("source").agg(F.count(F.lit(1)).alias("set_size"))
     a, b = top.alias("a"), top.alias("b")
