@@ -222,15 +222,14 @@ def ivf_topk(
     cosine as brute force, so candidate scoring matches exactly;
     recall is governed by nprobe.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    compl = _quantized_components_labeled(emb)
+    # shared index artifacts (r17): the cached component decode and
+    # the checkpointed label-centroid table — previously re-derived
+    # per call (and per plan branch).  label rides the posexplode —
+    # no corpus-grain label join (a broadcast of a one-row-per-vector
+    # frame cannot scale).
+    compl = _compl_for(spark, sf_dir)
     comp = compl.drop("label")
-    # centroid components per cell: mean of quantized comps, re-quantized.
-    # label rides the posexplode — no corpus-grain label join (a
-    # broadcast of a one-row-per-vector frame cannot scale).
-    cents = compl.groupBy("label", "pos").agg(
-        F.floor(F.avg("q")).cast("long").alias("cq")
-    )
+    cents = _label_cents_for(spark, sf_dir)
     qcomp = comp.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), "pos", F.col("q").alias("qq")
     )
@@ -262,7 +261,7 @@ def ivf_topk(
         .groupBy(F.col("p.q_id").alias("q_id"), F.col("m.vec_id").alias("vec_id"))
         .agg(F.sum(F.col("m.q") * F.col("q.qq")).alias("dot"))
     )
-    norms = _norms(comp, "vec_id")
+    norms = _norms_for(spark, sf_dir)
     qnorms = norms.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("norm2").alias("qnorm2")
     )
@@ -386,9 +385,10 @@ def embedding_cosine_dedup(
     then exact integer-quantized cosine verifies each candidate.
     Every stage is an equi-join/groupBy on its key: O(n) + O(near-
     dups), no all-pairs anywhere."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    comp = _quantized_components(emb).cache()
-    comp.count()  # single materialization: feeds projections, verify, norms
+    # r17: the module-wide memoized component cache replaces this
+    # function's own per-call cache (which was never unpersisted —
+    # repeated calls pinned duplicate corpus-sized frames)
+    comp = _compl_for(spark, sf_dir).drop("label")
     # 48 signed projections per vector: one broadcast join on pos +
     # one partial-aggregated groupBy — integer sums, codegen-side
     proj = (
@@ -443,7 +443,7 @@ def embedding_cosine_dedup(
         .groupBy("v1", "v2")
         .agg(F.sum(F.col("q1") * F.col("q2")).alias("dot"))
     )
-    norms = _norms(comp, "vec_id")
+    norms = _norms_for(spark, sf_dir)
     n1 = norms.select(F.col("vec_id").alias("v1"), F.col("norm2").alias("n1"))
     n2 = norms.select(F.col("vec_id").alias("v2"), F.col("norm2").alias("n2"))
     return (
@@ -744,14 +744,16 @@ from weakref import WeakKeyDictionary
 
 _FIT_MEMO: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
 
-#: Per-session cap on memoized fits.  The steady state is one IVF +
-#: one PQ fit, one brute-force truth frame and one LSH pair set per
-#: sf_dir (the default-parameter production artifacts); parameter
-#: sweeps (recall curves, tests with non-default k/iters) would
-#: otherwise pin a corpus-sized cached frame per distinct key for the
-#: session's lifetime.  dicts preserve insertion order, so eviction
-#: below is plain FIFO-after-refresh == LRU.
-_FIT_MEMO_MAX = 6
+#: Per-session cap on memoized fits.  The steady state per sf_dir is
+#: one component frame + norm sidecar + label-centroid table (r17),
+#: one IVF fit + its posting-list layout, one PQ fit, one brute-force
+#: truth frame and one LSH pair set (the default-parameter production
+#: artifacts); parameter sweeps (recall curves, tests with
+#: non-default k/iters) would otherwise pin a corpus-sized cached
+#: frame per distinct key for the session's lifetime.  dicts preserve
+#: insertion order, so eviction below is plain FIFO-after-refresh ==
+#: LRU.
+_FIT_MEMO_MAX = 12
 
 
 def _memo_put(per: dict, key: tuple, out: tuple) -> None:
@@ -780,6 +782,77 @@ def _memo_get(per: dict, key: tuple):
     return hit
 
 
+def _compl_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized CACHED labeled component frame (vec_id, label, pos, q)
+    for the full embeddings table — the ONE in-session decode of the
+    corpus that every similarity/ANN/vectors query previously re-ran
+    per call (and, for multi-branch plans, per branch).  Same memo
+    contract as :func:`_ivf_fit_for` (the r16-audited pattern):
+    immutable inputs, deterministic projection, rebuilt from parquet
+    in every fresh process, first consumer pays the materialization.
+    At scale this is the index's resident vector storage — the same
+    corpus-sized cache :func:`_ivf_fit_for` already held."""
+    try:
+        per = _FIT_MEMO.setdefault(spark, {})
+        key = ("compl", sf_dir)
+        hit = _memo_get(per, key)
+        if hit is not None:
+            return hit[0]
+    except TypeError:  # unhashable/mock session: uncached
+        per, key = None, None
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = _quantized_components_labeled(emb).cache()
+    out.count()  # single deterministic materialization
+    if per is not None:
+        _memo_put(per, key, (out,))
+    return out
+
+
+def _norms_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized eager checkpoint of the per-vector norm table
+    (vec_id, norm2) — the norm sidecar every vector index persists
+    beside its postings.  One corpus pass per process instead of one
+    per consuming query (7 call sites)."""
+    try:
+        per = _FIT_MEMO.setdefault(spark, {})
+        key = ("norms", sf_dir)
+        hit = _memo_get(per, key)
+        if hit is not None:
+            return hit[0]
+    except TypeError:
+        per, key = None, None
+    out = _norms(_compl_for(spark, sf_dir).drop("label"), "vec_id").localCheckpoint(
+        eager=True
+    )
+    if per is not None:
+        _memo_put(per, key, (out,))
+    return out
+
+
+def _label_cents_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized eager checkpoint of the label-cell coarse quantizer
+    (label, pos, cq = floor(avg(q))) — the |labels|·dim centroid
+    table of the label-IVF index, shared by :func:`ivf_topk` and
+    :func:`vector_margin_histogram` (identical derivation both)."""
+    try:
+        per = _FIT_MEMO.setdefault(spark, {})
+        key = ("lcents", sf_dir)
+        hit = _memo_get(per, key)
+        if hit is not None:
+            return hit[0]
+    except TypeError:
+        per, key = None, None
+    out = (
+        _compl_for(spark, sf_dir)
+        .groupBy("label", "pos")
+        .agg(F.floor(F.avg("q")).cast("long").alias("cq"))
+        .localCheckpoint(eager=True)
+    )
+    if per is not None:
+        _memo_put(per, key, (out,))
+    return out
+
+
 def _ivf_fit_for(
     spark: SparkSession, sf_dir: str, k: int = K_CELLS, iters: int = KM_ITERS
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -795,13 +868,38 @@ def _ivf_fit_for(
             return hit
     except TypeError:  # unhashable/mock session: fit uncached
         per, key = None, None
-    emb = load_table(spark, sf_dir, "embeddings")
-    comp = _quantized_components(emb).cache()
-    comp.count()  # single deterministic materialization
+    # r17: project the module-wide cached component frame instead of
+    # caching a second corpus-sized copy — the fit's iteration jobs
+    # read the same materialization every other family member uses.
+    comp = _compl_for(spark, sf_dir).drop("label")
     cents, assign = _lloyd_fit(comp, k, iters, materialize_assign=True)
     out = (comp, cents, assign)
     if per is not None:
         _memo_put(per, key, out)
+    return out
+
+
+def _ivf_members_for(
+    spark: SparkSession, sf_dir: str, k: int = K_CELLS, iters: int = KM_ITERS
+) -> DataFrame:
+    """Memoized eager checkpoint of the cell-attached component table
+    (vec_id, pos, q, label) — the in-session form of the cell-
+    partitioned posting-list layout :func:`build_ivf_index` persists
+    to disk.  Every probe/score consumer previously re-ran the
+    corpus-grain ``comp ⋈ assign`` join per query; the index layout
+    is query-independent, so it is built once with the fit."""
+    try:
+        per = _FIT_MEMO.setdefault(spark, {})
+        key = ("ivfmem", sf_dir, k, iters)
+        hit = _memo_get(per, key)
+        if hit is not None:
+            return hit[0]
+    except TypeError:
+        per, key = None, None
+    comp, _cents, assign = _ivf_fit_for(spark, sf_dir, k, iters)
+    out = comp.join(assign, "vec_id").localCheckpoint(eager=True)
+    if per is not None:
+        _memo_put(per, key, (out,))
     return out
 
 
@@ -886,7 +984,16 @@ def kmeans_ivf_topk(
     k-means fit and assign the full corpus once — same operators.
     """
     comp, cents, assign = _ivf_fit_for(spark, sf_dir, k, iters)
-    return _ivf_probe_score(comp, cents, assign, n_queries, nprobe, topk)
+    return _ivf_probe_score(
+        comp,
+        cents,
+        assign,
+        n_queries,
+        nprobe,
+        topk,
+        members=_ivf_members_for(spark, sf_dir, k, iters),
+        norms=_norms_for(spark, sf_dir),
+    )
 
 
 def _ivf_probe_score(
@@ -897,6 +1004,8 @@ def _ivf_probe_score(
     nprobe: int,
     topk: int,
     member_ids: DataFrame | None = None,
+    members: DataFrame | None = None,
+    norms: DataFrame | None = None,
 ) -> DataFrame:
     """The IVF probe/score tail shared by the plain and the FILTERED
     k-means paths: rank cells per query against the broadcast
@@ -904,7 +1013,9 @@ def _ivf_probe_score(
     semi-joined to ``member_ids`` (the metadata predicate's
     qualifying set) BEFORE the scoring join, so a selective filter
     shrinks the candidate volume instead of post-filtering top-k."""
-    scored = _ivf_scored(comp, cents, assign, n_queries, nprobe, member_ids)
+    scored = _ivf_scored(
+        comp, cents, assign, n_queries, nprobe, member_ids, members, norms
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -921,13 +1032,19 @@ def _ivf_scored(
     n_queries: int,
     nprobe: int,
     member_ids: DataFrame | None = None,
+    members: DataFrame | None = None,
+    norms: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate scoring shared by :func:`_ivf_probe_score` and the
     nprobe curve: (q_id, vec_id, cosine, crank) where ``crank`` is
     the rank of the probed cell that produced the candidate — the
     candidate set at any budget n ≤ nprobe is exactly the crank ≤ n
     restriction (each vector lives in ONE cell, so crank is
-    well-defined per candidate)."""
+    well-defined per candidate).  ``members`` / ``norms`` accept the
+    memoized index artifacts (:func:`_ivf_members_for` /
+    :func:`_norms_for`) so the per-query plan skips the corpus-grain
+    join and norm aggregate; both defaults rebuild the identical
+    frames inline."""
     qcomp = comp.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), "pos", F.col("q").alias("qq")
     )
@@ -951,7 +1068,8 @@ def _ivf_scored(
         .where(F.col("rn") <= nprobe)
         .select("q_id", "label", F.col("rn").alias("crank"))
     )
-    members = comp.join(assign, "vec_id")
+    if members is None:
+        members = comp.join(assign, "vec_id")
     if member_ids is not None:
         members = members.join(member_ids, "vec_id", "left_semi")
     dots = (
@@ -965,7 +1083,8 @@ def _ivf_scored(
         .groupBy(F.col("p.q_id").alias("q_id"), F.col("m.vec_id").alias("vec_id"))
         .agg(F.sum(F.col("m.q") * F.col("q.qq")).alias("dot"), F.min("crank").alias("crank"))
     )
-    norms = _norms(comp, "vec_id")
+    if norms is None:
+        norms = _norms(comp, "vec_id")
     qnorms = norms.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("norm2").alias("qnorm2")
     )
@@ -1015,7 +1134,15 @@ def filtered_kmeans_ivf_topk(
     comp, cents, assign = _ivf_fit_for(spark, sf_dir, k, iters)
     qualifying = emb.where(F.col("label") >= min_label).select("vec_id")
     return _ivf_probe_score(
-        comp, cents, assign, n_queries, nprobe, topk, member_ids=qualifying
+        comp,
+        cents,
+        assign,
+        n_queries,
+        nprobe,
+        topk,
+        member_ids=qualifying,
+        members=_ivf_members_for(spark, sf_dir, k, iters),
+        norms=_norms_for(spark, sf_dir),
     )
 
 
@@ -1090,7 +1217,15 @@ def ivf_nprobe_recall_curve(
     truth = _brute_topk_for(spark, sf_dir, k=topk, n_queries=n_queries).select(
         "q_id", "neighbor_id"
     )
-    scored = _ivf_scored(comp, cents, assign, n_queries, max(nprobes))
+    scored = _ivf_scored(
+        comp,
+        cents,
+        assign,
+        n_queries,
+        max(nprobes),
+        members=_ivf_members_for(spark, sf_dir, k, iters),
+        norms=_norms_for(spark, sf_dir),
+    )
     fanned = scored.select(
         "q_id",
         "vec_id",
@@ -1567,14 +1702,20 @@ PQ_K = 16  # centroids per subspace codebook
 PQ_ITERS = 2
 
 
+def _pq_rekey(comp: DataFrame, m: int) -> DataFrame:
+    """Re-key a (vec_id, pos, q) component frame to (subspace,
+    within-subspace position) — a pure projection."""
+    dsub = F.expr(f"pos div {64 // m}")
+    return comp.select(
+        "vec_id", dsub.alias("m"), F.expr(f"pos % {64 // m}").alias("spos"), "q"
+    )
+
+
 def _pq_comp(emb: DataFrame, m: int) -> DataFrame:
     """(vec_id, m, spos, q): quantized components re-keyed to
     (subspace, within-subspace position) — the shared input of the
     PQ fit, encode, and audit paths."""
-    dsub = F.expr(f"pos div {64 // m}")
-    return _quantized_components(emb).select(
-        "vec_id", dsub.alias("m"), F.expr(f"pos % {64 // m}").alias("spos"), "q"
-    )
+    return _pq_rekey(_quantized_components(emb), m)
 
 
 def _pq_assign(comp: DataFrame, cs: DataFrame) -> DataFrame:
@@ -1639,9 +1780,10 @@ def _pq_fit_for(
             return hit
     except TypeError:
         per, key = None, None
-    emb = load_table(spark, sf_dir, "embeddings")
-    comp = _pq_comp(emb, m).cache()
-    comp.count()  # single deterministic materialization
+    # r17: re-key the module-wide cached component frame instead of
+    # caching a second corpus-sized copy — the PQ layout is a pure
+    # projection of the shared materialization.
+    comp = _pq_rekey(_compl_for(spark, sf_dir).drop("label"), m)
     cents, codes = _pq_fit(comp, kc, iters)
     out = (comp, cents, codes)
     if per is not None:
@@ -1811,7 +1953,9 @@ def pq_reconstruction_error(
         .groupBy("vec_id")
         .agg(F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))).alias("err"))
     )
-    norms = _norms(comp, "vec_id")
+    # Σq² per vector is layout-invariant: the (m, spos) re-key is a
+    # bijection on components, so the shared norm sidecar applies
+    norms = _norms_for(spark, sf_dir)
     return (
         err.join(norms, "vec_id")
         .join(
@@ -2100,7 +2244,7 @@ def knn_label_propagation(
     group.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    comp = _quantized_components(emb)
+    comp = _compl_for(spark, sf_dir).drop("label")
     qcomp = comp.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), "pos", F.col("q").alias("qq")
     )
@@ -2110,7 +2254,7 @@ def knn_label_propagation(
         .groupBy("q_id", "vec_id")
         .agg(F.sum(F.col("q") * F.col("qq")).alias("dot"))
     )
-    norms = _norms(comp, "vec_id")
+    norms = _norms_for(spark, sf_dir)
     qnorms = norms.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("norm2").alias("qnorm2")
     )
@@ -2221,7 +2365,7 @@ def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     # truncates while DuckDB's CAST rounds, so an even max(vec_id)
     # would shift the window boundary by one vector between them
     mid = emb.agg(F.floor((F.max("vec_id") + 1) / 2).cast("long").alias("mid"))
-    comp = _quantized_components_labeled(emb)
+    comp = _compl_for(spark, sf_dir)
     sums = (
         comp.crossJoin(broadcast(mid))
         .withColumn(
@@ -2366,8 +2510,7 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: quantized integer sums are exact; the final cosine
     is a short double chain → ``round(.., 9)`` both engines."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    comp = _quantized_components_labeled(emb)
+    comp = _compl_for(spark, sf_dir)
     sums = comp.groupBy("label", "pos").agg(
         F.sum("q").alias("s"), F.countDistinct("vec_id").alias("n")
     )
@@ -2446,8 +2589,7 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: cosine rounded to 9 BEFORE the min/arg-min so both
     engines agree on ties; the mean is a multi-term float reduction
     → ``round(.., 6)``."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    comp = _quantized_components_labeled(emb)
+    comp = _compl_for(spark, sf_dir)
     cents = comp.groupBy("label", "pos").agg(F.sum("q").alias("s"))
     cent_norm = cents.groupBy("label").agg(
         F.sum(F.col("s") * F.col("s")).alias("c2")
@@ -2618,7 +2760,7 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max/zero are exact and the mean is one integer-over-integer
     division rounded to 6."""
     emb = load_table(spark, sf_dir, "embeddings")
-    norms = _norms(_quantized_components(emb), "vec_id")
+    norms = _norms_for(spark, sf_dir)
     labeled = norms.join(emb.select("vec_id", "label"), "vec_id")
     return (
         labeled.groupBy("label")
@@ -2670,8 +2812,7 @@ def embedding_dimension_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     variance = (n·Σq² − (Σq)²) / n² divides two exact values once —
     bit-identical across engines, deterministic top-10 with the dim
     index as tiebreak."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    comp = _quantized_components(emb)
+    comp = _compl_for(spark, sf_dir).drop("label")
     g = comp.groupBy(F.col("pos").alias("dim")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("q").cast("decimal(38,0)")).alias("_s"),
@@ -2736,8 +2877,7 @@ def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the corpus is touched once (one (label, dim) aggregate =
     |labels|·d rows); the pair join runs over that TINY aggregate,
     never over vectors."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    comp = _quantized_components_labeled(emb)
+    comp = _compl_for(spark, sf_dir)
     cent = comp.groupBy("label", "pos").agg(
         F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
         F.count(F.lit(1)).alias("n"),
@@ -2826,8 +2966,7 @@ def centroid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction, unlike user-scale frames); the candidate fan-out is
     |vectors|·|labels| at (vec, label) grain, linear in the corpus
     for an enum label set."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    comp = _quantized_components_labeled(emb)
+    comp = _compl_for(spark, sf_dir)
     cent = comp.groupBy(F.col("label").alias("clabel"), "pos").agg(
         F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
         F.count(F.lit(1)).alias("cn"),
@@ -2918,8 +3057,7 @@ def intra_inter_label_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     valued; ‖S‖²-scale products accumulate in DECIMAL(38,0); the
     only float steps are two divisions and a subtraction, written
     identically on both engines and rounded to 9 dp."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    comp = _quantized_components_labeled(emb)
+    comp = _compl_for(spark, sf_dir)
     # ONE corpus-grain pass: Σq² folds into the (label, pos) aggregate
     # as a partial (q2p) and re-aggregates from the |labels|·dim cent
     # frame — integer decimal sums are associative, so the two-level
@@ -3026,8 +3164,7 @@ def centroid_nearest_rival(spark: SparkSession, sf_dir: str) -> DataFrame:
     audits read first.  Same exact common-denominator distance
     machinery; the argmin ranks within the |labels|²-cell table
     (ties → lexicographic rival), never vectors."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    comp = _quantized_components_labeled(emb)
+    comp = _compl_for(spark, sf_dir)
     cent = comp.groupBy("label", "pos").agg(
         F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
         F.count(F.lit(1)).alias("n"),
@@ -3126,8 +3263,7 @@ def centroid_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: corpus posexploded ONCE; the centroid table is d rows
     (broadcast by construction); one vec-grain aggregate and an
     enum-sized histogram follow — linear, no pairwise anything."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    comp = _quantized_components(emb)
+    comp = _compl_for(spark, sf_dir).drop("label")
     cent = comp.groupBy("pos").agg(
         F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
         F.count(F.lit(1)).alias("cn"),
@@ -3214,8 +3350,7 @@ def dimension_discriminability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: corpus touched once (posexplode → (pos,label) cells =
     d·|labels| rows); everything after is enum-sized."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    comp = _quantized_components_labeled(emb)
+    comp = _compl_for(spark, sf_dir)
     qd = F.col("q").cast("decimal(38,0)")
     lab = comp.groupBy("pos", "label").agg(
         F.count(F.lit(1)).alias("n_l"),
@@ -3499,12 +3634,9 @@ def vector_margin_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: corpus posexploded once, centroids broadcast (|labels|×d
     rows), one (vec,label)-grain aggregate → corpus×|labels| rows →
     a two-row-per-vector rank filter → enum-sized histogram."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    compl = _quantized_components_labeled(emb)
+    compl = _compl_for(spark, sf_dir)
     comp = compl.drop("label")
-    cents = compl.groupBy("label", "pos").agg(
-        F.floor(F.avg("q")).cast("long").alias("cq")
-    )
+    cents = _label_cents_for(spark, sf_dir)
     diff = F.col("q") - F.col("cq")
     d2 = (
         comp.join(broadcast(cents.withColumnRenamed("label", "clabel")), "pos")

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..tables import load_table
-from .similarity import QUANT, _quantized_components_labeled
+from .similarity import QUANT, _compl_for, _label_cents_for, _norms_for
 
 _COMP_SQL = """
 comp AS (
@@ -52,11 +52,8 @@ def label_silhouette_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast |labels|·d centroid frame and reduce to vector grain as
     exact integers; the centroid-pair matrix is |labels|² cells.
     Means of sqrt → round 6."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    compl = _quantized_components_labeled(emb)
-    cents = compl.groupBy("label", "pos").agg(
-        F.floor(F.avg("q")).cast("long").alias("cq")
-    )
+    compl = _compl_for(spark, sf_dir)
+    cents = _label_cents_for(spark, sf_dir)
     diff = F.col("q") - F.col("cq")
     own = (
         compl.join(broadcast(cents), ["label", "pos"])
@@ -140,8 +137,7 @@ def embedding_norm_percentiles_by_label(
 
     Plan: one vector-grain exact integer norm² reduce, one
     |labels|-sized percentile aggregate."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    compl = _quantized_components_labeled(emb)
+    compl = _compl_for(spark, sf_dir)
     norms = compl.groupBy("vec_id", "label").agg(
         F.sum(F.col("q") * F.col("q")).alias("n2")
     )
@@ -188,8 +184,7 @@ def dimension_variance_topk(
     Plan: ONE d-row exact integer moment aggregate over the
     posexploded corpus; the cut is a TakeOrdered over d rows on the
     exact integer variance numerator (never a rank window)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    compl = _quantized_components_labeled(emb)
+    compl = _compl_for(spark, sf_dir)
     mom = compl.groupBy("pos").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("q").alias("s1"),
@@ -265,8 +260,7 @@ def adjacent_vector_angle_bands(
     components, so only the final cosine is float (round 6, and the
     BAND is cut on the rounded value so the boundary decision is
     identical cross-engine)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    comp = _quantized_components_labeled(emb)
+    comp = _compl_for(spark, sf_dir)
     a = comp.select("vec_id", "pos", F.col("q").alias("qa"))
     b = comp.select(
         (F.col("vec_id") - 1).alias("vec_id"),
@@ -360,11 +354,8 @@ def doc_length_norm_correlation(
     cross-moments (norm² ~1e9 would overflow BIGINT squares; operands
     DECIMAL(18,0) keep every product exact in both engines); Pearson
     r assembles row-local, round 9."""
-    from .similarity import _norms, _quantized_components
-
-    emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
-    norms = _norms(_quantized_components(emb), "vec_id")
+    norms = _norms_for(spark, sf_dir)
     j = norms.join(
         docs.select(
             F.col("doc_id").alias("vec_id"), "lang", "n_chars"
