@@ -2614,6 +2614,11 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 9,
             ).alias("cos_r"),
         )
+        # per_vec feeds TWO branches (stats, the arg-min join) and
+        # Catalyst does not CSE across branches — without this the
+        # (vec, label)-grain corpus reduce ran twice per query
+        # (guide §2.4/§5); the frame is one row per vector.
+        .localCheckpoint(eager=False)
     )
     stats = per_vec.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
