@@ -54,3 +54,40 @@ def test_corpus_shingle_memo_returns_same_frame(spark):
     a = _corpus_shingles(spark, SF)
     b = _corpus_shingles(spark, SF)
     assert a is b
+
+
+def test_embedding_artifact_memos_identity_and_values(spark):
+    """r17 batch 10: the shared embedding-family artifacts are
+    memoized per (session, sf_dir) AND value-identical to the inline
+    derivations they replaced."""
+    from pyspark.sql import functions as F
+
+    from rakam_api_spark.tables import load_table
+
+    sim._FIT_MEMO.pop(spark, None)
+    # memo identity: second call returns the same frame object
+    compl = sim._compl_for(spark, SF)
+    assert sim._compl_for(spark, SF) is compl
+    norms = sim._norms_for(spark, SF)
+    assert sim._norms_for(spark, SF) is norms
+    cents = sim._label_cents_for(spark, SF)
+    assert sim._label_cents_for(spark, SF) is cents
+    members = sim._ivf_members_for(spark, SF)
+    assert sim._ivf_members_for(spark, SF) is members
+
+    # value identity vs the raw per-call derivations
+    emb = load_table(spark, SF, "embeddings")
+    raw = sim._quantized_components_labeled(emb)
+    assert compl.exceptAll(raw).count() == 0 and raw.exceptAll(compl).count() == 0
+    raw_norms = sim._norms(raw.drop("label"), "vec_id")
+    assert norms.exceptAll(raw_norms).count() == 0
+    raw_cents = raw.groupBy("label", "pos").agg(
+        F.floor(F.avg("q")).cast("long").alias("cq")
+    )
+    assert cents.exceptAll(raw_cents).count() == 0
+
+    # members == comp joined to the memoized fit's assignment
+    comp, _c, assign = sim._ivf_fit_for(spark, SF)
+    raw_members = comp.join(assign, "vec_id")
+    assert members.exceptAll(raw_members).count() == 0
+    assert members.count() == raw.count()  # one row per component
